@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access for the driver testdata layout (`<sfDir>/<name>.parquet`).
+  *
+  * Mirrors the reference's collection→table mapping
+  * (reference: src/mongo_catalog.cpp:1 — MongoDB collection → table) but
+  * over parquet; the docstore DSv2 source in `graft.sources` covers the
+  * document-shaped path.
+  *
+  * Scale note: plain `spark.read.parquet` keeps Catalyst free to push
+  * filters/projections into the scan and to split files by
+  * `spark.sql.files.maxPartitionBytes` — correct at 100 TB as long as the
+  * query declares its filters/columns (never `.cache()` a full fact table
+  * here).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register all tables as temp views so `spark.sql` queries work too. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,698 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational query surface (SURVEY.md §2.1).
+  *
+  * The reference proves its scan layer by running full SQL over document
+  * collections (reference: test/sql/tpch/tpch.test:1, test/sql/query/
+  * aggregations.test:1, benchmarks/pushdown_queries.sql:1). Here the same
+  * query shapes are declared with the DataFrame API so Catalyst plans the
+  * pushdowns the reference hand-implements (filter/projection/limit/TopN/
+  * partial-agg into the scan).
+  *
+  * Oracle-parity rules (SURVEY.md §5):
+  *   - money math in exact DECIMAL, cast to DOUBLE only at the end, so the
+  *     result is bit-identical regardless of partition/summation order —
+  *     at 100 TB the summation order is never reproducible, exactness is
+  *     the only portable answer;
+  *   - every query has a total deterministic ORDER BY;
+  *   - aliases match the oracle SQL exactly.
+  *
+  * Scale notes per query inline; the recurring ones:
+  *   - dimension joins (region/nation/supplier/part/customer) are
+  *     broadcast — at 100 TB the fact tables dominate, dims stay ≤ GBs;
+  *   - groupBy/agg is declarative → Catalyst plans partial (map-side)
+  *     aggregation before the shuffle;
+  *   - TopN (orderBy+limit) plans as TakeOrderedAndProject — no global
+  *     sort shuffle.
+  */
+object Relational {
+
+  /** Exact money: double column → DECIMAL(12,2) (testdata values carry ≤2
+    * decimals; 12 digits holds single-item money at any SF).
+    */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** extendedprice * (1 - discount) in exact decimal. */
+  private def discPrice(price: Column, disc: Column): Column =
+    dec(price) * (lit(1).cast(DecimalType(3, 2)) - dec(disc))
+  private def asDouble(c: Column): Column = c.cast(DoubleType)
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1 shape: scan→filter→groupBy→rich agg→sort.
+    * Scale: filter + 4-column projection pushed to parquet; partial agg on
+    * 6 groups → shuffle carries 6 rows/partition.
+    */
+  def q01(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        asDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+          .as("sum_disc_price"),
+        asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount")) *
+          (lit(1).cast(DecimalType(3, 2)) + dec(col("l_tax"))))).as("sum_charge"),
+        (asDouble(sum(dec(col("l_quantity")))) / count(col("l_quantity")))
+          .as("avg_qty"),
+        (asDouble(sum(dec(col("l_extendedprice")))) / count(col("l_extendedprice")))
+          .as("avg_price"),
+        (asDouble(sum(dec(col("l_discount")))) / count(col("l_discount")))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Predicate + projection pushdown: the reference pushes WHERE and the
+    * SELECT column set into the Mongo find (reference:
+    * src/mongo_filter_pushdown.cpp:1). Here both reach the parquet scan —
+    * `.explain` shows PushedFilters + a 4-column ReadSchema.
+    */
+  def q02(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .filter(col("p_size") > 30 && col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        asDouble(dec(col("p_retailprice"))).as("retail"))
+      .orderBy(col("p_partkey"))
+
+  val q02Sql: String =
+    """SELECT p_partkey, p_name, p_brand,
+      |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retail
+      |FROM part WHERE p_size > 30 AND p_type = 'PROMO'
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3 shape: join + agg + TopN. Scale: customer filter broadcast
+    * into orders; orderBy+limit plans as TakeOrderedAndProject (per-
+    * partition top-k, no global sort).
+    */
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** EXISTS with a correlated non-equi condition → left-semi join.
+    * Scale: semi join shuffles on orderkey only; no row multiplication.
+    */
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+    val li = Tables(spark, dir, "lineitem")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q5 shape: 6-way join + agg. Scale: region→nation→supplier/
+    * customer chain is all broadcast (dims); only orders⋈lineitem
+    * shuffles, on orderkey.
+    */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+    val cust = Tables(spark, dir, "customer")
+    val supp = Tables(spark, dir, "supplier")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    val li = Tables(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q05Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6 shape: tight range filter + single global agg. Scale: all
+    * three predicates push to parquet row-group stats; partial sums →
+    * one-row shuffle.
+    */
+  def q06(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+        .as("revenue"))
+
+  val q06Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.02 AND l_discount <= 0.06
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** COUNT(*) pushdown analog (reference: test/sql/query/count_pushdown
+    * .test:1, benchmarks count_filtered). Catalyst answers COUNT over
+    * parquet from row-group metadata when unfiltered; filtered count scans
+    * only the filter column.
+    */
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.agg(
+      count(lit(1)).as("n_all"),
+      count(when(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType), 1))
+        .as("n_since96"))
+  }
+
+  val q07Sql: String =
+    """SELECT COUNT(*) AS n_all,
+      |  COUNT(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' THEN 1 END) AS n_since96
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** GROUP BY + HAVING (reference: test/sql/query/groupby_pushdown.test:1
+    * pushes the group+agg into a Mongo $group stage; Spark's partial agg
+    * is the same idea distributed).
+    */
+  def q08(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec(col("o_totalprice")))).as("spend"))
+      .filter(col("n_orders") >= 15)
+      .orderBy(col("spend").desc, col("o_custkey"))
+
+  val q08Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+      |ORDER BY spend DESC, o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  def q09(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q09Sql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** IN-list filter — the reference pushes semi-join IN as Mongo `$in`
+    * (reference: src/mongo_filter_pushdown.cpp:1).
+    */
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("c_acctbal")))).as("bal"))
+      .orderBy(col("c_mktsegment"))
+
+  val q10Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+      |FROM customer
+      |WHERE c_mktsegment IN ('BUILDING','MACHINERY','AUTOMOBILE')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Top-3 orders per customer — rank window. Scale: single shuffle on
+    * o_custkey; rank filter applied streaming within each partition.
+    */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        asDouble(dec(col("o_totalprice"))).as("price"),
+        col("rk").cast(LongType).as("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val q11Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price, rk
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |      FROM orders) t
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Running-sum window with explicit ROWS frame (deterministic under
+    * ties thanks to the unique o_orderkey sort key; exact decimal keeps
+    * the running values order-independent).
+    */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        asDouble(sum(dec(col("o_totalprice"))).over(w)).as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q12Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** TPC-H Q13 shape: LEFT OUTER join + two-level agg; counts on the
+    * nullable side.
+    */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") =!= "P")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+      |  GROUP BY c_custkey) c
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** TPC-H Q14 shape: CASE inside aggregate (promo revenue share). */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-02-01").cast(TimestampType))
+    val part = Tables(spark, dir, "part")
+    val rev = discPrice(col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        asDouble(sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast(DecimalType(12, 2))))) /
+        asDouble(sum(rev))).as("promo_revenue"))
+  }
+
+  val q14Sql: String =
+    """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+      |    ELSE 0 END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** TPC-H Q15 shape: agg-of-agg via self-reference — suppliers whose
+    * revenue equals the max. Exact decimals make the max comparison safe.
+    */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .as("total_rev_dec"))
+    val maxRev = rev.agg(max(col("total_rev_dec")).as("mx"))
+    val supp = Tables(spark, dir, "supplier")
+    rev.join(broadcast(maxRev), col("total_rev_dec") === col("mx"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        asDouble(col("total_rev_dec")).as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev_dec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** substr/LIKE-prefix filter — the reference rewrites `substr(col,1,n) =
+    * 'x'` and `LIKE 'x%'` into Mongo anchored $regex (reference:
+    * test/sql/query/substr_filter_pushdown.test:1). Spark pushes
+    * StringStartsWith to parquet.
+    */
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .filter(substring(col("p_type"), 1, 4) === "PROM" &&
+        col("p_brand").startsWith("Brand#1"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n"), max(col("p_size")).as("max_size"))
+      .orderBy(col("p_brand"), col("p_type"))
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, COUNT(*) AS n, MAX(p_size) AS max_size
+      |FROM part
+      |WHERE substr(p_type, 1, 4) = 'PROM' AND p_brand LIKE 'Brand#1%'
+      |GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** TPC-H Q17 shape: correlated avg subquery → per-key agg join (Spark
+    * plans the decorrelated form; at scale the per-part avg table is tiny
+    * and broadcast).
+    */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val partAvg = li.groupBy(col("l_partkey").as("pk"))
+      .agg((asDouble(sum(dec(col("l_quantity")))) / count(col("l_quantity")))
+        .as("avg_qty"))
+    val part = Tables(spark, dir, "part").filter(col("p_brand") === "Brand#1")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(partAvg), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((asDouble(sum(dec(col("l_extendedprice")))) / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < 0.5 * (
+      |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l2.l_quantity)
+      |    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** TPC-H Q18 shape: group-agg feeding a semi-join back to the facts.
+    * Scale: the "big orders" key set is small → broadcast semi join.
+    */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey").as("bk"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > 150)
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    ord.join(broadcast(big), col("o_orderkey") === col("bk"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), asDouble(dec(col("o_totalprice"))).as("price"),
+        asDouble(col("sum_qty_dec")).as("sum_qty"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey AS bk, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_dec
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150) big
+      |  ON o_orderkey = bk
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY price DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** OR-of-ANDs predicate (reference: test/sql/query/complex_filters
+    * .test:1 pushes $or/$and trees). Catalyst splits the common
+    * conjuncts and pushes the disjunction to the scan.
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity") >= 1 &&
+          col("l_quantity") <= 20 && col("p_size") <= 25) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity") >= 10 &&
+          col("l_quantity") <= 30 && col("p_size") <= 40))
+      .agg(asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"), count(lit(1)).as("n"))
+  }
+
+  val q19Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size <= 25)
+      |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size <= 40)""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** NOT EXISTS → left-anti join: parts never shipped with discount ≥
+    * 0.08. Scale: anti join shuffles keys only.
+    */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").filter(col("l_discount") >= 0.08)
+    Tables(spark, dir, "part")
+      .join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q20Sql: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_partkey = p_partkey AND l_discount >= 0.08)
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** CTE reused twice: national revenue vs the global average (the
+    * reference gets WITH for free from DuckDB; Spark reuses the subplan
+    * via exchange reuse).
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val supp = Tables(spark, dir, "supplier")
+    val nation = Tables(spark, dir, "nation")
+    val natRev = li
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .as("rev_dec"))
+    val avgRev = natRev.agg(
+      (asDouble(sum(col("rev_dec"))) / count(lit(1))).as("avg_rev"))
+    natRev.crossJoin(broadcast(avgRev))
+      .filter(asDouble(col("rev_dec")) > col("avg_rev"))
+      .select(col("n_name"), asDouble(col("rev_dec")).as("revenue"),
+        col("avg_rev"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q21Sql: String =
+    """WITH nat_rev AS (
+      |  SELECT n_name,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev_dec
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY n_name),
+      |avg_rev AS (
+      |  SELECT CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*) AS avg_rev FROM nat_rev)
+      |SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue, avg_rev
+      |FROM nat_rev, avg_rev
+      |WHERE CAST(rev_dec AS DOUBLE) > avg_rev
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** UNION ALL of two branches + agg on the union. */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    val hi = ord.filter(col("o_totalprice") > 400000)
+      .select(lit("high").as("bucket"), col("o_totalprice"))
+    val lo = ord.filter(col("o_totalprice") < 50000)
+      .select(lit("low").as("bucket"), col("o_totalprice"))
+    hi.unionAll(lo)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("bucket"))
+  }
+
+  val q22Sql: String =
+    """SELECT bucket, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT 'high' AS bucket, o_totalprice FROM orders WHERE o_totalprice > 400000
+      |  UNION ALL
+      |  SELECT 'low' AS bucket, o_totalprice FROM orders WHERE o_totalprice < 50000)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Multi-key sort + limit → TakeOrderedAndProject (the TopN the
+    * reference pushes as `ORDER BY _id LIMIT n`, reference:
+    * test/sql/query/topn_pushdown.test:1, generalized to any key).
+    */
+  def q23(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), asDouble(dec(col("l_extendedprice"))).as("price"))
+      .orderBy(col("l_returnflag").desc, col("l_linestatus"),
+        col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  val q23Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      |FROM lineitem
+      |ORDER BY l_returnflag DESC, l_linestatus, price DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Date functions: monthly revenue roll-up (Date→TIMESTAMP mapping is
+    * the reference's BSON Date rule, README "BSON Type Mapping").
+    */
+  def q24(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        year(col("o_orderdate")).cast(LongType).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec(col("o_totalprice")))).as("revenue"))
+      .orderBy(col("month"))
+
+  val q24Sql: String =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY 1, 2 ORDER BY month""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_topn" -> (q03 _),
+    "q04_semi_join" -> (q04 _),
+    "q05_multi_join" -> (q05 _),
+    "q06_filter_agg" -> (q06 _),
+    "q07_count_star" -> (q07 _),
+    "q08_group_having" -> (q08 _),
+    "q09_distinct" -> (q09 _),
+    "q10_in_list" -> (q10 _),
+    "q11_window_rank" -> (q11 _),
+    "q12_window_running" -> (q12 _),
+    "q13_outer_join_agg" -> (q13 _),
+    "q14_case_agg" -> (q14 _),
+    "q15_max_subquery" -> (q15 _),
+    "q16_string_funcs" -> (q16 _),
+    "q17_avg_subquery" -> (q17 _),
+    "q18_large_orders" -> (q18 _),
+    "q19_or_filter" -> (q19 _),
+    "q20_anti_join" -> (q20 _),
+    "q21_cte" -> (q21 _),
+    "q22_union" -> (q22 _),
+    "q23_orderby_multi" -> (q23 _),
+    "q24_date_funcs" -> (q24 _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_topn" -> q03Sql,
+    "q04_semi_join" -> q04Sql,
+    "q05_multi_join" -> q05Sql,
+    "q06_filter_agg" -> q06Sql,
+    "q07_count_star" -> q07Sql,
+    "q08_group_having" -> q08Sql,
+    "q09_distinct" -> q09Sql,
+    "q10_in_list" -> q10Sql,
+    "q11_window_rank" -> q11Sql,
+    "q12_window_running" -> q12Sql,
+    "q13_outer_join_agg" -> q13Sql,
+    "q14_case_agg" -> q14Sql,
+    "q15_max_subquery" -> q15Sql,
+    "q16_string_funcs" -> q16Sql,
+    "q17_avg_subquery" -> q17Sql,
+    "q18_large_orders" -> q18Sql,
+    "q19_or_filter" -> q19Sql,
+    "q20_anti_join" -> q20Sql,
+    "q21_cte" -> q21Sql,
+    "q22_union" -> q22Sql,
+    "q23_orderby_multi" -> q23Sql,
+    "q24_date_funcs" -> q24Sql)
+}
