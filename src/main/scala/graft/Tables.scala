@@ -21,7 +21,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanos type
+      // (the reference's BSON Date rule maps to micros-backed TIMESTAMP
+      // too). Read the raw int64 and integer-divide to micros: a double
+      // division here would silently lose precision (2024 epoch-nanos
+      // exceed 2^53).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** Register all tables as temp views so `spark.sql` queries work too. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-hash kernels.
+  *
+  * Each generates a single static call into [[TextHashes]], so the
+  * operator they feed (projection before the LSH shuffle) stays one
+  * WholeStageCodegen span — the reference computes its hashes inside the
+  * engine's vectorized executor for the same reason; a Scala UDF here
+  * would add per-row encoder boxing on the 100 TB hot path.
+  */
+case class MinHashSigExpr(child: Expression, numHashes: Int, shingleK: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.minhashSig(input.asInstanceOf[UTF8String], numHashes, shingleK)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.minhashSig($c, $numHashes, $shingleK)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr =
+    copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+case class RollingFingerprintExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.rollingFingerprint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.rollingFingerprint($c)")
+  override protected def withNewChildInternal(c: Expression): RollingFingerprintExpr =
+    copy(child = c)
+  override def prettyName: String = "rolling_fingerprint"
+}
+
+/** Word k-shingle hash set (64-bit) — input to exact Jaccard. */
+case class ShingleHashesExpr(child: Expression, shingleK: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextHashes.shingleHashes(input.asInstanceOf[UTF8String], shingleK))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHashes.shingleHashes($c, $shingleK))")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
+    copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** LSH band key over a slice of a minhash signature. */
+case class BandHashExpr(child: Expression, from: Int, until: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.bandHash(input.asInstanceOf[ArrayData], from, until)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.bandHash($c, $from, $until)")
+  override protected def withNewChildInternal(c: Expression): BandHashExpr =
+    copy(child = c)
+  override def prettyName: String = "band_hash"
+}
+
+/** Column-API façade (the library's user-facing function surface). */
+object text {
+  def minhash_sig(c: Column, numHashes: Int = 64, shingleK: Int = 3): Column =
+    toColumn(MinHashSigExpr(expression(c), numHashes, shingleK))
+  def simhash64(c: Column): Column = toColumn(SimHash64Expr(expression(c)))
+  def rolling_fingerprint(c: Column): Column =
+    toColumn(RollingFingerprintExpr(expression(c)))
+  def band_hash(c: Column, from: Int, until: Int): Column =
+    toColumn(BandHashExpr(expression(c), from, until))
+  def shingle_hashes(c: Column, shingleK: Int = 3): Column =
+    toColumn(ShingleHashesExpr(expression(c), shingleK))
+
+  private[graft] def expression(c: Column): Expression = toExpression(c)
+}

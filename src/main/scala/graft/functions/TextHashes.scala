@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure JVM kernels for text hashing — called from codegen'd expressions
+  * (see [[TextHashExpressions]]) as static one-liners so the surrounding
+  * plan stays inside WholeStageCodegen.
+  *
+  * All hashing is seed-fixed and order-deterministic: at 100 TB the same
+  * document must map to the same signature on every executor, every run.
+  */
+object TextHashes {
+
+  /** splitmix64 finalizer — the standard public-domain bit mixer. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit FNV-1a over a byte slice. */
+  @inline def fnv1a(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Lowercased whitespace tokens (ASCII fold only — deterministic and
+    * locale-free, unlike String.toLowerCase(Locale)).
+    */
+  def tokens(text: UTF8String): Array[Array[Byte]] = {
+    val b = text.getBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    var start = -1
+    while (i <= b.length) {
+      val ws = i == b.length || b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r'
+      if (ws) {
+        if (start >= 0) {
+          val tok = java.util.Arrays.copyOfRange(b, start, i)
+          var j = 0
+          while (j < tok.length) {
+            if (tok(j) >= 'A' && tok(j) <= 'Z') tok(j) = (tok(j) + 32).toByte
+            j += 1
+          }
+          out += tok
+          start = -1
+        }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** 64-bit hashes of the word k-shingles of `text`. A document shorter
+    * than `k` words yields its single full-text hash so it still
+    * participates in dedup.
+    */
+  def shingleHashes(text: UTF8String, k: Int): Array[Long] = {
+    val ts = tokens(text)
+    if (ts.length < k) return Array(fnv1a(text.getBytes, 0, text.numBytes))
+    val out = new Array[Long](ts.length - k + 1)
+    var i = 0
+    while (i + k <= ts.length) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        val t = ts(i + j)
+        var p = 0
+        while (p < t.length) { h ^= (t(p) & 0xffL); h *= 0x100000001b3L; p += 1 }
+        h ^= 0x1fL; h *= 0x100000001b3L // token separator
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature: `numHashes` permutations simulated as
+    * `min(mix64(shingleHash ^ seed_i))` — one pass over the shingles,
+    * O(shingles × numHashes), no allocation beyond the signature.
+    */
+  def minhashSig(text: UTF8String, numHashes: Int, shingleK: Int): ArrayData = {
+    val hs = shingleHashes(text, shingleK)
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val seed = mix64(0x5eedL + i)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = mix64(hs(j) ^ seed)
+        if (v < m) m = v
+        j += 1
+      }
+      sig(i) = m
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over token hashes (count-weighted sign sum per bit). */
+  def simhash64(text: UTF8String): Long = {
+    val ts = tokens(text)
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < ts.length) {
+      val h = mix64(fnv1a(ts(i), 0, ts(i).length))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Rabin-Karp rolling polynomial fingerprint of the whole document
+    * (base 257 over bytes, native Long wraparound — stable across JVMs).
+    */
+  def rollingFingerprint(text: UTF8String): Long = {
+    val b = text.getBytes
+    var h = 0L
+    var i = 0
+    while (i < b.length) { h = h * 257L + (b(i) & 0xffL); i += 1 }
+    mix64(h)
+  }
+
+  /** Band key for LSH: hash of signature positions [from, until). */
+  def bandHash(sig: ArrayData, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      val v = sig.getLong(i)
+      var s = 0
+      while (s < 8) { h ^= ((v >>> (s * 8)) & 0xffL); h *= 0x100000001b3L; s += 1 }
+      i += 1
+    }
+    h
+  }
+}

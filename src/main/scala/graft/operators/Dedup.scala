@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.{text => T, vectors => V}
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.3).
+  *
+  * The driver corpus has no natural duplicates (500 unique synthetic
+  * texts, near-orthogonal embeddings), so each operator deterministically
+  * PLANTS near-duplicates from the source table inside the pipeline
+  * (`doc_id % k == 0` rows, mutated; planted ids offset by 1,000,000) and
+  * must find exactly those. The operator code itself is corpus-agnostic.
+  *
+  * Scale design (the whole point of these shapes at 100 TB):
+  *   - signatures are computed in ONE map-only projection per doc
+  *     (codegen'd static kernels, no shuffle);
+  *   - candidate generation shuffles only (band_key → doc_id) pairs —
+  *     never text — and self-joins within buckets, so shuffle volume is
+  *     O(candidates), not O(N²);
+  *   - hot buckets (stopword-like shingles, zero vectors) are capped
+  *     before the self-join — the classic LSH skew guard: one
+  *     pathological bucket would otherwise quadratically dominate;
+  *   - verification (exact Jaccard / cosine) runs only on surviving
+  *     candidate pairs.
+  */
+object Dedup {
+
+  private val PlantOffset = 1000000L
+
+  /** documents ∪ mutated copies of every 10th doc (last word dropped) —
+    * the planted near-dup corpus for text dedup.
+    */
+  private def plantedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+        col("source"))
+    docs.unionAll(planted)
+  }
+
+  // --------------------------------------------------------------- dd01
+  /** Exact dedup: md5 hash-groupBy, keep the minimum id per group.
+    * Scale: single shuffle on the 128-bit hash; map-side partial agg
+    * collapses intra-partition dup runs first.
+    */
+  def dd01Exact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    // duplicate every 20th doc verbatim so the operator has work to do
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
+    corpus.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  val dd01Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, text FROM documents WHERE doc_id % 20 = 0)
+       |SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+       |  COUNT(*) AS n_copies
+       |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // --------------------------------------------------------------- dd02
+  /** MinHash + LSH near-dup pairs: 64-hash signature, 16 bands × 4 rows,
+    * bucket self-join, signature-estimated Jaccard ≥ 0.5.
+    */
+  def dd02MinHash(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedDocs(spark, dir)
+    val sigs = corpus.select(col("doc_id"),
+      T.minhash_sig(col("text"), 64, 3).as("sig"))
+
+    val bandCols = (0 until 16).map(b =>
+      struct(lit(b).as("band"), T.band_hash(col("sig"), b * 4, (b + 1) * 4)
+        .as("bh")))
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    // LSH skew guard: drop pathological buckets before the self-join.
+    val capped = bands
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"))))
+      .filter(col("bucket_n") <= 50)
+
+    val a = capped.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val b = capped.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    val cand = a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+
+    val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)).cast(DoubleType) / 64.0)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // --------------------------------------------------------------- dd03
+  /** SimHash near-dup pairs: 64-bit signature, 4×16-bit bands (pigeonhole:
+    * hamming ≤ 3 ⇒ at least one band identical), exact hamming verify.
+    */
+  def dd03SimHash(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedDocs(spark, dir)
+    val sigs = corpus.select(col("doc_id"), T.simhash64(col("text")).as("sig"))
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
+          .as("bh")))
+    val bands = sigs
+      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = bands.select(col("band"), col("bh"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = bands.select(col("band"), col("bh"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // --------------------------------------------------------------- dd04
+  /** Exact n-gram Jaccard within blocking keys (source): the verify-stage
+    * shape — shingle hash SETS intersect/union only for pairs sharing a
+    * block, never across the whole corpus.
+    */
+  def dd04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedDocs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        array_distinct(T.shingle_hashes(col("text"), 3)).as("sh"))
+    val a = corpus.select(col("source"), col("doc_id").as("id_a"),
+      col("sh").as("sh_a"))
+    val b = corpus.select(col("source"), col("doc_id").as("id_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("source"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("source"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // --------------------------------------------------------------- dd05
+  /** Embedding near-dup: sign-LSH hyperplane buckets → in-bucket pairwise
+    * cosine ≥ 0.99. Planted: verbatim copies of every 25th vector (same
+    * bucket by construction).
+    */
+  def dd05Embedding(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = vecs.unionAll(vecs.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + PlantOffset).as("vec_id"), col("embedding")))
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      V.hyperplane_bucket(col("embedding"), 16).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", V.cosine_sim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= 0.99)
+      .select(col("id_a"), col("id_b"), col("bucket"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd01_dedup_exact" -> (dd01Exact _),
+    "dd02_dedup_minhash" -> (dd02MinHash _),
+    "dd03_dedup_simhash" -> (dd03SimHash _),
+    "dd04_ngram_jaccard" -> (dd04NgramJaccard _),
+    "dd05_dedup_embedding" -> (dd05Embedding _))
+
+  /** dd02–dd05 are custom-kernel ops with no SQL equivalent → rows-only. */
+  val oracle: Map[String, String] = Map(
+    "dd01_dedup_exact" -> dd01Sql)
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Document-model operators (SURVEY.md §2.2) that run on the driver
+  * tables: nested-JSON field extraction (the reference maps BSON
+  * sub-documents to JSON VARCHAR — README "BSON Type Mapping") and
+  * array-of-struct handling (the reference's Array Handling: LIST(STRUCT)
+  * columns + `list_extract` + UNNEST — README "Querying MongoDB").
+  *
+  * The docstore DSv2 source (graft.sources) covers inference/pushdown on
+  * document files; these two prove the query-side document semantics with
+  * a DuckDB oracle.
+  */
+object DocumentOps {
+
+  // ---------------------------------------------------------------- d01
+  /** Nested-document field access: events.props is a JSON sub-document
+    * stored as a string (exactly the reference's Document→VARCHAR rule);
+    * extract a typed field and aggregate on it. Scale: extraction is
+    * map-side, pushdown-friendly (only `props`, `event_type` read).
+    */
+  def d01JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val d01Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- d05
+  /** Array-of-struct round trip: build LIST(STRUCT) per order (sorted for
+    * determinism), then `list_extract`-style element access AND UNNEST
+    * back to rows — the reference's two array access patterns in one
+    * query shape.
+    */
+  def d05UnnestArray(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").filter(col("l_orderkey") <= 200)
+    val orders = li
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(col("l_linenumber").as("ln"),
+        col("l_quantity").as("qty")))).as("items"))
+    orders
+      .select(col("l_orderkey"),
+        size(col("items")).cast(LongType).as("n_items"),
+        element_at(col("items"), 1).getField("ln").as("first_ln"),
+        element_at(col("items"), 1).getField("qty").as("first_qty"),
+        posexplode(col("items")).as(Seq("pos", "item")))
+      .select(col("l_orderkey"), col("n_items"), col("first_ln"),
+        col("first_qty"), col("pos").cast(LongType).as("pos"),
+        col("item.ln").as("ln"), col("item.qty").as("qty"))
+      .orderBy(col("l_orderkey"), col("pos"))
+  }
+
+  val d05Sql: String =
+    """WITH ord AS (
+      |  SELECT l_orderkey,
+      |    list_sort(list(struct_pack(ln := l_linenumber, qty := l_quantity))) AS items
+      |  FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey)
+      |SELECT l_orderkey,
+      |  CAST(len(items) AS BIGINT) AS n_items,
+      |  items[1].ln AS first_ln,
+      |  items[1].qty AS first_qty,
+      |  CAST(UNNEST(range(len(items))) AS BIGINT) AS pos,
+      |  UNNEST(items).ln AS ln,
+      |  UNNEST(items).qty AS qty
+      |FROM ord ORDER BY l_orderkey, pos""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_json_extract" -> (d01JsonExtract _),
+    "d05_unnest_array" -> (d05UnnestArray _))
+
+  val oracle: Map[String, String] = Map(
+    "d01_json_extract" -> d01Sql,
+    "d05_unnest_array" -> d05Sql)
+}

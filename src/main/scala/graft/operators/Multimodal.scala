@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.3): image/audio/video as
+  * opaque `binary` columns + typed metadata, with decode / feature
+  * extraction / resize / frame-sample stages.
+  *
+  * The decode step is STUBBED (no codec libraries in this container) with
+  * a deterministic fake: payload bytes are synthesized from the documents
+  * table, "decoding" computes a 16-bin byte histogram as the feature
+  * vector, "resize" subsamples the payload, "frame sampling" takes every
+  * k-th 256-byte block. Everything Spark-side is real and load-bearing:
+  * the schema (binary + struct metadata), the typed Dataset encoders, and
+  * the per-partition batch shape.
+  *
+  * Scale: mapPartitions (not per-row UDF) so a real decoder would amortize
+  * its init (model load, JNI context) once per partition — the same
+  * contract as Pandas-UDF batches; binary payloads never shuffle (all
+  * derived columns are computed map-side before any exchange).
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte],
+      width: Int, height: Int)
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, checksum: Long,
+      features: Array[Float])
+
+  /** STUB decoder — deterministic fake standing in for an image/audio
+    * codec (`???` boundary). Real plumbing, fake math.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) >> 4) += 1f
+      i += 1
+    }
+    if (payload.length > 0) {
+      var j = 0
+      while (j < 16) { hist(j) /= payload.length; j += 1 }
+    }
+    hist
+  }
+
+  /** STUB resize: subsample every stride-th byte ("pixel"). */
+  private def resizeStub(payload: Array[Byte], stride: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + stride - 1) / stride)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+    out
+  }
+
+  /** STUB frame sampler: every k-th 256-byte block is a "frame". */
+  private def sampleFrames(payload: Array[Byte], k: Int): Int = {
+    val frames = payload.length / 256
+    if (frames == 0) 0 else (frames + k - 1) / k
+  }
+
+  /** m01: synthesize media rows from documents, run the decode →
+    * feature-extract → resize → frame-sample pipeline per partition.
+    */
+  def m01(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        // deterministic modality mix + fake payload from the text bytes
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("doc_id") % 64 + 16).cast("int").as("width"),
+        (col("doc_id") % 48 + 16).cast("int").as("height"))
+      .as[MediaRow]
+
+    media.mapPartitions { rows =>
+      // a real decoder would init its codec/model HERE, once per partition
+      rows.map { r =>
+        val resized = resizeStub(r.payload, 4)
+        MediaFeatures(
+          doc_id = r.doc_id,
+          media_type = r.media_type,
+          n_bytes = r.payload.length.toLong,
+          width = r.width,
+          height = r.height,
+          n_frames =
+            if (r.media_type == "video") sampleFrames(r.payload, 2) else 1,
+          checksum = resized.foldLeft(0L)((h, b) => h * 31 + (b & 0xff)),
+          features = decodeStub(r.payload))
+      }
+    }.toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("width"),
+        col("height"), col("n_frames"), col("checksum"),
+        col("features"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_multimodal" -> (m01 _))
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Text analysis for training-data pipelines (SURVEY.md §2.3): language
+  * ID, quality scoring, token counting — each a narrow, fully
+  * declarative column pipeline so Catalyst keeps it inside
+  * WholeStageCodegen and the scan reads only `doc_id, text`.
+  *
+  * Scale: all three are embarrassingly parallel map-only plans — no
+  * shuffle except the final presentation sort (dropped at 100 TB where
+  * results land partitioned; kept here for oracle determinism).
+  *
+  * Oracle parity: token splitting, regex counting and the score algebra
+  * are expressed with the same semantics in DuckDB SQL (list_filter /
+  * regexp_extract_all) — all integer counts, with double math appearing
+  * only in fixed-order final expressions.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped — Java `split` and DuckDB
+    * `string_split_regex` disagree on trailing empties, filtering is the
+    * portable form.
+    */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "\\s+"), x => x =!= "")
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  private def markerHits(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isin(words.map(lit): _*)))
+      .cast(LongType)
+
+  // ---------------------------------------------------------------- t01
+  /** n-gram/stopword language scorer: count marker-word hits per
+    * language, argmax with a fixed precedence chain for ties.
+    */
+  def t01LangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = toks(col("text"))
+    val scored = docs.select(
+      Seq(col("doc_id"), col("lang").as("lang_label")) ++
+        langMarkers.map { case (l, ws) => markerHits(t, ws).as(s"s_$l") }: _*)
+    val pred = when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+        col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+      .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") &&
+        col("s_es") >= col("s_zh"), "es")
+      .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+      .when(col("s_fr") >= col("s_zh"), "fr")
+      .otherwise("zh")
+    scored.withColumn("predicted_lang", pred).orderBy(col("doc_id"))
+  }
+
+  val t01Sql: String = {
+    def hits(ws: Seq[String]): String = {
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), x -> x IN ($inList))) AS BIGINT)"
+    }
+    val cols = langMarkers.map { case (l, ws) => s"  ${hits(ws)} AS s_$l" }
+      .mkString(",\n")
+    s"""WITH scored AS (
+       |SELECT doc_id, lang AS lang_label,
+       |$cols
+       |FROM documents)
+       |SELECT *, CASE
+       |  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |  WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |  WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |  WHEN s_fr >= s_zh THEN 'fr'
+       |  ELSE 'zh' END AS predicted_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t02
+  /** Quality heuristics: token count, punctuation ratio, stopword ratio,
+    * mean word length → fixed-order weighted score in [0,1].
+    */
+  def t02Quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = toks(col("text"))
+    val nTok = size(t).cast(LongType)
+    val nChar = length(col("text")).cast(LongType)
+    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
+      .cast(LongType)
+    val stopHits = markerHits(t,
+      Seq("the", "a", "of", "to", "and", "is", "in", "that", "it"))
+    val wordChars = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    docs.select(col("doc_id"), nTok.as("n_tokens"), nChar.as("n_chars"),
+        nPunct.as("n_punct"), stopHits.as("n_stop"),
+        wordChars.as("word_chars"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast(DoubleType) / col("n_chars"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast(DoubleType) / col("n_tokens"))
+      .withColumn("avg_word_len",
+        col("word_chars").cast(DoubleType) / col("n_tokens"))
+      .withColumn("quality",
+        lit(0.3) * least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0) +
+        lit(0.3) * (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5.0)) +
+        lit(0.2) * least(lit(1.0), col("stop_ratio") * 4.0) +
+        lit(0.2) * least(lit(1.0), col("avg_word_len") / 8.0))
+      .orderBy(col("doc_id"))
+  }
+
+  val t02Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_punct,
+      |    CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+      |      x -> x IN ('the','a','of','to','and','is','in','that','it'))) AS BIGINT) AS n_stop,
+      |    CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+      |      x -> length(x))) AS BIGINT) AS word_chars
+      |  FROM documents),
+      |ratios AS (
+      |  SELECT *,
+      |    CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+      |    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |    CAST(word_chars AS DOUBLE) / n_tokens AS avg_word_len
+      |  FROM base)
+      |SELECT *,
+      |  0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
+      |  0.3 * (1.0 - least(1.0, punct_ratio * 5.0)) +
+      |  0.2 * least(1.0, stop_ratio * 4.0) +
+      |  0.2 * least(1.0, avg_word_len / 8.0) AS quality
+      |FROM ratios ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t03
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single non-alnum marks).
+    */
+  def t03Tokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    docs.select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast(LongType).as("ws_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast(LongType).as("bpe_tokens"),
+        length(col("text")).cast(LongType).as("chars"))
+      .withColumn("chars_per_token",
+        col("chars").cast(DoubleType) / col("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t03Sql: String =
+    """SELECT doc_id, source,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+      |  CAST(length(text) AS BIGINT) AS chars,
+      |  CAST(length(text) AS DOUBLE) /
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t04
+  /** Rolling-hash (Rabin-Karp) document fingerprint via the codegen'd
+    * native expression — the cheap first-pass identity for incremental
+    * dedup (rows-only: the kernel is engine-specific by design).
+    */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    docs.select(col("doc_id"),
+        graft.functions.text.rolling_fingerprint(col("text"))
+          .as("fingerprint"),
+        graft.functions.text.simhash64(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_lang_id" -> (t01LangId _),
+    "t02_quality_score" -> (t02Quality _),
+    "t03_token_count" -> (t03Tokens _),
+    "t04_fingerprint" -> (t04Fingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "t01_lang_id" -> t01Sql,
+    "t02_quality_score" -> t02Sql,
+    "t03_token_count" -> t03Sql)
+}
