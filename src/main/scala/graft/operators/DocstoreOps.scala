@@ -1,0 +1,308 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.sources.{DocstoreOptions, DocstoreTable, MongoFilter, SchemaInference}
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Document-layer operators (SURVEY.md §2.2) exercising the docstore
+  * DSv2 source end-to-end: schema inference (d02), flattening (d03),
+  * mongo-filter compilation (d04), BSON type mapping (d06), schema
+  * modes (d07), pushdown scan (d08), aggregation over the doc scan with
+  * a relational oracle (d09), and the collection catalog (d10).
+  *
+  * Test docs are generated ONCE per sf from the events parquet — a pure
+  * distributed projection (string concat, codegen'd) writing extended
+  * JSON, so the doc content is deterministic and the DuckDB oracle can
+  * check doc-scan queries against the original parquet table.
+  */
+object DocstoreOps {
+
+  // ------------------------------------------------------------------
+  // doc generation: events row → extended-JSON document with nesting
+  // ------------------------------------------------------------------
+
+  /** Root for generated doc collections, keyed by sf dir name. */
+  def docsRoot(sfDir: String): String = {
+    val sf = sfDir.replaceAll("/+$", "").split('/').last
+    s"/tmp/graft_docstore/$sf"
+  }
+
+  /** events table → JSONL docs dir (idempotent). Doc shape exercises the
+    * reference's inference surface: ObjectId `_id`, `$date` timestamp,
+    * nested `user` sub-document (→ flattened `user_id`/`user_segment`),
+    * nested `props` (→ `props_k`), an array of strings, a double, and a
+    * field (`maybe`) present only on some docs (null-refinement path).
+    */
+  def ensureEventDocs(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"${docsRoot(sfDir)}/events_docs"
+    val marker = Paths.get(s"$dir/_SUCCESS")
+    if (Files.exists(marker)) return dir
+    val ev = Tables(spark, sfDir, "events")
+    val json = concat(
+      lit("""{"_id":{"$oid":""""), lower(lpad(hex(col("event_id")), 24, "0")),
+      lit(""""},"event_id":"""), col("event_id").cast(StringType),
+      lit(""","ts":{"$date":""""),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+      lit(""""},"user":{"id":"""), col("user_id").cast(StringType),
+      lit(""","segment":"s"""), pmod(col("user_id"), lit(5)).cast(StringType),
+      lit(""""},"event_type":""""), col("event_type"),
+      lit("""","value":"""), col("value").cast(StringType),
+      lit(""","props":"""), col("props"),
+      lit(""","tags":["t"""), pmod(col("event_id"), lit(3)).cast(StringType),
+      lit(""""]"""),
+      when(pmod(col("event_id"), lit(10)) === 0,
+        concat(lit(""","maybe":"""), col("event_id").cast(StringType)))
+        .otherwise(lit("")),
+      lit("}"))
+    ev.select(json.as("doc")).write.mode("overwrite").text(dir)
+    dir
+  }
+
+  // ------------------------------------------------------------------ d02
+  /** Sampling schema inference over the generated docs — returns the
+    * inferred (column, type) relation. The reference samples 100 docs and
+    * unifies BSON types (reference: src/mongo_schema_inference.cpp:1);
+    * inference cost is O(sample), independent of collection size. */
+  def d02SchemaInference(spark: SparkSession, dir: String): DataFrame = {
+    val docs = ensureEventDocs(spark, dir)
+    val schema = DocstoreTable.inferSchema(DocstoreOptions(Map(
+      "path" -> docs, "samplesize" -> "100")))
+    import spark.implicits._
+    schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+      .toDF("col_name", "col_type").orderBy("col_name")
+  }
+
+  // ------------------------------------------------------------------ d03
+  /** Nested docs flattened to `parent_child` columns (`user.id` →
+    * `user_id`, `props.k` → `props_k`), checked relationally against the
+    * original parquet via the DuckDB oracle. */
+  def d03FlattenNested(spark: SparkSession, dir: String): DataFrame = {
+    val docs = ensureEventDocs(spark, dir)
+    spark.read.format("docstore").option("path", docs).load()
+      .groupBy(col("user_segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("props_k")).as("sum_k"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy(col("user_segment"))
+  }
+
+  val d03Sql: String =
+    """SELECT 's' || CAST(user_id % 5 AS VARCHAR) AS user_segment,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(DISTINCT user_id) AS users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------ d04
+  /** Mongo filter document compiled to a Catalyst Column and applied to a
+    * relational table — predicate lands in PushedFilters on the parquet
+    * scan (the reference's $match direction, inverted Spark-first). */
+  val d04Filter: String =
+    """{"$and":[
+      |  {"o_orderstatus":"O"},
+      |  {"o_totalprice":{"$gt":100000.0}},
+      |  {"o_orderpriority":{"$in":["1-URGENT","2-HIGH"]}},
+      |  {"o_custkey":{"$exists":true,"$ne":{"$numberLong":"7"}}}
+      |]}""".stripMargin
+
+  def d04MongoFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(MongoFilter.compile(d04Filter))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  val d04Sql: String =
+    """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+      |  AND o_orderpriority IN ('1-URGENT','2-HIGH')
+      |  AND o_custkey IS NOT NULL AND o_custkey IS DISTINCT FROM 7
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------ d06
+  /** BSON type-mapping zoo: one tiny driver-written collection covering
+    * every mapped type (README "BSON Type Mapping"); result shows each
+    * column's Spark type and a canonical string rendering. */
+  def typeZooDocs(): String = synchronized {
+    val dir = "/tmp/graft_docstore/type_zoo"
+    val f = Paths.get(s"$dir/zoo.jsonl")
+    Files.createDirectories(Paths.get(dir))
+    val docs = Seq(
+      """{"_id":{"$oid":"64de1f00c0ffee0000000001"},"s":"alpha","i32":{"$numberInt":"7"},"i64":{"$numberLong":"9007199254740993"},"dbl":{"$numberDouble":"1.5"},"dec":{"$numberDecimal":"2.25"},"b":true,"ts":{"$date":"2024-03-01T12:30:00.000Z"},"day":{"$date":"2024-03-01T00:00:00.000Z"},"bin":{"$binary":{"base64":"AQID","subType":"00"}},"arr":[1,2,3],"arrdoc":[{"x":1,"y":"a"},{"x":2,"y":"b"}],"re":{"$regularExpression":{"pattern":"^a","options":"i"}},"nul":null}""",
+      """{"_id":{"$oid":"64de1f00c0ffee0000000002"},"s":"beta","i32":{"$numberInt":"8"},"i64":{"$numberLong":"12"},"dbl":{"$numberDouble":"2.5"},"dec":{"$numberDecimal":"3.5"},"b":false,"ts":{"$date":"2024-03-02T01:02:03.000Z"},"day":{"$date":"2024-05-01T00:00:00.000Z"},"bin":{"$binary":{"base64":"BAUG","subType":"00"}},"arr":[4,5],"arrdoc":[{"x":3,"y":"c"}],"re":{"$regularExpression":{"pattern":"^b","options":""}},"nul":"later-typed"}""")
+    Files.write(f, docs.mkString("", "\n", "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    dir
+  }
+
+  def d06TypeMapping(spark: SparkSession, dir: String): DataFrame = {
+    val zoo = typeZooDocs()
+    val df = spark.read.format("docstore").option("path", zoo).load()
+    // one row per (doc, column): name, inferred Spark type, rendered value
+    val rendered = df.select(
+      col("_id").as("doc_key") +: df.schema.fields.map { f =>
+        val c = f.dataType match {
+          case BinaryType => base64(col(f.name))
+          case _: ArrayType | _: StructType => to_json(col(f.name))
+          case _ => col(f.name).cast(StringType)
+        }
+        c.as(f.name)
+      }.toSeq: _*)
+    val types = df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toMap
+    val stacked = rendered.selectExpr("doc_key",
+      s"stack(${df.schema.length}, " +
+        df.schema.fields.map(f => s"'${f.name}', cast(`${f.name}` as string)")
+          .mkString(", ") + ") as (col_name, value)")
+    import spark.implicits._
+    val typeDf = types.toSeq.toDF("col_name", "col_type")
+    stacked.join(typeDf, "col_name")
+      .select(col("doc_key"), col("col_name"), col("col_type"), col("value"))
+      .orderBy(col("doc_key"), col("col_name"))
+  }
+
+  // ------------------------------------------------------------------ d07
+  /** Schema-mode enforcement: a collection with clean docs, a type-
+    * mismatched doc, and an unparseable line → row counts per mode plus
+    * failfast's error class (reference schema_mode semantics). */
+  def modeDocs(): String = synchronized {
+    val dir = "/tmp/graft_docstore/mode_docs"
+    Files.createDirectories(Paths.get(dir))
+    val lines = Seq(
+      """{"a":1,"b":"x"}""",
+      """{"a":2,"b":"y"}""",
+      """{"a":"not-a-number","b":"z"}""", // type mismatch vs sampled Long
+      """this is not json at all""",
+      """{"a":4,"b":"w"}""")
+    Files.write(Paths.get(s"$dir/docs.jsonl"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    dir
+  }
+
+  def d07SchemaModes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = modeDocs()
+    def read(mode: String) = spark.read.format("docstore")
+      .option("path", docs).option("schemamode", mode)
+      // fix the schema from the clean sample so the mismatch row is
+      // exercised at *read* time in every mode
+      .option("samplesize", "2").load()
+    val permissive = read("permissive").count()
+    val permissiveNullA = read("permissive").filter(col("a").isNull).count()
+    val dropped = read("dropmalformed").count()
+    val failfast =
+      try { read("failfast").count(); "no-error" }
+      catch { case e: Exception =>
+        // the IllegalStateException is wrapped by Spark's task/job layers
+        val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+          .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+        if (msgs.contains("failfast")) "failfast-error" else "other-error" }
+    import spark.implicits._
+    Seq(
+      ("permissive_rows", permissive.toString),
+      ("permissive_null_a", permissiveNullA.toString),
+      ("dropmalformed_rows", dropped.toString),
+      ("failfast", failfast)
+    ).toDF("check", "result").orderBy("check")
+  }
+
+  // ------------------------------------------------------------------ d08
+  /** DSv2 pushdown scan: filter + projection + (spec-tested) limit reach
+    * the docstore reader — the reference's $match/projection/$limit
+    * pipeline (reference: src/mongo_optimizer.cpp:1). The spec asserts
+    * `PushedFilters`/`ReadSchema` in explain(); here the filtered
+    * projection itself is the (deterministic) result. */
+  def d08DocstoreScan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = ensureEventDocs(spark, dir)
+    spark.read.format("docstore").option("path", docs).load()
+      .filter(col("event_type") === "purchase" && col("value") > 90.0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val d08Sql: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_type = 'purchase' AND value > 90.0
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------ d09
+  /** Aggregation over the doc scan with a relational oracle — proves the
+    * doc round-trip AND the partial-agg (map-side combine) shape over a
+    * DSv2 source; only `event_type`/`value` are read (column pruning into
+    * the reader). */
+  def d09AggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val docs = ensureEventDocs(spark, dir)
+    spark.read.format("docstore").option("path", docs).load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val d09Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  ROUND(SUM(value), 4) AS sum_value,
+      |  ROUND(MIN(value), 4) AS min_value,
+      |  ROUND(MAX(value), 4) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------ d10
+  /** Collection catalog: db→namespace, collection→table, SHOW TABLES /
+    * SHOW NAMESPACES (reference: src/mongo_catalog.cpp:1 ATTACH mapping +
+    * SHOW DATABASES integration). */
+  def catalogRoot(): String = synchronized {
+    val root = "/tmp/graft_docstore/catalog_root"
+    for ((db, colls) <- Seq("salesdb" -> Seq("orders_east", "orders_west"),
+                            "webdb" -> Seq("clicks"))) {
+      Files.createDirectories(Paths.get(s"$root/$db"))
+      for (c <- colls) {
+        val f = Paths.get(s"$root/$db/$c.jsonl")
+        Files.write(f,
+          s"""{"_id":{"$$oid":"64de1f00c0ffee00000000aa"},"coll":"$c","n":1}\n""".getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      }
+    }
+    root
+  }
+
+  def d10Catalog(spark: SparkSession, dir: String): DataFrame = {
+    val root = catalogRoot()
+    spark.conf.set("spark.sql.catalog.graftmongo", "graft.sources.DocstoreCatalog")
+    spark.conf.set("spark.sql.catalog.graftmongo.root", root)
+    val namespaces = spark.sql("SHOW NAMESPACES IN graftmongo")
+      .select(col("namespace").as("name")).withColumn("kind", lit("namespace"))
+    val tables = spark.sql("SHOW TABLES IN graftmongo.salesdb")
+      .unionByName(spark.sql("SHOW TABLES IN graftmongo.webdb"))
+      .select(concat(col("namespace"), lit("."), col("tableName")).as("name"))
+      .withColumn("kind", lit("table"))
+    val scanned = spark.sql(
+      "SELECT coll AS name, 'row' AS kind FROM graftmongo.salesdb.orders_east")
+    namespaces.unionByName(tables).unionByName(scanned)
+      .orderBy(col("kind"), col("name"))
+  }
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d02_schema_inference" -> (d02SchemaInference _),
+    "d03_flatten_nested" -> (d03FlattenNested _),
+    "d04_mongo_filter" -> (d04MongoFilter _),
+    "d06_type_mapping" -> (d06TypeMapping _),
+    "d07_schema_modes" -> (d07SchemaModes _),
+    "d08_docstore_scan" -> (d08DocstoreScan _),
+    "d09_agg_pushdown" -> (d09AggPushdown _),
+    "d10_catalog" -> (d10Catalog _))
+
+  val oracle: Map[String, String] = Map(
+    "d03_flatten_nested" -> d03Sql,
+    "d04_mongo_filter" -> d04Sql,
+    "d08_docstore_scan" -> d08Sql,
+    "d09_agg_pushdown" -> d09Sql)
+}

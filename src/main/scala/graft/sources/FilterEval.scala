@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Evaluates pushed `sources.Filter`s against converted rows inside the
+  * docstore reader — the analog of the reference applying its generated
+  * `$match` stage server-side (reference: src/mongo_filter_pushdown.cpp:1).
+  * Supports the same predicate grammar the reference pushes: comparisons,
+  * IS [NOT] NULL, IN, AND/OR/NOT, and string-prefix (`LIKE 'x%'` /
+  * substr — reference: src/mongo_expr_pushdown.cpp:1) plus contains/
+  * endswith.
+  */
+object FilterEval {
+  def supports(f: Filter): Boolean = f match {
+    case _: EqualTo | _: EqualNullSafe | _: GreaterThan | _: GreaterThanOrEqual |
+        _: LessThan | _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull |
+        _: StringStartsWith | _: StringEndsWith | _: StringContains => true
+    case And(l, r) => supports(l) && supports(r)
+    case Or(l, r)  => supports(l) && supports(r)
+    case Not(c)    => supports(c)
+    case _         => false
+  }
+
+  def references(f: Filter): Seq[String] = f.references.toSeq
+}
+
+class FilterEval(schema: StructType, filters: Array[Filter]) {
+  private val ordinal: Map[String, Int] =
+    schema.fieldNames.zipWithIndex.toMap
+
+  def matches(row: InternalRow): Boolean = {
+    var i = 0
+    while (i < filters.length) {
+      if (!eval(filters(i), row)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def get(row: InternalRow, attr: String): Any = {
+    val i = ordinal.getOrElse(attr,
+      throw new IllegalStateException(s"filter references unknown column $attr"))
+    if (row.isNullAt(i)) null else row.get(i, schema(i).dataType)
+  }
+
+  /** External literal (as Spark hands it to pushFilters) → internal form. */
+  private def norm(v: Any): Any = v match {
+    case s: String               => UTF8String.fromString(s)
+    case t: java.sql.Timestamp   => t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    case i: java.time.Instant    => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case d: java.sql.Date        => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate  => d.toEpochDay.toInt
+    case other                   => other
+  }
+
+  /** Three-valued comparison; None = null involved or incomparable. */
+  private def cmp(a: Any, b0: Any): Option[Int] = {
+    val b = norm(b0)
+    (a, b) match {
+      case (null, _) | (_, null)        => None
+      case (x: Long, y: Long)           => Some(java.lang.Long.compare(x, y))
+      case (x: Long, y: Int)            => Some(java.lang.Long.compare(x, y.toLong))
+      case (x: Int, y: Int)             => Some(Integer.compare(x, y))
+      case (x: Int, y: Long)            => Some(java.lang.Long.compare(x.toLong, y))
+      case (x: Long, y: Double)         => Some(java.lang.Double.compare(x.toDouble, y))
+      case (x: Double, y: Long)         => Some(java.lang.Double.compare(x, y.toDouble))
+      case (x: Double, y: Int)          => Some(java.lang.Double.compare(x, y.toDouble))
+      case (x: Double, y: Double)       => Some(java.lang.Double.compare(x, y))
+      case (x: UTF8String, y: UTF8String) => Some(x.compareTo(y))
+      case (x: Boolean, y: Boolean)     => Some(java.lang.Boolean.compare(x, y))
+      case (x: Array[Byte], y: Array[Byte]) =>
+        Some(if (java.util.Arrays.equals(x, y)) 0 else 1) // equality only
+      case _ => None
+    }
+  }
+
+  private def eval(f: Filter, row: InternalRow): Boolean = f match {
+    case EqualTo(a, v)            => cmp(get(row, a), v).contains(0)
+    case EqualNullSafe(a, v) =>
+      val x = get(row, a); val y = norm(v)
+      if (x == null || y == null) x == null && y == null else cmp(x, v).contains(0)
+    case GreaterThan(a, v)        => cmp(get(row, a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(row, a), v).exists(_ >= 0)
+    case LessThan(a, v)           => cmp(get(row, a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(get(row, a), v).exists(_ <= 0)
+    case In(a, vs)                => val x = get(row, a); vs.exists(v => cmp(x, v).contains(0))
+    case IsNull(a)                => get(row, a) == null
+    case IsNotNull(a)             => get(row, a) != null
+    case StringStartsWith(a, p) => get(row, a) match {
+      case s: UTF8String => s.toString.startsWith(p); case _ => false }
+    case StringEndsWith(a, p) => get(row, a) match {
+      case s: UTF8String => s.toString.endsWith(p); case _ => false }
+    case StringContains(a, p) => get(row, a) match {
+      case s: UTF8String => s.toString.contains(p); case _ => false }
+    case And(l, r) => eval(l, row) && eval(r, row)
+    case Or(l, r)  => eval(l, row) || eval(r, row)
+    case Not(c)    => !eval(c, row)
+    case other => throw new IllegalStateException(s"unsupported pushed filter $other")
+  }
+}
