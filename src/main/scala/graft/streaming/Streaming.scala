@@ -1,0 +1,172 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** Structured-Streaming surface (SURVEY.md §2.4).
+  *
+  * The reference is batch-only (DuckDB scans a Mongo snapshot); a
+  * Spark-native engine gets continuous processing from the same logical
+  * plans, so each operator here is ONE transform applied to either a
+  * batch DataFrame (what Verify/oracle runs) or a readStream DataFrame
+  * (exercised with MemoryStream in the specs). That batch/stream twin
+  * discipline is the point: at 100 TB the backfill and the live pipeline
+  * must be the same code.
+  *
+  * Scale: windowed aggregation is a streaming-state hash agg keyed by
+  * (window, event_type) — state size ∝ active windows, bounded by the
+  * watermark; sessionization state is per-user and emitted/cleared on
+  * gap timeout; dedup state is bounded by the watermark horizon.
+  */
+object Streaming {
+
+  val SessionGapSeconds = 1800L
+
+  // ---------------------------------------------------------------- st01
+  /** Tumbling 1-hour window count/sum — batch and stream share this. */
+  def windowedAggRaw(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Batch twin with deterministic, oracle-comparable output. */
+  def st01WindowedAgg(spark: SparkSession, dir: String): DataFrame =
+    windowedAggRaw(Tables(spark, dir, "events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Streaming twin: same transform + watermark, for the spec. */
+  def st01Stream(events: DataFrame): DataFrame =
+    windowedAggRaw(events.withWatermark("ts", "2 hours"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  val st01Sql: String =
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- st02
+  /** Sessionization, batch twin: a session ends after a 30-min silence
+    * per user. Declarative lag + running-sum session ids — two shuffles
+    * on user_id (window + groupBy reuse the same hash partitioning, so
+    * Catalyst plans a single exchange). */
+  def st02Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = ev.withColumn("new_session",
+      when(col("sec") - lag(col("sec"), 1).over(byUser) > SessionGapSeconds, 1L)
+        .otherwise(lit(0L)))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"),
+        (max(col("sec")) - min(col("sec"))).as("duration_sec"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_sec"), col("duration_sec"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val st02Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+      |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+      |               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, sec,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  MIN(sec) AS start_sec, MAX(sec) - MIN(sec) AS duration_sec
+      |FROM sess GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Streaming twin: per-user custom state via flatMapGroupsWithState —
+    * the KeyValueGroupedDataset path; emits a session row when the gap
+    * passes. Event-time-ordered within the spec's single batch. */
+  final case class Ev(user_id: Long, sec: Long, event_id: Long)
+  final case class SessState(startSec: Long, lastSec: Long, n: Long, seq: Long)
+  final case class SessOut(user_id: Long, session_seq: Long, n_events: Long,
+      start_sec: Long, duration_sec: Long)
+
+  def st02Stream(events: Dataset[Ev]): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessState], SessOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[List[SessState]]) =>
+          // state = the open session (as a 0/1-element list); a micro-batch
+          // may carry several events — process in event-time order
+          var open = state.getOption.flatMap(_.headOption)
+          var closed = List.empty[SessOut]
+          evs.toVector.sortBy(e => (e.sec, e.event_id)).foreach { e =>
+            open match {
+              case Some(s) if e.sec - s.lastSec <= SessionGapSeconds =>
+                open = Some(s.copy(lastSec = e.sec, n = s.n + 1))
+              case Some(s) =>
+                closed ::= SessOut(user, s.seq, s.n, s.startSec, s.lastSec - s.startSec)
+                open = Some(SessState(e.sec, e.sec, 1, s.seq + 1))
+              case None =>
+                open = Some(SessState(e.sec, e.sec, 1, 0L))
+            }
+          }
+          state.update(open.toList)
+          closed.reverseIterator
+      }
+  }
+
+  // ---------------------------------------------------------------- st03
+  /** Dedup, batch twin: first event per (user_id, event_type) — the
+    * batch semantics of dropDuplicatesWithinWatermark. */
+  def st03StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("first_sec"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val st03Sql: String =
+    """SELECT user_id, event_type, event_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS first_sec
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |  ORDER BY ts, event_id) = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** Streaming twin for the spec: watermarked stream dedup — state
+    * bounded by the watermark horizon, the scale-safe streaming dedup. */
+  def st03Stream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_windowed_agg" -> (st01WindowedAgg _),
+    "st02_sessionize" -> (st02Sessionize _),
+    "st03_stream_dedup" -> (st03StreamDedup _))
+
+  val oracle: Map[String, String] = Map(
+    "st01_windowed_agg" -> st01Sql,
+    "st02_sessionize" -> st02Sql,
+    "st03_stream_dedup" -> st03Sql)
+}
