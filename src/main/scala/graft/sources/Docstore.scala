@@ -196,10 +196,16 @@ class DocstoreReader(p: DocstorePartition, fullSchema: StructType,
 
   // Filters may reference columns outside the projection (SELECT a WHERE
   // b>0): evaluate on an eval-schema = required ∪ filter columns, then
-  // project down to `required` ordinals.
+  // project down to `required` ordinals. dropmalformed/failfast must
+  // validate EVERY column regardless of pruning — row-level semantics
+  // (a pruned-away mismatch still poisons the row, like the reference's
+  // schema_mode) — so they convert the full schema.
   private val filterCols = filters.flatMap(FilterEval.references).distinct
-  private val evalSchema = StructType(fullSchema.fields.filter(f =>
-    required.fieldNames.contains(f.name) || filterCols.contains(f.name)))
+  private val evalSchema =
+    if (schemaMode == "permissive")
+      StructType(fullSchema.fields.filter(f =>
+        required.fieldNames.contains(f.name) || filterCols.contains(f.name)))
+    else fullSchema
   private val outOrdinals = required.fieldNames.map(evalSchema.fieldIndex)
   private val conv = new DocRowConverter(evalSchema, schemaMode, flatten)
   private val eval = new FilterEval(evalSchema, filters)

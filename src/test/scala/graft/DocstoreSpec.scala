@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.DocstoreOps
+
+class DocstoreSpec extends SparkSpec {
+
+  private def writeDocs(name: String, lines: Seq[String]): String = {
+    val dir = s"/tmp/graft_docstore_spec/$name"
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/docs.jsonl"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    dir
+  }
+
+  lazy val smallDir: String = writeDocs("small", (0 until 50).map(i =>
+    s"""{"id":$i,"name":"row$i","grp":"g${i % 3}","score":${i * 1.5}}"""))
+
+  test("reads jsonl docs with inferred schema") {
+    val df = spark.read.format("docstore").option("path", smallDir).load()
+    assert(df.count() == 50)
+    assert(df.schema("id").dataType == LongType)
+    assert(df.schema("score").dataType == DoubleType)
+  }
+
+  test("byte-range splits cover every line exactly once") {
+    // tiny splits force many partitions with straddling lines
+    val df = spark.read.format("docstore").option("path", smallDir)
+      .option("splitsize", "64").load()
+    assert(df.rdd.getNumPartitions > 5)
+    assert(df.count() == 50)
+    assert(df.agg(sum("id")).head.getLong(0) == (0 until 50).sum)
+  }
+
+  test("filter, projection, and limit push into the docstore scan") {
+    val df = spark.read.format("docstore").option("path", smallDir).load()
+      .filter(col("grp") === "g1" && col("id") > 10)
+      .select("id", "name")
+    val plan = explainText(df)
+    assert(plan.contains("docstore"), plan)
+    assert(plan.contains("grp"), plan)          // pushed filter visible
+    assert(!plan.toLowerCase.contains("score")) // pruned column gone
+    assert(df.count() == 13)
+
+    val limited = spark.read.format("docstore").option("path", smallDir).load().limit(3)
+    assert(limited.collect().length == 3)
+  }
+
+  test("filter on non-projected column still works") {
+    val df = spark.read.format("docstore").option("path", smallDir).load()
+      .filter(col("id") === 7).select("name")
+    assert(df.as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq == Seq("row7"))
+  }
+
+  test("schema modes: permissive nulls, dropmalformed drops, failfast throws") {
+    val res = DocstoreOps.d07SchemaModes(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(res("permissive_rows") == "4")     // unparseable line dropped
+    assert(res("permissive_null_a") == "1")   // mismatch → null
+    assert(res("dropmalformed_rows") == "3")  // mismatch row dropped too
+    assert(res("failfast") == "failfast-error")
+  }
+
+  test("type zoo maps every BSON type per the reference table") {
+    DocstoreOps.typeZooDocs()
+    val df = spark.read.format("docstore")
+      .option("path", "/tmp/graft_docstore/type_zoo").load()
+    val t = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(t("_id") == StringType)
+    assert(t("i32") == LongType && t("i64") == LongType)
+    assert(t("dbl") == DoubleType && t("dec") == DoubleType)
+    assert(t("b") == BooleanType)
+    assert(t("ts") == TimestampType)
+    assert(t("day") == DateType) // midnight-UTC rule
+    assert(t("bin") == BinaryType)
+    assert(t("arr") == ArrayType(LongType, containsNull = true))
+    assert(t("arrdoc").isInstanceOf[ArrayType])
+    assert(t("re") == StringType && t("nul") == StringType)
+    // Int64 beyond double precision survives exactly
+    assert(df.filter(col("s") === "alpha").select("i64").head.getLong(0)
+      == 9007199254740993L)
+  }
+
+  test("catalog lists namespaces and tables, scans collections") {
+    val root = DocstoreOps.catalogRoot()
+    spark.conf.set("spark.sql.catalog.graftmongo", "graft.sources.DocstoreCatalog")
+    spark.conf.set("spark.sql.catalog.graftmongo.root", root)
+    val ns = spark.sql("SHOW NAMESPACES IN graftmongo")
+      .collect().map(_.getString(0)).toSet
+    assert(ns == Set("salesdb", "webdb"))
+    val tables = spark.sql("SHOW TABLES IN graftmongo.salesdb")
+      .collect().map(_.getString(1)).toSet
+    assert(tables == Set("orders_east", "orders_west"))
+    val row = spark.sql("SELECT coll, n FROM graftmongo.webdb.clicks").head
+    assert(row.getString(0) == "clicks" && row.getLong(1) == 1L)
+  }
+
+  test("doc scan matches source parquet row-for-row (round trip)") {
+    val docs = DocstoreOps.ensureEventDocs(spark, sfDir)
+    val viaDocs = spark.read.format("docstore").option("path", docs).load()
+      .select("event_id", "user_id", "event_type", "value")
+    val viaParquet = Tables(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    assert(viaDocs.exceptAll(viaParquet).isEmpty && viaParquet.exceptAll(viaDocs).isEmpty)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.MongoFilter
+
+class MongoFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val df = Seq(
+    (1L, "alice", 10.0, Some("x")),
+    (2L, "bob", 20.0, None),
+    (3L, "carol", 30.0, Some("y")),
+    (4L, "dave", 40.0, Some("x"))
+  ).toDF("id", "name", "score", "tag")
+
+  private def ids(filterJson: String): Seq[Long] =
+    df.filter(MongoFilter.compile(filterJson))
+      .select("id").as[Long].collect().toSeq.sorted
+
+  test("implicit equality") { assert(ids("""{"name":"bob"}""") == Seq(2L)) }
+
+  test("comparison operators") {
+    assert(ids("""{"score":{"$gt":20.0}}""") == Seq(3L, 4L))
+    assert(ids("""{"score":{"$gte":20.0}}""") == Seq(2L, 3L, 4L))
+    assert(ids("""{"score":{"$lt":20.0}}""") == Seq(1L))
+    assert(ids("""{"score":{"$lte":20.0}}""") == Seq(1L, 2L))
+    assert(ids("""{"id":{"$gt":1,"$lt":4}}""") == Seq(2L, 3L))
+  }
+
+  test("$ne matches nulls too (mongo semantics)") {
+    assert(ids("""{"tag":{"$ne":"x"}}""") == Seq(2L, 3L))
+  }
+
+  test("$in / $nin") {
+    assert(ids("""{"name":{"$in":["alice","dave"]}}""") == Seq(1L, 4L))
+    // $nin matches missing values in Mongo
+    assert(ids("""{"tag":{"$nin":["x"]}}""") == Seq(2L, 3L))
+  }
+
+  test("$exists") {
+    assert(ids("""{"tag":{"$exists":true}}""") == Seq(1L, 3L, 4L))
+    assert(ids("""{"tag":{"$exists":false}}""") == Seq(2L))
+  }
+
+  test("$regex") { assert(ids("""{"name":{"$regex":"^[ab]"}}""") == Seq(1L, 2L)) }
+
+  test("$and / $or / $nor / $not") {
+    assert(ids("""{"$and":[{"score":{"$gte":20.0}},{"tag":"x"}]}""") == Seq(4L))
+    assert(ids("""{"$or":[{"id":1},{"id":3}]}""") == Seq(1L, 3L))
+    assert(ids("""{"$nor":[{"id":1},{"id":3}]}""") == Seq(2L, 4L))
+    assert(ids("""{"score":{"$not":{"$gt":20.0}}}""") == Seq(1L, 2L))
+  }
+
+  test("dotted path reaches struct fields") {
+    val nested = df.select(struct(col("id").as("i"), col("name").as("n")).as("u"))
+    val got = nested.filter(MongoFilter.compile("""{"u.n":"carol"}"""))
+      .select("u.i").as[Long].collect().toSeq
+    assert(got == Seq(3L))
+  }
+
+  test("mongo filter lands in parquet PushedFilters") {
+    val orders = Tables(spark, sfDir, "orders")
+      .filter(MongoFilter.compile("""{"o_orderstatus":"O","o_totalprice":{"$gt":1000.0}}"""))
+    val plan = explainText(orders)
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("o_orderstatus"), plan)
+    assert(plan.contains("o_totalprice"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+/** Scale audits (SURVEY.md §4): these assert plan *shape*, not results —
+  * the properties that keep queries viable at 100 TB / 1000 executors. */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Final (post-AQE) physical plan text; `*(n)` prefixes mark
+    * whole-stage-codegen stages. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter and projection push into the parquet scan") {
+    val p = finalPlan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("p_size") || p.contains("p_type"), p)
+  }
+
+  test("q05: dimension joins broadcast (no shuffle of small sides)") {
+    assert(finalPlan("q05_multi_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q01/q06: aggregation is partial (map-side combine) before exchange") {
+    val p1 = finalPlan("q01_pricing_summary")
+    assert(p1.contains("partial_sum") || p1.contains("partial_count"), p1)
+    val p6 = finalPlan("q06_filter_agg")
+    assert(p6.contains("partial_sum"), p6)
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // executedPlan renders codegen stages as `*(id)` node prefixes
+    assert(finalPlan("q01_pricing_summary").contains("*(1)"))
+    assert(finalPlan("q06_filter_agg").contains("*(1)"))
+  }
+
+  test("dedup/similarity plans never degenerate to cartesian products") {
+    for (k <- Seq("dd02_dedup_minhash", "dd03_dedup_simhash",
+        "dd04_ngram_jaccard", "dd05_dedup_embedding", "s02_ann_ivf")) {
+      val p = finalPlan(k)
+      assert(!p.contains("CartesianProduct"), s"$k has a cartesian product:\n$p")
+    }
+  }
+
+  test("docstore scan shows its pushdown in the plan") {
+    val p = finalPlan("d08_docstore_scan")
+    assert(p.contains("docstore"), p)
+  }
+
+  test("mongo-filter query pushes into parquet (d04)") {
+    val p = finalPlan("d04_mongo_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("o_totalprice"), p)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Ev, SessOut}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(hour: Int, min: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
+
+  case class EvRow(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  test("st01 streaming windowed agg emits closed windows after watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EvRow]
+    val q = Streaming.st01Stream(input.toDF)
+      .writeStream.format("memory").queryName("st01_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EvRow(ts(0, 10), 1, "click", 1.0), EvRow(ts(0, 20), 1, "click", 2.0),
+        EvRow(ts(0, 30), 2, "view", 5.0))
+      q.processAllAvailable()
+      // advance event time beyond watermark (2h) + window end
+      input.addData(EvRow(ts(5), 1, "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("st01_sink")
+        .select("event_type", "n", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("st02 streaming sessionizer matches gap semantics across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streaming.st02Stream(input.toDS()).writeStream
+      .format("memory").queryName("st02_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart (one session), then 2h silence
+      input.addData(Ev(1, 1000, 1), Ev(1, 1600, 2))
+      q.processAllAvailable()
+      input.addData(Ev(1, 1600 + 7200, 3)) // gap > 1800s → closes session 0
+      q.processAllAvailable()
+      val out = spark.table("st02_sink").as[SessOut].collect().toSeq
+      assert(out == Seq(SessOut(1, 0, 2, 1000, 600)))
+      // next event continues session 1 (not yet closed → not emitted)
+      input.addData(Ev(1, 1600 + 7200 + 60, 4))
+      q.processAllAvailable()
+      assert(spark.table("st02_sink").count() == 1)
+    } finally q.stop()
+  }
+
+  test("st02 streaming total sessions equal batch twin on the same data") {
+    implicit val ctx = spark.sqlContext
+    val events = Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "CAST(unix_timestamp(ts) AS BIGINT) AS sec",
+        "event_id").as[Ev].collect().toSeq.sortBy(e => (e.sec, e.event_id))
+    val input = MemoryStream[Ev]
+    val q = Streaming.st02Stream(input.toDS()).writeStream
+      .format("memory").queryName("st02_full_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (first, second) = events.splitAt(events.size / 2)
+      input.addData(first); q.processAllAvailable()
+      input.addData(second); q.processAllAvailable()
+      val streamed = spark.table("st02_full_sink").as[SessOut].collect()
+        .map(s => (s.user_id, s.session_seq) -> (s.n_events, s.start_sec)).toMap
+      val batch = Streaming.st02Sessionize(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      // streaming only emits CLOSED sessions; every emitted one must match
+      // the batch twin exactly
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (k, v) => assert(batch.get(k).contains(v), s"session $k") }
+    } finally q.stop()
+  }
+
+  test("st03 stream dedup keeps one row per key within watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EvRow]
+    val q = Streaming.st03Stream(input.toDF).writeStream
+      .format("memory").queryName("st03_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EvRow(ts(1, 0), 1, "click", 1.0), EvRow(ts(1, 5), 1, "click", 2.0),
+        EvRow(ts(1, 10), 1, "view", 3.0), EvRow(ts(1, 12), 2, "click", 4.0))
+      q.processAllAvailable()
+      val keys = spark.table("st03_sink")
+        .select("user_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(keys.size == 3)
+      assert(keys.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
+    } finally q.stop()
+  }
+}
