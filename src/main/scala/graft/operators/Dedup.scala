@@ -139,23 +139,47 @@ object Dedup {
   }
 
   // --------------------------------------------------------------- dd04
-  /** Exact n-gram Jaccard within blocking keys (source): the verify-stage
-    * shape — shingle hash SETS intersect/union only for pairs sharing a
-    * block, never across the whole corpus.
+  /** Exact n-gram Jaccard via inverted index — never a block cross-join.
+    *
+    * J(A,B) = c / (|A|+|B|−c) where c = |A∩B|, so the whole computation
+    * reduces to counting common shingles per pair: explode doc→shingle
+    * postings, self-join on (source, shingle), count. Shuffle volume is
+    * Σ df(shingle)² over tiny (id,id) rows — O(co-occurrences), not
+    * O(N²·|doc|) like a block cross-join with per-pair array_intersect.
+    * The df cap is the skew guard: a stopword-shingle with df=10⁶ would
+    * contribute 10¹² pairs; capped postings lose only shingles that are
+    * near-useless for discrimination (at the local SFs the cap is far
+    * above every real df, so results stay exact).
     */
   def dd04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val corpus = plantedDocs(spark, dir)
       .select(col("doc_id"), col("source"),
         array_distinct(T.shingle_hashes(col("text"), 3)).as("sh"))
-    val a = corpus.select(col("source"), col("doc_id").as("id_a"),
-      col("sh").as("sh_a"))
-    val b = corpus.select(col("source"), col("doc_id").as("id_b"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("source"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))))
+    val postings = corpus
+      .select(col("source"), col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("shingle"))
+    // one shuffle: postings → per-shingle doc list (the capped inverted
+    // index), pairs emitted in-place by a higher-order transform — no
+    // per-shingle self-join, no window
+    val buckets = postings
+      .groupBy(col("source"), col("shingle"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .filter(size(col("ds")).between(2, 10000))
+    val pairs = buckets.select(col("source"), explode(expr(
+      """flatten(transform(ds, (x, i) ->
+        |  transform(slice(ds, i + 2, size(ds)), y -> named_struct(
+        |    'id_a', least(x.doc_id, y.doc_id),
+        |    'id_b', greatest(x.doc_id, y.doc_id),
+        |    'sz_a', if(x.doc_id < y.doc_id, x.sz, y.sz),
+        |    'sz_b', if(x.doc_id < y.doc_id, y.sz, x.sz)))))""".stripMargin))
+      .as("p"))
+    pairs
+      .groupBy(col("source"), col("p.id_a").as("id_a"),
+        col("p.id_b").as("id_b"), col("p.sz_a").as("sz_a"),
+        col("p.sz_b").as("sz_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("source"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
