@@ -93,6 +93,9 @@ class DocstoreCatalog extends TableCatalog with SupportsNamespaces {
   override def invalidateTable(ident: Identifier): Unit =
     schemaCache.remove(collPath(ident))
 
+  /** Drop every cached collection schema (`mongo_clear_cache()`). */
+  def clearCache(): Unit = schemaCache.clear()
+
   // Read-only catalog: writes map to "not supported" like the reference's
   // scan-only extension.
   override def createTable(ident: Identifier, schema: StructType,

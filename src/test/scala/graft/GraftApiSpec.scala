@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The user-facing surface a duckdb-mongo user would switch to:
+  * mongo_scan → Graft.mongoScan, ATTACH → Graft.attach, SQL functions via
+  * GraftExtensions. Runs its own session because extensions must be set
+  * at session build time. */
+class GraftApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    // extensions apply only at session build time — force a fresh session
+    // (reusing any existing SparkContext) instead of another suite's
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private def writeDocs(name: String, lines: Seq[String]): String = {
+    val dir = s"/tmp/graft_docstore_spec/api_$name"
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/docs.jsonl"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    dir
+  }
+
+  lazy val docs: String = writeDocs("scan", (0 until 30).map(i =>
+    s"""{"id":$i,"cat":"c${i % 3}","score":${i * 2.0},"meta":{"ok":${i % 2 == 0}}}"""))
+
+  test("mongoScan: inference + mongo filter + flattening") {
+    val df = Graft.mongoScan(spark, docs,
+      filter = """{"cat":"c1","score":{"$gte":10.0}}""")
+    assert(df.columns.toSet == Set("id", "cat", "score", "meta_ok"))
+    val ids = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0 until 30).filter(i => i % 3 == 1 && i * 2.0 >= 10.0).map(_.toLong))
+  }
+
+  test("mongoScan: user-provided schema skips inference (columns param)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", StringType)))
+    val df = Graft.mongoScan(spark, docs, columns = schema)
+    assert(df.schema == schema)
+    // score read through the VARCHAR fallback rule
+    assert(df.where("id = 2").select("score").head.getString(0) == "4.0")
+  }
+
+  test("mongoScan: schemaMode is honored") {
+    val bad = writeDocs("modes", Seq("""{"a":1}""", """{"a":"x"}""", """{"a":3}"""))
+    val schema = StructType(Seq(StructField("a", LongType)))
+    assert(Graft.mongoScan(spark, bad, columns = schema).count() == 3) // permissive
+    assert(Graft.mongoScan(spark, bad, columns = schema,
+      schemaMode = "dropmalformed").count() == 2)
+    intercept[Exception] {
+      Graft.mongoScan(spark, bad, columns = schema, schemaMode = "failfast").count()
+    }
+  }
+
+  test("attach + SQL over collections + clearCache") {
+    val root = operators.DocstoreOps.catalogRoot()
+    Graft.attach(spark, "m", root)
+    assert(spark.sql("SELECT coll FROM m.salesdb.orders_west").head.getString(0)
+      == "orders_west")
+    Graft.clearCache(spark, "m") // must not throw; next access re-infers
+    assert(spark.sql("SELECT n FROM m.webdb.clicks").head.getLong(0) == 1L)
+  }
+
+  test("SQL functions from GraftExtensions") {
+    spark.sql("SELECT 1").collect() // force session init
+    val sim = spark.sql(
+      "SELECT simhash64('the quick brown fox') = simhash64('the quick brown fox')")
+      .head.getBoolean(0)
+    assert(sim)
+    val sig = spark.sql("SELECT size(minhash_sig('a b c d e f g h', 32, 2))")
+      .head.getInt(0)
+    assert(sig == 32)
+    val cos = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))""".stripMargin)
+      .head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9)
+    assert(spark.sql("SELECT rolling_fingerprint('abc') = rolling_fingerprint('abc')")
+      .head.getBoolean(0))
+    assert(spark.sql("SELECT hyperplane_bucket(array(CAST(0.5 AS FLOAT)), 8)")
+      .head.getLong(0) >= 0L)
+  }
+
+  test("mongo_filter SQL function compiles to a pushable predicate") {
+    Tables(spark, "/root/testdata/sf0.001", "orders").createOrReplaceTempView("api_orders")
+    val n = spark.sql(
+      """SELECT COUNT(*) FROM api_orders
+        |WHERE mongo_filter('{"o_orderstatus":"F","o_totalprice":{"$lt":50000.0}}')"""
+        .stripMargin).head.getLong(0)
+    val expected = spark.sql(
+      "SELECT COUNT(*) FROM api_orders WHERE o_orderstatus='F' AND o_totalprice < 50000.0")
+      .head.getLong(0)
+    assert(n == expected && n > 0)
+  }
+}

@@ -11,6 +11,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // static conf: lives on the SparkContext (created by whichever suite
+    // runs first) so GraftApiSpec's session picks the extensions up too
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
