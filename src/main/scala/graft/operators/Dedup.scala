@@ -19,10 +19,10 @@ import graft.functions.{text => T, vectors => V}
   *   - signatures are computed in ONE map-only projection per doc
   *     (codegen'd static kernels, no shuffle);
   *   - candidate generation shuffles only (band_key → doc_id) pairs —
-  *     never text — and self-joins within buckets, so shuffle volume is
-  *     O(candidates), not O(N²);
+  *     never text — into per-bucket lists that emit pairs in place, so
+  *     shuffle volume is O(candidates), not O(N²);
   *   - hot buckets (stopword-like shingles, zero vectors) are capped
-  *     before the self-join — the classic LSH skew guard: one
+  *     before pair emission — the classic LSH skew guard: one
   *     pathological bucket would otherwise quadratically dominate;
   *   - verification (exact Jaccard / cosine) runs only on surviving
   *     candidate pairs.
@@ -86,18 +86,20 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-    // LSH skew guard: drop pathological buckets before the self-join.
-    val capped = bands
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bh"))))
-      .filter(col("bucket_n") <= 50)
-
-    val a = capped.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-    val b = capped.select(col("band"), col("bh"), col("doc_id").as("id_b"))
-    val cand = a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // One shuffle: band rows → per-bucket doc list; pathological buckets
+    // (the LSH skew guard) dropped by size; candidate pairs emitted
+    // in-place — no per-bucket self-join, no window.
+    val buckets = bands
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, 50))
+    val cand = buckets.select(explode(expr(
+      """flatten(transform(ds, (x, i) ->
+        |  transform(slice(ds, i + 2, size(ds)), y -> named_struct(
+        |    'id_a', least(x, y), 'id_b', greatest(x, y)))))""".stripMargin))
+      .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
 
     val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
