@@ -120,17 +120,26 @@ class DocstoreTable(schema0: StructType, opts: DocstoreOptions)
     new DocstoreScanBuilder(schema0, opts)
 }
 
-/** Pushdown surface — the reference's three pipeline stages:
+/** Pushdown surface — the reference's pipeline stages:
   * filters → `$match` (reference: src/mongo_filter_pushdown.cpp:1),
   * required columns → projection doc, limit → `$limit`
-  * (reference: src/mongo_optimizer.cpp:1 LIMIT pushdown). */
+  * (reference: src/mongo_optimizer.cpp:1 LIMIT pushdown), and
+  * COUNT/SUM/MIN/MAX with GROUP BY → `$group`
+  * (reference: test/sql/query/groupby_pushdown.test,
+  * count_pushdown.test). Aggregation push is PARTIAL: each partition
+  * emits pre-aggregated rows (map-side combine inside the scan — no row
+  * materialization for non-grouped columns), Spark merges. */
 class DocstoreScanBuilder(fullSchema: StructType, opts: DocstoreOptions)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.{Expression => CExpr, FieldReference, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Int = -1
+  private var aggSpec: Option[AggSpec] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, residual) = filters.partition(FilterEval.supports)
@@ -148,8 +157,218 @@ class DocstoreScanBuilder(fullSchema: StructType, opts: DocstoreOptions)
   override def pushLimit(l: Int): Boolean = { limit = l; true /* partial: per-partition */ }
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan =
-    new DocstoreScan(fullSchema, required, pushed, limit, opts)
+  /** Partial push only: partitions return per-partition groups; Spark
+    * does the final merge (complete push would be wrong with >1 split). */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def fieldOf(e: CExpr): Option[StructField] = e match {
+      case fr: NamedReference if fr.fieldNames().length == 1 =>
+        fullSchema.fields.find(_.name == fr.fieldNames()(0))
+      case _ => None
+    }
+    val groups = aggregation.groupByExpressions().toSeq.map(fieldOf)
+    if (groups.exists(_.isEmpty)) return false
+    val aggs = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(AggOp("count_star", null))
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).map(f => AggOp("count", f))
+      case m: Min => fieldOf(m.column).flatMap(f => f.dataType match {
+        case LongType | DoubleType | StringType | TimestampType | DateType |
+            BooleanType => Some(AggOp("min", f))
+        case _ => None
+      })
+      case m: Max => fieldOf(m.column).flatMap(f => f.dataType match {
+        case LongType | DoubleType | StringType | TimestampType | DateType |
+            BooleanType => Some(AggOp("max", f))
+        case _ => None
+      })
+      case s: Sum if !s.isDistinct => fieldOf(s.column).flatMap(f => f.dataType match {
+        case LongType | DoubleType => Some(AggOp("sum", f))
+        case _ => None
+      })
+      case _ => None
+    }
+    if (aggs.exists(_.isEmpty)) return false
+    aggSpec = Some(AggSpec(groups.map(_.get), aggs.map(_.get)))
+    true
+  }
+
+  override def build(): Scan = aggSpec match {
+    case Some(spec) => new DocstoreAggScan(fullSchema, spec, pushed, opts)
+    case None => new DocstoreScan(fullSchema, required, pushed, limit, opts)
+  }
+}
+
+/** One pushed aggregate: op ∈ count_star|count|min|max|sum, field null
+  * for count_star. */
+final case class AggOp(op: String, field: StructField) {
+  def resultType: DataType = op match {
+    case "count_star" | "count" => LongType
+    case _                      => field.dataType
+  }
+}
+final case class AggSpec(groupBy: Seq[StructField], aggs: Seq[AggOp]) {
+  /** Scan output: groupBy columns then aggregate columns (the DSv2
+    * aggregate-pushdown contract). */
+  def outputSchema: StructType = StructType(
+    groupBy.map(f => StructField(f.name, f.dataType, nullable = true)) ++
+      aggs.zipWithIndex.map { case (a, i) =>
+        StructField(s"agg_$i(${a.op})", a.resultType, nullable = true) })
+}
+
+class DocstoreAggScan(fullSchema: StructType, spec: AggSpec,
+    filters: Array[Filter], opts: DocstoreOptions) extends Scan with Batch {
+  override def readSchema(): StructType = spec.outputSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"docstore ${opts.path} PushedFilters: [${filters.mkString(", ")}], " +
+      s"PushedAggregates: [${spec.aggs.map(a => s"${a.op}(${Option(a.field).map(_.name).getOrElse("*")})").mkString(", ")}], " +
+      s"PushedGroupBy: [${spec.groupBy.map(_.name).mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val split = opts.splitSize
+    DocstoreTable.listFiles(opts).flatMap { case (file, len) =>
+      if (len == 0) Seq.empty
+      else (0L until len by split).map { start =>
+        DocstorePartition(file, start, math.min(split, len - start))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocstoreAggReaderFactory(fullSchema, spec, filters, opts.schemaMode,
+      opts.flatten)
+}
+
+class DocstoreAggReaderFactory(fullSchema: StructType, spec: AggSpec,
+    filters: Array[Filter], schemaMode: String, flatten: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new DocstoreAggReader(p.asInstanceOf[DocstorePartition], fullSchema, spec,
+      filters, schemaMode, flatten)
+}
+
+/** Per-partition hash aggregation inside the reader — the `$group`
+  * analog. State ∝ distinct groups in this split (bounded like any
+  * map-side combine); docs stream through without materializing
+  * non-aggregated columns. */
+class DocstoreAggReader(p: DocstorePartition, fullSchema: StructType,
+    spec: AggSpec, filters: Array[Filter], schemaMode: String, flatten: Boolean)
+    extends PartitionReader[InternalRow] {
+
+  // read only the columns aggregation + filters touch
+  private val filterCols = filters.flatMap(FilterEval.references).distinct
+  private val neededNames = (spec.groupBy.map(_.name) ++
+    spec.aggs.flatMap(a => Option(a.field).map(_.name)) ++ filterCols).distinct
+  private val evalSchema =
+    if (schemaMode == "permissive")
+      StructType(fullSchema.fields.filter(f => neededNames.contains(f.name)))
+    else fullSchema
+  private val groupOrds = spec.groupBy.map(f => evalSchema.fieldIndex(f.name)).toArray
+  private val aggOrds = spec.aggs.map(a =>
+    if (a.field == null) -1 else evalSchema.fieldIndex(a.field.name)).toArray
+  private val conv = new DocRowConverter(evalSchema, schemaMode, flatten)
+  private val eval = new FilterEval(evalSchema, filters)
+
+  private var iter: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+
+  private def accumulate(): Iterator[InternalRow] = {
+    val lines = new LineRangeReader(p.file, p.start, p.length, new Configuration())
+    val groups = new java.util.HashMap[Seq[Any], Array[Any]]()
+    try {
+      var line = lines.next()
+      while (line != null) {
+        if (line.nonEmpty) {
+          conv.convert(line) match {
+            case Some(row) if eval.matches(row) =>
+              val key: Seq[Any] = groupOrds.map(o =>
+                if (row.isNullAt(o)) null else row.get(o, evalSchema(o).dataType)).toSeq
+              var accs = groups.get(key)
+              if (accs == null) {
+                accs = new Array[Any](spec.aggs.length)
+                var i = 0
+                while (i < accs.length) {
+                  accs(i) = if (spec.aggs(i).op.startsWith("count")) 0L else null
+                  i += 1
+                }
+                groups.put(key, accs)
+              }
+              var i = 0
+              while (i < spec.aggs.length) {
+                val a = spec.aggs(i)
+                val ord = aggOrds(i)
+                a.op match {
+                  case "count_star" => accs(i) = accs(i).asInstanceOf[Long] + 1L
+                  case "count" =>
+                    if (!row.isNullAt(ord)) accs(i) = accs(i).asInstanceOf[Long] + 1L
+                  case "sum" =>
+                    if (!row.isNullAt(ord)) {
+                      val v = row.get(ord, a.field.dataType)
+                      accs(i) = (accs(i), v) match {
+                        case (null, x)              => x
+                        case (s: Long, x: Long)     => s + x
+                        case (s: Double, x: Double) => s + x
+                        case (s, _)                 => s
+                      }
+                    }
+                  case "min" | "max" =>
+                    if (!row.isNullAt(ord)) {
+                      val v = row.get(ord, a.field.dataType)
+                      accs(i) =
+                        if (accs(i) == null) v
+                        else if (cmpVals(v, accs(i)) < 0 == (a.op == "min")) v
+                        else accs(i)
+                    }
+                }
+                i += 1
+              }
+            case _ => ()
+          }
+        }
+        line = lines.next()
+      }
+    } finally lines.close()
+    // global aggregation: always emit one row so COUNT over an empty
+    // split still contributes its zero
+    if (groups.isEmpty && spec.groupBy.isEmpty) {
+      val zero = new Array[Any](spec.aggs.length)
+      var i = 0
+      while (i < zero.length) {
+        zero(i) = if (spec.aggs(i).op.startsWith("count")) 0L else null
+        i += 1
+      }
+      groups.put(Seq.empty, zero)
+    }
+    import scala.jdk.CollectionConverters._
+    groups.entrySet().iterator().asScala.map { e =>
+      val out = new GenericInternalRow(spec.groupBy.length + spec.aggs.length)
+      var i = 0
+      while (i < spec.groupBy.length) { out.update(i, e.getKey.apply(i)); i += 1 }
+      var j = 0
+      while (j < spec.aggs.length) {
+        out.update(spec.groupBy.length + j, e.getValue()(j)); j += 1
+      }
+      out
+    }
+  }
+
+  private def cmpVals(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)             => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double)         => java.lang.Double.compare(x, y)
+    case (x: Int, y: Int)               => Integer.compare(x, y)
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean)       => java.lang.Boolean.compare(x, y)
+    case _ => 0
+  }
+
+  override def next(): Boolean = {
+    if (iter == null) iter = accumulate()
+    if (iter.hasNext) { current = iter.next(); true } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 class DocstoreScan(fullSchema: StructType, required: StructType,

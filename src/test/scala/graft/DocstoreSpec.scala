@@ -107,4 +107,53 @@ class DocstoreSpec extends SparkSpec {
       .select("event_id", "user_id", "event_type", "value")
     assert(viaDocs.exceptAll(viaParquet).isEmpty && viaParquet.exceptAll(viaDocs).isEmpty)
   }
+
+  test("aggregate pushdown: COUNT/SUM/MIN/MAX with GROUP BY reach the reader") {
+    import org.apache.spark.sql.functions._
+    val docs = DocstoreOps.ensureEventDocs(spark, sfDir)
+    val agg = spark.read.format("docstore").option("path", docs).load()
+      .filter(col("value") > 10.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+        min(col("value")).as("mn"), max(col("user_id")).as("mx"))
+    val plan = explainText(agg)
+    assert(plan.contains("PushedAggregates"), plan)
+    assert(plan.contains("PushedGroupBy: [event_type]"), plan)
+    val viaParquet = Tables(spark, sfDir, "events")
+      .filter(col("value") > 10.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+        min(col("value")).as("mn"), max(col("user_id")).as("mx"))
+    val a = agg.orderBy("event_type").collect().map(_.toSeq).toSeq
+    val b = viaParquet.orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("aggregate pushdown: global aggregate counts zero on empty match") {
+    import org.apache.spark.sql.functions._
+    val docs = DocstoreOps.ensureEventDocs(spark, sfDir)
+    val df = spark.read.format("docstore").option("path", docs).load()
+      .filter(col("value") > 1e18) // matches nothing
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    val r = df.head
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+    val all = spark.read.format("docstore").option("path", docs).load()
+      .agg(count(lit(1)).as("n")).head.getLong(0)
+    assert(all == Tables(spark, sfDir, "events").count())
+  }
+
+  test("aggregate pushdown declines unsupported shapes (avg, distinct)") {
+    import org.apache.spark.sql.functions._
+    val docs = DocstoreOps.ensureEventDocs(spark, sfDir)
+    val df = spark.read.format("docstore").option("path", docs).load()
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("a"), countDistinct(col("user_id")).as("d"))
+    assert(!explainText(df).contains("PushedAggregates"))
+    // still correct through the ordinary scan
+    val viaParquet = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("a"), countDistinct(col("user_id")).as("d"))
+    assert(df.orderBy("event_type").collect().map(_.toSeq).toSeq
+      == viaParquet.orderBy("event_type").collect().map(_.toSeq).toSeq)
+  }
 }
