@@ -643,6 +643,53 @@ object Relational {
       |FROM orders
       |GROUP BY 1, 2 ORDER BY month""".stripMargin
 
+  // --------------------------------------------------------------- q25
+  /** ROLLUP hierarchy totals (flag → flag+status → grand total). Subtotal
+    * rows are labeled 'ALL' so ordering is deterministic across engines
+    * (Spark sorts NULLS FIRST, DuckDB NULLS LAST — sentinel sidesteps
+    * both). Scale: rollup is a single pass — Spark expands grouping sets
+    * map-side, one shuffle. */
+  def q25(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  val q25Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  // --------------------------------------------------------------- q26
+  /** Set operators INTERSECT / EXCEPT (distinct semantics in both
+    * engines): customers with both fulfilled and open orders, minus
+    * those who ever placed an urgent order. Scale: both ops hash-shuffle
+    * on the key only — never materialize the full rows. */
+  def q26(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val o = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    f.intersect(o).except(urgent).orderBy(col("o_custkey"))
+  }
+
+  val q26Sql: String =
+    """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      | INTERSECT
+      | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -668,7 +715,9 @@ object Relational {
     "q21_cte" -> (q21 _),
     "q22_union" -> (q22 _),
     "q23_orderby_multi" -> (q23 _),
-    "q24_date_funcs" -> (q24 _))
+    "q24_date_funcs" -> (q24 _),
+    "q25_rollup" -> (q25 _),
+    "q26_set_ops" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -694,5 +743,7 @@ object Relational {
     "q21_cte" -> q21Sql,
     "q22_union" -> q22Sql,
     "q23_orderby_multi" -> q23Sql,
-    "q24_date_funcs" -> q24Sql)
+    "q24_date_funcs" -> q24Sql,
+    "q25_rollup" -> q25Sql,
+    "q26_set_ops" -> q26Sql)
 }
