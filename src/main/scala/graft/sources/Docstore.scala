@@ -115,7 +115,7 @@ class DocstoreTable(schema0: StructType, opts: DocstoreOptions)
   override def name(): String = s"docstore(${opts.path})"
   override def schema(): StructType = schema0
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocstoreScanBuilder(schema0, opts)
 }
@@ -394,6 +394,57 @@ class DocstoreScan(fullSchema: StructType, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new DocstoreReaderFactory(fullSchema, required, filters, limit,
       opts.schemaMode, opts.flatten)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DocstoreMicroBatchStream(fullSchema, required, filters, opts)
+}
+
+/** Streaming reads over a document collection directory — the
+  * change-stream analog the reference cannot offer (DuckDB scans a
+  * snapshot): new collection files appearing under `path` become the next
+  * micro-batch. Files must be immutable once visible and named so the
+  * sort order only grows at the tail (the standard Spark file-source
+  * contract — `part-00001…`, timestamped dumps, etc.). The offset is just
+  * "first N files of the sorted listing", so checkpoints are O(1), not a
+  * seen-file log. Filter/projection pushdown applies to streaming scans
+  * exactly as to batch ones.
+  */
+class DocstoreMicroBatchStream(fullSchema: StructType, required: StructType,
+    filters: Array[Filter], opts: DocstoreOptions)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def sortedFiles(): Seq[(String, Long)] =
+    DocstoreTable.listFiles(opts).sortBy(_._1)
+
+  override def initialOffset(): Offset = FileCountOffset(0)
+  override def latestOffset(): Offset = FileCountOffset(sortedFiles().size)
+  override def deserializeOffset(json: String): Offset =
+    FileCountOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[FileCountOffset].n
+    val until = end.asInstanceOf[FileCountOffset].n
+    val split = opts.splitSize
+    sortedFiles().slice(from, until).flatMap { case (file, len) =>
+      if (len == 0) Seq.empty
+      else (0L until len by split).map { s =>
+        DocstorePartition(file, s, math.min(split, len - s))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocstoreReaderFactory(fullSchema, required, filters, -1,
+      opts.schemaMode, opts.flatten)
+}
+
+final case class FileCountOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
 }
 
 final case class DocstorePartition(file: String, start: Long, length: Long)
