@@ -132,14 +132,42 @@ class DocstoreTable(schema0: StructType, opts: DocstoreOptions)
 class DocstoreScanBuilder(fullSchema: StructType, opts: DocstoreOptions)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
-  import org.apache.spark.sql.connector.expressions.{Expression => CExpr, FieldReference, NamedReference}
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.{Expression => CExpr, NamedReference, SortOrder => CSortOrder, SortDirection, NullOrdering}
   import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Int = -1
+  private var topN: Option[TopNSpec] = None
   private var aggSpec: Option[AggSpec] = None
+
+  /** TopN (`ORDER BY … LIMIT n`) — the reference pushes this to Mongo
+    * (reference: src/mongo_optimizer.cpp:1 `ORDER BY _id LIMIT n`). Here
+    * each split's reader keeps a bounded heap instead of emitting every
+    * row; partial push, Spark merges the per-split top-n. */
+  override def pushTopN(orders: Array[CSortOrder], n: Int): Boolean = {
+    val keys = orders.toSeq.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          fullSchema.fields.find(_.name == nr.fieldNames()(0)).flatMap {
+            f => f.dataType match {
+              case LongType | DoubleType | StringType | TimestampType |
+                  DateType | BooleanType =>
+                Some(SortKey(f,
+                  so.direction() == SortDirection.ASCENDING,
+                  so.nullOrdering() == NullOrdering.NULLS_FIRST))
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+    }
+    if (keys.exists(_.isEmpty) || n <= 0) return false
+    topN = Some(TopNSpec(keys.map(_.get), n))
+    true
+  }
+  // isPartiallyPushed (shared by Limit + TopN): defined once below
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, residual) = filters.partition(FilterEval.supports)
@@ -196,9 +224,14 @@ class DocstoreScanBuilder(fullSchema: StructType, opts: DocstoreOptions)
 
   override def build(): Scan = aggSpec match {
     case Some(spec) => new DocstoreAggScan(fullSchema, spec, pushed, opts)
-    case None => new DocstoreScan(fullSchema, required, pushed, limit, opts)
+    case None =>
+      new DocstoreScan(fullSchema, required, pushed, limit, opts, topN)
   }
 }
+
+final case class SortKey(field: StructField, ascending: Boolean,
+    nullsFirst: Boolean)
+final case class TopNSpec(keys: Seq[SortKey], n: Int)
 
 /** One pushed aggregate: op ∈ count_star|count|min|max|sum, field null
   * for count_star. */
@@ -372,14 +405,18 @@ class DocstoreAggReader(p: DocstorePartition, fullSchema: StructType,
 }
 
 class DocstoreScan(fullSchema: StructType, required: StructType,
-    filters: Array[Filter], limit: Int, opts: DocstoreOptions)
+    filters: Array[Filter], limit: Int, opts: DocstoreOptions,
+    topN: Option[TopNSpec] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"docstore ${opts.path} PushedFilters: [${filters.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}" +
-      (if (limit >= 0) s", PushedLimit: $limit" else "")
+      (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      topN.map(t => s", PushedTopN: ORDER BY [${t.keys.map(k =>
+        s"${k.field.name} ${if (k.ascending) "ASC" else "DESC"}").mkString(", ")}] LIMIT ${t.n}")
+        .getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val split = opts.splitSize
@@ -393,7 +430,7 @@ class DocstoreScan(fullSchema: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocstoreReaderFactory(fullSchema, required, filters, limit,
-      opts.schemaMode, opts.flatten)
+      opts.schemaMode, opts.flatten, topN)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -451,30 +488,35 @@ final case class DocstorePartition(file: String, start: Long, length: Long)
   extends InputPartition
 
 class DocstoreReaderFactory(fullSchema: StructType, required: StructType,
-    filters: Array[Filter], limit: Int, schemaMode: String, flatten: Boolean)
+    filters: Array[Filter], limit: Int, schemaMode: String, flatten: Boolean,
+    topN: Option[TopNSpec] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val dp = p.asInstanceOf[DocstorePartition]
-    new DocstoreReader(dp, fullSchema, required, filters, limit, schemaMode, flatten)
+    new DocstoreReader(dp, fullSchema, required, filters, limit, schemaMode,
+      flatten, topN)
   }
 }
 
 class DocstoreReader(p: DocstorePartition, fullSchema: StructType,
     required: StructType, filters: Array[Filter], limit: Int,
-    schemaMode: String, flatten: Boolean)
+    schemaMode: String, flatten: Boolean, topN: Option[TopNSpec] = None)
     extends PartitionReader[InternalRow] {
 
   // Filters may reference columns outside the projection (SELECT a WHERE
-  // b>0): evaluate on an eval-schema = required ∪ filter columns, then
-  // project down to `required` ordinals. dropmalformed/failfast must
-  // validate EVERY column regardless of pruning — row-level semantics
-  // (a pruned-away mismatch still poisons the row, like the reference's
-  // schema_mode) — so they convert the full schema.
+  // b>0): evaluate on an eval-schema = required ∪ filter columns (∪ sort
+  // columns for TopN), then project down to `required` ordinals.
+  // dropmalformed/failfast must validate EVERY column regardless of
+  // pruning — row-level semantics (a pruned-away mismatch still poisons
+  // the row, like the reference's schema_mode) — so they convert the
+  // full schema.
   private val filterCols = filters.flatMap(FilterEval.references).distinct
+  private val sortCols = topN.toSeq.flatMap(_.keys.map(_.field.name))
   private val evalSchema =
     if (schemaMode == "permissive")
       StructType(fullSchema.fields.filter(f =>
-        required.fieldNames.contains(f.name) || filterCols.contains(f.name)))
+        required.fieldNames.contains(f.name) || filterCols.contains(f.name) ||
+          sortCols.contains(f.name)))
     else fullSchema
   private val outOrdinals = required.fieldNames.map(evalSchema.fieldIndex)
   private val conv = new DocRowConverter(evalSchema, schemaMode, flatten)
@@ -483,26 +525,34 @@ class DocstoreReader(p: DocstorePartition, fullSchema: StructType,
   private val lines = new LineRangeReader(p.file, p.start, p.length, new Configuration())
   private var current: InternalRow = _
   private var emitted = 0
+  private var topNIter: Iterator[InternalRow] = _
 
-  override def next(): Boolean = {
+  private def project(row: InternalRow): InternalRow =
+    if (outOrdinals.length == evalSchema.length &&
+      outOrdinals.zipWithIndex.forall(t => t._1 == t._2)) row
+    else {
+      val out = new GenericInternalRow(outOrdinals.length)
+      var i = 0
+      while (i < outOrdinals.length) {
+        out.update(i, row.get(outOrdinals(i), evalSchema(outOrdinals(i)).dataType))
+        i += 1
+      }
+      out
+    }
+
+  override def next(): Boolean = topN match {
+    case Some(spec) => nextTopN(spec)
+    case None       => nextStreaming()
+  }
+
+  private def nextStreaming(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     var line = lines.next()
     while (line != null) {
       if (line.nonEmpty) {
         conv.convert(line) match {
           case Some(row) if eval.matches(row) =>
-            current =
-              if (outOrdinals.length == evalSchema.length &&
-                outOrdinals.zipWithIndex.forall(t => t._1 == t._2)) row
-              else {
-                val out = new GenericInternalRow(outOrdinals.length)
-                var i = 0
-                while (i < outOrdinals.length) {
-                  out.update(i, row.get(outOrdinals(i), evalSchema(outOrdinals(i)).dataType))
-                  i += 1
-                }
-                out
-              }
+            current = project(row)
             emitted += 1
             return true
           case _ => () // filtered out, or dropped malformed
@@ -512,8 +562,69 @@ class DocstoreReader(p: DocstorePartition, fullSchema: StructType,
     }
     false
   }
+
+  /** Bounded heap of the split's best n rows — the per-split half of the
+    * pushed `ORDER BY … LIMIT n` (memory O(n), not O(split rows)). */
+  private def nextTopN(spec: TopNSpec): Boolean = {
+    if (topNIter == null) {
+      val cmp = new RowOrdering(spec.keys, evalSchema)
+      // JDK PriorityQueue as a max-heap of the current worst-of-best
+      val heap = new java.util.PriorityQueue[InternalRow](spec.n + 1, cmp.reversed())
+      var line = lines.next()
+      while (line != null) {
+        if (line.nonEmpty) {
+          conv.convert(line) match {
+            case Some(row) if eval.matches(row) =>
+              heap.add(row.copy())
+              if (heap.size() > spec.n) heap.poll()
+            case _ => ()
+          }
+        }
+        line = lines.next()
+      }
+      val buf = new Array[InternalRow](heap.size())
+      var i = buf.length - 1
+      while (i >= 0) { buf(i) = heap.poll(); i -= 1 }
+      topNIter = buf.iterator.map(project)
+    }
+    if (topNIter.hasNext) { current = topNIter.next(); true } else false
+  }
+
   override def get(): InternalRow = current
   override def close(): Unit = lines.close()
+}
+
+/** Total ordering over eval-schema rows for pushed TopN (direction +
+  * null ordering per key; ties stay — Spark's final TakeOrdered breaks
+  * them exactly as an un-pushed plan would). */
+class RowOrdering(keys: Seq[SortKey], schema: StructType)
+    extends java.util.Comparator[InternalRow] {
+  private val ords = keys.map(k => schema.fieldIndex(k.field.name)).toArray
+  override def compare(a: InternalRow, b: InternalRow): Int = {
+    var i = 0
+    while (i < ords.length) {
+      val k = keys(i); val o = ords(i)
+      val an = a.isNullAt(o); val bn = b.isNullAt(o)
+      val c =
+        if (an && bn) 0
+        else if (an) { if (k.nullsFirst) -1 else 1 }
+        else if (bn) { if (k.nullsFirst) 1 else -1 }
+        else {
+          val raw = (a.get(o, k.field.dataType), b.get(o, k.field.dataType)) match {
+            case (x: Long, y: Long)             => java.lang.Long.compare(x, y)
+            case (x: Double, y: Double)         => java.lang.Double.compare(x, y)
+            case (x: Int, y: Int)               => Integer.compare(x, y)
+            case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+            case (x: Boolean, y: Boolean)       => java.lang.Boolean.compare(x, y)
+            case _                              => 0
+          }
+          if (k.ascending) raw else -raw
+        }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
 }
 
 /** Extended-JSON line → InternalRow under a flat schema, honoring the

@@ -156,4 +156,20 @@ class DocstoreSpec extends SparkSpec {
     assert(df.orderBy("event_type").collect().map(_.toSeq).toSeq
       == viaParquet.orderBy("event_type").collect().map(_.toSeq).toSeq)
   }
+
+  test("TopN pushdown: ORDER BY ... LIMIT runs as bounded heap per split") {
+    val df = spark.read.format("docstore").option("path", smallDir)
+      .option("splitsize", "256").load()
+      .orderBy(col("score").desc, col("id"))
+      .limit(4)
+    val plan = explainText(df)
+    assert(plan.contains("PushedTopN"), plan)
+    assert(df.select("id").collect().map(_.getLong(0)).toSeq
+      == Seq(49L, 48L, 47L, 46L))
+    // ascending + tie-break & nulls: name asc then id
+    val asc = spark.read.format("docstore").option("path", smallDir).load()
+      .orderBy(col("grp").asc, col("id").desc).limit(3)
+    assert(asc.select("id").collect().map(_.getLong(0)).toSeq
+      == Seq(48L, 45L, 42L)) // g0 ids descending
+  }
 }
