@@ -15,12 +15,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ DocumentOps.queries ++
-      DocstoreOps.queries ++ Streaming.queries
+      DocstoreOps.queries ++ Streaming.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ DocumentOps.oracle ++
-      DocstoreOps.oracle ++ Streaming.oracle
+      DocstoreOps.oracle ++ Streaming.oracle ++ Pipeline.oracle
 }
