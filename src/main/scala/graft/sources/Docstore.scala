@@ -82,10 +82,66 @@ object DocstoreTable {
     files.map(s => (s.getPath.toString, s.getLen))
   }
 
-  def inferSchema(opts: DocstoreOptions): StructType = {
+  def inferSchema(opts: DocstoreOptions): StructType =
+    schemaAndPaths(opts)._1
+
+  /** Schema + explicit per-column doc paths. A `__schema` document in the
+    * sample (reference: src/mongo_schema_inference.cpp user-provided
+    * `__schema` support) overrides inference: each field is either a type
+    * string (`"BIGINT"`) or `{"path": "a.b", "type": "BIGINT"}` mapping a
+    * column to a nested doc path. Without one, schema is inferred and
+    * paths stay implicit (flattened `parent_child` resolution). */
+  def schemaAndPaths(opts: DocstoreOptions): (StructType, Map[String, Array[String]]) = {
     val sample = sampleDocs(opts)
-    SchemaInference.infer(sample, opts.flatten)._1
+    sample.iterator.flatMap(_.map.get("__schema")).collectFirst {
+      case d: DocValue.DDoc => d
+    } match {
+      case Some(schemaDoc) =>
+        val fields = schemaDoc.fields.map {
+          case (name, DocValue.DString(tpe)) =>
+            (StructField(name, parseTypeName(name, tpe), nullable = true),
+              name -> Array(name))
+          case (name, spec: DocValue.DDoc) =>
+            val tpe = spec.map.get("type") match {
+              case Some(DocValue.DString(t)) => parseTypeName(name, t)
+              case _ => throw new IllegalArgumentException(
+                s"docstore __schema: column '$name' needs a string 'type'")
+            }
+            val path = spec.map.get("path") match {
+              case Some(DocValue.DString(p)) => p.split('.')
+              case None                      => Array(name)
+              case Some(other) => throw new IllegalArgumentException(
+                s"docstore __schema: column '$name' path must be a string, got $other")
+            }
+            (StructField(name, tpe, nullable = true), name -> path)
+          case (name, other) => throw new IllegalArgumentException(
+            s"docstore __schema: column '$name' must be a type string or " +
+              s"{path, type} document, got $other")
+        }
+        (StructType(fields.map(_._1)), fields.map(_._2).toMap)
+      case None =>
+        (SchemaInference.infer(
+          sample.filterNot(_.map.contains("__schema")), opts.flatten)._1,
+          Map.empty)
+    }
   }
+
+  /** DuckDB-style type names (the reference's `columns` argument types)
+    * → Spark types. */
+  private def parseTypeName(col: String, t: String): DataType =
+    t.trim.toUpperCase match {
+      case "VARCHAR" | "STRING" | "TEXT" | "JSON" => StringType
+      case "BIGINT" | "LONG" | "INTEGER" | "INT"  => LongType
+      case "DOUBLE" | "FLOAT" | "DECIMAL"         => DoubleType
+      case "BOOLEAN" | "BOOL"                     => BooleanType
+      case "TIMESTAMP"                            => TimestampType
+      case "DATE"                                 => DateType
+      case "BLOB" | "BINARY"                      => BinaryType
+      case other if other.endsWith("[]") =>
+        ArrayType(parseTypeName(col, other.dropRight(2)), containsNull = true)
+      case other => throw new IllegalArgumentException(
+        s"docstore __schema: column '$col' has unsupported type '$other'")
+    }
 
   def sampleDocs(opts: DocstoreOptions): Seq[DocValue.DDoc] = {
     val conf = new Configuration()
@@ -222,10 +278,17 @@ class DocstoreScanBuilder(fullSchema: StructType, opts: DocstoreOptions)
     true
   }
 
+  // explicit per-column doc paths from a __schema document (if any);
+  // resolved once on the driver, shipped to executors with the factory
+  private lazy val explicitPaths: Map[String, Array[String]] =
+    DocstoreTable.schemaAndPaths(opts)._2
+
   override def build(): Scan = aggSpec match {
-    case Some(spec) => new DocstoreAggScan(fullSchema, spec, pushed, opts)
+    case Some(spec) =>
+      new DocstoreAggScan(fullSchema, spec, pushed, opts, explicitPaths)
     case None =>
-      new DocstoreScan(fullSchema, required, pushed, limit, opts, topN)
+      new DocstoreScan(fullSchema, required, pushed, limit, opts, topN,
+        explicitPaths)
   }
 }
 
@@ -251,7 +314,9 @@ final case class AggSpec(groupBy: Seq[StructField], aggs: Seq[AggOp]) {
 }
 
 class DocstoreAggScan(fullSchema: StructType, spec: AggSpec,
-    filters: Array[Filter], opts: DocstoreOptions) extends Scan with Batch {
+    filters: Array[Filter], opts: DocstoreOptions,
+    explicitPaths: Map[String, Array[String]] = Map.empty)
+    extends Scan with Batch {
   override def readSchema(): StructType = spec.outputSchema
   override def toBatch: Batch = this
   override def description(): String =
@@ -271,15 +336,16 @@ class DocstoreAggScan(fullSchema: StructType, spec: AggSpec,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocstoreAggReaderFactory(fullSchema, spec, filters, opts.schemaMode,
-      opts.flatten)
+      opts.flatten, explicitPaths)
 }
 
 class DocstoreAggReaderFactory(fullSchema: StructType, spec: AggSpec,
-    filters: Array[Filter], schemaMode: String, flatten: Boolean)
+    filters: Array[Filter], schemaMode: String, flatten: Boolean,
+    explicitPaths: Map[String, Array[String]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new DocstoreAggReader(p.asInstanceOf[DocstorePartition], fullSchema, spec,
-      filters, schemaMode, flatten)
+      filters, schemaMode, flatten, explicitPaths)
 }
 
 /** Per-partition hash aggregation inside the reader — the `$group`
@@ -287,7 +353,8 @@ class DocstoreAggReaderFactory(fullSchema: StructType, spec: AggSpec,
   * map-side combine); docs stream through without materializing
   * non-aggregated columns. */
 class DocstoreAggReader(p: DocstorePartition, fullSchema: StructType,
-    spec: AggSpec, filters: Array[Filter], schemaMode: String, flatten: Boolean)
+    spec: AggSpec, filters: Array[Filter], schemaMode: String, flatten: Boolean,
+    explicitPaths: Map[String, Array[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   // read only the columns aggregation + filters touch
@@ -301,7 +368,8 @@ class DocstoreAggReader(p: DocstorePartition, fullSchema: StructType,
   private val groupOrds = spec.groupBy.map(f => evalSchema.fieldIndex(f.name)).toArray
   private val aggOrds = spec.aggs.map(a =>
     if (a.field == null) -1 else evalSchema.fieldIndex(a.field.name)).toArray
-  private val conv = new DocRowConverter(evalSchema, schemaMode, flatten)
+  private val conv = new DocRowConverter(evalSchema, schemaMode, flatten,
+    explicitPaths)
   private val eval = new FilterEval(evalSchema, filters)
 
   private var iter: Iterator[InternalRow] = _
@@ -406,7 +474,8 @@ class DocstoreAggReader(p: DocstorePartition, fullSchema: StructType,
 
 class DocstoreScan(fullSchema: StructType, required: StructType,
     filters: Array[Filter], limit: Int, opts: DocstoreOptions,
-    topN: Option[TopNSpec] = None)
+    topN: Option[TopNSpec] = None,
+    explicitPaths: Map[String, Array[String]] = Map.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -430,11 +499,12 @@ class DocstoreScan(fullSchema: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocstoreReaderFactory(fullSchema, required, filters, limit,
-      opts.schemaMode, opts.flatten, topN)
+      opts.schemaMode, opts.flatten, topN, explicitPaths)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new DocstoreMicroBatchStream(fullSchema, required, filters, opts)
+    new DocstoreMicroBatchStream(fullSchema, required, filters, opts,
+      explicitPaths)
 }
 
 /** Streaming reads over a document collection directory — the
@@ -448,7 +518,8 @@ class DocstoreScan(fullSchema: StructType, required: StructType,
   * exactly as to batch ones.
   */
 class DocstoreMicroBatchStream(fullSchema: StructType, required: StructType,
-    filters: Array[Filter], opts: DocstoreOptions)
+    filters: Array[Filter], opts: DocstoreOptions,
+    explicitPaths: Map[String, Array[String]] = Map.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -476,7 +547,7 @@ class DocstoreMicroBatchStream(fullSchema: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocstoreReaderFactory(fullSchema, required, filters, -1,
-      opts.schemaMode, opts.flatten)
+      opts.schemaMode, opts.flatten, None, explicitPaths)
 }
 
 final case class FileCountOffset(n: Int)
@@ -489,18 +560,20 @@ final case class DocstorePartition(file: String, start: Long, length: Long)
 
 class DocstoreReaderFactory(fullSchema: StructType, required: StructType,
     filters: Array[Filter], limit: Int, schemaMode: String, flatten: Boolean,
-    topN: Option[TopNSpec] = None)
+    topN: Option[TopNSpec] = None,
+    explicitPaths: Map[String, Array[String]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val dp = p.asInstanceOf[DocstorePartition]
     new DocstoreReader(dp, fullSchema, required, filters, limit, schemaMode,
-      flatten, topN)
+      flatten, topN, explicitPaths)
   }
 }
 
 class DocstoreReader(p: DocstorePartition, fullSchema: StructType,
     required: StructType, filters: Array[Filter], limit: Int,
-    schemaMode: String, flatten: Boolean, topN: Option[TopNSpec] = None)
+    schemaMode: String, flatten: Boolean, topN: Option[TopNSpec] = None,
+    explicitPaths: Map[String, Array[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   // Filters may reference columns outside the projection (SELECT a WHERE
@@ -519,7 +592,8 @@ class DocstoreReader(p: DocstorePartition, fullSchema: StructType,
           sortCols.contains(f.name)))
     else fullSchema
   private val outOrdinals = required.fieldNames.map(evalSchema.fieldIndex)
-  private val conv = new DocRowConverter(evalSchema, schemaMode, flatten)
+  private val conv = new DocRowConverter(evalSchema, schemaMode, flatten,
+    explicitPaths)
   private val eval = new FilterEval(evalSchema, filters)
 
   private val lines = new LineRangeReader(p.file, p.start, p.length, new Configuration())
@@ -637,7 +711,8 @@ class RowOrdering(keys: Seq[SortKey], schema: StructType)
   * flattened-column path candidates (`user_id` → `user_id` | `user`.`id`)
   * are precomputed once, not re-derived per row.
   */
-class DocRowConverter(schema: StructType, schemaMode: String, flatten: Boolean) {
+class DocRowConverter(schema: StructType, schemaMode: String, flatten: Boolean,
+    explicitPaths: Map[String, Array[String]] = Map.empty) {
   import com.fasterxml.jackson.databind.JsonNode
   import com.fasterxml.jackson.databind.node.ObjectNode
 
@@ -654,15 +729,30 @@ class DocRowConverter(schema: StructType, schemaMode: String, flatten: Boolean) 
 
   private val paths: Array[Array[Array[String]]] =
     schema.fieldNames.map { n =>
-      val cands = if (flatten) candidatePaths(n) else List(List(n))
-      cands.map(_.toArray).toArray
+      explicitPaths.get(n) match {
+        case Some(p) => Array(p) // __schema path mapping wins
+        case None =>
+          val cands = if (flatten) candidatePaths(n) else List(List(n))
+          cands.map(_.toArray).toArray
+      }
     }
 
   private def resolve(doc: ObjectNode, col: Int): JsonNode = {
     val cands = paths(col)
-    // literal field name wins, even if explicitly null
-    val direct = doc.get(cands(0)(0))
-    if (direct != null) return direct
+    // literal field name wins, even if explicitly null (single-segment
+    // first candidate only — an explicit __schema path walks below)
+    if (cands(0).length == 1) {
+      val direct = doc.get(cands(0)(0))
+      if (direct != null) return direct
+    } else {
+      var node: JsonNode = doc
+      var i = 0
+      while (node != null && i < cands(0).length) {
+        node = if (node.isObject) node.get(cands(0)(i)) else null
+        i += 1
+      }
+      if (node != null) return node
+    }
     var c = 1
     while (c < cands.length) {
       val path = cands(c)
@@ -685,6 +775,8 @@ class DocRowConverter(schema: StructType, schemaMode: String, flatten: Boolean) 
         case e: Exception => return malformed(s"unparseable document: ${e.getMessage}")
       }
     node match {
+      case doc: ObjectNode if doc.has("__schema") =>
+        None // schema-definition document, not data
       case doc: ObjectNode =>
         val row = new GenericInternalRow(schema.length)
         var i = 0

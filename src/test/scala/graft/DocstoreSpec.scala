@@ -172,4 +172,20 @@ class DocstoreSpec extends SparkSpec {
     assert(asc.select("id").collect().map(_.getLong(0)).toSeq
       == Seq(48L, 45L, 42L)) // g0 ids descending
   }
+
+  test("__schema document overrides inference with types and path mapping") {
+    val dir = writeDocs("schema_doc", Seq(
+      """{"__schema":{"id":"BIGINT","label":{"path":"meta.name","type":"VARCHAR"},"score":{"path":"metrics.s","type":"DOUBLE"},"tags":"VARCHAR[]"}}""",
+      """{"id":1,"meta":{"name":"a"},"metrics":{"s":1.5},"tags":["x"]}""",
+      """{"id":2,"meta":{"name":"b"},"metrics":{"s":2.5},"tags":["y","z"]}"""))
+    val df = spark.read.format("docstore").option("path", dir).load()
+    assert(df.schema.fieldNames.toSeq == Seq("id", "label", "score", "tags"))
+    assert(df.schema("label").dataType == StringType)
+    assert(df.schema("tags").dataType == ArrayType(StringType, containsNull = true))
+    // the __schema row is metadata, not data
+    assert(df.count() == 2)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getString(1) == "a" && rows(0).getDouble(2) == 1.5)
+    assert(rows(1).getString(1) == "b" && rows(1).getSeq[String](3) == Seq("y", "z"))
+  }
 }
