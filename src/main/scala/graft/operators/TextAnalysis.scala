@@ -174,15 +174,70 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- t05
+  /** PII scrubbing: regex redaction of emails / phone numbers / IPv4
+    * addresses with per-doc redaction counts. The corpus is synthetic and
+    * PII-free, so PII is PLANTED deterministically (doc_id-derived email
+    * on every 3rd doc, phone on every 4th, IP on every 5th) and the
+    * operator must find and redact exactly those. Map-only, codegen'd
+    * regexes — the per-doc cost a 100 TB scrub pass actually pays.
+    */
+  def t05PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 1000).cast(StringType), 3, "0"),
+            lit("-0199"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast(StringType),
+            lit(".7"))).otherwise(lit(""))))
+    docs.select(col("doc_id"),
+        regexp_count(col("text2"), lit(emailRe)).cast(LongType).as("n_email"),
+        regexp_count(col("text2"), lit(phoneRe)).cast(LongType).as("n_phone"),
+        regexp_count(col("text2"), lit(ipRe)).cast(LongType).as("n_ip"),
+        regexp_replace(regexp_replace(regexp_replace(col("text2"),
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+          .as("scrubbed"))
+      .withColumn("scrub_hash", md5(col("scrubbed")))
+      .drop("scrubbed") // hash keeps the oracle compact; content is checked via it
+      .orderBy(col("doc_id"))
+  }
+
+  val t05Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END AS text2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text2, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(text2, '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(text2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text2,
+      |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrub_hash
+      |FROM planted ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> (t01LangId _),
     "t02_quality_score" -> (t02Quality _),
     "t03_token_count" -> (t03Tokens _),
-    "t04_fingerprint" -> (t04Fingerprint _))
+    "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_pii_scrub" -> (t05PiiScrub _))
 
   val oracle: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
-    "t03_token_count" -> t03Sql)
+    "t03_token_count" -> t03Sql,
+    "t05_pii_scrub" -> t05Sql)
 }

@@ -158,15 +158,69 @@ object Streaming {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  // ---------------------------------------------------------------- st04
+  /** Stream-stream interval join, batch twin: purchases within 30 min
+    * after a click by the same user. Equi-key (user_id) + time-range
+    * condition — shuffles on the key, range applied post-join; in
+    * streaming the same condition bounds both sides' state by the
+    * watermark + interval. */
+  def st04IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_timestamp(col("ts")).as("click_sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        unix_timestamp(col("ts")).as("purchase_sec"),
+        round(col("value"), 4).as("value"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_sec") >= col("click_sec") &&
+          col("purchase_sec") <= col("click_sec") + 1800L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_sec") - col("click_sec")).as("delay_sec"), col("value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  val st04Sql: String =
+    """SELECT c.user_id, c.click_id, p.purchase_id,
+      |  p.purchase_sec - c.click_sec AS delay_sec, p.value
+      |FROM (SELECT user_id, event_id AS click_id,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS click_sec
+      |      FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT user_id, event_id AS purchase_id,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS purchase_sec,
+      |        ROUND(value, 4) AS value
+      |      FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.purchase_sec >= c.click_sec
+      | AND p.purchase_sec <= c.click_sec + 1800
+      |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin
+
+  /** Streaming twin: watermarked stream-stream inner join with a time
+    * bound — state on each side is dropped once the watermark passes the
+    * interval (bounded state, the only join shape that scales on infinite
+    * streams). */
+  def st04Stream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "1 hour")
+    val p = purchases.withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+      expr("""user_id = p_user_id AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + interval 30 minutes"""))
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_windowed_agg" -> (st01WindowedAgg _),
     "st02_sessionize" -> (st02Sessionize _),
-    "st03_stream_dedup" -> (st03StreamDedup _))
+    "st03_stream_dedup" -> (st03StreamDedup _),
+    "st04_interval_join" -> (st04IntervalJoin _))
 
   val oracle: Map[String, String] = Map(
     "st01_windowed_agg" -> st01Sql,
     "st02_sessionize" -> st02Sql,
-    "st03_stream_dedup" -> st03Sql)
+    "st03_stream_dedup" -> st03Sql,
+    "st04_interval_join" -> st04Sql)
 }

@@ -100,4 +100,27 @@ class StreamingSpec extends SparkSpec {
       assert(keys.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
     } finally q.stop()
   }
+
+  test("st04 stream-stream interval join with bounded state") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val joined = Streaming.st04Stream(
+      clicks.toDF.toDF("click_ts", "user_id", "click_id"),
+      purchases.toDF.toDF("purchase_ts", "p_user_id", "purchase_id"))
+      .select("user_id", "click_id", "purchase_id")
+    val q = joined.writeStream.format("memory").queryName("st04_sink")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(1, 0), 1L, 100L), (ts(2, 0), 2L, 101L))
+      purchases.addData(
+        (ts(1, 20), 1L, 200L), // within 30 min of click 100 → joins
+        (ts(1, 45), 1L, 201L), // 45 min after → outside the interval
+        (ts(2, 10), 2L, 202L)) // within → joins
+      q.processAllAvailable()
+      val rows = spark.table("st04_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 100L, 200L), (2L, 101L, 202L)))
+    } finally q.stop()
+  }
 }
