@@ -188,4 +188,28 @@ class DocstoreSpec extends SparkSpec {
     assert(rows(0).getString(1) == "a" && rows(0).getDouble(2) == 1.5)
     assert(rows(1).getString(1) == "b" && rows(1).getSeq[String](3) == Seq("y", "z"))
   }
+
+  test("multi-byte UTF-8 lines survive byte-range splitting exactly") {
+    // 3-byte CJK chars + emoji straddle the 64-byte split boundaries
+    val lines = (0 until 40).map(i =>
+      s"""{"id":$i,"s":"\u6587\u6863\u5904\u7406 \ud83d\ude00 line$i \u00e9\u00fc"}""")
+    val dir = writeDocs("unicode", lines)
+    val df = spark.read.format("docstore").option("path", dir)
+      .option("splitsize", "64").load()
+    assert(df.count() == 40)
+    val s7 = df.where(col("id") === 7).select("s").head.getString(0)
+    assert(s7 == "\u6587\u6863\u5904\u7406 \ud83d\ude00 line7 \u00e9\u00fc")
+  }
+
+  test("empty files and CRLF line endings are handled") {
+    val dir = s"/tmp/graft_docstore_spec/mixed"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/empty.jsonl"),
+      Array.empty[Byte])
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/crlf.jsonl"),
+      "{\"a\":1}\r\n{\"a\":2}\r\n".getBytes("UTF-8"))
+    val df = spark.read.format("docstore").option("path", dir).load()
+    assert(df.count() == 2)
+    assert(df.agg(sum("a")).head.getLong(0) == 3L)
+  }
 }
