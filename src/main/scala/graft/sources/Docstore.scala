@@ -167,13 +167,19 @@ object DocstoreTable {
 }
 
 class DocstoreTable(schema0: StructType, opts: DocstoreOptions)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"docstore(${opts.path})"
   override def schema(): StructType = schema0
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocstoreScanBuilder(schema0, opts)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new DocstoreWriteBuilder(info.schema(), opts)
 }
 
 /** Pushdown surface — the reference's pipeline stages:

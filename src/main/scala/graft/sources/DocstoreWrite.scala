@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.io.{BufferedOutputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+
+/** Batch WRITE for the docstore source: rows → extended-JSON JSONL part
+  * files, the inverse of the scan's type mapping (Timestamp→`$date`,
+  * Date→midnight `$date`, Binary→`$binary`, struct→nested doc,
+  * array→JSON array). The reference is scan-only; a pipeline engine
+  * needs the sink so cleaned/filtered collections round-trip:
+  * `Graft.mongoScan(...).filter(...).write.format("docstore")`.
+  *
+  * Scale: one part file per task (standard distributed-sink contract),
+  * no driver involvement in the data path; commit is rename-free append
+  * of task files named by (task, attempt) for idempotence under retry —
+  * an aborted attempt deletes its own file.
+  */
+class DocstoreWriteBuilder(schema: StructType, opts: DocstoreOptions)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    val t = doTruncate
+    new Write {
+      override def toBatch: BatchWrite = new DocstoreBatchWrite(schema, opts, t)
+    }
+  }
+}
+
+class DocstoreBatchWrite(schema: StructType, opts: DocstoreOptions,
+    truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (truncate) { // overwrite mode: clear existing collection files first
+      val root = new HPath(opts.path)
+      val fs = root.getFileSystem(new Configuration())
+      if (fs.exists(root) && fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter(_.isFile).foreach(s => fs.delete(s.getPath, false))
+    }
+    new DocstoreWriterFactory(schema, opts.path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new HPath(opts.path).getFileSystem(new Configuration())
+    messages.collect { case m: DocstoreCommit => m }
+      .foreach(m => fs.delete(new HPath(m.file), false))
+  }
+}
+
+final case class DocstoreCommit(file: String) extends WriterCommitMessage
+
+class DocstoreWriterFactory(schema: StructType, dir: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DocstoreDataWriter(schema, dir, partitionId, taskId)
+}
+
+class DocstoreDataWriter(schema: StructType, dir: String, partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+  private val file = f"$dir/part-$partitionId%05d-$taskId.jsonl"
+  private val fs = new HPath(dir).getFileSystem(new Configuration())
+  private val out: OutputStream = {
+    fs.mkdirs(new HPath(dir))
+    new BufferedOutputStream(fs.create(new HPath(file), true), 1 << 16)
+  }
+  private val sb = new java.lang.StringBuilder(1 << 10)
+
+  override def write(row: InternalRow): Unit = {
+    sb.setLength(0)
+    renderRow(row, schema)
+    sb.append('\n')
+    out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def renderRow(row: InternalRow, st: StructType): Unit = {
+    sb.append('{')
+    var first = true
+    var i = 0
+    while (i < st.length) {
+      if (!row.isNullAt(i)) { // absent field = BSON missing, like Mongo
+        if (!first) sb.append(',')
+        first = false
+        sb.append(ExtJson.quote(st(i).name)).append(':')
+        renderValue(row.get(i, st(i).dataType), st(i).dataType)
+      }
+      i += 1
+    }
+    sb.append('}')
+  }
+
+  private def renderValue(v: Any, dt: DataType): Unit = dt match {
+    case LongType    => sb.append(v.asInstanceOf[Long])
+    case DoubleType  =>
+      val d = v.asInstanceOf[Double]
+      if (d.isNaN || d.isInfinite) sb.append("null") else sb.append(d)
+    case IntegerType => sb.append(v.asInstanceOf[Int])
+    case BooleanType => sb.append(v.asInstanceOf[Boolean])
+    case StringType  => sb.append(ExtJson.quote(v.asInstanceOf[UTF8String].toString))
+    case TimestampType =>
+      sb.append(ExtJson.render(DocValue.DTimestamp(v.asInstanceOf[Long])))
+    case DateType =>
+      sb.append(ExtJson.render(
+        DocValue.DTimestamp(v.asInstanceOf[Int].toLong * 86400000000L)))
+    case BinaryType =>
+      sb.append(ExtJson.render(DocValue.DBinary(v.asInstanceOf[Array[Byte]])))
+    case ArrayType(et, _) =>
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      sb.append('[')
+      var i = 0
+      while (i < arr.numElements()) {
+        if (i > 0) sb.append(',')
+        if (arr.isNullAt(i)) sb.append("null")
+        else renderValue(arr.get(i, et), et)
+        i += 1
+      }
+      sb.append(']')
+    case st: StructType =>
+      renderRow(v.asInstanceOf[InternalRow], st)
+    case other =>
+      throw new UnsupportedOperationException(
+        s"docstore write: unsupported type ${other.simpleString}")
+  }
+
+  override def commit(): WriterCommitMessage = { out.close(); DocstoreCommit(file) }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    fs.delete(new HPath(file), false)
+  }
+  override def close(): Unit = ()
+}

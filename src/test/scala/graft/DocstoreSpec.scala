@@ -212,4 +212,41 @@ class DocstoreSpec extends SparkSpec {
     assert(df.count() == 2)
     assert(df.agg(sum("a")).head.getLong(0) == 3L)
   }
+
+  test("docstore write: collections round-trip through the sink") {
+    val outDir = "/tmp/graft_docstore_spec/write_out"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+    val src = spark.read.format("docstore").option("path", smallDir).load()
+      .filter(col("id") < 20)
+    src.write.format("docstore").option("path", outDir).mode("append").save()
+    val back = spark.read.format("docstore").option("path", outDir).load()
+    assert(back.count() == 20)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // overwrite truncates previous content
+    src.filter(col("id") < 5).write.format("docstore")
+      .option("path", outDir).mode("overwrite").save()
+    assert(spark.read.format("docstore").option("path", outDir).load().count() == 5)
+  }
+
+  test("docstore write: extended-JSON types round-trip (ts, date, binary, struct)") {
+    import spark.implicits._
+    val outDir = "/tmp/graft_docstore_spec/write_types"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 12:30:00"),
+        java.sql.Date.valueOf("2024-03-05"), Array[Byte](1, 2, 3), Seq(1L, 2L)),
+      (2L, java.sql.Timestamp.valueOf("2024-03-02 01:02:03"),
+        java.sql.Date.valueOf("2024-05-01"), Array[Byte](4, 5), Seq(3L))
+    ).toDF("id", "ts", "day", "bin", "arr")
+    df.write.format("docstore").option("path", outDir).mode("append").save()
+    val back = spark.read.format("docstore").option("path", outDir).load()
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.schema("day").dataType == DateType)
+    assert(back.schema("bin").dataType == BinaryType)
+    val r = back.orderBy("id").collect()
+    assert(r(0).getTimestamp(1) == java.sql.Timestamp.valueOf("2024-03-01 12:30:00"))
+    assert(r(0).getDate(2) == java.sql.Date.valueOf("2024-03-05"))
+    assert(r(0).getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 3))
+    assert(r(1).getSeq[Long](4) == Seq(3L))
+  }
 }
