@@ -143,6 +143,40 @@ object DocstoreTable {
         s"docstore __schema: column '$col' has unsupported type '$other'")
     }
 
+  /** Driver-side size estimate for `SupportsReportStatistics`: total data
+    * bytes plus a row count extrapolated from the average UTF-8 byte size
+    * of the first `samplesize` lines. At 100 TB this is one file listing
+    * + one tiny read — the same cost the reference pays to sample for
+    * schema inference — and it is what lets Catalyst pick a broadcast
+    * join for small collections instead of defaulting DSv2 sources to
+    * "unknown = huge". */
+  def estimateStats(opts: DocstoreOptions): (Long, Option[Long]) = {
+    val totalBytes = listFiles(opts).map(_._2).sum
+    val conf = new Configuration()
+    var sampled = 0L
+    var sampledBytes = 0L
+    val it = listFiles(opts).iterator
+    while (sampled < opts.sampleSize && it.hasNext) {
+      val (file, len) = it.next()
+      val reader = new LineRangeReader(file, 0, len, conf)
+      try {
+        var line = reader.next()
+        while (sampled < opts.sampleSize && line != null) {
+          if (line.nonEmpty) {
+            sampled += 1
+            sampledBytes += line.getBytes(StandardCharsets.UTF_8).length + 1L
+          }
+          line = if (sampled < opts.sampleSize) reader.next() else null
+        }
+      } finally reader.close()
+    }
+    val rows =
+      if (sampled == 0 || sampledBytes == 0) None
+      else Some(math.max(1L, math.round(
+        totalBytes.toDouble * sampled / sampledBytes)))
+    (totalBytes, rows)
+  }
+
   def sampleDocs(opts: DocstoreOptions): Seq[DocValue.DDoc] = {
     val conf = new Configuration()
     val docs = Seq.newBuilder[DocValue.DDoc]
@@ -322,9 +356,25 @@ final case class AggSpec(groupBy: Seq[StructField], aggs: Seq[AggOp]) {
 class DocstoreAggScan(fullSchema: StructType, spec: AggSpec,
     filters: Array[Filter], opts: DocstoreOptions,
     explicitPaths: Map[String, Array[String]] = Map.empty)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = spec.outputSchema
   override def toBatch: Batch = this
+
+  /** Conservative upper bound: pre-aggregated output can't exceed the
+    * input bytes of the columns it reads. */
+  override def estimateStatistics(): Statistics = {
+    val (totalBytes, _) = DocstoreTable.estimateStats(opts)
+    val frac =
+      if (fullSchema.isEmpty) 1.0
+      else math.max(1, spec.outputSchema.length).toDouble / fullSchema.length
+    val size = math.max(1L, (totalBytes * frac).toLong)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def description(): String =
     s"docstore ${opts.path} PushedFilters: [${filters.mkString(", ")}], " +
       s"PushedAggregates: [${spec.aggs.map(a => s"${a.op}(${Option(a.field).map(_.name).getOrElse("*")})").mkString(", ")}], " +
@@ -482,7 +532,42 @@ class DocstoreScan(fullSchema: StructType, required: StructType,
     filters: Array[Filter], limit: Int, opts: DocstoreOptions,
     topN: Option[TopNSpec] = None,
     explicitPaths: Map[String, Array[String]] = Map.empty)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  // Runtime filters Spark injects after planning (the DSv2 dynamic-
+  // partition-pruning hook): a selective join side becomes an IN filter
+  // evaluated inside every reader, so a 100 TB scan joined to a pruned
+  // dimension reads-and-drops instead of shuffling the full fact side.
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  // Spark resolves these against the scan's OUTPUT, so only columns that
+  // survived projection pruning may be listed.
+  override def filterAttributes(): Array[NamedReference] =
+    required.fieldNames.map(Expressions.column)
+
+  override def filter(dynamic: Array[Filter]): Unit =
+    runtimeFilters = dynamic.filter(FilterEval.supports)
+
+  /** Collection size for Catalyst's join planning: data bytes scaled by
+    * the projected-column fraction (the same heuristic Spark's own
+    * FileScan uses), plus an extrapolated row count. Without this a DSv2
+    * source defaults to "unknown = never broadcast". */
+  override def estimateStatistics(): Statistics = {
+    val (totalBytes, rows) = DocstoreTable.estimateStats(opts)
+    val frac =
+      if (fullSchema.isEmpty) 1.0
+      else math.max(1, required.length).toDouble / fullSchema.length
+    val size = math.max(1L, (totalBytes * frac).toLong)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -491,7 +576,9 @@ class DocstoreScan(fullSchema: StructType, required: StructType,
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
       topN.map(t => s", PushedTopN: ORDER BY [${t.keys.map(k =>
         s"${k.field.name} ${if (k.ascending) "ASC" else "DESC"}").mkString(", ")}] LIMIT ${t.n}")
-        .getOrElse("")
+        .getOrElse("") +
+      (if (runtimeFilters.nonEmpty)
+        s", RuntimeFilters: [${runtimeFilters.mkString(", ")}]" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val split = opts.splitSize
@@ -504,8 +591,8 @@ class DocstoreScan(fullSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocstoreReaderFactory(fullSchema, required, filters, limit,
-      opts.schemaMode, opts.flatten, topN, explicitPaths)
+    new DocstoreReaderFactory(fullSchema, required, filters ++ runtimeFilters,
+      limit, opts.schemaMode, opts.flatten, topN, explicitPaths)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

@@ -228,6 +228,43 @@ class DocstoreSpec extends SparkSpec {
     assert(spark.read.format("docstore").option("path", outDir).load().count() == 5)
   }
 
+  test("reported statistics let Catalyst auto-broadcast a small collection") {
+    // without SupportsReportStatistics a DSv2 source sizes as "unknown =
+    // huge" and this join sort-merges; with it, the ~2 KB collection
+    // broadcasts with no explicit hint
+    val docs = spark.read.format("docstore").option("path", smallDir).load()
+    val big = spark.range(200000).withColumnRenamed("id", "rid")
+    val joined = big.join(docs, col("rid") === col("id"))
+    val plan = explainText(joined)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(joined.count() == 50)
+  }
+
+  test("runtime filters (DPP hook) reach the readers and drop rows at scan") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.In
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources._
+    val opts = DocstoreOptions(Map("path" -> smallDir))
+    val schema = DocstoreTable.inferSchema(opts)
+    val scan = new DocstoreScanBuilder(schema, opts).build()
+    val rf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.describe()).toSet.contains("id"))
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("id", Array(3L, 7L, 11L))))
+    assert(scan.description().contains("RuntimeFilters"), scan.description())
+    val factory = scan.toBatch.createReaderFactory()
+    val rows = scan.toBatch.planInputPartitions().flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = Seq.newBuilder[Long]
+      while (r.next()) buf += r.get().getLong(schema.fieldIndex("id"))
+      r.close()
+      buf.result()
+    }
+    assert(rows.sorted.toSeq == Seq(3L, 7L, 11L))
+  }
+
   test("docstore write: extended-JSON types round-trip (ts, date, binary, struct)") {
     import spark.implicits._
     val outDir = "/tmp/graft_docstore_spec/write_types"
