@@ -183,9 +183,49 @@ object Dedup {
       .withColumn("jaccard", col("common").cast(DoubleType) /
         (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"), col("source"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("source"),
+        round(col("jaccard"), 4).as("jaccard")) // oracle parity (SURVEY §5)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** The hashed-shingle Jaccard equals string-shingle Jaccard (64-bit FNV
+    * collisions are negligible at any realistic df), so the oracle builds
+    * the same inverted index over shingle STRINGS: c/(|A|+|B|−c) is then
+    * the identical integer-ratio double in both engines.
+    */
+  val dd04Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '\\s+\\S+$$', ''),
+       |    source FROM documents WHERE doc_id % 10 = 0),
+       |toks AS (
+       |  SELECT doc_id, source, text,
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ts
+       |  FROM corpus),
+       |sets AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN len(ts) < 3 THEN [text]
+       |         ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+       |           i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2]
+       |                || chr(31)))
+       |    END AS sh
+       |  FROM toks),
+       |postings AS (
+       |  SELECT source, doc_id, len(sh) AS sz, unnest(sh) AS shingle
+       |  FROM sets),
+       |pairs AS (
+       |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+       |  FROM postings a JOIN postings b
+       |    ON a.source = b.source AND a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT id_a, id_b, source,
+       |  ROUND(common / (sz_a + sz_b - common), 4) AS jaccard
+       |FROM pairs WHERE common / (sz_a + sz_b - common) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
 
   // --------------------------------------------------------------- dd05
   /** Embedding near-dup: sign-LSH hyperplane buckets → in-bucket pairwise
@@ -207,9 +247,29 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", V.cosine_sim(col("v_a"), col("v_b")))
       .filter(col("cos") >= 0.99)
-      .select(col("id_a"), col("id_b"), col("bucket"), col("cos"))
+      .select(col("id_a"), col("id_b"),
+        round(col("cos"), 4).as("cos")) // oracle parity (SURVEY §5)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Oracle = the TRUE ≥0.99-cosine pair set (exhaustive O(N²) compare —
+    * the oracle's privilege). Matching it proves the LSH recall is exact
+    * on this corpus: planted duplicates are verbatim copies, which land
+    * in identical sign-LSH buckets by construction.
+    */
+  val dd05Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $PlantOffset, embedding FROM embeddings
+       |  WHERE vec_id % 25 = 0),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_cosine_similarity(a.embedding::DOUBLE[],
+       |      b.embedding::DOUBLE[]) AS c
+       |  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, ROUND(c, 4) AS cos
+       |FROM pairs WHERE c >= 0.99 ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -219,7 +279,11 @@ object Dedup {
     "dd04_ngram_jaccard" -> (dd04NgramJaccard _),
     "dd05_dedup_embedding" -> (dd05Embedding _))
 
-  /** dd02–dd05 are custom-kernel ops with no SQL equivalent → rows-only. */
+  /** dd02/dd03 depend on the custom 64-bit mix/minhash kernels (no
+    * DuckDB-identical arithmetic) → rows-only; the rest are SQL-gated.
+    */
   val oracle: Map[String, String] = Map(
-    "dd01_dedup_exact" -> dd01Sql)
+    "dd01_dedup_exact" -> dd01Sql,
+    "dd04_ngram_jaccard" -> dd04Sql,
+    "dd05_dedup_embedding" -> dd05Sql)
 }

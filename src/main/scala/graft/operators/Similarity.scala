@@ -40,8 +40,27 @@ object Similarity {
         V.cosine_sim(col("q_vec"), col("embedding")).as("cos"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= K)
+      .withColumn("cos", round(col("cos"), 4)) // oracle parity (SURVEY §5)
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** Both engines accumulate the dot/norms in double left-to-right, so
+    * ROUND(,4) absorbs the remaining formula-level ulps.
+    */
+  val s01Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+      |  FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id, e.label,
+      |         list_cosine_similarity(q.q_vec, e.embedding::DOUBLE[]) AS c
+      |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, label, c,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id)
+      |           AS rank
+      |  FROM scored)
+      |SELECT q_id, vec_id, label, ROUND(c, 4) AS cos, rank
+      |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- s02
   /** IVF-style ANN: coarse quantizer = 8 seeded centroids (deterministic
@@ -51,8 +70,9 @@ object Similarity {
   def s02Ivf(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables(spark, dir, "embeddings")
     // seeded coarse quantizer: 8 fixed corpus vectors as centroids
+    // (ORDER BY before LIMIT so the pick is deterministic cross-engine)
     val centroids = corpus.filter(col("vec_id") % 61 === 3)
-      .limit(8)
+      .orderBy(col("vec_id")).limit(8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
 
     // build: assign each corpus vector to its nearest centroid (cell)
@@ -85,15 +105,49 @@ object Similarity {
         V.cosine_sim(col("q_vec"), col("embedding")).as("cos"))
       .withColumn("rank", row_number().over(wRank).cast(LongType))
       .filter(col("rank") <= K)
+      .withColumn("cos", round(col("cos"), 4)) // oracle parity (SURVEY §5)
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** The full IVF build+probe+search replicated declaratively: same
+    * centroid picks, same tie-breaks, so the approximation itself is
+    * deterministic and oracle-checkable.
+    */
+  val s02Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+      |  FROM embeddings WHERE vec_id < 5),
+      |cent AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
+      |  FROM embeddings WHERE vec_id % 61 = 3 ORDER BY vec_id LIMIT 8),
+      |assigned AS (
+      |  SELECT vec_id, label, embedding, cell FROM (
+      |    SELECT e.vec_id, e.label, e.embedding, c.c_id AS cell,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+      |               c.c_vec) DESC, c.c_id) AS rn
+      |    FROM embeddings e, cent c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT q_id, q_vec, cell FROM (
+      |    SELECT q.q_id, q.q_vec, c.c_id AS cell,
+      |           row_number() OVER (PARTITION BY q.q_id
+      |             ORDER BY list_cosine_similarity(q.q_vec, c.c_vec) DESC,
+      |               c.c_id) AS rn
+      |    FROM q, cent c) WHERE rn <= 2),
+      |ranked AS (
+      |  SELECT p.q_id, a.vec_id, a.label, a.cell,
+      |         list_cosine_similarity(p.q_vec, a.embedding::DOUBLE[]) AS c,
+      |         row_number() OVER (PARTITION BY p.q_id
+      |           ORDER BY list_cosine_similarity(p.q_vec,
+      |             a.embedding::DOUBLE[]) DESC, a.vec_id) AS rank
+      |  FROM assigned a JOIN probes p USING (cell)
+      |  WHERE a.vec_id <> p.q_id)
+      |SELECT q_id, vec_id, label, cell, ROUND(c, 4) AS cos, rank
+      |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01BruteForce _),
     "s02_ann_ivf" -> (s02Ivf _))
 
-  /** Custom cosine kernel has no DuckDB-identical float semantics →
-    * rows-only checks.
-    */
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "s01_ann_bruteforce" -> s01Sql,
+    "s02_ann_ivf" -> s02Sql)
 }
