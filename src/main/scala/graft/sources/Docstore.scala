@@ -150,12 +150,34 @@ object DocstoreTable {
     * schema inference — and it is what lets Catalyst pick a broadcast
     * join for small collections instead of defaulting DSv2 sources to
     * "unknown = huge". */
+  /** Memo for sampled row-size stats, keyed by the collection's file-set
+    * fingerprint. Catalyst may ask for statistics several times per
+    * planning pass (and once per query on a reused table); the listing
+    * stays fresh — one RPC — but the sample read is paid once per
+    * distinct dataset state, not per call.
+    */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, (Long, Option[Long]))]()
+
+  private def fileSig(files: Seq[(String, Long)]): Long = {
+    var h = 0xcbf29ce484222325L
+    files.foreach { case (name, len) =>
+      h = (h ^ name.hashCode.toLong) * 0x100000001b3L
+      h = (h ^ len) * 0x100000001b3L
+    }
+    h
+  }
+
   def estimateStats(opts: DocstoreOptions): (Long, Option[Long]) = {
-    val totalBytes = listFiles(opts).map(_._2).sum
+    val files = listFiles(opts)
+    val sig = fileSig(files)
+    val cached = statsCache.get(opts.path)
+    if (cached != null && cached._1 == sig) return cached._2
+    val totalBytes = files.map(_._2).sum
     val conf = new Configuration()
     var sampled = 0L
     var sampledBytes = 0L
-    val it = listFiles(opts).iterator
+    val it = files.iterator
     while (sampled < opts.sampleSize && it.hasNext) {
       val (file, len) = it.next()
       val reader = new LineRangeReader(file, 0, len, conf)
@@ -174,7 +196,9 @@ object DocstoreTable {
       if (sampled == 0 || sampledBytes == 0) None
       else Some(math.max(1L, math.round(
         totalBytes.toDouble * sampled / sampledBytes)))
-    (totalBytes, rows)
+    val result = (totalBytes, rows)
+    statsCache.put(opts.path, (sig, result))
+    result
   }
 
   def sampleDocs(opts: DocstoreOptions): Seq[DocValue.DDoc] = {

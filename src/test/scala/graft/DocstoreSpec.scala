@@ -228,6 +228,21 @@ class DocstoreSpec extends SparkSpec {
     assert(spark.read.format("docstore").option("path", outDir).load().count() == 5)
   }
 
+  test("AVG pre-pushes as sum+count (the reference's group-avg analog)") {
+    // Spark rewrites AVG to SUM/COUNT for partial DSv2 aggregate pushdown
+    // (reference pushes avg directly: src/mongo_optimizer.cpp $group)
+    val df = spark.read.format("docstore").option("path", smallDir).load()
+      .groupBy(col("grp")).agg(avg(col("score")).as("avg_score"))
+    val plan = explainText(df)
+    assert(plan.contains("PushedAggregates") &&
+      plan.toLowerCase.contains("sum(score)") &&
+      plan.toLowerCase.contains("count(score)"), plan)
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exp = (0 until 50).groupBy(i => s"g${i % 3}")
+      .map { case (g, is) => g -> is.map(_ * 1.5).sum / is.size }
+    assert(got == exp)
+  }
+
   test("reported statistics let Catalyst auto-broadcast a small collection") {
     // without SupportsReportStatistics a DSv2 source sizes as "unknown =
     // huge" and this join sort-merges; with it, the ~2 KB collection
