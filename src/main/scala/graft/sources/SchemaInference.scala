@@ -137,6 +137,17 @@ object SchemaInference {
       }
       StructField(path.mkString("_"), dt, nullable = true) -> path
     }
-    (StructType(fields.map(_._1)), fields.map(_._2))
+    // Doc fields are case-sensitive but Spark resolves columns
+    // case-insensitively by default, so case-variant fields (or a flatten
+    // collision like `a_b` vs `a.b`) would make every column reference
+    // ambiguous. Keep the first variant, as the reference does
+    // (reference: test/sql/schema/case_variant_fields.test:1, issue #35).
+    val deduped = scala.collection.mutable.LinkedHashMap.empty[String, (StructField, Seq[String])]
+    fields.foreach { case (sf, path) =>
+      val key = sf.name.toLowerCase
+      if (!deduped.contains(key)) deduped(key) = (sf, path)
+    }
+    val kept = deduped.values.toSeq
+    (StructType(kept.map(_._1)), kept.map(_._2))
   }
 }

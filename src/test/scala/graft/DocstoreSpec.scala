@@ -228,6 +228,26 @@ class DocstoreSpec extends SparkSpec {
     assert(spark.read.format("docstore").option("path", outDir).load().count() == 5)
   }
 
+  test("case-variant fields scan without ambiguity (reference issue #35)") {
+    // mirrors test/sql/schema/case_variant_fields.test: two docs whose
+    // nested field differs only by case — one column, one non-NULL row
+    val dir = writeDocs("case_variant",
+      Seq("""{"id":1,"case_data":{"clientFullname":"Alice"}}""",
+          """{"id":2,"case_data":{"ClientFullname":"Bob"}}"""))
+    val df = spark.read.format("docstore").option("path", dir).load()
+    assert(df.count() == 2)
+    assert(df.columns.count(_.equalsIgnoreCase("case_data_clientfullname")) == 1)
+    assert(df.filter(col("case_data_clientFullname").isNotNull).count() == 1)
+  }
+
+  test("empty collection scans as zero rows (edge_cases analog)") {
+    // mirrors test/sql/edge_cases/empty_collections.test
+    val dir = writeDocs("empty_coll", Seq.empty)
+    val df = spark.read.format("docstore").option("path", dir).load()
+    assert(df.count() == 0)
+    assert(df.schema.isEmpty)
+  }
+
   test("AVG pre-pushes as sum+count (the reference's group-avg analog)") {
     // Spark rewrites AVG to SUM/COUNT for partial DSv2 aggregate pushdown
     // (reference pushes avg directly: src/mongo_optimizer.cpp $group)

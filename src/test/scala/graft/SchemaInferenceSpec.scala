@@ -81,6 +81,21 @@ class SchemaInferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("case-variant fields dedupe case-insensitively (reference issue #35)") {
+    // Doc fields are case-sensitive; Spark columns are not. Two variants
+    // must yield ONE column (first variant kept), not an ambiguous pair.
+    val s = infer("""{"case_data":{"clientFullname":"a"}}""",
+      """{"case_data":{"ClientFullname":"b"}}""")
+    assert(s.fieldNames.toSeq == Seq("case_data_clientFullname"))
+    // flatten collision: literal `a_b` field vs nested `a.b` path
+    val s2 = infer("""{"a_b":1}""", """{"a":{"b":2}}""")
+    assert(s2.fieldNames.toSeq == Seq("a_b"))
+  }
+
+  test("empty sample yields empty schema (empty-collection edge case)") {
+    assert(SchemaInference.infer(Seq.empty)._1.isEmpty)
+  }
+
   test("extended-json render round-trips") {
     val doc = """{"_id":{"$oid":"64de1f00c0ffee0000000001"},"n":7,"s":"x","b":true,"arr":[1,{"k":"v"}]}"""
     assert(ExtJson.render(ExtJson.parse(doc)) == doc)
