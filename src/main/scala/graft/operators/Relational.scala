@@ -116,7 +116,7 @@ object Relational {
     val li = Tables(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
         .as("revenue"))
@@ -176,8 +176,8 @@ object Relational {
         col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
     val li = Tables(spark, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -371,7 +371,7 @@ object Relational {
         col("l_shipdate") < lit("1997-02-01").cast(TimestampType))
     val part = Tables(spark, dir, "part")
     val rev = discPrice(col("l_extendedprice"), col("l_discount"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) *
         asDouble(sum(when(col("p_type") === "PROMO", rev)
           .otherwise(lit(0).cast(DecimalType(12, 2))))) /
@@ -401,7 +401,7 @@ object Relational {
     val maxRev = rev.agg(max(col("total_rev_dec")).as("mx"))
     val supp = Tables(spark, dir, "supplier")
     rev.join(broadcast(maxRev), col("total_rev_dec") === col("mx"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         asDouble(col("total_rev_dec")).as("total_rev"))
       .orderBy(col("s_suppkey"))
@@ -441,18 +441,23 @@ object Relational {
       |GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin
 
   // ---------------------------------------------------------------- q17
-  /** TPC-H Q17 shape: correlated avg subquery → per-key agg join (Spark
-    * plans the decorrelated form; at scale the per-part avg table is tiny
-    * and broadcast).
+  /** TPC-H Q17 shape: correlated avg subquery, decorrelated as a window.
+    *
+    * Scale: the per-part avg only matters for parts that survive the
+    * brand filter, so filter FIRST (one lineitem scan, ~1/25 of rows),
+    * then one shuffle on l_partkey computes the window avg and the
+    * correlated comparison in the same pass. The naive two-scan plan
+    * (full-lineitem groupBy + join back) reads lineitem twice and
+    * shuffles every partkey — 25× more rows moved at 100 TB.
     */
   def q17(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
-    val partAvg = li.groupBy(col("l_partkey").as("pk"))
-      .agg((asDouble(sum(dec(col("l_quantity")))) / count(col("l_quantity")))
-        .as("avg_qty"))
     val part = Tables(spark, dir, "part").filter(col("p_brand") === "Brand#1")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(partAvg), col("l_partkey") === col("pk"))
+    val w = Window.partitionBy(col("l_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        asDouble(sum(dec(col("l_quantity"))).over(w)) /
+          count(col("l_quantity")).over(w))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg((asDouble(sum(dec(col("l_extendedprice")))) / lit(7.0))
         .as("avg_yearly"))
@@ -468,7 +473,9 @@ object Relational {
 
   // ---------------------------------------------------------------- q18
   /** TPC-H Q18 shape: group-agg feeding a semi-join back to the facts.
-    * Scale: the "big orders" key set is small → broadcast semi join.
+    * Scale: the "big orders" key set is selective; stats/AQE pick a
+    * broadcast join when it fits, shuffle join when it doesn't — no
+    * forced hint, since the set grows with the data.
     */
   def q18(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
@@ -477,8 +484,8 @@ object Relational {
       .filter(col("sum_qty_dec") > 150)
     val ord = Tables(spark, dir, "orders")
     val cust = Tables(spark, dir, "customer")
-    ord.join(broadcast(big), col("o_orderkey") === col("bk"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(big, col("o_orderkey") === col("bk"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), asDouble(dec(col("o_totalprice"))).as("price"),
         asDouble(col("sum_qty_dec")).as("sum_qty"))
@@ -506,7 +513,7 @@ object Relational {
   def q19(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val part = Tables(spark, dir, "part")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("l_quantity") >= 1 &&
           col("l_quantity") <= 20 && col("p_size") <= 25) ||
@@ -551,14 +558,20 @@ object Relational {
     val supp = Tables(spark, dir, "supplier")
     val nation = Tables(spark, dir, "nation")
     val natRev = li
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
         .as("rev_dec"))
-    val avgRev = natRev.agg(
-      (asDouble(sum(col("rev_dec"))) / count(lit(1))).as("avg_rev"))
-    natRev.crossJoin(broadcast(avgRev))
+    // The CTE is referenced twice; the DataFrame API would recompute the
+    // whole lineitem aggregation for the scalar average. A whole-frame
+    // window over the ~|nations| aggregated rows computes it in the same
+    // pass — one lineitem scan instead of two. (The single-partition
+    // window is over post-agg rows only, never the facts.)
+    val w = Window.partitionBy()
+    natRev
+      .withColumn("avg_rev",
+        asDouble(sum(col("rev_dec")).over(w)) / count(lit(1)).over(w))
       .filter(asDouble(col("rev_dec")) > col("avg_rev"))
       .select(col("n_name"), asDouble(col("rev_dec")).as("revenue"),
         col("avg_rev"))
