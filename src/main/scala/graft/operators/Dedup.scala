@@ -76,8 +76,14 @@ object Dedup {
     */
   def dd02MinHash(spark: SparkSession, dir: String): DataFrame = {
     val corpus = plantedDocs(spark, dir)
+    // The signature table feeds THREE consumers (banding + both sides of
+    // the verify join). The explicit repartition is a materialization
+    // barrier: every consumer hangs off the same exchange, so Spark
+    // ReusedExchange computes the minhash kernel ONCE — shuffling 512 B
+    // signatures is far cheaper than re-hashing KB-scale texts 3×.
     val sigs = corpus.select(col("doc_id"),
       T.minhash_sig(col("text"), 64, 3).as("sig"))
+      .repartition(col("doc_id"))
 
     val bandCols = (0 until 16).map(b =>
       struct(lit(b).as("band"), T.band_hash(col("sig"), b * 4, (b + 1) * 4)
@@ -118,7 +124,10 @@ object Dedup {
     */
   def dd03SimHash(spark: SparkSession, dir: String): DataFrame = {
     val corpus = plantedDocs(spark, dir)
+    // barrier for the same reason as dd02: both sides of the band
+    // self-join reuse one simhash computation via ReusedExchange
     val sigs = corpus.select(col("doc_id"), T.simhash64(col("text")).as("sig"))
+      .repartition(col("doc_id"))
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
@@ -239,6 +248,8 @@ object Dedup {
       .select((col("vec_id") + PlantOffset).as("vec_id"), col("embedding")))
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
       V.hyperplane_bucket(col("embedding"), 16).as("bucket"))
+      // barrier: both self-join sides reuse one bucket computation
+      .repartition(col("vec_id"))
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("v_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),

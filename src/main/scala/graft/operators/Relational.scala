@@ -394,7 +394,12 @@ object Relational {
   def q15(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
-        col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        col("l_shipdate") < lit("1996-04-01").cast(TimestampType) &&
+        // explicit, so BOTH consumers of `rev` see the identical subtree:
+        // without it the supplier join infers isnotnull(l_suppkey) on one
+        // branch only, the exchanges stop being equal, and Spark loses
+        // ReusedExchange — scanning lineitem twice instead of once
+        col("l_suppkey").isNotNull)
     val rev = li.groupBy(col("l_suppkey"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
         .as("total_rev_dec"))

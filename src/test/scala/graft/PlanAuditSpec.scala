@@ -43,6 +43,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("multi-consumer subplans reuse one exchange (no recompute)") {
+    // q15: the max branch must reuse the per-suppkey agg shuffle (one
+    // lineitem scan); dd02/dd03/dd05: every consumer of the signature
+    // table must reuse the one kernel computation behind its barrier
+    for (k <- Seq("q15_max_subquery", "dd02_dedup_minhash",
+        "dd03_dedup_simhash", "dd05_dedup_embedding")) {
+      val p = finalPlan(k)
+      assert(p.contains("ReusedExchange"), s"$k lost exchange reuse:\n$p")
+    }
+  }
+
   test("docstore scan shows its pushdown in the plan") {
     val p = finalPlan("d08_docstore_scan")
     assert(p.contains("docstore"), p)
