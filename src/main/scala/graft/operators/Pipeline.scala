@@ -65,11 +65,70 @@ object Pipeline {
       |  ROUND(SUM(value), 4) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- p02
+  /** Deterministic hash sampling — THE scalable sampling idiom: a pure
+    * map-only filter on a content-derived hash, so the sample is (a)
+    * reproducible across runs/engines/cluster sizes, (b) zero-shuffle at
+    * any scale (contrast: per-group windows shuffle by stratum and skew
+    * on big strata), and (c) composable — downstream stages see a plain
+    * filtered scan with pushdown intact.
+    */
+  def p02HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      // md5 hex is identical everywhere; prefix <= '3f' keeps ~25%
+      .filter(substring(md5(concat(col("doc_id").cast(StringType),
+        lit(":"), col("source"))), 1, 2) <= "3f")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val p02Sql: String =
+    """SELECT doc_id, source, lang FROM documents
+      |WHERE substr(md5(doc_id || ':' || source), 1, 2) <= '3f'
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- p03
+  /** Training-mix builder: per-source sampling rates (the "mixing
+    * ratios" step of a corpus pipeline) + per-source doc/token budgets.
+    * Rates are hash thresholds, so the mix stays map-only and
+    * deterministic; the only shuffle is the final tiny per-source agg
+    * (map-side combined).
+    */
+  def p03TrainingMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    // even-numbered sources keep ~75% ('bf'), odd keep ~25% ('3f')
+    val threshold = when(
+      substring(col("source"), 4, 10).cast(LongType) % 2 === 0, "bf")
+      .otherwise("3f")
+    docs
+      .filter(substring(md5(col("doc_id").cast(StringType)), 1, 2)
+        <= threshold)
+      .withColumn("tokens",
+        size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .cast(LongType))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("tokens")).as("token_budget"))
+      .orderBy(col("source"))
+  }
+
+  val p03Sql: String =
+    """SELECT source, COUNT(*) AS docs_kept,
+      |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t <> ''))) AS BIGINT) AS token_budget
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+      |  CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+      |       THEN 'bf' ELSE '3f' END
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_pipeline" -> (p01CleanPipeline _),
+    "p02_hash_sample" -> (p02HashSample _),
+    "p03_training_mix" -> (p03TrainingMix _),
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
     "p01_clean_pipeline" -> p01Sql,
+    "p02_hash_sample" -> p02Sql,
+    "p03_training_mix" -> p03Sql,
     "d11_variant" -> d11Sql)
 }
