@@ -210,17 +210,69 @@ object Streaming {
               purchase_ts <= click_ts + interval 30 minutes"""))
   }
 
+  // ---------------------------------------------------------------- st05
+  /** Latest-state materialization, batch twin: the current value per key
+    * — what a Mongo change-stream consumer maintains (upsert on _id).
+    * Argmax by (ts, event_id); at scale one shuffle on the key, state
+    * size ∝ |keys| not |events|.
+    */
+  def st05LatestState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        unix_timestamp(col("ts")).as("last_sec"),
+        round(col("value"), 4).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val st05Sql: String =
+    """SELECT user_id, event_id AS last_event_id,
+      |  event_type AS last_event_type,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS last_sec,
+      |  ROUND(value, 4) AS last_value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** Streaming twin: per-key upsert state via mapGroupsWithState (Update
+    * mode) — each micro-batch emits the new current row for keys it
+    * touched, exactly a change-stream materialized view. */
+  final case class UpEv(user_id: Long, sec: Long, event_id: Long,
+      event_type: String, value: Double)
+  final case class LatestOut(user_id: Long, last_event_id: Long,
+      last_event_type: String, last_sec: Long, last_value: Double)
+
+  def st05Stream(events: Dataset[UpEv]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[LatestOut, LatestOut](GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[UpEv], state: GroupState[LatestOut]) =>
+          val latest = (state.getOption.iterator ++ evs.map(e =>
+            LatestOut(user, e.event_id, e.event_type, e.sec, e.value)))
+            .maxBy(o => (o.last_sec, o.last_event_id))
+          state.update(latest)
+          latest
+      }
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_windowed_agg" -> (st01WindowedAgg _),
     "st02_sessionize" -> (st02Sessionize _),
     "st03_stream_dedup" -> (st03StreamDedup _),
-    "st04_interval_join" -> (st04IntervalJoin _))
+    "st04_interval_join" -> (st04IntervalJoin _),
+    "st05_latest_state" -> (st05LatestState _))
 
   val oracle: Map[String, String] = Map(
     "st01_windowed_agg" -> st01Sql,
     "st02_sessionize" -> st02Sql,
     "st03_stream_dedup" -> st03Sql,
-    "st04_interval_join" -> st04Sql)
+    "st04_interval_join" -> st04Sql,
+    "st05_latest_state" -> st05Sql)
 }

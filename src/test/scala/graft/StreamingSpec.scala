@@ -123,4 +123,28 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((1L, 100L, 200L), (2L, 101L, 202L)))
     } finally q.stop()
   }
+
+  test("st05 latest-state upsert emits the current row per touched key") {
+    implicit val ctx = spark.sqlContext
+    import Streaming.UpEv
+    val input = MemoryStream[UpEv]
+    val q = Streaming.st05Stream(input.toDS).writeStream
+      .format("memory").queryName("st05_sink")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        UpEv(1L, 100L, 10L, "click", 1.0),
+        UpEv(1L, 200L, 11L, "purchase", 2.0), // newer → wins for user 1
+        UpEv(2L, 150L, 12L, "view", 3.0))
+      q.processAllAvailable()
+      // a later batch with an OLDER event must not regress the state
+      input.addData(UpEv(1L, 50L, 13L, "click", 9.0))
+      q.processAllAvailable()
+      val byUser = spark.table("st05_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      // final state rows (last emission per user): user 1 keeps event 11
+      val finalRows = byUser.groupBy(_._1).map { case (_, v) => v.last }.toSet
+      assert(finalRows == Set((1L, 11L, "purchase"), (2L, 12L, "view")))
+    } finally q.stop()
+  }
 }
