@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.graftshim.toColumn
 
@@ -19,9 +19,12 @@ import org.apache.spark.sql.graftshim.toColumn
   * `PushedFilters` — free pushdown, no bespoke translator).
   *
   * Supported (the reference's pushdown grammar, README "Filter
-  * Pushdown"): implicit equality, `$eq $ne $gt $gte $lt $lte $in $nin
-  * $exists $regex $not $and $or $nor`, dotted paths (`a.b` → nested
-  * field / struct access, resolved by the analyzer).
+  * Pushdown", plus Mongo's array operators): implicit equality,
+  * `$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $not $and $or
+  * $nor`, array `$size $all $elemMatch` (scalar-ops and document
+  * forms — compiled to Catalyst higher-order `exists`, still
+  * codegen'd), dotted paths (`a.b` → nested field / struct access,
+  * resolved by the analyzer).
   *
   * Scale: output is a pure Catalyst boolean expression — codegen'd,
   * pushdown-eligible, no UDFs.
@@ -51,14 +54,13 @@ object MongoFilter {
     }
     case field => v match {
       case ops: DDoc if ops.fields.nonEmpty && ops.fields.forall(_._1.startsWith("$")) =>
-        ops.fields.map { case (op, operand) => compileOp(field, op, operand) }
+        ops.fields.map { case (op, operand) => compileOp(attr(field), op, operand) }
           .reduce(And)
       case literalValue => EqualTo(attr(field), toLit(literalValue)) // implicit $eq
     }
   }
 
-  private def compileOp(field: String, op: String, operand: DocValue): Expression = {
-    val c = attr(field)
+  private def compileOp(c: Expression, op: String, operand: DocValue): Expression = {
     op match {
       case "$eq"  => EqualTo(c, toLit(operand))
       case "$ne"  => Not(EqualNullSafe(c, toLit(operand))) // $ne matches missing too
@@ -85,8 +87,41 @@ object MongoFilter {
       }
       case "$not" => operand match {
         case ops: DDoc =>
-          Not(ops.fields.map { case (o, od) => compileOp(field, o, od) }.reduce(And))
+          Not(ops.fields.map { case (o, od) => compileOp(c, o, od) }.reduce(And))
         case other => throw bad(s"$$not needs a document, got $other")
+      }
+      // -------- array operators (Mongo query language over LIST columns)
+      case "$size" => operand match {
+        case DLong(n) => EqualTo(Size(c), Literal(n))
+        case other    => throw bad(s"$$size needs an integer, got $other")
+      }
+      case "$all" => operand match {
+        case DArray(items) if items.nonEmpty =>
+          items.map(i => ArrayContains(c, toLit(i)): Expression).reduce(And)
+        case DArray(_) => Literal.FalseLiteral // Mongo: $all [] matches nothing
+        case other     => throw bad(s"$$all needs an array, got $other")
+      }
+      case "$elemMatch" => operand match {
+        case ops: DDoc if ops.fields.nonEmpty =>
+          val x = UnresolvedNamedLambdaVariable(Seq("x"))
+          val cond =
+            if (ops.fields.forall(_._1.startsWith("$")))
+              // scalar form: {scores: {$elemMatch: {$gt: 80, $lt: 90}}}
+              ops.fields.map { case (o, od) => compileOp(x, o, od) }.reduce(And)
+            else
+              // document form: {items: {$elemMatch: {qty: {$gt: 2}}}}
+              ops.fields.map { case (f, fv) =>
+                val member = UnresolvedExtractValue(x, Literal(f))
+                fv match {
+                  case sub: DDoc if sub.fields.nonEmpty &&
+                      sub.fields.forall(_._1.startsWith("$")) =>
+                    sub.fields.map { case (o, od) => compileOp(member, o, od) }
+                      .reduce(And)
+                  case lit => EqualTo(member, toLit(lit))
+                }
+              }.reduce(And)
+          ArrayExists(c, LambdaFunction(cond, Seq(x)))
+        case other => throw bad(s"$$elemMatch needs a document, got $other")
       }
       case other => throw bad(s"unsupported operator $other")
     }

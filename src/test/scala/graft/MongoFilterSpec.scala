@@ -58,6 +58,26 @@ class MongoFilterSpec extends SparkSpec {
     assert(got == Seq(3L))
   }
 
+  test("array operators: $size / $all / $elemMatch") {
+    val arrDf = Seq(
+      (1L, Seq(80, 85, 95), Seq(("laptop", 1), ("mouse", 3))),
+      (2L, Seq(60, 70), Seq(("desk", 1))),
+      (3L, Seq(85, 88), Seq(("mouse", 5), ("keyboard", 2)))
+    ).toDF("id", "scores", "raw")
+      .withColumn("items", expr(
+        "transform(raw, r -> named_struct('product', r._1, 'qty', r._2))"))
+    def aids(f: String): Seq[Long] =
+      arrDf.filter(MongoFilter.compile(f)).select("id").as[Long].collect().toSeq.sorted
+    assert(aids("""{"scores":{"$size":2}}""") == Seq(2L, 3L))
+    assert(aids("""{"scores":{"$all":[85, 95]}}""") == Seq(1L))
+    assert(aids("""{"scores":{"$all":[]}}""") == Seq())
+    // scalar form: element in (80, 90)
+    assert(aids("""{"scores":{"$elemMatch":{"$gt":80,"$lt":90}}}""") == Seq(1L, 3L))
+    // document form over array-of-struct
+    assert(aids("""{"items":{"$elemMatch":{"product":"mouse","qty":{"$gte":4}}}}""")
+      == Seq(3L))
+  }
+
   test("mongo filter lands in parquet PushedFilters") {
     val orders = Tables(spark, sfDir, "orders")
       .filter(MongoFilter.compile("""{"o_orderstatus":"O","o_totalprice":{"$gt":1000.0}}"""))
