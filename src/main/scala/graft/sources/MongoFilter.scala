@@ -82,8 +82,16 @@ object MongoFilter {
         case other        => throw bad(s"$$exists needs a boolean, got $other")
       }
       case "$regex" => operand match {
-        case DString(re) => RLike(c, Literal(re))
-        case other       => throw bad(s"$$regex needs a string, got $other")
+        case DString(re) =>
+          // anchored literal prefix → add a pushdown-eligible StartsWith
+          // conjunct (the reference turns ^-anchored regex into an index
+          // range the same way); RLike keeps the full semantics
+          val rl = RLike(c, Literal(re))
+          literalPrefix(re) match {
+            case Some(p) => And(StartsWith(c, Literal(p)), rl)
+            case None    => rl
+          }
+        case other => throw bad(s"$$regex needs a string, got $other")
       }
       case "$not" => operand match {
         case ops: DDoc =>
@@ -126,6 +134,22 @@ object MongoFilter {
       case other => throw bad(s"unsupported operator $other")
     }
   }
+
+  /** Literal prefix of a ^-anchored regex (chars before the first
+    * metacharacter), usable as a sargable StartsWith bound. Conservative:
+    * any alternation bails (|cd branches need not share the prefix), and
+    * a char followed by a quantifier is dropped (`^ab?` only pins "a").
+    */
+  private def literalPrefix(re: String): Option[String] =
+    if (!re.startsWith("^") || re.contains("|")) None
+    else {
+      val meta = ".*+?()[]{}\\$"
+      val raw = re.drop(1).takeWhile(ch => !meta.contains(ch))
+      val rest = re.drop(1 + raw.length)
+      val p = if (rest.nonEmpty && "?*+{".contains(rest.head)) raw.dropRight(1)
+        else raw
+      if (p.isEmpty) None else Some(p)
+    }
 
   /** Dotted Mongo path → (possibly nested) attribute reference. */
   private def attr(field: String): Expression =

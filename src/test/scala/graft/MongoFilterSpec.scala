@@ -44,6 +44,21 @@ class MongoFilterSpec extends SparkSpec {
 
   test("$regex") { assert(ids("""{"name":{"$regex":"^[ab]"}}""") == Seq(1L, 2L)) }
 
+  test("$regex anchored prefix becomes a pushable StartsWith conjunct") {
+    // semantics stay exact across the tricky shapes...
+    assert(ids("""{"name":{"$regex":"^ali.*"}}""") == Seq(1L))
+    assert(ids("""{"name":{"$regex":"^dav?e"}}""") == Seq(4L))   // 'v' optional
+    assert(ids("""{"name":{"$regex":"^bob|^carol"}}""") == Seq(2L, 3L)) // alternation: no prefix
+    // ...and the prefix reaches parquet PushedFilters
+    val dir = "/tmp/graft_mongofilter_prefix"
+    df.write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+      .filter(MongoFilter.compile("""{"name":{"$regex":"^ali.*ce$"}}"""))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(name,ali)"), plan)
+    assert(scan.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("$and / $or / $nor / $not") {
     assert(ids("""{"$and":[{"score":{"$gte":20.0}},{"tag":"x"}]}""") == Seq(4L))
     assert(ids("""{"$or":[{"id":1},{"id":3}]}""") == Seq(1L, 3L))
