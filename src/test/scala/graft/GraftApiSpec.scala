@@ -105,4 +105,17 @@ class GraftApiSpec extends AnyFunSuite {
       .head.getLong(0)
     assert(n == expected && n > 0)
   }
+
+  test("mongo_filter SQL function handles array operators too") {
+    spark.sql("SELECT array(1,2,3) AS xs, 1 AS id")
+      .union(spark.sql("SELECT array(4,5) AS xs, 2 AS id"))
+      .createOrReplaceTempView("api_arrays")
+    assert(spark.sql(
+      """SELECT id FROM api_arrays WHERE mongo_filter('{"xs":{"$size":2}}')""")
+      .head.getInt(0) == 2)
+    assert(spark.sql(
+      """SELECT id FROM api_arrays
+        |WHERE mongo_filter('{"xs":{"$elemMatch":{"$gte":2,"$lte":3}}}')"""
+        .stripMargin).head.getInt(0) == 1)
+  }
 }
