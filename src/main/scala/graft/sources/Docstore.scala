@@ -836,13 +836,20 @@ class DocRowConverter(schema: StructType, schemaMode: String, flatten: Boolean,
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** All ways to read column `name`: the literal field first, then each
-    * '_' split as a nested-doc path, left-to-right, recursively. */
-  private def candidatePaths(name: String): List[List[String]] =
-    List(name) :: (for {
-      idx <- name.indices.toList if name.charAt(idx) == '_' && idx > 0 &&
-        idx < name.length - 1
-      rest <- candidatePaths(name.substring(idx + 1))
-    } yield name.substring(0, idx) :: rest)
+    * '_' split as a nested-doc path, left-to-right, recursively. The split
+    * space is 2^k for k underscores, so enumeration is lazy and capped —
+    * a pathological 30-underscore name costs 256 candidates, not 2^30.
+    * Collections needing deeper disambiguation carry a `__schema` path
+    * mapping, which bypasses this entirely. */
+  private def candidatePaths(name: String): List[List[String]] = {
+    def go(s: String): LazyList[List[String]] =
+      List(s) #:: (for {
+        idx <- (1 until math.max(s.length - 1, 1)).to(LazyList)
+          if s.charAt(idx) == '_'
+        rest <- go(s.substring(idx + 1))
+      } yield s.substring(0, idx) :: rest)
+    go(name).take(256).toList
+  }
 
   private val paths: Array[Array[Array[String]]] =
     schema.fieldNames.map { n =>

@@ -19,9 +19,14 @@ import java.nio.charset.StandardCharsets
   * `Graft.mongoScan(...).filter(...).write.format("docstore")`.
   *
   * Scale: one part file per task (standard distributed-sink contract),
-  * no driver involvement in the data path; commit is rename-free append
-  * of task files named by (task, attempt) for idempotence under retry —
-  * an aborted attempt deletes its own file.
+  * no driver involvement in the data path. Failure-atomic: tasks write
+  * to dot-prefixed temp names (invisible to the scan's listing filter);
+  * `BatchWrite.commit()` renames exactly the files named in the task
+  * commit messages to their final visible names — and performs the
+  * truncate deletion of pre-existing files at that point, so a failed
+  * overwrite never destroys the old collection, an overwrite of a path
+  * being read never deletes input mid-scan, and a dead executor's
+  * orphan temp file is never visible to readers.
   */
 class DocstoreWriteBuilder(schema: StructType, opts: DocstoreOptions)
     extends WriteBuilder with SupportsTruncate {
@@ -37,24 +42,38 @@ class DocstoreWriteBuilder(schema: StructType, opts: DocstoreOptions)
 
 class DocstoreBatchWrite(schema: StructType, opts: DocstoreOptions,
     truncate: Boolean) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    if (truncate) { // overwrite mode: clear existing collection files first
-      val root = new HPath(opts.path)
-      val fs = root.getFileSystem(new Configuration())
-      if (fs.exists(root) && fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).filter(_.isFile).foreach(s => fs.delete(s.getPath, false))
-    }
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new DocstoreWriterFactory(schema, opts.path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new HPath(opts.path)
+    val fs = root.getFileSystem(new Configuration())
+    val commits = messages.collect { case m: DocstoreCommit => m }
+    if (truncate && fs.exists(root) && fs.getFileStatus(root).isDirectory) {
+      // overwrite: old (visible, non-dot) files are removed only once every
+      // task has successfully written its replacement temp file
+      fs.listStatus(root)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    commits.foreach { m =>
+      val tmp = new HPath(m.tempFile)
+      val fin = new HPath(m.finalFile)
+      fs.delete(fin, false) // idempotent re-commit of a retried job
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(s"docstore commit: rename $tmp -> $fin failed")
+    }
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(opts.path).getFileSystem(new Configuration())
     messages.collect { case m: DocstoreCommit => m }
-      .foreach(m => fs.delete(new HPath(m.file), false))
+      .foreach(m => fs.delete(new HPath(m.tempFile), false))
   }
 }
 
-final case class DocstoreCommit(file: String) extends WriterCommitMessage
+final case class DocstoreCommit(tempFile: String, finalFile: String)
+  extends WriterCommitMessage
 
 class DocstoreWriterFactory(schema: StructType, dir: String)
     extends DataWriterFactory {
@@ -64,7 +83,9 @@ class DocstoreWriterFactory(schema: StructType, dir: String)
 
 class DocstoreDataWriter(schema: StructType, dir: String, partitionId: Int,
     taskId: Long) extends DataWriter[InternalRow] {
-  private val file = f"$dir/part-$partitionId%05d-$taskId.jsonl"
+  private val finalFile = f"$dir/part-$partitionId%05d-$taskId.jsonl"
+  // dot prefix = excluded by the scan's listing filter until commit renames it
+  private val file = f"$dir/.part-$partitionId%05d-$taskId.jsonl.inprogress"
   private val fs = new HPath(dir).getFileSystem(new Configuration())
   private val out: OutputStream = {
     fs.mkdirs(new HPath(dir))
@@ -128,7 +149,8 @@ class DocstoreDataWriter(schema: StructType, dir: String, partitionId: Int,
         s"docstore write: unsupported type ${other.simpleString}")
   }
 
-  override def commit(): WriterCommitMessage = { out.close(); DocstoreCommit(file) }
+  override def commit(): WriterCommitMessage =
+    { out.close(); DocstoreCommit(file, finalFile) }
   override def abort(): Unit = {
     try out.close() catch { case _: Exception => () }
     fs.delete(new HPath(file), false)

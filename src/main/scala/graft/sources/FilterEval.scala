@@ -72,7 +72,15 @@ class FilterEval(schema: StructType, filters: Array[Filter]) {
       case (x: UTF8String, y: UTF8String) => Some(x.compareTo(y))
       case (x: Boolean, y: Boolean)     => Some(java.lang.Boolean.compare(x, y))
       case (x: Array[Byte], y: Array[Byte]) =>
-        Some(if (java.util.Arrays.equals(x, y)) 0 else 1) // equality only
+        // unsigned lexicographic, matching Spark's BinaryType ordering
+        var i = 0
+        val n = math.min(x.length, y.length)
+        var r = 0
+        while (r == 0 && i < n) {
+          r = Integer.compare(x(i) & 0xff, y(i) & 0xff)
+          i += 1
+        }
+        Some(if (r != 0) r else Integer.compare(x.length, y.length))
       case _ => None
     }
   }

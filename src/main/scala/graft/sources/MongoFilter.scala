@@ -56,25 +56,45 @@ object MongoFilter {
       case ops: DDoc if ops.fields.nonEmpty && ops.fields.forall(_._1.startsWith("$")) =>
         ops.fields.map { case (op, operand) => compileOp(attr(field), op, operand) }
           .reduce(And)
+      // Mongo: {field: null} matches docs where the field is null OR
+      // missing — both map to Spark NULL, so implicit/explicit equality
+      // with null must compile to IsNull, not EqualTo(_, null) (which
+      // evaluates to NULL and matches nothing).
+      case DNull        => IsNull(attr(field))
       case literalValue => EqualTo(attr(field), toLit(literalValue)) // implicit $eq
     }
   }
 
   private def compileOp(c: Expression, op: String, operand: DocValue): Expression = {
     op match {
-      case "$eq"  => EqualTo(c, toLit(operand))
+      case "$eq"  => operand match {
+        case DNull => IsNull(c) // Mongo null equality matches null AND missing
+        case o     => EqualTo(c, toLit(o))
+      }
       case "$ne"  => Not(EqualNullSafe(c, toLit(operand))) // $ne matches missing too
       case "$gt"  => GreaterThan(c, toLit(operand))
       case "$gte" => GreaterThanOrEqual(c, toLit(operand))
       case "$lt"  => LessThan(c, toLit(operand))
       case "$lte" => LessThanOrEqual(c, toLit(operand))
       case "$in" => operand match {
-        case DArray(items) => In(c, items.map(toLit))
-        case other         => throw bad(s"$$in needs an array, got $other")
+        case DArray(items) =>
+          // a null element means "match null/missing" in Mongo — In() with a
+          // null literal would yield NULL instead, so split it out as IsNull
+          val (nulls, vals) = items.partition(_ == DNull)
+          val inPart = if (vals.nonEmpty) Some(In(c, vals.map(toLit))) else None
+          val nullPart = if (nulls.nonEmpty) Some(IsNull(c)) else None
+          (inPart ++ nullPart).reduceOption[Expression](Or)
+            .getOrElse(Literal.FalseLiteral) // Mongo: $in [] matches nothing
+        case other => throw bad(s"$$in needs an array, got $other")
       }
       case "$nin" => operand match {
-        case DArray(items) => Or(Not(In(c, items.map(toLit))), IsNull(c))
-        case other         => throw bad(s"$$nin needs an array, got $other")
+        case DArray(items) =>
+          val (nulls, vals) = items.partition(_ == DNull)
+          val notIn: Expression =
+            if (vals.nonEmpty) Not(In(c, vals.map(toLit))) else Literal.TrueLiteral
+          if (nulls.nonEmpty) And(notIn, IsNotNull(c)) // null listed → nulls excluded
+          else Or(notIn, IsNull(c))                    // else missing/null matches
+        case other => throw bad(s"$$nin needs an array, got $other")
       }
       case "$exists" => operand match {
         case DBool(true)  => IsNotNull(c)
