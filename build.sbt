@@ -14,6 +14,9 @@ Test / fork := true
 // extensions) — parallel suites would race on the default session
 Test / parallelExecution := false
 run / fork := true
+// pass forked run output through verbatim — the driver parses Bench's
+// one-line JSON from stdout, which sbt's logger would prefix with [info]
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

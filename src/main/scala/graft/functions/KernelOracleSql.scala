@@ -1,0 +1,165 @@
+package graft.functions
+
+/** DuckDB-SQL replicas of the [[TextHashes]] kernels, used to give the
+  * hash-based operators (dd02 minhash, dd03 simhash, t04 fingerprint)
+  * full value-level DuckDB oracles instead of rows-only checks.
+  *
+  * The kernels do 64-bit wraparound arithmetic (FNV-1a, splitmix64,
+  * Rabin-Karp base-257). DuckDB BIGINT errors on overflow, so every
+  * step is emulated in HUGEINT (int128) modulo 2^64; 64×64-bit products
+  * would overflow int128, so multiplication is split 32/32:
+  * a·c mod 2^64 = (a₀·c + ((a₁·c) mod 2^32)·2^32) mod 2^64 with
+  * a = a₁·2^32 + a₀ — every intermediate stays < 2^97.
+  *
+  * Byte-level parity holds because the corpus is pure ASCII (verified:
+  * octet_length = char length for every doc at every SF), so DuckDB
+  * codepoints (`ord`) equal the UTF-8 bytes the JVM kernels hash, and
+  * `lower()` equals the kernels' ASCII case fold.
+  */
+object KernelOracleSql {
+
+  private val P64 = "18446744073709551616::HUGEINT" // 2^64
+  private val Sign = "9223372036854775808::HUGEINT" // 2^63
+
+  /** (a * c) mod 2^64 via 32/32 split — a, c < 2^64 as HUGEINT. */
+  private def mulmod(a: String, c: String): String =
+    s"(((($a) % 4294967296::HUGEINT) * $c::HUGEINT + " +
+      s"(((($a) // 4294967296::HUGEINT) * $c::HUGEINT) % 4294967296::HUGEINT)" +
+      s" * 4294967296::HUGEINT) % $P64)"
+
+  /** CTE chain computing `outCol` = splitmix64(`inCol`) from `srcCte`,
+    * carrying `cols` through; appends 4 CTEs named `<prefix>a..d`.
+    */
+  private def mix64Ctes(srcCte: String, inCol: String, outCol: String,
+      prefix: String, cols: Seq[String]): String = {
+    val cs = cols.mkString(", ")
+    s"""${prefix}a AS (SELECT $cs, (($inCol) + 11400714819323198485::HUGEINT) % $P64 AS z1 FROM $srcCte),
+       |${prefix}b AS (SELECT $cs, ${mulmod("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2 FROM ${prefix}a),
+       |${prefix}c AS (SELECT $cs, ${mulmod("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3 FROM ${prefix}b),
+       |${prefix}d AS (SELECT $cs, xor(z3, z3 >> 31) AS $outCol FROM ${prefix}c)""".stripMargin
+  }
+
+  /** FNV-1a over the bytes of string expression `s` (ASCII = codepoints). */
+  private def fnv1a(s: String): String =
+    s"""list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(range(1, strlen($s)+1), i -> ord(($s)[i])::HUGEINT)),
+       |    (h, b) -> ((xor(h, b)) * 1099511628211::HUGEINT) % $P64)""".stripMargin
+
+  /** Unsigned HUGEINT (< 2^64) → signed BIGINT (two's complement). */
+  private def toSigned(u: String): String =
+    s"CASE WHEN $u >= $Sign THEN $u - $P64 ELSE $u END::BIGINT"
+
+  /** The planted near-dup corpus (mirrors Dedup.plantedDocs). */
+  private def corpusCte(plantOffset: Long): String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $plantOffset, regexp_replace(text, '\\s+\\S+$$', '')
+       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Whitespace tokens of lower(text), empties dropped (= TextHashes.tokens
+    * on ASCII input).
+    */
+  private val toksExpr =
+    "list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'), t -> t <> '')"
+
+  /** dd02 oracle: full MinHash+LSH replica — 64-seed signatures
+    * (min over shingles of mix64(fnv1a(shingle) ⊕ mix64(0x5eed+i)), min
+    * taken over SIGNED values like the JVM Long min), candidate = any of
+    * 16 bands of 4 consecutive positions identical, est Jaccard =
+    * matching positions / 64.
+    */
+  def dd02Sql(plantOffset: Long): String =
+    s"""WITH ${corpusCte(plantOffset)},
+       |toks AS (
+       |  SELECT doc_id, text, $toksExpr AS ts
+       |  FROM corpus),
+       |sets AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) < 3 THEN [text]
+       |         ELSE list_transform(range(1, len(ts) - 1),
+       |           i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2] || chr(31))
+       |    END AS sh
+       |  FROM toks),
+       |shingles AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sets),
+       |shh AS (
+       |  SELECT doc_id, ${fnv1a("s")} AS h
+       |  FROM shingles),
+       |seeds0 AS (SELECT unnest(range(64)) AS i),
+       |seeds1 AS (SELECT i, (24301::HUGEINT + i::HUGEINT) AS s0 FROM seeds0),
+       |${mix64Ctes("seeds1", "s0", "seed", "sd", Seq("i"))},
+       |crossed AS (SELECT doc_id, i, xor(h, seed) AS hx FROM shh, sdd),
+       |${mix64Ctes("crossed", "hx", "v_u", "mx", Seq("doc_id", "i"))},
+       |vals AS (SELECT doc_id, i, ${toSigned("v_u")} AS v FROM mxd),
+       |sigpos AS (SELECT doc_id, i, min(v) AS m FROM vals GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigpos GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+       |banded AS (
+       |  SELECT id_a, id_b,
+       |    len(list_filter(range(64), p -> sa[p+1] = sb[p+1])) / 64.0 AS est_jaccard
+       |  FROM pairs
+       |  WHERE len(list_filter(range(16), bb ->
+       |    sa[bb*4+1]=sb[bb*4+1] AND sa[bb*4+2]=sb[bb*4+2] AND
+       |    sa[bb*4+3]=sb[bb*4+3] AND sa[bb*4+4]=sb[bb*4+4])) > 0)
+       |SELECT id_a, id_b, est_jaccard FROM banded
+       |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** Per-doc 64-bit SimHash CTE chain ending in `allsig(doc_id, sig_u)`
+    * (zero signature for token-less docs, like the kernel).
+    */
+  private def simhashCtes(srcCte: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest($toksExpr) AS tok
+       |  FROM $srcCte),
+       |tokh AS (
+       |  SELECT doc_id, ${fnv1a("tok")} AS f0
+       |  FROM toks),
+       |${mix64Ctes("tokh", "f0", "th", "tm", Seq("doc_id"))},
+       |bits AS (
+       |  SELECT doc_id, b.b AS bit,
+       |    sum(CASE WHEN (th >> b.b) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+       |  FROM tmd, (SELECT unnest(range(64)) AS b) b
+       |  GROUP BY doc_id, b.b),
+       |sig AS (
+       |  SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::HUGEINT << CAST(bit AS INT)) ELSE 0::HUGEINT END) AS sig_u
+       |  FROM bits GROUP BY doc_id),
+       |allsig AS (
+       |  SELECT c.doc_id, COALESCE(s.sig_u, 0::HUGEINT) AS sig_u
+       |  FROM $srcCte c LEFT JOIN sig s ON c.doc_id = s.doc_id)""".stripMargin
+
+  /** dd03 oracle: SimHash pairs with hamming ≤ 3, exhaustive — the 4×16
+    * banding loses nothing by pigeonhole (hamming ≤ 3 ⇒ one band equal),
+    * so the exhaustive set IS the LSH set.
+    */
+  def dd03Sql(plantOffset: Long): String =
+    s"""WITH ${corpusCte(plantOffset)},
+       |${simhashCtes("corpus")},
+       |hpairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_filter(range(64), p -> (xor(a.sig_u, b.sig_u) >> p) % 2 = 1)) AS BIGINT) AS hamming
+       |  FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM hpairs
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
+  /** t04 oracle: Rabin-Karp base-257 over raw text bytes finalized with
+    * mix64, plus the SimHash — both as signed BIGINT.
+    */
+  val t04Sql: String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |roll AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(0::HUGEINT,
+       |      list_transform(range(1, strlen(text)+1), i -> ord(text[i])::HUGEINT)),
+       |    (h, b) -> (h * 257::HUGEINT + b) % $P64) AS h0
+       |  FROM docs),
+       |${mix64Ctes("roll", "h0", "fp_u", "fp", Seq("doc_id"))},
+       |fps AS (SELECT doc_id, ${toSigned("fp_u")} AS fingerprint FROM fpd),
+       |${simhashCtes("docs")}
+       |SELECT d.doc_id, f.fingerprint, ${toSigned("a.sig_u")} AS simhash
+       |FROM docs d JOIN fps f ON d.doc_id = f.doc_id
+       |  JOIN allsig a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+}

@@ -290,11 +290,14 @@ object Dedup {
     "dd04_ngram_jaccard" -> (dd04NgramJaccard _),
     "dd05_dedup_embedding" -> (dd05Embedding _))
 
-  /** dd02/dd03 depend on the custom 64-bit mix/minhash kernels (no
-    * DuckDB-identical arithmetic) → rows-only; the rest are SQL-gated.
+  /** All five SQL-gated: dd02/dd03's custom 64-bit kernels are replicated
+    * bit-exactly in DuckDB via HUGEINT mod-2^64 arithmetic
+    * (graft.functions.KernelOracleSql).
     */
   val oracle: Map[String, String] = Map(
     "dd01_dedup_exact" -> dd01Sql,
+    "dd02_dedup_minhash" -> graft.functions.KernelOracleSql.dd02Sql(PlantOffset),
+    "dd03_dedup_simhash" -> graft.functions.KernelOracleSql.dd03Sql(PlantOffset),
     "dd04_ngram_jaccard" -> dd04Sql,
     "dd05_dedup_embedding" -> dd05Sql)
 }

@@ -125,20 +125,73 @@ object DocstoreOps {
       |  AND o_custkey IS NOT NULL AND o_custkey IS DISTINCT FROM 7
       |ORDER BY o_orderkey""".stripMargin
 
+  /** d02 oracle: the inferred-schema CONTRACT for the generated event
+    * docs — constant because the doc shape is fixed by ensureEventDocs
+    * regardless of SF (ObjectId→string, $date→timestamp, nested docs
+    * flattened to parent_child, later-doc null refinement for `maybe`).
+    */
+  val d02Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('_id','string'), ('event_id','bigint'), ('event_type','string'),
+      |  ('maybe','bigint'), ('props_k','bigint'), ('tags','array<string>'),
+      |  ('ts','timestamp'), ('user_id','bigint'), ('user_segment','string'),
+      |  ('value','double')) t(col_name, col_type)
+      |ORDER BY col_name""".stripMargin
+
   // ------------------------------------------------------------------ d06
   /** BSON type-mapping zoo: one tiny driver-written collection covering
     * every mapped type (README "BSON Type Mapping"); result shows each
     * column's Spark type and a canonical string rendering. */
+  val zooDocs: Seq[String] = Seq(
+      """{"_id":{"$oid":"64de1f00c0ffee0000000001"},"s":"alpha","i32":{"$numberInt":"7"},"i64":{"$numberLong":"9007199254740993"},"dbl":{"$numberDouble":"1.5"},"dec":{"$numberDecimal":"2.25"},"b":true,"ts":{"$date":"2024-03-01T12:30:00.000Z"},"day":{"$date":"2024-03-01T00:00:00.000Z"},"bin":{"$binary":{"base64":"AQID","subType":"00"}},"arr":[1,2,3],"arrdoc":[{"x":1,"y":"a"},{"x":2,"y":"b"}],"re":{"$regularExpression":{"pattern":"^a","options":"i"}},"nul":null}""",
+      """{"_id":{"$oid":"64de1f00c0ffee0000000002"},"s":"beta","i32":{"$numberInt":"8"},"i64":{"$numberLong":"12"},"dbl":{"$numberDouble":"2.5"},"dec":{"$numberDecimal":"3.5"},"b":false,"ts":{"$date":"2024-03-02T01:02:03.000Z"},"day":{"$date":"2024-05-01T00:00:00.000Z"},"bin":{"$binary":{"base64":"BAUG","subType":"00"}},"arr":[4,5],"arrdoc":[{"x":3,"y":"c"}],"re":{"$regularExpression":{"pattern":"^b","options":""}},"nul":"later-typed"}""")
+
   def typeZooDocs(): String = synchronized {
     val dir = "/tmp/graft_docstore/type_zoo"
     val f = Paths.get(s"$dir/zoo.jsonl")
     Files.createDirectories(Paths.get(dir))
-    val docs = Seq(
-      """{"_id":{"$oid":"64de1f00c0ffee0000000001"},"s":"alpha","i32":{"$numberInt":"7"},"i64":{"$numberLong":"9007199254740993"},"dbl":{"$numberDouble":"1.5"},"dec":{"$numberDecimal":"2.25"},"b":true,"ts":{"$date":"2024-03-01T12:30:00.000Z"},"day":{"$date":"2024-03-01T00:00:00.000Z"},"bin":{"$binary":{"base64":"AQID","subType":"00"}},"arr":[1,2,3],"arrdoc":[{"x":1,"y":"a"},{"x":2,"y":"b"}],"re":{"$regularExpression":{"pattern":"^a","options":"i"}},"nul":null}""",
-      """{"_id":{"$oid":"64de1f00c0ffee0000000002"},"s":"beta","i32":{"$numberInt":"8"},"i64":{"$numberLong":"12"},"dbl":{"$numberDouble":"2.5"},"dec":{"$numberDecimal":"3.5"},"b":false,"ts":{"$date":"2024-03-02T01:02:03.000Z"},"day":{"$date":"2024-05-01T00:00:00.000Z"},"bin":{"$binary":{"base64":"BAUG","subType":"00"}},"arr":[4,5],"arrdoc":[{"x":3,"y":"c"}],"re":{"$regularExpression":{"pattern":"^b","options":""}},"nul":"later-typed"}""")
-    Files.write(f, docs.mkString("", "\n", "\n").getBytes("UTF-8"),
+    Files.write(f, zooDocs.mkString("", "\n", "\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     dir
+  }
+
+  /** d06 oracle: DuckDB independently re-derives every rendered value
+    * from the same raw extended-JSON doc strings with its OWN json
+    * machinery (JSON-pointer extraction, double casts, timestamp parse);
+    * only the BSON→Spark type-name column is the published mapping
+    * contract as constants.
+    */
+  val d06Sql: String = {
+    val docVals = zooDocs.map(d => s"  ('$d')").mkString(",\n")
+    s"""WITH docs AS (SELECT * FROM (VALUES
+       |$docVals) t(doc)),
+       |vals AS (
+       |  SELECT json_extract_string(doc, '/_id/$$oid') AS doc_key,
+       |    unnest([
+       |      struct_pack(col_name := '_id', value := json_extract_string(doc, '/_id/$$oid')),
+       |      struct_pack(col_name := 'arr', value := json_extract(doc, '/arr')::VARCHAR),
+       |      struct_pack(col_name := 'arrdoc', value := json_extract(doc, '/arrdoc')::VARCHAR),
+       |      struct_pack(col_name := 'b', value := json_extract_string(doc, '/b')),
+       |      struct_pack(col_name := 'bin', value := json_extract_string(doc, '/bin/$$binary/base64')),
+       |      struct_pack(col_name := 'day', value := substr(json_extract_string(doc, '/day/$$date'), 1, 10)),
+       |      struct_pack(col_name := 'dbl', value := CAST(CAST(json_extract_string(doc, '/dbl/$$numberDouble') AS DOUBLE) AS VARCHAR)),
+       |      struct_pack(col_name := 'dec', value := CAST(CAST(json_extract_string(doc, '/dec/$$numberDecimal') AS DOUBLE) AS VARCHAR)),
+       |      struct_pack(col_name := 'i32', value := json_extract_string(doc, '/i32/$$numberInt')),
+       |      struct_pack(col_name := 'i64', value := json_extract_string(doc, '/i64/$$numberLong')),
+       |      struct_pack(col_name := 'nul', value := json_extract_string(doc, '/nul')),
+       |      struct_pack(col_name := 're', value := json_extract(doc, '/re')::VARCHAR),
+       |      struct_pack(col_name := 's', value := json_extract_string(doc, '/s')),
+       |      struct_pack(col_name := 'ts', value := CAST(CAST(replace(replace(json_extract_string(doc, '/ts/$$date'), 'T', ' '), 'Z', '') AS TIMESTAMP) AS VARCHAR))
+       |    ], recursive := true)
+       |  FROM docs),
+       |types AS (SELECT * FROM (VALUES
+       |  ('_id','string'),('arr','array<bigint>'),('arrdoc','array<struct<x:bigint,y:string>>'),
+       |  ('b','boolean'),('bin','binary'),('day','date'),('dbl','double'),('dec','double'),
+       |  ('i32','bigint'),('i64','bigint'),('nul','string'),('re','string'),('s','string'),
+       |  ('ts','timestamp')) tt(col_name, col_type))
+       |SELECT v.doc_key, v.col_name, t.col_type, v.value
+       |FROM vals v JOIN types t USING (col_name)
+       |ORDER BY doc_key, col_name""".stripMargin
   }
 
   def d06TypeMapping(spark: SparkSession, dir: String): DataFrame = {
@@ -300,9 +353,36 @@ object DocstoreOps {
     "d09_agg_pushdown" -> (d09AggPushdown _),
     "d10_catalog" -> (d10Catalog _))
 
+  /** d07 oracle: the schema_mode CONTRACT over the fixed 5-line collection
+    * (permissive keeps type-mismatch rows null-padded and drops the
+    * unparseable line at listing level; dropmalformed drops both;
+    * failfast surfaces the malformed-row error).
+    */
+  val d07Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('dropmalformed_rows','3'), ('failfast','failfast-error'),
+      |  ('permissive_null_a','1'), ('permissive_rows','4')) t("check", result)
+      |ORDER BY "check"""".stripMargin
+
+  /** d10 oracle: the catalog CONTRACT for the fixed two-database root
+    * (db→namespace, collection→table, plus a scanned row proving the
+    * table is readable through the catalog).
+    */
+  val d10Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('salesdb','namespace'), ('webdb','namespace'),
+      |  ('orders_east','row'),
+      |  ('salesdb.orders_east','table'), ('salesdb.orders_west','table'),
+      |  ('webdb.clicks','table')) t(name, kind)
+      |ORDER BY kind, name""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d02_schema_inference" -> d02Sql,
     "d03_flatten_nested" -> d03Sql,
     "d04_mongo_filter" -> d04Sql,
+    "d06_type_mapping" -> d06Sql,
+    "d07_schema_modes" -> d07Sql,
     "d08_docstore_scan" -> d08Sql,
-    "d09_agg_pushdown" -> d09Sql)
+    "d09_agg_pushdown" -> d09Sql,
+    "d10_catalog" -> d10Sql)
 }

@@ -59,10 +59,10 @@ object Multimodal {
     if (frames == 0) 0 else (frames + k - 1) / k
   }
 
-  /** m01: synthesize media rows from documents, run the decode →
-    * feature-extract → resize → frame-sample pipeline per partition.
+  /** The decode → feature-extract → resize → frame-sample pipeline over
+    * synthesized media rows, shared by m01/m02.
     */
-  def m01(spark: SparkSession, dir: String): DataFrame = {
+  private def mediaFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
     val media: Dataset[MediaRow] = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"),
@@ -89,14 +89,56 @@ object Multimodal {
           checksum = resized.foldLeft(0L)((h, b) => h * 31 + (b & 0xff)),
           features = decodeStub(r.payload))
       }
-    }.toDF()
-      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("width"),
-        col("height"), col("n_frames"), col("checksum"),
-        col("features"))
+    }
+  }
+
+  /** m01: the metadata/plumbing half of the pipeline — every column is
+    * SQL-expressible, so the DuckDB oracle re-derives modality, byte
+    * count, dimensions and frame count from the documents table.
+    */
+  def m01(spark: SparkSession, dir: String): DataFrame =
+    mediaFeatures(spark, dir)
+      .toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: media_type/n_bytes/width/height re-derived in SQL; n_frames
+    * replicates sampleFrames(payload, 2) = ceil((bytes/256)/2) for video.
+    * strlen() is DuckDB's BYTE length of a VARCHAR = UTF-8 payload size.
+    */
+  val m01Sql: String =
+    """SELECT doc_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST(doc_id % 64 + 16 AS BIGINT) AS width,
+      |  CAST(doc_id % 48 + 16 AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 + 1 = 3
+      |    THEN CASE WHEN strlen(text) // 256 = 0 THEN 0
+      |              ELSE (strlen(text) // 256 + 1) // 2 END
+      |    ELSE 1 END AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** m02: the decoded-feature half — stub-codec outputs summarized to
+    * scalars (engine-specific kernel → rows-only oracle; the feature
+    * vector itself is spec-tested, and kept out of the result so the
+    * driver's tabular compare never sees an array column).
+    */
+  def m02(spark: SparkSession, dir: String): DataFrame = {
+    mediaFeatures(spark, dir)
+      .toDF()
+      .select(col("doc_id"), col("media_type"), col("checksum"),
+        round(sqrt(aggregate(col("features"), lit(0.0d),
+          (acc, x) => acc + x * x)), 4).as("feat_l2"),
+        size(filter(col("features"), x => x > 0f)).cast("long")
+          .as("feat_nonzero"))
       .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_multimodal" -> (m01 _))
-  val oracle: Map[String, String] = Map.empty
+    "m01_multimodal" -> (m01 _),
+    "m02_media_features" -> (m02 _))
+  val oracle: Map[String, String] = Map("m01_multimodal" -> m01Sql)
 }

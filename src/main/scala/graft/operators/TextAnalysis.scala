@@ -163,7 +163,8 @@ object TextAnalysis {
   // ---------------------------------------------------------------- t04
   /** Rolling-hash (Rabin-Karp) document fingerprint via the codegen'd
     * native expression — the cheap first-pass identity for incremental
-    * dedup (rows-only: the kernel is engine-specific by design).
+    * dedup. Oracle: bit-exact DuckDB replica of both kernels
+    * (KernelOracleSql.t04Sql, HUGEINT mod-2^64 arithmetic).
     */
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
@@ -239,5 +240,6 @@ object TextAnalysis {
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
+    "t04_fingerprint" -> graft.functions.KernelOracleSql.t04Sql,
     "t05_pii_scrub" -> t05Sql)
 }
