@@ -10,7 +10,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: keep stdout clean for the driver's one-line JSON parse (the
+    // benign single-partition WindowExec WARN from q21's ~25-row
+    // post-aggregate frame would otherwise interleave with it)
+    spark.sparkContext.setLogLevel("ERROR")
     // Warmup (untimed): JVM/JIT/codegen spin-up, parquet footer reads, and
     // the one-time docstore test-collection generation — data prep, not
     // query time. A full pass at the smallest SF warms every kernel's JIT

@@ -228,6 +228,43 @@ class DocstoreSpec extends SparkSpec {
     assert(spark.read.format("docstore").option("path", outDir).load().count() == 5)
   }
 
+  test("docstore write: in-progress temp files are invisible to readers") {
+    val outDir = "/tmp/graft_docstore_spec/atomic_out"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+    spark.read.format("docstore").option("path", smallDir).load()
+      .filter(col("id") < 10)
+      .write.format("docstore").option("path", outDir).mode("append").save()
+    // a crashed task's orphan temp file must never surface as rows
+    Files.write(Paths.get(s"$outDir/.part-99999-0.jsonl.inprogress"),
+      """{"id":999,"name":"ghost","grp":"gx","score":0.0}""".getBytes("UTF-8"))
+    val back = spark.read.format("docstore").option("path", outDir).load()
+    assert(back.count() == 10)
+    assert(back.filter(col("name") === "ghost").count() == 0)
+    // all committed files carry final (non-dot) names
+    val names = new java.io.File(outDir).listFiles.map(_.getName)
+    assert(names.count(_.startsWith("part-")) > 0)
+    // no committed task may leave its temp behind (local-FS .crc
+    // checksum sidecars are dot-prefixed and reader-invisible — fine)
+    assert(!names.exists(n => n.endsWith(".inprogress") &&
+      n != ".part-99999-0.jsonl.inprogress"))
+  }
+
+  test("binary order comparisons use unsigned lexicographic bytes") {
+    // 0x80 > 0x7f unsigned, though negative as signed byte; a prefix
+    // compares less than its extension
+    val dir = writeDocs("binorder", Seq(
+      """{"id":1,"bin":{"$binary":{"base64":"fw==","subType":"00"}}}""", // [0x7f]
+      """{"id":2,"bin":{"$binary":{"base64":"gA==","subType":"00"}}}""", // [0x80]
+      """{"id":3,"bin":{"$binary":{"base64":"gAE=","subType":"00"}}}""")) // [0x80,0x01]
+    val df = spark.read.format("docstore").option("path", dir).load()
+    val gt = df.filter(col("bin") > lit(Array[Byte](0x7f.toByte)))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(gt.toSeq == Seq(2L, 3L))
+    val lt = df.filter(col("bin") < lit(Array[Byte](0x80.toByte, 0x01)))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(lt.toSeq == Seq(1L, 2L))
+  }
+
   test("case-variant fields scan without ambiguity (reference issue #35)") {
     // mirrors test/sql/schema/case_variant_fields.test: two docs whose
     // nested field differs only by case — one column, one non-NULL row

@@ -93,6 +93,24 @@ class MongoFilterSpec extends SparkSpec {
       == Seq(3L))
   }
 
+  test("null equality matches null-or-missing (mongo semantics)") {
+    // {"field": null} and {"$eq": null} match docs where the field is
+    // null OR missing — both are Spark NULL here
+    assert(ids("""{"tag":null}""") == Seq(2L))
+    assert(ids("""{"tag":{"$eq":null}}""") == Seq(2L))
+    // $ne null matches docs where the field IS present (non-null)
+    assert(ids("""{"tag":{"$ne":null}}""") == Seq(1L, 3L, 4L))
+  }
+
+  test("$in / $nin with null elements") {
+    // a null element in $in means "or the field is null/missing"
+    assert(ids("""{"tag":{"$in":["x", null]}}""") == Seq(1L, 2L, 4L))
+    // null listed in $nin → nulls excluded as well
+    assert(ids("""{"tag":{"$nin":["x", null]}}""") == Seq(3L))
+    // empty $in matches nothing (mongo semantics)
+    assert(ids("""{"tag":{"$in":[]}}""") == Seq())
+  }
+
   test("mongo filter lands in parquet PushedFilters") {
     val orders = Tables(spark, sfDir, "orders")
       .filter(MongoFilter.compile("""{"o_orderstatus":"O","o_totalprice":{"$gt":1000.0}}"""))
