@@ -162,7 +162,11 @@ object Dedup {
     * near-useless for discrimination (at the local SFs the cap is far
     * above every real df, so results stay exact).
     */
-  def dd04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** (id_a, id_b, source, jaccard) pairs with exact Jaccard ≥ 0.5 — the
+    * shared candidate-pair pipeline behind dd04 (scored pairs) and dd06
+    * (clusters).
+    */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val corpus = plantedDocs(spark, dir)
       .select(col("doc_id"), col("source"),
         array_distinct(T.shingle_hashes(col("text"), 3)).as("sh"))
@@ -192,18 +196,26 @@ object Dedup {
       .withColumn("jaccard", col("common").cast(DoubleType) /
         (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= 0.5)
+  }
+
+  def dd04NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
       .select(col("id_a"), col("id_b"), col("source"),
         round(col("jaccard"), 4).as("jaccard")) // oracle parity (SURVEY §5)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** The hashed-shingle Jaccard equals string-shingle Jaccard (64-bit FNV
     * collisions are negligible at any realistic df), so the oracle builds
     * the same inverted index over shingle STRINGS: c/(|A|+|B|−c) is then
     * the identical integer-ratio double in both engines.
     */
-  val dd04Sql: String =
-    s"""WITH corpus AS (
+  /** Shared oracle CTE chain ending in `jp(source, id_a, id_b, jaccard)`:
+    * the exact Jaccard ≥ 0.5 pair set over shingle STRINGS (hashed-
+    * shingle Jaccard equals string-shingle Jaccard — 64-bit FNV
+    * collisions are negligible at any realistic df).
+    */
+  private val pairCtes: String =
+    s"""corpus AS (
        |  SELECT doc_id, text, source FROM documents
        |  UNION ALL
        |  SELECT doc_id + $PlantOffset, regexp_replace(text, '\\s+\\S+$$', ''),
@@ -217,24 +229,91 @@ object Dedup {
        |  SELECT doc_id, source,
        |    CASE WHEN len(ts) < 3 THEN [text]
        |         ELSE list_distinct(list_transform(range(1, len(ts) - 1),
-       |           i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2]
-       |                || chr(31)))
+       |           i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2] ||
+       |                chr(31)))
        |    END AS sh
        |  FROM toks),
        |postings AS (
        |  SELECT source, doc_id, len(sh) AS sz, unnest(sh) AS shingle
        |  FROM sets),
-       |pairs AS (
+       |cpairs AS (
        |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
        |  FROM postings a JOIN postings b
        |    ON a.source = b.source AND a.shingle = b.shingle
        |    AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2, 3, 4, 5)
-       |SELECT id_a, id_b, source,
-       |  ROUND(common / (sz_a + sz_b - common), 4) AS jaccard
-       |FROM pairs WHERE common / (sz_a + sz_b - common) >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |jp AS (
+       |  SELECT source, id_a, id_b, common / (sz_a + sz_b - common) AS jaccard
+       |  FROM cpairs WHERE common / (sz_a + sz_b - common) >= 0.5)""".stripMargin
+
+  val dd04Sql: String =
+    s"""WITH $pairCtes
+       |SELECT id_a, id_b, source, ROUND(jaccard, 4) AS jaccard
+       |FROM jp ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- dd06
+  /** Near-dup CLUSTERS: connected components over the Jaccard pair graph
+    * by iterative min-label propagation, cluster id = min doc_id in the
+    * component.
+    *
+    * Scale: each iteration is one shuffle of (node, label) joined against
+    * the edge list — the standard large-graph CC loop; iterations ≤
+    * O(log diameter) for the alternating form, and near-dup graphs have
+    * tiny diameters (dup sets are quasi-cliques). localCheckpoint after
+    * each round cuts the growing lineage (at cluster scale: checkpoint to
+    * reliable storage). The loop converges by an explicit changed-count
+    * check — no fixed iteration guess.
+    */
+  def dd06Clusters(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = plantedDocs(spark, dir).select(col("doc_id"))
+    val edges = jaccardPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // pair pipeline runs once, not once per iteration
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 32) {
+      val neighborMin = adj.join(labels, adj("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      val next = labels.join(neighborMin, labels("doc_id") === col("src"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster_id") < col("o.cluster_id")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: exact transitive closure via recursive CTE — min reachable
+    * id per node IS the component's min label.
+    */
+  val dd06Sql: String =
+    s"""WITH RECURSIVE $pairCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jp
+       |  UNION ALL SELECT id_b, id_a FROM jp),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+       |SELECT doc_id, cluster_id, cluster_size
+       |FROM labels JOIN sizes USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- dd05
   /** Embedding near-dup: sign-LSH hyperplane buckets → in-bucket pairwise
@@ -288,7 +367,8 @@ object Dedup {
     "dd02_dedup_minhash" -> (dd02MinHash _),
     "dd03_dedup_simhash" -> (dd03SimHash _),
     "dd04_ngram_jaccard" -> (dd04NgramJaccard _),
-    "dd05_dedup_embedding" -> (dd05Embedding _))
+    "dd05_dedup_embedding" -> (dd05Embedding _),
+    "dd06_dedup_clusters" -> (dd06Clusters _))
 
   /** All five SQL-gated: dd02/dd03's custom 64-bit kernels are replicated
     * bit-exactly in DuckDB via HUGEINT mod-2^64 arithmetic
@@ -299,5 +379,6 @@ object Dedup {
     "dd02_dedup_minhash" -> graft.functions.KernelOracleSql.dd02Sql(PlantOffset),
     "dd03_dedup_simhash" -> graft.functions.KernelOracleSql.dd03Sql(PlantOffset),
     "dd04_ngram_jaccard" -> dd04Sql,
-    "dd05_dedup_embedding" -> dd05Sql)
+    "dd05_dedup_embedding" -> dd05Sql,
+    "dd06_dedup_clusters" -> dd06Sql)
 }

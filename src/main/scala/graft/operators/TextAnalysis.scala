@@ -175,6 +175,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- t06
+  /** Repetition signals (Gopher-style quality filters): duplicate-token
+    * fraction and most-frequent-bigram fraction — high values flag
+    * boilerplate/spam for removal before training. Map-only except the
+    * presentation sort; bigram stats stay inside per-row higher-order
+    * functions (no explode shuffle).
+    */
+  def t06Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), toks(col("text")).as("ts"))
+      .withColumn("n_tokens", size(col("ts")).cast(LongType))
+      .withColumn("bigrams", zip_with(
+        slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+        slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+    base.select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("ts"))).cast(DoubleType) /
+          greatest(col("n_tokens"), lit(1L)), 4).as("dup_token_frac"),
+        round(when(size(col("bigrams")) === 0, 0.0).otherwise(
+          aggregate(array_distinct(col("bigrams")), lit(0),
+            (m, g) => greatest(m, size(filter(col("bigrams"), x => x === g))))
+            .cast(DoubleType) / size(col("bigrams"))), 4)
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t06Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n_tokens,
+      |    list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bigrams
+      |  FROM base)
+      |SELECT doc_id, n_tokens,
+      |  ROUND(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) /
+      |    greatest(n_tokens, 1), 4) AS dup_token_frac,
+      |  ROUND(CASE WHEN len(bigrams) = 0 THEN 0.0 ELSE
+      |    CAST(list_max(list_transform(list_distinct(bigrams),
+      |      g -> len(list_filter(bigrams, x -> x = g)))) AS DOUBLE) /
+      |    len(bigrams) END, 4) AS top_bigram_frac
+      |FROM big ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t05
   /** PII scrubbing: regex redaction of emails / phone numbers / IPv4
     * addresses with per-doc redaction counts. The corpus is synthetic and
@@ -234,12 +278,14 @@ object TextAnalysis {
     "t02_quality_score" -> (t02Quality _),
     "t03_token_count" -> (t03Tokens _),
     "t04_fingerprint" -> (t04Fingerprint _),
-    "t05_pii_scrub" -> (t05PiiScrub _))
+    "t05_pii_scrub" -> (t05PiiScrub _),
+    "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
     "t04_fingerprint" -> graft.functions.KernelOracleSql.t04Sql,
-    "t05_pii_scrub" -> t05Sql)
+    "t05_pii_scrub" -> t05Sql,
+    "t06_repetition" -> t06Sql)
 }

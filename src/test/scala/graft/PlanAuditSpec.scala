@@ -54,6 +54,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dd06: planted dups land in one cluster labeled by the original id") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("dd06_dedup_clusters")(spark, sfDir).cache()
+    // every planted copy (id ≥ 1M) is clustered (size ≥ 2) under an
+    // original id (components may merge if two originals are near-dups,
+    // so the label is ≤ the copy's own original)
+    val planted = df.filter(col("doc_id") >= 1000000L)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("cluster_size") < 2 ||
+      col("cluster_id") > col("doc_id") - 1000000L).count() == 0)
+    // untouched docs stay singletons labeled by themselves
+    val singles = df.filter(col("cluster_size") === 1)
+    assert(singles.filter(col("cluster_id") =!= col("doc_id")).count() == 0)
+    df.unpersist()
+  }
+
+  test("t06: repetition fractions stay in [0,1] and cover all docs") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("t06_repetition")(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("dup_token_frac") < 0 || col("dup_token_frac") > 1 ||
+      col("top_bigram_frac") < 0 || col("top_bigram_frac") > 1).count() == 0)
+    df.unpersist()
+  }
+
   test("docstore scan shows its pushdown in the plan") {
     val p = finalPlan("d08_docstore_scan")
     assert(p.contains("docstore"), p)
