@@ -39,4 +39,21 @@ object Tables {
   /** Register all tables as temp views so `spark.sql` queries work too. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Rebalance a DataFrame that is about to feed a CPU-heavy map-side
+    * kernel (minhash/simhash/shingling), but ONLY when the upstream scan
+    * has fewer partitions than the cluster has slots. On a 1000-executor
+    * cluster the input is already thousands of splits and this is the
+    * identity — no gratuitous full-row shuffle; on a skewed or
+    * single-chunk input (small collection dumps, local row-group-bound
+    * parquet) it spreads the kernel across every core for the price of
+    * shuffling the raw rows once.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    // inputFiles walks the analyzed plan only — cheap; df.rdd would
+    // compile the whole physical plan just to read a partition count
+    val files = try df.inputFiles.length catch { case _: Throwable => slots }
+    if (files > 0 && files < slots) df.repartition(slots) else df
+  }
 }

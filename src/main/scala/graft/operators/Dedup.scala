@@ -75,7 +75,11 @@ object Dedup {
     * bucket self-join, signature-estimated Jaccard ≥ 0.5.
     */
   def dd02MinHash(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = plantedDocs(spark, dir)
+    // spread() first: the minhash kernel is the CPU hot spot — on a
+    // narrow input (single-chunk collection) it would otherwise run on
+    // one core; at cluster scale the input is already wide and spread()
+    // is the identity
+    val corpus = Tables.spread(plantedDocs(spark, dir))
     // The signature table feeds THREE consumers (banding + both sides of
     // the verify join). The explicit repartition is a materialization
     // barrier: every consumer hangs off the same exchange, so Spark
@@ -123,7 +127,7 @@ object Dedup {
     * hamming ≤ 3 ⇒ at least one band identical), exact hamming verify.
     */
   def dd03SimHash(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = plantedDocs(spark, dir)
+    val corpus = Tables.spread(plantedDocs(spark, dir)) // parallel kernel
     // barrier for the same reason as dd02: both sides of the band
     // self-join reuse one simhash computation via ReusedExchange
     val sigs = corpus.select(col("doc_id"), T.simhash64(col("text")).as("sig"))
@@ -167,7 +171,7 @@ object Dedup {
     * (clusters).
     */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = plantedDocs(spark, dir)
+    val corpus = Tables.spread(plantedDocs(spark, dir)) // parallel shingling
       .select(col("doc_id"), col("source"),
         array_distinct(T.shingle_hashes(col("text"), 3)).as("sh"))
     val postings = corpus
@@ -279,14 +283,17 @@ object Dedup {
     while (!converged && iter < 32) {
       val neighborMin = adj.join(labels, adj("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      // the changed flag rides along in the same pass — convergence is one
+      // cheap agg over the checkpointed labels, not an extra self-join
       val next = labels.join(neighborMin, labels("doc_id") === col("src"), "left")
         .select(labels("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id"))
+            .cast(LongType).as("ch"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.cluster_id") < col("o.cluster_id")).count()
-      labels = next
+      val changed = next.agg(sum(col("ch"))).first().getLong(0)
+      labels = next.drop("ch")
       converged = changed == 0
       iter += 1
     }

@@ -39,7 +39,9 @@ object DocstoreOps {
     * field (`maybe`) present only on some docs (null-refinement path).
     */
   def ensureEventDocs(spark: SparkSession, sfDir: String): String = synchronized {
-    val dir = s"${docsRoot(sfDir)}/events_docs"
+    // v2: chunked layout — real collection dumps arrive as many chunks;
+    // one monolithic JSONL would serialize every scan on a single core
+    val dir = s"${docsRoot(sfDir)}/events_docs_v2"
     val marker = Paths.get(s"$dir/_SUCCESS")
     if (Files.exists(marker)) return dir
     val ev = Tables(spark, sfDir, "events")
@@ -59,7 +61,9 @@ object DocstoreOps {
         concat(lit(""","maybe":"""), col("event_id").cast(StringType)))
         .otherwise(lit("")),
       lit("}"))
-    ev.select(json.as("doc")).write.mode("overwrite").text(dir)
+    ev.select(json.as("doc"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").text(dir)
     dir
   }
 
