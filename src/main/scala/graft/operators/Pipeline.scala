@@ -120,15 +120,47 @@ object Pipeline {
       |       THEN 'bf' ELSE '3f' END
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p04
+  /** Stratified sampling: a fixed FRACTION of every (source) stratum,
+    * picked by hash rank — the "equal representation" counterpart to
+    * p02's global hash sample. Needs a per-stratum window (one shuffle on
+    * the stratum key; skewed strata are the known cost — p02's
+    * threshold form is the zero-shuffle alternative when a global rate
+    * is acceptable). Hash rank, not random(): reproducible across runs,
+    * engines, and cluster sizes.
+    */
+  def p04Stratified(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast(StringType), lit("#strat")))
+    val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+    val cnt = Window.partitionBy(col("source"))
+    Tables(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n_src", count(lit(1)).over(cnt))
+      .filter(col("rn") <= ceil(col("n_src") * 0.2))
+      .select(col("doc_id"), col("source"), col("lang"), col("rn"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p04Sql: String =
+    """SELECT doc_id, source, lang, rn FROM (
+      |  SELECT doc_id, source, lang,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#strat'), doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_src
+      |  FROM documents)
+      |WHERE rn <= ceil(n_src * 0.2) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_pipeline" -> (p01CleanPipeline _),
     "p02_hash_sample" -> (p02HashSample _),
     "p03_training_mix" -> (p03TrainingMix _),
+    "p04_stratified" -> (p04Stratified _),
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
     "p01_clean_pipeline" -> p01Sql,
     "p02_hash_sample" -> p02Sql,
     "p03_training_mix" -> p03Sql,
+    "p04_stratified" -> p04Sql,
     "d11_variant" -> d11Sql)
 }

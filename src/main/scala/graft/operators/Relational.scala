@@ -708,6 +708,91 @@ object Relational {
       |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       |ORDER BY o_custkey""".stripMargin
 
+  // --------------------------------------------------------------- q27
+  /** PIVOT: order counts per market segment × priority, priorities as
+    * columns. Spark's relational pivot with an EXPLICIT value list — the
+    * implicit form runs a distinct-values job first AND couldn't be
+    * planned as one pass; explicit values keep it a single partial-agg
+    * shuffle on c_mktsegment (the pivot is just a CASE fan-out map-side).
+    */
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .select(col("c_mktsegment"),
+        coalesce(col("`1-URGENT`"), lit(0L)).as("urgent"),
+        coalesce(col("`2-HIGH`"), lit(0L)).as("high"),
+        coalesce(col("`3-MEDIUM`"), lit(0L)).as("medium"),
+        coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("notspec"),
+        coalesce(col("`5-LOW`"), lit(0L)).as("low"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q27Sql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+      |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+      |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+      |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS notspec,
+      |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // --------------------------------------------------------------- q28
+  /** Exact percentiles per group (linear interpolation — both engines use
+    * the (n−1)·p convention, so values agree to the rounding).
+    *
+    * Scale: exact percentile buffers each group's values — fine for
+    * bounded groups like these 5 priorities; for high-cardinality groups
+    * at 100 TB switch to `approx_percentile` (t-digest sketch, mergeable
+    * map-side, bounded memory) and accept the ε.
+    */
+  def q28(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy(col("o_orderpriority"))
+
+  val q28Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------- q29
+  /** CUBE over (returnflag, linestatus): all 4 grouping-set combinations
+    * in ONE pass — Spark expands the sets map-side (×4 partial-agg rows),
+    * single shuffle; same sentinel trick as q25 for cross-engine ordering.
+    */
+  def q29(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("l_extendedprice")))).as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_price"))
+      .orderBy(col("rf"), col("ls"))
+
+  val q29Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -735,7 +820,10 @@ object Relational {
     "q23_orderby_multi" -> (q23 _),
     "q24_date_funcs" -> (q24 _),
     "q25_rollup" -> (q25 _),
-    "q26_set_ops" -> (q26 _))
+    "q26_set_ops" -> (q26 _),
+    "q27_pivot" -> (q27 _),
+    "q28_percentiles" -> (q28 _),
+    "q29_cube" -> (q29 _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -763,5 +851,8 @@ object Relational {
     "q23_orderby_multi" -> q23Sql,
     "q24_date_funcs" -> q24Sql,
     "q25_rollup" -> q25Sql,
-    "q26_set_ops" -> q26Sql)
+    "q26_set_ops" -> q26Sql,
+    "q27_pivot" -> q27Sql,
+    "q28_percentiles" -> q28Sql,
+    "q29_cube" -> q29Sql)
 }

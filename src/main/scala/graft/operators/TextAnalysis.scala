@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -272,6 +273,56 @@ object TextAnalysis {
       |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrub_hash
       |FROM planted ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t07
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf · ln(N/df). The inverted-index shape at scale: one explode +
+    * groupBy(doc,term) for tf (shuffle ∝ postings), one groupBy(term)
+    * for df (shuffle ∝ vocab), df joined back on term (shuffle join —
+    * vocab is data-sized, never broadcast), N broadcast as a 1-row
+    * aggregate. Ranking ties are only possible at identical (tf, df),
+    * where both engines compute the identical double — term breaks them.
+    */
+  def t07TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_raw").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf_raw",
+        col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf_raw"), 4).as("tfidf"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val t07Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |total AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf_raw
+      |  FROM tf JOIN dfreq USING (term), total)
+      |SELECT doc_id, term, tf, df, ROUND(tfidf_raw, 4) AS tfidf, rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tfidf_raw DESC, term) AS rank
+      |      FROM scored)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> (t01LangId _),
@@ -279,7 +330,8 @@ object TextAnalysis {
     "t03_token_count" -> (t03Tokens _),
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_pii_scrub" -> (t05PiiScrub _),
-    "t06_repetition" -> (t06Repetition _))
+    "t06_repetition" -> (t06Repetition _),
+    "t07_tfidf" -> (t07TfIdf _))
 
   val oracle: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
@@ -287,5 +339,6 @@ object TextAnalysis {
     "t03_token_count" -> t03Sql,
     "t04_fingerprint" -> graft.functions.KernelOracleSql.t04Sql,
     "t05_pii_scrub" -> t05Sql,
-    "t06_repetition" -> t06Sql)
+    "t06_repetition" -> t06Sql,
+    "t07_tfidf" -> t07Sql)
 }

@@ -260,6 +260,66 @@ object Streaming {
       }
   }
 
+  // ---------------------------------------------------------------- st06
+  /** As-of (point-in-time) join: each event is enriched with the user's
+    * most recent order at or before the event time — the feature-store
+    * lookup that keeps training pipelines leakage-free.
+    *
+    * Spark has no ASOF JOIN operator, so this is the single-shuffle
+    * union trick: tag both sides, union, ONE shuffle on the key, and a
+    * running `last(_, ignoreNulls)` window carries the latest order
+    * forward onto each event row. A naive range join (key equality +
+    * time inequality) would multiply every event by every earlier order
+    * before aggregating — O(events × orders/user) shuffle volume; the
+    * union form moves each row exactly once, and in streaming the same
+    * shape is st05's per-key latest-state joined to the event stream.
+    *
+    * Orders are first collapsed to one row per (custkey, orderdate) —
+    * the as-of tie (two orders at the same timestamp) would otherwise be
+    * nondeterministic in ANY engine; max_by(orderkey) makes the pick
+    * explicit and cross-engine stable.
+    */
+  def st06AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ordType = "struct<order_key:bigint,order_date:timestamp,order_price:double>"
+    val ords = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("t"))
+      .agg(max(col("o_orderkey")).as("order_key"),
+        round(max_by(col("o_totalprice"), col("o_orderkey")), 4)
+          .as("order_price"))
+      .select(col("key"), col("t"), lit(0).as("tag"),
+        lit(null).cast("bigint").as("event_id"),
+        struct(col("order_key"), col("t").as("order_date"),
+          col("order_price")).as("ord"))
+    val evs = Tables(spark, dir, "events")
+      .select(col("user_id").as("key"), col("ts").as("t"), lit(1).as("tag"),
+        col("event_id"), lit(null).cast(ordType).as("ord"))
+    // orders sort before events at the same instant (tag 0 < 1) — the
+    // join condition is `order_date <= ts`, inclusive
+    val w = Window.partitionBy(col("key")).orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ords.unionByName(evs)
+      .withColumn("asof", last(col("ord"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("key").as("user_id"),
+        col("asof.order_key").as("order_key"),
+        col("asof.order_date").as("order_date"),
+        col("asof.order_price").as("order_price"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Oracle: DuckDB's native ASOF LEFT JOIN over the same deduplicated
+    * order snapshots. */
+  val st06Sql: String =
+    """WITH ords AS (
+      |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS order_key,
+      |    ROUND(arg_max(o_totalprice, o_orderkey), 4) AS order_price
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, d.order_key,
+      |  d.o_orderdate AS order_date, d.order_price
+      |FROM events e ASOF LEFT JOIN ords d
+      |  ON e.user_id = d.o_custkey AND d.o_orderdate <= e.ts
+      |ORDER BY e.event_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -267,12 +327,14 @@ object Streaming {
     "st02_sessionize" -> (st02Sessionize _),
     "st03_stream_dedup" -> (st03StreamDedup _),
     "st04_interval_join" -> (st04IntervalJoin _),
-    "st05_latest_state" -> (st05LatestState _))
+    "st05_latest_state" -> (st05LatestState _),
+    "st06_asof_join" -> (st06AsofJoin _))
 
   val oracle: Map[String, String] = Map(
     "st01_windowed_agg" -> st01Sql,
     "st02_sessionize" -> st02Sql,
     "st03_stream_dedup" -> st03Sql,
     "st04_interval_join" -> st04Sql,
-    "st05_latest_state" -> st05Sql)
+    "st05_latest_state" -> st05Sql,
+    "st06_asof_join" -> st06Sql)
 }

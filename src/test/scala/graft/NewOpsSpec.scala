@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic specs for the round-2 additions: pivot (q27), percentiles
+  * (q28), cube (q29), as-of join (st06), tf-idf (t07), stratified
+  * sampling (p04). The oracle gate checks cross-engine value parity;
+  * these assert the operator-level invariants directly.
+  */
+class NewOpsSpec extends SparkSpec {
+
+  test("q27: pivot cells partition the joined order count") {
+    val df = SparkEntry.queries("q27_pivot")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val pivotTotal = rows.map(r =>
+      r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5)).sum
+    val joined = Tables(spark, sfDir, "orders").join(
+      Tables(spark, sfDir, "customer"),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(pivotTotal == joined, s"pivot cells $pivotTotal != joined $joined")
+  }
+
+  test("q28: percentiles are monotone and groups cover all orders") {
+    val df = SparkEntry.queries("q28_percentiles")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p25, p50, p90, p99) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p25 <= p50 && p50 <= p90 && p90 <= p99, r.toString)
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables(spark, sfDir, "orders").count())
+  }
+
+  test("q29: cube levels are mutually consistent") {
+    val df = SparkEntry.queries("q29_cube")(spark, sfDir).cache()
+    val grand = df.filter(col("rf") === "ALL" && col("ls") === "ALL")
+      .head.getLong(2)
+    assert(grand == Tables(spark, sfDir, "lineitem").count())
+    // each one-dimensional rollup level re-sums to the grand total
+    val byRf = df.filter(col("rf") =!= "ALL" && col("ls") === "ALL")
+      .agg(sum(col("n"))).head.getLong(0)
+    val byLs = df.filter(col("rf") === "ALL" && col("ls") =!= "ALL")
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(byRf == grand && byLs == grand)
+    df.unpersist()
+  }
+
+  test("st06: as-of join attaches the latest order at or before each event") {
+    val df = SparkEntry.queries("st06_asof_join")(spark, sfDir).cache()
+    val events = Tables(spark, sfDir, "events")
+    // exactly one output row per event (an as-of join never multiplies)
+    assert(df.count() == events.count())
+    // the attached order is at or before the event
+    val joined = df.join(events.select(col("event_id"), col("ts")),
+      Seq("event_id"))
+    assert(joined.filter(col("order_date") > col("ts")).count() == 0)
+    // and no later qualifying order exists for that user
+    val orders = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"))
+    val later = joined.join(orders,
+        col("user_id") === col("o_custkey") &&
+          col("o_orderdate") <= col("ts") &&
+          col("o_orderdate") > col("order_date"))
+    assert(later.count() == 0, "found an order later than the as-of pick")
+    df.unpersist()
+  }
+
+  test("t07: top-3 terms per doc, ranked by descending tf-idf") {
+    val df = SparkEntry.queries("t07_tfidf")(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
+      .filter(col("k") > 3).count() == 0)
+    // rank order matches tfidf order within each doc (ties broken by term
+    // never produce an inversion beyond the rounding step)
+    val bad = df.as("a").join(df.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.rank") < col("b.rank") &&
+          col("a.tfidf") < col("b.tfidf") - 0.0001)
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
+  test("p04: every stratum keeps ceil(20%) docs, reproducibly") {
+    val df = SparkEntry.queries("p04_stratified")(spark, sfDir).cache()
+    val kept = df.groupBy(col("source")).agg(count(lit(1)).as("kept"))
+    val sizes = Tables(spark, sfDir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val off = kept.join(sizes, "source")
+      .filter(col("kept") =!= ceil(col("n_src") * 0.2))
+    assert(off.count() == 0)
+    // deterministic: a second run picks the identical ids
+    val again = SparkEntry.queries("p04_stratified")(spark, sfDir)
+    assert(df.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+    df.unpersist()
+  }
+}
