@@ -307,6 +307,44 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming twin: one tagged stream (orders tag 0, events tag 1)
+    * keyed by user; state = the latest order seen so far, each event
+    * emits its enrichment — the online half of the feature-store lookup
+    * (the batch form above is the leakage-free offline backfill). Within
+    * a micro-batch rows are processed in event-time order; an order
+    * arriving in a LATER batch than an event it precedes follows
+    * at-processing-time semantics, the standard online-serving contract.
+    */
+  final case class AsofIn(key: Long, sec: Long, tag: Int, event_id: Long,
+      order_key: Long, order_price: Double)
+  final case class AsofState(sec: Long, orderKey: Long, price: Double)
+  final case class AsofOut(event_id: Long, user_id: Long,
+      order_key: Option[Long], order_sec: Option[Long],
+      order_price: Option[Double])
+
+  def st06Stream(input: Dataset[AsofIn]): Dataset[AsofOut] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[List[AsofState], AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[AsofIn], state: GroupState[List[AsofState]]) =>
+          var latest = state.getOption.flatMap(_.headOption)
+          val out = Vector.newBuilder[AsofOut]
+          rows.toVector.sortBy(r => (r.sec, r.tag, r.event_id)).foreach { r =>
+            if (r.tag == 0) {
+              if (latest.forall(s =>
+                  s.sec < r.sec || (s.sec == r.sec && s.orderKey < r.order_key)))
+                latest = Some(AsofState(r.sec, r.order_key, r.order_price))
+            } else {
+              out += AsofOut(r.event_id, key, latest.map(_.orderKey),
+                latest.map(_.sec), latest.map(_.price))
+            }
+          }
+          state.update(latest.toList)
+          out.result().iterator
+      }
+  }
+
   /** Oracle: DuckDB's native ASOF LEFT JOIN over the same deduplicated
     * order snapshots. */
   val st06Sql: String =

@@ -147,4 +147,38 @@ class StreamingSpec extends SparkSpec {
       assert(finalRows == Set((1L, 11L, "purchase"), (2L, 12L, "view")))
     } finally q.stop()
   }
+
+  test("st06 streaming as-of enrichment tracks the latest prior order") {
+    implicit val ctx = spark.sqlContext
+    import Streaming.AsofIn
+    val input = MemoryStream[AsofIn]
+    val q = Streaming.st06Stream(input.toDS).writeStream
+      .format("memory").queryName("st06_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1's order at t=100 precedes its event at t=150;
+      // user 2 has an event but no order yet
+      input.addData(
+        AsofIn(1L, 100L, 0, 0L, 500L, 12.5),
+        AsofIn(1L, 150L, 1, 1000L, 0L, 0.0),
+        AsofIn(2L, 150L, 1, 2000L, 0L, 0.0))
+      q.processAllAvailable()
+      // batch 2: a newer order for user 1, then a later event → new order
+      // wins; user 2's late order enriches user 2's NEXT event only
+      input.addData(
+        AsofIn(1L, 200L, 0, 0L, 501L, 99.0),
+        AsofIn(1L, 250L, 1, 1001L, 0L, 0.0),
+        AsofIn(2L, 120L, 0, 0L, 600L, 7.0),
+        AsofIn(2L, 260L, 1, 2001L, 0L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("st06_sink").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toMap
+      assert(rows == Map(
+        1000L -> 500L, // first event sees the t=100 order
+        2000L -> -1L,  // no order yet → null enrichment
+        1001L -> 501L, // newer order supersedes
+        2001L -> 600L)) // late-arriving order visible from here on
+    } finally q.stop()
+  }
 }
