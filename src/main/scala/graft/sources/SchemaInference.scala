@@ -44,7 +44,11 @@ object SchemaInference {
     case DArray(items) =>
       val elem = items.map(inferType).reduceOption(unify)
         .getOrElse(Inferred(NullType, nullOnly = true))
-      Inferred(ArrayType(finalize0(elem), containsNull = true),
+      // keep NullType as the "no element seen yet" marker: an empty array
+      // in one doc must not pin the element type — a later doc's elements
+      // refine it (reference: empty arrays stay LIST(actual elem type),
+      // test/sql/schema/array_items.test)
+      Inferred(ArrayType(elem.dt, containsNull = true),
         allMidnight = elem.allMidnight)
     case DDoc(fields) =>
       Inferred(StructType(fields.map { case (k, fv) =>
@@ -62,7 +66,7 @@ object SchemaInference {
       case (ArrayType(_, _), ArrayType(_, _)) =>
         val ea = elemInferred(a); val eb = elemInferred(b)
         val e = unify(ea, eb)
-        Inferred(ArrayType(finalize0(e), containsNull = true), allMidnight = e.allMidnight)
+        Inferred(ArrayType(e.dt, containsNull = true), allMidnight = e.allMidnight)
       case (sa: StructType, sb: StructType) =>
         // field-wise unification; fields absent on one side stay nullable
         val names = (sa.fieldNames ++ sb.fieldNames).distinct
@@ -81,8 +85,10 @@ object SchemaInference {
   }
 
   private def elemInferred(arr: Inferred): Inferred = arr.dt match {
-    case ArrayType(e, _) => Inferred(e, allMidnight = arr.allMidnight)
-    case other           => Inferred(other)
+    case ArrayType(e, _) =>
+      // NullType element = the empty-array marker → refinable (nullOnly)
+      Inferred(e, allMidnight = arr.allMidnight, nullOnly = e == NullType)
+    case other => Inferred(other)
   }
 
   /** Resolve markers: never-seen-non-null → StringType (reference keeps
@@ -129,11 +135,19 @@ object SchemaInference {
     }
     sample.foreach(d => if (flatten) visit(Nil, d) else visitNoFlatten(d))
 
+    // resolve residual NullType markers (never-seen-non-null scalars,
+    // always-empty arrays) to the VARCHAR fallback, recursively
+    def clean(dt: DataType): DataType = dt match {
+      case NullType => StringType
+      case ArrayType(e, n) => ArrayType(clean(e), n)
+      case StructType(fs) =>
+        StructType(fs.map(f => f.copy(dataType = clean(f.dataType))))
+      case other => other
+    }
     val fields = acc.toSeq.map { case (path, inf) =>
       val dt = inf.dt match {
-        case NullType => StringType
         case TimestampType if inf.allMidnight => DateType // midnight-UTC rule
-        case other => other
+        case other => clean(other)
       }
       StructField(path.mkString("_"), dt, nullable = true) -> path
     }

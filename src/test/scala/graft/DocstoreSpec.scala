@@ -50,6 +50,64 @@ class DocstoreSpec extends SparkSpec {
     assert(limited.collect().length == 3)
   }
 
+  test("ObjectId _id filters: equality, IN, range push down (ref objectid_filter.test)") {
+    // reference: test/sql/query/objectid_filter.test — ObjectId equality,
+    // IN lists, and range comparisons on _id (mapped to 24-hex VARCHAR),
+    // plus plain-string _id collections treated identically
+    val dir = writeDocs("oid_filter", Seq(
+      """{"_id":{"$oid":"507f1f77bcf86cd799439011"},"name":"Alice","email":"alice@example.com"}""",
+      """{"_id":{"$oid":"507f1f77bcf86cd799439012"},"name":"Bob","email":"bob@example.com"}""",
+      """{"_id":{"$oid":"507f1f77bcf86cd799439013"},"name":"Charlie","email":"charlie@example.com"}"""))
+    val df = spark.read.format("docstore").option("path", dir).load()
+    val eq = df.filter(col("_id") === "507f1f77bcf86cd799439011")
+    assert(explainText(eq).contains("_id"), "equality on _id not pushed")
+    assert(eq.select("name").collect().map(_.getString(0)).toSeq == Seq("Alice"))
+    assert(df.filter(col("_id").isin(
+        "507f1f77bcf86cd799439011", "507f1f77bcf86cd799439013"))
+      .orderBy("name").select("name").collect().map(_.getString(0)).toSeq
+      == Seq("Alice", "Charlie"))
+    assert(df.filter(col("_id") > "507f1f77bcf86cd799439011" &&
+        col("_id") <= "507f1f77bcf86cd799439013")
+      .orderBy("_id").select("name").collect().map(_.getString(0)).toSeq
+      == Seq("Bob", "Charlie"))
+    // plain-string _id (NOT ObjectId) — same behavior, no special-casing
+    val sdir = writeDocs("string_id", Seq(
+      """{"_id":"aaaaaaaaaaaaaaaaaaaaaaaa","name":"Doc1","value":100}""",
+      """{"_id":"bbbbbbbbbbbbbbbbbbbbbbbb","name":"Doc2","value":200}"""))
+    val sdf = spark.read.format("docstore").option("path", sdir).load()
+    assert(sdf.filter(col("_id") === "aaaaaaaaaaaaaaaaaaaaaaaa")
+      .select("value").head.getLong(0) == 100L)
+  }
+
+  test("array-of-struct items: element access, missing fields, empty arrays (ref array_items.test)") {
+    // reference: test/sql/schema/array_items.test — LIST(STRUCT) mapping,
+    // 1-based element access, missing struct fields → NULL, empty arrays
+    // stay [] (not NULL), UNNEST expands rows
+    val dir = writeDocs("array_items", Seq(
+      """{"order_id":"ORD-001","items":[{"product":"Laptop","quantity":1,"price":999.99},{"product":"Mouse","quantity":2,"price":29.99}]}""",
+      """{"order_id":"ORD-003","items":[]}""",
+      """{"order_id":"ORD-004","items":[{"product":"Keyboard","quantity":1}],"notes":["urgent","gift"]}"""))
+    val df = spark.read.format("docstore").option("path", dir).load()
+    // element_at is Spark's 1-based list_extract analog
+    val first = df.filter(col("order_id") === "ORD-001")
+      .select(element_at(col("items"), 1).getField("product"),
+        element_at(col("items"), 2).getField("quantity")).head
+    assert(first.getString(0) == "Laptop" && first.getLong(1) == 2L)
+    // missing struct field inside an array element → NULL, row survives
+    val ord4 = df.filter(col("order_id") === "ORD-004")
+      .select(element_at(col("items"), 1).getField("price")).head
+    assert(ord4.isNullAt(0))
+    // empty array is [], not NULL
+    assert(df.filter(col("order_id") === "ORD-003" && size(col("items")) === 0)
+      .count() == 1)
+    // UNNEST (explode) expands array elements into rows
+    val exploded = df.filter(col("order_id") === "ORD-001")
+      .select(explode(col("items")).as("it"))
+      .select(col("it.product")).orderBy("product")
+      .collect().map(_.getString(0)).toSeq
+    assert(exploded == Seq("Laptop", "Mouse"))
+  }
+
   test("filter on non-projected column still works") {
     val df = spark.read.format("docstore").option("path", smallDir).load()
       .filter(col("id") === 7).select("name")
