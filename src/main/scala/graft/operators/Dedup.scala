@@ -261,13 +261,18 @@ object Dedup {
     * by iterative min-label propagation, cluster id = min doc_id in the
     * component.
     *
-    * Scale: each iteration is one shuffle of (node, label) joined against
-    * the edge list — the standard large-graph CC loop; iterations ≤
-    * O(log diameter) for the alternating form, and near-dup graphs have
-    * tiny diameters (dup sets are quasi-cliques). localCheckpoint after
-    * each round cuts the growing lineage (at cluster scale: checkpoint to
-    * reliable storage). The loop converges by an explicit changed-count
-    * check — no fixed iteration guess.
+    * Scale: the loop runs ONLY over edge-touched nodes — in a near-dup
+    * graph that is a small fraction of the corpus (most docs are
+    * singletons and can never change label), so iteration cost scales
+    * with the dup-pair graph, not the corpus. Each iteration is one
+    * shuffle of (node, label) joined against the edge list — the
+    * standard large-graph CC loop; iterations ≤ O(log diameter) for the
+    * alternating form, and near-dup graphs have tiny diameters (dup sets
+    * are quasi-cliques). localCheckpoint after each round cuts the
+    * growing lineage (at cluster scale: checkpoint to reliable storage).
+    * The loop converges by an explicit changed-count check — no fixed
+    * iteration guess. Singletons rejoin at the end as their own
+    * size-1 clusters.
     */
   def dd06Clusters(spark: SparkSession, dir: String): DataFrame = {
     val nodes = plantedDocs(spark, dir).select(col("doc_id"))
@@ -276,7 +281,8 @@ object Dedup {
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint() // pair pipeline runs once, not once per iteration
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var labels = adj.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -299,9 +305,15 @@ object Dedup {
     }
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
+    val clustered = labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
+    // edge-free docs are their own size-1 clusters — a left anti join on
+    // the (small) clustered set, no per-node loop participation
+    val singletons = nodes
+      .join(clustered, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(1L).as("cluster_size"))
+    clustered.unionByName(singletons).orderBy(col("doc_id"))
   }
 
   /** Oracle: exact transitive closure via recursive CTE — min reachable

@@ -285,7 +285,10 @@ object TextAnalysis {
   def t07TfIdf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    // spread before tokenize+explode: the postings fan-out is the CPU
+    // hot spot; identity when the scan is already wide
+    val tf = Tables.spread(docs)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
