@@ -793,6 +793,113 @@ object Relational {
       |GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  // --------------------------------------------------------------- q30
+  /** Window navigation functions: lag/lead/first/nth over the per-customer
+    * order timeline — one shuffle on the partition key, every function
+    * evaluated in the same streaming window pass.
+    */
+  def q30(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q30Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  lag(o_orderkey, 1) OVER w AS prev_order,
+      |  lead(o_orderkey, 1) OVER w AS next_order,
+      |  first_value(o_orderkey) OVER w AS first_order,
+      |  nth_value(o_orderkey, 2) OVER w AS second_order
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------- q31
+  /** String-function surface: the scalar functions the reference gets
+    * from DuckDB over its scans, all codegen'd map-side in Spark —
+    * upper/lower/length/substr/reverse/pad/translate/replace/
+    * split_part/instr/concat_ws, every value cross-checked.
+    */
+  def q31(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .filter(col("c_custkey") < 200)
+      .select(col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_up"),
+        lower(col("c_name")).as("name_lo"),
+        length(col("c_name")).cast(LongType).as("name_len"),
+        reverse(col("c_name")).as("name_rev"),
+        substring(col("c_name"), 10, 5).as("name_mid"),
+        lpad(col("c_mktsegment"), 12, "*").as("seg_pad"),
+        rpad(col("c_mktsegment"), 12, ".").as("seg_rpad"),
+        translate(col("c_name"), "0123456789", "oizeasgtbq").as("name_tr"),
+        regexp_replace(col("c_name"), "0+", "0").as("name_sq"),
+        split(col("c_name"), "#").getItem(1).as("name_num"),
+        instr(col("c_name"), "#").cast(LongType).as("hash_pos"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("seg_name"))
+      .orderBy(col("c_custkey"))
+
+  val q31Sql: String =
+    """SELECT c_custkey,
+      |  upper(c_mktsegment) AS seg_up,
+      |  lower(c_name) AS name_lo,
+      |  CAST(length(c_name) AS BIGINT) AS name_len,
+      |  reverse(c_name) AS name_rev,
+      |  substr(c_name, 10, 5) AS name_mid,
+      |  lpad(c_mktsegment, 12, '*') AS seg_pad,
+      |  rpad(c_mktsegment, 12, '.') AS seg_rpad,
+      |  translate(c_name, '0123456789', 'oizeasgtbq') AS name_tr,
+      |  regexp_replace(c_name, '0+', '0', 'g') AS name_sq,
+      |  split_part(c_name, '#', 2) AS name_num,
+      |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+      |  concat_ws('-', c_mktsegment, c_name) AS seg_name
+      |FROM customer WHERE c_custkey < 200
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- q32
+  /** Date/time-function surface: extraction fields, arithmetic, and
+    * boundary functions over the BSON-Date-mapped timestamps — all
+    * map-side; cross-engine parity pins each function's semantics
+    * (dayofweek is 1=Sunday in Spark = DuckDB dow+1).
+    */
+  def q32(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+        month(col("o_orderdate")).cast(LongType).as("mon"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+        dayofweek(col("o_orderdate")).cast(LongType).as("dow1"),
+        date_add(col("o_orderdate"), 30).as("plus30"),
+        add_months(col("o_orderdate"), 2).as("plus2mo"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(lit("2000-01-01").cast(DateType), col("o_orderdate"))
+          .cast(LongType).as("days_to_y2k"),
+        unix_timestamp(col("o_orderdate")).as("epoch_sec"))
+      .orderBy(col("o_orderkey"))
+
+  val q32Sql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+      |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+      |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow1,
+      |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+      |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+      |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -823,7 +930,10 @@ object Relational {
     "q26_set_ops" -> (q26 _),
     "q27_pivot" -> (q27 _),
     "q28_percentiles" -> (q28 _),
-    "q29_cube" -> (q29 _))
+    "q29_cube" -> (q29 _),
+    "q30_window_nav" -> (q30 _),
+    "q31_string_zoo" -> (q31 _),
+    "q32_date_zoo" -> (q32 _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -854,5 +964,8 @@ object Relational {
     "q26_set_ops" -> q26Sql,
     "q27_pivot" -> q27Sql,
     "q28_percentiles" -> q28Sql,
-    "q29_cube" -> q29Sql)
+    "q29_cube" -> q29Sql,
+    "q30_window_nav" -> q30Sql,
+    "q31_string_zoo" -> q31Sql,
+    "q32_date_zoo" -> q32Sql)
 }
