@@ -644,20 +644,38 @@ class DocstoreMicroBatchStream(fullSchema: StructType, required: StructType,
     DocstoreTable.listFiles(opts).sortBy(_._1)
 
   override def initialOffset(): Offset = FileCountOffset(0)
-  override def latestOffset(): Offset = FileCountOffset(sortedFiles().size)
+  override def latestOffset(): Offset = {
+    val files = sortedFiles()
+    FileCountOffset(files.size, files.lastOption.map(_._1).getOrElse(""))
+  }
   override def deserializeOffset(json: String): Offset =
-    FileCountOffset(json.trim.toInt)
+    FileCountOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[FileCountOffset].n
-    val until = end.asInstanceOf[FileCountOffset].n
+    val s = start.asInstanceOf[FileCountOffset]
+    val e = end.asInstanceOf[FileCountOffset]
+    val files = sortedFiles()
+    // The tail-only-growth contract is VALIDATED, not assumed: the offset
+    // remembers the filename at its boundary; if a file was deleted,
+    // renamed, or a new file sorted before the tail, indices shifted and
+    // continuing would silently skip or re-read data — fail instead.
+    def boundaryOk(o: FileCountOffset): Boolean =
+      o.n == 0 || o.last.isEmpty ||
+        (files.size >= o.n && files(o.n - 1)._1 == o.last)
+    if (!boundaryOk(s) || !boundaryOk(e))
+      throw new IllegalStateException(
+        "docstore stream: the collection listing changed beneath the " +
+        s"checkpoint (offset ${s.json()} -> ${e.json()}, now " +
+        s"${files.size} files). Collection files must be immutable and " +
+        "only append in sort order; restart the stream from a fresh " +
+        "checkpoint to re-read.")
     val split = opts.splitSize
-    sortedFiles().slice(from, until).flatMap { case (file, len) =>
+    files.slice(s.n, e.n).flatMap { case (file, len) =>
       if (len == 0) Seq.empty
-      else (0L until len by split).map { s =>
-        DocstorePartition(file, s, math.min(split, len - s))
+      else (0L until len by split).map { st =>
+        DocstorePartition(file, st, math.min(split, len - st))
       }
     }.toArray
   }
@@ -667,9 +685,35 @@ class DocstoreMicroBatchStream(fullSchema: StructType, required: StructType,
       opts.schemaMode, opts.flatten, None, explicitPaths)
 }
 
-final case class FileCountOffset(n: Int)
+/** Micro-batch offset: first `n` files of the sorted listing, plus the
+  * name of file n−1 so a shifted listing is DETECTED at planning time
+  * instead of silently mis-slicing. Parses the legacy bare-int form for
+  * checkpoints written before the filename was added.
+  */
+final case class FileCountOffset(n: Int, last: String = "")
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = n.toString
+  override def json(): String = {
+    val esc = last.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    s"""{"n":$n,"last":"$esc"}"""
+  }
+}
+
+object FileCountOffset {
+  def parse(s: String): FileCountOffset = {
+    val t = s.trim
+    if (t.startsWith("{")) {
+      val n = """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(t)
+        .map(_.group(1).toInt).getOrElse(0)
+      val last = """"last"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(t)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse("")
+      FileCountOffset(n, last)
+    } else FileCountOffset(t.toInt)
+  }
 }
 
 final case class DocstorePartition(file: String, start: Long, length: Long)

@@ -72,4 +72,41 @@ class DocstoreStreamSpec extends SparkSpec {
       assert(rows("2024-01-01 01:00:00.0") == 5.0)
     } finally q.stop()
   }
+
+  test("a shifted file listing fails fast instead of mis-slicing") {
+    import graft.sources.{DocstoreMicroBatchStream, DocstoreOptions, DocstoreTable, FileCountOffset}
+    val vDir = s"${dir}_validate"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(vDir))
+    Files.createDirectories(Paths.get(vDir))
+    def put(name: String, n: Int): Unit =
+      Files.write(Paths.get(s"$vDir/$name"),
+        (0 until n).map(i => s"""{"id":$i}""").mkString("", "\n", "\n")
+          .getBytes("UTF-8"))
+    put("b.jsonl", 3)
+    val opts = DocstoreOptions(Map("path" -> vDir))
+    val schema = DocstoreTable.inferSchema(opts)
+    val stream = new DocstoreMicroBatchStream(schema, schema, Array.empty, opts)
+    val off1 = stream.latestOffset().asInstanceOf[FileCountOffset]
+    assert(off1.n == 1 && off1.last.endsWith("b.jsonl"))
+    // offsets survive a JSON round trip (incl. the legacy bare-int form)
+    assert(FileCountOffset.parse(off1.json()) == off1)
+    assert(FileCountOffset.parse("2") == FileCountOffset(2))
+    // tail growth is fine: a new file sorting AFTER the boundary
+    put("c.jsonl", 2)
+    val off2 = stream.latestOffset().asInstanceOf[FileCountOffset]
+    assert(stream.planInputPartitions(off1, off2).nonEmpty)
+    // but a file sorting BEFORE the checkpointed boundary shifts every
+    // index — planning must throw, not silently re-slice
+    put("a.jsonl", 2)
+    val off3 = stream.latestOffset().asInstanceOf[FileCountOffset]
+    intercept[IllegalStateException] {
+      stream.planInputPartitions(off2, off3)
+    }
+    // deleting the boundary file is detected the same way
+    Files.delete(Paths.get(s"$vDir/a.jsonl"))
+    Files.delete(Paths.get(s"$vDir/b.jsonl"))
+    intercept[IllegalStateException] {
+      stream.planInputPartitions(off1, stream.latestOffset())
+    }
+  }
 }
