@@ -79,6 +79,28 @@ class PlanAuditSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("st06: the as-of join plans with NO join operator (union+window)") {
+    // the whole point of the single-shuffle form: each row moves once,
+    // there is no join node to multiply events × orders
+    val p = finalPlan("st06_asof_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q30: all four navigation functions evaluate in ONE window pass") {
+    // AQE renders Final + Initial sections — audit the final one only
+    val p = finalPlan("q30_window_nav").split("== Initial Plan ==").head
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q27/t07: new aggregation shapes stay partial and non-cartesian") {
+    val p27 = finalPlan("q27_pivot")
+    assert(p27.contains("partial_count") && !p27.contains("CartesianProduct"), p27)
+    val p07 = finalPlan("t07_tfidf")
+    assert(!p07.contains("CartesianProduct"), p07)
+  }
+
   test("docstore scan shows its pushdown in the plan") {
     val p = finalPlan("d08_docstore_scan")
     assert(p.contains("docstore"), p)
