@@ -326,6 +326,49 @@ object TextAnalysis {
       |      FROM scored)
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- t08
+  /** URL/domain statistics — the provenance roll-up every web-corpus
+    * pipeline runs (per-domain doc and URL counts feed quality filters
+    * and dedup priors). The corpus is synthetic and URL-free, so URLs are
+    * PLANTED deterministically (t05 pattern) and the extractor must find
+    * exactly those. Map-side regex extraction → explode → one partial-agg
+    * shuffle on domain.
+    */
+  def t08Domains(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" see https://site"), (col("doc_id") % 7).cast(StringType),
+            lit(".example.com/page"), col("doc_id").cast(StringType)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          concat(lit(" http://cdn"), (col("doc_id") % 3).cast(StringType),
+            lit(".example.org/x"))).otherwise(lit(""))))
+    docs.select(col("doc_id"),
+        explode(expr(
+          "regexp_extract_all(text2, 'https?://([a-z0-9.-]+)', 1)"))
+          .as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("domain"))
+  }
+
+  val t08Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || (doc_id % 7) ||
+      |      '.example.com/page' || doc_id ELSE '' END ||
+      |    CASE WHEN doc_id % 6 = 0 THEN ' http://cdn' || (doc_id % 3) ||
+      |      '.example.org/x' ELSE '' END AS text2
+      |  FROM documents),
+      |urls AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(text2, 'https?://([a-z0-9.-]+)', 1)) AS domain
+      |  FROM planted)
+      |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM urls GROUP BY domain ORDER BY domain""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> (t01LangId _),
@@ -334,7 +377,8 @@ object TextAnalysis {
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_pii_scrub" -> (t05PiiScrub _),
     "t06_repetition" -> (t06Repetition _),
-    "t07_tfidf" -> (t07TfIdf _))
+    "t07_tfidf" -> (t07TfIdf _),
+    "t08_domain_stats" -> (t08Domains _))
 
   val oracle: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
@@ -343,5 +387,6 @@ object TextAnalysis {
     "t04_fingerprint" -> graft.functions.KernelOracleSql.t04Sql,
     "t05_pii_scrub" -> t05Sql,
     "t06_repetition" -> t06Sql,
-    "t07_tfidf" -> t07Sql)
+    "t07_tfidf" -> t07Sql,
+    "t08_domain_stats" -> t08Sql)
 }
