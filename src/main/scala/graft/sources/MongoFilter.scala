@@ -20,8 +20,8 @@ import org.apache.spark.sql.graftshim.toColumn
   *
   * Supported (the reference's pushdown grammar, README "Filter
   * Pushdown", plus Mongo's array operators): implicit equality,
-  * `$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $not $and $or
-  * $nor`, array `$size $all $elemMatch` (scalar-ops and document
+  * `$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $mod $not $and
+  * $or $nor`, array `$size $all $elemMatch` (scalar-ops and document
   * forms — compiled to Catalyst higher-order `exists`, still
   * codegen'd), dotted paths (`a.b` → nested field / struct access,
   * resolved by the analyzer).
@@ -95,6 +95,14 @@ object MongoFilter {
           if (nulls.nonEmpty) And(notIn, IsNotNull(c)) // null listed → nulls excluded
           else Or(notIn, IsNull(c))                    // else missing/null matches
         case other => throw bad(s"$$nin needs an array, got $other")
+      }
+      case "$mod" => operand match {
+        // {field: {$mod: [divisor, remainder]}} — Mongo applies it to the
+        // integer value; Remainder is codegen'd and null-safe like any
+        // arithmetic comparison
+        case DArray(Seq(d, r)) =>
+          EqualTo(Remainder(c, toLit(d)), toLit(r))
+        case other => throw bad(s"$$mod needs [divisor, remainder], got $other")
       }
       case "$exists" => operand match {
         case DBool(true)  => IsNotNull(c)

@@ -44,6 +44,11 @@ class MongoFilterSpec extends SparkSpec {
 
   test("$regex") { assert(ids("""{"name":{"$regex":"^[ab]"}}""") == Seq(1L, 2L)) }
 
+  test("$mod") {
+    assert(ids("""{"id":{"$mod":[2,0]}}""") == Seq(2L, 4L))
+    assert(ids("""{"id":{"$mod":[3,1]}}""") == Seq(1L, 4L))
+  }
+
   test("$regex anchored prefix becomes a pushable StartsWith conjunct") {
     // semantics stay exact across the tricky shapes...
     assert(ids("""{"name":{"$regex":"^ali.*"}}""") == Seq(1L))
