@@ -74,6 +74,26 @@ class GraftApiSpec extends AnyFunSuite {
     assert(spark.sql("SELECT n FROM m.webdb.clicks").head.getLong(0) == 1L)
   }
 
+  test("multiple attached catalogs coexist and join across (ref attach_multiple.test)") {
+    import java.nio.file.{Files, Paths}
+    val root2 = "/tmp/graft_docstore/catalog_root2"
+    Files.createDirectories(Paths.get(s"$root2/refdb"))
+    Files.write(Paths.get(s"$root2/refdb/coll_names.jsonl"),
+      Seq("""{"coll":"orders_east","region":"east"}""",
+          """{"coll":"orders_west","region":"west"}""")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    Graft.attach(spark, "m1", operators.DocstoreOps.catalogRoot())
+    Graft.attach(spark, "m2", root2)
+    // both catalogs resolve independently...
+    assert(spark.sql("SHOW NAMESPACES IN m1").count() == 2)
+    assert(spark.sql("SHOW NAMESPACES IN m2").count() == 1)
+    // ...and a single query joins collections from different catalogs
+    val joined = spark.sql(
+      """SELECT r.region FROM m1.salesdb.orders_east o
+        |JOIN m2.refdb.coll_names r ON o.coll = r.coll""".stripMargin)
+    assert(joined.head.getString(0) == "east")
+  }
+
   test("SQL functions from GraftExtensions") {
     spark.sql("SELECT 1").collect() // force session init
     val sim = spark.sql(
