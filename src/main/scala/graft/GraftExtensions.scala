@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(s, f, u) => BandHashExpr(s, intArg(f, "from"), intArg(u, "until"))
       case args => throw new IllegalArgumentException(s"band_hash: bad arity ${args.size}")
     }
+    reg("strip_accents", "strip_accents(text) - drop combining accent marks (NFD)") {
+      case Seq(t) => StripAccentsExpr(t)
+      case args   => throw new IllegalArgumentException(s"strip_accents: bad arity ${args.size}")
+    }
     reg("cosine_sim", "cosine_sim(vec, vec) - cosine similarity of float vectors") {
       case Seq(a, b) => CosineSimExpr(a, b)
       case args => throw new IllegalArgumentException(s"cosine_sim: bad arity ${args.size}")

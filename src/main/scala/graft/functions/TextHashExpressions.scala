@@ -71,6 +71,20 @@ case class ShingleHashesExpr(child: Expression, shingleK: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** Accent stripping (NFD + drop combining marks) — DuckDB
+  * `strip_accents` parity; normalization preludes for dedup keys.
+  */
+case class StripAccentsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.stripAccents(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.stripAccents($c)")
+  override protected def withNewChildInternal(c: Expression): StripAccentsExpr =
+    copy(child = c)
+  override def prettyName: String = "strip_accents"
+}
+
 /** LSH band key over a slice of a minhash signature. */
 case class BandHashExpr(child: Expression, from: Int, until: Int)
     extends UnaryExpression {
@@ -96,6 +110,8 @@ object text {
     toColumn(BandHashExpr(expression(c), from, until))
   def shingle_hashes(c: Column, shingleK: Int = 3): Column =
     toColumn(ShingleHashesExpr(expression(c), shingleK))
+  def strip_accents(c: Column): Column =
+    toColumn(StripAccentsExpr(expression(c)))
 
   private[graft] def expression(c: Column): Expression = toExpression(c)
 }

@@ -12,6 +12,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHashes {
 
+  /** Unicode accent stripping: NFD-decompose, drop combining marks —
+    * the text-normalization step before dedup/equality-class keys
+    * (DuckDB's `strip_accents` analog; Spark has no built-in).
+    */
+  def stripAccents(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val n = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) {
+      val ch = n.charAt(i)
+      if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
   /** splitmix64 finalizer — the standard public-domain bit mixer. */
   @inline def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

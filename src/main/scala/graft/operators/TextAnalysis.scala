@@ -369,6 +369,47 @@ object TextAnalysis {
       |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
       |FROM urls GROUP BY domain ORDER BY domain""".stripMargin
 
+  // ---------------------------------------------------------------- t09
+  /** Text normalization for equality-class keys: lowercase → accent
+    * strip (custom codegen'd NFD expression, DuckDB `strip_accents`
+    * parity) → whitespace collapse → md5 class key. Accented phrases are
+    * PLANTED (doc_id-keyed) so the normalizer provably folds them; the
+    * class key is what exact dedup at 100 TB would group on — all
+    * map-side, one presentation sort.
+    */
+  def t09Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val accented = array(lit(" Café São Paulo"), lit(" Über Zürich"),
+      lit(" niño señor"), lit(" crème brûlée"), lit(" smörgåsbord Åland"))
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          element_at(accented, (col("doc_id") % 5 + 1).cast("int")))
+          .otherwise(lit(""))))
+    docs.select(col("doc_id"),
+        regexp_replace(
+          graft.functions.text.strip_accents(lower(col("text2"))),
+          "\\s+", " ").as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_key"),
+        length(col("norm")).cast(LongType).as("norm_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t09Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      [' Café São Paulo', ' Über Zürich', ' niño señor',
+      |       ' crème brûlée', ' smörgåsbord Åland'][CAST(doc_id % 5 + 1 AS INT)]
+      |    ELSE '' END AS text2
+      |  FROM documents),
+      |normed AS (
+      |  SELECT doc_id,
+      |    regexp_replace(strip_accents(lower(text2)), '\s+', ' ', 'g') AS norm
+      |  FROM planted)
+      |SELECT doc_id, md5(norm) AS norm_key,
+      |  CAST(length(norm) AS BIGINT) AS norm_len
+      |FROM normed ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> (t01LangId _),
@@ -378,7 +419,8 @@ object TextAnalysis {
     "t05_pii_scrub" -> (t05PiiScrub _),
     "t06_repetition" -> (t06Repetition _),
     "t07_tfidf" -> (t07TfIdf _),
-    "t08_domain_stats" -> (t08Domains _))
+    "t08_domain_stats" -> (t08Domains _),
+    "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
@@ -388,5 +430,6 @@ object TextAnalysis {
     "t05_pii_scrub" -> t05Sql,
     "t06_repetition" -> t06Sql,
     "t07_tfidf" -> t07Sql,
-    "t08_domain_stats" -> t08Sql)
+    "t08_domain_stats" -> t08Sql,
+    "t09_normalize" -> t09Sql)
 }

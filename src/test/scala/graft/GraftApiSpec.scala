@@ -94,6 +94,11 @@ class GraftApiSpec extends AnyFunSuite {
     assert(joined.head.getString(0) == "east")
   }
 
+  test("strip_accents SQL function folds accents to base letters") {
+    assert(spark.sql("SELECT strip_accents('Café Zürich niño Åland')")
+      .head.getString(0) == "Cafe Zurich nino Aland")
+  }
+
   test("SQL functions from GraftExtensions") {
     spark.sql("SELECT 1").collect() // force session init
     val sim = spark.sql(
