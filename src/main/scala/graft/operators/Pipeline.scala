@@ -150,11 +150,53 @@ object Pipeline {
       |  FROM documents)
       |WHERE rn <= ceil(n_src * 0.2) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- p05
+  /** Token-budget shard packing: assign docs to fixed-budget shards
+    * (the sequence-packing prelude of a training run) by a running token
+    * cumsum per source — shard k holds the docs whose cumulative count
+    * crosses [k·B, (k+1)·B). Deterministic doc order (doc_id) makes the
+    * packing reproducible across engines and runs; one shuffle on the
+    * source key (the window), budget math map-side.
+    */
+  def p05TokenShards(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 20000L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .withColumn("tokens",
+        size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .cast(LongType))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .withColumn("shard",
+        ((col("cum_tokens") - col("tokens")) / budget).cast(LongType))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard"))
+  }
+
+  val p05Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, source, tokens,
+      |    SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM toks)
+      |SELECT source, CAST((cum_tokens - tokens) // 20000 AS BIGINT) AS shard,
+      |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM packed GROUP BY 1, 2 ORDER BY source, shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_pipeline" -> (p01CleanPipeline _),
     "p02_hash_sample" -> (p02HashSample _),
     "p03_training_mix" -> (p03TrainingMix _),
     "p04_stratified" -> (p04Stratified _),
+    "p05_token_shards" -> (p05TokenShards _),
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
@@ -162,5 +204,6 @@ object Pipeline {
     "p02_hash_sample" -> p02Sql,
     "p03_training_mix" -> p03Sql,
     "p04_stratified" -> p04Sql,
+    "p05_token_shards" -> p05Sql,
     "d11_variant" -> d11Sql)
 }
