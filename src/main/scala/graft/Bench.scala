@@ -29,17 +29,20 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
-    // min of 2 timed runs per query: steady-state throughput, not GC /
-    // page-cache luck — run-to-run noise at these sub-second scales
-    // otherwise dominates the per-query numbers
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    // min over 3 INTERLEAVED rounds per query: steady-state throughput,
+    // not GC / page-cache / co-tenant luck. Observed noise spikes last
+    // seconds and hit whole windows, so back-to-back repeats share the
+    // spike — full-list rounds put a query's samples minutes apart, and
+    // the per-query minimum is the honest repeatable-latency estimator.
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (_ <- 1 to 3; (name, fn) <- keys) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (!best.contains(name) || dt < best(name)) best(name) = dt
     }
+    val results = keys.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
