@@ -101,6 +101,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p07.contains("CartesianProduct"), p07)
   }
 
+  test("scalar-function queries are map-only (no hash exchange, sort only)") {
+    // q31/q32/t03/t05/t09 must stay embarrassingly parallel: the only
+    // exchange allowed is the presentation sort's range partitioning
+    for (k <- Seq("q31_string_zoo", "q32_date_zoo", "t03_token_count",
+        "t05_pii_scrub", "t09_normalize")) {
+      val p = finalPlan(k).split("== Initial Plan ==").head
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$k shuffles where it should be map-only:\n$p")
+    }
+  }
+
   test("docstore scan shows its pushdown in the plan") {
     val p = finalPlan("d08_docstore_scan")
     assert(p.contains("docstore"), p)
