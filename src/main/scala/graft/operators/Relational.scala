@@ -900,6 +900,52 @@ object Relational {
       |FROM orders WHERE o_custkey < 50
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- q33
+  /** TPC-H Q21 shape: doubly-correlated EXISTS + NOT EXISTS on the same
+    * fact table — suppliers who were the SOLE returning supplier on
+    * multi-supplier orders.
+    *
+    * Scale: the naive form is three lineitem scans and two key shuffles
+    * (semi + anti). Both correlations only ask per-order facts, so they
+    * decorrelate into ONE window pass: a single scan, a single shuffle
+    * on l_orderkey computing the per-order supplier sets, filters
+    * map-side after (the q17 trick, doubled). The oracle keeps the
+    * EXISTS/NOT EXISTS formulation — two independently derived plans
+    * must agree.
+    */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val supp = Tables(spark, dir, "supplier")
+    li.withColumn("n_supps",
+        size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_ret_supps",
+        size(collect_set(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .over(w)))
+      .filter(col("l_returnflag") === "R" &&
+        col("n_supps") > 1 && col("n_ret_supps") === 1)
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  val q33Sql: String =
+    """SELECT s_suppkey, s_name, COUNT(*) AS numwait
+      |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -933,7 +979,8 @@ object Relational {
     "q29_cube" -> (q29 _),
     "q30_window_nav" -> (q30 _),
     "q31_string_zoo" -> (q31 _),
-    "q32_date_zoo" -> (q32 _))
+    "q32_date_zoo" -> (q32 _),
+    "q33_multi_exists" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -967,5 +1014,6 @@ object Relational {
     "q29_cube" -> q29Sql,
     "q30_window_nav" -> q30Sql,
     "q31_string_zoo" -> q31Sql,
-    "q32_date_zoo" -> q32Sql)
+    "q32_date_zoo" -> q32Sql,
+    "q33_multi_exists" -> q33Sql)
 }
