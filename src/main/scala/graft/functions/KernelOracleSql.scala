@@ -144,6 +144,47 @@ object KernelOracleSql {
        |SELECT id_a, id_b, hamming FROM hpairs
        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
+  /** m02 oracle: the multimodal stub-codec feature half, replicated
+    * byte-for-byte — payload = UTF-8 bytes of text (= codepoints on the
+    * ASCII corpus), checksum = fold h·31+b mod 2^64 over the stride-4
+    * "resize" subsample, features = float32 nibble histogram; the l2
+    * summary squares/accumulates the f32 values in double exactly like
+    * the Spark expression.
+    */
+  val m02Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+       |    strlen(text) AS n, text
+       |  FROM documents),
+       |cs AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(0::HUGEINT,
+       |      list_transform(range(1, strlen(text)+1, 4),
+       |        i -> ord(text[i])::HUGEINT)),
+       |    (h, b) -> (h * 31::HUGEINT + b) % $P64) AS cs_u
+       |  FROM base),
+       |nibs AS (
+       |  SELECT doc_id, n,
+       |    list_transform(range(1, strlen(text)+1), i -> ord(text[i]) // 16) AS nb
+       |  FROM base),
+       |feats AS (
+       |  SELECT doc_id,
+       |    ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(16), j ->
+       |        CAST(CAST(CASE WHEN n = 0 THEN 0.0
+       |          ELSE len(list_filter(nb, x -> x = j)) / CAST(n AS DOUBLE)
+       |        END AS FLOAT) AS DOUBLE))),
+       |      (a, x) -> a + x * x)), 4) AS feat_l2,
+       |    CAST(len(list_filter(range(16), j ->
+       |      len(list_filter(nb, x -> x = j)) > 0)) AS BIGINT) AS feat_nonzero
+       |  FROM nibs)
+       |SELECT b.doc_id, b.media_type, ${toSigned("c.cs_u")} AS checksum,
+       |  f.feat_l2, f.feat_nonzero
+       |FROM base b JOIN cs c ON b.doc_id = c.doc_id
+       |  JOIN feats f ON b.doc_id = f.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   /** t04 oracle: Rabin-Karp base-257 over raw text bytes finalized with
     * mix64, plus the SimHash — both as signed BIGINT.
     */

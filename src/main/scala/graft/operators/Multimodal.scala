@@ -122,16 +122,20 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** m02: the decoded-feature half — stub-codec outputs summarized to
-    * scalars (engine-specific kernel → rows-only oracle; the feature
-    * vector itself is spec-tested, and kept out of the result so the
-    * driver's tabular compare never sees an array column).
+    * scalars. Fully SQL-gated: the corpus is pure ASCII, so DuckDB
+    * re-derives the payload bytes as codepoints and replicates the
+    * checksum fold (mod-2^64) and the float32 histogram exactly
+    * (KernelOracleSql.m02Sql). The only f32 quantization point is the
+    * stub histogram itself; the l2 summary accumulates in double on
+    * both sides.
     */
   def m02(spark: SparkSession, dir: String): DataFrame = {
     mediaFeatures(spark, dir)
       .toDF()
       .select(col("doc_id"), col("media_type"), col("checksum"),
         round(sqrt(aggregate(col("features"), lit(0.0d),
-          (acc, x) => acc + x * x)), 4).as("feat_l2"),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+          .as("feat_l2"),
         size(filter(col("features"), x => x > 0f)).cast("long")
           .as("feat_nonzero"))
       .orderBy(col("doc_id"))
@@ -140,5 +144,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal" -> (m01 _),
     "m02_media_features" -> (m02 _))
-  val oracle: Map[String, String] = Map("m01_multimodal" -> m01Sql)
+  val oracle: Map[String, String] = Map(
+    "m01_multimodal" -> m01Sql,
+    "m02_media_features" -> graft.functions.KernelOracleSql.m02Sql)
 }
