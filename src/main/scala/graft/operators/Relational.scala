@@ -918,11 +918,12 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
     val w = Window.partitionBy(col("l_orderkey"))
     val supp = Tables(spark, dir, "supplier")
-    li.withColumn("n_supps",
-        size(collect_set(col("l_suppkey")).over(w)))
-      .withColumn("n_ret_supps",
+    // both window expressions in ONE select → a single Window node
+    // evaluates both per-order facts in the same pass
+    li.select(col("l_suppkey"), col("l_returnflag"),
+        size(collect_set(col("l_suppkey")).over(w)).as("n_supps"),
         size(collect_set(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .over(w)))
+          .over(w)).as("n_ret_supps"))
       .filter(col("l_returnflag") === "R" &&
         col("n_supps") > 1 && col("n_ret_supps") === 1)
       .join(supp, col("l_suppkey") === col("s_suppkey"))

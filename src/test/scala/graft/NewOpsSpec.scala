@@ -83,6 +83,29 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p05: shards partition each source into contiguous doc ranges") {
+    val df = SparkEntry.queries("p05_token_shards")(spark, sfDir).cache()
+    assert(df.count() > 0)
+    // within a source: shard ids dense from 0, ranges contiguous and
+    // non-overlapping in doc order
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(4), r.getLong(5))).groupBy(_._1)
+    rows.foreach { case (src, shards) =>
+      val sorted = shards.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"$src shards not starting at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, s1, _, last1), (_, s2, first2, _)) =>
+          assert(s2 == s1 + 1, s"$src shard ids not dense")
+          assert(first2 > last1, s"$src shard ranges overlap")
+        case _ => ()
+      }
+    }
+    // total docs conserved
+    assert(df.agg(sum(col("n_docs"))).head.getLong(0) ==
+      Tables(spark, sfDir, "documents").count())
+    df.unpersist()
+  }
+
   test("p04: every stratum keeps ceil(20%) docs, reproducibly") {
     val df = SparkEntry.queries("p04_stratified")(spark, sfDir).cache()
     val kept = df.groupBy(col("source")).agg(count(lit(1)).as("kept"))

@@ -112,6 +112,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q33: double correlation runs as one window pass, no fact self-join") {
+    val p = finalPlan("q33_multi_exists").split("== Initial Plan ==").head
+    // the EXISTS/NOT EXISTS pair must NOT plan as semi/anti self-joins of
+    // lineitem — one Window node computes both per-order facts
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin"), p) // supplier joins by broadcast
+  }
+
   test("docstore scan shows its pushdown in the plan") {
     val p = finalPlan("d08_docstore_scan")
     assert(p.contains("docstore"), p)
