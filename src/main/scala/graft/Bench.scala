@@ -43,10 +43,31 @@ object Bench {
       if (!best.contains(name) || dt < best(name)) best(name) = dt
     }
     val results = keys.map { case (name, _) => name -> best(name) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query timings → file: the driver's stdout tail capture is
+    // ~2000 chars, so a 90+-query JSON line gets front-truncated and fails
+    // its parse. The file holds everything; stdout gets a line that FITS.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    catch { case _: Throwable => () }
+    // stdout line: total + a headline subset (one per operator family),
+    // 3-decimal rounding, well under the tail window even as queries grow
+    def r3(v: Double): String = f"$v%.3f"
+    val headline = Seq(
+      "q01_pricing_summary", "q05_multi_join", "q18_large_orders",
+      "q21_cte", "q33_multi_exists", "h08_market_share", "h09_profit",
+      "h13_cust_distribution", "d04_mongo_filter", "d08_docstore_scan",
+      "dd02_dedup_minhash", "dd06_dedup_clusters", "s01_ann_bruteforce",
+      "t07_tfidf", "m02_media_features", "p01_clean_pipeline",
+      "st02_sessionize", "st06_asof_join")
+    val hqs = results.filter(r => headline.contains(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$hqs,"full_per_query":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,14 +13,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ DocumentOps.queries ++
-      DocstoreOps.queries ++ Streaming.queries ++ Pipeline.queries
+    Relational.queries ++ Tpch.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      DocumentOps.queries ++ DocstoreOps.queries ++ Streaming.queries ++
+      Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ Multimodal.oracle ++ DocumentOps.oracle ++
-      DocstoreOps.oracle ++ Streaming.oracle ++ Pipeline.oracle
+    Relational.oracle ++ Tpch.oracle ++ TextAnalysis.oracle ++
+      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
+      DocumentOps.oracle ++ DocstoreOps.oracle ++ Streaming.oracle ++
+      Pipeline.oracle
 }

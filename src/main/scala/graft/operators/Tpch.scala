@@ -1,0 +1,930 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** The full TPC-H 1–22 suite — the reference's flagship proof.
+  *
+  * The reference validates its whole stack by running PRAGMA tpch(1..22)
+  * over MongoDB collections (reference: test/sql/tpch/tpch.test:31 — loops
+  * all 22 against the published sf0.01 answers). This file is the same
+  * surface re-expressed with the DataFrame API so Catalyst plans every
+  * pushdown / join order / decorrelation the reference delegates to DuckDB.
+  *
+  * Column substitutions (the driver testdata omits some TPC-H columns;
+  * every substitution is DETERMINISTIC and applied identically in the
+  * Spark plan and the DuckDB oracle, so parity still proves the plan):
+  *   - `partsupp` table     → derived from distinct lineitem
+  *     (l_partkey,l_suppkey): ps_availqty = (7p+3s)%9999+1,
+  *     ps_supplycost = (13p+11s)%900+1 dollars (exact DECIMAL).
+  *   - l_commitdate         → l_shipdate + (l_partkey%30) days
+  *   - l_receiptdate        → l_shipdate + (l_suppkey%30) days
+  *   - l_shipmode           → CASE l_linenumber%7 → AIR|MAIL|SHIP|…
+  *   - o_comment '%special%requests%' (Q13) → o_orderpriority<>'1-URGENT'
+  *   - supplier "complaints" (Q16)          → s_acctbal < 0
+  *   - c_phone country code (Q22)           → c_nationkey % 10
+  *   - p_mfgr/p_container/addresses/phones  → dropped from outputs or
+  *     replaced by p_brand/p_size predicates of the same selectivity.
+  *   - date windows shifted into the testdata's 1995–2001 range.
+  *
+  * Money math follows SURVEY §5: exact DECIMAL throughout, cast to DOUBLE
+  * only at the end — partition/summation order can never change a bit.
+  * Every query ends in a total deterministic ORDER BY (unique tie-break).
+  */
+object Tpch {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def discPrice(price: Column, disc: Column): Column =
+    dec(price) * (lit(1).cast(DecimalType(3, 2)) - dec(disc))
+  private def asDouble(c: Column): Column = c.cast(DoubleType)
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  /** Pseudo-partsupp: the supplier-part relationships that actually occur
+    * in lineitem, with deterministic synthesized availqty/supplycost.
+    * Scale: distinct on two bigint keys = one map-side-combined shuffle of
+    * the key pairs only; at 100 TB this is the standard "derive the dim
+    * from the fact" pattern and shuffles ~|partsupp| rows, not |lineitem|.
+    */
+  def partsupp(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select(
+        col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"),
+        ((col("l_partkey") * 7 + col("l_suppkey") * 3) % 9999 + 1)
+          .cast(LongType).as("ps_availqty"),
+        ((col("l_partkey") * 13 + col("l_suppkey") * 11) % 900 + 1)
+          .cast(DecimalType(12, 2)).as("ps_supplycost"))
+
+  /** Oracle-side twin of [[partsupp]] as a WITH-clause body. */
+  private val psCte: String =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    CAST(((l_partkey*7 + l_suppkey*3) % 9999) + 1 AS BIGINT) AS ps_availqty,
+      |    CAST(((l_partkey*13 + l_suppkey*11) % 900) + 1 AS DECIMAL(12,2)) AS ps_supplycost
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
+
+  /** lineitem + derived commit/receipt dates and shipmode (map-only;
+    * stays inside WholeStageCodegen, nothing extra is shuffled). */
+  private def withShipCols(li: DataFrame): DataFrame = li
+    .withColumn("l_commitdate",
+      expr("timestampadd(DAY, CAST(l_partkey % 30 AS INT), l_shipdate)"))
+    .withColumn("l_receiptdate",
+      expr("timestampadd(DAY, CAST(l_suppkey % 30 AS INT), l_shipdate)"))
+    .withColumn("l_shipmode", expr(
+      "CASE CAST(l_linenumber % 7 AS INT) WHEN 0 THEN 'AIR' WHEN 1 THEN 'MAIL'" +
+        " WHEN 2 THEN 'SHIP' WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'RAIL'" +
+        " WHEN 5 THEN 'REG AIR' ELSE 'FOB' END"))
+
+  /** Oracle-side twin of [[withShipCols]] as a WITH-clause body. */
+  private val lxCte: String =
+    """lx AS (
+      |  SELECT l.*,
+      |    l_shipdate + INTERVAL ((l_partkey % 30)) DAY AS l_commitdate,
+      |    l_shipdate + INTERVAL ((l_suppkey % 30)) DAY AS l_receiptdate,
+      |    CASE CAST(l_linenumber % 7 AS INT) WHEN 0 THEN 'AIR' WHEN 1 THEN 'MAIL'
+      |      WHEN 2 THEN 'SHIP' WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'RAIL'
+      |      WHEN 5 THEN 'REG AIR' ELSE 'FOB' END AS l_shipmode
+      |  FROM lineitem l)""".stripMargin
+
+  private val discSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
+  // ---------------------------------------------------------------- h01
+  /** TPC-H Q1: pricing summary report. Cutoff = max(l_shipdate) − 90 days.
+    * Scale: filter + 7-column projection push to parquet; 6 groups →
+    * partial agg shuffles 6 rows/partition.
+    */
+  def h01(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("2001-08-06"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        asDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+          .as("sum_disc_price"),
+        asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount")) *
+          (lit(1).cast(DecimalType(3, 2)) + dec(col("l_tax"))))).as("sum_charge"),
+        (asDouble(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (asDouble(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        (asDouble(sum(dec(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val h01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM($discSql) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM($discSql * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- h02
+  /** TPC-H Q2: minimum-cost supplier in EUROPE for size-15 STANDARD parts.
+    * The correlated min-cost subquery decorrelates to a window min over
+    * ps_partkey — ONE pass over the region-filtered partsupp instead of a
+    * second aggregate scan + join (the q17 trick).
+    * Scale: nation/region broadcast; window = one shuffle on ps_partkey.
+    */
+  def h02(spark: SparkSession, dir: String): DataFrame = {
+    val eurSupp = Tables(spark, dir, "supplier")
+      .join(Tables(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pfil = Tables(spark, dir, "part")
+      .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_brand"))
+    val w = Window.partitionBy(col("ps_partkey"))
+    partsupp(spark, dir)
+      .join(eurSupp, col("ps_suppkey") === col("s_suppkey"))
+      .join(pfil, col("ps_partkey") === col("p_partkey"))
+      .withColumn("mincost", min(col("ps_supplycost")).over(w))
+      .filter(col("ps_supplycost") === col("mincost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  val h02Sql: String =
+    s"""WITH $psCte
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+       |FROM part, supplier, partsupp, nation, region
+       |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+       |  AND p_size = 15 AND p_type = 'STANDARD'
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'EUROPE'
+       |  AND ps_supplycost = (
+       |    SELECT MIN(ps2.ps_supplycost)
+       |    FROM partsupp ps2, supplier s2, nation n2, region r2
+       |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+       |      AND s2.s_nationkey = n2.n_nationkey
+       |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- h03
+  /** TPC-H Q3: shipping-priority. o_shippriority is absent from testdata →
+    * constant 0 both sides. Scale: filtered customer broadcast via stats;
+    * orderBy+limit → TakeOrderedAndProject (no global sort).
+    */
+  def h03(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < ts("1998-03-15"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > ts("1998-03-15"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+        lit(0).as("o_shippriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val h03Sql: String =
+    s"""SELECT l_orderkey, CAST(SUM($discSql) AS DOUBLE) AS revenue,
+       |  o_orderdate, 0 AS o_shippriority
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- h04
+  /** TPC-H Q4: order-priority checking — EXISTS(line committed late) →
+    * left-semi join. Scale: quarter filter pushes to the orders scan;
+    * semi join shuffles only orderkeys.
+    */
+  def h04(spark: SparkSession, dir: String): DataFrame = {
+    val late = withShipCols(Tables(spark, dir, "lineitem"))
+      .filter(col("l_commitdate") < col("l_receiptdate"))
+      .select(col("l_orderkey"))
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1997-07-01") &&
+        col("o_orderdate") < ts("1997-10-01"))
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val h04Sql: String =
+    s"""WITH $lxCte
+       |SELECT o_orderpriority, COUNT(*) AS order_count
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+       |  AND EXISTS (SELECT 1 FROM lx
+       |              WHERE l_orderkey = o_orderkey
+       |                AND l_commitdate < l_receiptdate)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- h05
+  /** TPC-H Q5: local-supplier volume in ASIA, 1996. The c_nationkey =
+    * s_nationkey equi-condition rides the join. Scale: nation/region
+    * broadcast; fact joins shuffle on their keys, AQE re-plans.
+    */
+  def h05(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+    val asia = Tables(spark, dir, "nation")
+      .join(Tables(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA").select(col("n_nationkey"), col("n_name"))
+    Tables(spark, dir, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(asia, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val h05Sql: String =
+    s"""SELECT n_name, CAST(SUM($discSql) AS DOUBLE) AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- h06
+  /** TPC-H Q6: forecast revenue change. All three predicates push to
+    * parquet row-group stats; one-row shuffle.
+    */
+  def h06(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+        .as("revenue"))
+
+  val h06Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- h07
+  /** TPC-H Q7: volume shipping between two nations, by year. The nation
+    * pair predicate is an OR over the two (supplier, customer) rename
+    * branches. Scale: both nation lookups broadcast.
+    */
+  def h07(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") <= ts("1997-12-31"))
+      .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val h07Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  CAST(SUM($discSql) AS DOUBLE) AS revenue
+       |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+       |  AND c_nationkey = n2.n_nationkey
+       |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- h08
+  /** TPC-H Q8: national market share in AMERICA for PROMO parts.
+    * p_type 'ECONOMY ANODIZED STEEL' → 'PROMO' (testdata types are single
+    * words). Scale: part filter broadcast by stats; nations broadcast.
+    */
+  def h08(spark: SparkSession, dir: String): DataFrame = {
+    val amCust = Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "AMERICA").select(col("c_custkey"))
+    val suppNat = Tables(spark, dir, "supplier").join(
+      Tables(spark, dir, "nation")
+        .select(col("n_nationkey").as("sn_nk"), col("n_name").as("nation")),
+      col("s_nationkey") === col("sn_nk"))
+      .select(col("s_suppkey"), col("nation"))
+    val promo = Tables(spark, dir, "part")
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val vol = discPrice(col("l_extendedprice"), col("l_discount"))
+    Tables(spark, dir, "lineitem")
+      .join(promo, col("l_partkey") === col("p_partkey"))
+      .join(Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") <= ts("1997-12-31")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(amCust, col("o_custkey") === col("c_custkey"))
+      .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg((asDouble(sum(when(col("nation") === "NATION_3", vol)
+        .otherwise(lit(0).cast(DecimalType(16, 4))))) /
+        asDouble(sum(vol))).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val h08Sql: String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN $discSql
+       |                ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+       |    / CAST(SUM($discSql) AS DOUBLE) AS mkt_share
+       |FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+       |  region
+       |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+       |  AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+       |  AND p_type = 'PROMO'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- h09
+  /** TPC-H Q9: product-type profit ('%red%' parts), by nation and year.
+    * amount = disc price − ps_supplycost·qty, all exact DECIMAL.
+    * Scale: partsupp derives from lineitem (see [[partsupp]]); the join
+    * back to lineitem is on (partkey,suppkey) — same key domain, so AQE
+    * co-partitions; nation broadcast.
+    */
+  def h09(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables(spark, dir, "part")
+      .filter(col("p_name").like("%red%")).select(col("p_partkey"))
+    val suppNat = Tables(spark, dir, "supplier").join(
+      Tables(spark, dir, "nation")
+        .select(col("n_nationkey").as("sn_nk"), col("n_name").as("nation")),
+      col("s_nationkey") === col("sn_nk"))
+      .select(col("s_suppkey"), col("nation"))
+    val amount =
+      discPrice(col("l_extendedprice"), col("l_discount")) -
+        col("ps_supplycost") * dec(col("l_quantity"))
+    Tables(spark, dir, "lineitem")
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(partsupp(spark, dir),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(asDouble(sum(amount)).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val h09Sql: String =
+    s"""WITH $psCte
+       |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM($discSql - ps_supplycost * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+       |FROM part, supplier, lineitem, partsupp, orders, nation
+       |WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+       |  AND ps_partkey = l_partkey AND p_partkey = l_partkey
+       |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+       |  AND p_name LIKE '%red%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---------------------------------------------------------------- h10
+  /** TPC-H Q10: returned-item reporting, top 20 customers by lost revenue.
+    * c_address/c_phone/c_comment absent → dropped from the output.
+    * Scale: quarter filter on orders pushes down; top-20 via
+    * TakeOrderedAndProject.
+    */
+  def h10(spark: SparkSession, dir: String): DataFrame = {
+    val natName = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1997-01-01") &&
+          col("o_orderdate") < ts("1997-04-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(natName, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val h10Sql: String =
+    s"""SELECT c_custkey, c_name, CAST(SUM($discSql) AS DOUBLE) AS revenue,
+       |  c_acctbal, n_name
+       |FROM customer, orders, lineitem, nation
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+       |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- h11
+  /** TPC-H Q11: important stock in NATION_7 — group value above a fraction
+    * of the grand total. The scalar total comes from a 1-row aggregate
+    * cross-joined (broadcast) onto the per-part groups — no second scan of
+    * partsupp thanks to ReusedExchange on the shared group-sum subplan.
+    */
+  def h11(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables(spark, dir, "supplier")
+      .join(Tables(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_7").select(col("s_suppkey"))
+    val grouped = partsupp(spark, dir)
+      .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
+      .groupBy(col("ps_partkey"))
+      .agg(sum(col("ps_supplycost") * col("ps_availqty")).as("v"))
+    val total = grouped.agg(sum(col("v")).as("tot"))
+    grouped.crossJoin(broadcast(total))
+      .filter(asDouble(col("v")) > asDouble(col("tot")) * 0.0001)
+      .select(col("ps_partkey"), asDouble(col("v")).as("part_value"))
+      .orderBy(col("part_value").desc, col("ps_partkey"))
+  }
+
+  val h11Sql: String =
+    s"""WITH $psCte, filt AS (
+       |  SELECT ps_partkey, SUM(ps_supplycost * ps_availqty) AS v
+       |  FROM partsupp, supplier, nation
+       |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |    AND n_name = 'NATION_7'
+       |  GROUP BY ps_partkey)
+       |SELECT ps_partkey, CAST(v AS DOUBLE) AS part_value FROM filt
+       |WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) * 0.0001 FROM filt)
+       |ORDER BY part_value DESC, ps_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- h12
+  /** TPC-H Q12: shipmode priority counts for MAIL/SHIP lines received in
+    * 1997 that shipped before commit and committed before receipt.
+    * COUNT(CASE…) keeps both engines in BIGINT. Scale: all predicates
+    * map-side on the derived columns; one join shuffle on orderkey.
+    */
+  def h12(spark: SparkSession, dir: String): DataFrame =
+    withShipCols(Tables(spark, dir, "lineitem"))
+      .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+        col("l_commitdate") < col("l_receiptdate") &&
+        col("l_shipdate") < col("l_commitdate") &&
+        col("l_receiptdate") >= ts("1997-01-01") &&
+        col("l_receiptdate") < ts("1998-01-01"))
+      .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_shipmode"))
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("low_line_count"))
+      .orderBy(col("l_shipmode"))
+
+  val h12Sql: String =
+    s"""WITH $lxCte
+       |SELECT l_shipmode,
+       |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+       |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+       |FROM orders, lx
+       |WHERE o_orderkey = l_orderkey AND l_shipmode IN ('MAIL','SHIP')
+       |  AND l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
+       |  AND l_receiptdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_receiptdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin
+
+  // ---------------------------------------------------------------- h13
+  /** TPC-H Q13: customer order-count distribution. o_comment NOT LIKE
+    * '%special%requests%' → o_orderpriority <> '1-URGENT' (same
+    * exclude-a-slice semantics). Scale: one outer-join shuffle on custkey,
+    * then two tiny aggregations.
+    */
+  def h13(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val h13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------- h14
+  /** TPC-H Q14: promotion-revenue share for September 1997. p_type LIKE
+    * 'PROMO%' is literal here (p_type = 'PROMO'). Scale: month filter
+    * pushes to lineitem; part join broadcast by stats while it fits.
+    */
+  def h14(spark: SparkSession, dir: String): DataFrame = {
+    val vol = discPrice(col("l_extendedprice"), col("l_discount"))
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-09-01") &&
+        col("l_shipdate") < ts("1997-10-01"))
+      .join(Tables(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        asDouble(sum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0).cast(DecimalType(16, 4))))) /
+        asDouble(sum(vol))).as("promo_revenue"))
+  }
+
+  val h14Sql: String =
+    s"""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $discSql
+       |    ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+       |  / CAST(SUM($discSql) AS DOUBLE) AS promo_revenue
+       |FROM lineitem, part
+       |WHERE l_partkey = p_partkey
+       |  AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
+
+  // ---------------------------------------------------------------- h15
+  /** TPC-H Q15: top supplier by 1997Q1 revenue. The revenue view feeds
+    * both the per-supplier rows and the scalar max — same subplan object,
+    * so Spark computes it once (ReusedExchange) and broadcasts the 1-row
+    * max. DECIMAL revenue → exact equality against the max.
+    */
+  def h15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1997-04-01") &&
+        // explicit, so BOTH consumers see the identical subtree and the
+        // max branch reuses the per-suppkey exchange (the q15 lesson)
+        col("l_suppkey").isNotNull)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .as("rev_dec"))
+    val mx = rev.agg(max(col("rev_dec")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_dec") === col("mx"))
+      .join(Tables(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        asDouble(col("rev_dec")).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val h15Sql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no, SUM($discSql) AS total_rev
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+       |FROM supplier, revenue
+       |WHERE s_suppkey = supplier_no
+       |  AND total_rev = (SELECT MAX(total_rev) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- h16
+  /** TPC-H Q16: parts/supplier relationship counts. Supplier "complaints"
+    * → s_acctbal < 0; excluded via left-anti join (NOT IN with non-null
+    * keys). Scale: anti join broadcasts the (tiny) complaint set; count
+    * distinct shuffles once on the group keys.
+    */
+  def h16(spark: SparkSession, dir: String): DataFrame = {
+    val bad = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val pfil = Tables(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "MEDIUM" &&
+        col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+    partsupp(spark, dir)
+      .join(bad, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(pfil, col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val h16Sql: String =
+    s"""WITH $psCte
+       |SELECT p_brand, p_type, p_size,
+       |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+       |FROM partsupp, part
+       |WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#3'
+       |  AND p_type <> 'MEDIUM' AND p_size IN (3,9,14,19,23,36,45,49)
+       |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+       |                         WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---------------------------------------------------------------- h17
+  /** TPC-H Q17: small-quantity-order revenue for Brand#5 (p_container
+    * absent → brand-only predicate). Correlated avg decorrelated to a
+    * window over l_partkey AFTER the brand filter — one scan, one shuffle
+    * of ~1/25 of rows (see q17 for the full scale argument).
+    */
+  def h17(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "part").filter(col("p_brand") === "Brand#5"),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((asDouble(sum(dec(col("l_extendedprice")))) / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  val h17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#5'
+      |  AND l_quantity < 0.2 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+      |                          WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // ---------------------------------------------------------------- h18
+  /** TPC-H Q18: large-volume orders (sum qty > 300). The big-order key set
+    * feeds a join back to orders — selective, so stats/AQE broadcast it
+    * while it fits and fall back at scale (no forced hint).
+    */
+  def h18(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey").as("bk"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > 300)
+    Tables(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("bk"))
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        asDouble(col("sum_qty_dec")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  val h18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST((SELECT SUM(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem
+      |        WHERE l_orderkey = o_orderkey) AS DOUBLE) AS sum_qty
+      |FROM customer, orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey
+      |                     HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      |  AND c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- h19
+  /** TPC-H Q19: discounted revenue over three brand/quantity/size/shipmode
+    * disjuncts (p_container, l_shipinstruct absent → dropped conjuncts).
+    * Scale: the OR-of-ANDs stays a single scan+join; the common
+    * l_partkey = p_partkey conjunct is the join key.
+    */
+  def h19(spark: SparkSession, dir: String): DataFrame =
+    withShipCols(Tables(spark, dir, "lineitem"))
+      .filter(col("l_shipmode").isin("AIR", "REG AIR"))
+      .join(Tables(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+          col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 15)))
+      .agg(asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"))
+
+  val h19Sql: String =
+    s"""WITH $lxCte
+       |SELECT CAST(SUM($discSql) AS DOUBLE) AS revenue
+       |FROM lx, part
+       |WHERE l_partkey = p_partkey AND l_shipmode IN ('AIR','REG AIR')
+       |  AND ((p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       |        AND p_size BETWEEN 1 AND 5)
+       |    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+       |        AND p_size BETWEEN 1 AND 10)
+       |    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+       |        AND p_size BETWEEN 1 AND 15))""".stripMargin
+
+  // ---------------------------------------------------------------- h20
+  /** TPC-H Q20: suppliers in NATION_4 with excess stock of 'small%' parts
+    * (p_name LIKE 'forest%' → 'small%'). The correlated half-sum becomes a
+    * grouped 1997 lineitem aggregate inner-joined on (partkey,suppkey) —
+    * SQL's `> NULL` on empty subqueries is false, and an inner join drops
+    * exactly those pairs. Scale: every stage keys on (partkey,suppkey) or
+    * suppkey; the part name filter semi-joins before any aggregation.
+    */
+  def h20(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables(spark, dir, "part")
+      .filter(col("p_name").like("small%")).select(col("p_partkey"))
+    val half = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("sq"))
+    val excess = partsupp(spark, dir)
+      .join(smallParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(half, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") > lit(0.5) * col("sq"))
+      .select(col("ps_suppkey")).distinct()
+    Tables(spark, dir, "supplier")
+      .join(Tables(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_4")
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_name"))
+      .orderBy(col("s_name"))
+  }
+
+  val h20Sql: String =
+    s"""WITH $psCte
+       |SELECT s_name FROM supplier, nation
+       |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_4'
+       |  AND s_suppkey IN (
+       |    SELECT ps_suppkey FROM partsupp
+       |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+       |                         WHERE p_name LIKE 'small%')
+       |      AND ps_availqty > (
+       |        SELECT 0.5 * SUM(l_quantity) FROM lineitem
+       |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+       |ORDER BY s_name""".stripMargin
+
+  // ---------------------------------------------------------------- h21
+  /** TPC-H Q21: suppliers in NATION_1 who kept finished orders waiting —
+    * the sole late supplier on a multi-supplier order. Both correlated
+    * EXISTS clauses decorrelate into ONE window pass over lineitem
+    * computing the per-order supplier sets (the q33 pattern); the oracle
+    * keeps the canonical EXISTS / NOT EXISTS formulation.
+    */
+  def h21(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+    val late = col("l_receiptdate") > col("l_commitdate")
+    val lx = withShipCols(Tables(spark, dir, "lineitem"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        late.as("is_late"))
+    val facts = lx.select(col("l_orderkey"), col("l_suppkey"), col("is_late"),
+      size(collect_set(col("l_suppkey")).over(w)).as("n_supps"),
+      size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w))
+        .as("n_late_supps"))
+      .filter(col("is_late") && col("n_supps") > 1 &&
+        col("n_late_supps") === 1)
+    val fOrders = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val natSupp = Tables(spark, dir, "supplier")
+      .join(Tables(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_1")
+      .select(col("s_suppkey"), col("s_name"))
+    facts
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val h21Sql: String =
+    s"""WITH $lxCte
+       |SELECT s_name, COUNT(*) AS numwait
+       |FROM supplier, lx l1, orders, nation
+       |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+       |  AND o_orderstatus = 'F' AND l1.l_receiptdate > l1.l_commitdate
+       |  AND EXISTS (SELECT 1 FROM lx l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey
+       |                AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lx l3
+       |                  WHERE l3.l_orderkey = l1.l_orderkey
+       |                    AND l3.l_suppkey <> l1.l_suppkey
+       |                    AND l3.l_receiptdate > l3.l_commitdate)
+       |  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- h22
+  /** TPC-H Q22: global sales opportunity — customers with above-average
+    * balances and no recent orders (every testdata customer has SOME
+    * order, so the canonical "no orders at all" is re-anchored to none
+    * since 1999 — same dormant-customer semantics, non-degenerate at
+    * every SF). Phone country code → c_nationkey % 10. The
+    * scalar avg is exact (DECIMAL sum / count, one double division), so
+    * the boundary comparison can never flip between engines. Scale: the
+    * avg is a broadcast 1-row cross join; NOT EXISTS → left-anti on
+    * custkey.
+    */
+  def h22(spark: SparkSession, dir: String): DataFrame = {
+    val codes = Seq(1, 3, 5, 7, 9)
+    val sale = Tables(spark, dir, "customer")
+      .filter((col("c_nationkey") % 10).isin(codes: _*))
+    val avgBal = sale.filter(col("c_acctbal") > 0.0)
+      .agg((asDouble(sum(dec(col("c_acctbal")))) / count(lit(1))).as("ab"))
+    sale.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1999-01-01"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 10).cast(LongType).as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        asDouble(sum(dec(col("c_acctbal")))).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
+  val h22Sql: String =
+    """SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+      |  COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_nationkey % 10 IN (1,3,5,7,9)
+      |  AND c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |    FROM customer
+      |    WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1,3,5,7,9))
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |GROUP BY 1 ORDER BY cntrycode""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h01_pricing" -> (h01 _),
+    "h02_min_cost_supp" -> (h02 _),
+    "h03_shipping_priority" -> (h03 _),
+    "h04_order_priority" -> (h04 _),
+    "h05_local_supplier" -> (h05 _),
+    "h06_forecast_revenue" -> (h06 _),
+    "h07_volume_shipping" -> (h07 _),
+    "h08_market_share" -> (h08 _),
+    "h09_profit" -> (h09 _),
+    "h10_returned_items" -> (h10 _),
+    "h11_important_stock" -> (h11 _),
+    "h12_shipmode" -> (h12 _),
+    "h13_cust_distribution" -> (h13 _),
+    "h14_promo_effect" -> (h14 _),
+    "h15_top_supplier" -> (h15 _),
+    "h16_parts_supplier" -> (h16 _),
+    "h17_small_qty" -> (h17 _),
+    "h18_large_volume" -> (h18 _),
+    "h19_discounted_revenue" -> (h19 _),
+    "h20_part_promotion" -> (h20 _),
+    "h21_waiting_supplier" -> (h21 _),
+    "h22_global_sales" -> (h22 _))
+
+  val oracle: Map[String, String] = Map(
+    "h01_pricing" -> h01Sql,
+    "h02_min_cost_supp" -> h02Sql,
+    "h03_shipping_priority" -> h03Sql,
+    "h04_order_priority" -> h04Sql,
+    "h05_local_supplier" -> h05Sql,
+    "h06_forecast_revenue" -> h06Sql,
+    "h07_volume_shipping" -> h07Sql,
+    "h08_market_share" -> h08Sql,
+    "h09_profit" -> h09Sql,
+    "h10_returned_items" -> h10Sql,
+    "h11_important_stock" -> h11Sql,
+    "h12_shipmode" -> h12Sql,
+    "h13_cust_distribution" -> h13Sql,
+    "h14_promo_effect" -> h14Sql,
+    "h15_top_supplier" -> h15Sql,
+    "h16_parts_supplier" -> h16Sql,
+    "h17_small_qty" -> h17Sql,
+    "h18_large_volume" -> h18Sql,
+    "h19_discounted_revenue" -> h19Sql,
+    "h20_part_promotion" -> h20Sql,
+    "h21_waiting_supplier" -> h21Sql,
+    "h22_global_sales" -> h22Sql)
+}
