@@ -175,9 +175,15 @@ object Dedup {
     val corpus = Tables.spread(plantedDocs(spark, dir)) // parallel shingling
       .select(col("doc_id"), col("source"),
         array_distinct(T.shingle_hashes(col("text"), 3)).as("sh"))
+    // explode_OUTER: sh is never empty (the shingle kernel falls back to
+    // the whole text below 3 tokens), so outer ≡ inner — and the inner
+    // form lets InferFiltersFromGenerate add size(sh)>0 / isnotnull(sh)
+    // checks that predicate pushdown re-expands into full copies of the
+    // shingle kernel below the projection, re-hashing every doc 2× extra
+    // in an interpreted Filter (same pathology measured 8× on t10).
     val postings = corpus
       .select(col("source"), col("doc_id"), size(col("sh")).as("sz"),
-        explode(col("sh")).as("shingle"))
+        explode_outer(col("sh")).as("shingle"))
     // one shuffle: postings → per-shingle doc list (the capped inverted
     // index), pairs emitted in-place by a higher-order transform — no
     // per-shingle self-join, no window

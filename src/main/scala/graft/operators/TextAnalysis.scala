@@ -439,14 +439,21 @@ object TextAnalysis {
           |  i -> array_join(slice(ws, i, 8), ' '))) END""".stripMargin)
         .as("gs"))
 
-    val evalGrams = gramSets(evalDocs).select(explode(col("gs")).as("eg"))
-      .distinct()
+    // explode_OUTER, deliberately: gs is never empty (a short doc yields
+    // its whole text as one gram), so outer ≡ inner here — but the inner
+    // form lets InferFiltersFromGenerate add `size(gs)>0` filters that
+    // projection-collapse then inlines as FULL copies of the gram-array
+    // construction, rebuilding every doc's array 3× per row in an
+    // interpreted Filter (a measured 8× slowdown of the whole operator).
+    // n_grams = COUNT(*) after the explode (gs is distinct per doc), so
+    // nothing else references gs and the array is built exactly once.
+    val evalGrams = gramSets(evalDocs)
+      .select(explode_outer(col("gs")).as("eg")).distinct()
     gramSets(corpus)
-      .select(col("doc_id"), size(col("gs")).cast(LongType).as("n_grams"),
-        explode(col("gs")).as("gram"))
+      .select(col("doc_id"), explode_outer(col("gs")).as("gram"))
       .join(broadcast(evalGrams), col("gram") === col("eg"), "left_outer")
-      .groupBy(col("doc_id"), col("n_grams"))
-      .agg(count(col("eg")).as("n_overlap"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("eg")).as("n_overlap"))
       .select(col("doc_id"), col("n_grams"), col("n_overlap"),
         round(col("n_overlap").cast(DoubleType) / col("n_grams"), 4)
           .as("overlap_frac"),
@@ -464,8 +471,7 @@ object TextAnalysis {
       |  SELECT doc_id + 3000000, regexp_replace(text, '\s+\S+$', '')
       |  FROM evaldocs),
       |cg AS (
-      |  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
-      |    unnest(gs) AS gram
+      |  SELECT doc_id, unnest(gs) AS gram
       |  FROM (SELECT doc_id,
       |      CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
       |      ELSE list_distinct(list_transform(range(1, len(ws) - 6),
@@ -480,11 +486,11 @@ object TextAnalysis {
       |        i -> array_to_string(ws[i:(i+7)], ' '))) END AS gs
       |    FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
       |        x -> x <> '') AS ws FROM evaldocs)))
-      |SELECT doc_id, n_grams, COUNT(eg.eg) AS n_overlap,
-      |  ROUND(CAST(COUNT(eg.eg) AS DOUBLE) / n_grams, 4) AS overlap_frac,
-      |  CAST(COUNT(eg.eg) AS DOUBLE) / n_grams >= 0.2 AS contaminated
+      |SELECT doc_id, COUNT(*) AS n_grams, COUNT(eg.eg) AS n_overlap,
+      |  ROUND(CAST(COUNT(eg.eg) AS DOUBLE) / COUNT(*), 4) AS overlap_frac,
+      |  CAST(COUNT(eg.eg) AS DOUBLE) / COUNT(*) >= 0.2 AS contaminated
       |FROM cg LEFT JOIN eg ON cg.gram = eg.eg
-      |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
