@@ -50,6 +50,33 @@ class DocstoreSpec extends SparkSpec {
     assert(limited.collect().length == 3)
   }
 
+  test("unsupported patterns stay residual and still compute correctly " +
+      "(ref pushdown_negative.test)") {
+    // mirrors test/sql/query/pushdown_negative.test: what the source
+    // can't evaluate must run ABOVE the scan, never silently push
+    val df = spark.read.format("docstore").option("path", smallDir).load()
+    // expression filter (length(name) > 4) — not a DSv2 source filter at
+    // all; Spark keeps a Filter node and results are exact
+    val exprFilter = df.filter(length(col("name")) > 4)
+    assert(explainText(exprFilter).contains("Filter"),
+      explainText(exprFilter))
+    assert(exprFilter.count() == 40) // row10..row49
+    // COUNT(DISTINCT col) — distinct aggregation is never pushed; a
+    // HashAggregate must sit above the scan and the value is exact
+    val cd = df.agg(countDistinct(col("grp")))
+    assert(explainText(cd).contains("HashAggregate"), explainText(cd))
+    assert(cd.head.getLong(0) == 3)
+    // GROUP BY on an expression (id % 10) — grouped agg pushdown only
+    // accepts plain columns; the grouped HashAggregate stays in Spark
+    val ge = df.groupBy((col("id") % 10).as("dec")).count()
+    assert(explainText(ge).contains("HashAggregate"), explainText(ge))
+    assert(ge.count() == 10)
+    // ORDER BY + LIMIT on a non-pushable sort stays a Spark TopN
+    val tn = df.orderBy(col("score").desc).limit(2)
+    assert(explainText(tn).contains("TakeOrderedAndProject"), explainText(tn))
+    assert(tn.select("id").collect().map(_.getLong(0)).toSeq == Seq(49L, 48L))
+  }
+
   test("ObjectId _id filters: equality, IN, range push down (ref objectid_filter.test)") {
     // reference: test/sql/query/objectid_filter.test — ObjectId equality,
     // IN lists, and range comparisons on _id (mapped to 24-hex VARCHAR),
