@@ -50,8 +50,19 @@ object Tpch {
     * from the fact" pattern and shuffles ~|partsupp| rows, not |lineitem|.
     */
   def partsupp(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    partsuppFrom(Tables(spark, dir, "lineitem"))
+
+  /** [[partsupp]] over a pre-restricted lineitem slice. Because every
+    * consumer joins partsupp back on (partkey, suppkey), deriving it from
+    * a lineitem SEMI-JOINED to the query's part/supplier filter is
+    * result-identical — pairs outside the filter never survive the join.
+    * Catalyst cannot push a semi-join through the distinct-aggregation
+    * that defines the dim, so the queries do it by construction; at scale
+    * this cuts the derivation shuffle by the filter's selectivity (6×
+    * for h09's '%red%', ~300× for h02's size+type part filter).
+    */
+  private def partsuppFrom(li: DataFrame): DataFrame =
+    li.select(col("l_partkey"), col("l_suppkey")).distinct()
       .select(
         col("l_partkey").as("ps_partkey"),
         col("l_suppkey").as("ps_suppkey"),
@@ -148,7 +159,9 @@ object Tpch {
       .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
       .select(col("p_partkey"), col("p_brand"))
     val w = Window.partitionBy(col("ps_partkey"))
-    partsupp(spark, dir)
+    // derivation restricted to the filtered parts (see partsuppFrom)
+    partsuppFrom(Tables(spark, dir, "lineitem")
+      .join(pfil, col("l_partkey") === col("p_partkey"), "left_semi"))
       .join(eurSupp, col("ps_suppkey") === col("s_suppkey"))
       .join(pfil, col("ps_partkey") === col("p_partkey"))
       .withColumn("mincost", min(col("ps_supplycost")).over(w))
@@ -405,9 +418,12 @@ object Tpch {
     val amount =
       discPrice(col("l_extendedprice"), col("l_discount")) -
         col("ps_supplycost") * dec(col("l_quantity"))
-    Tables(spark, dir, "lineitem")
-      .join(redParts, col("l_partkey") === col("p_partkey"))
-      .join(partsupp(spark, dir),
+    val li = Tables(spark, dir, "lineitem")
+    // derivation restricted to red-part lineitem (see partsuppFrom)
+    val ps = partsuppFrom(
+      li.join(redParts, col("l_partkey") === col("p_partkey"), "left_semi"))
+    li.join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(ps,
         col("l_partkey") === col("ps_partkey") &&
           col("l_suppkey") === col("ps_suppkey"))
       .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -475,7 +491,9 @@ object Tpch {
     val natSupp = Tables(spark, dir, "supplier")
       .join(Tables(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
       .filter(col("n_name") === "NATION_7").select(col("s_suppkey"))
-    val grouped = partsupp(spark, dir)
+    // derivation restricted to NATION_7-supplier lineitem (partsuppFrom)
+    val grouped = partsuppFrom(Tables(spark, dir, "lineitem")
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi"))
       .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
       .groupBy(col("ps_partkey"))
       .agg(sum(col("ps_supplycost") * col("ps_availqty")).as("v"))
@@ -632,7 +650,9 @@ object Tpch {
     val pfil = Tables(spark, dir, "part")
       .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "MEDIUM" &&
         col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
-    partsupp(spark, dir)
+    // derivation restricted to the filtered parts (see partsuppFrom)
+    partsuppFrom(Tables(spark, dir, "lineitem")
+      .join(pfil, col("l_partkey") === col("p_partkey"), "left_semi"))
       .join(bad, col("ps_suppkey") === col("s_suppkey"), "left_anti")
       .join(pfil, col("ps_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
@@ -756,8 +776,9 @@ object Tpch {
         col("l_shipdate") < ts("1998-01-01"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("sq"))
-    val excess = partsupp(spark, dir)
-      .join(smallParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+    // derivation restricted to 'small%'-part lineitem (see partsuppFrom)
+    val excess = partsuppFrom(Tables(spark, dir, "lineitem")
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi"))
       .join(half, col("ps_partkey") === col("l_partkey") &&
         col("ps_suppkey") === col("l_suppkey"))
       .filter(col("ps_availqty") > lit(0.5) * col("sq"))
