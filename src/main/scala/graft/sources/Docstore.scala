@@ -231,7 +231,8 @@ class DocstoreTable(schema0: StructType, opts: DocstoreOptions)
   override def schema(): StructType = schema0
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocstoreScanBuilder(schema0, opts)
   override def newWriteBuilder(

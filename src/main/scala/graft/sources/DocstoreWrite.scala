@@ -36,7 +36,45 @@ class DocstoreWriteBuilder(schema: StructType, opts: DocstoreOptions)
     val t = doTruncate
     new Write {
       override def toBatch: BatchWrite = new DocstoreBatchWrite(schema, opts, t)
+      override def toStreaming: streaming.StreamingWrite =
+        new DocstoreStreamingWrite(schema, opts)
     }
+  }
+}
+
+/** Streaming sink: each micro-batch's rows land as one committed file per
+  * epoch+partition, named so the collection's lexicographic listing only
+  * grows at the tail (`part-s<epoch>` sorts after every earlier epoch AND
+  * after batch `part-<n>` files) — a stream-written collection is
+  * immediately re-readable by the docstore MicroBatchStream under its
+  * tail-only-growth offset contract. Epoch replay is idempotent: the
+  * final name is deterministic per (epoch, partition) and commit
+  * overwrites it; task-attempt temp names stay unique per attempt.
+  */
+class DocstoreStreamingWrite(schema: StructType, opts: DocstoreOptions)
+    extends streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new DocstoreStreamingWriterFactory(schema, opts.path)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new HPath(opts.path).getFileSystem(new Configuration())
+    messages.collect { case m: DocstoreCommit => m }.foreach { m =>
+      val tmp = new HPath(m.tempFile)
+      val fin = new HPath(m.finalFile)
+      fs.delete(fin, false) // idempotent epoch replay
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(
+          s"docstore streaming commit: rename $tmp -> $fin failed")
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new HPath(opts.path).getFileSystem(new Configuration())
+    messages.collect { case m: DocstoreCommit => m }
+      .foreach(m => fs.delete(new HPath(m.tempFile), false))
   }
 }
 
@@ -75,17 +113,28 @@ class DocstoreBatchWrite(schema: StructType, opts: DocstoreOptions,
 final case class DocstoreCommit(tempFile: String, finalFile: String)
   extends WriterCommitMessage
 
+/** Named (serializable) factory — ships only (schema, dir) to executors. */
+class DocstoreStreamingWriterFactory(schema: StructType, dir: String)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val fin = f"$dir/part-s$epochId%012d-$partitionId%05d.jsonl"
+    val tmp = f"$dir/.part-s$epochId%012d-$partitionId%05d-$taskId.inprogress"
+    new DocstoreDataWriter(schema, dir, tmp, fin)
+  }
+}
+
 class DocstoreWriterFactory(schema: StructType, dir: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DocstoreDataWriter(schema, dir, partitionId, taskId)
+    new DocstoreDataWriter(schema, dir,
+      // dot prefix = excluded by the scan's listing filter until commit
+      f"$dir/.part-$partitionId%05d-$taskId.jsonl.inprogress",
+      f"$dir/part-$partitionId%05d-$taskId.jsonl")
 }
 
-class DocstoreDataWriter(schema: StructType, dir: String, partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
-  private val finalFile = f"$dir/part-$partitionId%05d-$taskId.jsonl"
-  // dot prefix = excluded by the scan's listing filter until commit renames it
-  private val file = f"$dir/.part-$partitionId%05d-$taskId.jsonl.inprogress"
+class DocstoreDataWriter(schema: StructType, dir: String, file: String,
+    finalFile: String) extends DataWriter[InternalRow] {
   private val fs = new HPath(dir).getFileSystem(new Configuration())
   private val out: OutputStream = {
     fs.mkdirs(new HPath(dir))

@@ -73,6 +73,47 @@ class DocstoreStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("docstore streaming SINK: epochs commit atomically, round-trip, " +
+      "and keep the tail-only-growth contract") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val outDir = s"${dir}_sink"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+    val ckpt = s"${dir}_sink_ckpt"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "name")
+      .writeStream.format("docstore")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      val files1 = new java.io.File(outDir).listFiles()
+        .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .map(_.getName).sorted
+      assert(files1.nonEmpty && files1.forall(_.startsWith("part-s")), files1.toSeq)
+      // no in-progress temp left behind after commit
+      assert(!new java.io.File(outDir).listFiles()
+        .exists(_.getName.endsWith(".inprogress")))
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+      val files2 = new java.io.File(outDir).listFiles()
+        .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .map(_.getName).sorted
+      // tail-only growth: every new epoch file sorts after every old one
+      assert(files2.size > files1.size)
+      assert(files2.takeRight(files2.size - files1.size).forall(n =>
+        files1.isEmpty || n > files1.last), files2.toSeq)
+      // round-trip: the stream-written collection reads back exactly
+      val back = spark.read.format("docstore").option("path", outDir).load()
+      assert(back.count() == 3)
+      assert(back.orderBy("id").select("name").collect()
+        .map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("a shifted file listing fails fast instead of mis-slicing") {
     import graft.sources.{DocstoreMicroBatchStream, DocstoreOptions, DocstoreTable, FileCountOffset}
     val vDir = s"${dir}_validate"
