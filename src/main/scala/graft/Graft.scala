@@ -53,6 +53,16 @@ object Graft {
     * ANY DataFrame (`df.filter(Graft.mongoFilter(json))`). */
   def mongoFilter(filterJson: String): Column = MongoFilter.compile(filterJson)
 
+  /** Run a MongoDB aggregation pipeline (extended-JSON array of stages)
+    * against any DataFrame: `$match`/`$project`/`$group`/`$sort`/
+    * `$limit`/`$skip`/`$unwind`/`$count`/`$sortByCount`/`$lookup` plus
+    * the aggregation expression language — each stage compiles to
+    * declarative DataFrame algebra, so Catalyst plans it like native
+    * Spark code. `resolver` supplies `$lookup` collections by name. */
+  def aggregate(df: DataFrame, pipelineJson: String,
+      resolver: String => DataFrame = null): DataFrame =
+    sources.MongoPipeline.aggregate(df, pipelineJson, resolver)
+
   /** Mount a docstore root as a Spark catalog: subdirectories become
     * namespaces (databases), `*.jsonl` files become tables (collections).
     * After `attach(spark, "m", root)`:

@@ -78,11 +78,44 @@ object DocumentOps {
       |  UNNEST(items).qty AS qty
       |FROM ord ORDER BY l_orderkey, pos""".stripMargin
 
+  // ---------------------------------------------------------------- d12
+  /** MongoDB aggregation pipeline run UNCHANGED against a Spark table:
+    * $match → pushed filter, $group → partial agg, $project expression
+    * language, $sort — a mongosh user's pipeline is the query (see
+    * [[graft.sources.MongoPipeline]]). Oracle: the same pipeline
+    * hand-written as SQL — two independently derived plans must agree.
+    */
+  def d12AggPipeline(spark: SparkSession, dir: String): DataFrame =
+    graft.Graft.aggregate(Tables(spark, dir, "events"), """[
+      {"$match": {"value": {"$gte": 10},
+                  "event_type": {"$in": ["click", "view", "purchase"]}}},
+      {"$group": {"_id": "$event_type",
+                  "total": {"$sum": "$value"},
+                  "n": {"$sum": 1},
+                  "avg_v": {"$avg": "$value"},
+                  "users": {"$addToSet": "$user_id"}}},
+      {"$project": {"_id": 1, "n": 1,
+                    "total": {"$round": ["$total", 4]},
+                    "avg_v": {"$round": ["$avg_v", 4]},
+                    "n_users": {"$size": "$users"}}},
+      {"$sort": {"_id": 1}}
+    ]""")
+
+  val d12Sql: String =
+    """SELECT event_type AS _id, COUNT(*) AS n,
+      |  ROUND(SUM(value), 4) AS total, ROUND(AVG(value), 4) AS avg_v,
+      |  CAST(COUNT(DISTINCT user_id) AS INTEGER) AS n_users
+      |FROM events
+      |WHERE value >= 10 AND event_type IN ('click','view','purchase')
+      |GROUP BY event_type ORDER BY _id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_json_extract" -> (d01JsonExtract _),
-    "d05_unnest_array" -> (d05UnnestArray _))
+    "d05_unnest_array" -> (d05UnnestArray _),
+    "d12_agg_pipeline" -> (d12AggPipeline _))
 
   val oracle: Map[String, String] = Map(
     "d01_json_extract" -> d01Sql,
-    "d05_unnest_array" -> d05Sql)
+    "d05_unnest_array" -> d05Sql,
+    "d12_agg_pipeline" -> d12Sql)
 }

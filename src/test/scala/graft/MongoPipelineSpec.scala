@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Mongo aggregation-pipeline compiler: every stage type against small
+  * in-memory frames with hand-checked expectations (the d12 oracle gate
+  * covers cross-engine value parity on the real tables). */
+class MongoPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val sales = Seq(
+    (1L, "a", 10.0, Seq(1L, 2L)),
+    (2L, "a", 20.0, Seq(3L)),
+    (3L, "b", 5.0, Seq.empty[Long]),
+    (4L, "b", 15.0, Seq(4L, 5L, 6L)),
+    (5L, "c", 7.5, Seq(7L))
+  ).toDF("id", "grp", "amount", "items")
+
+  test("$match + $project computed fields + $sort + $limit/$skip") {
+    val out = Graft.aggregate(sales, """[
+      {"$match": {"amount": {"$gt": 6}}},
+      {"$project": {"id": 1, "grp": 1,
+                    "double_amt": {"$multiply": ["$amount", 2]},
+                    "label": {"$concat": ["$grp", "-", {"$toUpper": "$grp"}]}}},
+      {"$sort": {"double_amt": -1}},
+      {"$skip": 1},
+      {"$limit": 2}
+    ]""")
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4L, 1L)) // 40 skipped, then 30, 20
+    assert(rows.head.getString(3) == "b-B")
+  }
+
+  test("$group accumulators incl. $sum:1, $push, $addToSet; _id null = global") {
+    val g = Graft.aggregate(sales, """[
+      {"$group": {"_id": "$grp", "n": {"$sum": 1}, "total": {"$sum": "$amount"},
+                  "lo": {"$min": "$amount"}, "ids": {"$push": "$id"}}},
+      {"$sort": {"_id": 1}}
+    ]""").collect()
+    assert(g.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(g.map(_.getLong(1)).toSeq == Seq(2L, 2L, 1L))
+    assert(g.map(_.getDouble(2)).toSeq == Seq(30.0, 20.0, 7.5))
+    val glob = Graft.aggregate(sales,
+      """[{"$group": {"_id": null, "n": {"$sum": 1}}}]""").head
+    assert(glob.getLong(0) == 5L)
+  }
+
+  test("$unwind replaces the array field; preserveNullAndEmptyArrays") {
+    val inner = Graft.aggregate(sales,
+      """[{"$unwind": "$items"}]""")
+    assert(inner.count() == 7) // id 3's empty array drops
+    val outer = Graft.aggregate(sales,
+      """[{"$unwind": {"path": "$items", "preserveNullAndEmptyArrays": true}}]""")
+    assert(outer.count() == 8) // id 3 kept with NULL item
+    assert(outer.filter(col("id") === 3L).head.isNullAt(3))
+  }
+
+  test("$lookup attaches the matching foreign docs as an array") {
+    val dims = Seq(("a", "alpha"), ("b", "beta")).toDF("key", "name")
+    val out = Graft.aggregate(sales, """[
+      {"$lookup": {"from": "dims", "localField": "grp",
+                   "foreignField": "key", "as": "dim"}},
+      {"$addFields": {"n_dim": {"$size": "$dim"},
+                      "dim_name": {"$arrayElemAt": ["$dim.name", 0]}}},
+      {"$sort": {"id": 1}}
+    ]""", resolver = Map("dims" -> dims))
+    val rows = out.select("id", "n_dim", "dim_name").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(1, 1, 1, 1, 0)) // c unmatched → []
+    assert(rows.take(2).map(_.getString(2)).toSeq == Seq("alpha", "alpha"))
+    assert(rows.last.isNullAt(2))
+  }
+
+  test("$sortByCount, $count, and $cond/$ifNull expressions") {
+    val sbc = Graft.aggregate(sales, """[{"$sortByCount": "$grp"}]""").collect()
+    assert(sbc.take(2).map(_.getLong(1)).toSeq == Seq(2L, 2L))
+    assert(sbc.last.getString(0) == "c")
+    assert(Graft.aggregate(sales, """[{"$count": "rows"}]""").head.getLong(0) == 5L)
+    val cond = Graft.aggregate(sales, """[
+      {"$addFields": {"tier": {"$cond": {"if": {"$gte": ["$amount", 10]},
+                                         "then": "big", "else": "small"}}}},
+      {"$group": {"_id": "$tier", "n": {"$sum": 1}}},
+      {"$sort": {"_id": 1}}
+    ]""").collect()
+    assert(cond.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("big" -> 3L, "small" -> 2L))
+  }
+
+  test("a $match stage pushes into the parquet scan like native SQL") {
+    val ev = Tables(spark, sfDir, "events")
+    val out = Graft.aggregate(ev,
+      """[{"$match": {"event_type": "click", "value": {"$gte": 100}}},
+         |{"$project": {"event_id": 1, "value": 1}}]""".stripMargin)
+    val plan = explainText(out)
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("event_type"), plan)
+  }
+}
