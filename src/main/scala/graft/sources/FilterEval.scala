@@ -34,7 +34,9 @@ class FilterEval(schema: StructType, filters: Array[Filter]) {
   def matches(row: InternalRow): Boolean = {
     var i = 0
     while (i < filters.length) {
-      if (!eval(filters(i), row)) return false
+      // SQL semantics: a row passes only when the predicate is TRUE —
+      // UNKNOWN (null involved) excludes the row, exactly like Spark
+      if (!eval(filters(i), row).contains(true)) return false
       i += 1
     }
     true
@@ -85,27 +87,51 @@ class FilterEval(schema: StructType, filters: Array[Filter]) {
     }
   }
 
-  private def eval(f: Filter, row: InternalRow): Boolean = f match {
-    case EqualTo(a, v)            => cmp(get(row, a), v).contains(0)
+  /** Kleene three-valued evaluation: None = UNKNOWN (a null was
+    * involved). Spark never re-checks filters a source accepted, so this
+    * must reproduce SQL null semantics EXACTLY — a two-valued evaluator
+    * turns `NOT (s LIKE 'q%')` over a null `s` into TRUE (leaking rows
+    * Spark would drop), a bug the FilterParitySpec property test caught.
+    */
+  private def eval(f: Filter, row: InternalRow): Option[Boolean] = f match {
+    case EqualTo(a, v)            => cmp(get(row, a), v).map(_ == 0)
     case EqualNullSafe(a, v) =>
       val x = get(row, a); val y = norm(v)
-      if (x == null || y == null) x == null && y == null else cmp(x, v).contains(0)
-    case GreaterThan(a, v)        => cmp(get(row, a), v).exists(_ > 0)
-    case GreaterThanOrEqual(a, v) => cmp(get(row, a), v).exists(_ >= 0)
-    case LessThan(a, v)           => cmp(get(row, a), v).exists(_ < 0)
-    case LessThanOrEqual(a, v)    => cmp(get(row, a), v).exists(_ <= 0)
-    case In(a, vs)                => val x = get(row, a); vs.exists(v => cmp(x, v).contains(0))
-    case IsNull(a)                => get(row, a) == null
-    case IsNotNull(a)             => get(row, a) != null
+      if (x == null || y == null) Some(x == null && y == null)
+      else cmp(x, v).map(_ == 0)
+    case GreaterThan(a, v)        => cmp(get(row, a), v).map(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(row, a), v).map(_ >= 0)
+    case LessThan(a, v)           => cmp(get(row, a), v).map(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(get(row, a), v).map(_ <= 0)
+    case In(a, vs) =>
+      val x = get(row, a)
+      if (x == null) None
+      else {
+        val cs = vs.map(v => cmp(x, v))
+        if (cs.exists(_.contains(0))) Some(true)
+        // a null/incomparable element makes a non-match UNKNOWN, not false
+        else if (cs.exists(_.isEmpty)) None
+        else Some(false)
+      }
+    case IsNull(a)                => Some(get(row, a) == null)
+    case IsNotNull(a)             => Some(get(row, a) != null)
     case StringStartsWith(a, p) => get(row, a) match {
-      case s: UTF8String => s.toString.startsWith(p); case _ => false }
+      case s: UTF8String => Some(s.toString.startsWith(p)); case _ => None }
     case StringEndsWith(a, p) => get(row, a) match {
-      case s: UTF8String => s.toString.endsWith(p); case _ => false }
+      case s: UTF8String => Some(s.toString.endsWith(p)); case _ => None }
     case StringContains(a, p) => get(row, a) match {
-      case s: UTF8String => s.toString.contains(p); case _ => false }
-    case And(l, r) => eval(l, row) && eval(r, row)
-    case Or(l, r)  => eval(l, row) || eval(r, row)
-    case Not(c)    => !eval(c, row)
+      case s: UTF8String => Some(s.toString.contains(p)); case _ => None }
+    case And(l, r) => (eval(l, row), eval(r, row)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true))            => Some(true)
+      case _                                   => None
+    }
+    case Or(l, r) => (eval(l, row), eval(r, row)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false))        => Some(false)
+      case _                                 => None
+    }
+    case Not(c)    => eval(c, row).map(!_)
     case other => throw new IllegalStateException(s"unsupported pushed filter $other")
   }
 }

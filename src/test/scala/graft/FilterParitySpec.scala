@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Property-based parity: for random collections and random predicates,
+  * the docstore scan WITH pushdown must return exactly the rows a native
+  * in-memory DataFrame filter returns. Spark trusts a source's accepted
+  * pushFilters — a divergence in FilterEval would silently drop or leak
+  * rows, which no example-based test reliably catches.
+  */
+class FilterParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/tmp/graft_docstore_spec/filter_parity"
+
+  // ~200 docs with nulls, missing fields, negatives, ties, and strings
+  // with shared prefixes — the regions where comparison bugs live
+  private lazy val rows: Seq[(java.lang.Long, java.lang.Double, String)] = {
+    val seed0 = rng.Seed(42L)
+    (0 until 200).map { i =>
+      val a: java.lang.Long =
+        if (i % 7 == 0) null else java.lang.Long.valueOf((i % 11) - 5L)
+      val b: java.lang.Double =
+        if (i % 13 == 0) null else java.lang.Double.valueOf((i % 17) * 0.5 - 3.0)
+      val s = if (i % 5 == 0) null else s"pre${i % 4}_${i % 3}"
+      (a, b, s)
+    }
+  }
+
+  private lazy val (docDf, scanDf): (DataFrame, DataFrame) = {
+    Files.createDirectories(Paths.get(dir))
+    val lines = rows.map { case (a, b, s) =>
+      val fs = Seq(
+        Option(a).map(v => s""""a":$v"""),
+        Option(b).map(v => s""""b":$v"""),
+        Option(s).map(v => s""""s":"$v"""")).flatten
+      fs.mkString("{", ",", "}")
+    }
+    Files.write(Paths.get(s"$dir/docs.jsonl"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val mem = rows.toDF("a", "b", "s")
+    val scan = spark.read.format("docstore").option("path", dir).load()
+      .select(col("a"), col("b"), col("s")) // align column order
+    (mem, scan)
+  }
+
+  private def leafGen: Gen[Column] = Gen.oneOf(
+    Gen.choose(-6L, 6L).map(v => col("a") === v),
+    Gen.choose(-6L, 6L).map(v => col("a") > v),
+    Gen.choose(-6L, 6L).map(v => col("a") <= v),
+    Gen.choose(-4.0, 6.0).map(v => col("b") >= v),
+    Gen.choose(-4.0, 6.0).map(v => col("b") < v),
+    Gen.oneOf("pre0_0", "pre1_2", "pre3_1", "zzz").map(v => col("s") === v),
+    Gen.oneOf("pre0", "pre1", "q").map(v => col("s").startsWith(v)),
+    Gen.oneOf("0", "2", "_1").map(v => col("s").endsWith(v)),
+    Gen.oneOf("e1", "xx").map(v => col("s").contains(v)),
+    Gen.listOfN(3, Gen.choose(-6L, 6L)).map(vs => col("a").isin(vs: _*)),
+    Gen.const(col("a").isNull),
+    Gen.const(col("s").isNotNull))
+
+  private def predGen(depth: Int): Gen[Column] =
+    if (depth == 0) leafGen
+    else Gen.frequency(
+      3 -> leafGen,
+      2 -> Gen.zip(predGen(depth - 1), predGen(depth - 1)).map(t => t._1 && t._2),
+      2 -> Gen.zip(predGen(depth - 1), predGen(depth - 1)).map(t => t._1 || t._2),
+      1 -> predGen(depth - 1).map(p => !p))
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("pushed docstore filtering == native DataFrame filtering " +
+      "(60 random predicates, depth ≤ 2)") {
+    val seed = rng.Seed(20260812L)
+    var s = seed
+    var checked = 0
+    while (checked < 60) {
+      val p = predGen(2).pureApply(Gen.Parameters.default, s)
+      s = s.next
+      val expected = canon(docDf.filter(p))
+      val got = canon(scanDf.filter(p))
+      assert(got == expected,
+        s"divergence on predicate ${p.toString}\n got=$got\n exp=$expected")
+      checked += 1
+    }
+  }
+}
