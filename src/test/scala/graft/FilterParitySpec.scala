@@ -88,4 +88,35 @@ class FilterParitySpec extends SparkSpec {
       checked += 1
     }
   }
+
+  test("pushed docstore aggregation == native aggregation " +
+      "(filtered group-aggs; b is exact in binary so sums are order-free)") {
+    val aggSets: Seq[Seq[Column]] = Seq(
+      Seq(count(lit(1)).as("n")),
+      Seq(sum(col("a")).as("sa"), count(lit(1)).as("n")),
+      Seq(min(col("a")).as("mna"), max(col("a")).as("mxa")),
+      Seq(sum(col("b")).as("sb"), min(col("b")).as("mnb")),
+      Seq(max(col("s")).as("mxs"), count(lit(1)).as("n")))
+    val seed = rng.Seed(77L)
+    var s = seed
+    for (aggs <- aggSets; useFilter <- Seq(false, true)) {
+      val p = leafGen.pureApply(Gen.Parameters.default, s)
+      s = s.next
+      def run(df: DataFrame): Seq[String] = {
+        val base = if (useFilter) df.filter(p) else df
+        canon(base.groupBy(col("s")).agg(aggs.head, aggs.tail: _*))
+      }
+      val expected = run(docDf)
+      val got = run(scanDf)
+      assert(got == expected,
+        s"agg divergence (aggs=$aggs filter=${if (useFilter) p else "none"})" +
+          s"\n got=$got\n exp=$expected")
+    }
+    // global (ungrouped) aggregates over the null-bearing columns
+    for (aggs <- aggSets) {
+      val expected = canon(docDf.agg(aggs.head, aggs.tail: _*))
+      val got = canon(scanDf.agg(aggs.head, aggs.tail: _*))
+      assert(got == expected, s"global agg divergence ($aggs)")
+    }
+  }
 }
