@@ -141,6 +141,39 @@ object MongoPipeline {
         df.groupBy(valueExpr(spec).as("_id")).agg(count(lit(1)).as("count"))
           .orderBy(col("count").desc, col("_id"))
 
+      case "$bucket" => spec match {
+        case d: DDoc =>
+          val m = d.fields.toMap
+          val gb = valueExpr(m.getOrElse("groupBy",
+            throw bad("$bucket needs groupBy")))
+          val bounds = m.get("boundaries") match {
+            case Some(DArray(bs)) if bs.size >= 2 => bs.map(valueExpr)
+            case other => throw bad(s"$$bucket needs >=2 boundaries, got $other")
+          }
+          // bucket label = its inclusive lower bound; out-of-range rows
+          // need `default` (Mongo errors without one — here they error at
+          // analysis time only if no default and a row misses, which we
+          // can't check statically, so require default like Mongo's
+          // strict mode would)
+          val inBuckets = bounds.sliding(2).toSeq.foldLeft(
+            lit(null).cast("string").as("x")) { case (acc, Seq(lo, hi)) =>
+            when(gb >= lo && gb < hi, lo.cast("string")).otherwise(acc)
+          }
+          val bucketed = m.get("default") match {
+            case Some(dflt) => coalesce(inBuckets, valueExpr(dflt).cast("string"))
+            case None       => inBuckets
+          }
+          val outs = m.get("output") match {
+            case Some(o: DDoc) => o.fields.map { case (alias, aspec) =>
+              groupAccumulator(aspec).as(alias) }
+            case None    => Seq(count(lit(1)).as("count"))
+            case Some(x) => throw bad(s"$$bucket.output needs a document, got $x")
+          }
+          df.groupBy(bucketed.as("_id")).agg(outs.head, outs.tail: _*)
+            .orderBy(col("_id"))
+        case other => throw bad(s"$$bucket needs a document, got $other")
+      }
+
       case "$lookup" => spec match {
         case d: DDoc =>
           if (resolver == null) throw bad("$lookup needs a collection resolver")

@@ -85,6 +85,18 @@ class MongoPipelineSpec extends SparkSpec {
       Map("big" -> 3L, "small" -> 2L))
   }
 
+  test("$bucket: boundary histogram with default overflow bucket") {
+    val out = Graft.aggregate(sales, """[
+      {"$bucket": {"groupBy": "$amount", "boundaries": [0, 10, 20],
+                   "default": "other",
+                   "output": {"n": {"$sum": 1}, "total": {"$sum": "$amount"}}}}
+    ]""").collect()
+    val byId = out.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byId("0") == ((2L, 12.5)))   // 5.0, 7.5
+    assert(byId("10") == ((2L, 25.0)))  // 10, 15
+    assert(byId("other") == ((1L, 20.0)))
+  }
+
   test("a $match stage pushes into the parquet scan like native SQL") {
     val ev = Tables(spark, sfDir, "events")
     val out = Graft.aggregate(ev,
