@@ -119,4 +119,30 @@ class FilterParitySpec extends SparkSpec {
       assert(got == expected, s"global agg divergence ($aggs)")
     }
   }
+
+  test("pushed TopN == native TopN across directions/null orderings " +
+      "(per-split heaps must never discard a global top-k row)") {
+    // many tiny splits so the per-split bounded heap + merge actually runs
+    val multiSplit = spark.read.format("docstore").option("path", dir)
+      .option("splitsize", "512").load()
+      .select(col("a"), col("b"), col("s"))
+    val orders: Seq[(String, Column)] = Seq(
+      "a" -> col("a").asc_nulls_first,
+      "a" -> col("a").asc_nulls_last,
+      "a" -> col("a").desc_nulls_first,
+      "a" -> col("a").desc_nulls_last,
+      "b" -> col("b").asc_nulls_last,
+      "b" -> col("b").desc_nulls_first,
+      "s" -> col("s").asc_nulls_first,
+      "s" -> col("s").desc_nulls_last)
+    for ((key, o) <- orders; n <- Seq(1, 7, 50)) {
+      // ties cut arbitrarily at the limit, but the multiset of SORT KEY
+      // values in any valid top-n is uniquely determined — compare that
+      def keys(df: DataFrame): Seq[String] =
+        df.orderBy(o).limit(n).select(col(key))
+          .collect().map(r => String.valueOf(r.get(0))).sorted.toSeq
+      assert(keys(multiSplit) == keys(docDf),
+        s"TopN divergence (${o.toString} limit $n)")
+    }
+  }
 }
