@@ -816,7 +816,15 @@ object Tpch {
   def h21(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_orderkey"))
     val late = col("l_receiptdate") > col("l_commitdate")
+    val fOrders = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    // The per-order window facts are self-contained within an order, and
+    // only F-status orders can reach the output — so the status semi-join
+    // moves BELOW the window, shrinking the window shuffle to F-orders'
+    // lineitem. The supplier filter must stay post-window: n_supps counts
+    // EVERY supplier of the order, not just NATION_1's.
     val lx = withShipCols(Tables(spark, dir, "lineitem"))
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .select(col("l_orderkey"), col("l_suppkey"),
         late.as("is_late"))
     val facts = lx.select(col("l_orderkey"), col("l_suppkey"), col("is_late"),
@@ -825,14 +833,11 @@ object Tpch {
         .as("n_late_supps"))
       .filter(col("is_late") && col("n_supps") > 1 &&
         col("n_late_supps") === 1)
-    val fOrders = Tables(spark, dir, "orders")
-      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
     val natSupp = Tables(spark, dir, "supplier")
       .join(Tables(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
       .filter(col("n_name") === "NATION_1")
       .select(col("s_suppkey"), col("s_name"))
     facts
-      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .join(natSupp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
