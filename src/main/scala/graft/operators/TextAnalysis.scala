@@ -291,10 +291,14 @@ object TextAnalysis {
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df = count of (doc,term) rows per term — a window over the term
+    // shuffle, NOT a separate groupBy(term) aggregate + join back: that
+    // plan re-exchanges tf twice and adds a join; this one computes df
+    // in the single term-keyed pass the data had to make anyway
+    val wTerm = Window.partitionBy(col("term"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_raw").desc, col("term"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(total))
       .withColumn("tfidf_raw",
         col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
