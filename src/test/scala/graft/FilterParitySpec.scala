@@ -145,4 +145,59 @@ class FilterParitySpec extends SparkSpec {
         s"TopN divergence (${o.toString} limit $n)")
     }
   }
+
+  test("docstore write → read round-trips random typed rows exactly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outDir = "/tmp/graft_docstore_spec/roundtrip_prop"
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("l", LongType),
+      StructField("d", DoubleType),
+      StructField("s", StringType),
+      StructField("bo", BooleanType),
+      StructField("ts", TimestampType),
+      StructField("dt", DateType),
+      StructField("bin", BinaryType),
+      StructField("arr", ArrayType(LongType, containsNull = true)),
+      StructField("st", StructType(Seq(StructField("x", LongType),
+        StructField("y", StringType))))))
+    val rnd = new scala.util.Random(20260812L)
+    val tricky = Seq("plain", "q\"uote", "back\\slash", "nl\nnl", "tab\there",
+      "héllo🙂", "ctrl", "")
+    def maybe[A](v: => A): Any = if (rnd.nextInt(5) == 0) null else v
+    val rows = (0 until 150).map { i =>
+      Row(i.toLong,
+        maybe(rnd.nextLong() % 1000000L),
+        maybe(Seq(1.5, -0.25, 1e300, 1e-300, 123.0625)(rnd.nextInt(5))),
+        maybe(tricky(rnd.nextInt(tricky.size)) + i),
+        maybe(rnd.nextBoolean()),
+        maybe(new java.sql.Timestamp(rnd.between(0L, 2000000000000L))),
+        maybe(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          rnd.between(0L, 20000L)))),
+        maybe(Array.fill(rnd.nextInt(8))(rnd.nextInt(256).toByte)),
+        maybe(Seq.fill(rnd.nextInt(4))(maybe(rnd.nextLong() % 100L))
+          .map(v => if (v == null) null else v.asInstanceOf[Long])),
+        maybe(Row(maybe(rnd.nextLong() % 50L), maybe("v" + i))))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    df.write.format("docstore").option("path", outDir)
+      .mode("overwrite").save()
+    // explicit schema read: tests the converter, not sampling inference
+    // (an all-null-in-sample column would legitimately infer differently)
+    val back = spark.read.format("docstore").schema(schema)
+      .option("path", outDir).load()
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.orderBy("id").collect().map { r =>
+        (0 until r.length).map { i =>
+          r.get(i) match {
+            case null => "null"
+            case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+            case other => String.valueOf(other)
+          }
+        }.mkString("|")
+      }.toSeq
+    assert(canon(back) == canon(df))
+  }
 }
