@@ -87,4 +87,22 @@ class TpchSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 3, s"h12 shuffles too much ($exchanges):\n$p")
   }
+
+  test("date-window predicates push into the parquet scan across the suite") {
+    for (k <- Seq("h01_pricing", "h03_shipping_priority", "h05_local_supplier",
+        "h06_forecast_revenue", "h10_returned_items", "h14_promo_effect")) {
+      val p = finalPlan(k)
+      assert(p.contains("PushedFilters: [") &&
+        (p.contains("l_shipdate") || p.contains("o_orderdate")),
+        s"$k lost its date pushdown:\n$p")
+    }
+  }
+
+  test("dimension lookups broadcast in the multi-join queries") {
+    for (k <- Seq("h05_local_supplier", "h07_volume_shipping",
+        "h08_market_share", "h09_profit")) {
+      assert(finalPlan(k).contains("BroadcastHashJoin"),
+        s"$k broadcasts nothing")
+    }
+  }
 }
