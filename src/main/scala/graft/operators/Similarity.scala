@@ -143,11 +143,64 @@ object Similarity {
       |SELECT q_id, vec_id, label, cell, ROUND(c, 4) AS cos, rank
       |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s03
+  /** Per-vector int8 scalar quantization — the standard embedding
+    * compression step (absmax scaling to [-127, 127]) summarized to
+    * exact scalars: quantized checksum, saturation count, and the L1
+    * reconstruction error.
+    *
+    * Scale: entirely map-only higher-order expressions over the vector
+    * column — no shuffle except the presentation sort, no UDFs; at
+    * 100 TB this runs at scan bandwidth like t01/p02 (SCALING.md's flat
+    * family). Oracle: identical arithmetic in DuckDB list functions;
+    * both engines fold sums left-to-right over the array, so even the
+    * floating error term is bit-deterministic.
+    */
+  def s03Quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("amax", expr(
+        "aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+      .filter(col("amax") > 0)
+      .withColumn("q", expr(
+        "transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT))"))
+      .select(col("vec_id"), col("label"), round(col("amax"), 4).as("amax"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("checksum"),
+        expr("CAST(size(filter(q, x -> abs(x) = 127)) AS BIGINT)")
+          .as("n_saturated"),
+        round(expr(
+          """aggregate(zip_with(v, q, (x, qi) -> abs(x - qi * amax / 127.0)),
+            |CAST(0 AS DOUBLE), (acc, e) -> acc + e)""".stripMargin), 4)
+          .as("l1_err"))
+      .orderBy(col("vec_id"))
+
+  val s03Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |a AS (
+      |  SELECT vec_id, label, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS amax
+      |  FROM v WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+      |q AS (
+      |  SELECT vec_id, label, v, amax,
+      |    list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS q
+      |  FROM a)
+      |SELECT vec_id, label, ROUND(amax, 4) AS amax,
+      |  CAST(list_sum(q) AS BIGINT) AS checksum,
+      |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_saturated,
+      |  ROUND(list_sum(list_transform(range(1, len(v) + 1),
+      |    i -> abs(v[i] - q[i] * amax / 127.0))), 4) AS l1_err
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01BruteForce _),
-    "s02_ann_ivf" -> (s02Ivf _))
+    "s02_ann_ivf" -> (s02Ivf _),
+    "s03_vector_quantize" -> (s03Quantize _))
 
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Sql,
-    "s02_ann_ivf" -> s02Sql)
+    "s02_ann_ivf" -> s02Sql,
+    "s03_vector_quantize" -> s03Sql)
 }
