@@ -288,8 +288,12 @@ object Dedup {
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint() // pair pipeline runs once, not once per iteration
-    var labels = adj.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // init = identity FUSED with the first propagation step: each node
+    // starts at min(self, min neighbor) — same fixpoint, one fewer loop
+    // iteration (each iteration costs a checkpoint + convergence job)
+    var labels = adj.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nmin0"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin0")).as("cluster_id"))
       .localCheckpoint()
     var converged = false
     var iter = 0
