@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftshim.toColumn
+import org.apache.spark.sql.graftshim.{toColumn, toExpression}
 
 /** MongoDB aggregation-pipeline → DataFrame compiler.
   *
@@ -18,19 +18,35 @@ import org.apache.spark.sql.graftshim.toColumn
   *
   * Supported stages: `$match` (full [[MongoFilter]] grammar), `$project`
   * (inclusion / exclusion / computed), `$addFields`/`$set`, `$group`
-  * (`$sum $avg $min $max $count $push $addToSet`), `$sort`, `$limit`,
-  * `$skip`, `$unwind` (string and document forms incl.
-  * `preserveNullAndEmptyArrays`), `$count`, `$sortByCount`, `$lookup`
-  * (equality form, via a collection resolver).
+  * (`$sum $avg $min $max $count $push $addToSet $stdDevPop $stdDevSamp
+  * $median $percentile $first $last $top $bottom $topN $bottomN $minN
+  * $maxN`), `$sort`, `$limit`, `$skip`, `$unwind` (string and document
+  * forms incl. `preserveNullAndEmptyArrays`), `$count`, `$sortByCount`,
+  * `$bucket`, `$lookup` (equality form, via a collection resolver),
+  * `$replaceRoot`/`$replaceWith`, `$unionWith` (with sub-pipeline),
+  * `$facet` (input pinned once, facets cross-joined to the one-row doc),
+  * `$sample` (rand-keyed TopN → per-partition heaps, optional `seed`),
+  * `$setWindowFields` (`$documentNumber $rank $denseRank $shift` +
+  * framed accumulators), `$out` (terminal docstore write).
   *
   * Expression operators (the aggregation expression language):
-  * `"$field"` paths, `$literal`, arithmetic (`$add $subtract $multiply
-  * $divide $mod $abs $round $floor $ceil`), string (`$concat $toUpper
-  * $toLower $trim $strLenCP $substrCP $split`), date parts (`$year
-  * $month $dayOfMonth $hour $minute $second`), comparison (`$eq $ne
-  * $gt $gte $lt $lte`), boolean (`$and $or $not`), conditional
-  * (`$cond $ifNull`), array (`$size $arrayElemAt $first $last`),
-  * document-literal → struct.
+  * `"$field"` paths, `$$variables` (`$let`, lambda vars), `$literal`,
+  * arithmetic (`$add $subtract $multiply $divide $mod $abs $round
+  * $floor $ceil $trunc $pow $sqrt $exp $ln $log $log10`), string
+  * (`$concat $toUpper $toLower $trim $strLenCP $substrCP $split
+  * $indexOfCP $replaceAll $regexMatch`), date (`$year $month
+  * $dayOfMonth $hour $minute $second $dayOfWeek $dayOfYear $week
+  * $dateToString $dateDiff $dateAdd $dateSubtract`), conversion
+  * (`$toInt $toLong $toDouble $toString $toBool $toDate $convert` with
+  * try-cast `onError`), comparison (`$eq $ne $gt $gte $lt $lte $cmp`),
+  * boolean (`$and $or $not`), conditional (`$cond $ifNull $switch`),
+  * array (`$size $arrayElemAt $first $last $concatArrays $reverseArray
+  * $slice $in $indexOfArray $sortArray $filter $map $reduce`), set
+  * (`$setUnion $setIntersection $setDifference $setIsSubset
+  * $allElementsTrue $anyElementTrue`), `$getField`, `$let`,
+  * document-literal → struct. Higher-order operators compile to Spark
+  * lambda functions (`transform`/`filter`/`aggregate`) — still pure
+  * column algebra, no UDFs.
   *
   * Scale: output is pure declarative DataFrame algebra — no UDFs, no
   * driver loops; a pipeline is exactly as fast as the equivalent
@@ -198,9 +214,179 @@ object MongoPipeline {
         case other => throw bad(s"$$lookup needs a document, got $other")
       }
 
+      case "$replaceRoot" | "$replaceWith" =>
+        val rootExpr = (op, spec) match {
+          case ("$replaceRoot", d: DDoc) => docField(op, d, "newRoot")
+          case ("$replaceWith", e)       => e
+          case (_, other) => throw bad(s"$$replaceRoot needs {newRoot: ...}, got $other")
+        }
+        // promote the (struct-typed) expression to the document root
+        df.select(valueExpr(rootExpr).as("__graft_root"))
+          .select(col("__graft_root.*"))
+
+      case "$unionWith" =>
+        if (resolver == null) throw bad("$unionWith needs a collection resolver")
+        val other = spec match {
+          case DString(coll) => resolver(coll)
+          case d: DDoc =>
+            val coll = docField(op, d, "coll") match {
+              case DString(s) => s
+              case x => throw bad(s"$$unionWith.coll needs a string, got $x")
+            }
+            d.fields.toMap.get("pipeline") match {
+              case Some(DArray(stages)) =>
+                stages.foldLeft(resolver(coll)) { (acc, st) =>
+                  applyStage(acc, st.asInstanceOf[DDoc], resolver) }
+              case None  => resolver(coll)
+              case Some(x) => throw bad(s"$$unionWith.pipeline needs an array, got $x")
+            }
+          case x => throw bad(s"$$unionWith needs a string or document, got $x")
+        }
+        // Mongo semantics: absent fields = missing → null on the other side
+        df.unionByName(other, allowMissingColumns = true)
+
+      case "$sample" => spec match {
+        case d: DDoc =>
+          val n = docField(op, d, "size") match {
+            case DLong(i) => i.toInt
+            case x        => throw bad(s"$$sample.size needs an integer, got $x")
+          }
+          // graft extension: explicit seed for reproducible samples
+          val seed = d.fields.toMap.get("seed") match {
+            case Some(DLong(s)) => s
+            case _              => scala.util.Random.nextLong()
+          }
+          // rand-keyed TopN: plans as TakeOrderedAndProject — every
+          // partition keeps an n-row heap, the driver merges heads. No
+          // global sort, no single-partition collapse, exact n rows.
+          df.orderBy(rand(seed)).limit(n)
+        case x => throw bad(s"$$sample needs {size: n}, got $x")
+      }
+
+      case "$facet" => spec match {
+        case d: DDoc =>
+          if (d.fields.isEmpty) throw bad("$facet needs at least one facet")
+          // each facet = its sub-pipeline over the SAME input, collapsed
+          // to one array-of-docs column; facets then cross-join into a
+          // single one-row document, exactly Mongo's output shape. The
+          // input is pinned with localCheckpoint so N facets don't re-run
+          // the upstream pipeline N times.
+          val pinned = if (d.fields.size > 1) df.localCheckpoint() else df
+          val facets = d.fields.map { case (name, stages) =>
+            val sub = stages match {
+              case DArray(items) => items.foldLeft(pinned) { (acc, st) =>
+                applyStage(acc, st.asInstanceOf[DDoc], resolver) }
+              case x => throw bad(s"$$facet.$name needs a pipeline array, got $x")
+            }
+            sub.agg(collect_list(struct(sub.columns.map(col): _*)).as(name))
+          }
+          facets.reduce(_.crossJoin(_))
+        case x => throw bad(s"$$facet needs a document of pipelines, got $x")
+      }
+
+      case "$setWindowFields" => spec match {
+        case d: DDoc =>
+          val m = d.fields.toMap
+          val partition = m.get("partitionBy").map(valueExpr).toSeq
+          val sortCols = m.get("sortBy") match {
+            case Some(s: DDoc) => s.fields.map {
+              case (f, DLong(1))  => col(f).asc
+              case (f, DLong(-1)) => col(f).desc
+              case (f, x) => throw bad(s"sortBy.$f needs 1 or -1, got $x")
+            }
+            case None    => Seq.empty
+            case Some(x) => throw bad(s"sortBy needs a document, got $x")
+          }
+          val outputs = m.getOrElse("output",
+            throw bad("$setWindowFields needs output")) match {
+            case o: DDoc => o.fields
+            case x       => throw bad(s"output needs a document, got $x")
+          }
+          outputs.foldLeft(df) { case (acc, (alias, ospec)) =>
+            acc.withColumn(alias,
+              windowFunction(ospec, partition, sortCols))
+          }
+        case x => throw bad(s"$$setWindowFields needs a document, got $x")
+      }
+
+      // graft extension: terminal write — the operand is a docstore PATH
+      // (the cluster analog of Mongo's collection name). Eager like
+      // Mongo's $out; returns the written frame for further chaining.
+      case "$out" => spec match {
+        case DString(path) =>
+          df.write.format("docstore").mode("overwrite").save(path)
+          df
+        case x => throw bad(s"$$out needs a path string, got $x")
+      }
+
       case other => throw bad(s"unsupported stage $other")
     }
     case other => throw bad(s"each stage must have exactly one operator, got $other")
+  }
+
+  /** One `$setWindowFields` output → a Spark window Column. */
+  private def windowFunction(spec: DocValue,
+      partition: Seq[Column],
+      sortCols: Seq[Column]): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val base = if (partition.nonEmpty) Window.partitionBy(partition: _*)
+               else Window.partitionBy()
+    val ordered = if (sortCols.nonEmpty) base.orderBy(sortCols: _*) else base
+    def needSort(op: String): Unit = if (sortCols.isEmpty)
+      throw bad(s"$op requires sortBy")
+    spec match {
+      case DDoc(fields) =>
+        val m = fields.toMap
+        val (op, operand) = fields.find(_._1.startsWith("$")).getOrElse(
+          throw bad(s"window output needs an operator, got $spec"))
+        op match {
+          case "$documentNumber" => needSort(op); row_number().over(ordered)
+          case "$rank"           => needSort(op); rank().over(ordered)
+          case "$denseRank"      => needSort(op); dense_rank().over(ordered)
+          case "$shift" => operand match {
+            case sd: DDoc =>
+              needSort(op)
+              val out = valueExpr(docField(op, sd, "output"))
+              val by = docField(op, sd, "by") match {
+                case DLong(b) => b.toInt
+                case x        => throw bad(s"$$shift.by needs an integer, got $x")
+              }
+              val shifted = // positive by = value from a LATER document
+                if (by >= 0) lead(out, by).over(ordered)
+                else lag(out, -by).over(ordered)
+              sd.fields.toMap.get("default") match {
+                case Some(dv) => coalesce(shifted, valueExpr(dv))
+                case None     => shifted
+              }
+            case x => throw bad(s"$$shift needs {output, by}, got $x")
+          }
+          case acc @ ("$sum" | "$avg" | "$min" | "$max" | "$count" | "$push") =>
+            val fn = groupAccumulator(DDoc(Seq(acc ->
+              (if (acc == "$count") DDoc(Seq.empty) else operand))))
+            val framed = m.get("window") match {
+              case Some(w: DDoc) => w.fields.toMap.get("documents") match {
+                case Some(DArray(Seq(lo, hi))) =>
+                  needSort(acc)
+                  def bound(b: DocValue, isLo: Boolean): Long = b match {
+                    case DString("unbounded") =>
+                      if (isLo) Window.unboundedPreceding else Window.unboundedFollowing
+                    case DString("current") => Window.currentRow
+                    case DLong(k)           => k
+                    case x => throw bad(s"window bound: $x")
+                  }
+                  ordered.rowsBetween(bound(lo, isLo = true), bound(hi, isLo = false))
+                case _ => throw bad("window needs {documents: [lo, hi]}")
+              }
+              // no window doc: whole partition (Mongo's default), which
+              // in Spark must NOT inherit orderBy (that implies a frame)
+              case None => base
+              case Some(x) => throw bad(s"window needs a document, got $x")
+            }
+            fn.over(framed)
+          case other => throw bad(s"unsupported window operator $other")
+        }
+      case other => throw bad(s"window output needs a document, got $other")
+    }
   }
 
   private def groupAccumulator(spec: DocValue): Column = spec match {
@@ -220,14 +406,100 @@ object MongoPipeline {
         case DDoc(Seq()) => count(lit(1))
         case other       => throw bad(s"$$count takes {}, got $other")
       }
+      case "$stdDevPop"  => stddev_pop(valueExpr(operand))
+      case "$stdDevSamp" => stddev_samp(valueExpr(operand))
+      case "$median" => operand match { // Mongo 7.0 form {input, method}
+        case d: DDoc => median(valueExpr(docField(op, d, "input")))
+        case v       => median(valueExpr(v))
+      }
+      case "$percentile" => operand match {
+        case d: DDoc =>
+          val ps = docField(op, d, "p") match {
+            case DArray(items) => array(items.map(valueExpr): _*)
+            case other => throw bad(s"$$percentile.p needs an array, got $other")
+          }
+          percentile_approx(valueExpr(docField(op, d, "input")), ps,
+            lit(Int.MaxValue)) // max accuracy = exact on any realistic group
+        case other => throw bad(s"$$percentile needs {input, p}, got $other")
+      }
+      // Mongo $first/$last depend on document order: only well-defined
+      // after $sort — same contract as Mongo, where unsorted groups give
+      // an arbitrary element
+      case "$first" => first(valueExpr(operand))
+      case "$last"  => last(valueExpr(operand))
+      case "$top" | "$bottom" => operand match {
+        case d: DDoc =>
+          val out = valueExpr(docField(op, d, "output"))
+          val (key, asc) = accumulatorSortBy(op, d)
+          // $top = output at the FIRST position of the sortBy order
+          if ((op == "$top") == asc) min_by(out, key) else max_by(out, key)
+        case other => throw bad(s"$op needs {output, sortBy}, got $other")
+      }
+      case "$topN" | "$bottomN" => operand match {
+        case d: DDoc =>
+          val n = docField(op, d, "n") match {
+            case DLong(i) => i.toInt
+            case other    => throw bad(s"$op.n needs an integer, got $other")
+          }
+          val out = valueExpr(docField(op, d, "output"))
+          val (key, asc) = accumulatorSortBy(op, d)
+          sortedHeadN(key, out, ascending = asc, n = n,
+            fromEnd = op == "$bottomN")
+        case other => throw bad(s"$op needs {n, output, sortBy}, got $other")
+      }
+      case "$minN" | "$maxN" => operand match {
+        case d: DDoc =>
+          val n = docField(op, d, "n") match {
+            case DLong(i) => i.toInt
+            case other    => throw bad(s"$op.n needs an integer, got $other")
+          }
+          val in = valueExpr(docField(op, d, "input"))
+          sortedHeadN(in, in, ascending = op == "$minN", n = n, fromEnd = false)
+        case other => throw bad(s"$op needs {n, input}, got $other")
+      }
       case other => throw bad(s"unsupported accumulator $other")
     }
     case other => throw bad(s"accumulator must be {op: operand}, got $other")
   }
 
-  /** Aggregation expression language → Column. */
-  def valueExpr(v: DocValue): Column = v match {
-    case DString(s) if s.startsWith("$$") => lit(s) // system vars unsupported → literal
+  /** First/last `n` outputs of the group ordered by `key`: collect
+    * (key, output) structs, `array_sort` (lexicographic on the leading
+    * field = the sort key), slice off `n`. Group-local arrays, so memory
+    * is bounded by group size like any Mongo accumulator — not by
+    * relation size.
+    */
+  private def sortedHeadN(key: Column, out: Column, ascending: Boolean,
+      n: Int, fromEnd: Boolean): Column = {
+    val sorted0 = array_sort(collect_list(struct(key.as("k"), out.as("o"))))
+    val sorted = if (ascending) sorted0 else reverse(sorted0)
+    val picked = if (fromEnd) reverse(slice(reverse(sorted), 1, n))
+                 else slice(sorted, 1, n)
+    transform(picked, x => x.getField("o"))
+  }
+
+  private def accumulatorSortBy(op: String, d: DDoc): (Column, Boolean) =
+    docField(op, d, "sortBy") match {
+      case DDoc(Seq((f, DLong(dir)))) if dir == 1 || dir == -1 =>
+        (col(f), dir == 1)
+      case other => throw bad(s"$op.sortBy needs {field: 1|-1}, got $other")
+    }
+
+  /** Aggregation expression language → Column. `env` binds pipeline
+    * variables (`$$this`, `$$value`, `$let` vars) to the lambda/let
+    * Columns they stand for — Spark's higher-order functions
+    * (`transform`/`filter`/`aggregate`) carry the actual variable
+    * binding, so compiled lambdas stay codegen'd column algebra.
+    */
+  def valueExpr(v: DocValue): Column = valueExpr(v, Map.empty)
+
+  private def valueExpr(v: DocValue, env: Map[String, Column]): Column = v match {
+    case DString(s) if s.startsWith("$$") =>
+      val path = s.drop(2).split('.')
+      env.get(path.head) match {
+        case Some(c) => path.tail.foldLeft(c)(_.getField(_))
+        case None    => throw bad(s"unbound pipeline variable $s " +
+          s"(in scope: ${env.keys.toSeq.sorted.mkString(", ")})")
+      }
     case DString(s) if s.startsWith("$")  => col(fieldPath(s))
     case DString(s)     => lit(s)
     case DLong(l)       => lit(l)
@@ -237,112 +509,377 @@ object MongoPipeline {
     case DTimestamp(us) => toColumn(
       org.apache.spark.sql.catalyst.expressions.Literal(us,
         org.apache.spark.sql.types.TimestampType))
-    case DArray(items)  => array(items.map(valueExpr): _*)
-    case DDoc(Seq((op, operand))) if op.startsWith("$") => opExpr(op, operand)
+    case DArray(items)  => array(items.map(valueExpr(_, env)): _*)
+    case DDoc(Seq((op, operand))) if op.startsWith("$") => opExpr(op, operand, env)
     case d: DDoc => struct(d.fields.map { case (k, fv) =>
-      valueExpr(fv).as(k) }: _*) // document literal → struct
+      valueExpr(fv, env).as(k) }: _*) // document literal → struct
     case other => throw bad(s"unsupported expression $other")
   }
 
-  private def args(operand: DocValue): Seq[Column] = operand match {
-    case DArray(items) => items.map(valueExpr)
-    case single        => Seq(valueExpr(single))
-  }
-  private def arg2(op: String, operand: DocValue): (Column, Column) =
-    args(operand) match {
+  private def args(operand: DocValue, env: Map[String, Column]): Seq[Column] =
+    operand match {
+      case DArray(items) => items.map(valueExpr(_, env))
+      case single        => Seq(valueExpr(single, env))
+    }
+  private def arg2(op: String, operand: DocValue,
+      env: Map[String, Column]): (Column, Column) =
+    args(operand, env) match {
       case Seq(a, b) => (a, b)
       case other     => throw bad(s"$op needs exactly 2 arguments, got ${other.size}")
     }
+  private def docField(op: String, d: DDoc, k: String): DocValue =
+    d.fields.toMap.getOrElse(k, throw bad(s"$op needs $k"))
 
-  private def opExpr(op: String, operand: DocValue): Column = op match {
+  private def opExpr(op: String, operand: DocValue,
+      env: Map[String, Column]): Column = op match {
     case "$literal"  => operand match {
       case DString(s) => lit(s)
-      case v          => valueExpr(v) // non-string literals carry no $-meaning
+      case v          => valueExpr(v, env) // non-string literals carry no $-meaning
     }
     // arithmetic
-    case "$add"      => args(operand).reduce(_ + _)
-    case "$multiply" => args(operand).reduce(_ * _)
-    case "$subtract" => { val (a, b) = arg2(op, operand); a - b }
-    case "$divide"   => { val (a, b) = arg2(op, operand); a / b }
-    case "$mod"      => { val (a, b) = arg2(op, operand); a % b }
-    case "$abs"      => abs(valueExpr(operand))
-    case "$floor"    => floor(valueExpr(operand))
-    case "$ceil"     => ceil(valueExpr(operand))
+    case "$add"      => args(operand, env).reduce(_ + _)
+    case "$multiply" => args(operand, env).reduce(_ * _)
+    case "$subtract" => { val (a, b) = arg2(op, operand, env); a - b }
+    case "$divide"   => { val (a, b) = arg2(op, operand, env); a / b }
+    case "$mod"      => { val (a, b) = arg2(op, operand, env); a % b }
+    case "$abs"      => abs(valueExpr(operand, env))
+    case "$floor"    => floor(valueExpr(operand, env))
+    case "$ceil"     => ceil(valueExpr(operand, env))
     case "$round"    => operand match {
-      case DArray(Seq(e, DLong(d))) => round(valueExpr(e), d.toInt)
-      case DArray(Seq(e))           => round(valueExpr(e), 0)
+      case DArray(Seq(e, DLong(d))) => round(valueExpr(e, env), d.toInt)
+      case DArray(Seq(e))           => round(valueExpr(e, env), 0)
       case other => throw bad(s"$$round needs [expr, digits], got $other")
     }
+    case "$trunc" => operand match {
+      // truncate toward ZERO (floor/ceil by sign) — floor alone is wrong
+      // for negatives: Mongo trunc(-1.27, 1) = -1.2, floor gives -1.3
+      case DArray(Seq(e, DLong(d))) =>
+        val x = valueExpr(e, env)
+        when(x >= 0, floor(x, lit(d.toInt))).otherwise(ceil(x, lit(d.toInt)))
+      case DArray(Seq(e)) =>
+        val x = valueExpr(e, env)
+        when(x >= 0, floor(x)).otherwise(ceil(x))
+      case e =>
+        val x = valueExpr(e, env)
+        when(x >= 0, floor(x)).otherwise(ceil(x))
+    }
+    case "$pow"   => { val (a, b) = arg2(op, operand, env); pow(a, b) }
+    case "$sqrt"  => sqrt(valueExpr(operand, env))
+    case "$exp"   => exp(valueExpr(operand, env))
+    case "$ln"    => log(valueExpr(operand, env))
+    case "$log10" => log10(valueExpr(operand, env))
+    case "$log"   => // log_base(x); Mongo arg order is [number, base]
+      { val (x, base) = arg2(op, operand, env); log(x) / log(base) }
     // string
-    case "$concat"   => concat(args(operand): _*)
-    case "$toUpper"  => upper(valueExpr(operand))
-    case "$toLower"  => lower(valueExpr(operand))
+    case "$concat"   => concat(args(operand, env): _*)
+    case "$toUpper"  => upper(valueExpr(operand, env))
+    case "$toLower"  => lower(valueExpr(operand, env))
     case "$trim"     => operand match {
       case d: DDoc => d.fields.toMap.get("input") match {
-        case Some(in) => trim(valueExpr(in))
+        case Some(in) => trim(valueExpr(in, env))
         case None     => throw bad("$trim needs {input: ...}")
       }
-      case v => trim(valueExpr(v))
+      case v => trim(valueExpr(v, env))
     }
-    case "$strLenCP" => length(valueExpr(operand))
+    case "$strLenCP" => length(valueExpr(operand, env))
     case "$substrCP" => operand match {
       // Mongo is 0-based, Spark substring is 1-based
       case DArray(Seq(s, start, len)) =>
-        substring(valueExpr(s), lit(1) + valueExpr(start), valueExpr(len))
+        substring(valueExpr(s, env), lit(1) + valueExpr(start, env),
+          valueExpr(len, env))
       case other => throw bad(s"$$substrCP needs [str, start, len], got $other")
     }
-    case "$split"    => { val (a, b) = arg2(op, operand); split(a, b.toString) }
-    // date parts
-    case "$year"       => year(valueExpr(operand))
-    case "$month"      => month(valueExpr(operand))
-    case "$dayOfMonth" => dayofmonth(valueExpr(operand))
-    case "$hour"       => hour(valueExpr(operand))
-    case "$minute"     => minute(valueExpr(operand))
-    case "$second"     => second(valueExpr(operand))
+    case "$split"    => { val (a, b) = arg2(op, operand, env); split(a, b.toString) }
+    case "$indexOfCP" => // 0-based; -1 when absent — instr is 1-based, 0-absent
+      { val (s, sub) = arg2(op, operand, env); instr(s, sub) - 1 }
+    case "$replaceAll" => operand match { // literal (non-regex) find/replace
+      case d: DDoc =>
+        replace(valueExpr(docField(op, d, "input"), env),
+          valueExpr(docField(op, d, "find"), env),
+          valueExpr(docField(op, d, "replacement"), env))
+      case other => throw bad(s"$$replaceAll needs {input,find,replacement}, got $other")
+    }
+    case "$regexMatch" => operand match {
+      case d: DDoc =>
+        val rx = docField(op, d, "regex") match {
+          case DString(r) => r
+          case other      => throw bad(s"$$regexMatch.regex needs a string, got $other")
+        }
+        valueExpr(docField(op, d, "input"), env).rlike(rx)
+      case other => throw bad(s"$$regexMatch needs {input, regex}, got $other")
+    }
+    // date
+    case "$year"       => year(valueExpr(operand, env))
+    case "$month"      => month(valueExpr(operand, env))
+    case "$dayOfMonth" => dayofmonth(valueExpr(operand, env))
+    case "$hour"       => hour(valueExpr(operand, env))
+    case "$minute"     => minute(valueExpr(operand, env))
+    case "$second"     => second(valueExpr(operand, env))
+    case "$dayOfWeek"  => dayofweek(valueExpr(operand, env))
+    case "$dayOfYear"  => dayofyear(valueExpr(operand, env))
+    case "$week"       => weekofyear(valueExpr(operand, env))
+    case "$dateToString" => operand match {
+      case d: DDoc =>
+        val fmt = d.fields.toMap.get("format") match {
+          case Some(DString(f)) => f
+          case None             => "%Y-%m-%dT%H:%M:%S.%LZ" // Mongo default
+          case other => throw bad(s"$$dateToString.format needs a string, got $other")
+        }
+        date_format(valueExpr(docField(op, d, "date"), env), strftimeToJava(fmt))
+      case other => throw bad(s"$$dateToString needs {date, format}, got $other")
+    }
+    case "$dateDiff" => operand match {
+      case d: DDoc =>
+        val unit = dateUnit(op, d)
+        toColumn(org.apache.spark.sql.catalyst.expressions.TimestampDiff(unit,
+          toExpression(valueExpr(docField(op, d, "startDate"), env).cast("timestamp")),
+          toExpression(valueExpr(docField(op, d, "endDate"), env).cast("timestamp"))))
+      case other => throw bad(s"$$dateDiff needs {startDate,endDate,unit}, got $other")
+    }
+    case "$dateAdd" | "$dateSubtract" => operand match {
+      case d: DDoc =>
+        val amt = valueExpr(docField(op, d, "amount"), env)
+        toColumn(org.apache.spark.sql.catalyst.expressions.TimestampAdd(
+          dateUnit(op, d),
+          toExpression((if (op == "$dateAdd") amt else -amt).cast("long")),
+          toExpression(valueExpr(docField(op, d, "startDate"), env).cast("timestamp"))))
+      case other => throw bad(s"$op needs {startDate,unit,amount}, got $other")
+    }
+    // type conversion
+    case "$toInt" | "$toLong" => valueExpr(operand, env).cast("bigint")
+    case "$toDouble"  => valueExpr(operand, env).cast("double")
+    case "$toString"  => valueExpr(operand, env).cast("string")
+    case "$toBool"    => valueExpr(operand, env).cast("boolean")
+    case "$toDate"    => valueExpr(operand, env).cast("timestamp")
+    case "$convert"   => operand match {
+      case d: DDoc =>
+        val to = docField(op, d, "to") match {
+          case DString("int") | DString("long") => "bigint"
+          case DString("double")  => "double"
+          case DString("string")  => "string"
+          case DString("bool")    => "boolean"
+          case DString("date")    => "timestamp"
+          case DString("decimal") => "decimal(38,9)"
+          case other => throw bad(s"$$convert.to: unsupported target $other")
+        }
+        val in = valueExpr(docField(op, d, "input"), env)
+        d.fields.toMap.get("onError") match {
+          // try_cast semantics: a failed conversion yields onError, not a
+          // task failure — at 100 TB one malformed doc must not kill the job
+          case Some(oe) => coalesce(try_cast_col(in, to), valueExpr(oe, env))
+          case None     => in.cast(to)
+        }
+      case other => throw bad(s"$$convert needs {input, to}, got $other")
+    }
     // comparison (expression context: always 2-arg)
-    case "$eq"  => { val (a, b) = arg2(op, operand); a === b }
-    case "$ne"  => { val (a, b) = arg2(op, operand); a =!= b }
-    case "$gt"  => { val (a, b) = arg2(op, operand); a > b }
-    case "$gte" => { val (a, b) = arg2(op, operand); a >= b }
-    case "$lt"  => { val (a, b) = arg2(op, operand); a < b }
-    case "$lte" => { val (a, b) = arg2(op, operand); a <= b }
+    case "$eq"  => { val (a, b) = arg2(op, operand, env); a === b }
+    case "$ne"  => { val (a, b) = arg2(op, operand, env); a =!= b }
+    case "$gt"  => { val (a, b) = arg2(op, operand, env); a > b }
+    case "$gte" => { val (a, b) = arg2(op, operand, env); a >= b }
+    case "$lt"  => { val (a, b) = arg2(op, operand, env); a < b }
+    case "$lte" => { val (a, b) = arg2(op, operand, env); a <= b }
+    case "$cmp" => { val (a, b) = arg2(op, operand, env)
+      when(a < b, -1).when(a > b, 1).otherwise(0) }
     // boolean
-    case "$and" => args(operand).reduce(_ && _)
-    case "$or"  => args(operand).reduce(_ || _)
+    case "$and" => args(operand, env).reduce(_ && _)
+    case "$or"  => args(operand, env).reduce(_ || _)
     case "$not" => !valueExpr(operand match {
       case DArray(Seq(x)) => x
       case x              => x
-    })
+    }, env)
     // conditional
     case "$cond" => operand match {
-      case DArray(Seq(i, t, e)) => when(valueExpr(i), valueExpr(t))
-        .otherwise(valueExpr(e))
+      case DArray(Seq(i, t, e)) => when(valueExpr(i, env), valueExpr(t, env))
+        .otherwise(valueExpr(e, env))
       case d: DDoc =>
         val m = d.fields.toMap
         (m.get("if"), m.get("then"), m.get("else")) match {
           case (Some(i), Some(t), Some(e)) =>
-            when(valueExpr(i), valueExpr(t)).otherwise(valueExpr(e))
+            when(valueExpr(i, env), valueExpr(t, env)).otherwise(valueExpr(e, env))
           case _ => throw bad("$cond needs if/then/else")
         }
       case other => throw bad(s"$$cond needs [if,then,else], got $other")
     }
-    case "$ifNull" => coalesce(args(operand): _*)
+    case "$ifNull" => coalesce(args(operand, env): _*)
+    case "$switch" => operand match {
+      case d: DDoc =>
+        val branches = docField(op, d, "branches") match {
+          case DArray(bs) => bs.map {
+            case b: DDoc => (valueExpr(docField("$switch branch", b, "case"), env),
+              valueExpr(docField("$switch branch", b, "then"), env))
+            case other => throw bad(s"$$switch branch must be a document, got $other")
+          }
+          case other => throw bad(s"$$switch.branches needs an array, got $other")
+        }
+        if (branches.isEmpty) throw bad("$switch needs at least one branch")
+        val chained = branches.foldLeft(Option.empty[Column]) {
+          case (None, (c, t))      => Some(when(c, t))
+          case (Some(acc), (c, t)) => Some(acc.when(c, t))
+        }.get
+        d.fields.toMap.get("default") match {
+          case Some(dflt) => chained.otherwise(valueExpr(dflt, env))
+          case None       => chained
+        }
+      case other => throw bad(s"$$switch needs {branches, default}, got $other")
+    }
+    // variables
+    case "$let" => operand match {
+      case d: DDoc =>
+        val vars = docField(op, d, "vars") match {
+          case v: DDoc => v.fields.map { case (n, e) => n -> valueExpr(e, env) }
+          case other   => throw bad(s"$$let.vars needs a document, got $other")
+        }
+        valueExpr(docField(op, d, "in"), env ++ vars)
+      case other => throw bad(s"$$let needs {vars, in}, got $other")
+    }
     // array
-    case "$size"        => size(valueExpr(operand))
+    case "$size"        => size(valueExpr(operand, env))
     // try_element_at: Mongo returns "missing" (null) out of bounds, but
     // ANSI-mode element_at throws
     case "$arrayElemAt" => operand match {
       // Mongo is 0-based (negative = from the end); Spark is 1-based
       case DArray(Seq(a, DLong(i))) =>
-        val arr = valueExpr(a)
+        val arr = valueExpr(a, env)
         if (i >= 0) try_element_at(arr, lit(i.toInt + 1))
         else try_element_at(arr, lit(i.toInt))
       case other => throw bad(s"$$arrayElemAt needs [array, idx], got $other")
     }
-    case "$first" => try_element_at(valueExpr(operand), lit(1))
-    case "$last"  => try_element_at(valueExpr(operand), lit(-1))
+    case "$first" => try_element_at(valueExpr(operand, env), lit(1))
+    case "$last"  => try_element_at(valueExpr(operand, env), lit(-1))
+    case "$concatArrays" => concat(args(operand, env): _*)
+    case "$reverseArray" => reverse(valueExpr(operand, env))
+    case "$slice" => operand match {
+      // [arr, n]: first n (n>=0) or last n (n<0); [arr, pos, n]: n from
+      // 0-based pos (Spark slice is 1-based; its negative start already
+      // counts from the end like Mongo's negative position)
+      case DArray(Seq(a, DLong(n))) =>
+        val arr = valueExpr(a, env)
+        if (n >= 0) slice(arr, 1, n.toInt) else slice(arr, n.toInt, -n.toInt)
+      case DArray(Seq(a, DLong(p), DLong(n))) =>
+        slice(valueExpr(a, env), if (p >= 0) p.toInt + 1 else p.toInt, n.toInt)
+      case other => throw bad(s"$$slice needs [array, n] or [array, pos, n], got $other")
+    }
+    case "$in" => // expression form: [elem, array]
+      { val (e, arr) = arg2(op, operand, env); array_contains(arr, e) }
+    case "$indexOfArray" => // 0-based; -1 when absent (array_position: 1-based, 0)
+      { val (arr, e) = arg2(op, operand, env); array_position(arr, e) - 1 }
+    case "$sortArray" => operand match {
+      case d: DDoc => docField(op, d, "sortBy") match {
+        case DLong(1)  => array_sort(valueExpr(docField(op, d, "input"), env))
+        case DLong(-1) => reverse(array_sort(valueExpr(docField(op, d, "input"), env)))
+        case other => throw bad(s"$$sortArray.sortBy needs 1 or -1 (scalar sort), got $other")
+      }
+      case other => throw bad(s"$$sortArray needs {input, sortBy}, got $other")
+    }
+    case "$filter" => operand match {
+      case d: DDoc =>
+        val as = varName(d, "this")
+        val body = docField(op, d, "cond")
+        val base = filter(valueExpr(docField(op, d, "input"), env),
+          x => valueExpr(body, env + (as -> x)))
+        d.fields.toMap.get("limit") match {
+          case Some(DLong(n)) => slice(base, 1, n.toInt)
+          case None           => base
+          case other => throw bad(s"$$filter.limit needs an integer, got $other")
+        }
+      case other => throw bad(s"$$filter needs {input, as, cond}, got $other")
+    }
+    case "$map" => operand match {
+      case d: DDoc =>
+        val as = varName(d, "this")
+        val body = docField(op, d, "in")
+        transform(valueExpr(docField(op, d, "input"), env),
+          x => valueExpr(body, env + (as -> x)))
+      case other => throw bad(s"$$map needs {input, as, in}, got $other")
+    }
+    case "$reduce" => operand match {
+      case d: DDoc =>
+        val body = docField(op, d, "in")
+        // qualified: this object's aggregate(df, json) shadows functions.aggregate
+        org.apache.spark.sql.functions.aggregate(
+          valueExpr(docField(op, d, "input"), env),
+          valueExpr(docField(op, d, "initialValue"), env),
+          (acc, x) => valueExpr(body, env + ("value" -> acc, "this" -> x)))
+      case other => throw bad(s"$$reduce needs {input, initialValue, in}, got $other")
+    }
+    // set operators: Mongo leaves output order unspecified; sorted here so
+    // results are deterministic and cross-engine comparable
+    case "$setUnion"        => array_sort(args(operand, env).reduce(array_union))
+    case "$setIntersection" => array_sort(args(operand, env).reduce(array_intersect))
+    case "$setDifference"   =>
+      { val (a, b) = arg2(op, operand, env); array_sort(array_except(a, b)) }
+    case "$setIsSubset"     =>
+      { val (a, b) = arg2(op, operand, env); size(array_except(a, b)) === 0 }
+    case "$allElementsTrue" => forall(oneArrayArg(op, operand, env), x => x)
+    case "$anyElementTrue"  => exists(oneArrayArg(op, operand, env), x => x)
+    case "$getField" => operand match {
+      case DString(f) => col(f)
+      case d: DDoc =>
+        val f = docField(op, d, "field") match {
+          case DString(s) => s
+          case other      => throw bad(s"$$getField.field needs a string, got $other")
+        }
+        valueExpr(docField(op, d, "input"), env).getField(f)
+      case other => throw bad(s"$$getField needs {field, input}, got $other")
+    }
     case other => throw bad(s"unsupported expression operator $other")
   }
+
+  /** Mongo wraps single set-op args one deeper: `{$allElementsTrue: [ "$a" ]}`. */
+  private def oneArrayArg(op: String, operand: DocValue,
+      env: Map[String, Column]): Column = operand match {
+    case DArray(Seq(one)) => valueExpr(one, env)
+    case one              => valueExpr(one, env)
+  }
+
+  private def varName(d: DDoc, dflt: String): String =
+    d.fields.toMap.get("as") match {
+      case Some(DString(n)) => n
+      case None             => dflt
+      case other            => throw bad(s"'as' needs a string, got $other")
+    }
+
+  private def dateUnit(op: String, d: DDoc): String = docField(op, d, "unit") match {
+    case DString(u) if Set("year", "quarter", "month", "week", "day",
+      "hour", "minute", "second")(u) => u.toUpperCase
+    case other => throw bad(s"$op.unit: unsupported unit $other")
+  }
+
+  /** Mongo `$dateToString` uses strftime-style `%` specifiers; Spark's
+    * `date_format` is java.time patterns — translate the common ones.
+    */
+  private def strftimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb.append("yyyy")
+          case 'm' => sb.append("MM")
+          case 'd' => sb.append("dd")
+          case 'H' => sb.append("HH")
+          case 'M' => sb.append("mm")
+          case 'S' => sb.append("ss")
+          case 'L' => sb.append("SSS")
+          case 'j' => sb.append("DDD")
+          case '%' => sb.append('%')
+          case x   => throw bad(s"$$dateToString: unsupported specifier %$x")
+        }
+        i += 2
+      } else {
+        // literal run → quoted so java.time doesn't interpret letters
+        if (c.isLetter) sb.append('\'').append(c).append('\'') else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def try_cast_col(c: Column, to: String): Column =
+    toColumn(org.apache.spark.sql.catalyst.expressions.Cast(toExpression(c),
+      org.apache.spark.sql.types.DataType.fromDDL(to), None,
+      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
 
   /** `"$a.b"` → `a.b` column path (Spark resolves dots as nested access). */
   private def fieldPath(ref: String): String =
