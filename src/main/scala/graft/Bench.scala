@@ -51,9 +51,14 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
-    catch { case _: Throwable => () }
+    // On write failure, advertise null instead of the path — otherwise a
+    // consumer silently reads a STALE file from a previous run.
+    val fullRef =
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+        "\"BENCH_FULL.json\""
+      } catch { case _: Throwable => "null" }
     // stdout line: total + a headline subset (one per operator family),
     // 3-decimal rounding, well under the tail window even as queries grow
     def r3(v: Double): String = f"$v%.3f"
@@ -67,7 +72,7 @@ object Bench {
     val hqs = results.filter(r => headline.contains(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$hqs,"full_per_query":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$hqs,"full_per_query":$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

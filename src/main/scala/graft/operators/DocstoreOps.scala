@@ -252,13 +252,23 @@ object DocstoreOps {
     val permissive = read("permissive").count()
     val permissiveNullA = read("permissive").filter(col("a").isNull).count()
     val dropped = read("dropmalformed").count()
-    val failfast =
-      try { read("failfast").count(); "no-error" }
-      catch { case e: Exception =>
-        // the IllegalStateException is wrapped by Spark's task/job layers
-        val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
-          .map(t => String.valueOf(t.getMessage)).mkString(" | ")
-        if (msgs.contains("failfast")) "failfast-error" else "other-error" }
+    val failfast = {
+      // the task failure here is INTENTIONAL (failfast must abort the
+      // job); silence the executor's ERROR log lines for the duration so
+      // the expected abort doesn't read as a real failure in bench logs
+      val logger = org.apache.logging.log4j.LogManager.getRootLogger
+        .asInstanceOf[org.apache.logging.log4j.core.Logger]
+      val prev = logger.getLevel
+      logger.setLevel(org.apache.logging.log4j.Level.OFF)
+      try {
+        try { read("failfast").count(); "no-error" }
+        catch { case e: Exception =>
+          // the IllegalStateException is wrapped by Spark's task/job layers
+          val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+            .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+          if (msgs.contains("failfast")) "failfast-error" else "other-error" }
+      } finally logger.setLevel(prev)
+    }
     import spark.implicits._
     Seq(
       ("permissive_rows", permissive.toString),

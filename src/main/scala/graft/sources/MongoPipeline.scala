@@ -86,16 +86,26 @@ object MongoPipeline {
             df.drop(excl.map(_._1): _*) // pure exclusion form
           else if (excl.exists(_._1 != "_id"))
             throw bad("$project cannot mix inclusion and exclusion")
-          else df.select(rest.map {
-            case (f, v) if v == DLong(1) || v == DBool(true) => col(f)
-            case (f, v) => valueExpr(v).as(f) // rename / computed
-          }: _*)
+          else {
+            val picked = rest.map {
+              case (f, v) if v == DLong(1) || v == DBool(true) => col(f)
+              case (f, v) => valueExpr(v).as(f) // rename / computed
+            }
+            // Mongo includes _id by default in inclusion projections
+            // unless the spec says "_id": 0 (the only exclusion allowed
+            // here) or lists it explicitly.
+            val withId =
+              if (excl.isEmpty && !rest.exists(_._1 == "_id") &&
+                  df.columns.contains("_id")) col("_id") +: picked
+              else picked
+            df.select(withId: _*)
+          }
         case other => throw bad(s"$$project needs a document, got $other")
       }
 
       case "$addFields" | "$set" => spec match {
         case d: DDoc => d.fields.foldLeft(df) { case (acc, (f, v)) =>
-          acc.withColumn(f, valueExpr(v)) }
+          setPath(acc, f, valueExpr(v)) }
         case other => throw bad(s"$op needs a document, got $other")
       }
 
@@ -144,9 +154,20 @@ object MongoPipeline {
             (p, m.get("preserveNullAndEmptyArrays") == Some(DBool(true)))
           case other => throw bad(s"$$unwind needs a path, got $other")
         }
-        // Mongo replaces the array field with each element in place
-        df.withColumn(path,
-          if (preserve) explode_outer(col(path)) else explode(col(path)))
+        // Mongo replaces the array field with each element in place.
+        // Dotted paths ("$a.b"): explode into a temp column first —
+        // withColumn on "a.b" would CREATE a top-level column literally
+        // named "a.b" — then write the element back into the parent
+        // struct so the nested field is replaced like Mongo does.
+        if (!path.contains('.'))
+          df.withColumn(path,
+            if (preserve) explode_outer(col(path)) else explode(col(path)))
+        else {
+          val tmp = freshName(df.columns, "__graft_unwind")
+          setPath(df.withColumn(tmp,
+              if (preserve) explode_outer(col(path)) else explode(col(path))),
+            path, col(tmp)).drop(tmp)
+        }
 
       case "$count" => spec match {
         case DString(name) => df.agg(count(lit(1)).as(name))
@@ -204,12 +225,19 @@ object MongoPipeline {
           // Mongo semantics: `as` becomes the ARRAY of matching foreign
           // docs (empty array when none). Group the foreign side first so
           // the join is 1:1 — no row multiplication, broadcast-eligible.
-          val key = "__graft_lookup_key"
+          // A pre-existing `as` column is REPLACED (Mongo overwrite
+          // semantics): capture the join key into a fresh temp first (in
+          // case as == localField), drop the old `as`, and qualify both
+          // join keys by frame so nothing is ambiguous.
+          val tmpLocal = freshName(df.columns ++ fdf.columns, "__graft_lookup_l")
+          val key = freshName(df.columns ++ fdf.columns, "__graft_lookup_k")
+          val left0 = df.withColumn(tmpLocal, col(local))
+          val left = if (df.columns.contains(as)) left0.drop(as) else left0
           val matched = fdf
             .groupBy(col(foreign).as(key))
             .agg(collect_list(struct(fdf.columns.map(col): _*)).as(as))
-          df.join(matched, col(local) === col(key), "left_outer")
-            .drop(key)
+          left.join(matched, left(tmpLocal) === matched(key), "left_outer")
+            .drop(tmpLocal).drop(key)
             .withColumn(as, coalesce(col(as), array()))
         case other => throw bad(s"$$lookup needs a document, got $other")
       }
@@ -589,7 +617,16 @@ object MongoPipeline {
           valueExpr(len, env))
       case other => throw bad(s"$$substrCP needs [str, start, len], got $other")
     }
-    case "$split"    => { val (a, b) = arg2(op, operand, env); split(a, b.toString) }
+    case "$split"    => operand match {
+      // Mongo's delimiter is a LITERAL string; Spark's split() takes a
+      // regex — quote it. Non-literal delimiters would need per-row
+      // regex-quoting, which Mongo itself doesn't allow either.
+      case DArray(Seq(s, DString(delim))) if !delim.startsWith("$") =>
+        split(valueExpr(s, env), java.util.regex.Pattern.quote(delim))
+      case DArray(Seq(_, d)) =>
+        throw bad(s"$$split delimiter must be a literal string, got $d")
+      case other => throw bad(s"$$split needs [string, delimiter], got $other")
+    }
     case "$indexOfCP" => // 0-based; -1 when absent — instr is 1-based, 0-absent
       { val (s, sub) = arg2(op, operand, env); instr(s, sub) - 1 }
     case "$replaceAll" => operand match { // literal (non-regex) find/replace
@@ -884,6 +921,29 @@ object MongoPipeline {
   /** `"$a.b"` → `a.b` column path (Spark resolves dots as nested access). */
   private def fieldPath(ref: String): String =
     if (ref.startsWith("$")) ref.drop(1) else ref
+
+  /** A column name not present in `taken` (collision-proof temps). */
+  private def freshName(taken: Seq[String], base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !taken.contains(n)).get
+
+  /** Set `path` (possibly dotted) to `value` with Mongo field semantics:
+    * a top-level name is a plain withColumn; a dotted path replaces the
+    * nested field INSIDE the parent struct (`withField`), creating the
+    * nested struct chain when the top-level column doesn't exist yet —
+    * withColumn("a.b", ...) would instead create a literal "a.b" column.
+    */
+  private def setPath(df: DataFrame, path: String, value: Column): DataFrame =
+    if (!path.contains('.')) df.withColumn(path, value)
+    else {
+      val head = path.substring(0, path.indexOf('.'))
+      val rest = path.substring(path.indexOf('.') + 1)
+      if (df.columns.contains(head))
+        df.withColumn(head, col(head).withField(rest, value))
+      else // absent parent: Mongo creates the nested documents
+        df.withColumn(head, rest.split('.').foldRight(value) {
+          (f, acc) => struct(acc.as(f)) })
+    }
 
   private def bad(msg: String) =
     new IllegalArgumentException(s"mongo pipeline: $msg")

@@ -97,6 +97,77 @@ class MongoPipelineSpec extends SparkSpec {
     assert(byId("other") == ((1L, 20.0)))
   }
 
+  test("$split treats the delimiter as a literal, not a regex") {
+    val docs = Seq(("x", "a.b|c.d")).toDF("id", "s")
+    val out = Graft.aggregate(docs, """[
+      {"$addFields": {"by_dot": {"$split": ["$s", "."]},
+                      "by_pipe": {"$split": ["$s", "|"]}}}
+    ]""").head
+    assert(out.getSeq[String](2) == Seq("a", "b|c", "d"))
+    assert(out.getSeq[String](3) == Seq("a.b", "c.d"))
+    val err = intercept[IllegalArgumentException] {
+      Graft.aggregate(docs, """[{"$addFields": {"x": {"$split": ["$s", "$id"]}}}]""")
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
+  test("$set/$addFields on a dotted path replaces the nested field in place") {
+    val docs = Seq((1L, ("u1", 10L)), (2L, ("u2", 20L)))
+      .toDF("id", "meta").withColumn("meta",
+        struct(col("meta._1").as("name"), col("meta._2").as("score")))
+    val out = Graft.aggregate(docs, """[
+      {"$set": {"meta.score": {"$multiply": ["$meta.score", 10]}}}
+    ]""")
+    assert(out.columns.toSeq == Seq("id", "meta")) // no literal "meta.score" column
+    assert(out.orderBy("id").collect().map(_.getStruct(1).getLong(1)).toSeq ==
+      Seq(100L, 200L))
+    // absent parent → nested documents are created
+    val created = Graft.aggregate(docs.select("id"),
+      """[{"$set": {"a.b.c": 7}}]""").head
+    assert(created.getStruct(1).getStruct(0).getLong(0) == 7L)
+  }
+
+  test("$unwind on a dotted path explodes inside the parent struct") {
+    val docs = Seq((1L, (Seq(1L, 2L, 3L), "k"))).toDF("id", "doc")
+      .withColumn("doc", struct(col("doc._1").as("xs"), col("doc._2").as("k")))
+    val out = Graft.aggregate(docs, """[{"$unwind": "$doc.xs"}]""")
+    assert(out.columns.toSeq == Seq("id", "doc"))
+    val rows = out.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getStruct(1).getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.forall(_.getStruct(1).getString(1) == "k"))
+  }
+
+  test("$project inclusion keeps _id by default; _id:0 excludes it") {
+    val docs = Seq(("oid1", 1L, "x")).toDF("_id", "n", "s")
+    val dflt = Graft.aggregate(docs, """[{"$project": {"n": 1}}]""")
+    assert(dflt.columns.toSeq == Seq("_id", "n"))
+    val excl = Graft.aggregate(docs, """[{"$project": {"_id": 0, "n": 1}}]""")
+    assert(excl.columns.toSeq == Seq("n"))
+    val expl = Graft.aggregate(docs, """[{"$project": {"n": 1, "_id": 1}}]""")
+    assert(expl.columns.toSeq == Seq("n", "_id"))
+  }
+
+  test("$lookup overwrites a pre-existing `as` column (Mongo replace semantics)") {
+    val dims = Seq(("a", "alpha"), ("b", "beta")).toDF("key", "name")
+    // `as` collides with an existing column AND with the local field
+    val out = Graft.aggregate(sales.withColumn("dim", lit("old")), """[
+      {"$lookup": {"from": "dims", "localField": "grp",
+                   "foreignField": "key", "as": "dim"}},
+      {"$sort": {"id": 1}}
+    ]""", resolver = Map("dims" -> dims))
+    assert(out.columns.count(_ == "dim") == 1)
+    assert(out.select(size(col("dim"))).collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 1, 1, 1, 0))
+    val self = Graft.aggregate(sales, """[
+      {"$lookup": {"from": "dims", "localField": "grp",
+                   "foreignField": "key", "as": "grp"}},
+      {"$sort": {"id": 1}}
+    ]""", resolver = Map("dims" -> dims))
+    assert(self.select(size(col("grp"))).collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 1, 1, 1, 0))
+  }
+
   test("a $match stage pushes into the parquet scan like native SQL") {
     val ev = Tables(spark, sfDir, "events")
     val out = Graft.aggregate(ev,
