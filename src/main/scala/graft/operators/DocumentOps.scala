@@ -109,13 +109,111 @@ object DocumentOps {
       |WHERE value >= 10 AND event_type IN ('click','view','purchase')
       |GROUP BY event_type ORDER BY _id""".stripMargin
 
+  // ---------------------------------------------------------------- d13
+  /** `$graphLookup` recursive traversal compiled to iterative BFS join
+    * hops (MongoDB's graph stage; no Spark built-in). The collection is a
+    * parent TREE derived from nation (parent = floor(key/2)) — multi-depth
+    * chains plus a self-loop at the root prove cycle-safe visited dedup
+    * and min-depth semantics. Oracle: DuckDB recursive CTE closure with
+    * min(depth) per reached node.
+    *
+    * Scale: each BFS hop is one equi-join shuffle of the frontier against
+    * the collection; visited dedup bounds total work by the reachable
+    * edge set, and hops ≤ maxDepth (or graph diameter).
+    */
+  def d13GraphLookup(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir, "nation")
+    val tree = graft.Graft.aggregate(nation, """[
+      {"$set": {"parent": {"$floor": {"$divide": ["$n_nationkey", 2]}}}},
+      {"$project": {"n_nationkey": 1, "n_name": 1, "parent": 1}}
+    ]""")
+    graft.Graft.aggregate(tree, """[
+      {"$graphLookup": {"from": "tree", "startWith": "$parent",
+        "connectFromField": "parent", "connectToField": "n_nationkey",
+        "as": "ancestors", "maxDepth": 3, "depthField": "depth"}},
+      {"$unwind": "$ancestors"},
+      {"$project": {"nk": "$n_nationkey", "anc": "$ancestors.n_nationkey",
+                    "anc_name": "$ancestors.n_name", "depth": "$ancestors.depth"}},
+      {"$sort": {"nk": 1, "depth": 1}}
+    ]""", resolver = Map("tree" -> tree))
+  }
+
+  val d13Sql: String =
+    """WITH RECURSIVE tree AS (
+      |  SELECT n_nationkey, n_name,
+      |    CAST(FLOOR(n_nationkey / 2.0) AS BIGINT) AS parent FROM nation),
+      |walk(src, node, depth) AS (
+      |  SELECT s.n_nationkey, t.n_nationkey, 0
+      |  FROM tree s JOIN tree t ON t.n_nationkey = s.parent
+      |  UNION
+      |  SELECT w.src, t.n_nationkey, w.depth + 1
+      |  FROM walk w
+      |  JOIN tree cur ON cur.n_nationkey = w.node
+      |  JOIN tree t ON t.n_nationkey = cur.parent
+      |  WHERE w.depth < 3),
+      |dedup AS (SELECT src, node, MIN(depth) AS depth FROM walk GROUP BY 1, 2)
+      |SELECT d.src AS nk, d.node AS anc, t.n_name AS anc_name,
+      |  CAST(d.depth AS BIGINT) AS depth
+      |FROM dedup d JOIN tree t ON t.n_nationkey = d.node
+      |ORDER BY nk, depth""".stripMargin
+
+  // ---------------------------------------------------------------- d14
+  /** `$densify` + `$fill`: per-user daily activity grid (gap days
+    * generated at step 1 day within each user's [min, max]) with
+    * last-observation-carried-forward on the value and a constant fill on
+    * the observed flag — MongoDB's time-series gap-filling stages as one
+    * sequence-explode + anti-join + window pass. Oracle: DuckDB
+    * generate_series grid + IGNORE NULLS window.
+    *
+    * Scale: grid generation is one groupBy(min,max) + explode (rows ∝
+    * output), the anti-join shuffles only grid points, and locf is a
+    * single window pass per partition — no driver loops anywhere.
+    */
+  def d14DensifyFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .filter(col("user_id") <= 5)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(round(sum(col("value")), 4).as("day_value"))
+      .withColumn("observed", lit(1L))
+    graft.Graft.aggregate(daily, """[
+      {"$densify": {"field": "day", "partitionByFields": ["user_id"],
+                    "range": {"step": 1, "unit": "day", "bounds": "partition"}}},
+      {"$fill": {"partitionBy": {"u": "$user_id"}, "sortBy": {"day": 1},
+                 "output": {"day_value": {"method": "locf"},
+                            "observed": {"value": 0}}}},
+      {"$sort": {"user_id": 1, "day": 1}}
+    ]""")
+  }
+
+  val d14Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    ROUND(SUM(value), 4) AS day_value, CAST(1 AS BIGINT) AS observed
+      |  FROM events WHERE user_id <= 5 GROUP BY 1, 2),
+      |bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+      |           FROM daily GROUP BY 1),
+      |grid AS (SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |         FROM bounds)
+      |SELECT g.user_id, g.day,
+      |  last_value(d.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.day
+      |    ROWS UNBOUNDED PRECEDING) AS day_value,
+      |  COALESCE(d.observed, 0) AS observed
+      |FROM grid g LEFT JOIN daily d
+      |  ON d.user_id = g.user_id AND d.day = g.day
+      |ORDER BY g.user_id, g.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_json_extract" -> (d01JsonExtract _),
     "d05_unnest_array" -> (d05UnnestArray _),
-    "d12_agg_pipeline" -> (d12AggPipeline _))
+    "d12_agg_pipeline" -> (d12AggPipeline _),
+    "d13_graph_lookup" -> (d13GraphLookup _),
+    "d14_densify_fill" -> (d14DensifyFill _))
 
   val oracle: Map[String, String] = Map(
     "d01_json_extract" -> d01Sql,
     "d05_unnest_array" -> d05Sql,
-    "d12_agg_pipeline" -> d12Sql)
+    "d12_agg_pipeline" -> d12Sql,
+    "d13_graph_lookup" -> d13Sql,
+    "d14_densify_fill" -> d14Sql)
 }

@@ -27,7 +27,11 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
   * `$facet` (input pinned once, facets cross-joined to the one-row doc),
   * `$sample` (rand-keyed TopN → per-partition heaps, optional `seed`),
   * `$setWindowFields` (`$documentNumber $rank $denseRank $shift` +
-  * framed accumulators), `$out` (terminal docstore write).
+  * framed accumulators), `$graphLookup` (BFS via iterative join hops,
+  * cycle-safe visited dedup, `maxDepth`/`depthField`), `$densify`
+  * (numeric or calendar-unit grids; partition / full / explicit bounds),
+  * `$fill` (`locf`, `linear` interpolation, constant `value`),
+  * `$out` (terminal docstore write).
   *
   * Expression operators (the aggregation expression language):
   * `"$field"` paths, `$$variables` (`$let`, lambda vars), `$literal`,
@@ -240,6 +244,208 @@ object MongoPipeline {
             .drop(tmpLocal).drop(key)
             .withColumn(as, coalesce(col(as), array()))
         case other => throw bad(s"$$lookup needs a document, got $other")
+      }
+
+      case "$graphLookup" => spec match {
+        case d: DDoc =>
+          if (resolver == null) throw bad("$graphLookup needs a collection resolver")
+          val m = d.fields.toMap
+          def str(k: String): String = m.get(k) match {
+            case Some(DString(s)) => s
+            case other => throw bad(s"$$graphLookup.$k needs a string, got $other")
+          }
+          val (from, as) = (str("from"), str("as"))
+          val (connectFrom, connectTo) = (str("connectFromField"), str("connectToField"))
+          val startWith = m.getOrElse("startWith",
+            throw bad("$graphLookup needs startWith"))
+          val maxDepth = m.get("maxDepth") match {
+            case Some(DLong(n)) => n.toInt
+            case None           => Int.MaxValue // visited-set convergence bounds it
+            case Some(x) => throw bad(s"$$graphLookup.maxDepth needs an integer, got $x")
+          }
+          val depthField = m.get("depthField") match {
+            case Some(DString(f)) => Some(f)
+            case None             => None
+            case Some(x) => throw bad(s"$$graphLookup.depthField needs a string, got $x")
+          }
+          val fdf = resolver(from)
+          val taken = df.columns ++ fdf.columns
+          val rid = freshName(taken, "__graft_gl_rid")
+          val kCol = freshName(taken, "__graft_gl_k")
+          val keyCol = freshName(taken, "__graft_gl_key")
+          val nextCol = freshName(taken, "__graft_gl_next")
+          val docCol = freshName(taken, "__graft_gl_doc")
+          val dCol = freshName(taken, "__graft_gl_d")
+          // row identity survives the loop; checkpoint pins the ids (a
+          // recompute could renumber). Mongo overwrite semantics for `as`.
+          val left0 = df.withColumn(rid, monotonically_increasing_id())
+            .localCheckpoint()
+          val left = if (df.columns.contains(as)) left0.drop(as) else left0
+          // foreign side once: (match key, next-hop key, whole doc)
+          val foreign = fdf.select(col(connectTo).as(keyCol),
+            col(connectFrom).as(nextCol),
+            struct(fdf.columns.map(col): _*).as(docCol)).localCheckpoint()
+          def hop(frontier: DataFrame, depth: Int): DataFrame =
+            frontier.join(foreign, frontier(kCol) === foreign(keyCol))
+              .select(col(rid), col(docCol), col(nextCol), lit(depth).cast("long").as(dCol))
+          // BFS: each hop is one join shuffle; visited dedup (per input row,
+          // per foreign DOC) both handles cycles and gives min-depth
+          // semantics like Mongo. Iterations ≤ graph diameter (or maxDepth).
+          var frontier = left.select(col(rid), valueExpr(startWith).as(kCol))
+          var visited = hop(frontier, 0).limit(0).localCheckpoint() // typed empty
+          var depth = 0
+          var done = false
+          while (!done && depth <= maxDepth) {
+            val hits = hop(frontier, depth)
+            val fresh = hits
+              .join(visited.select(col(rid).as("__vr"), col(docCol).as("__vd")),
+                hits(rid) === col("__vr") && hits(docCol) <=> col("__vd"),
+                "left_anti")
+              .distinct().localCheckpoint()
+            if (fresh.isEmpty) done = true
+            else {
+              visited = visited.unionByName(fresh).localCheckpoint()
+              frontier = fresh.select(col(rid), col(nextCol).as(kCol)).distinct()
+              depth += 1
+            }
+          }
+          val withDepth = depthField match {
+            case Some(f) => col(docCol).withField(f, col(dCol))
+            case None    => col(docCol)
+          }
+          // array_sort for a deterministic array (Mongo leaves order
+          // unspecified); struct sort is lexicographic on field order
+          val collected = visited.select(col(rid), withDepth.as(docCol))
+            .groupBy(col(rid))
+            .agg(array_sort(collect_list(col(docCol))).as(as))
+          val emptyArr = toColumn(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Any]),
+              collected.schema(as).dataType))
+          left.join(collected, Seq(rid), "left_outer")
+            .withColumn(as, coalesce(col(as), emptyArr))
+            .drop(rid)
+        case other => throw bad(s"$$graphLookup needs a document, got $other")
+      }
+
+      case "$densify" => spec match {
+        case d: DDoc =>
+          val m = d.fields.toMap
+          val field = m.get("field") match {
+            case Some(DString(f)) => f
+            case other => throw bad(s"$$densify.field needs a string, got $other")
+          }
+          val parts: Seq[String] = m.get("partitionByFields") match {
+            case Some(DArray(items)) => items.map {
+              case DString(s) => s
+              case x => throw bad(s"$$densify.partitionByFields: $x")
+            }
+            case None    => Seq.empty
+            case Some(x) => throw bad(s"$$densify.partitionByFields needs an array, got $x")
+          }
+          val range = m.get("range") match {
+            case Some(r: DDoc) => r.fields.toMap
+            case other => throw bad(s"$$densify.range needs a document, got $other")
+          }
+          val stepExpr: Column = (range.get("step"), range.get("unit")) match {
+            case (Some(DLong(n)), None)   => lit(n)
+            case (Some(DDouble(x)), None) => lit(x)
+            case (Some(DLong(n)), Some(DString(u)))
+              if Set("year", "month", "week", "day", "hour", "minute",
+                "second")(u) =>
+              if (u == "week") expr(s"INTERVAL '${n * 7}' DAY")
+              else expr(s"INTERVAL '$n' ${u.toUpperCase}")
+            case other => throw bad(s"$$densify.range.step/unit: $other")
+          }
+          // bounds: per-partition [min,max], global [min,max] applied to
+          // every partition ("full"), or an explicit half-open [lo, hi)
+          val bounds = range.getOrElse("bounds", throw bad("$densify needs bounds"))
+          val partCols = parts.map(col)
+          val distinctParts =
+            if (parts.isEmpty) df.select(lit(1).as("__one")).limit(1)
+            else df.select(partCols: _*).distinct()
+          val grid = bounds match {
+            case DString("partition") =>
+              if (parts.isEmpty) throw bad("$densify bounds 'partition' needs partitionByFields")
+              df.groupBy(partCols: _*)
+                .agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
+                .select(parts.map(col) :+
+                  explode(sequence(col("__lo"), col("__hi"), stepExpr)).as(field): _*)
+            case DString("full") =>
+              val mm = df.agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
+              distinctParts.crossJoin(broadcast(mm))
+                .select((if (parts.isEmpty) Seq.empty[Column] else parts.map(col)) :+
+                  explode(sequence(col("__lo"), col("__hi"), stepExpr)).as(field): _*)
+            case DArray(Seq(lo, hi)) => // half-open like Mongo
+              distinctParts
+                .select((if (parts.isEmpty) Seq.empty[Column] else parts.map(col)) :+
+                  explode(sequence(valueExpr(lo), valueExpr(hi), stepExpr)).as(field): _*)
+                .filter(col(field) < valueExpr(hi))
+            case x => throw bad(s"$$densify.range.bounds: $x")
+          }
+          val gridCols = (parts :+ field).map(col)
+          // only grid points MISSING from their partition become new docs
+          // (anti join on partition+field); existing off-grid docs survive
+          val missing = grid.join(
+            df.select(gridCols: _*), parts :+ field, "left_anti")
+          df.unionByName(missing, allowMissingColumns = true)
+        case other => throw bad(s"$$densify needs a document, got $other")
+      }
+
+      case "$fill" => spec match {
+        case d: DDoc =>
+          import org.apache.spark.sql.expressions.Window
+          val m = d.fields.toMap
+          val partition: Seq[Column] = m.get("partitionBy") match {
+            case Some(DString(p)) => Seq(col(fieldPath(p)))
+            case Some(p: DDoc)    => p.fields.map { case (_, e) => valueExpr(e) }
+            case None             => Seq.empty
+            case Some(x) => throw bad(s"$$fill.partitionBy: $x")
+          }
+          val sortCols = m.get("sortBy") match {
+            case Some(s: DDoc) => s.fields.map {
+              case (f, DLong(1))  => col(f).asc
+              case (f, DLong(-1)) => col(f).desc
+              case (f, x) => throw bad(s"$$fill.sortBy.$f needs 1 or -1, got $x")
+            }
+            case None    => Seq.empty
+            case Some(x) => throw bad(s"$$fill.sortBy needs a document, got $x")
+          }
+          val sortKey = m.get("sortBy") match { // numeric x for linear interp
+            case Some(s: DDoc) if s.fields.size == 1 => Some(col(s.fields.head._1))
+            case _                                   => None
+          }
+          val base = Window.partitionBy(partition: _*)
+          val ordered = if (sortCols.nonEmpty) base.orderBy(sortCols: _*) else base
+          val wPrev = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wNext = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          val outputs = m.getOrElse("output", throw bad("$fill needs output")) match {
+            case o: DDoc => o.fields
+            case x       => throw bad(s"$$fill.output needs a document, got $x")
+          }
+          outputs.foldLeft(df) { case (acc, (f, ospec)) =>
+            val y = col(f)
+            val filled = ospec match {
+              case DDoc(Seq(("value", v))) => coalesce(y, valueExpr(v))
+              case DDoc(Seq(("method", DString("locf")))) =>
+                if (sortCols.isEmpty) throw bad("$fill locf requires sortBy")
+                last(y, ignoreNulls = true).over(wPrev)
+              case DDoc(Seq(("method", DString("linear")))) =>
+                val x = sortKey.getOrElse(
+                  throw bad("$fill linear requires a single-field sortBy"))
+                val px = last(when(y.isNotNull, x), ignoreNulls = true).over(wPrev)
+                val py = last(y, ignoreNulls = true).over(wPrev)
+                val nx = first(when(y.isNotNull, x), ignoreNulls = true).over(wNext)
+                val ny = first(y, ignoreNulls = true).over(wNext)
+                // interpolate strictly BETWEEN known points; nulls before
+                // the first / after the last known value stay null (Mongo)
+                when(y.isNotNull, y).otherwise(
+                  py + (ny - py) * (x - px) / (nx - px))
+              case x => throw bad(s"$$fill.output.$f: unsupported spec $x")
+            }
+            acc.withColumn(f, filled)
+          }
+        case other => throw bad(s"$$fill needs a document, got $other")
       }
 
       case "$replaceRoot" | "$replaceWith" =>

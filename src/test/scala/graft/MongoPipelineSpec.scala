@@ -168,6 +168,72 @@ class MongoPipelineSpec extends SparkSpec {
       Seq(1, 1, 1, 1, 0))
   }
 
+  test("$graphLookup walks the graph BFS with cycle-safe min-depth dedup") {
+    // parent tree: i → i/2; node 0 is its own parent (cycle at the root)
+    val tree = Seq.tabulate(8)(i => (i.toLong, i.toLong / 2))
+      .toDF("id", "parent")
+    val out = Graft.aggregate(tree, """[
+      {"$graphLookup": {"from": "tree", "startWith": "$parent",
+        "connectFromField": "parent", "connectToField": "id",
+        "as": "anc", "depthField": "d"}},
+      {"$unwind": "$anc"},
+      {"$project": {"id": 1, "a": "$anc.id", "d": "$anc.d"}},
+      {"$sort": {"id": 1, "d": 1}}
+    ]""", resolver = Map("tree" -> tree))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // node 7: 3 (d0) → 1 (d1) → 0 (d2); node 0: itself once (cycle stops)
+    assert(got.filter(_._1 == 7L).toSeq == Seq((7L, 3L, 0L), (7L, 1L, 1L), (7L, 0L, 2L)))
+    assert(got.filter(_._1 == 0L).toSeq == Seq((0L, 0L, 0L)))
+    // maxDepth 0 = initial hop only
+    val shallow = Graft.aggregate(tree, """[
+      {"$graphLookup": {"from": "tree", "startWith": "$parent",
+        "connectFromField": "parent", "connectToField": "id",
+        "as": "anc", "maxDepth": 0}}
+    ]""", resolver = Map("tree" -> tree))
+    assert(shallow.select(max(size(col("anc")))).head.getInt(0) == 1)
+    // unmatched startWith → empty array, not null
+    val none = Graft.aggregate(Seq((99L, 404L)).toDF("id", "parent"), """[
+      {"$graphLookup": {"from": "tree", "startWith": "$parent",
+        "connectFromField": "parent", "connectToField": "id", "as": "anc"}}
+    ]""", resolver = Map("tree" -> tree))
+    assert(none.head.getSeq[Any](2) == Seq.empty)
+  }
+
+  test("$densify fills numeric and date gaps; $fill locf/linear/value") {
+    val sparse = Seq((1L, 0L, 10.0), (1L, 3L, 40.0), (2L, 5L, 1.0), (2L, 7L, 3.0))
+      .toDF("grp", "x", "y")
+    val dense = Graft.aggregate(sparse, """[
+      {"$densify": {"field": "x", "partitionByFields": ["grp"],
+                    "range": {"step": 1, "bounds": "partition"}}},
+      {"$fill": {"partitionBy": {"grp": "$grp"}, "sortBy": {"x": 1},
+                 "output": {"y": {"method": "linear"}}}},
+      {"$sort": {"grp": 1, "x": 1}}
+    ]""")
+    val rows = dense.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (1L, 2L, 30.0),
+      (1L, 3L, 40.0), (2L, 5L, 1.0), (2L, 6L, 2.0), (2L, 7L, 3.0)))
+    // locf + constant value fill; explicit half-open bounds, no partitions
+    val locf = Graft.aggregate(Seq((0L, "a"), (2L, "b")).toDF("x", "s"), """[
+      {"$densify": {"field": "x", "range": {"step": 1, "bounds": [0, 4]}}},
+      {"$fill": {"sortBy": {"x": 1},
+                 "output": {"s": {"method": "locf"}}}},
+      {"$sort": {"x": 1}}
+    ]""")
+    assert(locf.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "b"))) // hi=4 excluded
+    val const = Graft.aggregate(Seq((1L, Some(5.0)), (2L, None)).toDF("x", "v"),
+      """[{"$fill": {"output": {"v": {"value": 0}}}}]""")
+    assert(const.orderBy("x").collect().map(_.getDouble(1)).toSeq == Seq(5.0, 0.0))
+    // calendar-unit densify over timestamps
+    val days = Seq("2024-01-01", "2024-01-04").toDF("d")
+      .select(col("d").cast("timestamp").as("day"))
+    val dd = Graft.aggregate(days, """[
+      {"$densify": {"field": "day", "range": {"step": 1, "unit": "day", "bounds": "full"}}},
+      {"$sort": {"day": 1}}
+    ]""")
+    assert(dd.count() == 4)
+  }
+
   test("a $match stage pushes into the parquet scan like native SQL") {
     val ev = Tables(spark, sfDir, "events")
     val out = Graft.aggregate(ev,
