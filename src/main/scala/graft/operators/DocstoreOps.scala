@@ -254,12 +254,11 @@ object DocstoreOps {
     val dropped = read("dropmalformed").count()
     val failfast = {
       // the task failure here is INTENTIONAL (failfast must abort the
-      // job); silence the executor's ERROR log lines for the duration so
-      // the expected abort doesn't read as a real failure in bench logs
-      val logger = org.apache.logging.log4j.LogManager.getRootLogger
-        .asInstanceOf[org.apache.logging.log4j.core.Logger]
-      val prev = logger.getLevel
-      logger.setLevel(org.apache.logging.log4j.Level.OFF)
+      // job); silence executor/scheduler ERROR lines for the duration so
+      // the expected abort doesn't read as a real failure in bench logs.
+      // Spark's own setLogLevel reaches the right log4j2 context (a raw
+      // LogManager call resolves a different context under sbt).
+      spark.sparkContext.setLogLevel("OFF")
       try {
         try { read("failfast").count(); "no-error" }
         catch { case e: Exception =>
@@ -267,7 +266,7 @@ object DocstoreOps {
           val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
             .map(t => String.valueOf(t.getMessage)).mkString(" | ")
           if (msgs.contains("failfast")) "failfast-error" else "other-error" }
-      } finally logger.setLevel(prev)
+      } finally spark.sparkContext.setLogLevel("ERROR")
     }
     import spark.implicits._
     Seq(

@@ -916,19 +916,31 @@ object Relational {
   def q33(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-    val w = Window.partitionBy(col("l_orderkey"))
     val supp = Tables(spark, dir, "supplier")
-    // both window expressions in ONE select → a single Window node
-    // evaluates both per-order facts in the same pass
-    li.select(col("l_suppkey"), col("l_returnflag"),
-        size(collect_set(col("l_suppkey")).over(w)).as("n_supps"),
-        size(collect_set(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .over(w)).as("n_ret_supps"))
-      .filter(col("l_returnflag") === "R" &&
-        col("n_supps") > 1 && col("n_ret_supps") === 1)
-      .join(supp, col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("s_suppkey"), col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+    // Two-level hash aggregation instead of a collect_set window: the
+    // window form sorts every partition and materializes per-order
+    // supplier SETS as JVM objects outside codegen; aggregating
+    // (order, supp) → order keeps the whole chain in codegen'd
+    // HashAggregates with map-side partial combine, and each level
+    // SHRINKS the data (pairs → orders → suppliers) instead of carrying
+    // every lineitem row through a sort.
+    val perSupp = li
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r_rows"))
+    val perOrder = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supps"),
+        sum(when(col("r_rows") > 0, 1L).otherwise(0L)).as("n_ret_supps"),
+        max(when(col("r_rows") > 0, col("l_suppkey"))).as("ret_supp"),
+        sum(col("r_rows")).as("r_tot"))
+    // sole returning supplier on a multi-supplier order: all R rows of
+    // the order belong to ret_supp, so its l1-row count is r_tot
+    perOrder
+      .filter(col("n_supps") > 1 && col("n_ret_supps") === 1)
+      .groupBy(col("ret_supp"))
+      .agg(sum(col("r_tot")).as("numwait"))
+      .join(supp, col("ret_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(20)
   }

@@ -814,7 +814,6 @@ object Tpch {
     * keeps the canonical EXISTS / NOT EXISTS formulation.
     */
   def h21(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_orderkey"))
     val late = col("l_receiptdate") > col("l_commitdate")
     val fOrders = Tables(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
@@ -827,20 +826,30 @@ object Tpch {
       .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .select(col("l_orderkey"), col("l_suppkey"),
         late.as("is_late"))
-    val facts = lx.select(col("l_orderkey"), col("l_suppkey"), col("is_late"),
-      size(collect_set(col("l_suppkey")).over(w)).as("n_supps"),
-      size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w))
-        .as("n_late_supps"))
-      .filter(col("is_late") && col("n_supps") > 1 &&
-        col("n_late_supps") === 1)
+    // Two-level hash aggregation, not a collect_set window (q33 lesson):
+    // every stage stays in codegen'd HashAggregates with map-side partial
+    // combine, and the data SHRINKS at each level (pairs → orders)
+    // instead of sorting every lineitem row and building per-order JVM
+    // supplier sets. For a qualifying order every late row belongs to the
+    // sole late supplier, so its l1-row count is late_tot.
+    val perSupp = lx
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("is_late"), 1L).otherwise(0L)).as("late_rows"))
+    val perOrder = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supps"),
+        sum(when(col("late_rows") > 0, 1L).otherwise(0L)).as("n_late_supps"),
+        max(when(col("late_rows") > 0, col("l_suppkey"))).as("late_supp"),
+        sum(col("late_rows")).as("late_tot"))
     val natSupp = Tables(spark, dir, "supplier")
       .join(Tables(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
       .filter(col("n_name") === "NATION_1")
       .select(col("s_suppkey"), col("s_name"))
-    facts
-      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+    perOrder
+      .filter(col("n_supps") > 1 && col("n_late_supps") === 1)
+      .join(natSupp, col("late_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("late_tot")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
   }

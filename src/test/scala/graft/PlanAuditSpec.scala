@@ -112,11 +112,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q33: double correlation runs as one window pass, no fact self-join") {
+  test("q33: double correlation runs as shrinking hash aggs, no fact self-join") {
     val p = finalPlan("q33_multi_exists").split("== Initial Plan ==").head
     // the EXISTS/NOT EXISTS pair must NOT plan as semi/anti self-joins of
-    // lineitem — one Window node computes both per-order facts
-    assert("Window \\[".r.findAllIn(p).size == 1, p)
+    // lineitem, nor as a per-order collect_set window (sorts every row,
+    // JVM sets outside codegen) — two levels of partial HashAggregate
+    // compute both per-order facts
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
     assert(!p.contains("SortMergeJoin"), p) // supplier joins by broadcast
   }
 

@@ -39,14 +39,20 @@ class TpchSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(r.fieldIndex("sum_qty")) > 0))
   }
 
-  test("h02/h17/h21: correlated subqueries run as ONE window pass") {
-    for (k <- Seq("h02_min_cost_supp", "h17_small_qty",
-        "h21_waiting_supplier")) {
+  test("h02/h17: correlated subqueries run as ONE window pass") {
+    for (k <- Seq("h02_min_cost_supp", "h17_small_qty")) {
       val p = compiledPlan(k)
       assert("Window \\[".r.findAllIn(p).size == 1, s"$k:\n$p")
       // decorrelation's whole point: no semi/anti self-join of the facts
       assert(!p.contains("SortMergeJoin"), s"$k:\n$p")
     }
+  }
+
+  test("h21: double correlation runs as shrinking hash aggs, no self-join") {
+    val p = compiledPlan("h21_waiting_supplier")
+    assert(!p.contains("Window"), p) // q33 lesson: aggs beat set-windows
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("h03/h10: ORDER BY + LIMIT plans as TakeOrderedAndProject") {
