@@ -354,6 +354,46 @@ object DocstoreOps {
       .orderBy(col("kind"), col("name"))
   }
 
+  // ------------------------------------------------------------------ d15
+  /** `$merge` upsert into a docstore collection, cross-engine gated: seed
+    * the target from orders ≤ 100 via `$out`, merge keys 50–200 with
+    * doubled totals (whenMatched replace, whenNotMatched insert), read
+    * the collection back. The oracle replicates replace+insert as a FULL
+    * OUTER JOIN where the source side wins — two independently derived
+    * merge semantics must agree, and the docstore write→read round trip
+    * rides along.
+    */
+  def d15MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_docstore/merge_d15_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DoubleType).as("total"))
+    graft.Graft.aggregate(ord.filter(col("o_orderkey") <= 100),
+      s"""[{"$$out": "$path"}]""")
+    graft.Graft.aggregate(
+      ord.filter(col("o_orderkey").between(50, 200))
+        .withColumn("total", round(col("total") * 2, 4)),
+      s"""[{"$$merge": {"into": "$path", "on": "o_orderkey",
+            "whenMatched": "replace", "whenNotMatched": "insert"}}]""")
+    spark.read.format("docstore").option("path", path).load()
+      .select(col("o_orderkey"), col("o_custkey"), round(col("total"), 4).as("total"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val d15Sql: String =
+    """WITH seed AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey <= 100),
+      |src AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    ROUND(CAST(o_totalprice AS DOUBLE) * 2, 4) AS total
+      |  FROM orders WHERE o_orderkey BETWEEN 50 AND 200)
+      |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+      |  COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+      |  ROUND(COALESCE(s.total, t.total), 4) AS total
+      |FROM src s FULL OUTER JOIN seed t ON s.o_orderkey = t.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -364,7 +404,8 @@ object DocstoreOps {
     "d07_schema_modes" -> (d07SchemaModes _),
     "d08_docstore_scan" -> (d08DocstoreScan _),
     "d09_agg_pushdown" -> (d09AggPushdown _),
-    "d10_catalog" -> (d10Catalog _))
+    "d10_catalog" -> (d10Catalog _),
+    "d15_merge_upsert" -> (d15MergeUpsert _))
 
   /** d07 oracle: the schema_mode CONTRACT over the fixed 5-line collection
     * (permissive keeps type-mismatch rows null-padded and drops the
@@ -397,5 +438,6 @@ object DocstoreOps {
     "d07_schema_modes" -> d07Sql,
     "d08_docstore_scan" -> d08Sql,
     "d09_agg_pushdown" -> d09Sql,
-    "d10_catalog" -> d10Sql)
+    "d10_catalog" -> d10Sql,
+    "d15_merge_upsert" -> d15Sql)
 }

@@ -45,6 +45,12 @@ object MongoFilter {
       .reduceOption(And).getOrElse(Literal.TrueLiteral)
 
   private def compileField(key: String, v: DocValue): Expression = key match {
+    // $expr: full aggregation-expression language inside a filter (field-
+    // to-field comparisons etc.) — delegates to the pipeline compiler, so
+    // the result is still a pure Catalyst boolean (pushdown-eligible when
+    // the expression is sargable)
+    case "$expr" =>
+      org.apache.spark.sql.graftshim.toExpression(MongoPipeline.valueExpr(v))
     case "$and" => subDocs(key, v).map(compileDoc).reduce(And)
     case "$or"  => subDocs(key, v).map(compileDoc).reduce(Or)
     case "$nor" => Not(subDocs(key, v).map(compileDoc).reduce(Or))

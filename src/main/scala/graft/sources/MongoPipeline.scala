@@ -31,7 +31,9 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
   * cycle-safe visited dedup, `maxDepth`/`depthField`), `$densify`
   * (numeric or calendar-unit grids; partition / full / explicit bounds),
   * `$fill` (`locf`, `linear` interpolation, constant `value`),
-  * `$out` (terminal docstore write).
+  * `$bucketAuto` (exact equal-count buckets via ntile), `$out` (terminal
+  * docstore write), `$merge` (docstore upsert: whenMatched replace /
+  * keepExisting / merge / fail, whenNotMatched insert / discard / fail).
   *
   * Expression operators (the aggregation expression language):
   * `"$field"` paths, `$$variables` (`$let`, lambda vars), `$literal`,
@@ -551,6 +553,112 @@ object MongoPipeline {
           df.write.format("docstore").mode("overwrite").save(path)
           df
         case x => throw bad(s"$$out needs a path string, got $x")
+      }
+
+      // $merge: upsert the pipeline output into a target docstore path.
+      // whenMatched: replace | keepExisting | merge | fail;
+      // whenNotMatched: insert | discard | fail. With fixed relational
+      // schemas "merge" keeps target-only columns and takes every source
+      // column from the source (Mongo's field-wise overwrite).
+      // Scale: one semi/anti-join pass per side on the `on` keys, then a
+      // single failure-atomic overwrite commit — no driver row loops.
+      case "$merge" =>
+        val m = spec match {
+          case DString(path) => Map[String, DocValue]("into" -> DString(path))
+          case d: DDoc       => d.fields.toMap
+          case x => throw bad(s"$$merge needs a path or document, got $x")
+        }
+        val into = m.get("into") match {
+          case Some(DString(p)) => p
+          case other => throw bad(s"$$merge.into needs a path string, got $other")
+        }
+        val on: Seq[String] = m.get("on") match {
+          case Some(DString(f))    => Seq(f)
+          case Some(DArray(items)) => items.map {
+            case DString(s) => s
+            case x          => throw bad(s"$$merge.on: $x")
+          }
+          case None    => Seq("_id")
+          case Some(x) => throw bad(s"$$merge.on needs a string or array, got $x")
+        }
+        def mode(k: String, dflt: String, allowed: Set[String]): String =
+          m.get(k) match {
+            case Some(DString(s)) if allowed(s) => s
+            case None                           => dflt
+            case Some(x) => throw bad(s"$$merge.$k: unsupported $x")
+          }
+        val whenMatched = mode("whenMatched", "merge",
+          Set("replace", "keepExisting", "merge", "fail"))
+        val whenNotMatched = mode("whenNotMatched", "insert",
+          Set("insert", "discard", "fail"))
+        val targetDir = new java.io.File(into)
+        val result =
+          if (!targetDir.isDirectory || targetDir.listFiles() == null ||
+              targetDir.listFiles().forall(f => f.getName.startsWith("."))) {
+            if (whenNotMatched == "fail" && !df.isEmpty)
+              throw bad("$merge whenNotMatched: fail — target is empty")
+            if (whenNotMatched == "insert") df else df.limit(0)
+          } else {
+            val spark = df.sparkSession
+            val tgt = spark.read.format("docstore").option("path", into).load()
+            val matchedSrc = df.join(tgt.select(on.map(col): _*), on, "left_semi")
+            if (whenMatched == "fail" && !matchedSrc.isEmpty)
+              throw bad("$merge whenMatched: fail — matching documents exist")
+            val unmatchedSrc = df.join(tgt.select(on.map(col): _*), on, "left_anti")
+            if (whenNotMatched == "fail" && !unmatchedSrc.isEmpty)
+              throw bad("$merge whenNotMatched: fail — unmatched documents exist")
+            val unmatchedTgt = tgt.join(df.select(on.map(col): _*), on, "left_anti")
+            val matched = whenMatched match {
+              case "keepExisting" => tgt.join(df.select(on.map(col): _*), on, "left_semi")
+              case "replace"      => matchedSrc
+              case "merge" => // source columns win; target-only columns survive
+                val tgtOnly = tgt.columns.filterNot(c =>
+                  df.columns.contains(c) || on.contains(c))
+                if (tgtOnly.isEmpty) matchedSrc
+                else matchedSrc.join(
+                  tgt.select((on ++ tgtOnly).map(col): _*), on, "left_outer")
+              case _ => matchedSrc // "fail" already threw when non-empty
+            }
+            val inserted = if (whenNotMatched == "insert") unmatchedSrc
+                           else unmatchedSrc.limit(0)
+            unmatchedTgt
+              .unionByName(matched, allowMissingColumns = true)
+              .unionByName(inserted, allowMissingColumns = true)
+          }
+        result.write.format("docstore").mode("overwrite").save(into)
+        df
+
+      // $bucketAuto: N equal-count buckets, _id = {min, max} per bucket.
+      // ntile over the groupBy key is the exact-equal-counts semantics;
+      // the single global sort is inherent to exact auto-bucketing (the
+      // scale path would precompute approx quantile boundaries and use
+      // $bucket). Mongo's `granularity` rounding is not supported.
+      case "$bucketAuto" => spec match {
+        case d: DDoc =>
+          val m = d.fields.toMap
+          val gb = valueExpr(m.getOrElse("groupBy",
+            throw bad("$bucketAuto needs groupBy")))
+          val n = m.get("buckets") match {
+            case Some(DLong(b)) if b >= 1 => b.toInt
+            case other => throw bad(s"$$bucketAuto.buckets needs a positive integer, got $other")
+          }
+          val outs = m.get("output") match {
+            case Some(o: DDoc) => o.fields.map { case (alias, aspec) =>
+              groupAccumulator(aspec).as(alias) }
+            case None    => Seq(count(lit(1)).as("count"))
+            case Some(x) => throw bad(s"$$bucketAuto.output needs a document, got $x")
+          }
+          val bCol = freshName(df.columns, "__graft_bucket")
+          val gCol = freshName(df.columns, "__graft_gb")
+          import org.apache.spark.sql.expressions.Window
+          df.withColumn(gCol, gb)
+            .withColumn(bCol, ntile(n).over(Window.orderBy(col(gCol))))
+            .groupBy(col(bCol))
+            .agg(struct(min(col(gCol)).as("min"), max(col(gCol)).as("max")).as("_id"),
+              outs: _*)
+            .drop(bCol)
+            .orderBy(col("_id.min"))
+        case x => throw bad(s"$$bucketAuto needs a document, got $x")
       }
 
       case other => throw bad(s"unsupported stage $other")

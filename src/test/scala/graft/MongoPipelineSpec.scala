@@ -234,6 +234,65 @@ class MongoPipelineSpec extends SparkSpec {
     assert(dd.count() == 4)
   }
 
+  test("$expr brings the expression language into $match filters") {
+    val out = Graft.aggregate(sales, """[
+      {"$match": {"$expr": {"$gt": ["$amount", {"$multiply": ["$id", 3]}]}}}
+    ]""")
+    // amount > id*3: (1,10), (2,20), (4,15 > 12)? 15>12 yes, (3,5>9) no, (5,7.5>15) no
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+    // pushdown still works for sargable $expr
+    val ev = Tables(spark, sfDir, "events")
+    val plan = explainText(ev.filter(
+      Graft.mongoFilter("""{"$expr": {"$gte": ["$value", 100]}}""")))
+    assert(plan.contains("PushedFilters: ["), plan)
+  }
+
+  test("$bucketAuto: equal-count buckets with {min,max} ids") {
+    val out = Graft.aggregate(sales, """[
+      {"$bucketAuto": {"groupBy": "$amount", "buckets": 2,
+                       "output": {"n": {"$sum": 1}, "hi": {"$max": "$amount"}}}}
+    ]""").collect()
+    assert(out.length == 2)
+    // sorted amounts 5, 7.5, 10, 15, 20 → buckets {5,7.5,10} and {15,20}
+    assert(out(0).getLong(1) == 3L && out(1).getLong(1) == 2L)
+    assert(out(0).getStruct(0).getDouble(0) == 5.0)   // _id.min
+    assert(out(0).getStruct(0).getDouble(1) == 10.0)  // _id.max
+    assert(out(1).getStruct(0).getDouble(1) == 20.0)
+  }
+
+  test("$merge upserts into a docstore collection") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    // seed the target with ids 1-3
+    Graft.aggregate(sales.filter(col("id") <= 3).select("id", "grp", "amount"),
+      s"""[{"$$out": "$dir"}]""")
+    // merge ids 2-5 with doubled amounts: 2,3 replaced; 4,5 inserted
+    Graft.aggregate(
+      sales.filter(col("id") >= 2).select(col("id"), col("grp"),
+        (col("amount") * 2).as("amount")),
+      s"""[{"$$merge": {"into": "$dir", "on": "id",
+            "whenMatched": "replace", "whenNotMatched": "insert"}}]""")
+    val merged = spark.read.format("docstore").option("path", dir).load()
+    val byId = merged.collect().map(r =>
+      r.getLong(r.fieldIndex("id")) -> r.getDouble(r.fieldIndex("amount"))).toMap
+    assert(byId == Map(1L -> 10.0, 2L -> 40.0, 3L -> 10.0, 4L -> 30.0, 5L -> 15.0))
+    // keepExisting leaves matched rows alone; discard drops unmatched
+    Graft.aggregate(
+      sales.select(col("id"), col("grp"), (col("amount") * 100).as("amount")),
+      s"""[{"$$merge": {"into": "$dir", "on": "id",
+            "whenMatched": "keepExisting", "whenNotMatched": "discard"}}]""")
+    val after = spark.read.format("docstore").option("path", dir).load()
+    val byId2 = after.collect().map(r =>
+      r.getLong(r.fieldIndex("id")) -> r.getDouble(r.fieldIndex("amount"))).toMap
+    assert(byId2 == byId)
+    // whenMatched: fail throws on overlap
+    val err = intercept[IllegalArgumentException] {
+      Graft.aggregate(sales.select("id", "grp", "amount"),
+        s"""[{"$$merge": {"into": "$dir", "on": "id", "whenMatched": "fail"}}]""")
+    }
+    assert(err.getMessage.contains("whenMatched"))
+  }
+
   test("a $match stage pushes into the parquet scan like native SQL") {
     val ev = Tables(spark, sfDir, "events")
     val out = Graft.aggregate(ev,
