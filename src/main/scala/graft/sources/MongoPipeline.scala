@@ -38,21 +38,26 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
   * Expression operators (the aggregation expression language):
   * `"$field"` paths, `$$variables` (`$let`, lambda vars), `$literal`,
   * arithmetic (`$add $subtract $multiply $divide $mod $abs $round
-  * $floor $ceil $trunc $pow $sqrt $exp $ln $log $log10`), string
-  * (`$concat $toUpper $toLower $trim $strLenCP $substrCP $split
+  * $floor $ceil $trunc $pow $sqrt $exp $ln $log $log10`), trigonometry
+  * (`$sin $cos $tan $asin $acos $atan $atan2 $sinh $cosh $tanh
+  * $degreesToRadians $radiansToDegrees`), string (`$concat $toUpper
+  * $toLower $trim $ltrim $rtrim $strcasecmp $strLenCP $substrCP $split
   * $indexOfCP $replaceAll $regexMatch`), date (`$year $month
-  * $dayOfMonth $hour $minute $second $dayOfWeek $dayOfYear $week
-  * $dateToString $dateDiff $dateAdd $dateSubtract`), conversion
-  * (`$toInt $toLong $toDouble $toString $toBool $toDate $convert` with
-  * try-cast `onError`), comparison (`$eq $ne $gt $gte $lt $lte $cmp`),
-  * boolean (`$and $or $not`), conditional (`$cond $ifNull $switch`),
-  * array (`$size $arrayElemAt $first $last $concatArrays $reverseArray
-  * $slice $in $indexOfArray $sortArray $filter $map $reduce`), set
-  * (`$setUnion $setIntersection $setDifference $setIsSubset
-  * $allElementsTrue $anyElementTrue`), `$getField`, `$let`,
-  * document-literal → struct. Higher-order operators compile to Spark
-  * lambda functions (`transform`/`filter`/`aggregate`) — still pure
-  * column algebra, no UDFs.
+  * $dayOfMonth $hour $minute $second $millisecond $dayOfWeek
+  * $dayOfYear $week $isoWeek $isoDayOfWeek $isoWeekYear $dateToString
+  * $dateFromString $dateFromParts $dateToParts $dateDiff $dateAdd
+  * $dateSubtract`), conversion (`$toInt $toLong $toDouble $toString
+  * $toBool $toDate $convert` with try-cast `onError`), type
+  * introspection (`$type $isNumber`), comparison (`$eq $ne $gt $gte
+  * $lt $lte $cmp`), boolean (`$and $or $not`), conditional (`$cond
+  * $ifNull $switch`), array (`$size $arrayElemAt $first $last
+  * $concatArrays $reverseArray $slice $in $indexOfArray $sortArray
+  * $range $zip $filter $map $reduce`), set (`$setUnion
+  * $setIntersection $setDifference $setIsSubset $allElementsTrue
+  * $anyElementTrue`), `$getField`, `$let`, `$rand`, document-literal →
+  * struct. Higher-order operators compile to Spark lambda functions
+  * (`transform`/`filter`/`aggregate`) — still pure column algebra, no
+  * UDFs.
   *
   * Scale: output is pure declarative DataFrame algebra — no UDFs, no
   * driver loops; a pipeline is exactly as fast as the equivalent
@@ -912,6 +917,19 @@ object MongoPipeline {
     case "$log10" => log10(valueExpr(operand, env))
     case "$log"   => // log_base(x); Mongo arg order is [number, base]
       { val (x, base) = arg2(op, operand, env); log(x) / log(base) }
+    // trigonometry (Mongo 4.2 operator set; radians like Spark)
+    case "$sin"   => sin(valueExpr(operand, env))
+    case "$cos"   => cos(valueExpr(operand, env))
+    case "$tan"   => tan(valueExpr(operand, env))
+    case "$asin"  => asin(valueExpr(operand, env))
+    case "$acos"  => acos(valueExpr(operand, env))
+    case "$atan"  => atan(valueExpr(operand, env))
+    case "$atan2" => { val (y, x) = arg2(op, operand, env); atan2(y, x) }
+    case "$sinh"  => sinh(valueExpr(operand, env))
+    case "$cosh"  => cosh(valueExpr(operand, env))
+    case "$tanh"  => tanh(valueExpr(operand, env))
+    case "$degreesToRadians" => radians(valueExpr(operand, env))
+    case "$radiansToDegrees" => degrees(valueExpr(operand, env))
     // string
     case "$concat"   => concat(args(operand, env): _*)
     case "$toUpper"  => upper(valueExpr(operand, env))
@@ -924,6 +942,26 @@ object MongoPipeline {
       case v => trim(valueExpr(v, env))
     }
     case "$strLenCP" => length(valueExpr(operand, env))
+    case "$ltrim" => operand match {
+      case d: DDoc => d.fields.toMap.get("chars") match {
+        case Some(DString(cs)) => ltrim(valueExpr(docField(op, d, "input"), env), cs)
+        case None => ltrim(valueExpr(docField(op, d, "input"), env))
+        case Some(x) => throw bad(s"$$ltrim.chars needs a string, got $x")
+      }
+      case other => throw bad(s"$$ltrim needs {input, chars?}, got $other")
+    }
+    case "$rtrim" => operand match {
+      case d: DDoc => d.fields.toMap.get("chars") match {
+        case Some(DString(cs)) => rtrim(valueExpr(docField(op, d, "input"), env), cs)
+        case None => rtrim(valueExpr(docField(op, d, "input"), env))
+        case Some(x) => throw bad(s"$$rtrim.chars needs a string, got $x")
+      }
+      case other => throw bad(s"$$rtrim needs {input, chars?}, got $other")
+    }
+    case "$strcasecmp" => // case-insensitive -1/0/1
+      { val (a, b) = arg2(op, operand, env)
+        val (la, lb) = (lower(a), lower(b))
+        when(la < lb, -1).when(la > lb, 1).otherwise(0) }
     case "$substrCP" => operand match {
       // Mongo is 0-based, Spark substring is 1-based
       case DArray(Seq(s, start, len)) =>
@@ -1172,6 +1210,97 @@ object MongoPipeline {
         }
         valueExpr(docField(op, d, "input"), env).getField(f)
       case other => throw bad(s"$$getField needs {field, input}, got $other")
+    }
+    case "$range" => operand match {
+      // Mongo's range is half-open [start, end); sequence() is inclusive,
+      // so pull the stop back one step-sign. Literal steps only — a
+      // per-row step would need a per-row sign.
+      case DArray(Seq(s, e)) =>
+        sequence(valueExpr(s, env), valueExpr(e, env) - 1, lit(1L))
+      case DArray(Seq(s, e, DLong(st))) if st != 0 =>
+        sequence(valueExpr(s, env), valueExpr(e, env) - (if (st > 0) 1 else -1),
+          lit(st))
+      case other => throw bad(s"$$range needs [start, end, step?], got $other")
+    }
+    case "$zip" => operand match {
+      case d: DDoc =>
+        val inputs = docField(op, d, "inputs") match {
+          case DArray(items) if items.size >= 2 => items.map(valueExpr(_, env))
+          case other => throw bad(s"$$zip.inputs needs >=2 arrays, got $other")
+        }
+        val longest = d.fields.toMap.get("useLongestLength") == Some(DBool(true))
+        // element i of the result = array of the i-th elements; zip_with
+        // pads to the LONGEST input with nulls, so Mongo's default
+        // (shortest) truncates to the minimum size afterwards
+        val zipped = inputs.tail.foldLeft(
+          transform(inputs.head, x => array(x))) { (acc, nxt) =>
+          zip_with(acc, nxt, (xs, y) => concat(coalesce(xs, array()), array(y)))
+        }
+        if (longest) zipped
+        else slice(zipped, lit(1), inputs.map(size).reduce(least(_, _)))
+      case other => throw bad(s"$$zip needs {inputs, useLongestLength?}, got $other")
+    }
+    // type introspection: Spark type names mapped to Mongo's $type names
+    case "$type" =>
+      val t = toColumn(org.apache.spark.sql.catalyst.expressions.TypeOf(
+        toExpression(valueExpr(operand, env))))
+      when(valueExpr(operand, env).isNull, "null")
+        .when(t.isin("tinyint", "smallint", "int"), "int")
+        .when(t === "bigint", "long")
+        .when(t.startsWith("decimal") || t === "double" || t === "float", "double")
+        .when(t === "string", "string")
+        .when(t === "boolean", "bool")
+        .when(t === "timestamp" || t === "date", "date")
+        .when(t.startsWith("array"), "array")
+        .when(t.startsWith("struct") || t.startsWith("map"), "object")
+        .when(t === "binary", "binData")
+        .otherwise(t)
+    case "$isNumber" =>
+      val t = toColumn(org.apache.spark.sql.catalyst.expressions.TypeOf(
+        toExpression(valueExpr(operand, env))))
+      valueExpr(operand, env).isNotNull &&
+        (t.isin("tinyint", "smallint", "int", "bigint", "double", "float") ||
+          t.startsWith("decimal"))
+    // date constructors / destructors
+    case "$dateFromString" => operand match {
+      case d: DDoc =>
+        val in = valueExpr(docField(op, d, "dateString"), env)
+        d.fields.toMap.get("format") match {
+          case Some(DString(f)) => to_timestamp(in, strftimeToJava(f))
+          case None             => in.cast("timestamp")
+          case Some(x) => throw bad(s"$$dateFromString.format needs a string, got $x")
+        }
+      case other => throw bad(s"$$dateFromString needs {dateString, format?}, got $other")
+    }
+    case "$dateFromParts" => operand match {
+      case d: DDoc =>
+        val m = d.fields.toMap
+        def part(k: String, dflt: Int): Column =
+          m.get(k).map(valueExpr(_, env)).getOrElse(lit(dflt))
+        make_timestamp(valueExpr(docField(op, d, "year"), env),
+          part("month", 1), part("day", 1), part("hour", 0),
+          part("minute", 0), part("second", 0))
+      case other => throw bad(s"$$dateFromParts needs {year, ...}, got $other")
+    }
+    case "$dateToParts" => operand match {
+      case d: DDoc =>
+        val ts = valueExpr(docField(op, d, "date"), env)
+        struct(year(ts).as("year"), month(ts).as("month"),
+          dayofmonth(ts).as("day"), hour(ts).as("hour"),
+          minute(ts).as("minute"), second(ts).as("second"),
+          (floor(unix_micros(ts) / 1000) % 1000).cast("int").as("millisecond"))
+      case other => throw bad(s"$$dateToParts needs {date}, got $other")
+    }
+    case "$isoWeek"      => weekofyear(valueExpr(operand, env)) // Spark week IS ISO
+    case "$isoDayOfWeek" => weekday(valueExpr(operand, env)) + 1 // 1=Mon..7=Sun
+    case "$isoWeekYear"  => toColumn(
+      org.apache.spark.sql.catalyst.expressions.YearOfWeek(
+        toExpression(valueExpr(operand, env).cast("date"))))
+    case "$millisecond"  =>
+      (floor(unix_micros(valueExpr(operand, env)) / 1000) % 1000).cast("int")
+    case "$rand" => operand match {
+      case DDoc(Seq()) => rand()
+      case other       => throw bad(s"$$rand takes {}, got $other")
     }
     case other => throw bad(s"unsupported expression operator $other")
   }

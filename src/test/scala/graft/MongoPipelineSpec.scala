@@ -293,6 +293,55 @@ class MongoPipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("whenMatched"))
   }
 
+  test("expression zoo: $range/$zip/$type/$isNumber/trig/date ops") {
+    val one = Seq((1L, "2024-03-15 10:30:45", 2.5))
+      .toDF("id", "ds", "x")
+    val out = Graft.aggregate(one, """[
+      {"$addFields": {
+        "r": {"$range": [0, 10, 3]},
+        "r_neg": {"$range": [10, 0, -2]},
+        "z_short": {"$zip": {"inputs": [[1, 2, 3], [10, 20]]}},
+        "z_long": {"$zip": {"inputs": [[1, 2, 3], [10, 20]],
+                            "useLongestLength": true}},
+        "t_str": {"$type": "hello"},
+        "t_num": {"$type": "$id"},
+        "t_dbl": {"$type": "$x"},
+        "is_n": {"$isNumber": "$x"},
+        "is_not": {"$isNumber": "abc"},
+        "ts": {"$dateFromString": {"dateString": "$ds"}},
+        "parts": {"$dateToParts": {"date": {"$dateFromString": {"dateString": "$ds"}}}},
+        "made": {"$dateFromParts": {"year": 2024, "month": 3, "day": 15}},
+        "iso_dow": {"$isoDayOfWeek": {"$dateFromString": {"dateString": "$ds"}}},
+        "iso_wy": {"$isoWeekYear": {"$dateFromString": {"dateString": "$ds"}}},
+        "deg": {"$radiansToDegrees": 3.141592653589793},
+        "cosv": {"$round": [{"$cos": 0}, 4]},
+        "lt": {"$ltrim": {"input": "  pad  "}},
+        "cmp": {"$strcasecmp": ["ABC", "abc"]}
+      }}
+    ]""").head
+    def g[T](n: String): T = out.getAs[T](n)
+    assert(out.getAs[scala.collection.Seq[Long]]("r").toList ==
+      List(0L, 3L, 6L, 9L))
+    assert(out.getAs[scala.collection.Seq[Long]]("r_neg").toList ==
+      List(10L, 8L, 6L, 4L, 2L))
+    val zs = out.getAs[scala.collection.Seq[scala.collection.Seq[Long]]]("z_short")
+    assert(zs.map(_.toList).toList == List(List(1L, 10L), List(2L, 20L)))
+    val zl = out.getAs[scala.collection.Seq[scala.collection.Seq[Any]]]("z_long")
+    assert(zl.size == 3 && zl.last.toList == List(3L, null))
+    assert(g[String]("t_str") == "string" && g[String]("t_num") == "long" &&
+      g[String]("t_dbl") == "double")
+    assert(g[Boolean]("is_n") && !g[Boolean]("is_not"))
+    assert(g[org.apache.spark.sql.Row]("parts").getInt(0) == 2024)
+    assert(g[org.apache.spark.sql.Row]("parts").getInt(5) == 45)
+    assert(g[java.sql.Timestamp]("made").toString.startsWith("2024-03-15"))
+    assert(g[Int]("iso_dow") == 5) // 2024-03-15 is a Friday
+    assert(g[Int]("iso_wy") == 2024)
+    assert(math.abs(g[Double]("deg") - 180.0) < 1e-9)
+    assert(g[Double]("cosv") == 1.0)
+    assert(g[String]("lt") == "pad  ")
+    assert(g[Int]("cmp") == 0)
+  }
+
   test("a $match stage pushes into the parquet scan like native SQL") {
     val ev = Tables(spark, sfDir, "events")
     val out = Graft.aggregate(ev,
