@@ -37,6 +37,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a Mongo aggregation pipeline runs unchanged on a STREAM") {
+    // the pipeline compiler emits pure column algebra, so the same JSON
+    // pipeline a mongosh user runs on a collection drives a Structured
+    // Streaming query — $match/$addFields/$project stages micro-batch
+    // incrementally with no changes
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EvRow]
+    val piped = Graft.aggregate(input.toDF, """[
+      {"$match": {"value": {"$gte": 2}, "event_type": {"$ne": "noise"}}},
+      {"$addFields": {"bucket": {"$cond": {"if": {"$gte": ["$value", 5]},
+                                           "then": "big", "else": "small"}},
+                      "hour": {"$hour": "$ts"}}},
+      {"$project": {"user_id": 1, "bucket": 1, "hour": 1}}
+    ]""")
+    val q = piped.writeStream.format("memory").queryName("pipe_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EvRow(ts(3, 10), 1, "click", 1.0),  // filtered: value < 2
+        EvRow(ts(4, 20), 2, "noise", 9.0),  // filtered: event_type
+        EvRow(ts(5, 30), 3, "click", 3.0),
+        EvRow(ts(6, 40), 4, "view", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("pipe_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(rows == Set((3L, "small", 5), (4L, "big", 6)))
+    } finally q.stop()
+  }
+
   test("st02 streaming sessionizer matches gap semantics across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Ev]
