@@ -191,8 +191,41 @@ object Pipeline {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM packed GROUP BY 1, 2 ORDER BY source, shard""".stripMargin
 
+  // ---------------------------------------------------------------- p06
+  /** Deterministic global shuffle — the training-order step: every
+    * epoch's data order is a pure function of (doc_id, seed), so a
+    * re-run, a different cluster size, or a different engine deals the
+    * same rows to the same shard at the same position. Shard = first md5
+    * hex char (16 shards), position = hash rank within the shard.
+    *
+    * Scale: the hash is map-only; the one shuffle is the shard exchange,
+    * uniform by construction (crypto-hash prefix), and the per-shard
+    * sort is a within-partition sort — at petabyte scale the same shape
+    * with more shards (hex prefix length k → 16^k shards, shard count
+    * chosen so a shard fits an output file).
+    */
+  def p06GlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val seeded = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast(StringType), lit(":epoch7"))).as("h"))
+      .withColumn("shard", substring(col("h"), 1, 1))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    seeded
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"), col("h"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val p06Sql: String =
+    """SELECT doc_id, substr(h, 1, 1) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY substr(h, 1, 1)
+      |    ORDER BY h, doc_id) AS BIGINT) AS pos, h
+      |FROM (SELECT doc_id, md5(doc_id || ':epoch7') AS h FROM documents)
+      |ORDER BY shard, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_pipeline" -> (p01CleanPipeline _),
+    "p06_global_shuffle" -> (p06GlobalShuffle _),
     "p02_hash_sample" -> (p02HashSample _),
     "p03_training_mix" -> (p03TrainingMix _),
     "p04_stratified" -> (p04Stratified _),
@@ -201,6 +234,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "p01_clean_pipeline" -> p01Sql,
+    "p06_global_shuffle" -> p06Sql,
     "p02_hash_sample" -> p02Sql,
     "p03_training_mix" -> p03Sql,
     "p04_stratified" -> p04Sql,
