@@ -21,10 +21,13 @@ import org.apache.spark.sql.graftshim.toColumn
   * Supported (the reference's pushdown grammar, README "Filter
   * Pushdown", plus Mongo's array operators): implicit equality,
   * `$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $mod $not $and
-  * $or $nor`, array `$size $all $elemMatch` (scalar-ops and document
-  * forms — compiled to Catalyst higher-order `exists`, still
-  * codegen'd), dotted paths (`a.b` → nested field / struct access,
-  * resolved by the analyzer).
+  * $or $nor $type` (Spark→Mongo type-name mapping incl. the `number`
+  * alias), bitwise `$bitsAllSet $bitsAnySet $bitsAllClear
+  * $bitsAnyClear` (mask or bit-position-array forms), `$expr` (the full
+  * aggregation expression language), array `$size $all $elemMatch`
+  * (scalar-ops and document forms — compiled to Catalyst higher-order
+  * `exists`, still codegen'd), dotted paths (`a.b` → nested field /
+  * struct access, resolved by the analyzer).
   *
   * Scale: output is a pure Catalyst boolean expression — codegen'd,
   * pushdown-eligible, no UDFs.
@@ -115,6 +118,51 @@ object MongoFilter {
         case DBool(false) => IsNull(c)
         case other        => throw bad(s"$$exists needs a boolean, got $other")
       }
+      case "$type" => operand match {
+        // relational schemas are fixed-typed, so $type is a per-COLUMN
+        // predicate: compare the column's Spark type mapped to Mongo's
+        // name (plus the value's null-ness for "null")
+        case DString(want) =>
+          val sparkType = TypeOf(c)
+          val mapped: Expression = CaseWhen(Seq(
+            (IsNull(c), Literal("null")),
+            (In(sparkType, Seq("tinyint", "smallint", "int").map(Literal(_))),
+              Literal("int")),
+            (EqualTo(sparkType, Literal("bigint")), Literal("long")),
+            (In(sparkType, Seq("double", "float").map(Literal(_))),
+              Literal("double")),
+            (StartsWith(sparkType, Literal("decimal")), Literal("decimal")),
+            (EqualTo(sparkType, Literal("string")), Literal("string")),
+            (EqualTo(sparkType, Literal("boolean")), Literal("bool")),
+            (In(sparkType, Seq("timestamp", "timestamp_ntz", "date")
+              .map(Literal(_))), Literal("date")),
+            (StartsWith(sparkType, Literal("array")), Literal("array")),
+            (StartsWith(sparkType, Literal("struct")), Literal("object")),
+            (EqualTo(sparkType, Literal("binary")), Literal("binData"))),
+            Some(sparkType))
+          // Mongo aliases: "number" matches any numeric type
+          if (want == "number")
+            In(mapped, Seq("int", "long", "double", "decimal").map(Literal(_)))
+          else EqualTo(mapped, Literal(want))
+        case other => throw bad(s"$$type needs a type-name string, got $other")
+      }
+      // bitwise query operators: positions are bit indexes OR a numeric mask
+      case "$bitsAllSet" | "$bitsAnySet" | "$bitsAllClear" | "$bitsAnyClear" =>
+        val mask: Expression = operand match {
+          case DLong(m)      => Literal(m)
+          case DArray(items) => Literal(items.map {
+            case DLong(pos) if pos >= 0 && pos < 64 => 1L << pos
+            case x => throw bad(s"$op bit position: $x")
+          }.foldLeft(0L)(_ | _))
+          case other => throw bad(s"$op needs a mask or bit-position array, got $other")
+        }
+        val masked = BitwiseAnd(Cast(c, org.apache.spark.sql.types.LongType), mask)
+        op match {
+          case "$bitsAllSet"   => EqualTo(masked, mask)
+          case "$bitsAnySet"   => Not(EqualTo(masked, Literal(0L)))
+          case "$bitsAllClear" => EqualTo(masked, Literal(0L))
+          case _               => Not(EqualTo(masked, mask)) // $bitsAnyClear
+        }
       case "$regex" => operand match {
         case DString(re) =>
           // anchored literal prefix → add a pushdown-eligible StartsWith

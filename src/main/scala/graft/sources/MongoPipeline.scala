@@ -538,6 +538,10 @@ object MongoPipeline {
             case None    => Seq.empty
             case Some(x) => throw bad(s"sortBy needs a document, got $x")
           }
+          val sortKey = m.get("sortBy") match { // x axis for fill/calculus ops
+            case Some(s: DDoc) if s.fields.size == 1 => Some(col(s.fields.head._1))
+            case _                                   => None
+          }
           val outputs = m.getOrElse("output",
             throw bad("$setWindowFields needs output")) match {
             case o: DDoc => o.fields
@@ -545,7 +549,7 @@ object MongoPipeline {
           }
           outputs.foldLeft(df) { case (acc, (alias, ospec)) =>
             acc.withColumn(alias,
-              windowFunction(ospec, partition, sortCols))
+              windowFunction(ospec, partition, sortCols, sortKey))
           }
         case x => throw bad(s"$$setWindowFields needs a document, got $x")
       }
@@ -674,18 +678,40 @@ object MongoPipeline {
   /** One `$setWindowFields` output → a Spark window Column. */
   private def windowFunction(spec: DocValue,
       partition: Seq[Column],
-      sortCols: Seq[Column]): Column = {
-    import org.apache.spark.sql.expressions.Window
+      sortCols: Seq[Column],
+      sortKey: Option[Column]): Column = {
+    import org.apache.spark.sql.expressions.{Window, WindowSpec}
     val base = if (partition.nonEmpty) Window.partitionBy(partition: _*)
                else Window.partitionBy()
     val ordered = if (sortCols.nonEmpty) base.orderBy(sortCols: _*) else base
     def needSort(op: String): Unit = if (sortCols.isEmpty)
       throw bad(s"$op requires sortBy")
+    def xAxis(op: String): Column = sortKey.getOrElse(
+      throw bad(s"$op requires a single-field sortBy"))
     spec match {
       case DDoc(fields) =>
         val m = fields.toMap
         val (op, operand) = fields.find(_._1.startsWith("$")).getOrElse(
           throw bad(s"window output needs an operator, got $spec"))
+        // explicit {window: {documents: [lo, hi]}} bounds → a row frame;
+        // None when the output has no window doc (operator picks default)
+        lazy val explicitFrame: Option[WindowSpec] = m.get("window") match {
+          case Some(w: DDoc) => w.fields.toMap.get("documents") match {
+            case Some(DArray(Seq(lo, hi))) =>
+              needSort(op)
+              def bound(b: DocValue, isLo: Boolean): Long = b match {
+                case DString("unbounded") =>
+                  if (isLo) Window.unboundedPreceding else Window.unboundedFollowing
+                case DString("current") => Window.currentRow
+                case DLong(k)           => k
+                case x => throw bad(s"window bound: $x")
+              }
+              Some(ordered.rowsBetween(bound(lo, isLo = true), bound(hi, isLo = false)))
+            case _ => throw bad("window needs {documents: [lo, hi]}")
+          }
+          case None    => None
+          case Some(x) => throw bad(s"window needs a document, got $x")
+        }
         op match {
           case "$documentNumber" => needSort(op); row_number().over(ordered)
           case "$rank"           => needSort(op); rank().over(ordered)
@@ -707,33 +733,88 @@ object MongoPipeline {
               }
             case x => throw bad(s"$$shift needs {output, by}, got $x")
           }
-          case acc @ ("$sum" | "$avg" | "$min" | "$max" | "$count" | "$push") =>
+          // gap-filling window operators (Mongo 5.2)
+          case "$locf" =>
+            needSort(op)
+            last(valueExpr(operand), ignoreNulls = true)
+              .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          case "$linearFill" =>
+            needSort(op)
+            val x = xAxis(op)
+            val y = valueExpr(operand)
+            val wp = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val wn = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            val px = last(when(y.isNotNull, x), ignoreNulls = true).over(wp)
+            val py = last(y, ignoreNulls = true).over(wp)
+            val nx = first(when(y.isNotNull, x), ignoreNulls = true).over(wn)
+            val ny = first(y, ignoreNulls = true).over(wn)
+            when(y.isNotNull, y).otherwise(py + (ny - py) * (x - px) / (nx - px))
+          // window calculus (Mongo 5.0): both need the window's first/last
+          // points on the sortBy axis
+          case "$derivative" | "$integral" => operand match {
+            case sd: DDoc =>
+              needSort(op)
+              val y = valueExpr(docField(op, sd, "input"))
+              val x0 = xAxis(op)
+              val x = sd.fields.toMap.get("unit") match {
+                case Some(DString(u)) => // sortBy is a timestamp; x in `unit`s
+                  unix_micros(x0.cast("timestamp")).cast("double") /
+                    lit(1e6 * secondsPerUnit(u))
+                case None    => x0
+                case Some(z) => throw bad(s"$op.unit needs a string, got $z")
+              }
+              val w = explicitFrame.getOrElse(
+                ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+              if (op == "$derivative")
+                (last(y).over(w) - first(y).over(w)) /
+                  (last(x).over(w) - first(x).over(w))
+              else {
+                // trapezoid integral: per-row segment area (prev → this
+                // row), summed over the frame. Exact when the frame's
+                // lower bound is unbounded (every in-frame segment lies
+                // inside the frame) — Mongo's running/total-integral uses.
+                val okFrame = m.get("window").forall {
+                  case wd: DDoc => wd.fields.toMap.get("documents") match {
+                    case Some(DArray(Seq(DString("unbounded"), _))) => true
+                    case _ => false
+                  }
+                  case _ => false
+                }
+                if (!okFrame) throw bad(
+                  "$integral supports only windows with an unbounded lower bound")
+                val area = (x - lag(x, 1).over(ordered)) *
+                  (y + lag(y, 1).over(ordered)) / 2
+                sum(area).over(w)
+              }
+            case x => throw bad(s"$op needs {input, unit?}, got $x")
+          }
+          case acc => // any group accumulator works as a window function
             val fn = groupAccumulator(DDoc(Seq(acc ->
               (if (acc == "$count") DDoc(Seq.empty) else operand))))
-            val framed = m.get("window") match {
-              case Some(w: DDoc) => w.fields.toMap.get("documents") match {
-                case Some(DArray(Seq(lo, hi))) =>
-                  needSort(acc)
-                  def bound(b: DocValue, isLo: Boolean): Long = b match {
-                    case DString("unbounded") =>
-                      if (isLo) Window.unboundedPreceding else Window.unboundedFollowing
-                    case DString("current") => Window.currentRow
-                    case DLong(k)           => k
-                    case x => throw bad(s"window bound: $x")
-                  }
-                  ordered.rowsBetween(bound(lo, isLo = true), bound(hi, isLo = false))
-                case _ => throw bad("window needs {documents: [lo, hi]}")
-              }
+            val dflt = acc match {
+              // order-dependent accumulators need the sort baked into an
+              // explicit full frame (orderBy alone implies a running frame)
+              case "$first" | "$last" =>
+                needSort(acc)
+                ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
               // no window doc: whole partition (Mongo's default), which
               // in Spark must NOT inherit orderBy (that implies a frame)
-              case None => base
-              case Some(x) => throw bad(s"window needs a document, got $x")
+              case _ => base
             }
-            fn.over(framed)
-          case other => throw bad(s"unsupported window operator $other")
+            fn.over(explicitFrame.getOrElse(dflt))
         }
       case other => throw bad(s"window output needs a document, got $other")
     }
+  }
+
+  private def secondsPerUnit(u: String): Double = u match {
+    case "week"        => 604800.0
+    case "day"         => 86400.0
+    case "hour"        => 3600.0
+    case "minute"      => 60.0
+    case "second"      => 1.0
+    case "millisecond" => 0.001
+    case other => throw bad(s"unsupported time unit $other")
   }
 
   private def groupAccumulator(spec: DocValue): Column = spec match {

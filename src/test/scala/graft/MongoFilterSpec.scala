@@ -116,6 +116,25 @@ class MongoFilterSpec extends SparkSpec {
     assert(ids("""{"tag":{"$in":[]}}""") == Seq())
   }
 
+  test("$type maps Spark column types to Mongo type names") {
+    assert(ids("""{"name":{"$type":"string"}}""") == Seq(1L, 2L, 3L, 4L))
+    assert(ids("""{"id":{"$type":"long"}}""") == Seq(1L, 2L, 3L, 4L))
+    assert(ids("""{"score":{"$type":"double"}}""") == Seq(1L, 2L, 3L, 4L))
+    assert(ids("""{"score":{"$type":"number"}}""") == Seq(1L, 2L, 3L, 4L))
+    assert(ids("""{"id":{"$type":"string"}}""") == Seq())
+    // a null VALUE has type "null" regardless of column type
+    assert(ids("""{"tag":{"$type":"null"}}""") == Seq(2L))
+    assert(ids("""{"tag":{"$type":"string"}}""") == Seq(1L, 3L, 4L))
+  }
+
+  test("bitwise operators: mask and bit-position forms") {
+    // ids 1..4 = binary 01, 10, 11, 100
+    assert(ids("""{"id":{"$bitsAllSet":3}}""") == Seq(3L))          // 11
+    assert(ids("""{"id":{"$bitsAnySet":[0]}}""") == Seq(1L, 3L))    // odd
+    assert(ids("""{"id":{"$bitsAllClear":[0,1]}}""") == Seq(4L))    // 100
+    assert(ids("""{"id":{"$bitsAnyClear":3}}""") == Seq(1L, 2L, 4L))
+  }
+
   test("mongo filter lands in parquet PushedFilters") {
     val orders = Tables(spark, sfDir, "orders")
       .filter(MongoFilter.compile("""{"o_orderstatus":"O","o_totalprice":{"$gt":1000.0}}"""))

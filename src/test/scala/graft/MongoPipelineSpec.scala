@@ -342,6 +342,42 @@ class MongoPipelineSpec extends SparkSpec {
     assert(g[Int]("cmp") == 0)
   }
 
+  test("$setWindowFields: $locf/$linearFill/$derivative/$integral + accumulators") {
+    val series = Seq(
+      (1L, 0.0, Some(0.0)), (1L, 1.0, None), (1L, 2.0, Some(20.0)),
+      (1L, 3.0, None), (1L, 4.0, Some(40.0))
+    ).toDF("grp", "x", "y")
+    val out = Graft.aggregate(series, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"x": 1},
+        "output": {
+          "carried": {"$locf": "$y"},
+          "interp": {"$linearFill": "$y"},
+          "slope": {"$derivative": {"input": "$interp"}},
+          "area": {"$integral": {"input": "$interp"},
+                   "window": {"documents": ["unbounded", "current"]}},
+          "lo": {"$first": "$x"},
+          "hi": {"$last": "$x"},
+          "sd": {"$stdDevPop": "$x"}
+        }}},
+      {"$sort": {"x": 1}}
+    ]""")
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Double]("interp")).toSeq ==
+      Seq(0.0, 10.0, 20.0, 30.0, 40.0))
+    assert(rows(1).getAs[Double]("carried") == 0.0) // locf carries 0.0 forward
+    assert(rows(3).getAs[Double]("carried") == 20.0)
+    assert(rows.forall(_.getAs[Double]("slope") == 10.0)) // (40-0)/(4-0)
+    // running trapezoid integral of the straight line y=10x is 5x²;
+    // the first row has no prior segment → null
+    val areas = rows.map(r =>
+      if (r.isNullAt(r.fieldIndex("area"))) None
+      else Some(r.getAs[Double]("area"))).toSeq
+    assert(areas == Seq(None, Some(5.0), Some(20.0), Some(45.0), Some(80.0)))
+    assert(rows.forall(r => r.getAs[Double]("lo") == 0.0 &&
+      r.getAs[Double]("hi") == 4.0))
+    assert(math.abs(rows.head.getAs[Double]("sd") - math.sqrt(2.0)) < 1e-9)
+  }
+
   test("a $match stage pushes into the parquet scan like native SQL") {
     val ev = Tables(spark, sfDir, "events")
     val out = Graft.aggregate(ev,
