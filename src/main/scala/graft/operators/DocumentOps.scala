@@ -203,8 +203,58 @@ object DocumentOps {
       |  ON d.user_id = g.user_id AND d.day = g.day
       |ORDER BY g.user_id, g.day""".stripMargin
 
+  // ---------------------------------------------------------------- d16
+  /** `$setWindowFields` oracle-gated: per-user daily series with
+    * document number, `$shift` (lag with default), a running `$sum`, and
+    * a bounded 3-row moving `$avg` — every form of the stage's frame
+    * semantics (sequence window, running frame, sliding frame) against
+    * DuckDB's window functions computing the identical frames.
+    *
+    * Scale: ONE window shuffle on (user) serves all four outputs —
+    * Spark plans the four window expressions over the same
+    * partitioning/order as a single Window node.
+    */
+  def d16WindowStage(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .filter(col("user_id") <= 3)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(round(sum(col("value")), 4).as("day_value"))
+    graft.Graft.aggregate(daily, """[
+      {"$setWindowFields": {"partitionBy": "$user_id", "sortBy": {"day": 1},
+        "output": {
+          "rn": {"$documentNumber": {}},
+          "prev": {"$shift": {"output": "$day_value", "by": -1, "default": 0}},
+          "run_total": {"$sum": "$day_value",
+                        "window": {"documents": ["unbounded", "current"]}},
+          "avg3": {"$avg": "$day_value",
+                   "window": {"documents": [-2, "current"]}}
+        }}},
+      {"$project": {"user_id": 1, "day": 1, "day_value": 1, "rn": 1,
+                    "prev": {"$round": ["$prev", 4]},
+                    "run_total": {"$round": ["$run_total", 4]},
+                    "avg3": {"$round": ["$avg3", 4]}}},
+      {"$sort": {"user_id": 1, "day": 1}}
+    ]""")
+  }
+
+  val d16Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    ROUND(SUM(value), 4) AS day_value
+      |  FROM events WHERE user_id <= 3 GROUP BY 1, 2)
+      |SELECT user_id, day, day_value,
+      |  CAST(row_number() OVER w AS INTEGER) AS rn,
+      |  ROUND(COALESCE(lag(day_value, 1) OVER w, 0), 4) AS prev,
+      |  ROUND(SUM(day_value) OVER (w ROWS UNBOUNDED PRECEDING), 4) AS run_total,
+      |  ROUND(AVG(day_value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+      |    AS avg3
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day)
+      |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_json_extract" -> (d01JsonExtract _),
+    "d16_window_stage" -> (d16WindowStage _),
     "d05_unnest_array" -> (d05UnnestArray _),
     "d12_agg_pipeline" -> (d12AggPipeline _),
     "d13_graph_lookup" -> (d13GraphLookup _),
@@ -212,6 +262,7 @@ object DocumentOps {
 
   val oracle: Map[String, String] = Map(
     "d01_json_extract" -> d01Sql,
+    "d16_window_stage" -> d16Sql,
     "d05_unnest_array" -> d05Sql,
     "d12_agg_pipeline" -> d12Sql,
     "d13_graph_lookup" -> d13Sql,
