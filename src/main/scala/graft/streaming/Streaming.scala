@@ -358,9 +358,48 @@ object Streaming {
       |  ON e.user_id = d.o_custkey AND d.o_orderdate <= e.ts
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- st07
+  /** Stream-static enrichment: every micro-batch of the event stream
+    * joins a STATIC dimension (the standard lookup-enrichment pattern —
+    * no watermark or state needed; the dim is broadcast to every batch).
+    * Batch twin for the oracle; the streaming twin in the spec is the
+    * same transform on a readStream frame.
+    *
+    * Scale: dim is bounded (nation) → broadcast; the stream side never
+    * shuffles before the enrichment, so the join is map-side in every
+    * micro-batch; the windowed roll-up after it is the only stateful op.
+    */
+  private def st07Raw(events: DataFrame, nation: DataFrame): DataFrame =
+    events
+      .withColumn("nation_key", col("user_id") % 25)
+      .join(broadcast(nation.select(col("n_nationkey").cast("long").as("nation_key"),
+        col("n_name"))), Seq("nation_key"))
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("n_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  def st07StreamEnrich(spark: SparkSession, dir: String): DataFrame =
+    st07Raw(Tables(spark, dir, "events"), Tables(spark, dir, "nation"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_name"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("n_name"))
+
+  /** Streaming twin: identical transform over a readStream frame. */
+  def st07Stream(events: DataFrame, nation: DataFrame): DataFrame =
+    st07Raw(events.withWatermark("ts", "2 hours"), nation)
+      .select(col("w.start").as("window_start"), col("n_name"),
+        col("n"), col("sum_value"))
+
+  val st07Sql: String =
+    """SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+      |    AS window_start,
+      |  n_name, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM events JOIN nation ON user_id % 25 = n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st07_stream_enrich" -> (st07StreamEnrich _),
     "st01_windowed_agg" -> (st01WindowedAgg _),
     "st02_sessionize" -> (st02Sessionize _),
     "st03_stream_dedup" -> (st03StreamDedup _),
@@ -369,6 +408,7 @@ object Streaming {
     "st06_asof_join" -> (st06AsofJoin _))
 
   val oracle: Map[String, String] = Map(
+    "st07_stream_enrich" -> st07Sql,
     "st01_windowed_agg" -> st01Sql,
     "st02_sessionize" -> st02Sql,
     "st03_stream_dedup" -> st03Sql,

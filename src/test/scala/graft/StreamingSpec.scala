@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.Streaming
@@ -34,6 +35,28 @@ class StreamingSpec extends SparkSpec {
         .select("event_type", "n", "sum_value").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
       assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("st07 stream-static enrichment joins the dim in every micro-batch") {
+    implicit val ctx = spark.sqlContext
+    val nation = Tables(spark, sfDir, "nation")
+    val input = MemoryStream[EvRow]
+    val q = Streaming.st07Stream(input.toDF, nation)
+      .writeStream.format("memory").queryName("st07_sink")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        EvRow(ts(1), 0, "click", 1.0),   // user 0 → nation 0
+        EvRow(ts(1, 30), 25, "view", 2.0), // user 25 → nation 0 too
+        EvRow(ts(2), 1, "click", 5.0))   // user 1 → nation 1
+      q.processAllAvailable()
+      val rows = spark.table("st07_sink")
+        .select("n_name", "n", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val names = nation.select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == Set((names(0L), 2L, 3.0), (names(1L), 1L, 5.0)))
     } finally q.stop()
   }
 
