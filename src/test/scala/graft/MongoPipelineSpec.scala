@@ -378,6 +378,26 @@ class MongoPipelineSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("sd") - math.sqrt(2.0)) < 1e-9)
   }
 
+  test("$firstN/$lastN as accumulators and as array operators") {
+    val g = Graft.aggregate(sales, """[
+      {"$sort": {"id": 1}},
+      {"$group": {"_id": "$grp",
+                  "first2": {"$firstN": {"input": "$id", "n": 2}},
+                  "last1": {"$lastN": {"input": "$id", "n": 1}}}},
+      {"$sort": {"_id": 1}}
+    ]""").collect()
+    assert(g.map(r => r.getAs[scala.collection.Seq[Long]]("first2").toList).toList ==
+      List(List(1L, 2L), List(3L, 4L), List(5L)))
+    assert(g.map(r => r.getAs[scala.collection.Seq[Long]]("last1").toList).toList ==
+      List(List(2L), List(4L), List(5L)))
+    val e = Graft.aggregate(sales.filter(col("id") === 4), """[
+      {"$project": {"h": {"$firstN": {"input": "$items", "n": 2}},
+                    "t": {"$lastN": {"input": "$items", "n": 2}}}}
+    ]""").head
+    assert(e.getAs[scala.collection.Seq[Long]]("h").toList == List(4L, 5L))
+    assert(e.getAs[scala.collection.Seq[Long]]("t").toList == List(5L, 6L))
+  }
+
   test("a $match stage pushes into the parquet scan like native SQL") {
     val ev = Tables(spark, sfDir, "events")
     val out = Graft.aggregate(ev,
