@@ -458,7 +458,66 @@ object Dedup {
        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // --------------------------------------------------------------- dd08
+  /** URL-canonicalization dedup — the provenance-level dedup pass every
+    * web corpus runs before content dedup: the same page fetched as
+    * `HTTPS://WWW.Site.com/p?utm_source=x#frag` and `https://site.com/p/`
+    * is ONE document. URLs are PLANTED as three variants per logical
+    * page (tracking params / trailing slash / www + fragment + case);
+    * canonicalization must collapse exactly those. Map-only string
+    * chain + one groupBy(canonical) — shuffle ∝ distinct pages.
+    */
+  def dd08UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val url = when(col("doc_id") % 3 === 0,
+        concat(lit("HTTPS://Site"), (col("doc_id") % 5).cast("string"),
+          lit(".Example.com/page"), (col("doc_id") % 20).cast("string"),
+          lit("?utm_source=feed&utm_campaign=x")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("https://site"), (col("doc_id") % 5).cast("string"),
+          lit(".example.com/page"), (col("doc_id") % 20).cast("string"),
+          lit("/")))
+      .otherwise(
+        concat(lit("https://www.site"), (col("doc_id") % 5).cast("string"),
+          lit(".example.com/page"), (col("doc_id") % 20).cast("string"),
+          lit("#section-2")))
+    val canon =
+      regexp_replace( // trailing slash
+        regexp_replace( // strip www.
+          regexp_replace( // strip query + fragment
+            lower(url), "[?#].*$", ""),
+          "://www\\.", "://"),
+        "/$", "")
+    docs.select(col("doc_id"), canon.as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("canonical_url"))
+  }
+
+  val dd08Sql: String =
+    """WITH urls AS (
+      |  SELECT doc_id, CASE
+      |    WHEN doc_id % 3 = 0 THEN
+      |      'HTTPS://Site' || (doc_id % 5) || '.Example.com/page' ||
+      |      (doc_id % 20) || '?utm_source=feed&utm_campaign=x'
+      |    WHEN doc_id % 3 = 1 THEN
+      |      'https://site' || (doc_id % 5) || '.example.com/page' ||
+      |      (doc_id % 20) || '/'
+      |    ELSE
+      |      'https://www.site' || (doc_id % 5) || '.example.com/page' ||
+      |      (doc_id % 20) || '#section-2'
+      |    END AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(lower(url),
+      |      '[?#].*$', ''), '://www\.', '://'), '/$', '') AS canonical_url
+      |  FROM urls)
+      |SELECT canonical_url, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+      |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd08_url_dedup" -> (dd08UrlDedup _),
     "dd07_para_dedup" -> (dd07ChunkDedup _),
     "dd01_dedup_exact" -> (dd01Exact _),
     "dd02_dedup_minhash" -> (dd02MinHash _),
@@ -472,6 +531,7 @@ object Dedup {
     * (graft.functions.KernelOracleSql).
     */
   val oracle: Map[String, String] = Map(
+    "dd08_url_dedup" -> dd08Sql,
     "dd07_para_dedup" -> dd07Sql,
     "dd01_dedup_exact" -> dd01Sql,
     "dd02_dedup_minhash" -> graft.functions.KernelOracleSql.dd02Sql(PlantOffset),

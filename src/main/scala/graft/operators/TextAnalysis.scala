@@ -496,8 +496,69 @@ object TextAnalysis {
       |FROM cg LEFT JOIN eg ON cg.gram = eg.eg
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t11
+  /** HTML/markup stripping — the first pass of every web-corpus
+    * pipeline: script/style blocks dropped with their content, remaining
+    * tags removed, common entities decoded, whitespace collapsed.
+    * Markup is PLANTED deterministically (no HTML in the synthetic
+    * corpus) so the cleaner must remove exactly what was planted.
+    * Map-only regex/replace chain — scan-bandwidth at any scale.
+    */
+  def t11MarkupStrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("text2",
+        when(col("doc_id") % 4 === 0, concat(
+          lit("""<div class="hd"><p>Start &amp; lead</p><script type="text/js">var x = 1 < 2;</script></div> """),
+          col("text")))
+        .when(col("doc_id") % 4 === 2, concat(
+          lit("""<b>bold</b> &lt;tag&gt; &quot;q&quot; &nbsp;"""), col("text"),
+          lit("""<style>.c { color: red }</style>""")))
+        .otherwise(col("text")))
+    val noBlocks = regexp_replace(col("text2"),
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ").foldLeft(noTags) {
+      case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    docs.select(col("doc_id"),
+        size(expr("regexp_extract_all(text2, '<[^>]+>', 0)")).cast(LongType)
+          .as("n_tags"),
+        trim(regexp_replace(decoded, "\\s+", " ")).as("clean"))
+      .select(col("doc_id"), col("n_tags"), md5(col("clean")).as("clean_key"),
+        length(col("clean")).cast(LongType).as("clean_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t11Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, CASE
+      |    WHEN doc_id % 4 = 0 THEN
+      |      '<div class="hd"><p>Start &amp; lead</p><script type="text/js">var x = 1 < 2;</script></div> ' || text
+      |    WHEN doc_id % 4 = 2 THEN
+      |      '<b>bold</b> &lt;tag&gt; &quot;q&quot; &nbsp;' || text ||
+      |      '<style>.c { color: red }</style>'
+      |    ELSE text END AS text2
+      |  FROM documents),
+      |stripped AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text2, '<[^>]+>')) AS BIGINT) AS n_tags,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(
+      |        regexp_replace(
+      |          regexp_replace(text2,
+      |            '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+      |          '<[^>]+>', ' ', 'g'),
+      |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+      |        '&quot;', '"'), '&nbsp;', ' '),
+      |      '\s+', ' ', 'g')) AS clean
+      |  FROM planted)
+      |SELECT doc_id, n_tags, md5(clean) AS clean_key,
+      |  CAST(len(clean) AS BIGINT) AS clean_len
+      |FROM stripped ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_markup_strip" -> (t11MarkupStrip _),
     "t10_contamination" -> (t10Contamination _),
     "t01_lang_id" -> (t01LangId _),
     "t02_quality_score" -> (t02Quality _),
@@ -510,6 +571,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t11_markup_strip" -> t11Sql,
     "t10_contamination" -> t10Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
