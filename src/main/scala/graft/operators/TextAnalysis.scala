@@ -556,8 +556,60 @@ object TextAnalysis {
       |  CAST(len(clean) AS BIGINT) AS clean_len
       |FROM stripped ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t12
+  /** Corpus-unigram log-probability score — the cheap perplexity proxy
+    * quality filters use when a KenLM model is unavailable: score(doc) =
+    * avg over tokens of −ln p(token), p from the corpus's own unigram
+    * frequencies. High scores = rare-token-heavy (gibberish, boilerplate
+    * IDs); low = stopword soup. The per-token term is rounded then
+    * summed as DECIMAL so the aggregation is order-independent and
+    * bit-identical cross-engine (SURVEY §5 discipline for float aggs).
+    *
+    * Scale: postings pinned to ONE term-hash exchange (the repartition
+    * barrier) feeds both the frequency aggregation and the scoring join
+    * co-partitioned — Spark's ReusedExchange tokenizes the corpus once;
+    * the total-token count is a window over the vocab-sized agg, not a
+    * second corpus pass.
+    */
+  def t12UnigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val postings = Tables.spread(docs)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .repartition(col("term")) // one exchange, two consumers
+    val tf = postings.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n_total",
+        sum(col("cnt")).over(Window.partitionBy())) // vocab-sized window
+    postings.join(tf, "term")
+      .select(col("doc_id"),
+        round(-log(col("cnt").cast(DoubleType) / col("n_total")), 6)
+          .cast("decimal(18,6)").as("nl"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nl")).cast(DoubleType) / count(lit(1)), 4)
+          .as("avg_neglogp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t12Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_total FROM toks),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(ROUND(-ln(cnt / CAST(n_total AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6)) AS nl
+      |  FROM toks JOIN tf USING (term), tot)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  ROUND(CAST(SUM(nl) AS DOUBLE) / COUNT(*), 4) AS avg_neglogp
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_unigram_logprob" -> (t12UnigramScore _),
     "t11_markup_strip" -> (t11MarkupStrip _),
     "t10_contamination" -> (t10Contamination _),
     "t01_lang_id" -> (t01LangId _),
@@ -571,6 +623,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t12_unigram_logprob" -> t12Sql,
     "t11_markup_strip" -> t11Sql,
     "t10_contamination" -> t10Sql,
     "t01_lang_id" -> t01Sql,
