@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -194,13 +194,83 @@ object Similarity {
       |    i -> abs(v[i] - q[i] * amax / 127.0))), 4) AS l1_err
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- s04
+  /** Product quantization — the PQ half of the IVF+PQ recipe every
+    * billion-vector ANN index uses: the 64-dim vector splits into 8
+    * subspaces of 8 dims, each subvector snaps to the nearest of 4
+    * per-subspace centroids (seeded deterministic corpus picks, like
+    * s02's coarse quantizer), so a vector compresses to 8 small codes;
+    * reconstruction error = √(Σ per-subspace min distances).
+    *
+    * The fitted centroids are collected to the driver — they are MODEL
+    * PARAMETERS (like any trained k-means model), bounded by k·dim, and
+    * enter the plan as literals, so the encode pass is map-only codegen
+    * over the scan with zero shuffles at any corpus size. Ties break to
+    * the lowest centroid id via lexicographic struct-min in BOTH
+    * engines.
+    */
+  def s04PqQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val m = 8; val sub = 8; val k = 4
+    val centroids: Array[Array[Double]] = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 97 === 11).orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val v = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    def dist(c: Int, s: Int): Column =
+      (0 until sub).map { i =>
+        val d = try_element_at(v, lit(s * sub + i + 1)) -
+          lit(centroids(c)(s * sub + i))
+        d * d
+      }.reduce(_ + _)
+    // per subspace: lexicographic struct-min = (min dist, then min id)
+    def best(s: Int): Column = array_min(array(
+      (0 until k).map(c => struct(dist(c, s).as("d"), lit(c).as("c"))): _*))
+    val withBest = (0 until m).foldLeft(
+      Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))) {
+      (acc, s) => acc.withColumn(s"__b$s", best(s)) }
+    withBest.select(col("vec_id"),
+        concat_ws(",", (0 until m).map(s => col(s"__b$s").getField("c")): _*)
+          .as("codes"),
+        round(sqrt((0 until m).map(s => col(s"__b$s").getField("d"))
+          .reduce(_ + _)), 4).as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: same fit (seeded picks), same assignment, derived wholly in
+    * SQL — cross join vectors × centroids × subspaces, struct-min per
+    * (vector, subspace), codes re-assembled in subspace order.
+    */
+  val s04Sql: String =
+    """WITH cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id,
+      |    embedding::DOUBLE[] AS c_vec
+      |  FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 11
+      |        ORDER BY vec_id LIMIT 4)),
+      |dists AS (
+      |  SELECT e.vec_id, s.s, c.c_id,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> pow(e.embedding[s.s * 8 + i]::DOUBLE -
+      |               c.c_vec[s.s * 8 + i], 2))) AS d
+      |  FROM embeddings e
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+      |  CROSS JOIN cent c),
+      |best AS (
+      |  SELECT vec_id, s, MIN(ROW(d, c_id)) AS b
+      |  FROM dists GROUP BY vec_id, s)
+      |SELECT vec_id,
+      |  string_agg(CAST(b[2] AS VARCHAR), ',' ORDER BY s) AS codes,
+      |  ROUND(sqrt(SUM(b[1])), 4) AS recon_err
+      |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01BruteForce _),
     "s02_ann_ivf" -> (s02Ivf _),
-    "s03_vector_quantize" -> (s03Quantize _))
+    "s03_vector_quantize" -> (s03Quantize _),
+    "s04_pq_quantize" -> (s04PqQuantize _))
 
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_ivf" -> s02Sql,
-    "s03_vector_quantize" -> s03Sql)
+    "s03_vector_quantize" -> s03Sql,
+    "s04_pq_quantize" -> s04Sql)
 }

@@ -275,7 +275,15 @@ object MongoPipeline {
             case None             => None
             case Some(x) => throw bad(s"$$graphLookup.depthField needs a string, got $x")
           }
-          val fdf = resolver(from)
+          val fdf0 = resolver(from)
+          // restrictSearchWithMatch: extra filter on traversal candidates
+          val fdf = m.get("restrictSearchWithMatch") match {
+            case Some(rd: DDoc) =>
+              fdf0.filter(toColumn(MongoFilter.compileDoc(rd)))
+            case None    => fdf0
+            case Some(x) =>
+              throw bad(s"$$graphLookup.restrictSearchWithMatch needs a document, got $x")
+          }
           val taken = df.columns ++ fdf.columns
           val rid = freshName(taken, "__graft_gl_rid")
           val kCol = freshName(taken, "__graft_gl_k")

@@ -197,6 +197,16 @@ class MongoPipelineSpec extends SparkSpec {
         "connectFromField": "parent", "connectToField": "id", "as": "anc"}}
     ]""", resolver = Map("tree" -> tree))
     assert(none.head.getSeq[Any](2) == Seq.empty)
+    // restrictSearchWithMatch filters traversal candidates: node 7's
+    // chain 3 → 1 → 0 stops at 3 when ids < 2 are excluded from search
+    val restricted = Graft.aggregate(tree, """[
+      {"$graphLookup": {"from": "tree", "startWith": "$parent",
+        "connectFromField": "parent", "connectToField": "id", "as": "anc",
+        "restrictSearchWithMatch": {"id": {"$gte": 2}}}},
+      {"$match": {"id": 7}}
+    ]""", resolver = Map("tree" -> tree))
+    assert(restricted.head.getSeq[org.apache.spark.sql.Row](2)
+      .map(_.getLong(0)).toList == List(3L))
   }
 
   test("$densify fills numeric and date gaps; $fill locf/linear/value") {
