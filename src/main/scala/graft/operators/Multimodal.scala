@@ -141,10 +141,55 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** m03: the frame-EXPLOSION half of frame sampling — m01 counts
+    * sampled frames; a real video pipeline emits one ROW per sampled
+    * frame for downstream per-frame feature extraction and dedup. Every
+    * 2nd 256-byte block of each video payload becomes a frame row with
+    * a content key (the per-frame dedup handle).
+    *
+    * Scale: frames ≫ videos, so the explode must not buffer — it's a
+    * Generate over a never-empty sequence (explode_outer per the
+    * generator-hygiene rule in SURVEY §4), all derived columns map-side;
+    * memory is bounded by one frame, not one video.
+    */
+  def m03(spark: SparkSession, dir: String): DataFrame = {
+    val vids = graft.Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2) // the video third of the mix
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) / lit(256)).cast("int").as("nf"))
+      .filter(col("nf") > 0)
+    vids
+      .select(col("doc_id"), col("text"),
+        explode_outer(sequence(lit(0), col("nf") - 1, lit(2))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(expr("substring(text, frame_idx * 256 + 1, 256)")).as("frame_key"),
+        length(expr("substring(text, frame_idx * 256 + 1, 256)"))
+          .cast("long").as("frame_bytes"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Oracle: same blocks via substr arithmetic (ASCII corpus: byte ==
+    * char), same sampling stride.
+    */
+  val m03Sql: String =
+    """WITH vids AS (
+      |  SELECT doc_id, text, CAST(strlen(text) // 256 AS INT) AS nf
+      |  FROM documents
+      |  WHERE doc_id % 3 = 2 AND strlen(text) // 256 > 0),
+      |frames AS (
+      |  SELECT doc_id, text, UNNEST(range(0, nf, 2)) AS frame_idx FROM vids)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  md5(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_key,
+      |  CAST(strlen(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256))
+      |    AS BIGINT) AS frame_bytes
+      |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal" -> (m01 _),
-    "m02_media_features" -> (m02 _))
+    "m02_media_features" -> (m02 _),
+    "m03_frame_explode" -> (m03 _))
   val oracle: Map[String, String] = Map(
     "m01_multimodal" -> m01Sql,
-    "m02_media_features" -> graft.functions.KernelOracleSql.m02Sql)
+    "m02_media_features" -> graft.functions.KernelOracleSql.m02Sql,
+    "m03_frame_explode" -> m03Sql)
 }
