@@ -573,20 +573,30 @@ object TextAnalysis {
     */
   def t12UnigramScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val postings = Tables.spread(docs)
+    // avg(−ln p) decomposes as ln(n_total) − Σ k·ln(cnt) / n_tokens, so
+    // the whole score needs ONE tokenization pass: (doc,term) counts →
+    // term-window for corpus counts → per-doc aggregation. (A join of
+    // postings against a separately-aggregated frequency table would
+    // re-tokenize the corpus — column pruning makes the two consumers'
+    // subplans differ, so ReusedExchange can never fire.)
+    val tfdt = Tables.spread(docs)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .repartition(col("term")) // one exchange, two consumers
-    val tf = postings.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .withColumn("n_total",
-        sum(col("cnt")).over(Window.partitionBy())) // vocab-sized window
-    postings.join(tf, "term")
-      .select(col("doc_id"),
-        round(-log(col("cnt").cast(DoubleType) / col("n_total")), 6)
-          .cast("decimal(18,6)").as("nl"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("k"))
+    val perDoc = tfdt
+      .withColumn("cnt", sum(col("k")).over(Window.partitionBy(col("term"))))
+      // per-term term rounded then decimal-summed: order-independent agg
+      .withColumn("r",
+        round(log(col("cnt").cast(DoubleType)), 6).cast("decimal(18,6)") *
+          col("k"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("nl")).cast(DoubleType) / count(lit(1)), 4)
-          .as("avg_neglogp"))
+      .agg(sum(col("k")).as("n_tokens"), sum(col("r")).as("s"))
+      .localCheckpoint() // doc-sized; pins the frame for its two consumers
+    val total = perDoc.agg(sum(col("n_tokens")).as("n_total"))
+    perDoc.crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_total").cast(DoubleType)) -
+          col("s").cast(DoubleType) / col("n_tokens"), 4).as("avg_neglogp"))
       .orderBy(col("doc_id"))
   }
 
@@ -596,16 +606,17 @@ object TextAnalysis {
       |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
       |      x -> x <> '')) AS term
       |  FROM documents),
-      |tf AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
-      |tot AS (SELECT COUNT(*) AS n_total FROM toks),
-      |scored AS (
-      |  SELECT doc_id,
-      |    CAST(ROUND(-ln(cnt / CAST(n_total AS DOUBLE)), 6)
-      |      AS DECIMAL(18,6)) AS nl
-      |  FROM toks JOIN tf USING (term), tot)
-      |SELECT doc_id, COUNT(*) AS n_tokens,
-      |  ROUND(CAST(SUM(nl) AS DOUBLE) / COUNT(*), 4) AS avg_neglogp
-      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |tfdt AS (SELECT doc_id, term, COUNT(*) AS k FROM toks GROUP BY 1, 2),
+      |tf AS (SELECT term, SUM(k) AS cnt FROM tfdt GROUP BY 1),
+      |per_doc AS (
+      |  SELECT doc_id, SUM(k) AS n_tokens,
+      |    SUM(CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) * k) AS s
+      |  FROM tfdt JOIN tf USING (term) GROUP BY doc_id),
+      |tot AS (SELECT SUM(n_tokens) AS n_total FROM per_doc)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  ROUND(ln(CAST(n_total AS DOUBLE)) - CAST(s AS DOUBLE) / n_tokens, 4)
+      |    AS avg_neglogp
+      |FROM per_doc, tot ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

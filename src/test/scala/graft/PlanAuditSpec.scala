@@ -112,6 +112,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-4 map-only operators shuffle nothing but the presentation sort") {
+    // t11 (markup strip), s04 (PQ encode: model params are literals),
+    // m03 (frame explode) must stay embarrassingly parallel
+    for (k <- Seq("t11_markup_strip", "s04_pq_quantize", "m03_frame_explode")) {
+      val p = finalPlan(k).split("== Initial Plan ==").head
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$k shuffles where it should be map-only:\n$p")
+    }
+  }
+
+  test("p06/dd08: exactly one hash exchange (shard window / canonical group)") {
+    for (k <- Seq("p06_global_shuffle", "dd08_url_dedup")) {
+      val p = finalPlan(k).split("== Initial Plan ==").head
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$k:\n$p")
+    }
+  }
+
+  test("t12: corpus tokenized once, scalar total from the doc-sized checkpoint") {
+    // the per-doc frame is materialized (localCheckpoint) before its two
+    // consumers, so the final plan reads the checkpoint — no Generate
+    // (tokenization) may appear twice-downstream, and the only join is
+    // the broadcast of the 1-row total
+    val p = finalPlan("t12_unigram_logprob")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q33: double correlation runs as shrinking hash aggs, no fact self-join") {
     val p = finalPlan("q33_multi_exists").split("== Initial Plan ==").head
     // the EXISTS/NOT EXISTS pair must NOT plan as semi/anti self-joins of
