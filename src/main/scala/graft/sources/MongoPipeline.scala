@@ -17,7 +17,8 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
   * as TopN, $lookup joins participate in broadcast planning).
   *
   * Supported stages: `$match` (full [[MongoFilter]] grammar), `$project`
-  * (inclusion / exclusion / computed), `$addFields`/`$set`, `$group`
+  * (inclusion / exclusion / computed), `$addFields`/`$set`, `$unset`,
+  * `$group`
   * (`$sum $avg $min $max $count $push $addToSet $stdDevPop $stdDevSamp
   * $median $percentile $first $last $top $bottom $topN $bottomN $minN
   * $maxN`), `$sort`, `$limit`, `$skip`, `$unwind` (string and document
@@ -118,6 +119,15 @@ object MongoPipeline {
         case d: DDoc => d.fields.foldLeft(df) { case (acc, (f, v)) =>
           setPath(acc, f, valueExpr(v)) }
         case other => throw bad(s"$op needs a document, got $other")
+      }
+
+      case "$unset" => spec match { // exclusion-$project shorthand
+        case DString(f)    => df.drop(f)
+        case DArray(items) => df.drop(items.map {
+          case DString(f) => f
+          case x          => throw bad(s"$$unset field: $x")
+        }: _*)
+        case other => throw bad(s"$$unset needs a field or array, got $other")
       }
 
       case "$group" => spec match {

@@ -138,6 +138,13 @@ class MongoPipelineSpec extends SparkSpec {
     assert(rows.forall(_.getStruct(1).getString(1) == "k"))
   }
 
+  test("$unset drops fields (string and array forms)") {
+    val one = Graft.aggregate(sales, """[{"$unset": "items"}]""")
+    assert(one.columns.toSeq == Seq("id", "grp", "amount"))
+    val many = Graft.aggregate(sales, """[{"$unset": ["items", "grp"]}]""")
+    assert(many.columns.toSeq == Seq("id", "amount"))
+  }
+
   test("$project inclusion keeps _id by default; _id:0 excludes it") {
     val docs = Seq(("oid1", 1L, "x")).toDF("_id", "n", "s")
     val dflt = Graft.aggregate(docs, """[{"$project": {"n": 1}}]""")
