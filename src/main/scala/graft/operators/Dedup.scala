@@ -191,22 +191,37 @@ object Dedup {
       .groupBy(col("source"), col("shingle"))
       .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
       .filter(size(col("ds")).between(2, 10000))
-    val pairs = buckets.select(col("source"), explode(expr(
-      """flatten(transform(ds, (x, i) ->
-        |  transform(slice(ds, i + 2, size(ds)), y -> named_struct(
-        |    'id_a', least(x.doc_id, y.doc_id),
-        |    'id_b', greatest(x.doc_id, y.doc_id),
-        |    'sz_a', if(x.doc_id < y.doc_id, x.sz, y.sz),
-        |    'sz_b', if(x.doc_id < y.doc_id, y.sz, x.sz)))))""".stripMargin))
-      .as("p"))
-    pairs
-      .groupBy(col("source"), col("p.id_a").as("id_a"),
-        col("p.id_b").as("id_b"), col("p.sz_a").as("sz_a"),
-        col("p.sz_b").as("sz_b"))
+    bucketPairs(buckets)
+      .groupBy(col("source"), col("id_a"), col("id_b"), col("sz_a"),
+        col("sz_b"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard", col("common").cast(DoubleType) /
         (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Expand each `(source, ds)` bucket into its unordered element pairs
+    * in TWO Generate levels: posexplode the doc list (one row per head
+    * element, carrying its tail slice), then explode each head's tail.
+    * No intermediate value ever exceeds |bucket| elements — the
+    * single-row `flatten(transform(...))` alternative builds the whole
+    * ~|bucket|²/2 pair array inside ONE row (gigabytes at the 10k df
+    * cap → unsplittable task OOM). Both Generates stream through
+    * codegen; only the tiny pair rows reach the next shuffle.
+    */
+  private[graft] def bucketPairs(buckets: DataFrame): DataFrame = {
+    val aLtB = col("x.doc_id") < col("y.doc_id")
+    buckets
+      .select(col("source"), col("ds"), posexplode(col("ds")))
+      // slice is 1-based: head at 0-based `pos` pairs with ds[pos+2 ..]
+      .select(col("source"), col("col").as("x"),
+        expr("slice(ds, pos + 2, size(ds))").as("tail"))
+      .select(col("source"), col("x"), explode(col("tail")).as("y"))
+      .select(col("source"),
+        least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
+        when(aLtB, col("x.sz")).otherwise(col("y.sz")).as("sz_a"),
+        when(aLtB, col("y.sz")).otherwise(col("x.sz")).as("sz_b"))
   }
 
   def dd04NgramJaccard(spark: SparkSession, dir: String): DataFrame =

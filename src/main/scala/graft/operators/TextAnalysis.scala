@@ -279,7 +279,13 @@ object TextAnalysis {
     * groupBy(doc,term) for tf (shuffle ∝ postings), one groupBy(term)
     * for df (shuffle ∝ vocab), df joined back on term (shuffle join —
     * vocab is data-sized, never broadcast), N broadcast as a 1-row
-    * aggregate. Ranking ties are only possible at identical (tf, df),
+    * aggregate. df goes through a hash aggregate, NOT a window over the
+    * term key: a window partition must colocate in one task, so a
+    * stopword's entire posting list (~n_docs rows) lands on a single
+    * task with no map-side combine — fatal at corpus scale. The groupBy
+    * shrinks every partition before its shuffle; the checkpoint pins
+    * the postings so both consumers reuse one tokenization.
+    * Ranking ties are only possible at identical (tf, df),
     * where both engines compute the identical double — term breaks them.
     */
   def t07TfIdf(spark: SparkSession, dir: String): DataFrame = {
@@ -291,14 +297,11 @@ object TextAnalysis {
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // df = count of (doc,term) rows per term — a window over the term
-    // shuffle, NOT a separate groupBy(term) aggregate + join back: that
-    // plan re-exchanges tf twice and adds a join; this one computes df
-    // in the single term-keyed pass the data had to make anyway
-    val wTerm = Window.partitionBy(col("term"))
+      .localCheckpoint() // postings computed once for df agg + scoring join
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_raw").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(wTerm))
+    tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(total))
       .withColumn("tfidf_raw",
         col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
@@ -565,34 +568,35 @@ object TextAnalysis {
     * summed as DECIMAL so the aggregation is order-independent and
     * bit-identical cross-engine (SURVEY §5 discipline for float aggs).
     *
-    * Scale: postings pinned to ONE term-hash exchange (the repartition
-    * barrier) feeds both the frequency aggregation and the scoring join
-    * co-partitioned — Spark's ReusedExchange tokenizes the corpus once;
-    * the total-token count is a window over the vocab-sized agg, not a
-    * second corpus pass.
+    * Scale: the (doc,term) counts are checkpointed so ONE tokenization
+    * pass feeds both the corpus-frequency aggregation and the scoring
+    * join; corpus counts go through groupBy(term) (map-side partial
+    * combine shrinks each partition to its local vocab before the
+    * shuffle) and join back — never a window over the raw term key,
+    * which would pin a stopword's full posting list on one task.
     */
   def t12UnigramScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     // avg(−ln p) decomposes as ln(n_total) − Σ k·ln(cnt) / n_tokens, so
-    // the whole score needs ONE tokenization pass: (doc,term) counts →
-    // term-window for corpus counts → per-doc aggregation. (A join of
-    // postings against a separately-aggregated frequency table would
-    // re-tokenize the corpus — column pruning makes the two consumers'
-    // subplans differ, so ReusedExchange can never fire.)
+    // the whole score needs ONE tokenization pass: (doc,term) counts
+    // (checkpointed) → vocab-sized frequency agg → join back on term →
+    // per-doc aggregation.
     val tfdt = Tables.spread(docs)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("k"))
-    val perDoc = tfdt
-      .withColumn("cnt", sum(col("k")).over(Window.partitionBy(col("term"))))
+      .localCheckpoint() // postings computed once for freq agg + scoring join
+    val freq = tfdt.groupBy(col("term")).agg(sum(col("k")).as("cnt"))
+    // n_total = Σ cnt over the vocab — a second small agg over freq, not
+    // a second corpus pass (freq itself reads the checkpointed postings)
+    val total = freq.agg(sum(col("cnt")).as("n_total"))
+    val perDoc = tfdt.join(freq, Seq("term"))
       // per-term term rounded then decimal-summed: order-independent agg
       .withColumn("r",
         round(log(col("cnt").cast(DoubleType)), 6).cast("decimal(18,6)") *
           col("k"))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_tokens"), sum(col("r")).as("s"))
-      .localCheckpoint() // doc-sized; pins the frame for its two consumers
-    val total = perDoc.agg(sum(col("n_tokens")).as("n_total"))
     perDoc.crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"),
         round(log(col("n_total").cast(DoubleType)) -

@@ -301,18 +301,26 @@ object MongoPipeline {
           val nextCol = freshName(taken, "__graft_gl_next")
           val docCol = freshName(taken, "__graft_gl_doc")
           val dCol = freshName(taken, "__graft_gl_d")
+          val hCol = freshName(taken, "__graft_gl_h")
           // row identity survives the loop; checkpoint pins the ids (a
           // recompute could renumber). Mongo overwrite semantics for `as`.
           val left0 = df.withColumn(rid, monotonically_increasing_id())
             .localCheckpoint()
           val left = if (df.columns.contains(as)) left0.drop(as) else left0
-          // foreign side once: (match key, next-hop key, whole doc)
+          // foreign side once: (match key, next-hop key, whole doc, doc
+          // hash). The 64-bit hash is the doc's identity for visited-set
+          // bookkeeping: anti-joining on (rid, hash) shuffles 16-byte
+          // keys instead of whole documents and compares in O(1), where
+          // a whole-struct <=> join re-shuffles every wide row each hop.
           val foreign = fdf.select(col(connectTo).as(keyCol),
             col(connectFrom).as(nextCol),
-            struct(fdf.columns.map(col): _*).as(docCol)).localCheckpoint()
+            struct(fdf.columns.map(col): _*).as(docCol))
+            .withColumn(hCol, xxhash64(to_json(col(docCol))))
+            .localCheckpoint()
           def hop(frontier: DataFrame, depth: Int): DataFrame =
             frontier.join(foreign, frontier(kCol) === foreign(keyCol))
-              .select(col(rid), col(docCol), col(nextCol), lit(depth).cast("long").as(dCol))
+              .select(col(rid), col(docCol), col(hCol), col(nextCol),
+                lit(depth).cast("long").as(dCol))
           // BFS: each hop is one join shuffle; visited dedup (per input row,
           // per foreign DOC) both handles cycles and gives min-depth
           // semantics like Mongo. Iterations ≤ graph diameter (or maxDepth).
@@ -323,10 +331,13 @@ object MongoPipeline {
           while (!done && depth <= maxDepth) {
             val hits = hop(frontier, depth)
             val fresh = hits
-              .join(visited.select(col(rid).as("__vr"), col(docCol).as("__vd")),
-                hits(rid) === col("__vr") && hits(docCol) <=> col("__vd"),
+              .join(visited.select(col(rid).as("__vr"), col(hCol).as("__vh")),
+                hits(rid) === col("__vr") && hits(hCol) === col("__vh"),
                 "left_anti")
-              .distinct().localCheckpoint()
+              // same (rid, doc) can arrive via several frontier keys in
+              // one hop; nextCol/dCol are functions of (doc, depth) so
+              // the kept row is value-deterministic
+              .dropDuplicates(Seq(rid, hCol)).localCheckpoint()
             if (fresh.isEmpty) done = true
             else {
               visited = visited.unionByName(fresh).localCheckpoint()

@@ -129,15 +129,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("t12: corpus tokenized once, scalar total from the doc-sized checkpoint") {
-    // the per-doc frame is materialized (localCheckpoint) before its two
-    // consumers, so the final plan reads the checkpoint — no Generate
-    // (tokenization) may appear twice-downstream, and the only join is
-    // the broadcast of the 1-row total
+  test("t12: corpus tokenized once, scalar total from the checkpointed postings") {
+    // the (doc,term) postings are materialized (localCheckpoint) before
+    // their two consumers (frequency agg + scoring join), so the final
+    // plan reads the checkpoint — no Generate (tokenization) downstream,
+    // and the scalar total arrives by broadcast
     val p = finalPlan("t12_unigram_logprob")
     assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("Generate"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("t07/t12: per-term totals are hash aggs, never a window over term") {
+    // Window.partitionBy(term) colocates a stopword's whole posting list
+    // (~n_docs rows) on ONE task with no map-side combine — fatal at
+    // corpus scale. Both queries must compute per-term totals through a
+    // partial HashAggregate ladder and join them back.
+    for (k <- Seq("t07_tfidf", "t12_unigram_logprob")) {
+      val p = finalPlan(k)
+      assert(!p.contains("windowspecdefinition(term#"),
+        s"$k windows over the raw term key:\n$p")
+      assert(p.contains("HashAggregate"), s"$k:\n$p")
+    }
   }
 
   test("q33: double correlation runs as shrinking hash aggs, no fact self-join") {
@@ -149,6 +162,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("SortMergeJoin"), p) // supplier joins by broadcast
+  }
+
+  test("dd04: bucket pair expansion is two-level (no single-row pair array)") {
+    import org.apache.spark.sql.functions._
+    // a degenerate bucket at the df=10,000 cap boundary. The single-row
+    // flatten(transform(...)) alternative builds all ~5·10⁷ pair structs
+    // inside ONE array value (gigabytes, unsplittable task); the
+    // two-level form streams them through two Generates, each row
+    // bounded by the bucket size.
+    val n = 10000
+    val buckets = spark.range(1).select(lit("web").as("source"),
+      expr(s"transform(sequence(1, $n), i -> " +
+        "named_struct('doc_id', cast(i as bigint), 'sz', 50))").as("ds"))
+    val pairs = graft.operators.Dedup.bucketPairs(buckets)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("flatten("), plan)
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+    // pair semantics (ordering + size assignment) on a tiny bucket
+    val small = spark.range(1).select(lit("s").as("source"),
+      expr("array(named_struct('doc_id', 7L, 'sz', 3), " +
+        "named_struct('doc_id', 2L, 'sz', 9), " +
+        "named_struct('doc_id', 5L, 'sz', 4))").as("ds"))
+    val rows = graft.operators.Dedup.bucketPairs(small)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(rows.toSeq == Seq((2L, 5L, 9, 4), (2L, 7L, 9, 3), (5L, 7L, 4, 3)))
   }
 
   test("docstore scan shows its pushdown in the plan") {
