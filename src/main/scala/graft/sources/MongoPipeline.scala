@@ -393,6 +393,22 @@ object MongoPipeline {
               else expr(s"INTERVAL '$n' ${u.toUpperCase}")
             case other => throw bad(s"$$densify.range.step/unit: $other")
           }
+          // Spark sequence() only supports integral/temporal elements; a
+          // double step would fail analysis. Build fractional grids from
+          // an integral index sequence scaled back: lo + i·step for
+          // i ∈ [0, ⌊(hi−lo)/step⌋].
+          val fracStep: Option[Double] = range.get("step") match {
+            case Some(DDouble(x)) => Some(x)
+            case _                => None
+          }
+          def gridOf(lo: Column, hi: Column): Column = fracStep match {
+            case Some(x) => explode(transform(
+              sequence(lit(0L),
+                floor((hi.cast("double") - lo.cast("double")) / lit(x))
+                  .cast("bigint"), lit(1L)),
+              i => lo + i * lit(x)))
+            case None => explode(sequence(lo, hi, stepExpr))
+          }
           // bounds: per-partition [min,max], global [min,max] applied to
           // every partition ("full"), or an explicit half-open [lo, hi)
           val bounds = range.getOrElse("bounds", throw bad("$densify needs bounds"))
@@ -406,16 +422,16 @@ object MongoPipeline {
               df.groupBy(partCols: _*)
                 .agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
                 .select(parts.map(col) :+
-                  explode(sequence(col("__lo"), col("__hi"), stepExpr)).as(field): _*)
+                  gridOf(col("__lo"), col("__hi")).as(field): _*)
             case DString("full") =>
               val mm = df.agg(min(col(field)).as("__lo"), max(col(field)).as("__hi"))
               distinctParts.crossJoin(broadcast(mm))
                 .select((if (parts.isEmpty) Seq.empty[Column] else parts.map(col)) :+
-                  explode(sequence(col("__lo"), col("__hi"), stepExpr)).as(field): _*)
+                  gridOf(col("__lo"), col("__hi")).as(field): _*)
             case DArray(Seq(lo, hi)) => // half-open like Mongo
               distinctParts
                 .select((if (parts.isEmpty) Seq.empty[Column] else parts.map(col)) :+
-                  explode(sequence(valueExpr(lo), valueExpr(hi), stepExpr)).as(field): _*)
+                  gridOf(valueExpr(lo), valueExpr(hi)).as(field): _*)
                 .filter(col(field) < valueExpr(hi))
             case x => throw bad(s"$$densify.range.bounds: $x")
           }
@@ -680,21 +696,31 @@ object MongoPipeline {
             case Some(DLong(b)) if b >= 1 => b.toInt
             case other => throw bad(s"$$bucketAuto.buckets needs a positive integer, got $other")
           }
-          val outs = m.get("output") match {
+          val outPairs: Seq[(String, Column)] = m.get("output") match {
             case Some(o: DDoc) => o.fields.map { case (alias, aspec) =>
-              groupAccumulator(aspec).as(alias) }
-            case None    => Seq(count(lit(1)).as("count"))
+              alias -> groupAccumulator(aspec).as(alias) }.toSeq
+            case None    => Seq("count" -> count(lit(1)).as("count"))
             case Some(x) => throw bad(s"$$bucketAuto.output needs a document, got $x")
           }
-          val bCol = freshName(df.columns, "__graft_bucket")
-          val gCol = freshName(df.columns, "__graft_gb")
+          val taken = df.columns ++ outPairs.map(_._1)
+          val bCol = freshName(taken, "__graft_bucket")
+          val gCol = freshName(taken, "__graft_gb")
+          val loCol = freshName(taken, "__graft_lo")
+          val hiCol = freshName(taken, "__graft_hi")
           import org.apache.spark.sql.expressions.Window
+          // Mongo's buckets are CONTIGUOUS: bucket N's max is bucket N+1's
+          // min (exclusive), and only the last bucket's max is the value
+          // actually present. lead(min) over the bucket order supplies the
+          // boundary; the N-bucket frame is tiny, so the second window is free.
           df.withColumn(gCol, gb)
             .withColumn(bCol, ntile(n).over(Window.orderBy(col(gCol))))
             .groupBy(col(bCol))
-            .agg(struct(min(col(gCol)).as("min"), max(col(gCol)).as("max")).as("_id"),
-              outs: _*)
-            .drop(bCol)
+            .agg(min(col(gCol)).as(loCol),
+              max(col(gCol)).as(hiCol) +: outPairs.map(_._2): _*)
+            .withColumn("_id", struct(col(loCol).as("min"),
+              coalesce(lead(col(loCol), 1).over(Window.orderBy(col(bCol))),
+                col(hiCol)).as("max")))
+            .select(col("_id") +: outPairs.map(p => col(p._1)): _*)
             .orderBy(col("_id.min"))
         case x => throw bad(s"$$bucketAuto needs a document, got $x")
       }
@@ -1347,13 +1373,18 @@ object MongoPipeline {
     }
     case "$range" => operand match {
       // Mongo's range is half-open [start, end); sequence() is inclusive,
-      // so pull the stop back one step-sign. Literal steps only — a
-      // per-row step would need a per-row sign.
+      // so pull the stop back one step-sign — and guard the empty case
+      // first: sequence() throws 'Illegal sequence boundaries' whenever
+      // the step can't reach the stop, where Mongo returns []. Literal
+      // steps only — a per-row step would need a per-row sign.
       case DArray(Seq(s, e)) =>
-        sequence(valueExpr(s, env), valueExpr(e, env) - 1, lit(1L))
+        val (sc, ec) = (valueExpr(s, env), valueExpr(e, env))
+        when(ec <= sc, array()).otherwise(sequence(sc, ec - 1, lit(1L)))
       case DArray(Seq(s, e, DLong(st))) if st != 0 =>
-        sequence(valueExpr(s, env), valueExpr(e, env) - (if (st > 0) 1 else -1),
-          lit(st))
+        val (sc, ec) = (valueExpr(s, env), valueExpr(e, env))
+        val empty = if (st > 0) ec <= sc else ec >= sc
+        when(empty, array())
+          .otherwise(sequence(sc, ec - (if (st > 0) 1 else -1), lit(st)))
       case other => throw bad(s"$$range needs [start, end, step?], got $other")
     }
     case "$zip" => operand match {
@@ -1365,10 +1396,15 @@ object MongoPipeline {
         val longest = d.fields.toMap.get("useLongestLength") == Some(DBool(true))
         // element i of the result = array of the i-th elements; zip_with
         // pads to the LONGEST input with nulls, so Mongo's default
-        // (shortest) truncates to the minimum size afterwards
-        val zipped = inputs.tail.foldLeft(
-          transform(inputs.head, x => array(x))) { (acc, nxt) =>
-          zip_with(acc, nxt, (xs, y) => concat(coalesce(xs, array()), array(y)))
+        // (shortest) truncates to the minimum size afterwards. When an
+        // EARLIER input is the short one, the accumulated tuple xs is
+        // null past its end — pad it to the running arity (i+1 inputs
+        // folded so far) with nulls, as Mongo does, so tuples keep the
+        // right width instead of collapsing to [y].
+        val zipped = inputs.tail.zipWithIndex.foldLeft(
+          transform(inputs.head, x => array(x))) { case (acc, (nxt, i)) =>
+          val pad = array_repeat(lit(null), i + 1)
+          zip_with(acc, nxt, (xs, y) => concat(coalesce(xs, pad), array(y)))
         }
         if (longest) zipped
         else slice(zipped, lit(1), inputs.map(size).reduce(least(_, _)))
@@ -1381,7 +1417,10 @@ object MongoPipeline {
       when(valueExpr(operand, env).isNull, "null")
         .when(t.isin("tinyint", "smallint", "int"), "int")
         .when(t === "bigint", "long")
-        .when(t.startsWith("decimal") || t === "double" || t === "float", "double")
+        // Mongo reports Decimal128 as "decimal" — keep parity with
+        // MongoFilter's $type, which already maps decimals there
+        .when(t.startsWith("decimal"), "decimal")
+        .when(t === "double" || t === "float", "double")
         .when(t === "string", "string")
         .when(t === "boolean", "bool")
         .when(t === "timestamp" || t === "date", "date")

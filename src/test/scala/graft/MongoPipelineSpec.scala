@@ -241,6 +241,14 @@ class MongoPipelineSpec extends SparkSpec {
     val const = Graft.aggregate(Seq((1L, Some(5.0)), (2L, None)).toDF("x", "v"),
       """[{"$fill": {"output": {"v": {"value": 0}}}}]""")
     assert(const.orderBy("x").collect().map(_.getDouble(1)).toSeq == Seq(5.0, 0.0))
+    // fractional step: integral index grid scaled back (sequence() can't
+    // take a double step); grid is half-open, existing off-grid docs survive
+    val frac = Graft.aggregate(Seq(0.0, 1.0).toDF("x"), """[
+      {"$densify": {"field": "x", "range": {"step": 0.25, "bounds": [0.0, 1.0]}}},
+      {"$sort": {"x": 1}}
+    ]""")
+    assert(frac.collect().map(_.getDouble(0)).toSeq ==
+      Seq(0.0, 0.25, 0.5, 0.75, 1.0))
     // calendar-unit densify over timestamps
     val days = Seq("2024-01-01", "2024-01-04").toDF("d")
       .select(col("d").cast("timestamp").as("day"))
@@ -274,7 +282,10 @@ class MongoPipelineSpec extends SparkSpec {
     // sorted amounts 5, 7.5, 10, 15, 20 → buckets {5,7.5,10} and {15,20}
     assert(out(0).getLong(1) == 3L && out(1).getLong(1) == 2L)
     assert(out(0).getStruct(0).getDouble(0) == 5.0)   // _id.min
-    assert(out(0).getStruct(0).getDouble(1) == 10.0)  // _id.max
+    // Mongo buckets are contiguous: bucket 0's max = bucket 1's min
+    // (exclusive boundary), only the last bucket's max is a present value
+    assert(out(0).getStruct(0).getDouble(1) == 15.0)
+    assert(out(1).getStruct(0).getDouble(0) == 15.0)
     assert(out(1).getStruct(0).getDouble(1) == 20.0)
   }
 
@@ -317,9 +328,13 @@ class MongoPipelineSpec extends SparkSpec {
       {"$addFields": {
         "r": {"$range": [0, 10, 3]},
         "r_neg": {"$range": [10, 0, -2]},
+        "r_empty": {"$range": [0, 0]},
+        "r_wrongway": {"$range": [5, 0, 2]},
         "z_short": {"$zip": {"inputs": [[1, 2, 3], [10, 20]]}},
         "z_long": {"$zip": {"inputs": [[1, 2, 3], [10, 20]],
                             "useLongestLength": true}},
+        "z_pad": {"$zip": {"inputs": [[1], [10, 20], [100, 200, 300]],
+                           "useLongestLength": true}},
         "t_str": {"$type": "hello"},
         "t_num": {"$type": "$id"},
         "t_dbl": {"$type": "$x"},
@@ -341,10 +356,17 @@ class MongoPipelineSpec extends SparkSpec {
       List(0L, 3L, 6L, 9L))
     assert(out.getAs[scala.collection.Seq[Long]]("r_neg").toList ==
       List(10L, 8L, 6L, 4L, 2L))
+    // empty ranges return [], not a sequence() boundary error (Mongo parity)
+    assert(out.getAs[scala.collection.Seq[Long]]("r_empty").isEmpty)
+    assert(out.getAs[scala.collection.Seq[Long]]("r_wrongway").isEmpty)
     val zs = out.getAs[scala.collection.Seq[scala.collection.Seq[Long]]]("z_short")
     assert(zs.map(_.toList).toList == List(List(1L, 10L), List(2L, 20L)))
     val zl = out.getAs[scala.collection.Seq[scala.collection.Seq[Any]]]("z_long")
     assert(zl.size == 3 && zl.last.toList == List(3L, null))
+    // an EARLIER short input must null-pad, keeping tuple arity (was [300])
+    val zp = out.getAs[scala.collection.Seq[scala.collection.Seq[Any]]]("z_pad")
+    assert(zp.map(_.toList).toList == List(List(1L, 10L, 100L),
+      List(null, 20L, 200L), List(null, null, 300L)))
     assert(g[String]("t_str") == "string" && g[String]("t_num") == "long" &&
       g[String]("t_dbl") == "double")
     assert(g[Boolean]("is_n") && !g[Boolean]("is_not"))
@@ -357,6 +379,12 @@ class MongoPipelineSpec extends SparkSpec {
     assert(g[Double]("cosv") == 1.0)
     assert(g[String]("lt") == "pad  ")
     assert(g[Int]("cmp") == 0)
+    // $type reports decimals as "decimal" (Decimal128 parity, and
+    // agreement with MongoFilter's $type on the same value)
+    val dec = Graft.aggregate(
+      Seq(1).toDF("i").select(expr("cast(1.5 as decimal(10,2))").as("d")),
+      """[{"$addFields": {"td": {"$type": "$d"}}}]""").head
+    assert(dec.getAs[String]("td") == "decimal")
   }
 
   test("$setWindowFields: $locf/$linearFill/$derivative/$integral + accumulators") {
