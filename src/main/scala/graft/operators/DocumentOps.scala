@@ -252,7 +252,69 @@ object DocumentOps {
       |WINDOW w AS (PARTITION BY user_id ORDER BY day)
       |ORDER BY user_id, day""".stripMargin
 
+  // ---------------------------------------------------------------- d17
+  /** `$lookup` pipeline/`let` (correlated subquery) + `$unionWith` — the
+    * two Mongo pipeline features a SQL-porting user hits next (the
+    * reference gets both for free from DuckDB SQL: subqueries and UNION,
+    * reference test/sql/query/basic.test). Per nation, the top-2
+    * suppliers by account balance via a correlated sub-pipeline (var-free
+    * `$match` prefix pushes into the scan; the `$expr` equality becomes a
+    * hash-join key; `$sort`+`$limit` compiles to a per-row top-k window),
+    * unioned with high-balance customers shaped by a `$unionWith`
+    * sub-pipeline. Oracle: the same query as a DuckDB window-rank CTE +
+    * UNION ALL.
+    *
+    * Scale: one hash join (nation keys vs supplier) + one rank window
+    * partitioned by the join id; no whole-document shuffles — `let`
+    * values travel as compact key columns.
+    */
+  def d17LookupUnion(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir, "nation")
+    val supplier = Tables(spark, dir, "supplier")
+    val customer = Tables(spark, dir, "customer")
+    graft.Graft.aggregate(nation, """[
+      {"$lookup": {
+        "from": "supplier",
+        "let": {"nk": "$n_nationkey"},
+        "pipeline": [
+          {"$match": {"s_acctbal": {"$gt": 0}}},
+          {"$match": {"$expr": {"$eq": ["$s_nationkey", "$$nk"]}}},
+          {"$project": {"s_suppkey": 1, "s_name": 1, "s_acctbal": 1}},
+          {"$sort": {"s_acctbal": -1, "s_suppkey": 1}},
+          {"$limit": 2}
+        ],
+        "as": "top"}},
+      {"$unwind": "$top"},
+      {"$project": {"nk": "$n_nationkey", "name": "$top.s_name",
+                    "bal": "$top.s_acctbal", "kind": "supplier"}},
+      {"$unionWith": {"coll": "customer", "pipeline": [
+        {"$match": {"c_acctbal": {"$gte": 9900}}},
+        {"$project": {"nk": "$c_nationkey", "name": "$c_name",
+                      "bal": "$c_acctbal", "kind": "cust"}}
+      ]}},
+      {"$sort": {"kind": 1, "nk": 1, "bal": -1, "name": 1}}
+    ]""", resolver = Map("supplier" -> supplier, "customer" -> customer))
+  }
+
+  val d17Sql: String =
+    """WITH top_supp AS (
+      |  SELECT nk, name, bal, kind FROM (
+      |    SELECT n.n_nationkey AS nk, s.s_name AS name, s.s_acctbal AS bal,
+      |      'supplier' AS kind,
+      |      row_number() OVER (PARTITION BY n.n_nationkey
+      |        ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+      |    FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      |    WHERE s.s_acctbal > 0)
+      |  WHERE rn <= 2),
+      |hi_cust AS (
+      |  SELECT c_nationkey AS nk, c_name AS name, c_acctbal AS bal,
+      |    'cust' AS kind
+      |  FROM customer WHERE c_acctbal >= 9900)
+      |SELECT * FROM (SELECT * FROM top_supp UNION ALL SELECT * FROM hi_cust)
+      |ORDER BY kind, nk, bal DESC, name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_lookup_union" -> (d17LookupUnion _),
     "d01_json_extract" -> (d01JsonExtract _),
     "d16_window_stage" -> (d16WindowStage _),
     "d05_unnest_array" -> (d05UnnestArray _),
@@ -261,6 +323,7 @@ object DocumentOps {
     "d14_densify_fill" -> (d14DensifyFill _))
 
   val oracle: Map[String, String] = Map(
+    "d17_lookup_union" -> d17Sql,
     "d01_json_extract" -> d01Sql,
     "d16_window_stage" -> d16Sql,
     "d05_unnest_array" -> d05Sql,

@@ -236,6 +236,8 @@ object MongoPipeline {
         case d: DDoc =>
           if (resolver == null) throw bad("$lookup needs a collection resolver")
           val m = d.fields.toMap
+          if (m.contains("pipeline") || m.contains("let"))
+            return lookupPipeline(df, m, resolver)
           def str(k: String): String = m.get(k) match {
             case Some(DString(s)) => s
             case other => throw bad(s"$$lookup.$k needs a string, got $other")
@@ -979,6 +981,193 @@ object MongoPipeline {
         (col(f), dir == 1)
       case other => throw bad(s"$op.sortBy needs {field: 1|-1}, got $other")
     }
+
+  /** Does the expression tree reference any of `vars` via `$$name`? */
+  private def usesVars(v: DocValue, vars: Set[String]): Boolean = v match {
+    case DString(s) if s.startsWith("$$") =>
+      vars.contains(s.drop(2).split('.').head)
+    case DDoc(fields)  => fields.exists { case (_, x) => usesVars(x, vars) }
+    case DArray(items) => items.exists(usesVars(_, vars))
+    case _             => false
+  }
+
+  /** `$lookup` pipeline/`let` form (and Mongo 5.0+'s concise correlated
+    * form when `localField`/`foreignField` ride along). Compilation:
+    *
+    *   - `let` expressions evaluate on the LEFT row and travel as compact
+    *     physical key columns — never the whole left document;
+    *   - the var-free PREFIX of the sub-pipeline runs on the foreign
+    *     collection as an ordinary pipeline (filters push into the scan);
+    *   - the first var-using stage must be a `$match` — its `$expr`
+    *     compiles into the JOIN CONDITION, so equality predicates become
+    *     hash-join keys (Catalyst extracts them; pure inequalities fall
+    *     back to a broadcast-loop theta join, inherent to the semantics);
+    *   - later stages apply per joined row: `$match`/`$addFields`/`$set`/
+    *     `$project`/`$unset`, plus the `$sort`+`$limit` top-k idiom as a
+    *     per-left-row `row_number` window (a bare trailing `$sort` is
+    *     rejected — collected-array order, sort after `$unwind` instead);
+    *   - matches group back to one array per left row id (checkpointed,
+    *     like `$graphLookup`), empty array when none.
+    */
+  private def lookupPipeline(df: DataFrame, m: Map[String, DocValue],
+      resolver: String => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (resolver == null) throw bad("$lookup needs a collection resolver")
+    def str(k: String): String = m.get(k) match {
+      case Some(DString(s)) => s
+      case other => throw bad(s"$$lookup.$k needs a string, got $other")
+    }
+    val (from, as) = (str("from"), str("as"))
+    val pstages: Seq[DDoc] = m.get("pipeline") match {
+      case Some(DArray(items)) if items.forall(_.isInstanceOf[DDoc]) =>
+        items.map(_.asInstanceOf[DDoc])
+      case None    => Seq.empty
+      case Some(x) => throw bad(s"$$lookup.pipeline needs an array of stages, got $x")
+    }
+    val letSpecs: Seq[(String, DocValue)] = m.get("let") match {
+      case Some(ld: DDoc) => ld.fields.toSeq
+      case None           => Seq.empty
+      case Some(x)        => throw bad(s"$$lookup.let needs a document, got $x")
+    }
+    val eqFields: Option[(String, String)] =
+      (m.get("localField"), m.get("foreignField")) match {
+        case (Some(DString(lf)), Some(DString(ff))) => Some((lf, ff))
+        case (None, None) => None
+        case _ => throw bad("$lookup needs localField and foreignField together")
+      }
+    val varNames = letSpecs.map(_._1).toSet
+    val (prefix, rest) = pstages.span(st => !usesVars(st, varNames))
+    val fdf = prefix.foldLeft(resolver(from))((acc, st) =>
+      applyStage(acc, st, resolver))
+
+    val taken = df.columns ++ fdf.columns
+    val rid = freshName(taken, "__graft_lkp_rid")
+    val left0 = df.withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint() // pin row ids against recompute renumbering
+    val left = if (df.columns.contains(as)) left0.drop(as) else left0
+    val letCols: Seq[String] =
+      letSpecs.indices.map(i => freshName(taken, s"__graft_lkp_v$i"))
+    val lfCol = eqFields.map(_ => freshName(taken, "__graft_lkp_lf"))
+    val keyExprs =
+      letSpecs.map(_._2).zip(letCols).map { case (v, n) => valueExpr(v).as(n) } ++
+      eqFields.zip(lfCol).map { case ((lf, _), n) => col(fieldPath("$" + lf)).as(n) }
+    val leftKeys = left.select(col(rid) +: keyExprs: _*)
+    val env: Map[String, Column] =
+      letSpecs.map(_._1).zip(letCols.map(col)).toMap
+
+    def matchConds(ms: DDoc): Column = {
+      val (exprParts, plain) = ms.fields.partition(_._1 == "$expr")
+      val conds =
+        (if (plain.isEmpty) Nil
+         else Seq(toColumn(MongoFilter.compileDoc(DDoc(plain))))) ++
+        exprParts.map { case (_, e) => valueExpr(e, env) }
+      if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
+    }
+    val (corrCond, suffix) = rest match {
+      case Seq() => (None, Seq.empty[DDoc])
+      case head +: tail => head.fields.toList match {
+        case ("$match", ms: DDoc) :: Nil => (Some(matchConds(ms)), tail)
+        case (op, _) :: _ => throw bad(s"$$lookup.pipeline: the first stage " +
+          s"referencing a let variable must be $$match, got $op")
+      }
+    }
+    val fullCond = (eqFields.map { case (_, ff) =>
+      col(lfCol.get) === col(fieldPath("$" + ff)) } ++ corrCond)
+      .reduceOption(_ && _)
+
+    fullCond match {
+      case None =>
+        // uncorrelated sub-pipeline: every left row gets the SAME array —
+        // build it once, broadcast the 1-row frame
+        val arr = fdf.agg(
+          collect_list(struct(fdf.columns.map(col): _*)).as(as))
+        return left.crossJoin(broadcast(arr)).drop(rid)
+      case Some(_) => ()
+    }
+    var cur = leftKeys.join(fdf, fullCond.get, "inner")
+    var orderCol: Option[String] = None
+    val protect = Set(rid) ++ letCols ++ lfCol
+    var i = 0
+    while (i < suffix.length) {
+      suffix(i).fields.toList match {
+        case ("$match", ms: DDoc) :: Nil => cur = cur.filter(matchConds(ms))
+        case ("$addFields" | "$set", ad: DDoc) :: Nil =>
+          cur = ad.fields.foldLeft(cur) { case (acc, (f, v)) =>
+            acc.withColumn(f, valueExpr(v, env)) }
+        case ("$unset", u) :: Nil => u match {
+          case DString(f)     => cur = cur.drop(f)
+          case DArray(fields) => cur = cur.drop(fields.map {
+            case DString(f) => f
+            case x          => throw bad(s"$$unset: $x") }: _*)
+          case x => throw bad(s"$$unset needs a string or array, got $x")
+        }
+        case ("$project", pd: DDoc) :: Nil =>
+          val (excl, incl) = pd.fields.partition { case (_, v) =>
+            v == DLong(0) || v == DBool(false) }
+          if (incl.isEmpty) cur = cur.drop(excl.map(_._1): _*)
+          else if (excl.exists(_._1 != "_id"))
+            throw bad("$project cannot mix inclusion and exclusion")
+          else {
+            val picked = incl.map {
+              case (f, v) if v == DLong(1) || v == DBool(true) => col(f)
+              case (f, v) => valueExpr(v, env).as(f)
+            }
+            val withId =
+              if (excl.isEmpty && !incl.exists(_._1 == "_id") &&
+                  cur.columns.contains("_id")) col("_id") +: picked
+              else picked
+            cur = cur.select(
+              (protect ++ orderCol).toSeq.sorted.map(col) ++ withId: _*)
+          }
+        case ("$sort", sd: DDoc) :: Nil =>
+          val limitN = suffix.lift(i + 1).map(_.fields.toList) match {
+            case Some(("$limit", DLong(n)) :: Nil) => n
+            case _ => throw bad("$lookup.pipeline: $sort is only supported " +
+              "directly before $limit (top-k); collected-array order is " +
+              "otherwise undefined — $sort after $unwind instead")
+          }
+          val sortCols = sd.fields.map {
+            case (f, DLong(1))  => col(f).asc
+            case (f, DLong(-1)) => col(f).desc
+            case (f, x) => throw bad(s"$$sort.$f needs 1 or -1, got $x")
+          }
+          val rn = freshName(cur.columns, "__graft_lkp_rn")
+          cur = cur.withColumn(rn, row_number().over(
+            Window.partitionBy(col(rid)).orderBy(sortCols: _*)))
+            .filter(col(rn) <= limitN)
+          orderCol = Some(rn)
+          i += 1 // consumed the $limit too
+        case ("$limit", _) :: Nil =>
+          throw bad("$lookup.pipeline: $limit without a preceding $sort " +
+            "is nondeterministic per row — add a $sort")
+        case (op, _) :: _ =>
+          throw bad(s"$$lookup.pipeline: unsupported correlated stage $op")
+        case Nil => throw bad("empty stage")
+      }
+      i += 1
+    }
+    val docFields = cur.columns.filterNot(c =>
+      protect.contains(c) || orderCol.contains(c))
+    val collected = orderCol match {
+      case Some(rn) =>
+        // keep the $sort order in the array: sort (row_number, doc)
+        // structs lexicographically, then strip the number
+        cur.groupBy(col(rid)).agg(transform(
+          array_sort(collect_list(struct(col(rn).as("__o"),
+            struct(docFields.map(col): _*).as("__d")))),
+          x => x.getField("__d")).as(as))
+      case None =>
+        cur.groupBy(col(rid))
+          .agg(collect_list(struct(docFields.map(col): _*)).as(as))
+    }
+    val emptyArr = toColumn(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Any]),
+        collected.schema(as).dataType))
+    left.join(collected, Seq(rid), "left_outer")
+      .withColumn(as, coalesce(col(as), emptyArr))
+      .drop(rid)
+  }
 
   /** Aggregation expression language → Column. `env` binds pipeline
     * variables (`$$this`, `$$value`, `$let` vars) to the lambda/let

@@ -289,6 +289,50 @@ class MongoPipelineSpec extends SparkSpec {
     assert(out(1).getStruct(0).getDouble(1) == 20.0)
   }
 
+  test("$lookup pipeline/let: correlated subquery, top-k, union, errors") {
+    val items = Seq((1L, "a", 5.0), (1L, "b", 9.0), (1L, "c", 1.0),
+      (2L, "x", 7.0)).toDF("oid", "sku", "price")
+    val left = Seq((1L, 10.0), (2L, 3.0), (3L, 99.0)).toDF("id", "cut")
+    // correlated $expr (eq → hash key, lt → residual) + $sort+$limit top-k
+    val out = Graft.aggregate(left, """[
+      {"$lookup": {"from": "items", "let": {"oid": "$id", "cut": "$cut"},
+        "pipeline": [
+          {"$match": {"$expr": {"$and": [{"$eq": ["$oid", "$$oid"]},
+                                         {"$lt": ["$price", "$$cut"]}]}}},
+          {"$sort": {"price": -1}}, {"$limit": 2}],
+        "as": "best"}},
+      {"$sort": {"id": 1}}
+    ]""", resolver = Map("items" -> items)).collect()
+    def skus(r: org.apache.spark.sql.Row): Seq[String] =
+      r.getSeq[org.apache.spark.sql.Row](2).map(_.getString(1))
+    assert(skus(out(0)) == Seq("b", "a")) // ordered by the $sort, not arrival
+    assert(skus(out(1)).isEmpty && skus(out(2)).isEmpty) // empty array, not null
+    // concise correlated form: localField/foreignField riding with a
+    // var-free prefix (pushes into the foreign scan)
+    val concise = Graft.aggregate(left, """[
+      {"$lookup": {"from": "items", "localField": "id", "foreignField": "oid",
+        "pipeline": [{"$match": {"price": {"$gte": 5}}}], "as": "big"}},
+      {"$sort": {"id": 1}}
+    ]""", resolver = Map("items" -> items)).collect()
+    assert(concise(0).getSeq[org.apache.spark.sql.Row](2).size == 2) // a, b
+    assert(concise(1).getSeq[org.apache.spark.sql.Row](2).size == 1) // x
+    // uncorrelated pipeline: same array for every row, built once
+    val uncorr = Graft.aggregate(left, """[
+      {"$lookup": {"from": "items",
+        "pipeline": [{"$match": {"price": {"$gte": 7}}}], "as": "all"}}
+    ]""", resolver = Map("items" -> items)).collect()
+    assert(uncorr.forall(_.getSeq[org.apache.spark.sql.Row](2).size == 2))
+    // a bare trailing $sort is rejected (collected-array order undefined)
+    val err = intercept[IllegalArgumentException] {
+      Graft.aggregate(left, """[
+        {"$lookup": {"from": "items", "let": {"oid": "$id"},
+          "pipeline": [{"$match": {"$expr": {"$eq": ["$oid", "$$oid"]}}},
+                       {"$sort": {"price": -1}}], "as": "best"}}
+      ]""", resolver = Map("items" -> items)).collect()
+    }
+    assert(err.getMessage.contains("$sort"))
+  }
+
   test("$merge upserts into a docstore collection") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
     // seed the target with ids 1-3
