@@ -18,9 +18,11 @@ import graft.sources.MongoFilter
   *   `mongo_clear_cache()` (reference: src/mongo_catalog.cpp:1)
   *     → [[Graft.clearCache]]
   *
-  * Connection-string/TLS/secret options have no analog here (no server;
-  * collections are extended-JSON files) — they would map to Hadoop FS /
-  * catalog configuration in a deployment (SURVEY.md §6).
+  * Connection-string/TLS/secret options target the wire-adapter seam
+  * ([[graft.sources.DocstoreClient]]); their schema — host/port/user/
+  * password/srv/tls/… exactly as the reference's secrets layer builds its
+  * URI — is documented on [[graft.sources.DocstoreOptions]]. The JSONL
+  * file client (no server in this environment) takes only file options.
   */
 object Graft {
 
@@ -63,13 +65,44 @@ object Graft {
       resolver: String => DataFrame = null): DataFrame =
     sources.MongoPipeline.aggregate(df, pipelineJson, resolver)
 
-  /** Mount a docstore root as a Spark catalog: subdirectories become
-    * namespaces (databases), `*.jsonl` files become tables (collections).
-    * After `attach(spark, "m", root)`:
-    * `SHOW NAMESPACES IN m`, `SELECT * FROM m.db.coll`. */
-  def attach(spark: SparkSession, name: String, root: String): Unit = {
+  /** Mount a document store as a Spark catalog — the `ATTACH … (TYPE
+    * mongo)` analog (reference: src/mongo_storage_extension.cpp:1,
+    * error behavior per reference test/sql/attach/attach_errors.test:1):
+    * namespaces are databases, collections are tables. After
+    * `attach(spark, "m", root)`:
+    * `SHOW NAMESPACES IN m`, `SELECT * FROM m.db.coll`.
+    *
+    * Fails fast — at attach, not first query — on: a duplicate catalog
+    * name ("already exists"; [[detach]] first), an unopenable root, or an
+    * unknown/malformed option. `options` may select a connection adapter
+    * via `client` (see [[graft.sources.DocstoreClient]]) plus that
+    * adapter's own options (for a wire adapter, the connection/secret
+    * surface documented on [[graft.sources.DocstoreOptions]]). */
+  def attach(spark: SparkSession, name: String, root: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    if (spark.conf.getOption(s"spark.sql.catalog.$name").isDefined)
+      throw new IllegalArgumentException(s"catalog '$name' already exists " +
+        s"— Graft.detach(spark, \"$name\") first")
+    // ATTACH-time validation: a bad root or option errors HERE with a
+    // clear message, not at first query with a stack trace
+    sources.DocstoreClient.create(options + ("root" -> root)).ping()
     spark.conf.set(s"spark.sql.catalog.$name", classOf[sources.DocstoreCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    options.foreach { case (k, v) =>
+      spark.conf.set(s"spark.sql.catalog.$name.$k", v) }
+  }
+
+  /** `DETACH` analog: unregister an attached catalog name. (Spark caches
+    * instantiated catalogs per session, so re-attaching the SAME name
+    * points at the same client instance until the session ends — use a
+    * fresh name to mount a different root.) */
+  def detach(spark: SparkSession, name: String): Unit = {
+    if (spark.conf.getOption(s"spark.sql.catalog.$name").isEmpty)
+      throw new IllegalArgumentException(s"catalog '$name' is not attached")
+    spark.conf.getAll.keys
+      .filter(k => k == s"spark.sql.catalog.$name" ||
+        k.startsWith(s"spark.sql.catalog.$name."))
+      .foreach(spark.conf.unset)
   }
 
   /** Drop cached collection schemas for an attached catalog — the

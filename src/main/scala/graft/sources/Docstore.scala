@@ -54,6 +54,25 @@ class DocstoreSource extends TableProvider
     new DocstoreTable(schema, DocstoreOptions(properties.asScala.toMap))
 }
 
+/** Validated option bag for docstore scans/writes.
+  *
+  * Connection/secret option schema for a WIRE adapter (the surface a
+  * [[DocstoreClient]] implementation backed by a real MongoDB driver
+  * accepts — mirroring the reference's secret fields, reference
+  * src/mongo_secrets.cpp:1 `BuildMongoConnectionString`):
+  *
+  *   host (default localhost), port (default 27017), user, password,
+  *   database, authsource (→ `?authSource=`), srv (true → `mongodb+srv://`,
+  *   port omitted, DNS decides), tls / ssl (→ `?tls=`), tlscafile
+  *   (→ `?tlsCAFile=`), tlsallowinvalidcertificates.
+  *
+  * User/password must be percent-encoded into the URI userinfo exactly as
+  * the reference does. Secret values (password, tlscafile contents) must
+  * NEVER appear in `Table.name()`, plan `description()`, or error
+  * messages — redact to `***` anywhere an option map is printed. The
+  * JSONL file client ignores this group (no server in this environment)
+  * and rejects unknown options at attach time.
+  */
 final case class DocstoreOptions(raw: Map[String, String]) {
   private val m = raw.map { case (k, v) => k.toLowerCase -> v }
   def path: String = m.getOrElse("path", throw new IllegalArgumentException(
@@ -405,9 +424,13 @@ class DocstoreAggScan(fullSchema: StructType, spec: AggSpec,
       s"PushedAggregates: [${spec.aggs.map(a => s"${a.op}(${Option(a.field).map(_.name).getOrElse("*")})").mkString(", ")}], " +
       s"PushedGroupBy: [${spec.groupBy.map(_.name).mkString(", ")}]"
 
+  // pinned like DocstoreScan.snapshotFiles (per-query snapshot isolation)
+  private lazy val snapshotFiles: Seq[(String, Long)] =
+    DocstoreTable.listFiles(opts)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val split = opts.splitSize
-    DocstoreTable.listFiles(opts).flatMap { case (file, len) =>
+    snapshotFiles.flatMap { case (file, len) =>
       if (len == 0) Seq.empty
       else (0L until len by split).map { start =>
         DocstorePartition(file, start, math.min(split, len - start))
@@ -605,9 +628,19 @@ class DocstoreScan(fullSchema: StructType, required: StructType,
       (if (runtimeFilters.nonEmpty)
         s", RuntimeFilters: [${runtimeFilters.mkString(", ")}]" else "")
 
+  /** Snapshot isolation (the analog of the reference's per-query
+    * transaction snapshot, reference src/mongo_transaction.cpp:1): the
+    * file listing — name AND length — is pinned on first use for this
+    * Scan's lifetime, so AQE re-planning, task retries, and speculative
+    * re-execution inside one query all read the same input set even if a
+    * concurrent append or `$merge` commits mid-query. A new query (new
+    * Scan) sees the new state. */
+  private lazy val snapshotFiles: Seq[(String, Long)] =
+    DocstoreTable.listFiles(opts)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val split = opts.splitSize
-    DocstoreTable.listFiles(opts).flatMap { case (file, len) =>
+    snapshotFiles.flatMap { case (file, len) =>
       if (len == 0) Seq.empty
       else (0L until len by split).map { start =>
         DocstorePartition(file, start, math.min(split, len - start))

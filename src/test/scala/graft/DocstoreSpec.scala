@@ -20,6 +20,37 @@ class DocstoreSpec extends SparkSpec {
   lazy val smallDir: String = writeDocs("small", (0 until 50).map(i =>
     s"""{"id":$i,"name":"row$i","grp":"g${i % 3}","score":${i * 1.5}}"""))
 
+  test("batch scans pin their file snapshot for the query's lifetime") {
+    import graft.sources.{DocstoreOptions, DocstoreScanBuilder, DocstoreTable}
+    // the analog of the reference's per-query transaction snapshot
+    // (reference src/mongo_transaction.cpp:1): once a batch Scan exists,
+    // a concurrent append or $merge commit must NOT change its input set
+    // — AQE re-planning and task retries re-list through the pinned
+    // snapshot (file names AND byte lengths)
+    val dir = s"/tmp/graft_docstore_spec/snapshot_${System.nanoTime()}"
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/a.jsonl"),
+      (0 until 5).map(i => s"""{"id":$i}""").mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    val opts = DocstoreOptions(Map("path" -> dir))
+    val schema = DocstoreTable.inferSchema(opts)
+    val batch = new DocstoreScanBuilder(schema, opts).build().toBatch
+    val p1 = batch.planInputPartitions().toSeq
+    // concurrent commits mid-query: a new collection file appears AND the
+    // existing file grows in place
+    Files.write(Paths.get(s"$dir/b.jsonl"),
+      """{"id":100}""".concat("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir/a.jsonl"),
+      """{"id":101}""".concat("\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val p2 = batch.planInputPartitions().toSeq
+    assert(p2 == p1, "a running query's input set changed under it")
+    // a NEW query (new Scan) sees the committed state
+    val fresh = new DocstoreScanBuilder(schema, opts).build().toBatch
+      .planInputPartitions().toSeq
+    assert(fresh != p1 && fresh.size >= p1.size)
+  }
+
   test("reads jsonl docs with inferred schema") {
     val df = spark.read.format("docstore").option("path", smallDir).load()
     assert(df.count() == 50)

@@ -6,6 +6,23 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** A wire-adapter stand-in proving the [[graft.sources.DocstoreClient]]
+  * seam: instantiated by class name through the `client` option, observes
+  * ping + collection loads. */
+class RecordingClient(root: String, options: Map[String, String])
+    extends graft.sources.FileDocstoreClient(root, options) {
+  override def ping(): Unit = { RecordingClient.pinged = true; super.ping() }
+  override def loadCollection(namespace: String, coll: String)
+      : org.apache.spark.sql.connector.catalog.Table = {
+    RecordingClient.loads.incrementAndGet()
+    super.loadCollection(namespace, coll)
+  }
+}
+object RecordingClient {
+  @volatile var pinged = false
+  val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** The user-facing surface a duckdb-mongo user would switch to:
   * mongo_scan → Graft.mongoScan, ATTACH → Graft.attach, SQL functions via
   * GraftExtensions. Runs its own session because extensions must be set
@@ -92,6 +109,63 @@ class GraftApiSpec extends AnyFunSuite {
       """SELECT r.region FROM m1.salesdb.orders_east o
         |JOIN m2.refdb.coll_names r ON o.coll = r.coll""".stripMargin)
     assert(joined.head.getString(0) == "east")
+  }
+
+  test("attach error parity (ref attach_errors.test): bad root, bad option, duplicate") {
+    // an unopenable root fails AT ATTACH with a clear message naming it
+    val e1 = intercept[IllegalArgumentException] {
+      Graft.attach(spark, "m_bad", "/tmp/graft_no_such_root_xyz")
+    }
+    assert(e1.getMessage.contains("/tmp/graft_no_such_root_xyz"))
+    assert(spark.conf.getOption("spark.sql.catalog.m_bad").isEmpty,
+      "failed attach must not leave a half-registered catalog")
+    // malformed option value fails at attach, naming the option
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.attach(spark, "m_bad", operators.DocstoreOps.catalogRoot(),
+        options = Map("schemamode" -> "bogus"))
+    }
+    assert(e2.getMessage.contains("schemamode"))
+    // unknown option rejected (a wire-adapter option on the file client)
+    val e3 = intercept[IllegalArgumentException] {
+      Graft.attach(spark, "m_bad", operators.DocstoreOps.catalogRoot(),
+        options = Map("tlsCAFile" -> "/x"))
+    }
+    assert(e3.getMessage.contains("unknown option"))
+    // duplicate name → "already exists"; detach frees the name
+    Graft.attach(spark, "m_dup", operators.DocstoreOps.catalogRoot())
+    val e4 = intercept[IllegalArgumentException] {
+      Graft.attach(spark, "m_dup", operators.DocstoreOps.catalogRoot())
+    }
+    assert(e4.getMessage.contains("already exists"))
+    Graft.detach(spark, "m_dup")
+    Graft.attach(spark, "m_dup", operators.DocstoreOps.catalogRoot()) // ok again
+    Graft.detach(spark, "m_dup")
+    val e5 = intercept[IllegalArgumentException] { Graft.detach(spark, "m_dup") }
+    assert(e5.getMessage.contains("not attached"))
+  }
+
+  test("missing collection / database errors are clear, not stack traces") {
+    Graft.attach(spark, "m_err", operators.DocstoreOps.catalogRoot())
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM m_err.salesdb.no_such_coll").collect()
+    }
+    assert(e.getMessage.contains("no_such_coll"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM m_err.no_such_db.orders_west").collect()
+    }
+    assert(e2.getMessage.contains("no_such_db"))
+  }
+
+  test("client seam: a custom DocstoreClient plugs in via the client option") {
+    RecordingClient.pinged = false
+    Graft.attach(spark, "m_seam", operators.DocstoreOps.catalogRoot(),
+      options = Map("client" -> classOf[RecordingClient].getName))
+    assert(RecordingClient.pinged, "attach must validate through the client")
+    // SQL resolution flows through the adapter, not the default client
+    assert(spark.sql("SHOW NAMESPACES IN m_seam").count() == 2)
+    assert(spark.sql("SELECT coll FROM m_seam.salesdb.orders_west")
+      .head.getString(0) == "orders_west")
+    assert(RecordingClient.loads.get() > 0)
   }
 
   test("strip_accents SQL function folds accents to base letters") {
