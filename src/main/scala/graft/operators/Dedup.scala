@@ -90,27 +90,7 @@ object Dedup {
       T.minhash_sig(col("text"), 64, 3).as("sig"))
       .repartition(col("doc_id"))
 
-    val bandCols = (0 until 16).map(b =>
-      struct(lit(b).as("band"), T.band_hash(col("sig"), b * 4, (b + 1) * 4)
-        .as("bh")))
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-
-    // One shuffle: band rows → per-bucket doc list; pathological buckets
-    // (the LSH skew guard) dropped by size; candidate pairs emitted
-    // in-place — no per-bucket self-join, no window.
-    val buckets = bands
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")).between(2, 50))
-    val cand = buckets.select(explode(expr(
-      """flatten(transform(ds, (x, i) ->
-        |  transform(slice(ds, i + 2, size(ds)), y -> named_struct(
-        |    'id_a', least(x, y), 'id_b', greatest(x, y)))))""".stripMargin))
-      .as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+    val cand = minhashCandidates(sigs)
 
     val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
@@ -123,6 +103,36 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** LSH candidate generation over a `(doc_id, sig)` minhash-signature
+    * table: 16 bands × 4 rows → per-bucket doc lists, pathological
+    * buckets (the LSH skew guard — a stopword-like bucket would
+    * contribute quadratically) DROPPED by the size cap before any pair
+    * is emitted, pairs generated in place. One shuffle; candidate count
+    * is bounded by cap²/2 per bucket regardless of corpus skew.
+    * Factored so scale audits can feed degenerate corpora. */
+  private[graft] def minhashCandidates(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until 16).map(b =>
+      struct(lit(b).as("band"), T.band_hash(col("sig"), b * 4, (b + 1) * 4)
+        .as("bh")))
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // One shuffle: band rows → per-bucket doc list; pathological buckets
+    // (the LSH skew guard) dropped by size; candidate pairs emitted
+    // in-place — no per-bucket self-join, no window.
+    val buckets = bands
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, 50))
+    buckets.select(explode(expr(
+      """flatten(transform(ds, (x, i) ->
+        |  transform(slice(ds, i + 2, size(ds)), y -> named_struct(
+        |    'id_a', least(x, y), 'id_b', greatest(x, y)))))""".stripMargin))
+      .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
+
   // --------------------------------------------------------------- dd03
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit bands (pigeonhole:
     * hamming ≤ 3 ⇒ at least one band identical), exact hamming verify.
@@ -133,6 +143,17 @@ object Dedup {
     // self-join reuse one simhash computation via ReusedExchange
     val sigs = corpus.select(col("doc_id"), T.simhash64(col("text")).as("sig"))
       .repartition(col("doc_id"))
+    simhashBandPairs(sigs).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Band self-join + exact hamming verify over a `(doc_id, sig)` simhash
+    * table. The join key is the 16-bit band value — a degenerate corpus
+    * (everyone identical) makes it a hot key; resilience comes from AQE's
+    * skew-join split (the shuffle rows are 26-byte (id, sig) pairs, so
+    * sub-splits stay cheap). Factored so scale audits can feed degenerate
+    * corpora directly.
+    */
+  private[graft] def simhashBandPairs(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
@@ -151,7 +172,6 @@ object Dedup {
         expr("bit_count(sig_a ^ sig_b)").cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   // --------------------------------------------------------------- dd04
@@ -374,6 +394,17 @@ object Dedup {
       V.hyperplane_bucket(col("embedding"), 16).as("bucket"))
       // barrier: both self-join sides reuse one bucket computation
       .repartition(col("vec_id"))
+    bucketCosinePairs(bucketed)
+      .select(col("id_a"), col("id_b"),
+        round(col("cos"), 4).as("cos")) // oracle parity (SURVEY §5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** In-bucket self-join + exact cosine verify over a `(vec_id,
+    * embedding, bucket)` table — same hot-key exposure and AQE skew-split
+    * resilience as [[simhashBandPairs]] (the shuffle carries vectors, so
+    * the split matters more). Factored for the scale audits. */
+  private[graft] def bucketCosinePairs(bucketed: DataFrame): DataFrame = {
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("v_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
@@ -382,9 +413,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", V.cosine_sim(col("v_a"), col("v_b")))
       .filter(col("cos") >= 0.99)
-      .select(col("id_a"), col("id_b"),
-        round(col("cos"), 4).as("cos")) // oracle parity (SURVEY §5)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Oracle = the TRUE ≥0.99-cosine pair set (exhaustive O(N²) compare —

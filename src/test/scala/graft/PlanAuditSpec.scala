@@ -191,6 +191,71 @@ class PlanAuditSpec extends SparkSpec {
     assert(rows.toSeq == Seq((2L, 5L, 9, 4), (2L, 7L, 9, 3), (5L, 7L, 4, 3)))
   }
 
+  test("dd03/dd05: AQE skew-join splits a degenerate all-duplicates bucket") {
+    import org.apache.spark.sql.functions._
+    // an all-identical corpus collapses every band/bucket key to ONE hot
+    // shuffle partition; the band joins must survive via AQE's skew split
+    // (verified by the skew marker in the final plan), not by luck
+    val keys = Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      // scale the skew machinery down to spec-sized data; forbid broadcast
+      // so the join actually shuffles like it would at corpus scale, and
+      // disable small-partition coalescing (it wins the rule interplay at
+      // these toy sizes and masks the skew split)
+      spark.conf.set(keys(0), "8192")
+      spark.conf.set(keys(1), "8192")
+      spark.conf.set(keys(2), "1")
+      spark.conf.set(keys(3), "-1")
+      spark.conf.set(keys(4), "false")
+      // ONE degenerate band bucket: band 0 (low 16 bits) is zero for every
+      // hot doc while bands 1-3 stay distinct, so a single (band,bh) key
+      // holds all 4000 docs — the all-duplicates hot spot. The thin
+      // random tail gives the skew detector a meaningful median.
+      val hot = spark.range(4000).select(col("id").as("doc_id"),
+        expr("shiftleft(id, 16) | shiftleft(id, 32) | shiftleft(id, 48)")
+          .as("sig"))
+      val uniq = spark.range(10000, 10500).select(col("id").as("doc_id"),
+        xxhash64(col("id")).as("sig"))
+      val pairs = graft.operators.Dedup.simhashBandPairs(hot.unionAll(uniq))
+      // execute THIS QueryExecution (count() would plan a separate one
+      // and the AQE skew info would not land on pairs' plan).
+      // ids differing in exactly one bit give hamming 3 ≤ 3: 4096-range
+      // ids × 12 bits / 2 ≈ thousands of verified pairs must survive.
+      assert(pairs.queryExecution.toRdd.count() >= 1000)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"), s"no skew split engaged:\n$plan")
+      // same shape for the embedding bucket join: 95% of vectors share one
+      // bucket (a literal bucket would constant-fold the equi-join away;
+      // smaller corpora leave mapper chunks too small to sub-split)
+      val vecs = spark.range(4000).select(col("id").as("vec_id"),
+        expr("transform(array(1.0, 0.0), x -> cast(x as float))").as("embedding"),
+        when(col("id") % 20 === 0, 1L).otherwise(0L).as("bucket"))
+      // project + presentation sort above the join match dd05's real tail
+      val cos = graft.operators.Dedup.bucketCosinePairs(vecs)
+        .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
+      assert(cos.queryExecution.toRdd.count() ==
+        3800L * 3799 / 2 + 200L * 199 / 2)
+      val cplan = cos.queryExecution.executedPlan.toString
+      assert(cplan.toLowerCase.contains("skew"), s"no skew split engaged:\n$cplan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("dd02: the LSH cap drops a degenerate bucket before pair expansion") {
+    import org.apache.spark.sql.functions._
+    // 300 identical docs → every band bucket holds 300 > cap(50) → the
+    // guard must yield ZERO candidates (bounded work), never 300²/2 pairs
+    val sigs = spark.range(300).select(col("id").as("doc_id"),
+      graft.functions.text.minhash_sig(lit("same text everywhere"), 64, 3)
+        .as("sig"))
+    assert(graft.operators.Dedup.minhashCandidates(sigs).count() == 0)
+  }
+
   test("docstore scan shows its pushdown in the plan") {
     val p = finalPlan("d08_docstore_scan")
     assert(p.contains("docstore"), p)
