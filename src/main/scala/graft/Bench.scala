@@ -34,28 +34,35 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
-    // min over 3 INTERLEAVED rounds per query: steady-state throughput,
-    // not GC / page-cache / co-tenant luck. Observed noise spikes last
-    // seconds and hit whole windows, so back-to-back repeats share the
-    // spike — full-list rounds put a query's samples minutes apart, and
-    // the per-query minimum is the honest repeatable-latency estimator.
+    // min AND p50 over 5 INTERLEAVED rounds per query: steady-state
+    // throughput, not GC / page-cache / co-tenant luck. Observed noise
+    // spikes last seconds and hit whole windows, so back-to-back repeats
+    // share the spike — full-list rounds put a query's samples minutes
+    // apart. The minimum is the honest repeatable-latency estimator; the
+    // median is published alongside so round-over-round deltas are not
+    // hostage to one lucky/unlucky window.
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
-    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (_ <- 1 to 3; (name, fn) <- keys) {
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    for (_ <- 1 to 5; (name, fn) <- keys) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
-      if (!best.contains(name) || dt < best(name)) best(name) = dt
+      samples(name) = dt :: samples.getOrElse(name, Nil)
     }
-    val results = keys.map { case (name, _) => name -> best(name) }
+    val results = keys.map { case (name, _) => name -> samples(name).min }
+    val medians = keys.map { case (name, _) =>
+      name -> samples(name).sorted.apply(samples(name).size / 2) }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val totalP50 = if (medians.nonEmpty) medians.map(_._2).sum else 0.0
     // Full per-query timings → file: the driver's stdout tail capture is
     // ~2000 chars, so a 90+-query JSON line gets front-truncated and fails
     // its parse. The file holds everything; stdout gets a line that FITS.
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","rounds":5,""" +
+        s""""queries":${qjson(results)},"total_p50":$totalP50,""" +
+        s""""queries_p50":${qjson(medians)},"sf":"$sfDir"}"""
     // On write failure, advertise null instead of the path — otherwise a
     // consumer silently reads a STALE file from a previous run.
     val fullRef =
@@ -77,7 +84,7 @@ object Bench {
     val hqs = results.filter(r => headline.contains(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$hqs,"full_per_query":$fullRef,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_p50":${r3(totalP50)},"queries":$hqs,"full_per_query":$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -326,26 +326,29 @@ object MongoPipeline {
           // BFS: each hop is one join shuffle; visited dedup (per input row,
           // per foreign DOC) both handles cycles and gives min-depth
           // semantics like Mongo. Iterations ≤ graph diameter (or maxDepth).
+          // Hop 0 needs no anti-join (nothing visited yet), and `visited`
+          // accumulates as a plain union of the per-hop CHECKPOINTED
+          // frames — no recompute risk and no re-checkpoint of the whole
+          // set every hop (each checkpoint is a driver-blocking job;
+          // trimming them halves the per-hop fixed cost on small graphs).
           var frontier = left.select(col(rid), valueExpr(startWith).as(kCol))
-          var visited = hop(frontier, 0).limit(0).localCheckpoint() // typed empty
+          // same (rid, doc) can arrive via several frontier keys in one
+          // hop; nextCol/dCol are functions of (doc, depth) so the
+          // dropDuplicates-kept row is value-deterministic
+          var fresh = hop(frontier, 0)
+            .dropDuplicates(Seq(rid, hCol)).localCheckpoint()
+          var visited = fresh
           var depth = 0
-          var done = false
-          while (!done && depth <= maxDepth) {
+          while (depth < maxDepth && !fresh.isEmpty) {
+            depth += 1
+            frontier = fresh.select(col(rid), col(nextCol).as(kCol)).distinct()
             val hits = hop(frontier, depth)
-            val fresh = hits
+            fresh = hits
               .join(visited.select(col(rid).as("__vr"), col(hCol).as("__vh")),
                 hits(rid) === col("__vr") && hits(hCol) === col("__vh"),
                 "left_anti")
-              // same (rid, doc) can arrive via several frontier keys in
-              // one hop; nextCol/dCol are functions of (doc, depth) so
-              // the kept row is value-deterministic
               .dropDuplicates(Seq(rid, hCol)).localCheckpoint()
-            if (fresh.isEmpty) done = true
-            else {
-              visited = visited.unionByName(fresh).localCheckpoint()
-              frontier = fresh.select(col(rid), col(nextCol).as(kCol)).distinct()
-              depth += 1
-            }
+            visited = visited.unionByName(fresh) // empty tail union is free
           }
           val withDepth = depthField match {
             case Some(f) => col(docCol).withField(f, col(dCol))
