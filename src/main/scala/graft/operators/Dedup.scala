@@ -441,11 +441,13 @@ object Dedup {
     * paragraph breaks, so the unit is a fixed 10-word chunk — the same
     * operator, deterministic segmentation.
     *
-    * Scale: two shuffles total, both on compact keys — (1) chunks keyed by
-    * md5(chunk) for the first-occurrence window (16-byte key, never the
-    * doc), (2) kept chunks keyed by doc_id for reassembly. Totals ride the
-    * same groupBy (no join back to the corpus), and the window's
-    * first-occurrence rule replaces a groupBy+min+self-join.
+    * Scale: the first occurrence per chunk hash is `min(struct(doc, pos,
+    * chunk))` through a SHRINKING hash agg — map-side combine collapses a
+    * boilerplate chunk (repeated corpus-wide) inside every partition
+    * before the shuffle, where a window over md5(chunk) would pin all its
+    * copies on one task (the t07/t12 lesson). The chunk frame is
+    * checkpointed so one chunking pass feeds both the winners agg and the
+    * per-doc totals; all three shuffles move compact keys.
     */
   def dd07ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.spread(plantedDocs(spark, dir))
@@ -458,15 +460,25 @@ object Dedup {
         |    'chunk', array_join(slice(ws, i*10+1, 10), ' ')))""".stripMargin))
       .as("c"))
       .select(col("doc_id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
-    val w = Window.partitionBy(md5(col("chunk")))
-      .orderBy(col("doc_id"), col("pos"))
-    chunks.withColumn("rn", row_number().over(w))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        count(when(col("rn") === 1, 1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(
-          when(col("rn") === 1, struct(col("pos"), col("chunk"))))),
+      .localCheckpoint() // one chunking pass for winners + totals
+    // struct min orders by (doc_id, pos) — unique, so this IS the
+    // first-occurrence row, chunk text riding along for reassembly
+    val winners = chunks
+      .groupBy(md5(col("chunk")).as("h"))
+      .agg(min(struct(col("doc_id"), col("pos"), col("chunk"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"),
+        col("f.chunk").as("chunk"))
+    val totals = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val kept = winners.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
           x => x("chunk")), " ").as("clean_text"))
+    totals.join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy(col("doc_id"))
   }
 

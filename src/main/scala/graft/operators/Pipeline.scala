@@ -15,20 +15,24 @@ object Pipeline {
   // ---------------------------------------------------------------- p01
   /** Corpus-cleaning pipeline: language filter → length/quality gates →
     * exact dedup (keep lowest id per text hash) → per-doc token stats.
-    * One pass + one window shuffle on the text hash; at 100 TB every
-    * stage before the window is map-side (filters push to the scan).
+    * One pass + one SHRINKING hash-agg shuffle on the text hash: keep-min
+    * is `min(struct(doc_id, …))` per hash, so map-side combine collapses
+    * every partition's copies before the exchange — a window over the
+    * hash would colocate all copies of a pathological duplicate on one
+    * task (the t07/t12 lesson). Every stage before the agg is map-side
+    * (filters push to the scan).
     */
-  def p01CleanPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+  def p01CleanPipeline(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .filter(col("lang") === "en" && col("n_chars") >= 100)
       .withColumn("tokens", size(split(col("text"), " ")).cast(LongType))
       .filter(col("tokens") >= 30)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1) // exact dedup, keep-min
-      .select(col("doc_id"), col("source"), col("tokens"))
+      .groupBy(md5(col("text")).as("h"))
+      // struct min orders by doc_id first (unique) — exact keep-min row
+      .agg(min(struct(col("doc_id"), col("source"), col("tokens"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.source").as("source"),
+        col("f.tokens").as("tokens"))
       .orderBy(col("doc_id"))
-  }
 
   val p01Sql: String =
     """SELECT doc_id, source,

@@ -140,6 +140,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p01/dd07: content-hash dedup is a shrinking hash agg, never a window") {
+    // keep-first per md5(text/chunk) must run as min(struct(...)) through
+    // partial HashAggregates — a window over the content hash pins every
+    // copy of a pathological duplicate on ONE task (the t07/t12 lesson)
+    for (k <- Seq("p01_clean_pipeline", "dd07_para_dedup")) {
+      val p = finalPlan(k)
+      assert(!p.contains("Window"), s"$k windows over a content hash:\n$p")
+      assert(p.contains("partial_min"), s"$k lost the partial keep-min agg:\n$p")
+    }
+  }
+
   test("t07/t12: per-term totals are hash aggs, never a window over term") {
     // Window.partitionBy(term) colocates a stopword's whole posting list
     // (~n_docs rows) on ONE task with no map-side combine — fatal at
