@@ -262,15 +262,56 @@ object Similarity {
       |  ROUND(sqrt(SUM(b[1])), 4) AS recon_err
       |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- s05
+  /** Atlas `$vectorSearch` run as a Mongo pipeline against the embeddings
+    * collection — the stage a vector-workload user ports verbatim: MQL
+    * pre-`filter` (pushes into the scan), exact cosine TopN with Atlas's
+    * (1+cos)/2 score normalization, score projected via
+    * `{$meta: "vectorSearchScore"}`. The query vector is fetched
+    * driver-side (ONE bounded row — in real Atlas usage the query vector
+    * IS client input), the corpus streams once, zero shuffle before the
+    * TopN.
+    */
+  def s05VectorSearch(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val qv = corpus.filter(col("vec_id") === 3)
+      .select(col("embedding")).head.getSeq[Float](0)
+    graft.Graft.aggregate(corpus, s"""[
+      {"$$vectorSearch": {"path": "embedding",
+        "queryVector": [${qv.mkString(",")}],
+        "limit": 50, "numCandidates": 200,
+        "filter": {"vec_id": {"$$lt": 400}}}},
+      {"$$project": {"vec_id": 1,
+        "score": {"$$round": [{"$$meta": "vectorSearchScore"}, 4]}}},
+      {"$$sort": {"score": -1, "vec_id": 1}}
+    ]""")
+  }
+
+  /** Oracle picks the same top-50 by the RAW score (ties at the rounded
+    * score are broken by vec_id in the final presentation sort only).
+    */
+  val s05Sql: String =
+    """WITH q AS (
+      |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3),
+      |scored AS (
+      |  SELECT e.vec_id,
+      |    list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS c
+      |  FROM embeddings e, q WHERE e.vec_id < 400),
+      |top AS (SELECT * FROM scored ORDER BY c DESC LIMIT 50)
+      |SELECT vec_id, ROUND((1 + c) / 2, 4) AS score
+      |FROM top ORDER BY score DESC, vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01BruteForce _),
     "s02_ann_ivf" -> (s02Ivf _),
     "s03_vector_quantize" -> (s03Quantize _),
-    "s04_pq_quantize" -> (s04PqQuantize _))
+    "s04_pq_quantize" -> (s04PqQuantize _),
+    "s05_vector_search" -> (s05VectorSearch _))
 
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_ivf" -> s02Sql,
     "s03_vector_quantize" -> s03Sql,
-    "s04_pq_quantize" -> s04Sql)
+    "s04_pq_quantize" -> s04Sql,
+    "s05_vector_search" -> s05Sql)
 }

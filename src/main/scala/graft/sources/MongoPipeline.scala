@@ -32,9 +32,13 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
   * cycle-safe visited dedup, `maxDepth`/`depthField`), `$densify`
   * (numeric or calendar-unit grids; partition / full / explicit bounds),
   * `$fill` (`locf`, `linear` interpolation, constant `value`),
-  * `$bucketAuto` (exact equal-count buckets via ntile), `$out` (terminal
-  * docstore write), `$merge` (docstore upsert: whenMatched replace /
-  * keepExisting / merge / fail, whenNotMatched insert / discard / fail).
+  * `$bucketAuto` (exact equal-count buckets via ntile, contiguous
+  * boundaries), `$out` (terminal docstore write), `$merge` (docstore
+  * upsert: whenMatched replace / keepExisting / merge / fail,
+  * whenNotMatched insert / discard / fail), `$lookup` pipeline/`let`
+  * form (correlated subqueries; `$expr` equalities become join keys),
+  * `$vectorSearch` (Atlas ANN → exact cosine TopN, `filter` pre-filter,
+  * score via `{$meta: "vectorSearchScore"}`).
   *
   * Expression operators (the aggregation expression language):
   * `"$field"` paths, `$$variables` (`$let`, lambda vars), `$literal`,
@@ -47,7 +51,8 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
   * $dayOfMonth $hour $minute $second $millisecond $dayOfWeek
   * $dayOfYear $week $isoWeek $isoDayOfWeek $isoWeekYear $dateToString
   * $dateFromString $dateFromParts $dateToParts $dateDiff $dateAdd
-  * $dateSubtract`), conversion (`$toInt $toLong $toDouble $toString
+  * $dateSubtract $dateTrunc`), regex (`$regexMatch $regexFind`),
+  * `$meta`, conversion (`$toInt $toLong $toDouble $toString
   * $toBool $toDate $convert` with try-cast `onError`), type
   * introspection (`$type $isNumber`), comparison (`$eq $ne $gt $gte
   * $lt $lte $cmp`), boolean (`$and $or $not`), conditional (`$cond
@@ -79,8 +84,16 @@ object MongoPipeline {
         items.map(_.asInstanceOf[DDoc])
       case other => throw bad(s"pipeline must be an array of stages, got $other")
     }
-    stages.foldLeft(df)((acc, st) => applyStage(acc, st, resolver))
+    val out = stages.foldLeft(df)((acc, st) => applyStage(acc, st, resolver))
+    // $vectorSearch's score rides a hidden column so later stages can
+    // project it via {$meta: "vectorSearchScore"}; strip it when the
+    // pipeline never did (Mongo drops the score unless projected)
+    if (out.columns.contains(VsScoreCol)) out.drop(VsScoreCol) else out
   }
+
+  /** Hidden column carrying `$vectorSearch`'s similarity score between
+    * the stage and a `{$meta: "vectorSearchScore"}` projection. */
+  private[sources] val VsScoreCol = "__graft_vs_score"
 
   private def applyStage(df: DataFrame, stage: DDoc,
       resolver: String => DataFrame): DataFrame = stage.fields.toList match {
@@ -514,6 +527,47 @@ object MongoPipeline {
         // promote the (struct-typed) expression to the document root
         df.select(valueExpr(rootExpr).as("__graft_root"))
           .select(col("__graft_root.*"))
+
+      // Atlas's ANN stage compiled to the exact cosine top-k the engine
+      // already owns (operators/Similarity.scala s01): score every doc
+      // with the codegen'd cosine kernel, normalize to Atlas's
+      // (1+cos)/2 ∈ [0,1], TopN on the score. `numCandidates`/`index`
+      // are accepted for API parity and ignored — they size an ANN
+      // index's candidate pool, and an exact scan supersedes both
+      // (`exact: true` semantics); `filter` pre-filters with the full
+      // MongoFilter grammar BEFORE scoring, so it pushes into the scan.
+      case "$vectorSearch" => spec match {
+        case d: DDoc =>
+          val m = d.fields.toMap
+          val path = m.get("path") match {
+            case Some(DString(s)) => s
+            case other => throw bad(s"$$vectorSearch.path needs a string, got $other")
+          }
+          val qv: Seq[Float] = m.get("queryVector") match {
+            case Some(DArray(items)) => items.map {
+              case DDouble(x) => x.toFloat
+              case DLong(l)   => l.toFloat
+              case x => throw bad(s"$$vectorSearch.queryVector: $x")
+            }
+            case other => throw bad(s"$$vectorSearch needs queryVector, got $other")
+          }
+          val limitN = m.get("limit") match {
+            case Some(DLong(n)) if n >= 1 => n.toInt
+            case other =>
+              throw bad(s"$$vectorSearch.limit needs a positive integer, got $other")
+          }
+          val base = m.get("filter") match {
+            case Some(fd: DDoc) => df.filter(toColumn(MongoFilter.compileDoc(fd)))
+            case None           => df
+            case Some(x) => throw bad(s"$$vectorSearch.filter needs a document, got $x")
+          }
+          base.withColumn(VsScoreCol,
+            (graft.functions.vectors.cosine_sim(col(path),
+              array(qv.map(lit(_)): _*)) + 1.0) / 2.0)
+            .orderBy(col(VsScoreCol).desc)
+            .limit(limitN)
+        case other => throw bad(s"$$vectorSearch needs a document, got $other")
+      }
 
       case "$unionWith" =>
         if (resolver == null) throw bad("$unionWith needs a collection resolver")
@@ -1338,6 +1392,38 @@ object MongoPipeline {
         valueExpr(docField(op, d, "input"), env).rlike(rx)
       case other => throw bad(s"$$regexMatch needs {input, regex}, got $other")
     }
+    // First match as Mongo's {match, idx, captures} document, null when
+    // none. Literal patterns only (Spark's regexp functions require
+    // foldable patterns); `options` flags map to an inline (?…) prefix.
+    // Divergence note: a capture group that did not participate in the
+    // match yields "" where Mongo yields null (regexp_extract cannot
+    // distinguish the two).
+    case "$regexFind" => operand match {
+      case d: DDoc =>
+        val input = valueExpr(docField(op, d, "input"), env)
+        val raw = docField(op, d, "regex") match {
+          case DString(r) => r
+          case other => throw bad(s"$$regexFind.regex needs a literal string, got $other")
+        }
+        val rx = d.fields.toMap.get("options") match {
+          case Some(DString(o)) if o.nonEmpty =>
+            if (!o.forall("imsx".contains(_)))
+              throw bad(s"$$regexFind.options: unsupported flags '$o'")
+            s"(?$o)$raw"
+          case None | Some(DString("")) => raw
+          case Some(x) => throw bad(s"$$regexFind.options: $x")
+        }
+        val groups = countCaptureGroups(raw)
+        val captures =
+          if (groups == 0) array().cast("array<string>")
+          else array((1 to groups).map(g => regexp_extract(input, rx, g)): _*)
+        when(input.rlike(rx), struct(
+          regexp_extract(input, rx, 0).as("match"),
+          (regexp_instr(input, lit(rx)) - 1).cast("int").as("idx"),
+          captures.as("captures")))
+          .otherwise(lit(null))
+      case other => throw bad(s"$$regexFind needs {input, regex}, got $other")
+    }
     // date
     case "$year"       => year(valueExpr(operand, env))
     case "$month"      => month(valueExpr(operand, env))
@@ -1374,6 +1460,43 @@ object MongoPipeline {
           toExpression((if (op == "$dateAdd") amt else -amt).cast("long")),
           toExpression(valueExpr(docField(op, d, "startDate"), env).cast("timestamp"))))
       case other => throw bad(s"$op needs {startDate,unit,amount}, got $other")
+    }
+    case "$dateTrunc" => operand match {
+      case d: DDoc =>
+        val date = valueExpr(docField(op, d, "date"), env).cast("timestamp")
+        val unit = docField(op, d, "unit") match {
+          case DString(u) => u.toLowerCase
+          case other => throw bad(s"$$dateTrunc.unit needs a string, got $other")
+        }
+        val m = d.fields.toMap
+        m.get("binSize") match {
+          case None | Some(DLong(1)) => ()
+          case Some(x) => throw bad(s"$$dateTrunc.binSize: only 1 supported, got $x")
+        }
+        unit match {
+          case "year" | "quarter" | "month" | "day" | "hour" | "minute" |
+              "second" => date_trunc(unit, date)
+          case "week" =>
+            // Mongo's week boundary defaults to SUNDAY (configurable via
+            // startOfWeek); Spark's date_trunc("week") is ISO Monday, so
+            // compute day-trunc minus the offset to the start day.
+            // Spark dayofweek: 1=Sunday … 7=Saturday.
+            val startDow = m.get("startOfWeek") match {
+              case Some(DString(s)) =>
+                val names = Seq("sunday", "monday", "tuesday", "wednesday",
+                  "thursday", "friday", "saturday")
+                val i = names.indexOf(s.toLowerCase)
+                if (i < 0) throw bad(s"$$dateTrunc.startOfWeek: '$s'")
+                i + 1
+              case None    => 1 // Mongo default: Sunday
+              case Some(x) => throw bad(s"$$dateTrunc.startOfWeek: $x")
+            }
+            val dayT = date_trunc("day", date)
+            to_timestamp(date_sub(dayT.cast("date"),
+              pmod(dayofweek(date) - lit(startDow), lit(7))))
+          case other => throw bad(s"$$dateTrunc.unit: unsupported '$other'")
+        }
+      case other => throw bad(s"$$dateTrunc needs {date, unit}, got $other")
     }
     // type conversion
     case "$toInt" | "$toLong" => valueExpr(operand, env).cast("bigint")
@@ -1602,6 +1725,13 @@ object MongoPipeline {
         else slice(zipped, lit(1), inputs.map(size).reduce(least(_, _)))
       case other => throw bad(s"$$zip needs {inputs, useLongestLength?}, got $other")
     }
+    // $vectorSearch's score, exposed exactly like Atlas: projected via
+    // {$meta: "vectorSearchScore"} from the stage's hidden column
+    case "$meta" => operand match {
+      case DString("vectorSearchScore") => col(VsScoreCol)
+      case other => throw bad(
+        s"$$meta: unsupported metadata $other (vectorSearchScore only)")
+    }
     // type introspection: Spark type names mapped to Mongo's $type names
     case "$type" =>
       val t = toColumn(org.apache.spark.sql.catalyst.expressions.TypeOf(
@@ -1727,6 +1857,33 @@ object MongoPipeline {
       org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
 
   /** `"$a.b"` → `a.b` column path (Spark resolves dots as nested access). */
+  /** Count capturing groups in a regex literal: `(` that is not escaped,
+    * not inside a character class, and not a `(?...)` construct — except
+    * named groups `(?<name>...)`, which capture (lookbehinds `(?<=` /
+    * `(?<!` do not). */
+  private def countCaptureGroups(p: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < p.length) {
+      p(i) match {
+        case '\\' => i += 1 // skip the escaped char
+        case '[' => // character class: '(' inside is literal
+          i += 1
+          while (i < p.length && p(i) != ']') {
+            if (p(i) == '\\') i += 1
+            i += 1
+          }
+        case '(' =>
+          if (i + 1 >= p.length || p(i + 1) != '?') n += 1
+          else if (i + 2 < p.length && p(i + 1) == '?' && p(i + 2) == '<' &&
+              i + 3 < p.length && p(i + 3) != '=' && p(i + 3) != '!') n += 1
+        case _ => ()
+      }
+      i += 1
+    }
+    n
+  }
+
   private def fieldPath(ref: String): String =
     if (ref.startsWith("$")) ref.drop(1) else ref
 

@@ -431,6 +431,69 @@ class MongoPipelineSpec extends SparkSpec {
     assert(dec.getAs[String]("td") == "decimal")
   }
 
+  test("$vectorSearch: filter + cosine top-k + $meta score projection") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.9f, 0.1f), "a"),
+      (3L, Seq(0.0f, 1.0f), "b"), (4L, Seq(-1.0f, 0.0f), "b"),
+      (5L, Seq(0.8f, 0.2f), "a")).toDF("vec_id", "embedding", "label")
+    val out = Graft.aggregate(vecs, """[
+      {"$vectorSearch": {"path": "embedding", "queryVector": [1.0, 0.0],
+        "limit": 2, "numCandidates": 10,
+        "filter": {"label": "a"}}},
+      {"$project": {"vec_id": 1,
+        "score": {"$round": [{"$meta": "vectorSearchScore"}, 4]}}},
+      {"$sort": {"score": -1, "vec_id": 1}}
+    ]""").collect()
+    // label filter drops 3/4; top-2 by cosine = exact match then 0.9/0.1
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getDouble(1) == 1.0) // (1+1)/2: Atlas normalization
+    assert(out(1).getDouble(1) > 0.99 && out(1).getDouble(1) < 1.0)
+    // unprojected score never leaks into the output schema
+    val plain = Graft.aggregate(vecs, """[
+      {"$vectorSearch": {"path": "embedding", "queryVector": [0.0, 1.0],
+        "limit": 1}}
+    ]""")
+    assert(plain.columns.toSeq == Seq("vec_id", "embedding", "label"))
+    assert(plain.head.getLong(0) == 3L)
+  }
+
+  test("$dateTrunc truncates to calendar units incl. Mongo's Sunday weeks") {
+    val one = Seq("2024-03-15 10:30:45").toDF("ds") // a Friday
+      .select(col("ds").cast("timestamp").as("t"))
+    val out = Graft.aggregate(one, """[
+      {"$addFields": {
+        "mo": {"$dateTrunc": {"date": "$t", "unit": "month"}},
+        "hr": {"$dateTrunc": {"date": "$t", "unit": "hour"}},
+        "wk_sun": {"$dateTrunc": {"date": "$t", "unit": "week"}},
+        "wk_mon": {"$dateTrunc": {"date": "$t", "unit": "week",
+                                  "startOfWeek": "monday"}}
+      }}
+    ]""").head
+    def s(n: String) = out.getAs[java.sql.Timestamp](n).toString
+    assert(s("mo").startsWith("2024-03-01 00:00"))
+    assert(s("hr").startsWith("2024-03-15 10:00"))
+    assert(s("wk_sun").startsWith("2024-03-10 00:00")) // Mongo default Sunday
+    assert(s("wk_mon").startsWith("2024-03-11 00:00")) // ISO Monday
+  }
+
+  test("$regexFind returns {match, idx, captures} or null") {
+    val rows = Seq("order #42 then #7", "no numbers here").toDF("s")
+    val out = Graft.aggregate(rows, """[
+      {"$addFields": {
+        "f": {"$regexFind": {"input": "$s", "regex": "#(\\d+)"}},
+        "ci": {"$regexFind": {"input": "$s", "regex": "ORDER", "options": "i"}}
+      }},
+      {"$sort": {"s": 1}}
+    ]""").collect()
+    val hit = out(1) // "order #42 then #7"
+    val f = hit.getStruct(hit.fieldIndex("f"))
+    assert(f.getString(0) == "#42")            // first match, not #7
+    assert(f.getInt(1) == 6)                   // 0-based index of '#'
+    assert(f.getSeq[String](2) == Seq("42"))   // capture group
+    assert(hit.getStruct(hit.fieldIndex("ci")).getString(0) == "order")
+    assert(out(0).isNullAt(out(0).fieldIndex("f"))) // no match → null doc
+  }
+
   test("$setWindowFields: $locf/$linearFill/$derivative/$integral + accumulators") {
     val series = Seq(
       (1L, 0.0, Some(0.0)), (1L, 1.0, None), (1L, 2.0, Some(20.0)),
