@@ -51,6 +51,43 @@ class DocstoreSpec extends SparkSpec {
     assert(fresh != p1 && fresh.size >= p1.size)
   }
 
+  test("unsupported patterns fall back to Spark above the scan (ref pushdown_negative.test)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("docstore").option("path", smallDir).load()
+    // COUNT(DISTINCT col): distinct aggregation is never pushed — Spark
+    // aggregates above the scan, result stays exact
+    val cd = df.select(countDistinct(col("grp")))
+    assert(!explainText(cd).contains("PushedAggregates"), explainText(cd))
+    assert(cd.head.getLong(0) == 3)
+    // TopN on a computed sort key: no NamedReference → no TopN push;
+    // Spark's TakeOrderedAndProject handles it above a full scan
+    val topn = df.orderBy(length(col("name")), col("id")).limit(3)
+    assert(!explainText(topn).contains("PushedTopN"), explainText(topn))
+    assert(topn.collect().map(_.getAs[Long]("id")).toSeq == Seq(0L, 1L, 2L))
+    // arithmetic predicate: not translatable to a source Filter — only
+    // the inferred IsNotNull pushes; Spark evaluates the equality above
+    // the scan and rows stay exact
+    val f = df.filter(col("id") * 2 === 10)
+    val fp = explainText(f)
+    assert(!fp.contains("EqualTo"), fp) // the arithmetic never reaches the scan
+    assert(fp.contains("Filter"), fp)   // Spark-side filter handles it
+    assert(f.head.getAs[Long]("id") == 5L)
+  }
+
+  test("SQL DDL surface: CREATE TEMPORARY VIEW ... USING docstore") {
+    // the reference's users live in SQL — the source must mount without
+    // any Scala-side reader calls
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ddl_docs
+      USING docstore OPTIONS (path '$smallDir', samplesize '50')""")
+    assert(spark.sql("SELECT COUNT(*) FROM ddl_docs").head.getLong(0) == 50)
+    val plan = explainText(
+      spark.sql("SELECT id, name FROM ddl_docs WHERE grp = 'g1' AND id > 10"))
+    assert(plan.contains("docstore") && plan.contains("grp"), plan)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM ddl_docs WHERE grp = 'g1' AND id > 10")
+      .head.getLong(0) == 13)
+  }
+
   test("reads jsonl docs with inferred schema") {
     val df = spark.read.format("docstore").option("path", smallDir).load()
     assert(df.count() == 50)
