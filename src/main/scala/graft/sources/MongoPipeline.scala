@@ -41,7 +41,9 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
   * score via `{$meta: "vectorSearchScore"}`).
   *
   * Expression operators (the aggregation expression language):
-  * `"$field"` paths, `$$variables` (`$let`, lambda vars), `$literal`,
+  * `"$field"` paths, `$$variables` (`$let`, lambda vars, `$$ROOT` /
+  * `$$CURRENT` as the whole-document struct), `$mergeObjects` (document
+  * literals merged via withField), `$literal`,
   * arithmetic (`$add $subtract $multiply $divide $mod $abs $round
   * $floor $ceil $trunc $pow $sqrt $exp $ln $log $log10`), trigonometry
   * (`$sin $cos $tan $asin $acos $atan $atan2 $sinh $cosh $tanh
@@ -96,7 +98,16 @@ object MongoPipeline {
   private[sources] val VsScoreCol = "__graft_vs_score"
 
   private def applyStage(df: DataFrame, stage: DDoc,
-      resolver: String => DataFrame): DataFrame = stage.fields.toList match {
+      resolver: String => DataFrame): DataFrame = {
+    // $$ROOT / $$CURRENT = the whole current document as a struct (the
+    // canonical {$push: "$$ROOT"} / $replaceRoot / $mergeObjects input);
+    // internal bookkeeping columns stay invisible to it
+    lazy val rootEnv: Map[String, Column] = {
+      val rootCol = struct(df.columns.filterNot(_.startsWith("__graft"))
+        .map(col).toIndexedSeq: _*)
+      Map("ROOT" -> rootCol, "CURRENT" -> rootCol)
+    }
+    stage.fields.toList match {
     case (op, spec) :: Nil => op match {
       case "$match" => spec match {
         case d: DDoc => df.filter(toColumn(MongoFilter.compileDoc(d)))
@@ -114,7 +125,7 @@ object MongoPipeline {
           else {
             val picked = rest.map {
               case (f, v) if v == DLong(1) || v == DBool(true) => col(f)
-              case (f, v) => valueExpr(v).as(f) // rename / computed
+              case (f, v) => valueExpr(v, rootEnv).as(f) // rename / computed
             }
             // Mongo includes _id by default in inclusion projections
             // unless the spec says "_id": 0 (the only exclusion allowed
@@ -130,7 +141,7 @@ object MongoPipeline {
 
       case "$addFields" | "$set" => spec match {
         case d: DDoc => d.fields.foldLeft(df) { case (acc, (f, v)) =>
-          setPath(acc, f, valueExpr(v)) }
+          setPath(acc, f, valueExpr(v, rootEnv)) }
         case other => throw bad(s"$op needs a document, got $other")
       }
 
@@ -148,10 +159,10 @@ object MongoPipeline {
           val fs = d.fields.toMap
           val idSpec = fs.getOrElse("_id", throw bad("$group needs _id"))
           val aggs = d.fields.filter(_._1 != "_id").map { case (alias, aspec) =>
-            groupAccumulator(aspec).as(alias) }
+            groupAccumulator(aspec, rootEnv).as(alias) }
           val grouped = idSpec match {
             case DNull => df.groupBy() // global aggregate
-            case v     => df.groupBy(valueExpr(v).as("_id"))
+            case v     => df.groupBy(valueExpr(v, rootEnv).as("_id"))
           }
           if (aggs.isEmpty) grouped.agg(count(lit(1)).as("__n")).drop("__n")
           else grouped.agg(aggs.head, aggs.tail: _*)
@@ -209,7 +220,8 @@ object MongoPipeline {
       }
 
       case "$sortByCount" =>
-        df.groupBy(valueExpr(spec).as("_id")).agg(count(lit(1)).as("count"))
+        df.groupBy(valueExpr(spec, rootEnv).as("_id"))
+          .agg(count(lit(1)).as("count"))
           .orderBy(col("count").desc, col("_id"))
 
       case "$bucket" => spec match {
@@ -525,7 +537,7 @@ object MongoPipeline {
           case (_, other) => throw bad(s"$$replaceRoot needs {newRoot: ...}, got $other")
         }
         // promote the (struct-typed) expression to the document root
-        df.select(valueExpr(rootExpr).as("__graft_root"))
+        df.select(valueExpr(rootExpr, rootEnv).as("__graft_root"))
           .select(col("__graft_root.*"))
 
       // Atlas's ANN stage compiled to the exact cosine top-k the engine
@@ -787,6 +799,7 @@ object MongoPipeline {
       case other => throw bad(s"unsupported stage $other")
     }
     case other => throw bad(s"each stage must have exactly one operator, got $other")
+    }
   }
 
   /** One `$setWindowFields` output → a Spark window Column. */
@@ -931,7 +944,12 @@ object MongoPipeline {
     case other => throw bad(s"unsupported time unit $other")
   }
 
-  private def groupAccumulator(spec: DocValue): Column = spec match {
+  private def groupAccumulator(spec: DocValue,
+      env: Map[String, Column] = Map.empty): Column = {
+    // shadow the object-level resolver so every operand below sees the
+    // stage's variable bindings ($$ROOT / $$CURRENT)
+    def valueExpr(v: DocValue): Column = MongoPipeline.valueExpr(v, env)
+    spec match {
     case DDoc(Seq((op, operand))) => op match {
       case "$sum" => operand match {
         case DLong(n)   => sum(lit(n))   // $sum: 1 is Mongo's COUNT idiom
@@ -1015,6 +1033,7 @@ object MongoPipeline {
       case other => throw bad(s"unsupported accumulator $other")
     }
     case other => throw bad(s"accumulator must be {op: operand}, got $other")
+    }
   }
 
   /** First/last `n` outputs of the group ordered by `key`: collect
@@ -1676,6 +1695,23 @@ object MongoPipeline {
       { val (a, b) = arg2(op, operand, env); size(array_except(a, b)) === 0 }
     case "$allElementsTrue" => forall(oneArrayArg(op, operand, env), x => x)
     case "$anyElementTrue"  => exists(oneArrayArg(op, operand, env), x => x)
+    // Shallow document merge, later arguments win. Spark structs need
+    // field names at compile time, so arguments after the first must be
+    // DOCUMENT LITERALS (each key rebuilt via withField — the common
+    // "base doc + overrides" shape, e.g. {$mergeObjects: ["$$ROOT",
+    // {"flag": true}]}); an arbitrary struct expression there has no
+    // statically known fields and is rejected with a clear error.
+    case "$mergeObjects" => operand match {
+      case DArray(items) if items.nonEmpty =>
+        items.tail.foldLeft(valueExpr(items.head, env)) {
+          case (acc, dd: DDoc) => dd.fields.foldLeft(acc) {
+            case (a, (k, v)) => a.withField(k, valueExpr(v, env)) }
+          case (_, x) => throw bad("$mergeObjects: arguments after the " +
+            s"first must be document literals, got $x")
+        }
+      case d: DDoc => valueExpr(d, env) // single-doc form: the doc itself
+      case other => throw bad(s"$$mergeObjects needs an array, got $other")
+    }
     case "$getField" => operand match {
       case DString(f) => col(f)
       case d: DDoc =>

@@ -431,6 +431,40 @@ class MongoPipelineSpec extends SparkSpec {
     assert(dec.getAs[String]("td") == "decimal")
   }
 
+  test("$$ROOT/$$CURRENT and $mergeObjects: whole-document expressions") {
+    // {$push: "$$ROOT"} — the canonical collect-whole-docs idiom
+    val pushed = Graft.aggregate(sales, """[
+      {"$group": {"_id": "$grp", "docs": {"$push": "$$ROOT"},
+                  "n": {"$sum": 1}}},
+      {"$sort": {"_id": 1}}
+    ]""").collect()
+    val g0 = pushed(0)
+    assert(g0.getSeq[org.apache.spark.sql.Row](g0.fieldIndex("docs")).size ==
+      g0.getLong(g0.fieldIndex("n")))
+    // $$ROOT in $addFields carries the full doc; $$CURRENT is an alias
+    val tagged = Graft.aggregate(sales, """[
+      {"$addFields": {"snapshot": "$$ROOT", "cur_amt": "$$CURRENT.amount"}},
+      {"$sort": {"id": 1}}
+    ]""").collect()
+    assert(tagged(0).getStruct(tagged(0).fieldIndex("snapshot"))
+      .getAs[Double]("amount") == tagged(0).getAs[Double]("cur_amt"))
+    // $mergeObjects: base doc + literal overrides, later args win;
+    // $replaceRoot promotes the merged doc
+    val merged = Graft.aggregate(sales, """[
+      {"$replaceRoot": {"newRoot": {"$mergeObjects": ["$$ROOT",
+        {"flag": true, "amount": {"$multiply": ["$amount", 10]}}]}}},
+      {"$sort": {"id": 1}}
+    ]""")
+    assert(merged.columns.contains("flag"))
+    assert(merged.head.getAs[Double]("amount") == 100.0) // 10.0 × 10 override
+    // non-literal later arg → clear error, not a wrong schema
+    val err = intercept[IllegalArgumentException] {
+      Graft.aggregate(sales,
+        """[{"$addFields": {"m": {"$mergeObjects": ["$$ROOT", "$$ROOT"]}}}]""")
+    }
+    assert(err.getMessage.contains("document literals"))
+  }
+
   test("$vectorSearch: filter + cosine top-k + $meta score projection") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.9f, 0.1f), "a"),
