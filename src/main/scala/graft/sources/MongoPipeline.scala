@@ -1712,6 +1712,38 @@ object MongoPipeline {
       case d: DDoc => valueExpr(d, env) // single-doc form: the doc itself
       case other => throw bad(s"$$mergeObjects needs an array, got $other")
     }
+    // field names must be literals (Spark structs are compile-time
+    // shaped); $$REMOVE as value = Mongo's field-removal idiom
+    case "$setField" => operand match {
+      case d: DDoc =>
+        val f = docField(op, d, "field") match {
+          case DString(s) => s
+          case other => throw bad(s"$$setField.field needs a literal string, got $other")
+        }
+        val input = valueExpr(docField(op, d, "input"), env)
+        docField(op, d, "value") match {
+          case DString("$$REMOVE") => input.dropFields(f)
+          case v                   => input.withField(f, valueExpr(v, env))
+        }
+      case other => throw bad(s"$$setField needs {field, input, value}, got $other")
+    }
+    case "$unsetField" => operand match {
+      case d: DDoc =>
+        val f = docField(op, d, "field") match {
+          case DString(s) => s
+          case other => throw bad(s"$$unsetField.field needs a literal string, got $other")
+        }
+        valueExpr(docField(op, d, "input"), env).dropFields(f)
+      case other => throw bad(s"$$unsetField needs {field, input}, got $other")
+    }
+    case "$isArray" =>
+      val t = toColumn(org.apache.spark.sql.catalyst.expressions.TypeOf(
+        toExpression(valueExpr(operand match {
+          // Mongo wraps the single argument in an array: {$isArray: ["$f"]}
+          case DArray(Seq(one)) => one
+          case v                => v
+        }, env))))
+      t.startsWith("array")
     case "$getField" => operand match {
       case DString(f) => col(f)
       case d: DDoc =>

@@ -423,6 +423,21 @@ class MongoPipelineSpec extends SparkSpec {
     assert(g[Double]("cosv") == 1.0)
     assert(g[String]("lt") == "pad  ")
     assert(g[Int]("cmp") == 0)
+    // $setField/$unsetField rebuild nested docs; $isArray introspects
+    val sf = Graft.aggregate(
+      Seq((1L, 2L)).toDF("a", "b").select(struct(col("a"), col("b")).as("doc"),
+        array(col("a")).as("xs"), col("a")),
+      """[{"$addFields": {
+           "doc2": {"$setField": {"field": "c", "input": "$doc", "value": 9}},
+           "doc3": {"$setField": {"field": "b", "input": "$doc",
+                                  "value": "$$REMOVE"}},
+           "doc4": {"$unsetField": {"field": "a", "input": "$doc"}},
+           "arr_yes": {"$isArray": ["$xs"]}, "arr_no": {"$isArray": "$a"}}}]"""
+    ).head
+    assert(sf.getStruct(sf.fieldIndex("doc2")).getLong(2) == 9L)
+    assert(sf.getStruct(sf.fieldIndex("doc3")).schema.fieldNames.toSeq == Seq("a"))
+    assert(sf.getStruct(sf.fieldIndex("doc4")).schema.fieldNames.toSeq == Seq("b"))
+    assert(sf.getAs[Boolean]("arr_yes") && !sf.getAs[Boolean]("arr_no"))
     // $type reports decimals as "decimal" (Decimal128 parity, and
     // agreement with MongoFilter's $type on the same value)
     val dec = Graft.aggregate(
