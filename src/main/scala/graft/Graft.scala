@@ -92,10 +92,10 @@ object Graft {
       spark.conf.set(s"spark.sql.catalog.$name.$k", v) }
   }
 
-  /** `DETACH` analog: unregister an attached catalog name. (Spark caches
-    * instantiated catalogs per session, so re-attaching the SAME name
-    * points at the same client instance until the session ends — use a
-    * fresh name to mount a different root.) */
+  /** `DETACH` analog: unregister an attached catalog name and evict
+    * Spark's cached catalog instance, so re-attaching the same name to a
+    * different root serves the NEW root (a conf unset alone would leave
+    * the old instance answering). */
   def detach(spark: SparkSession, name: String): Unit = {
     if (spark.conf.getOption(s"spark.sql.catalog.$name").isEmpty)
       throw new IllegalArgumentException(s"catalog '$name' is not attached")
@@ -103,6 +103,23 @@ object Graft {
       .filter(k => k == s"spark.sql.catalog.$name" ||
         k.startsWith(s"spark.sql.catalog.$name."))
       .foreach(spark.conf.unset)
+    // CatalogManager memoizes instantiated catalogs with no public
+    // eviction; drop this name from its internal registry (best-effort —
+    // the map is an implementation detail, so probe by type)
+    try {
+      val cm = spark.sessionState.catalogManager
+      cm.getClass.getDeclaredFields
+        .filter(f => classOf[scala.collection.mutable.Map[_, _]]
+          .isAssignableFrom(f.getType))
+        .foreach { f =>
+          f.setAccessible(true)
+          f.get(cm) match {
+            case m: scala.collection.mutable.Map[String @unchecked, _] =>
+              m.remove(name)
+            case _ => ()
+          }
+        }
+    } catch { case _: Throwable => () }
   }
 
   /** Drop cached collection schemas for an attached catalog — the

@@ -86,16 +86,21 @@ object MongoPipeline {
         items.map(_.asInstanceOf[DDoc])
       case other => throw bad(s"pipeline must be an array of stages, got $other")
     }
-    val out = stages.foldLeft(df)((acc, st) => applyStage(acc, st, resolver))
     // $vectorSearch's score rides a hidden column so later stages can
     // project it via {$meta: "vectorSearchScore"}; strip it when the
     // pipeline never did (Mongo drops the score unless projected)
-    if (out.columns.contains(VsScoreCol)) out.drop(VsScoreCol) else out
+    stripVs(stages.foldLeft(df)((acc, st) => applyStage(acc, st, resolver)))
   }
 
   /** Hidden column carrying `$vectorSearch`'s similarity score between
     * the stage and a `{$meta: "vectorSearchScore"}` projection. */
   private[sources] val VsScoreCol = "__graft_vs_score"
+
+  /** Drop an unprojected `$vectorSearch` score — applied wherever a
+    * sub-pipeline's frame becomes user-visible (top-level result,
+    * `$unionWith`/`$facet`/`$lookup` sub-pipelines). */
+  private def stripVs(df: DataFrame): DataFrame =
+    if (df.columns.contains(VsScoreCol)) df.drop(VsScoreCol) else df
 
   private def applyStage(df: DataFrame, stage: DDoc,
       resolver: String => DataFrame): DataFrame = {
@@ -228,7 +233,7 @@ object MongoPipeline {
         case d: DDoc =>
           val m = d.fields.toMap
           val gb = valueExpr(m.getOrElse("groupBy",
-            throw bad("$bucket needs groupBy")))
+            throw bad("$bucket needs groupBy")), rootEnv)
           val bounds = m.get("boundaries") match {
             case Some(DArray(bs)) if bs.size >= 2 => bs.map(valueExpr)
             case other => throw bad(s"$$bucket needs >=2 boundaries, got $other")
@@ -248,7 +253,7 @@ object MongoPipeline {
           }
           val outs = m.get("output") match {
             case Some(o: DDoc) => o.fields.map { case (alias, aspec) =>
-              groupAccumulator(aspec).as(alias) }
+              groupAccumulator(aspec, rootEnv).as(alias) }
             case None    => Seq(count(lit(1)).as("count"))
             case Some(x) => throw bad(s"$$bucket.output needs a document, got $x")
           }
@@ -339,6 +344,10 @@ object MongoPipeline {
           // bookkeeping: anti-joining on (rid, hash) shuffles 16-byte
           // keys instead of whole documents and compares in O(1), where
           // a whole-struct <=> join re-shuffles every wide row each hop.
+          // Accepted tradeoff: an xxhash64 collision between two DISTINCT
+          // reachable docs (p ≈ n²/2⁶⁵ per input row) would drop one from
+          // the result — the standard birthday bound every hash-keyed
+          // dedup in this engine shares.
           val foreign = fdf.select(col(connectTo).as(keyCol),
             col(connectFrom).as(nextCol),
             struct(fdf.columns.map(col): _*).as(docCol))
@@ -592,8 +601,8 @@ object MongoPipeline {
             }
             d.fields.toMap.get("pipeline") match {
               case Some(DArray(stages)) =>
-                stages.foldLeft(resolver(coll)) { (acc, st) =>
-                  applyStage(acc, st.asInstanceOf[DDoc], resolver) }
+                stripVs(stages.foldLeft(resolver(coll)) { (acc, st) =>
+                  applyStage(acc, st.asInstanceOf[DDoc], resolver) })
               case None  => resolver(coll)
               case Some(x) => throw bad(s"$$unionWith.pipeline needs an array, got $x")
             }
@@ -631,8 +640,8 @@ object MongoPipeline {
           val pinned = if (d.fields.size > 1) df.localCheckpoint() else df
           val facets = d.fields.map { case (name, stages) =>
             val sub = stages match {
-              case DArray(items) => items.foldLeft(pinned) { (acc, st) =>
-                applyStage(acc, st.asInstanceOf[DDoc], resolver) }
+              case DArray(items) => stripVs(items.foldLeft(pinned) { (acc, st) =>
+                applyStage(acc, st.asInstanceOf[DDoc], resolver) })
               case x => throw bad(s"$$facet.$name needs a pipeline array, got $x")
             }
             sub.agg(collect_list(struct(sub.columns.map(col): _*)).as(name))
@@ -762,14 +771,14 @@ object MongoPipeline {
         case d: DDoc =>
           val m = d.fields.toMap
           val gb = valueExpr(m.getOrElse("groupBy",
-            throw bad("$bucketAuto needs groupBy")))
+            throw bad("$bucketAuto needs groupBy")), rootEnv)
           val n = m.get("buckets") match {
             case Some(DLong(b)) if b >= 1 => b.toInt
             case other => throw bad(s"$$bucketAuto.buckets needs a positive integer, got $other")
           }
           val outPairs: Seq[(String, Column)] = m.get("output") match {
             case Some(o: DDoc) => o.fields.map { case (alias, aspec) =>
-              alias -> groupAccumulator(aspec).as(alias) }.toSeq
+              alias -> groupAccumulator(aspec, rootEnv).as(alias) }.toSeq
             case None    => Seq("count" -> count(lit(1)).as("count"))
             case Some(x) => throw bad(s"$$bucketAuto.output needs a document, got $x")
           }
@@ -1113,21 +1122,24 @@ object MongoPipeline {
       }
     val varNames = letSpecs.map(_._1).toSet
     val (prefix, rest) = pstages.span(st => !usesVars(st, varNames))
-    val fdf = prefix.foldLeft(resolver(from))((acc, st) =>
-      applyStage(acc, st, resolver))
+    // a prefix $vectorSearch's unprojected score is internal — never let
+    // it leak into the collected docs
+    val fdf = stripVs(prefix.foldLeft(resolver(from))((acc, st) =>
+      applyStage(acc, st, resolver)))
 
     val taken = df.columns ++ fdf.columns
-    val rid = freshName(taken, "__graft_lkp_rid")
-    val left0 = df.withColumn(rid, monotonically_increasing_id())
-      .localCheckpoint() // pin row ids against recompute renumbering
-    val left = if (df.columns.contains(as)) left0.drop(as) else left0
     val letCols: Seq[String] =
       letSpecs.indices.map(i => freshName(taken, s"__graft_lkp_v$i"))
     val lfCol = eqFields.map(_ => freshName(taken, "__graft_lkp_lf"))
+    // let expressions see the LEFT document's variables, so the common
+    // let: {doc: "$$ROOT"} idiom binds the whole left row
+    val leftRoot = struct(df.columns.filterNot(_.startsWith("__graft"))
+      .map(col).toIndexedSeq: _*)
+    val leftEnv = Map("ROOT" -> leftRoot, "CURRENT" -> leftRoot)
     val keyExprs =
-      letSpecs.map(_._2).zip(letCols).map { case (v, n) => valueExpr(v).as(n) } ++
+      letSpecs.map(_._2).zip(letCols).map { case (v, n) =>
+        valueExpr(v, leftEnv).as(n) } ++
       eqFields.zip(lfCol).map { case ((lf, _), n) => col(fieldPath("$" + lf)).as(n) }
-    val leftKeys = left.select(col(rid) +: keyExprs: _*)
     val env: Map[String, Column] =
       letSpecs.map(_._1).zip(letCols.map(col)).toMap
 
@@ -1154,12 +1166,19 @@ object MongoPipeline {
     fullCond match {
       case None =>
         // uncorrelated sub-pipeline: every left row gets the SAME array —
-        // build it once, broadcast the 1-row frame
+        // build it once, broadcast the 1-row frame; no row ids or
+        // checkpoint needed on this path
         val arr = fdf.agg(
           collect_list(struct(fdf.columns.map(col): _*)).as(as))
-        return left.crossJoin(broadcast(arr)).drop(rid)
+        val plainLeft = if (df.columns.contains(as)) df.drop(as) else df
+        return plainLeft.crossJoin(broadcast(arr))
       case Some(_) => ()
     }
+    val rid = freshName(taken, "__graft_lkp_rid")
+    val left0 = df.withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint() // pin row ids against recompute renumbering
+    val left = if (df.columns.contains(as)) left0.drop(as) else left0
+    val leftKeys = left.select(col(rid) +: keyExprs: _*)
     var cur = leftKeys.join(fdf, fullCond.get, "inner")
     var orderCol: Option[String] = None
     val protect = Set(rid) ++ letCols ++ lfCol
@@ -1168,8 +1187,10 @@ object MongoPipeline {
       suffix(i).fields.toList match {
         case ("$match", ms: DDoc) :: Nil => cur = cur.filter(matchConds(ms))
         case ("$addFields" | "$set", ad: DDoc) :: Nil =>
+          // setPath, not withColumn: a dotted name must rebuild the
+          // nested struct, not create a top-level "a.b" column
           cur = ad.fields.foldLeft(cur) { case (acc, (f, v)) =>
-            acc.withColumn(f, valueExpr(v, env)) }
+            setPath(acc, f, valueExpr(v, env)) }
         case ("$unset", u) :: Nil => u match {
           case DString(f)     => cur = cur.drop(f)
           case DArray(fields) => cur = cur.drop(fields.map {
@@ -1207,6 +1228,9 @@ object MongoPipeline {
             case (f, DLong(-1)) => col(f).desc
             case (f, x) => throw bad(s"$$sort.$f needs 1 or -1, got $x")
           }
+          // a second $sort+$limit supersedes the first ordering — drop
+          // the stale row-number column so it can't leak into the docs
+          orderCol.foreach(old => cur = cur.drop(old))
           val rn = freshName(cur.columns, "__graft_lkp_rn")
           cur = cur.withColumn(rn, row_number().over(
             Window.partitionBy(col(rid)).orderBy(sortCols: _*)))
@@ -1713,13 +1737,13 @@ object MongoPipeline {
       case other => throw bad(s"$$mergeObjects needs an array, got $other")
     }
     // field names must be literals (Spark structs are compile-time
-    // shaped); $$REMOVE as value = Mongo's field-removal idiom
+    // shaped); $$REMOVE as value = Mongo's field-removal idiom. Mongo
+    // defines the name as LITERAL — its whole point is addressing names
+    // the dotted syntax can't — so dotted names are backtick-quoted for
+    // withField/dropFields (which would otherwise treat '.' as nesting).
     case "$setField" => operand match {
       case d: DDoc =>
-        val f = docField(op, d, "field") match {
-          case DString(s) => s
-          case other => throw bad(s"$$setField.field needs a literal string, got $other")
-        }
+        val f = literalFieldName(op, docField(op, d, "field"))
         val input = valueExpr(docField(op, d, "input"), env)
         docField(op, d, "value") match {
           case DString("$$REMOVE") => input.dropFields(f)
@@ -1729,11 +1753,8 @@ object MongoPipeline {
     }
     case "$unsetField" => operand match {
       case d: DDoc =>
-        val f = docField(op, d, "field") match {
-          case DString(s) => s
-          case other => throw bad(s"$$unsetField.field needs a literal string, got $other")
-        }
-        valueExpr(docField(op, d, "input"), env).dropFields(f)
+        valueExpr(docField(op, d, "input"), env)
+          .dropFields(literalFieldName(op, docField(op, d, "field")))
       case other => throw bad(s"$$unsetField needs {field, input}, got $other")
     }
     case "$isArray" =>
@@ -1925,6 +1946,16 @@ object MongoPipeline {
       org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
 
   /** `"$a.b"` → `a.b` column path (Spark resolves dots as nested access). */
+  /** `$setField`/`$unsetField` field name: literal per Mongo — dotted
+    * names are backtick-quoted so withField/dropFields treat them as ONE
+    * field instead of a nested path. */
+  private def literalFieldName(op: String, v: DocValue): String = v match {
+    case DString(s) if s.contains('`') =>
+      throw bad(s"$op.field: backticks unsupported in field names: '$s'")
+    case DString(s) => if (s.contains('.')) s"`$s`" else s
+    case other => throw bad(s"$op.field needs a literal string, got $other")
+  }
+
   /** Count capturing groups in a regex literal: `(` that is not escaped,
     * not inside a character class, and not a `(?...)` construct — except
     * named groups `(?<name>...)`, which capture (lookbehinds `(?<=` /

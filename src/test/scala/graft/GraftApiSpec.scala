@@ -142,6 +142,25 @@ class GraftApiSpec extends AnyFunSuite {
     Graft.detach(spark, "m_dup")
     val e5 = intercept[IllegalArgumentException] { Graft.detach(spark, "m_dup") }
     assert(e5.getMessage.contains("not attached"))
+    // zero / overflow option values fail at attach too
+    val e6 = intercept[IllegalArgumentException] {
+      Graft.attach(spark, "m_bad", operators.DocstoreOps.catalogRoot(),
+        options = Map("splitsize" -> "0"))
+    }
+    assert(e6.getMessage.contains("splitsize"))
+    // detach must EVICT the cached catalog: re-attaching the same name to
+    // a different root serves the new root, not stale data
+    val altRoot = "/tmp/graft_docstore/catalog_alt"
+    Files.createDirectories(Paths.get(s"$altRoot/altdb"))
+    Files.write(Paths.get(s"$altRoot/altdb/only.jsonl"),
+      """{"v":42}""".concat("\n").getBytes("UTF-8"))
+    Graft.attach(spark, "m_swap", operators.DocstoreOps.catalogRoot())
+    assert(spark.sql("SHOW NAMESPACES IN m_swap").count() == 2)
+    Graft.detach(spark, "m_swap")
+    Graft.attach(spark, "m_swap", altRoot)
+    assert(spark.sql("SHOW NAMESPACES IN m_swap").count() == 1)
+    assert(spark.sql("SELECT v FROM m_swap.altdb.only").head.getLong(0) == 42L)
+    Graft.detach(spark, "m_swap")
   }
 
   test("missing collection / database errors are clear, not stack traces") {

@@ -331,6 +331,21 @@ class MongoPipelineSpec extends SparkSpec {
       ]""", resolver = Map("items" -> items)).collect()
     }
     assert(err.getMessage.contains("$sort"))
+    // let: {doc: "$$ROOT"} binds the whole LEFT row; sub-pipeline
+    // $addFields with a dotted path rebuilds nested structs (setPath)
+    val rootLet = Graft.aggregate(left, """[
+      {"$lookup": {"from": "items", "let": {"doc": "$$ROOT"},
+        "pipeline": [
+          {"$match": {"$expr": {"$eq": ["$oid", "$$doc.id"]}}},
+          {"$sort": {"price": -1}}, {"$limit": 1}],
+        "as": "best"}},
+      {"$sort": {"id": 1}}
+    ]""", resolver = Map("items" -> items)).collect()
+    assert(skus(rootLet(0)) == Seq("b"))
+    // suffix docs stay clean: no internal columns leak into the array
+    val fields = rootLet(0).getSeq[org.apache.spark.sql.Row](2)
+      .head.schema.fieldNames.toSeq
+    assert(fields == Seq("oid", "sku", "price"), fields)
   }
 
   test("$merge upserts into a docstore collection") {
@@ -438,6 +453,14 @@ class MongoPipelineSpec extends SparkSpec {
     assert(sf.getStruct(sf.fieldIndex("doc3")).schema.fieldNames.toSeq == Seq("a"))
     assert(sf.getStruct(sf.fieldIndex("doc4")).schema.fieldNames.toSeq == Seq("b"))
     assert(sf.getAs[Boolean]("arr_yes") && !sf.getAs[Boolean]("arr_no"))
+    // dotted names are LITERAL (Mongo's whole point for $setField/$unsetField)
+    val dotted = Graft.aggregate(
+      Seq(1L).toDF("a").select(struct(col("a")).as("doc")),
+      """[{"$addFields": {"d2": {"$setField":
+           {"field": "x.y", "input": "$doc", "value": 5}}}}]""").head
+    val d2 = dotted.getStruct(dotted.fieldIndex("d2"))
+    assert(d2.schema.fieldNames.toSeq == Seq("a", "x.y"))
+    assert(d2.getLong(d2.fieldIndex("x.y")) == 5L)
     // $type reports decimals as "decimal" (Decimal128 parity, and
     // agreement with MongoFilter's $type on the same value)
     val dec = Graft.aggregate(
