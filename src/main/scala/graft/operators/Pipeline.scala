@@ -127,19 +127,25 @@ object Pipeline {
   // ---------------------------------------------------------------- p04
   /** Stratified sampling: a fixed FRACTION of every (source) stratum,
     * picked by hash rank — the "equal representation" counterpart to
-    * p02's global hash sample. Needs a per-stratum window (one shuffle on
-    * the stratum key; skewed strata are the known cost — p02's
-    * threshold form is the zero-shuffle alternative when a global rate
-    * is acceptable). Hash rank, not random(): reproducible across runs,
-    * engines, and cluster sizes.
+    * p02's global hash sample. Hash rank, not random(): reproducible
+    * across runs, engines, and cluster sizes.
+    *
+    * Scale: a window partitioned by `source` alone would sort a whole
+    * stratum (tens of TB at corpus scale) in ONE task. Instead the rank
+    * is a two-level [[Ladders.globalRank]] ladder: the md5 rank key is
+    * its own uniform bucketer, so a 2-hex-char prefix (256 cells/stratum;
+    * the prefix length is the scale knob — 3 chars = 4096 cells) bounds
+    * every sorted partition at stratum/256, and the exact global rank
+    * comes from offsetting local ranks by the tiny broadcast per-cell
+    * count prefix-sum. Output is bit-identical to the single-window form.
     */
   def p04Stratified(spark: SparkSession, dir: String): DataFrame = {
-    val h = md5(concat(col("doc_id").cast(StringType), lit("#strat")))
-    val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
-    val cnt = Window.partitionBy(col("source"))
-    Tables(spark, dir, "documents")
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .withColumn("n_src", count(lit(1)).over(cnt))
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("__h",
+        md5(concat(col("doc_id").cast(StringType), lit("#strat"))))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    Ladders.globalRank(docs, Seq("source"), "__b",
+        Seq(col("__h"), col("doc_id")), "rn", Some("n_src"))
       .filter(col("rn") <= ceil(col("n_src") * 0.2))
       .select(col("doc_id"), col("source"), col("lang"), col("rn"))
       .orderBy(col("doc_id"))
@@ -159,18 +165,34 @@ object Pipeline {
     * (the sequence-packing prelude of a training run) by a running token
     * cumsum per source — shard k holds the docs whose cumulative count
     * crosses [k·B, (k+1)·B). Deterministic doc order (doc_id) makes the
-    * packing reproducible across engines and runs; one shuffle on the
-    * source key (the window), budget math map-side.
+    * packing reproducible across engines and runs.
+    *
+    * Scale: the running sum is a two-level [[Ladders.globalCumsum]]
+    * ladder, not a window over `source` (which would stream a whole
+    * stratum through ONE task). The order key (doc_id) is a natural key,
+    * so the monotone bucketer is a RANGE bucket: doc_id bounds come from
+    * a one-row agg that enters the plan by broadcast (no driver action),
+    * and 256 equal-width id ranges bound every local cumsum cell
+    * (bucket count is the scale knob). Local running sums are offset by
+    * the tiny broadcast per-cell token-total prefix-sum — exact, same
+    * output as the single-window form.
     */
   def p05TokenShards(spark: SparkSession, dir: String): DataFrame = {
     val budget = 20000L
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir, "documents")
+    val toks = Tables(spark, dir, "documents")
       .withColumn("tokens",
         size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
           .cast(LongType))
-      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("tokens"))
+    val bounds = toks.agg(min(col("doc_id")).as("__lo"),
+      max(col("doc_id")).as("__hi"))
+    val bucketed = toks.crossJoin(broadcast(bounds))
+      // integral `div` keeps the bucket exact at any id magnitude
+      .withColumn("__b",
+        expr("(doc_id - __lo) div (((__hi - __lo) div 256) + 1)"))
+      .drop("__lo", "__hi")
+    Ladders.globalCumsum(bucketed, Seq("source"), "__b",
+        Seq(col("doc_id")), col("tokens"), "cum_tokens")
       .withColumn("shard",
         ((col("cum_tokens") - col("tokens")) / budget).cast(LongType))
       .groupBy(col("source"), col("shard"))

@@ -26,20 +26,50 @@ object Similarity {
     Tables(spark, dir, "embeddings").filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
 
+  /** Exact per-query top-k in the shape that survives 100× (s05's
+    * TakeOrdered shape generalized to many queries): stage 1 keeps a
+    * LOCAL top-k inside each bounded (hash-bucket, query) cell — a window
+    * whose partitions hold scored_rows/64, never the corpus — and stage 2
+    * ranks only the ≤ 64·k survivors per query with a window-free
+    * sort_array/slice agg (bounded collect: 64·k structs per group). No
+    * partition anywhere holds a data-sized slice; bucket count is the
+    * scale knob. Expects columns (q_id, vec_id, cos, payload…); emits
+    * (q_id, vec_id, payload…, cos, rank).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int,
+      payload: Seq[String]): DataFrame = {
+    val wLocal = Window.partitionBy(col("__b"), col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val candidates = scored
+      .withColumn("__b", pmod(xxhash64(col("vec_id")), lit(64L)))
+      .withColumn("__r", row_number().over(wLocal))
+      .filter(col("__r") <= k)
+    // lexicographic struct sort == (cos desc, vec_id asc): negate the score
+    val fields = struct(((col("cos") * -1).as("__nc") +: col("vec_id") +:
+      payload.map(col)) :+ col("cos"): _*)
+    candidates.groupBy(col("q_id"))
+      .agg(slice(array_sort(collect_list(fields)), 1, k).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select((col("q_id") +: col("col.vec_id").as("vec_id") +:
+        payload.map(c => col("col." + c).as(c))) ++
+        Seq(col("col.cos").as("cos"),
+          (col("pos") + 1).cast(LongType).as("rank")): _*)
+  }
+
   // ---------------------------------------------------------------- s01
   /** Exact cosine top-k per query: broadcast queries × corpus, codegen'd
-    * cosine kernel, rank window partitioned by query.
+    * cosine kernel, then [[topKPerQuery]] — local top-k per bounded cell
+    * plus a tiny window-free merge, never a per-query rank over the whole
+    * scored corpus (that window puts all N scored rows of a query in ONE
+    * task).
     */
   def s01BruteForce(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables(spark, dir, "embeddings")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    corpus.crossJoin(broadcast(queriesDf(spark, dir)))
+    val scored = corpus.crossJoin(broadcast(queriesDf(spark, dir)))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("label"),
         V.cosine_sim(col("q_vec"), col("embedding")).as("cos"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= K)
+    topKPerQuery(scored, K, Seq("label"))
       .withColumn("cos", round(col("cos"), 4)) // oracle parity (SURVEY §5)
       .orderBy(col("q_id"), col("rank"))
   }
@@ -86,25 +116,28 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"),
         col("c_id").as("cell"))
 
-    // probe: each query picks its 2 nearest cells
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("q_cos").desc, col("c_id"))
+    // probe: each query picks its 2 nearest cells — per-query rows are
+    // bounded by the centroid count, so a window-free sort/slice agg
+    // keeps q_id out of every window partition in the plan
     val probes = queriesDf(spark, dir).crossJoin(broadcast(centroids))
       .select(col("q_id"), col("q_vec"), col("c_id"),
         V.cosine_sim(col("q_vec"), col("c_vec")).as("q_cos"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2)
-      .select(col("q_id"), col("q_vec"), col("c_id").as("cell"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_vec")).as("q_vec"),
+        slice(array_sort(collect_list(
+          struct((col("q_cos") * -1).as("__n"), col("c_id")))), 1, 2)
+          .as("__top"))
+      .select(col("q_id"), col("q_vec"),
+        explode(col("__top")).as("f"))
+      .select(col("q_id"), col("q_vec"), col("f.c_id").as("cell"))
 
-    // search only the probed cells
-    val wRank = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    // search only the probed cells; same bounded local-topk + tiny merge
+    // shape as s01 (the probed slice of the corpus is still data-sized)
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("label"), col("cell"),
         V.cosine_sim(col("q_vec"), col("embedding")).as("cos"))
-      .withColumn("rank", row_number().over(wRank).cast(LongType))
-      .filter(col("rank") <= K)
+    topKPerQuery(scored, K, Seq("label", "cell"))
       .withColumn("cos", round(col("cos"), 4)) // oracle parity (SURVEY §5)
       .orderBy(col("q_id"), col("rank"))
   }

@@ -164,6 +164,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("p04/p05: stratum rank/cumsum are two-level ladders, never a source window") {
+    // Window.partitionBy(source) lands a whole stratum (tens of TB at
+    // corpus scale) on ONE task. Both must bucket first: windows may only
+    // partition on (bucket, source) cells; the offsets frame is window-free.
+    for (k <- Seq("p04_stratified", "p05_token_shards")) {
+      val p = finalPlan(k)
+      assert(!p.contains("windowspecdefinition(source#"),
+        s"$k windows over the raw stratum key:\n$p")
+      assert(p.contains("HashAggregate"), s"$k:\n$p")
+    }
+  }
+
+  test("s01/s02: per-query top-k is local-topk + tiny merge, never a corpus window") {
+    // Window.partitionBy(q_id) over the scored frame sorts all N scored
+    // rows of a query in ONE task. Windows may only partition on the
+    // bounded (bucket, q_id) cells; the final merge is window-free.
+    for (k <- Seq("s01_ann_bruteforce", "s02_ann_ivf")) {
+      val p = finalPlan(k)
+      assert(!p.contains("windowspecdefinition(q_id#"),
+        s"$k ranks a query's whole scored corpus in one partition:\n$p")
+    }
+  }
+
   test("q33: double correlation runs as shrinking hash aggs, no fact self-join") {
     val p = finalPlan("q33_multi_exists").split("== Initial Plan ==").head
     // the EXISTS/NOT EXISTS pair must NOT plan as semi/anti self-joins of
