@@ -105,21 +105,35 @@ object Graft {
       .foreach(spark.conf.unset)
     // CatalogManager memoizes instantiated catalogs with no public
     // eviction; drop this name from its internal registry (best-effort —
-    // the map is an implementation detail, so probe by type)
-    try {
-      val cm = spark.sessionState.catalogManager
-      cm.getClass.getDeclaredFields
+    // the map is an implementation detail, so probe by type). VERIFY the
+    // eviction afterwards: on a Spark version where the field probe
+    // misses, a re-attach of the same name would silently serve the OLD
+    // root — warn so the user knows to pick a fresh catalog name.
+    def registryMaps(cm: AnyRef): Seq[scala.collection.mutable.Map[String, _]] =
+      cm.getClass.getDeclaredFields.toSeq
         .filter(f => classOf[scala.collection.mutable.Map[_, _]]
           .isAssignableFrom(f.getType))
-        .foreach { f =>
+        .flatMap { f =>
           f.setAccessible(true)
           f.get(cm) match {
-            case m: scala.collection.mutable.Map[String @unchecked, _] =>
-              m.remove(name)
-            case _ => ()
+            case m: scala.collection.mutable.Map[String @unchecked, _] => Some(m)
+            case _ => None
           }
         }
-    } catch { case _: Throwable => () }
+    try {
+      val cm = spark.sessionState.catalogManager
+      registryMaps(cm).foreach(_.remove(name))
+      if (registryMaps(cm).exists(_.contains(name)))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"detach('$name'): could not evict the memoized catalog " +
+            "instance; re-attaching this name may serve the old root — " +
+            "use a fresh catalog name")
+    } catch { case scala.util.control.NonFatal(e) =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"detach('$name'): catalog-instance eviction failed " +
+          s"(${e.getClass.getSimpleName}); re-attaching this name may " +
+          "serve the old root — use a fresh catalog name")
+    }
   }
 
   /** Drop cached collection schemas for an attached catalog — the

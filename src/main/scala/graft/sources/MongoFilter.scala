@@ -123,7 +123,9 @@ object MongoFilter {
         // predicate: compare the column's Spark type mapped to Mongo's
         // name (plus the value's null-ness for "null")
         case DString(want) =>
-          val sparkType = TypeOf(c)
+          // TypeNameOf, not Spark's TypeOf: same value, but codegen-safe
+          // on unoptimized paths (TypeOf splices the name unquoted)
+          val sparkType = graft.functions.TypeNameOf(c)
           val mapped: Expression = CaseWhen(Seq(
             (IsNull(c), Literal("null")),
             (In(sparkType, Seq("tinyint", "smallint", "int").map(Literal(_))),

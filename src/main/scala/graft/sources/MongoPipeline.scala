@@ -441,10 +441,14 @@ object MongoPipeline {
             case _                => None
           }
           def gridOf(lo: Column, hi: Column): Column = fracStep match {
+            // the epsilon keeps an inclusive upper bound that lands ON the
+            // grid from being floored away when (hi−lo)/step is a hair
+            // under an integer (e.g. 0.3/0.1 → 2.9999…): repeated-addition
+            // semantics would reach it
             case Some(x) => explode(transform(
               sequence(lit(0L),
-                floor((hi.cast("double") - lo.cast("double")) / lit(x))
-                  .cast("bigint"), lit(1L)),
+                floor((hi.cast("double") - lo.cast("double")) / lit(x)
+                  + lit(1e-9)).cast("bigint"), lit(1L)),
               i => lo + i * lit(x)))
             case None => explode(sequence(lo, hi, stepExpr))
           }
@@ -684,8 +688,11 @@ object MongoPipeline {
       // Mongo's $out; returns the written frame for further chaining.
       case "$out" => spec match {
         case DString(path) =>
-          df.write.format("docstore").mode("overwrite").save(path)
-          df
+          // a user-visible frame boundary: never persist the hidden
+          // $vectorSearch score bookkeeping column into the target
+          val clean = stripVs(df)
+          clean.write.format("docstore").mode("overwrite").save(path)
+          clean
         case x => throw bad(s"$$out needs a path string, got $x")
       }
 
@@ -697,6 +704,9 @@ object MongoPipeline {
       // Scale: one semi/anti-join pass per side on the `on` keys, then a
       // single failure-atomic overwrite commit — no driver row loops.
       case "$merge" =>
+        // same frame boundary as $out: strip the hidden $vectorSearch
+        // score column before it can reach the persisted target
+        val src = stripVs(df)
         val m = spec match {
           case DString(path) => Map[String, DocValue]("into" -> DString(path))
           case d: DDoc       => d.fields.toMap
@@ -729,25 +739,25 @@ object MongoPipeline {
         val result =
           if (!targetDir.isDirectory || targetDir.listFiles() == null ||
               targetDir.listFiles().forall(f => f.getName.startsWith("."))) {
-            if (whenNotMatched == "fail" && !df.isEmpty)
+            if (whenNotMatched == "fail" && !src.isEmpty)
               throw bad("$merge whenNotMatched: fail — target is empty")
-            if (whenNotMatched == "insert") df else df.limit(0)
+            if (whenNotMatched == "insert") src else src.limit(0)
           } else {
-            val spark = df.sparkSession
+            val spark = src.sparkSession
             val tgt = spark.read.format("docstore").option("path", into).load()
-            val matchedSrc = df.join(tgt.select(on.map(col): _*), on, "left_semi")
+            val matchedSrc = src.join(tgt.select(on.map(col): _*), on, "left_semi")
             if (whenMatched == "fail" && !matchedSrc.isEmpty)
               throw bad("$merge whenMatched: fail — matching documents exist")
-            val unmatchedSrc = df.join(tgt.select(on.map(col): _*), on, "left_anti")
+            val unmatchedSrc = src.join(tgt.select(on.map(col): _*), on, "left_anti")
             if (whenNotMatched == "fail" && !unmatchedSrc.isEmpty)
               throw bad("$merge whenNotMatched: fail — unmatched documents exist")
-            val unmatchedTgt = tgt.join(df.select(on.map(col): _*), on, "left_anti")
+            val unmatchedTgt = tgt.join(src.select(on.map(col): _*), on, "left_anti")
             val matched = whenMatched match {
-              case "keepExisting" => tgt.join(df.select(on.map(col): _*), on, "left_semi")
+              case "keepExisting" => tgt.join(src.select(on.map(col): _*), on, "left_semi")
               case "replace"      => matchedSrc
               case "merge" => // source columns win; target-only columns survive
                 val tgtOnly = tgt.columns.filterNot(c =>
-                  df.columns.contains(c) || on.contains(c))
+                  src.columns.contains(c) || on.contains(c))
                 if (tgtOnly.isEmpty) matchedSrc
                 else matchedSrc.join(
                   tgt.select((on ++ tgtOnly).map(col): _*), on, "left_outer")
@@ -760,7 +770,7 @@ object MongoPipeline {
               .unionByName(inserted, allowMissingColumns = true)
           }
         result.write.format("docstore").mode("overwrite").save(into)
-        df
+        src
 
       // $bucketAuto: N equal-count buckets, _id = {min, max} per bucket.
       // ntile over the groupBy key is the exact-equal-counts semantics;
@@ -1567,9 +1577,13 @@ object MongoPipeline {
         }
       case other => throw bad(s"$$convert needs {input, to}, got $other")
     }
-    // comparison (expression context: always 2-arg)
-    case "$eq"  => { val (a, b) = arg2(op, operand, env); a === b }
-    case "$ne"  => { val (a, b) = arg2(op, operand, env); a =!= b }
+    // comparison (expression context: always 2-arg). Mongo's aggregation
+    // $eq/$ne compare in the BSON total order, where null EQUALS null and
+    // the result is always a boolean — Spark's ===/=!= would return NULL
+    // instead (dropping null-keyed rows from $match filters and $lookup
+    // join conditions), so both compile null-safe.
+    case "$eq"  => { val (a, b) = arg2(op, operand, env); a <=> b }
+    case "$ne"  => { val (a, b) = arg2(op, operand, env); !(a <=> b) }
     case "$gt"  => { val (a, b) = arg2(op, operand, env); a > b }
     case "$gte" => { val (a, b) = arg2(op, operand, env); a >= b }
     case "$lt"  => { val (a, b) = arg2(op, operand, env); a < b }
@@ -1758,13 +1772,15 @@ object MongoPipeline {
       case other => throw bad(s"$$unsetField needs {field, input}, got $other")
     }
     case "$isArray" =>
-      val t = toColumn(org.apache.spark.sql.catalyst.expressions.TypeOf(
-        toExpression(valueExpr(operand match {
-          // Mongo wraps the single argument in an array: {$isArray: ["$f"]}
-          case DArray(Seq(one)) => one
-          case v                => v
-        }, env))))
-      t.startsWith("array")
+      val v = valueExpr(operand match {
+        // Mongo wraps the single argument in an array: {$isArray: ["$f"]}
+        case DArray(Seq(one)) => one
+        case x                => x
+      }, env)
+      val t = toColumn(graft.functions.TypeNameOf(toExpression(v)))
+      // a NULL value is not an array in Mongo even when the COLUMN is
+      // array-typed — guard on the value like $type does
+      when(v.isNull, lit(false)).otherwise(t.startsWith("array"))
     case "$getField" => operand match {
       case DString(f) => col(f)
       case d: DDoc =>
@@ -1823,7 +1839,7 @@ object MongoPipeline {
     }
     // type introspection: Spark type names mapped to Mongo's $type names
     case "$type" =>
-      val t = toColumn(org.apache.spark.sql.catalyst.expressions.TypeOf(
+      val t = toColumn(graft.functions.TypeNameOf(
         toExpression(valueExpr(operand, env))))
       when(valueExpr(operand, env).isNull, "null")
         .when(t.isin("tinyint", "smallint", "int"), "int")
@@ -1840,7 +1856,7 @@ object MongoPipeline {
         .when(t === "binary", "binData")
         .otherwise(t)
     case "$isNumber" =>
-      val t = toColumn(org.apache.spark.sql.catalyst.expressions.TypeOf(
+      val t = toColumn(graft.functions.TypeNameOf(
         toExpression(valueExpr(operand, env))))
       valueExpr(operand, env).isNotNull &&
         (t.isin("tinyint", "smallint", "int", "bigint", "double", "float") ||

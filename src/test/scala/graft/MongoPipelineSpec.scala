@@ -453,6 +453,12 @@ class MongoPipelineSpec extends SparkSpec {
     assert(sf.getStruct(sf.fieldIndex("doc3")).schema.fieldNames.toSeq == Seq("a"))
     assert(sf.getStruct(sf.fieldIndex("doc4")).schema.fieldNames.toSeq == Seq("b"))
     assert(sf.getAs[Boolean]("arr_yes") && !sf.getAs[Boolean]("arr_no"))
+    // a NULL value in an array-typed column is NOT an array (Mongo
+    // introspects the value, not the static column type)
+    val nullArr = Graft.aggregate(
+      Seq(1L).toDF("a").select(when(col("a") < 0, array(col("a"))).as("xs")),
+      """[{"$addFields": {"na": {"$isArray": ["$xs"]}}}]""").head
+    assert(!nullArr.getAs[Boolean]("na"))
     // dotted names are LITERAL (Mongo's whole point for $setField/$unsetField)
     val dotted = Graft.aggregate(
       Seq(1L).toDF("a").select(struct(col("a")).as("doc")),
