@@ -348,32 +348,42 @@ object MongoPipeline {
           // reachable docs (p ≈ n²/2⁶⁵ per input row) would drop one from
           // the result — the standard birthday bound every hash-keyed
           // dedup in this engine shares.
-          val foreign = fdf.select(col(connectTo).as(keyCol),
+          // finite small maxDepth (the common $graphLookup shape: org
+          // charts, category trees) UNROLLS the hops into one lazy plan:
+          // zero driver actions in the loop, and the one plan reuses the
+          // foreign side's exchange across hops. Deep/unbounded
+          // traversals instead probe emptiness per hop so termination is
+          // the graph diameter — one count() per hop, each hop
+          // materialized once.
+          val unrolled = maxDepth <= 8
+          val cacheLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+          val foreignBase = fdf.select(col(connectTo).as(keyCol),
             col(connectFrom).as(nextCol),
             struct(fdf.columns.map(col): _*).as(docCol))
             .withColumn(hCol, xxhash64(to_json(col(docCol))))
-            .localCheckpoint()
+          val foreign =
+            if (unrolled) foreignBase.persist(cacheLevel)
+            else foreignBase.localCheckpoint()
           def hop(frontier: DataFrame, depth: Int): DataFrame =
             frontier.join(foreign, frontier(kCol) === foreign(keyCol))
               .select(col(rid), col(docCol), col(hCol), col(nextCol),
                 lit(depth).cast("long").as(dCol))
           // BFS: each hop is one join shuffle; visited dedup (per input row,
           // per foreign DOC) both handles cycles and gives min-depth
-          // semantics like Mongo. Iterations ≤ graph diameter (or maxDepth).
-          // Hop 0 needs no anti-join (nothing visited yet), and `visited`
-          // accumulates as a plain union of the per-hop CHECKPOINTED
-          // frames — no recompute risk and no re-checkpoint of the whole
-          // set every hop (each checkpoint is a driver-blocking job;
-          // trimming them halves the per-hop fixed cost on small graphs).
+          // semantics like Mongo. Iterations ≤ maxDepth (unrolled) or the
+          // graph diameter (probed). Hop 0 needs no anti-join (nothing
+          // visited yet). Every hop frame is persisted so each hop
+          // computes ONCE however many later hops anti-join against it;
+          // recompute on cache eviction is value-safe (deterministic
+          // inputs, and the dropDuplicates-kept row is value-deterministic:
+          // nextCol/dCol are functions of (doc, depth)).
           var frontier = left.select(col(rid), valueExpr(startWith).as(kCol))
-          // same (rid, doc) can arrive via several frontier keys in one
-          // hop; nextCol/dCol are functions of (doc, depth) so the
-          // dropDuplicates-kept row is value-deterministic
           var fresh = hop(frontier, 0)
-            .dropDuplicates(Seq(rid, hCol)).localCheckpoint()
+            .dropDuplicates(Seq(rid, hCol)).persist(cacheLevel)
+          var freshN = if (unrolled) 1L else fresh.count()
           var visited = fresh
           var depth = 0
-          while (depth < maxDepth && !fresh.isEmpty) {
+          while (depth < maxDepth && freshN > 0) {
             depth += 1
             frontier = fresh.select(col(rid), col(nextCol).as(kCol)).distinct()
             val hits = hop(frontier, depth)
@@ -381,7 +391,8 @@ object MongoPipeline {
               .join(visited.select(col(rid).as("__vr"), col(hCol).as("__vh")),
                 hits(rid) === col("__vr") && hits(hCol) === col("__vh"),
                 "left_anti")
-              .dropDuplicates(Seq(rid, hCol)).localCheckpoint()
+              .dropDuplicates(Seq(rid, hCol)).persist(cacheLevel)
+            if (!unrolled) freshN = fresh.count()
             visited = visited.unionByName(fresh) // empty tail union is free
           }
           val withDepth = depthField match {
