@@ -230,17 +230,39 @@ object Pipeline {
     * with more shards (hex prefix length k → 16^k shards, shard count
     * chosen so a shard fits an output file).
     */
-  def p06GlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+  /** The deal with the shard-prefix length as a real parameter: 16^k
+    * shards. Because the shard key is a PREFIX of the rank hash, the
+    * concatenated deal order (shard asc, pos asc) is the same sequence
+    * (h, doc_id) for every k — growing a cluster re-cuts the same deal
+    * into more files, it never reorders it (specced at k=1 vs k=2). */
+  def globalShuffle(spark: SparkSession, dir: String,
+      prefixLen: Int): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 8,
+      s"shard prefix length must be in [1, 8], got $prefixLen")
     val seeded = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         md5(concat(col("doc_id").cast(StringType), lit(":epoch7"))).as("h"))
-      .withColumn("shard", substring(col("h"), 1, 1))
+      .withColumn("shard", substring(col("h"), 1, prefixLen))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     seeded
       .withColumn("pos", row_number().over(w).cast(LongType))
       .select(col("doc_id"), col("shard"), col("pos"), col("h"))
       .orderBy(col("shard"), col("pos"))
   }
+
+  /** Shard-prefix length sized from the input: smallest k with
+    * 16^k shards of ≤ rowsPerShard rows (so a shard fits one output
+    * file / one task's sort). */
+  def shardPrefixLen(estimatedRows: Long,
+      rowsPerShard: Long = 4000000L): Int = {
+    require(rowsPerShard > 0)
+    val need = math.max(1L, (estimatedRows + rowsPerShard - 1) / rowsPerShard)
+    val k = (math.log(need.toDouble) / math.log(16.0)).ceil.toInt
+    math.min(8, math.max(1, k))
+  }
+
+  def p06GlobalShuffle(spark: SparkSession, dir: String): DataFrame =
+    globalShuffle(spark, dir, prefixLen = 1)
 
   val p06Sql: String =
     """SELECT doc_id, substr(h, 1, 1) AS shard,

@@ -66,12 +66,14 @@ class DocstoreSource extends TableProvider
   *   port omitted, DNS decides), tls / ssl (→ `?tls=`), tlscafile
   *   (→ `?tlsCAFile=`), tlsallowinvalidcertificates.
   *
-  * User/password must be percent-encoded into the URI userinfo exactly as
-  * the reference does. Secret values (password, tlscafile contents) must
-  * NEVER appear in `Table.name()`, plan `description()`, or error
-  * messages — redact to `***` anywhere an option map is printed. The
-  * JSONL file client ignores this group (no server in this environment)
-  * and rejects unknown options at attach time.
+  * Validation, URI assembly (userinfo percent-encoding exactly as the
+  * reference's `BuildMongoConnectionString`), and the redaction contract
+  * — secret values (password, tlscafile) NEVER appear in `Table.name()`,
+  * plan `description()`, error messages, or logs — are implemented and
+  * specced in [[DocstoreSecrets]]; adapters must print only its
+  * `describe`/`redactedConnectionString` forms. The JSONL file client
+  * ignores this group (no server in this environment) and rejects
+  * unknown options at attach time.
   */
 final case class DocstoreOptions(raw: Map[String, String]) {
   private val m = raw.map { case (k, v) => k.toLowerCase -> v }

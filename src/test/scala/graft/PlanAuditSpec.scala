@@ -164,6 +164,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("p06: the shard-prefix knob re-cuts the same deal order, never reorders") {
+    import org.apache.spark.sql.functions._
+    // shard = PREFIX of the rank hash ⇒ (shard, pos) order ≡ (h, doc_id)
+    // order for every k: scaling the shard count must not change what a
+    // training run reads, only where the file boundaries fall
+    val k1 = graft.operators.Pipeline.globalShuffle(spark, sfDir, 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val k2df = graft.operators.Pipeline.globalShuffle(spark, sfDir, 2)
+    val k2 = k2df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(k1 == k2, "deal order changed with shard-prefix length")
+    assert(k2df.select("shard").distinct().count() > 16) // 16^2 shard space
+    assert(graft.operators.Pipeline.shardPrefixLen(500) == 1)
+    assert(graft.operators.Pipeline.shardPrefixLen(100000000L, 1000000L) == 2)
+    assert(graft.operators.Pipeline.shardPrefixLen(Long.MaxValue, 1) == 8)
+  }
+
   test("p04/p05: stratum rank/cumsum are two-level ladders, never a source window") {
     // Window.partitionBy(source) lands a whole stratum (tens of TB at
     // corpus scale) on ONE task. Both must bucket first: windows may only
