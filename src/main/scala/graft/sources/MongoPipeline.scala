@@ -192,32 +192,7 @@ object MongoPipeline {
         case other    => throw bad(s"$$skip needs an integer, got $other")
       }
 
-      case "$unwind" =>
-        val (path, preserve) = spec match {
-          case DString(p) => (fieldPath(p), false)
-          case d: DDoc =>
-            val m = d.fields.toMap
-            val p = m.get("path") match {
-              case Some(DString(s)) => fieldPath(s)
-              case other => throw bad(s"$$unwind.path needs a string, got $other")
-            }
-            (p, m.get("preserveNullAndEmptyArrays") == Some(DBool(true)))
-          case other => throw bad(s"$$unwind needs a path, got $other")
-        }
-        // Mongo replaces the array field with each element in place.
-        // Dotted paths ("$a.b"): explode into a temp column first —
-        // withColumn on "a.b" would CREATE a top-level column literally
-        // named "a.b" — then write the element back into the parent
-        // struct so the nested field is replaced like Mongo does.
-        if (!path.contains('.'))
-          df.withColumn(path,
-            if (preserve) explode_outer(col(path)) else explode(col(path)))
-        else {
-          val tmp = freshName(df.columns, "__graft_unwind")
-          setPath(df.withColumn(tmp,
-              if (preserve) explode_outer(col(path)) else explode(col(path))),
-            path, col(tmp)).drop(tmp)
-        }
+      case "$unwind" => unwindStage(df, spec)
 
       case "$count" => spec match {
         case DString(name) => df.agg(count(lit(1)).as(name))
@@ -1081,6 +1056,35 @@ object MongoPipeline {
     transform(picked, x => x.getField("o"))
   }
 
+  /** `$unwind`: Mongo replaces the array field with each element in
+    * place. Dotted paths ("$a.b"): explode into a temp column first —
+    * withColumn on "a.b" would CREATE a top-level column literally named
+    * "a.b" — then write the element back into the parent struct so the
+    * nested field is replaced like Mongo does. Shared by the top-level
+    * stage and the correlated `$lookup.pipeline` suffix. */
+  private def unwindStage(df: DataFrame, spec: DocValue): DataFrame = {
+    val (path, preserve) = spec match {
+      case DString(p) => (fieldPath(p), false)
+      case d: DDoc =>
+        val m = d.fields.toMap
+        val p = m.get("path") match {
+          case Some(DString(s)) => fieldPath(s)
+          case other => throw bad(s"$$unwind.path needs a string, got $other")
+        }
+        (p, m.get("preserveNullAndEmptyArrays") == Some(DBool(true)))
+      case other => throw bad(s"$$unwind needs a path, got $other")
+    }
+    if (!path.contains('.'))
+      df.withColumn(path,
+        if (preserve) explode_outer(col(path)) else explode(col(path)))
+    else {
+      val tmp = freshName(df.columns, "__graft_unwind")
+      setPath(df.withColumn(tmp,
+          if (preserve) explode_outer(col(path)) else explode(col(path))),
+        path, col(tmp)).drop(tmp)
+    }
+  }
+
   private def accumulatorSortBy(op: String, d: DDoc): (Column, Boolean) =
     docField(op, d, "sortBy") match {
       case DDoc(Seq((f, DLong(dir)))) if dir == 1 || dir == -1 =>
@@ -1261,6 +1265,26 @@ object MongoPipeline {
         case ("$limit", _) :: Nil =>
           throw bad("$lookup.pipeline: $limit without a preceding $sort " +
             "is nondeterministic per row — add a $sort")
+        case ("$unwind", u) :: Nil => cur = unwindStage(cur, u)
+        case ("$group", gd: DDoc) :: Nil =>
+          // correlated $group groups WITHIN each left row's match set
+          // (one shuffle keyed by (row, _id) — bounded by matches, like
+          // the operator's semantics demand). The protected key columns
+          // are constant per row id, so they ride along as first();
+          // a preceding $sort's row-number is meaningless post-group.
+          val fs = gd.fields.toMap
+          val idSpec = fs.getOrElse("_id", throw bad("$group needs _id"))
+          val aggs = gd.fields.filter(_._1 != "_id").map { case (alias, aspec) =>
+            groupAccumulator(aspec, env).as(alias) }
+          orderCol.foreach(o => cur = cur.drop(o)); orderCol = None
+          val carried = (protect - rid).toSeq.sorted.map(c => first(col(c)).as(c))
+          val grouped = idSpec match {
+            case DNull => cur.groupBy(col(rid)) // per-row global aggregate
+            case v     => cur.groupBy(col(rid), valueExpr(v, env).as("_id"))
+          }
+          val allAggs = carried ++ aggs
+          cur = if (allAggs.isEmpty) grouped.agg(count(lit(1)).as("__n")).drop("__n")
+                else grouped.agg(allAggs.head, allAggs.tail: _*)
         case (op, _) :: _ =>
           throw bad(s"$$lookup.pipeline: unsupported correlated stage $op")
         case Nil => throw bad("empty stage")
@@ -1464,20 +1488,7 @@ object MongoPipeline {
     // distinguish the two).
     case "$regexFind" => operand match {
       case d: DDoc =>
-        val input = valueExpr(docField(op, d, "input"), env)
-        val raw = docField(op, d, "regex") match {
-          case DString(r) => r
-          case other => throw bad(s"$$regexFind.regex needs a literal string, got $other")
-        }
-        val rx = d.fields.toMap.get("options") match {
-          case Some(DString(o)) if o.nonEmpty =>
-            if (!o.forall("imsx".contains(_)))
-              throw bad(s"$$regexFind.options: unsupported flags '$o'")
-            s"(?$o)$raw"
-          case None | Some(DString("")) => raw
-          case Some(x) => throw bad(s"$$regexFind.options: $x")
-        }
-        val groups = countCaptureGroups(raw)
+        val (input, rx, groups) = regexOperand(op, d, env)
         val captures =
           if (groups == 0) array().cast("array<string>")
           else array((1 to groups).map(g => regexp_extract(input, rx, g)): _*)
@@ -1487,6 +1498,37 @@ object MongoPipeline {
           captures.as("captures")))
           .otherwise(lit(null))
       case other => throw bad(s"$$regexFind needs {input, regex}, got $other")
+    }
+    case "$regexFindAll" => operand match {
+      // every match as {match, idx, captures} — all codegen'd array ops:
+      // regexp_extract_all per group index gives match-aligned arrays;
+      // idx comes from a left-to-right aggregate() scan locating each
+      // matched text from the previous match's end (exact for the
+      // engine's sequential non-overlapping matching; an anchored
+      // pattern whose matched TEXT also appears unanchored earlier may
+      // report the earlier position). Null input → [] like Mongo.
+      case d: DDoc =>
+        val (input, rx, groups) = regexOperand(op, d, env)
+        val matches = regexp_extract_all(input, lit(rx), lit(0))
+        val idxs = org.apache.spark.sql.functions.aggregate(matches,
+          struct(lit(1).as("p"), array().cast("array<int>").as("r")),
+          (acc, m) => {
+            val pos = call_function("locate", m, input, acc.getField("p"))
+            struct((pos + length(m)).as("p"),
+              concat(acc.getField("r"), array((pos - 1).cast("int"))).as("r"))
+          },
+          acc => acc.getField("r"))
+        val groupArrs =
+          (1 to groups).map(g => regexp_extract_all(input, lit(rx), lit(g)))
+        val assembled = transform(matches, (m, i) => struct(
+          m.as("match"),
+          element_at(idxs, i + 1).as("idx"),
+          (if (groups == 0) array().cast("array<string>")
+           else array(groupArrs.map(ga => element_at(ga, i + 1)): _*))
+            .as("captures")))
+        coalesce(assembled, array().cast(
+          "array<struct<match:string,idx:int,captures:array<string>>>"))
+      case other => throw bad(s"$$regexFindAll needs {input, regex}, got $other")
     }
     // date
     case "$year"       => year(valueExpr(operand, env))
@@ -1792,6 +1834,23 @@ object MongoPipeline {
       // a NULL value is not an array in Mongo even when the COLUMN is
       // array-typed — guard on the value like $type does
       when(v.isNull, lit(false)).otherwise(t.startsWith("array"))
+    // document ↔ entry-list conversions. $objectToArray resolves against
+    // the input's Spark type (struct fields in order, or map entries);
+    // $arrayToObject produces a MAP — the fixed-schema analog of building
+    // a document whose keys are data — so the pair round-trips.
+    case "$objectToArray" =>
+      toColumn(graft.functions.ObjectToArrayExpr(toExpression(valueExpr(
+        operand match {
+          case DArray(Seq(one)) => one
+          case x                => x
+        }, env))))
+    case "$arrayToObject" =>
+      val a = valueExpr(operand match {
+        case DArray(Seq(one)) => one
+        case x                => x
+      }, env)
+      map_from_entries(transform(a,
+        e => struct(e.getField("k"), e.getField("v"))))
     case "$getField" => operand match {
       case DString(f) => col(f)
       case d: DDoc =>
@@ -1987,6 +2046,27 @@ object MongoPipeline {
     * not inside a character class, and not a `(?...)` construct — except
     * named groups `(?<name>...)`, which capture (lookbehinds `(?<=` /
     * `(?<!` do not). */
+  /** Shared `{input, regex, options}` parsing for $regexFind/$regexFindAll/
+    * $regexMatch-style operators: returns (input column, flag-prefixed
+    * pattern, capture-group count). */
+  private def regexOperand(op: String, d: DDoc,
+      env: Map[String, Column]): (Column, String, Int) = {
+    val input = valueExpr(docField(op, d, "input"), env)
+    val raw = docField(op, d, "regex") match {
+      case DString(r) => r
+      case other => throw bad(s"$op.regex needs a literal string, got $other")
+    }
+    val rx = d.fields.toMap.get("options") match {
+      case Some(DString(o)) if o.nonEmpty =>
+        if (!o.forall("imsx".contains(_)))
+          throw bad(s"$op.options: unsupported flags '$o'")
+        s"(?$o)$raw"
+      case None | Some(DString("")) => raw
+      case Some(x) => throw bad(s"$op.options: $x")
+    }
+    (input, rx, countCaptureGroups(raw))
+  }
+
   private def countCaptureGroups(p: String): Int = {
     var n = 0
     var i = 0

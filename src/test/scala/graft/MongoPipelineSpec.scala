@@ -348,6 +348,57 @@ class MongoPipelineSpec extends SparkSpec {
     assert(fields == Seq("oid", "sku", "price"), fields)
   }
 
+  test("$lookup pipeline: correlated $group and $unwind in the suffix") {
+    val left = Seq((1L, 6.0), (2L, 99.0), (3L, 1.0)).toDF("id", "cut")
+    val items = Seq((1L, "a", 5.0, Seq("p", "q")), (1L, "b", 9.0, Seq("r")),
+      (2L, "x", 7.0, Seq.empty[String])).toDF("oid", "sku", "price", "tags")
+    // $group after the correlated $match: per-left-row aggregation over
+    // the match set; docs in `as` are the grouped results
+    val grouped = Graft.aggregate(left, """[
+      {"$lookup": {"from": "items", "let": {"oid": "$id"},
+        "pipeline": [
+          {"$match": {"$expr": {"$eq": ["$oid", "$$oid"]}}},
+          {"$group": {"_id": null, "n": {"$sum": 1},
+                      "total": {"$sum": "$price"}}}],
+        "as": "stats"}},
+      {"$sort": {"id": 1}}
+    ]""", resolver = Map("items" -> items)).collect()
+    def stat(r: org.apache.spark.sql.Row): Seq[org.apache.spark.sql.Row] =
+      r.getSeq[org.apache.spark.sql.Row](2)
+    assert(stat(grouped(0)).map(s => (s.getLong(s.fieldIndex("n")),
+      s.getDouble(s.fieldIndex("total")))) == Seq((2L, 14.0)))
+    assert(stat(grouped(1)).map(_.getLong(0)) == Seq(1L))
+    assert(stat(grouped(2)).isEmpty) // no matches → empty array, not null
+    // grouping by an expression keys the per-row groups
+    val byKey = Graft.aggregate(left, """[
+      {"$lookup": {"from": "items", "let": {"oid": "$id"},
+        "pipeline": [
+          {"$match": {"$expr": {"$eq": ["$oid", "$$oid"]}}},
+          {"$group": {"_id": {"$cond": [{"$gte": ["$price", 6]},
+                                        "big", "small"]},
+                      "n": {"$sum": 1}}}],
+        "as": "sizes"}},
+      {"$sort": {"id": 1}}
+    ]""", resolver = Map("items" -> items)).collect()
+    val sizes = stat(byKey(0)).map(s =>
+      (s.getString(s.fieldIndex("_id")), s.getLong(s.fieldIndex("n")))).sorted
+    assert(sizes == Seq(("big", 1L), ("small", 1L)), sizes)
+    // $unwind inside the suffix: one doc per array element, empty arrays
+    // dropped (Mongo default); combines with a later $match
+    val unwound = Graft.aggregate(left, """[
+      {"$lookup": {"from": "items", "let": {"oid": "$id"},
+        "pipeline": [
+          {"$match": {"$expr": {"$eq": ["$oid", "$$oid"]}}},
+          {"$unwind": "$tags"},
+          {"$match": {"tags": {"$ne": "r"}}}],
+        "as": "tagged"}},
+      {"$sort": {"id": 1}}
+    ]""", resolver = Map("items" -> items)).collect()
+    assert(stat(unwound(0)).map(r => r.getString(r.fieldIndex("tags"))).sorted
+      == Seq("p", "q"))
+    assert(stat(unwound(1)).isEmpty) // x had no tags
+  }
+
   test("$merge upserts into a docstore collection") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
     // seed the target with ids 1-3
@@ -473,6 +524,41 @@ class MongoPipelineSpec extends SparkSpec {
       Seq(1).toDF("i").select(expr("cast(1.5 as decimal(10,2))").as("d")),
       """[{"$addFields": {"td": {"$type": "$d"}}}]""").head
     assert(dec.getAs[String]("td") == "decimal")
+    // $regexFindAll: every match with its position and captures
+    val rfa = Graft.aggregate(
+      Seq("a1 bb a2 a3", "none", null).toDF("s"),
+      """[{"$project": {"s": 1,
+           "ms": {"$regexFindAll": {"input": "$s", "regex": "a(\\d)"}}}}]""")
+      .orderBy(col("s").asc_nulls_first).collect()
+    assert(rfa(0).getSeq[org.apache.spark.sql.Row](1).isEmpty) // null → []
+    assert(rfa(2).getSeq[org.apache.spark.sql.Row](1).isEmpty) // "none"
+    val ms = rfa(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(ms.map(_.getString(0)) == Seq("a1", "a2", "a3"))
+    assert(ms.map(_.getInt(1)) == Seq(0, 6, 9)) // 0-based positions
+    assert(ms.map(_.getSeq[String](2)) == Seq(Seq("1"), Seq("2"), Seq("3")))
+    // case-insensitive flag + repeated identical matches keep distinct idx
+    val dup = Graft.aggregate(Seq("xAxax").toDF("s"),
+      """[{"$project": {"ms": {"$regexFindAll":
+           {"input": "$s", "regex": "a", "options": "i"}}}}]""").head
+    assert(dup.getSeq[org.apache.spark.sql.Row](0).map(_.getInt(1)) == Seq(1, 3))
+    // $objectToArray on a struct (field order, widened values) and its
+    // round-trip through $arrayToObject (a MAP — data-keyed documents)
+    val o2a = Graft.aggregate(
+      Seq((1L, 2.5)).toDF("a", "b").select(struct(col("a"), col("b")).as("doc")),
+      """[{"$project": {
+           "kv": {"$objectToArray": "$doc"},
+           "back": {"$arrayToObject": {"$objectToArray": "$doc"}}}}]""").head
+    val kv = o2a.getSeq[org.apache.spark.sql.Row](0)
+    assert(kv.map(r => (r.getString(0), r.getDouble(1))) ==
+      Seq(("a", 1.0), ("b", 2.5))) // long+double widen to double
+    assert(o2a.getMap[String, Double](1).toMap == Map("a" -> 1.0, "b" -> 2.5))
+    // $objectToArray on a MAP column is exact (entry order preserved)
+    val m2a = Graft.aggregate(
+      Seq(1).toDF("i").select(
+        map(lit("x"), lit(7L), lit("y"), lit(8L)).as("doc")),
+      """[{"$project": {"kv": {"$objectToArray": "$doc"}}}]""").head
+    assert(m2a.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1))) == Seq(("x", 7L), ("y", 8L)))
   }
 
   test("$$ROOT/$$CURRENT and $mergeObjects: whole-document expressions") {
