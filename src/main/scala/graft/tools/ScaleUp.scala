@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize a larger scale factor from an existing one for SCALING.md
+  * measurements: `runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor>`.
+  *
+  * Each replica i of the fact tables offsets every entity key by
+  * i·10⁷, so referential integrity holds (each replica is a
+  * self-contained shard of customers/orders/parts/suppliers, sharing
+  * the fixed nation/region dims) and key distributions are preserved —
+  * the same construction a TPC-H dbgen scale-up produces. Document
+  * texts get a per-replica word suffix: within-replica duplicate
+  * structure is preserved exactly while replicas stay textually
+  * disjoint, so a 10× corpus has 10× the LSH buckets at the SAME bucket
+  * sizes (a plain copy would instead multiply every duplicate cluster —
+  * a pathological, unrepresentative corpus). Embedding vectors get a
+  * per-replica deterministic rotation of the label/id space only.
+  */
+object ScaleUp {
+  private val Off = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, f) = args.take(3)
+    val factor = f.toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // events.ts is TIMESTAMP(NANOS) — read raw int64 (Tables converts at
+    // query time; the copy keeps the long, which Tables also accepts)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def tbl(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
+    def write(df: DataFrame, n: String): Unit =
+      df.coalesce(8).write.mode("overwrite").parquet(s"$dst/$n.parquet")
+
+    def replicate(df: DataFrame, keyCols: Seq[String],
+        saltText: Boolean = false): DataFrame =
+      (0 until factor).map { i =>
+        val shifted = keyCols.foldLeft(df)((acc, k) =>
+          acc.withColumn(k, col(k) + lit(i * Off)))
+        if (saltText && i > 0)
+          shifted.withColumn("text",
+            array_join(transform(split(col("text"), " "),
+              w => concat(w, lit(s"~$i"))), " "))
+        else shifted
+      }.reduce(_ unionByName _)
+
+    // fixed dims copied once
+    write(tbl("region"), "region")
+    write(tbl("nation"), "nation")
+    write(replicate(tbl("customer"), Seq("c_custkey")), "customer")
+    write(replicate(tbl("supplier"), Seq("s_suppkey")), "supplier")
+    write(replicate(tbl("part"), Seq("p_partkey")), "part")
+    write(replicate(tbl("orders"), Seq("o_orderkey", "o_custkey")), "orders")
+    write(replicate(tbl("lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(replicate(tbl("events"), Seq("event_id", "user_id")), "events")
+    write(replicate(tbl("documents"), Seq("doc_id"), saltText = true),
+      "documents")
+    write(replicate(tbl("embeddings"), Seq("vec_id")), "embeddings")
+    println(s"scaled $src x$factor -> $dst")
+    spark.stop()
+  }
+}
+
+/** Targeted per-key bench for scaling curves:
+  * `runMain graft.tools.MiniBench <sfDir> <key1,key2,...>` — Bench's
+  * methodology (warm pass, then per-query min over 3 interleaved
+  * rounds, construction + execution timed) restricted to the listed
+  * keys, one JSON line out.
+  */
+object MiniBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val keys = args(1).split(",").toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.Tables.all.foreach(n => graft.Tables(spark, sfDir, n).count())
+    graft.operators.DocstoreOps.ensureEventDocs(spark, sfDir)
+    keys.foreach(k =>
+      try graft.SparkEntry.queries(k)(spark, sfDir).count()
+      catch { case e: Throwable => println(s"WARM FAIL $k: $e") })
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    for (_ <- 1 to 3; k <- keys) {
+      val t0 = System.nanoTime()
+      try graft.SparkEntry.queries(k)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      samples(k) = (System.nanoTime() - t0) / 1e9 :: samples.getOrElse(k, Nil)
+    }
+    println(samples.map { case (k, v) => f""""$k":${v.min}%.3f""" }
+      .mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
