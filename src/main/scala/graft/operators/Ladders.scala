@@ -41,7 +41,10 @@ object Ladders {
     val wLocal = Window.partitionBy((col(bucket) +: part.map(col)): _*)
       .orderBy(order: _*)
     val local = df.withColumn(out, row_number().over(wLocal).cast(LongType))
-    val cells = df.groupBy((col(bucket) +: part.map(col)): _*)
+    // per-cell counts aggregate the RANKED frame, not the input: the
+    // window's (bucket, part) exchange already satisfies the grouping
+    // distribution, so this is one scan and one exchange total
+    val cells = local.groupBy((col(bucket) +: part.map(col)): _*)
       .agg(count(lit(1)).as("__v"))
     val offs = offsets(cells, part, bucket, totalOut)
     local.join(broadcast(offs), bucket +: part)
@@ -59,7 +62,8 @@ object Ladders {
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = df.withColumn(out, sum(value).over(wLocal))
-    val cells = df.groupBy((col(bucket) +: part.map(col)): _*)
+    // same single-scan trick as globalRank: aggregate the windowed frame
+    val cells = local.groupBy((col(bucket) +: part.map(col)): _*)
       .agg(sum(value).as("__v"))
     val offs = offsets(cells, part, bucket, None)
     local.join(broadcast(offs), bucket +: part)

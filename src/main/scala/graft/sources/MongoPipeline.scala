@@ -347,14 +347,21 @@ object MongoPipeline {
           // per foreign DOC) both handles cycles and gives min-depth
           // semantics like Mongo. Iterations ≤ maxDepth (unrolled) or the
           // graph diameter (probed). Hop 0 needs no anti-join (nothing
-          // visited yet). Every hop frame is persisted so each hop
-          // computes ONCE however many later hops anti-join against it;
-          // recompute on cache eviction is value-safe (deterministic
-          // inputs, and the dropDuplicates-kept row is value-deterministic:
-          // nextCol/dCol are functions of (doc, depth)).
+          // visited yet). Hop k's plan embeds every previous hop's plan
+          // (the anti-join against the growing visited union), so the
+          // analyzed tree grows 2^depth: the unrolled path (≤ 8 hops,
+          // bounded nesting) persists each hop — computed once inside the
+          // final job, no RDD boundary, zero driver actions — while the
+          // deep probed path flattens each hop to one LogicalRDD node
+          // with a LAZY localCheckpoint (the per-hop count materializes
+          // it; plans stay flat at any diameter). Recompute on cache
+          // eviction is value-safe: inputs are deterministic and the
+          // dropDuplicates-kept row is value-deterministic (nextCol/dCol
+          // are functions of (doc, depth)).
+          def pin(d: DataFrame): DataFrame =
+            if (unrolled) d.persist(cacheLevel) else d.localCheckpoint(false)
           var frontier = left.select(col(rid), valueExpr(startWith).as(kCol))
-          var fresh = hop(frontier, 0)
-            .dropDuplicates(Seq(rid, hCol)).persist(cacheLevel)
+          var fresh = pin(hop(frontier, 0).dropDuplicates(Seq(rid, hCol)))
           var freshN = if (unrolled) 1L else fresh.count()
           var visited = fresh
           var depth = 0
@@ -362,11 +369,11 @@ object MongoPipeline {
             depth += 1
             frontier = fresh.select(col(rid), col(nextCol).as(kCol)).distinct()
             val hits = hop(frontier, depth)
-            fresh = hits
+            fresh = pin(hits
               .join(visited.select(col(rid).as("__vr"), col(hCol).as("__vh")),
                 hits(rid) === col("__vr") && hits(hCol) === col("__vh"),
                 "left_anti")
-              .dropDuplicates(Seq(rid, hCol)).persist(cacheLevel)
+              .dropDuplicates(Seq(rid, hCol)))
             if (!unrolled) freshN = fresh.count()
             visited = visited.unionByName(fresh) // empty tail union is free
           }
