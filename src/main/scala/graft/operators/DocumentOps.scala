@@ -313,7 +313,73 @@ object DocumentOps {
       |SELECT * FROM (SELECT * FROM top_supp UNION ALL SELECT * FROM hi_cust)
       |ORDER BY kind, nk, bal DESC, name""".stripMargin
 
+  // ---------------------------------------------------------------- d18
+  /** `$objectToArray` / `$unwind` / compound-`_id` `$group`: pivot a
+    * document's fields into (k, v) entries and count value frequencies
+    * per attribute — the attribute-profiling pass every schema-drift
+    * monitor runs over a document collection. Values widen to string
+    * (the fixed-schema analog of BSON heterogeneity), matching DuckDB's
+    * VARCHAR casts in the oracle.
+    *
+    * Scale: map-only until the (k, v) count agg — one shuffle of partial
+    * counts over the attribute/value keyspace, orders of magnitude
+    * smaller than the input.
+    */
+  def d18ObjectEntries(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), struct(col("lang"), col("source"),
+        col("n_chars")).as("attrs"))
+    graft.Graft.aggregate(docs, """[
+      {"$project": {"doc_id": 1, "kv": {"$objectToArray": "$attrs"}}},
+      {"$unwind": "$kv"},
+      {"$group": {"_id": {"k": "$kv.k", "v": "$kv.v"}, "n": {"$sum": 1}}},
+      {"$project": {"_id": 0, "k": "$_id.k", "v": "$_id.v", "n": 1}},
+      {"$sort": {"k": 1, "v": 1}}
+    ]""")
+  }
+
+  val d18Sql: String =
+    """WITH kv AS (
+      |  SELECT 'lang' AS k, lang AS v FROM documents
+      |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+      |  UNION ALL SELECT 'source', source FROM documents)
+      |SELECT k, v, COUNT(*) AS n FROM kv GROUP BY k, v
+      |ORDER BY k, v""".stripMargin
+
+  // ---------------------------------------------------------------- d19
+  /** `$regexFindAll` over the corpus: every `ta…` word of each document
+    * with its match list — the extraction shape of PII scans and
+    * span-annotation passes. idx values are covered by unit specs (the
+    * oracle compares match lists and counts; DuckDB has no per-match
+    * position function).
+    *
+    * Scale: map-only regex work per row (codegen'd array ops), shuffle
+    * is only the presentation sort.
+    */
+  def d19RegexFindAll(spark: SparkSession, dir: String): DataFrame =
+    graft.Graft.aggregate(Tables(spark, dir, "documents"), """[
+      {"$project": {"doc_id": 1,
+        "ms": {"$regexFindAll": {"input": "$text", "regex": "ta\\w+"}}}},
+      {"$project": {"doc_id": 1,
+        "n": {"$toLong": {"$size": "$ms"}},
+        "words": {"$reduce": {"input": "$ms.match", "initialValue": "",
+          "in": {"$concat": ["$$value", {"$cond": [
+            {"$eq": ["$$value", ""]}, "", ","]}, "$$this"]}}}}},
+      {"$match": {"n": {"$gt": 0}}},
+      {"$sort": {"doc_id": 1}}
+    ]""")
+
+  val d19Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, 'ta\w+')) AS BIGINT) AS n,
+      |  array_to_string(regexp_extract_all(text, 'ta\w+'), ',') AS words
+      |FROM documents
+      |WHERE len(regexp_extract_all(text, 'ta\w+')) > 0
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_object_entries" -> (d18ObjectEntries _),
+    "d19_regex_findall" -> (d19RegexFindAll _),
     "d17_lookup_union" -> (d17LookupUnion _),
     "d01_json_extract" -> (d01JsonExtract _),
     "d16_window_stage" -> (d16WindowStage _),
@@ -323,6 +389,8 @@ object DocumentOps {
     "d14_densify_fill" -> (d14DensifyFill _))
 
   val oracle: Map[String, String] = Map(
+    "d18_object_entries" -> d18Sql,
+    "d19_regex_findall" -> d19Sql,
     "d17_lookup_union" -> d17Sql,
     "d01_json_extract" -> d01Sql,
     "d16_window_stage" -> d16Sql,
