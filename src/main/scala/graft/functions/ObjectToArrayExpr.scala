@@ -30,7 +30,10 @@ case class ObjectToArrayExpr(child: Expression)
           Literal("k"), Literal(f.name),
           Literal("v"), castTo(GetStructField(child, i, Some(f.name)), valueType)))
       }
-      CreateArray(entries.toIndexedSeq)
+      val arr = CreateArray(entries.toIndexedSeq)
+      // a NULL document is NULL, not a list of null-valued entries —
+      // matching Mongo and the map branch (MapEntries propagates null)
+      If(IsNull(child), Literal.create(null, arr.dataType), arr)
     case other => throw new IllegalArgumentException(
       s"$$objectToArray needs a document (struct or map), got ${other.catalogString}")
   }

@@ -47,7 +47,7 @@ object Ladders {
     val cells = local.groupBy((col(bucket) +: part.map(col)): _*)
       .agg(count(lit(1)).as("__v"))
     val offs = offsets(cells, part, bucket, totalOut)
-    local.join(broadcast(offs), bucket +: part)
+    joinBack(local, offs, part, bucket)
       .withColumn(out, col(out) + col("__off"))
       .drop("__off")
   }
@@ -66,9 +66,24 @@ object Ladders {
     val cells = local.groupBy((col(bucket) +: part.map(col)): _*)
       .agg(sum(value).as("__v"))
     val offs = offsets(cells, part, bucket, None)
-    local.join(broadcast(offs), bucket +: part)
+    joinBack(local, offs, part, bucket)
       .withColumn(out, col(out) + col("__off"))
       .drop("__off")
+  }
+
+  /** Broadcast the tiny offsets frame back onto the ranked rows.
+    * NULL-SAFE keys: a NULL stratum (or NULL order key → NULL bucket) is
+    * its own group under Window.partitionBy, so the ladder must join it
+    * back too — a plain equi-join would silently drop those rows and
+    * break the bit-identical-to-the-window-form guarantee. */
+  private def joinBack(local: DataFrame, offs: DataFrame,
+      part: Seq[String], bucket: String): DataFrame = {
+    val keys = bucket +: part
+    val r = offs.select(offs.columns.map(c =>
+      col(c).as(if (keys.contains(c)) "__r_" + c else c)): _*)
+    val cond = keys.map(k => col(k) <=> col("__r_" + k)).reduce(_ && _)
+    local.join(broadcast(r), cond)
+      .drop(keys.map("__r_" + _): _*)
   }
 
   /** Window-free exclusive prefix sum over the tiny per-cell frame:
@@ -81,14 +96,21 @@ object Ladders {
       totalOut: Option[String]): DataFrame = {
     val rhs = cells.select(
       (part :+ bucket :+ "__v").map(c => col(c).as("__r_" + c)): _*)
-    val cond = part.map(c => col(c) === col("__r_" + c)).reduce(_ && _) &&
-      col("__r_" + bucket) < col(bucket)
+    // null-safe stratum equality, and "earlier bucket" under Spark's
+    // NULLS FIRST sort order (a NULL bucket ranks before every non-null
+    // one, and contributes to their offsets)
+    val cond = part.map(c => col(c) <=> col("__r_" + c)).reduce(_ && _) &&
+      (col("__r_" + bucket) < col(bucket) ||
+        (col("__r_" + bucket).isNull && col(bucket).isNotNull))
     val off = cells.join(rhs, cond, "left")
       .groupBy((col(bucket) +: part.map(col)): _*)
       .agg(coalesce(sum(col("__r_" + "__v")), lit(0L)).as("__off"))
     totalOut.fold(off) { name =>
       val tot = cells.groupBy(part.map(col): _*).agg(sum(col("__v")).as(name))
-      off.join(tot, part)
+      val r = tot.select(tot.columns.map(c =>
+        col(c).as(if (part.contains(c)) "__t_" + c else c)): _*)
+      off.join(r, part.map(k => col(k) <=> col("__t_" + k)).reduce(_ && _))
+        .drop(part.map("__t_" + _): _*)
     }
   }
 }

@@ -38,8 +38,13 @@ object Similarity {
     */
   private def topKPerQuery(scored: DataFrame, k: Int,
       payload: Seq[String]): DataFrame = {
+    // BOTH stages order by the NEGATED score ascending, so their rank
+    // orders agree everywhere — including NaN (sorts greatest → last →
+    // excluded from the top-k, the right answer for an undefined cosine;
+    // ordering stage 1 by cos.desc instead would rank NaN FIRST there
+    // and last in stage 2)
     val wLocal = Window.partitionBy(col("__b"), col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
+      .orderBy((col("cos") * -1).asc, col("vec_id"))
     val candidates = scored
       .withColumn("__b", pmod(xxhash64(col("vec_id")), lit(64L)))
       .withColumn("__r", row_number().over(wLocal))

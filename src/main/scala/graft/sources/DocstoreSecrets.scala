@@ -101,7 +101,14 @@ object DocstoreSecrets {
         }
       }
     }
-    if (params.nonEmpty) sb ++= "?" + params.mkString("&")
+    // deliberate divergence from the reference builder, which emits
+    // "host:port?opts": the MongoDB URI spec requires a '/' between the
+    // host list and any options, and conformant drivers (mongoc,
+    // pymongo) reject the slashless form
+    if (params.nonEmpty) {
+      if (database.isEmpty) sb ++= "/"
+      sb ++= "?" + params.mkString("&")
+    }
     sb.result()
   }
 
@@ -131,8 +138,14 @@ object DocstoreSecrets {
       .map { case (k, v) => s"$k=$v" }.mkString(";")
 
   /** Display form of the connection string: assembled with secret
-    * values already redacted, so no secret bytes ever enter it. */
+    * values already redacted — including secret-named query parameters
+    * smuggled in through `attachPath` — so no secret bytes ever enter
+    * it. */
   def redactedConnectionString(options: Map[String, String],
-      attachPath: String = ""): String =
-    connectionString(redacted(norm(options)), attachPath)
+      attachPath: String = ""): String = {
+    val secretParam = "(?i)(password|secret|token|tlscafile)=[^&]*".r
+    val cleanPath = secretParam.replaceAllIn(attachPath, m =>
+      m.group(1) + "=redacted")
+    connectionString(redacted(norm(options)), cleanPath)
+  }
 }

@@ -331,14 +331,19 @@ object MongoPipeline {
           // the graph diameter — one count() per hop, each hop
           // materialized once.
           val unrolled = maxDepth <= 8
-          val cacheLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-          val foreignBase = fdf.select(col(connectTo).as(keyCol),
+          // localCheckpoint, never persist: a persist() registers the
+          // plan in the session CacheManager, where a LATER query whose
+          // plan matches (e.g. the same $graphLookup re-run after $out
+          // rewrote the collection) silently gets the stale cached data.
+          // Checkpoint RDDs are scoped to this pipeline's plan and
+          // GC-released. Eager for the probed path (materialize once
+          // before the per-hop counts), lazy for the unrolled path (no
+          // driver action; materializes inside the final job).
+          val foreign = fdf.select(col(connectTo).as(keyCol),
             col(connectFrom).as(nextCol),
             struct(fdf.columns.map(col): _*).as(docCol))
             .withColumn(hCol, xxhash64(to_json(col(docCol))))
-          val foreign =
-            if (unrolled) foreignBase.persist(cacheLevel)
-            else foreignBase.localCheckpoint()
+            .localCheckpoint(!unrolled)
           def hop(frontier: DataFrame, depth: Int): DataFrame =
             frontier.join(foreign, frontier(kCol) === foreign(keyCol))
               .select(col(rid), col(docCol), col(hCol), col(nextCol),
@@ -347,19 +352,14 @@ object MongoPipeline {
           // per foreign DOC) both handles cycles and gives min-depth
           // semantics like Mongo. Iterations ≤ maxDepth (unrolled) or the
           // graph diameter (probed). Hop 0 needs no anti-join (nothing
-          // visited yet). Hop k's plan embeds every previous hop's plan
-          // (the anti-join against the growing visited union), so the
-          // analyzed tree grows 2^depth: the unrolled path (≤ 8 hops,
-          // bounded nesting) persists each hop — computed once inside the
-          // final job, no RDD boundary, zero driver actions — while the
-          // deep probed path flattens each hop to one LogicalRDD node
-          // with a LAZY localCheckpoint (the per-hop count materializes
-          // it; plans stay flat at any diameter). Recompute on cache
-          // eviction is value-safe: inputs are deterministic and the
-          // dropDuplicates-kept row is value-deterministic (nextCol/dCol
-          // are functions of (doc, depth)).
-          def pin(d: DataFrame): DataFrame =
-            if (unrolled) d.persist(cacheLevel) else d.localCheckpoint(false)
+          // visited yet). Every hop frame is LAZILY localCheckpoint'ed:
+          // the flat LogicalRDD node keeps hop k's plan from embedding
+          // every previous hop's (the analyzed tree otherwise grows
+          // 2^depth), adds no driver action, computes each hop once
+          // inside the final job — and avoids persist()'s CacheManager
+          // registration (stale-plan-match hazard above). The probed
+          // path's per-hop count materializes it eagerly anyway.
+          def pin(d: DataFrame): DataFrame = d.localCheckpoint(false)
           var frontier = left.select(col(rid), valueExpr(startWith).as(kCol))
           var fresh = pin(hop(frontier, 0).dropDuplicates(Seq(rid, hCol)))
           var freshN = if (unrolled) 1L else fresh.count()
@@ -1286,7 +1286,10 @@ object MongoPipeline {
           orderCol.foreach(o => cur = cur.drop(o)); orderCol = None
           val carried = (protect - rid).toSeq.sorted.map(c => first(col(c)).as(c))
           val grouped = idSpec match {
-            case DNull => cur.groupBy(col(rid)) // per-row global aggregate
+            // per-row global aggregate; like the top-level $group, the
+            // engine OMITS the _id field for _id: null (Mongo emits
+            // _id: null — an untyped null has no parquet-writable type)
+            case DNull => cur.groupBy(col(rid))
             case v     => cur.groupBy(col(rid), valueExpr(v, env).as("_id"))
           }
           val allAggs = carried ++ aggs
@@ -1514,6 +1517,8 @@ object MongoPipeline {
       // engine's sequential non-overlapping matching; an anchored
       // pattern whose matched TEXT also appears unanchored earlier may
       // report the earlier position). Null input → [] like Mongo.
+      // Divergence: a NON-PARTICIPATING optional group captures "" here
+      // (Spark's regexp_extract_all), where Mongo captures null.
       case d: DDoc =>
         val (input, rx, groups) = regexOperand(op, d, env)
         val matches = regexp_extract_all(input, lit(rx), lit(0))
@@ -1852,11 +1857,19 @@ object MongoPipeline {
           case x                => x
         }, env))))
     case "$arrayToObject" =>
+      // {k, v} entry-doc form only (the shape $objectToArray emits; the
+      // [[k, v]] pair-array form is not supported). Mongo keeps the LAST
+      // value for a duplicated key — map_from_entries would throw — so
+      // entries with a later same-k entry are filtered out first
+      // (O(n²) per row over a bounded entry list).
       val a = valueExpr(operand match {
         case DArray(Seq(one)) => one
         case x                => x
       }, env)
-      map_from_entries(transform(a,
+      val lastWins = filter(a, (e, i) =>
+        size(filter(slice(a, i + 2, greatest(size(a) - i - 1, lit(0))),
+          later => later.getField("k") === e.getField("k"))) === 0)
+      map_from_entries(transform(lastWins,
         e => struct(e.getField("k"), e.getField("v"))))
     case "$getField" => operand match {
       case DString(f) => col(f)

@@ -93,12 +93,19 @@ object MiniBench {
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     for (_ <- 1 to 3; k <- keys) {
       val t0 = System.nanoTime()
-      try graft.SparkEntry.queries(k)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      samples(k) = (System.nanoTime() - t0) / 1e9 :: samples.getOrElse(k, Nil)
+      // a failed round contributes NO sample — a swallowed failure's
+      // elapsed time would otherwise publish as a bogus fast min
+      try {
+        graft.SparkEntry.queries(k)(spark, sfDir).count()
+        samples(k) = (System.nanoTime() - t0) / 1e9 :: samples.getOrElse(k, Nil)
+      } catch { case e: Throwable =>
+        println(s"ROUND FAIL $k: ${e.getClass.getSimpleName}")
+        samples.getOrElseUpdate(k, Nil)
+      }
     }
-    println(samples.map { case (k, v) => f""""$k":${v.min}%.3f""" }
-      .mkString("{", ",", "}"))
+    println(samples.map { case (k, v) =>
+      if (v.isEmpty) s""""$k":"FAILED""""
+      else f""""$k":${v.min}%.3f""" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -134,16 +134,21 @@ class GraftApiSpec extends AnyFunSuite {
     // SRV: no port, retryWrites/w=majority appended
     assert(connectionString(Map("host" -> "c.mongodb.net", "srv" -> "true",
       "username" -> "u", "password" -> "p")) ==
-      "mongodb+srv://u:p@c.mongodb.net?retryWrites=true&w=majority")
+      "mongodb+srv://u:p@c.mongodb.net/?retryWrites=true&w=majority")
     // ssl fallback when tls absent; CA file + allow-invalid flags
     assert(connectionString(Map("host" -> "h", "ssl" -> "1",
       "tlscafile" -> "/ca.pem", "tlsallowinvalidcertificates" -> "yes")) ==
-      "mongodb://h:27017?tls=true&tlsCAFile=/ca.pem&tlsAllowInvalidCertificates=true")
+      "mongodb://h:27017/?tls=true&tlsCAFile=/ca.pem&tlsAllowInvalidCertificates=true")
     // attach-path merge: URI query params and key=value forms
     assert(connectionString(Map("host" -> "h"), "mongodb://x/?a=1&b=2") ==
-      "mongodb://h:27017?a=1&b=2")
+      "mongodb://h:27017/?a=1&b=2")
     assert(connectionString(Map("host" -> "h"), "A=1 b=2") ==
-      "mongodb://h:27017?a=1&b=2")
+      "mongodb://h:27017/?a=1&b=2")
+    // attachPath-smuggled secret-named params are redacted in the
+    // display form (and only there)
+    assert(redactedConnectionString(Map("host" -> "h"),
+      "mongodb://x/?proxyPassword=hunter2&a=1") ==
+      "mongodb://h:27017/?proxyPassword=redacted&a=1")
   }
 
   test("secrets: redaction contract — attach errors, describe, explain") {

@@ -559,6 +559,18 @@ class MongoPipelineSpec extends SparkSpec {
       """[{"$project": {"kv": {"$objectToArray": "$doc"}}}]""").head
     assert(m2a.getSeq[org.apache.spark.sql.Row](0)
       .map(r => (r.getString(0), r.getLong(1))) == Seq(("x", 7L), ("y", 8L)))
+    // a NULL document → NULL, never a list of null-valued entries
+    val nullDoc = Graft.aggregate(
+      Seq(1L).toDF("a")
+        .select(when(col("a") < 0, struct(col("a"))).as("doc")),
+      """[{"$project": {"kv": {"$objectToArray": "$doc"}}}]""").head
+    assert(nullDoc.isNullAt(0))
+    // $arrayToObject keeps the LAST value of a duplicated key (Mongo
+    // semantics; a plain map_from_entries would throw)
+    val lastWins = Graft.aggregate(Seq(1).toDF("i"),
+      """[{"$project": {"m": {"$arrayToObject": [
+           {"k": "a", "v": 1}, {"k": "b", "v": 2}, {"k": "a", "v": 3}]}}}]""").head
+    assert(lastWins.getMap[String, Long](0).toMap == Map("a" -> 3L, "b" -> 2L))
   }
 
   test("$$ROOT/$$CURRENT and $mergeObjects: whole-document expressions") {

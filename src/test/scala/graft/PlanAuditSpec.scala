@@ -192,6 +192,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ladders: NULL stratum/bucket keys rank exactly like the window form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // rows with a NULL stratum or NULL order key (→ NULL bucket) form
+    // their own groups under Window.partitionBy — the ladder's joins
+    // must be null-safe or those rows silently vanish
+    val df = spark.createDataFrame(Seq(
+      (1L, "a"), (2L, "a"), (3L, null), (4L, null), (5L, "b"))
+      .map { case (id, s) => (id, Option(s)) }).toDF("id", "src")
+      .withColumn("__b", when(col("id") === 5L, lit(null))
+        .otherwise((col("id") % 2).cast("string")))
+    val ladder = graft.operators.Ladders.globalRank(df, Seq("src"), "__b",
+      Seq(col("__b"), col("id")), "rn", Some("n"))
+      .select(col("id"), col("rn"), col("n"))
+    val w = Window.partitionBy(col("src")).orderBy(col("__b"), col("id"))
+    val windowed = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("src"))))
+      .select(col("id"), col("rn"), col("n"))
+    assert(ladder.orderBy("id").collect().toSeq ==
+      windowed.orderBy("id").collect().toSeq)
+  }
+
   test("s01/s02: per-query top-k is local-topk + tiny merge, never a corpus window") {
     // Window.partitionBy(q_id) over the scored frame sorts all N scored
     // rows of a query in ONE task. Windows may only partition on the
