@@ -22,7 +22,7 @@ import org.apache.spark.sql.graftshim.toColumn
   * Pushdown", plus Mongo's array operators): implicit equality,
   * `$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $mod $not $and
   * $or $nor $type` (Spark→Mongo type-name mapping incl. the `number`
-  * alias), bitwise `$bitsAllSet $bitsAnySet $bitsAllClear
+  * alias), `$sampleRate` (seeded), bitwise `$bitsAllSet $bitsAnySet $bitsAllClear
   * $bitsAnyClear` (mask or bit-position-array forms), `$expr` (the full
   * aggregation expression language), array `$size $all $elemMatch`
   * (scalar-ops and document forms — compiled to Catalyst higher-order
@@ -54,6 +54,17 @@ object MongoFilter {
     // the expression is sargable)
     case "$expr" =>
       org.apache.spark.sql.graftshim.toExpression(MongoPipeline.valueExpr(v))
+    // {$match: {$sampleRate: x}} — probabilistic row sampling. SEEDED
+    // (deterministic per partition/position, unlike Mongo's true random)
+    // so re-runs reproduce; for content-stable sampling across engines
+    // use the hash-threshold idiom (p02) instead.
+    case "$sampleRate" => v match {
+      case DDouble(x) if x >= 0.0 && x <= 1.0 =>
+        LessThan(Rand(Literal(42L)), Literal(x))
+      case DLong(0) => Literal.FalseLiteral
+      case DLong(1) => Literal.TrueLiteral
+      case other => throw bad(s"$$sampleRate needs a number in [0,1], got $other")
+    }
     case "$and" => subDocs(key, v).map(compileDoc).reduce(And)
     case "$or"  => subDocs(key, v).map(compileDoc).reduce(Or)
     case "$nor" => Not(subDocs(key, v).map(compileDoc).reduce(Or))

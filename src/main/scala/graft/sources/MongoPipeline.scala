@@ -980,6 +980,12 @@ object MongoPipeline {
       }
       case "$stdDevPop"  => stddev_pop(valueExpr(operand))
       case "$stdDevSamp" => stddev_samp(valueExpr(operand))
+      case "$covariancePop" | "$covarianceSamp" => operand match {
+        case DArray(Seq(x, y)) =>
+          if (op == "$covariancePop") covar_pop(valueExpr(x), valueExpr(y))
+          else covar_samp(valueExpr(x), valueExpr(y))
+        case other => throw bad(s"$op needs [x, y], got $other")
+      }
       case "$median" => operand match { // Mongo 7.0 form {input, method}
         case d: DDoc => median(valueExpr(docField(op, d, "input")))
         case v       => median(valueExpr(v))
@@ -1481,6 +1487,18 @@ object MongoPipeline {
           valueExpr(docField(op, d, "replacement"), env))
       case other => throw bad(s"$$replaceAll needs {input,find,replacement}, got $other")
     }
+    case "$replaceOne" => operand match { // first occurrence only
+      case d: DDoc =>
+        val in = valueExpr(docField(op, d, "input"), env)
+        val find = valueExpr(docField(op, d, "find"), env)
+        val repl = valueExpr(docField(op, d, "replacement"), env)
+        val pos = call_function("locate", find, in)
+        // overlay splices the replacement over the found span; pos = 0
+        // (not found) keeps the input unchanged, like Mongo
+        when(pos === 0, in)
+          .otherwise(overlay(in, repl, pos, length(find)))
+      case other => throw bad(s"$$replaceOne needs {input,find,replacement}, got $other")
+    }
     case "$regexMatch" => operand match {
       case d: DDoc =>
         val rx = docField(op, d, "regex") match {
@@ -1618,6 +1636,7 @@ object MongoPipeline {
     }
     // type conversion
     case "$toInt" | "$toLong" => valueExpr(operand, env).cast("bigint")
+    case "$toDecimal" => valueExpr(operand, env).cast("decimal(38,9)")
     case "$toDouble"  => valueExpr(operand, env).cast("double")
     case "$toString"  => valueExpr(operand, env).cast("string")
     case "$toBool"    => valueExpr(operand, env).cast("boolean")

@@ -571,6 +571,33 @@ class MongoPipelineSpec extends SparkSpec {
       """[{"$project": {"m": {"$arrayToObject": [
            {"k": "a", "v": 1}, {"k": "b", "v": 2}, {"k": "a", "v": 3}]}}}]""").head
     assert(lastWins.getMap[String, Long](0).toMap == Map("a" -> 3L, "b" -> 2L))
+    // $replaceOne replaces only the FIRST occurrence; not-found and
+    // $toDecimal exactness
+    val rep = Graft.aggregate(Seq(("aXbXc", "1.10")).toDF("s", "d"),
+      """[{"$project": {
+           "one": {"$replaceOne": {"input": "$s", "find": "X",
+                                   "replacement": "-"}},
+           "none": {"$replaceOne": {"input": "$s", "find": "Z",
+                                    "replacement": "-"}},
+           "dec": {"$toDecimal": "$d"}}}]""").head
+    assert(rep.getString(0) == "a-bXc")
+    assert(rep.getString(1) == "aXbXc")
+    assert(rep.getDecimal(2).compareTo(new java.math.BigDecimal("1.10")) == 0)
+    // $covariancePop/$covarianceSamp as group accumulators
+    val cov = Graft.aggregate(
+      Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y"),
+      """[{"$group": {"_id": null,
+           "cp": {"$covariancePop": ["$x", "$y"]},
+           "cs": {"$covarianceSamp": ["$x", "$y"]}}}]""").head
+    assert(math.abs(cov.getDouble(cov.fieldIndex("cp")) - 4.0 / 3) < 1e-9)
+    assert(math.abs(cov.getDouble(cov.fieldIndex("cs")) - 2.0) < 1e-9)
+    // $sampleRate: boundary rates are exact; a middle rate stays within
+    // a loose band (seeded, so the draw is stable across runs)
+    val base = spark.range(2000).toDF("id")
+    assert(base.filter(Graft.mongoFilter("""{"$sampleRate": 1}""")).count() == 2000)
+    assert(base.filter(Graft.mongoFilter("""{"$sampleRate": 0}""")).count() == 0)
+    val third = base.filter(Graft.mongoFilter("""{"$sampleRate": 0.33}""")).count()
+    assert(third > 400 && third < 950, s"sampleRate 0.33 kept $third of 2000")
   }
 
   test("$$ROOT/$$CURRENT and $mergeObjects: whole-document expressions") {
