@@ -18,7 +18,11 @@ import scala.jdk.CollectionConverters._
   * catalog, SQL resolution, pushdown plumbing — stays unchanged.
   *
   * Implementations: [[FileDocstoreClient]] (JSONL directories; this
-  * environment has no Mongo server). A wire adapter would:
+  * environment has no Mongo server). A wire adapter validates its
+  * option schema and assembles its connection URI with
+  * [[DocstoreSecrets]] — and must honor its redaction contract: only
+  * `describe`/`redactedConnectionString` forms may reach errors or
+  * logs. A wire adapter would:
   *   - `ping()` → driver handshake (fail ATTACH fast on a bad URI);
   *   - `listNamespaces` → `listDatabases`;
   *   - `listCollections` → `listCollections`;
