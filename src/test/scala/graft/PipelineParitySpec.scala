@@ -118,4 +118,36 @@ class PipelineParitySpec extends SparkSpec {
       samePlanOutput(s"case $i: threshold $t", piped, native)
     }
   }
+
+  test("expression chains ($addFields $map/$range → $unwind → $project → $match) match native (20 cases)") {
+    // the higher-order-function + explode + computed-projection
+    // composition path, with nulls flowing through the lambda
+    for (i <- 1 to 20) {
+      val k = 1 + rnd.nextInt(4)
+      val t = rnd.nextInt(300)
+      val opIdx = rnd.nextInt(3)
+      val (jsonOp, nativeOp): (String, (Column, Column) => Column) = opIdx match {
+        case 0 => ("$add", _ + _)
+        case 1 => ("$subtract", _ - _)
+        case _ => ("$multiply", _ * _)
+      }
+      val piped = Graft.aggregate(ev, s"""[
+        {"$$addFields": {"arr": {"$$map": {
+          "input": {"$$range": [0, $k]}, "as": "j",
+          "in": {"$jsonOp": ["$$$$j", {"$$ifNull": ["$$value", 0]}]}}}}},
+        {"$$unwind": "$$arr"},
+        {"$$project": {"event_id": 1, "user_id": 1,
+                       "v2": {"$$multiply": ["$$arr", 2]}}},
+        {"$$match": {"v2": {"$$gte": $t}}}
+      ]""")
+      val native = ev
+        .withColumn("arr", transform(
+          sequence(lit(0L), lit((k - 1).toLong), lit(1L)),
+          j => nativeOp(j, coalesce(col("value"), lit(0L)))))
+        .withColumn("arr", explode(col("arr")))
+        .select(col("event_id"), col("user_id"), (col("arr") * 2).as("v2"))
+        .filter(col("v2") >= t)
+      samePlanOutput(s"case $i: k=$k op=$jsonOp t=$t", piped, native)
+    }
+  }
 }
