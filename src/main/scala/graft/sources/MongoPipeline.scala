@@ -626,6 +626,95 @@ object MongoPipeline {
         case x => throw bad(s"$$sample needs {size: n}, got $x")
       }
 
+      // $documents: inline literal documents as the pipeline SOURCE —
+      // Mongo's db-level testing/lookup idiom. Replaces the input frame
+      // (documents must share one shape; fields union via struct type
+      // coercion is NOT applied — same-schema docs only).
+      case "$documents" => spec match {
+        case DArray(docs) if docs.nonEmpty && docs.forall(_.isInstanceOf[DDoc]) =>
+          df.sparkSession.range(1)
+            .select(explode(array(docs.map(d =>
+              valueExpr(d, rootEnv)): _*)).as("__doc"))
+            .select(col("__doc.*"))
+        case x => throw bad(s"$$documents needs a non-empty array of documents, got $x")
+      }
+
+      // $geoNear: spherical proximity search — every doc gains its
+      // haversine distance (meters, IUGG mean Earth radius 6371008.8 m;
+      // Mongo computes on the WGS84 sphere, so small-distance values
+      // agree to ~0.3%) from `near`, filtered by the optional MQL
+      // `query` and min/maxDistance, sorted nearest-first. `key` is
+      // REQUIRED (no 2dsphere index to infer from) and names a field
+      // holding [lng, lat] (array) or a GeoJSON {coordinates: [lng,
+      // lat]} doc. Scale: pure map-side codegen'd trigonometry + the
+      // presentation sort; combine with $limit for a TakeOrdered TopN.
+      case "$geoNear" => spec match {
+        case d: DDoc =>
+          val m = d.fields.toMap
+          def lngLat(v: DocValue): (Column, Column) = v match {
+            case DArray(Seq(lng, lat)) =>
+              (valueExpr(lng, rootEnv), valueExpr(lat, rootEnv))
+            case g: DDoc => g.fields.toMap.get("coordinates") match {
+              case Some(DArray(Seq(lng, lat))) =>
+                (valueExpr(lng, rootEnv), valueExpr(lat, rootEnv))
+              case _ => throw bad(s"$$geoNear.near GeoJSON needs coordinates [lng, lat]")
+            }
+            case x => throw bad(s"$$geoNear.near needs [lng, lat] or GeoJSON, got $x")
+          }
+          val (nearLng, nearLat) = lngLat(m.getOrElse("near",
+            throw bad("$geoNear needs near")))
+          val keyField = m.get("key") match {
+            case Some(DString(k)) => k
+            case _ => throw bad("$geoNear needs key (no index to infer the location field from)")
+          }
+          val distField = m.get("distanceField") match {
+            case Some(DString(f)) => f
+            case _                => throw bad("$geoNear needs distanceField")
+          }
+          val loc = col(fieldPath("$" + keyField))
+          // [lng, lat] array or GeoJSON struct field
+          val (lng, lat) = df.schema(keyField).dataType match {
+            case _: org.apache.spark.sql.types.StructType =>
+              (element_at(loc.getField("coordinates"), 1),
+                element_at(loc.getField("coordinates"), 2))
+            case _ => (element_at(loc, 1), element_at(loc, 2))
+          }
+          val R = 6371008.8
+          val (phi1, phi2) = (radians(nearLat), radians(lat))
+          val dPhi = radians(lat - nearLat)
+          val dLam = radians(lng - nearLng)
+          val h = pow(sin(dPhi / 2), 2) +
+            cos(phi1) * cos(phi2) * pow(sin(dLam / 2), 2)
+          val mult = m.get("distanceMultiplier") match {
+            case Some(DDouble(x)) => x
+            case Some(DLong(x))   => x.toDouble
+            case None             => 1.0
+            case Some(x) => throw bad(s"$$geoNear.distanceMultiplier: $x")
+          }
+          val dist = lit(2 * R) * asin(sqrt(h))
+          val filtered = m.get("query") match {
+            case Some(q: DDoc) => df.filter(toColumn(MongoFilter.compileDoc(q)))
+            case None          => df
+            case Some(x)       => throw bad(s"$$geoNear.query needs a document, got $x")
+          }
+          def bound(k: String): Option[Double] = m.get(k).map {
+            case DDouble(x) => x
+            case DLong(x)   => x.toDouble
+            case x          => throw bad(s"$$geoNear.$k: $x")
+          }
+          val withDist = filtered.withColumn(distField, dist * mult)
+          val ranged = (bound("minDistance"), bound("maxDistance")) match {
+            case (lo, hi) =>
+              val base = dist // bounds compare the UNmultiplied meters
+              val loC = lo.map(base >= lit(_))
+              val hiC = hi.map(base <= lit(_))
+              (loC ++ hiC).reduceOption(_ && _)
+                .map(withDist.filter).getOrElse(withDist)
+          }
+          ranged.orderBy(col(distField).asc)
+        case x => throw bad(s"$$geoNear needs a document, got $x")
+      }
+
       case "$facet" => spec match {
         case d: DDoc =>
           if (d.fields.isEmpty) throw bad("$facet needs at least one facet")

@@ -399,6 +399,42 @@ class MongoPipelineSpec extends SparkSpec {
     assert(stat(unwound(1)).isEmpty) // x had no tags
   }
 
+  test("$documents inline source and $geoNear proximity search") {
+    // $documents replaces the input frame with literal docs
+    val inline = Graft.aggregate(Seq(99).toDF("ignored"), """[
+      {"$documents": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"},
+                      {"a": 3, "b": "x"}]},
+      {"$match": {"b": "x"}},
+      {"$sort": {"a": 1}}
+    ]""").collect()
+    assert(inline.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(inline.head.schema.fieldNames.toSeq == Seq("a", "b"))
+    // $geoNear: distances in meters, nearest first, bounds + query honored
+    val places = Seq(
+      (1L, "cafe", Array(0.0, 0.0)),    // at the origin
+      (2L, "cafe", Array(1.0, 0.0)),    // 1° east on the equator
+      (3L, "bank", Array(0.5, 0.0)),    // filtered out by query
+      (4L, "cafe", Array(10.0, 0.0))    // beyond maxDistance
+    ).toDF("id", "kind", "loc")
+    val near = Graft.aggregate(places, """[
+      {"$geoNear": {"near": [0, 0], "key": "loc", "distanceField": "d",
+        "query": {"kind": "cafe"}, "maxDistance": 300000}}
+    ]""").collect()
+    assert(near.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(near(0).getDouble(near(0).fieldIndex("d")) == 0.0)
+    // 1° of longitude on the equator = π·R/180 ≈ 111.195 km
+    assert(math.abs(near(1).getDouble(near(1).fieldIndex("d")) - 111194.93) < 1.0)
+    // GeoJSON near form + distanceMultiplier (km), no bounds
+    val km = Graft.aggregate(places, """[
+      {"$geoNear": {"near": {"type": "Point", "coordinates": [0, 0]},
+        "key": "loc", "distanceField": "km",
+        "distanceMultiplier": 0.001}},
+      {"$limit": 2}
+    ]""").collect()
+    assert(km.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(math.abs(km(1).getDouble(km(1).fieldIndex("km")) - 55.597) < 0.01)
+  }
+
   test("$merge upserts into a docstore collection") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
     // seed the target with ids 1-3
