@@ -377,9 +377,49 @@ object DocumentOps {
       |WHERE len(regexp_extract_all(text, 'ta\w+')) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d20
+  /** `$geoNear` proximity search oracle-gated end-to-end: deterministic
+    * WGS-ish coordinates derived from supplier keys (same integer
+    * arithmetic both engines), haversine meters from the origin,
+    * maxDistance pre-filter, nearest-first. The oracle replicates the
+    * exact formula (same operand order, IUGG radius) in DuckDB SQL;
+    * ROUND(d, 0) absorbs any last-ulp divergence.
+    *
+    * Scale: map-only codegen'd trigonometry + one presentation sort.
+    */
+  def d20GeoNear(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(spark, dir, "supplier")
+      .withColumn("loc", array(
+        (col("s_suppkey") * 37 % 360 - 180 + 0.5).cast("double"),
+        (col("s_suppkey") * 53 % 180 - 90 + 0.5).cast("double")))
+    graft.Graft.aggregate(sup, """[
+      {"$geoNear": {"near": [0, 0], "key": "loc", "distanceField": "d",
+                    "maxDistance": 5000000}},
+      {"$project": {"s_suppkey": 1, "d": {"$round": ["$d", 0]}}},
+      {"$sort": {"d": 1, "s_suppkey": 1}}
+    ]""")
+  }
+
+  val d20Sql: String =
+    """WITH pts AS (
+      |  SELECT s_suppkey,
+      |    CAST(s_suppkey * 37 % 360 - 180 + 0.5 AS DOUBLE) AS lng,
+      |    CAST(s_suppkey * 53 % 180 - 90 + 0.5 AS DOUBLE) AS lat
+      |  FROM supplier),
+      |dists AS (
+      |  SELECT s_suppkey,
+      |    2 * 6371008.8 * asin(sqrt(
+      |      pow(sin(radians(lat - 0) / 2), 2) +
+      |      cos(radians(0)) * cos(radians(lat)) *
+      |        pow(sin(radians(lng - 0) / 2), 2))) AS dist
+      |  FROM pts)
+      |SELECT s_suppkey, ROUND(dist, 0) AS d FROM dists
+      |WHERE dist <= 5000000 ORDER BY d, s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d18_object_entries" -> (d18ObjectEntries _),
     "d19_regex_findall" -> (d19RegexFindAll _),
+    "d20_geo_near" -> (d20GeoNear _),
     "d17_lookup_union" -> (d17LookupUnion _),
     "d01_json_extract" -> (d01JsonExtract _),
     "d16_window_stage" -> (d16WindowStage _),
@@ -391,6 +431,7 @@ object DocumentOps {
   val oracle: Map[String, String] = Map(
     "d18_object_entries" -> d18Sql,
     "d19_regex_findall" -> d19Sql,
+    "d20_geo_near" -> d20Sql,
     "d17_lookup_union" -> d17Sql,
     "d01_json_extract" -> d01Sql,
     "d16_window_stage" -> d16Sql,
