@@ -210,6 +210,63 @@ object Streaming {
               purchase_ts <= click_ts + interval 30 minutes"""))
   }
 
+  // ---------------------------------------------------------------- st08
+  /** Stream-stream LEFT OUTER interval join, batch twin: every click,
+    * converted or ABANDONED — the funnel analysis st04's inner join
+    * can't express. Null-extended purchase columns mark abandonment.
+    * Scale: same single equi-key shuffle as st04; in streaming the
+    * outer side's null rows emit only once the watermark proves no
+    * match can still arrive (bounded state + correct abandonment).
+    */
+  def st08AbandonedClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_timestamp(col("ts")).as("click_sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        unix_timestamp(col("ts")).as("purchase_sec"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_sec") >= col("click_sec") &&
+          col("purchase_sec") <= col("click_sec") + 1800L,
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_sec") - col("click_sec")).as("delay_sec"),
+        col("purchase_id").isNotNull.as("converted"))
+      .orderBy(col("user_id"), col("click_id"),
+        col("purchase_id").asc_nulls_first)
+  }
+
+  val st08Sql: String =
+    """SELECT c.user_id, c.click_id, p.purchase_id,
+      |  p.purchase_sec - c.click_sec AS delay_sec,
+      |  p.purchase_id IS NOT NULL AS converted
+      |FROM (SELECT user_id, event_id AS click_id,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS click_sec
+      |      FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT user_id, event_id AS purchase_id,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS purchase_sec
+      |      FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.purchase_sec >= c.click_sec
+      | AND p.purchase_sec <= c.click_sec + 1800
+      |ORDER BY c.user_id, c.click_id, p.purchase_id NULLS FIRST""".stripMargin
+
+  /** Streaming twin: watermarked left-outer stream-stream join — null
+    * rows for unmatched clicks emit when the watermark passes the
+    * interval end (Spark evicts the click's state knowing no purchase
+    * can still match). */
+  def st08Stream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "1 hour")
+    val p = purchases.withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+      expr("""user_id = p_user_id AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + interval 30 minutes"""),
+      "leftOuter")
+  }
+
   // ---------------------------------------------------------------- st05
   /** Latest-state materialization, batch twin: the current value per key
     * — what a Mongo change-stream consumer maintains (upsert on _id).
@@ -404,6 +461,7 @@ object Streaming {
     "st02_sessionize" -> (st02Sessionize _),
     "st03_stream_dedup" -> (st03StreamDedup _),
     "st04_interval_join" -> (st04IntervalJoin _),
+    "st08_abandoned_clicks" -> (st08AbandonedClicks _),
     "st05_latest_state" -> (st05LatestState _),
     "st06_asof_join" -> (st06AsofJoin _))
 
@@ -413,6 +471,7 @@ object Streaming {
     "st02_sessionize" -> st02Sql,
     "st03_stream_dedup" -> st03Sql,
     "st04_interval_join" -> st04Sql,
+    "st08_abandoned_clicks" -> st08Sql,
     "st05_latest_state" -> st05Sql,
     "st06_asof_join" -> st06Sql)
 }

@@ -153,6 +153,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st08 left-outer interval join emits abandoned clicks after the watermark") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val joined = Streaming.st08Stream(
+      clicks.toDF.toDF("click_ts", "user_id", "click_id"),
+      purchases.toDF.toDF("purchase_ts", "p_user_id", "purchase_id"))
+      .select("user_id", "click_id", "purchase_id")
+    val q = joined.writeStream.format("memory").queryName("st08_sink")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(1, 0), 1L, 100L), (ts(1, 0), 2L, 101L))
+      purchases.addData((ts(1, 20), 1L, 200L)) // converts click 100
+      q.processAllAvailable()
+      // the null row for click 101 may only emit once the watermark
+      // proves no purchase can still match — advance BOTH watermarks
+      clicks.addData((ts(9, 0), 9L, 999L))
+      purchases.addData((ts(9, 0), 9L, 998L))
+      q.processAllAvailable()
+      val rows = spark.table("st08_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows.contains((1L, 100L, 200L)), rows)  // converted
+      assert(rows.contains((2L, 101L, -1L)), rows)   // abandoned → null
+    } finally q.stop()
+  }
+
   test("st04 stream-stream interval join with bounded state") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, Long)]
