@@ -184,12 +184,50 @@ object Multimodal {
       |    AS BIGINT) AS frame_bytes
       |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m04
+  /** Exact media dedup: identical binary payloads collapse to the
+    * lowest-id copy — the asset-level dedup every multimodal corpus runs
+    * before feature extraction (same bytes = same image, however many
+    * pages embedded it). The p01 keep-min shape on a BINARY column: one
+    * shrinking hash agg on md5(payload), map-side partial combine, the
+    * payload itself never shuffles (only its digest does).
+    */
+  def m04(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .groupBy(md5(col("payload")).as("h"))
+      .agg(min(struct(col("doc_id"), col("media_type"))).as("f"),
+        count(lit(1)).as("n_copies"))
+      .select(col("f.doc_id").as("doc_id"),
+        col("f.media_type").as("media_type"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: payload bytes are the UTF-8 text bytes, so md5(payload) ==
+    * md5(text); the kept row's media type re-derives from the kept id.
+    */
+  val m04Sql: String =
+    """SELECT doc_id,
+      |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]
+      |    AS media_type,
+      |  n_copies
+      |FROM (
+      |  SELECT doc_id,
+      |    COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal" -> (m01 _),
     "m02_media_features" -> (m02 _),
-    "m03_frame_explode" -> (m03 _))
+    "m03_frame_explode" -> (m03 _),
+    "m04_media_dedup" -> (m04 _))
   val oracle: Map[String, String] = Map(
     "m01_multimodal" -> m01Sql,
     "m02_media_features" -> graft.functions.KernelOracleSql.m02Sql,
-    "m03_frame_explode" -> m03Sql)
+    "m03_frame_explode" -> m03Sql,
+    "m04_media_dedup" -> m04Sql)
 }
