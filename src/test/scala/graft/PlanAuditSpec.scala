@@ -330,6 +330,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(graft.operators.Dedup.minhashCandidates(sigs).count() == 0)
   }
 
+  test("round-6 keys keep their claimed plan shapes") {
+    // d19 ($regexFindAll spans) and d20 ($geoNear trig) are map-only:
+    // nothing but the presentation sort may shuffle
+    for (k <- Seq("d19_regex_findall", "d20_geo_near")) {
+      val p = finalPlan(k).split("== Initial Plan ==").head
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$k shuffles where it should be map-only:\n$p")
+    }
+    // m04 (binary asset dedup) is the p01 keep-min shape: a shrinking
+    // partial agg on the payload digest, never a window
+    val m4 = finalPlan("m04_media_dedup")
+    assert(!m4.contains("Window"), m4)
+    assert(m4.contains("partial_min"), m4)
+    // d18 (attribute profiling) aggregates partially before its exchange
+    // (Mongo's {$sum: 1} count idiom plans as partial_sum(1))
+    val d18 = finalPlan("d18_object_entries")
+    assert(d18.contains("partial_sum") || d18.contains("partial_count"), d18)
+    // st08 (left-outer interval join) must stay an equi-key join — a
+    // dropped key would cartesian every click against every purchase
+    val st8 = finalPlan("st08_abandoned_clicks")
+    assert(!st8.contains("CartesianProduct") &&
+      !st8.contains("BroadcastNestedLoopJoin"), st8)
+  }
+
   test("docstore scan shows its pushdown in the plan") {
     val p = finalPlan("d08_docstore_scan")
     assert(p.contains("docstore"), p)
