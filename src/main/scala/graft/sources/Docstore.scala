@@ -27,7 +27,9 @@ import scala.jdk.CollectionConverters._
   * limit pushdown — mirrors the reference's semantics.
   *
   * Options:
-  *   path        file or directory of *.jsonl
+  *   path        file or directory of *.jsonl (or *.jsonl.gz — gzip
+  *               collections decompress transparently; unsplittable, so
+  *               each is one partition: ship many gz shards, not one)
   *   samplesize  schema-inference sample (default 100, like the reference)
   *   schemamode  permissive | dropmalformed | failfast
   *   flatten     true (default): nested docs → parent_child columns
@@ -102,6 +104,19 @@ object DocstoreTable {
       else Seq(st)
     files.map(s => (s.getPath.toString, s.getLen))
   }
+
+  /** Byte-range splits for a file list. Compressed (`.gz`) collections
+    * are unsplittable — one whole-file partition each, decompressed
+    * transparently in [[LineRangeReader]]; plain files split on the
+    * Hadoop text contract. */
+  def planSplits(files: Seq[(String, Long)], split: Long): Seq[DocstorePartition] =
+    files.flatMap { case (file, len) =>
+      if (len == 0) Seq.empty
+      else if (file.endsWith(".gz")) Seq(DocstorePartition(file, 0, len))
+      else (0L until len by split).map { start =>
+        DocstorePartition(file, start, math.min(split, len - start))
+      }
+    }
 
   def inferSchema(opts: DocstoreOptions): StructType =
     schemaAndPaths(opts)._1
@@ -432,12 +447,7 @@ class DocstoreAggScan(fullSchema: StructType, spec: AggSpec,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val split = opts.splitSize
-    snapshotFiles.flatMap { case (file, len) =>
-      if (len == 0) Seq.empty
-      else (0L until len by split).map { start =>
-        DocstorePartition(file, start, math.min(split, len - start))
-      }
-    }.toArray
+    DocstoreTable.planSplits(snapshotFiles, split).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -642,12 +652,7 @@ class DocstoreScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val split = opts.splitSize
-    snapshotFiles.flatMap { case (file, len) =>
-      if (len == 0) Seq.empty
-      else (0L until len by split).map { start =>
-        DocstorePartition(file, start, math.min(split, len - start))
-      }
-    }.toArray
+    DocstoreTable.planSplits(snapshotFiles, split).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -708,12 +713,7 @@ class DocstoreMicroBatchStream(fullSchema: StructType, required: StructType,
         "only append in sort order; restart the stream from a fresh " +
         "checkpoint to re-read.")
     val split = opts.splitSize
-    files.slice(s.n, e.n).flatMap { case (file, len) =>
-      if (len == 0) Seq.empty
-      else (0L until len by split).map { st =>
-        DocstorePartition(file, st, math.min(split, len - st))
-      }
-    }.toArray
+    DocstoreTable.planSplits(files.slice(s.n, e.n), split).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1123,13 +1123,21 @@ class DocRowConverter(schema: StructType, schemaMode: String, flatten: Boolean,
   * (UTF-8 decoded per line), so multi-byte chars never break offsets. */
 class LineRangeReader(file: String, start: Long, length: Long, conf: Configuration) {
   private val fs: FileSystem = new HPath(file).getFileSystem(conf)
+  // .gz collections decompress transparently; they are unsplittable, so
+  // the whole file is one range and `end` bounds DECOMPRESSED bytes
+  private val gzipped = file.endsWith(".gz")
   private val in: InputStream = {
     val s = fs.open(new HPath(file))
-    if (start > 0) s.seek(start)
-    s
+    if (gzipped) {
+      require(start == 0, s"compressed collection is unsplittable: $file")
+      new java.util.zip.GZIPInputStream(s, 1 << 16)
+    } else {
+      if (start > 0) s.seek(start)
+      s
+    }
   }
   private var pos: Long = start // position of chunk(lo) in the file
-  private val end: Long = start + length
+  private val end: Long = if (gzipped) Long.MaxValue else start + length
   private var eof = false
 
   // chunked scan: refill `chunk`, memchr-style '\n' search — a per-byte

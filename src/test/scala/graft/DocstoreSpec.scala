@@ -20,6 +20,38 @@ class DocstoreSpec extends SparkSpec {
   lazy val smallDir: String = writeDocs("small", (0 until 50).map(i =>
     s"""{"id":$i,"name":"row$i","grp":"g${i % 3}","score":${i * 1.5}}"""))
 
+  test("gzip collections: inference + parity + whole-file partitions") {
+    val dir = "/tmp/graft_docstore_spec/gz"
+    Files.createDirectories(Paths.get(dir))
+    def gzWrite(f: String, lines: Seq[String]): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(s"$dir/$f"))
+      out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      out.close()
+    }
+    val a = (0 until 40).map(i => s"""{"id":$i,"grp":"g${i % 3}"}""")
+    val b = (40 until 60).map(i => s"""{"id":$i,"grp":"g${i % 3}"}""")
+    gzWrite("a.jsonl.gz", a)
+    gzWrite("b.jsonl.gz", b)
+    // a tiny splitsize must NOT split compressed files: one partition per
+    // .gz, decompressed transparently (schema inference reads them too)
+    val df = spark.read.format("docstore").option("path", dir)
+      .option("splitsize", "64").load()
+    assert(df.columns.toSet == Set("id", "grp"))
+    assert(df.count() == 60)
+    assert(df.rdd.getNumPartitions == 2, df.rdd.getNumPartitions)
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == (0 until 60).sum.toLong)
+    // pushdown still applies inside the decompressed stream
+    assert(df.filter(col("grp") === "g1").count() == 20)
+    // a plain file at the same splitsize DOES split (the contract differs)
+    val plainDir = writeDocs("gz_plain", a ++ b)
+    val plain = spark.read.format("docstore").option("path", plainDir)
+      .option("splitsize", "64").load()
+    assert(plain.count() == 60)
+    assert(plain.rdd.getNumPartitions > 2)
+  }
+
   test("batch scans pin their file snapshot for the query's lifetime") {
     import graft.sources.{DocstoreOptions, DocstoreScanBuilder, DocstoreTable}
     // the analog of the reference's per-query transaction snapshot
