@@ -45,10 +45,13 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
   * `$$CURRENT` as the whole-document struct), `$mergeObjects` (document
   * literals merged via withField), `$literal`,
   * arithmetic (`$add $subtract $multiply $divide $mod $abs $round
-  * $floor $ceil $trunc $pow $sqrt $exp $ln $log $log10`), trigonometry
+  * $floor $ceil $trunc $pow $sqrt $exp $ln $log $log10`), bitwise
+  * (`$bitAnd $bitOr $bitXor $bitNot`), trigonometry
   * (`$sin $cos $tan $asin $acos $atan $atan2 $sinh $cosh $tanh
-  * $degreesToRadians $radiansToDegrees`), string (`$concat $toUpper
-  * $toLower $trim $ltrim $rtrim $strcasecmp $strLenCP $substrCP $split
+  * $asinh $acosh $atanh $degreesToRadians $radiansToDegrees`), string
+  * (`$concat $toUpper
+  * $toLower $trim $ltrim $rtrim $strcasecmp $strLenCP $strLenBytes
+  * $substrCP $substrBytes $binarySize $split
   * $indexOfCP $replaceAll $regexMatch`), date (`$year $month
   * $dayOfMonth $hour $minute $second $millisecond $dayOfWeek
   * $dayOfYear $week $isoWeek $isoDayOfWeek $isoWeekYear $dateToString
@@ -61,7 +64,8 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
   * $ifNull $switch`), array (`$size $arrayElemAt $first $last
   * $concatArrays $reverseArray $slice $in $indexOfArray $sortArray
   * $range $zip $filter $map $reduce`), set (`$setUnion
-  * $setIntersection $setDifference $setIsSubset $allElementsTrue
+  * $setIntersection $setDifference $setIsSubset $setEquals
+  * $allElementsTrue
   * $anyElementTrue`), `$getField`, `$let`, `$rand`, document-literal →
   * struct. Higher-order operators compile to Spark lambda functions
   * (`transform`/`filter`/`aggregate`) — still pure column algebra, no
@@ -702,7 +706,12 @@ object MongoPipeline {
             case DLong(x)   => x.toDouble
             case x          => throw bad(s"$$geoNear.$k: $x")
           }
+          // docs without a location are NOT returned (Mongo serves
+          // $geoNear from the 2dsphere index, which such docs are absent
+          // from) — without this, a null distance would sort FIRST under
+          // Spark's asc nulls-first default
           val withDist = filtered.withColumn(distField, dist * mult)
+            .filter(col(distField).isNotNull)
           val ranged = (bound("minDistance"), bound("maxDistance")) match {
             case (lo, hi) =>
               val base = dist // bounds compare the UNmultiplied meters
@@ -1498,6 +1507,11 @@ object MongoPipeline {
         val x = valueExpr(e, env)
         when(x >= 0, floor(x)).otherwise(ceil(x))
     }
+    // bitwise (Mongo 6.3 operator set) — n-ary over integer types
+    case "$bitAnd" => args(operand, env).reduce(_ bitwiseAND _)
+    case "$bitOr"  => args(operand, env).reduce(_ bitwiseOR _)
+    case "$bitXor" => args(operand, env).reduce(_ bitwiseXOR _)
+    case "$bitNot" => bitwise_not(valueExpr(operand, env))
     case "$pow"   => { val (a, b) = arg2(op, operand, env); pow(a, b) }
     case "$sqrt"  => sqrt(valueExpr(operand, env))
     case "$exp"   => exp(valueExpr(operand, env))
@@ -1516,6 +1530,9 @@ object MongoPipeline {
     case "$sinh"  => sinh(valueExpr(operand, env))
     case "$cosh"  => cosh(valueExpr(operand, env))
     case "$tanh"  => tanh(valueExpr(operand, env))
+    case "$asinh" => asinh(valueExpr(operand, env))
+    case "$acosh" => acosh(valueExpr(operand, env))
+    case "$atanh" => atanh(valueExpr(operand, env))
     case "$degreesToRadians" => radians(valueExpr(operand, env))
     case "$radiansToDegrees" => degrees(valueExpr(operand, env))
     // string
@@ -1530,6 +1547,10 @@ object MongoPipeline {
       case v => trim(valueExpr(v, env))
     }
     case "$strLenCP" => length(valueExpr(operand, env))
+    case "$strLenBytes" => octet_length(valueExpr(operand, env))
+    // UTF-8 byte length of a string, or size of a binary value — Mongo's
+    // $binarySize accepts both (BSON binary ↔ Spark BinaryType)
+    case "$binarySize"  => octet_length(valueExpr(operand, env))
     case "$ltrim" => operand match {
       case d: DDoc => d.fields.toMap.get("chars") match {
         case Some(DString(cs)) => ltrim(valueExpr(docField(op, d, "input"), env), cs)
@@ -1556,6 +1577,15 @@ object MongoPipeline {
         substring(valueExpr(s, env), lit(1) + valueExpr(start, env),
           valueExpr(len, env))
       case other => throw bad(s"$$substrCP needs [str, start, len], got $other")
+    }
+    case "$substrBytes" => operand match {
+      // byte-addressed slice: substring over BINARY is byte-wise in Spark.
+      // Divergence note: a slice that splits a multi-byte UTF-8 sequence
+      // is an error in Mongo; here the torn bytes decode to U+FFFD.
+      case DArray(Seq(s, start, len)) =>
+        substring(valueExpr(s, env).cast("binary"),
+          lit(1) + valueExpr(start, env), valueExpr(len, env)).cast("string")
+      case other => throw bad(s"$$substrBytes needs [str, start, len], got $other")
     }
     case "$split"    => operand match {
       // Mongo's delimiter is a LITERAL string; Spark's split() takes a
@@ -1904,6 +1934,10 @@ object MongoPipeline {
       { val (a, b) = arg2(op, operand, env); array_sort(array_except(a, b)) }
     case "$setIsSubset"     =>
       { val (a, b) = arg2(op, operand, env); size(array_except(a, b)) === 0 }
+    case "$setEquals"       => // n-ary: all arguments equal AS SETS
+      args(operand, env).map(a => array_sort(array_distinct(a)))
+        .sliding(2).collect { case Seq(a, b) => a === b }
+        .reduceOption(_ && _).getOrElse(lit(true))
     case "$allElementsTrue" => forall(oneArrayArg(op, operand, env), x => x)
     case "$anyElementTrue"  => exists(oneArrayArg(op, operand, env), x => x)
     // Shallow document merge, later arguments win. Spark structs need

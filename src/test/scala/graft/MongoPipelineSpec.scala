@@ -636,6 +636,49 @@ class MongoPipelineSpec extends SparkSpec {
     assert(third > 400 && third < 950, s"sampleRate 0.33 kept $third of 2000")
   }
 
+  test("bitwise, byte-string, inverse-hyperbolic, $setEquals operators") {
+    val r = Graft.aggregate(Seq((12L, 10L, "héllo")).toDF("a", "b", "s"),
+      """[{"$project": {
+           "and": {"$bitAnd": ["$a", "$b"]},
+           "or":  {"$bitOr":  ["$a", "$b", 1]},
+           "xor": {"$bitXor": ["$a", "$b"]},
+           "not": {"$bitNot": "$a"},
+           "lb":  {"$strLenBytes": "$s"},
+           "lc":  {"$strLenCP": "$s"},
+           "bs":  {"$binarySize": "$s"},
+           "sb":  {"$substrBytes": ["$s", 0, 3]},
+           "ash": {"$asinh": 1.0}, "ach": {"$acosh": 1.0},
+           "ath": {"$atanh": 0.5},
+           "eqs":  {"$setEquals": [[1, 2, 2], [2, 1], [1, 1, 2]]},
+           "neqs": {"$setEquals": [[1, 2], [1, 3]]}}}]""").head
+    assert(r.getLong(r.fieldIndex("and")) == (12L & 10L))
+    assert(r.getLong(r.fieldIndex("or")) == (12L | 10L | 1L))
+    assert(r.getLong(r.fieldIndex("xor")) == (12L ^ 10L))
+    assert(r.getLong(r.fieldIndex("not")) == ~12L)
+    assert(r.getInt(r.fieldIndex("lb")) == 6)  // é is 2 UTF-8 bytes
+    assert(r.getInt(r.fieldIndex("lc")) == 5)  // but 1 code point
+    assert(r.getInt(r.fieldIndex("bs")) == 6)
+    assert(r.getString(r.fieldIndex("sb")) == "hé") // 3 bytes = h + é
+    assert(math.abs(r.getDouble(r.fieldIndex("ash")) - 0.8813735870195430) < 1e-12)
+    assert(r.getDouble(r.fieldIndex("ach")) == 0.0)
+    assert(math.abs(r.getDouble(r.fieldIndex("ath")) - 0.5493061443340549) < 1e-12)
+    assert(r.getBoolean(r.fieldIndex("eqs")))
+    assert(!r.getBoolean(r.fieldIndex("neqs")))
+  }
+
+  test("$geoNear omits documents without a location (index semantics)") {
+    val docs = Seq(
+      (1L, Some(Array(0.001, 0.0))),
+      (2L, None), // no location: absent from a 2dsphere index → not returned
+      (3L, Some(Array(0.002, 0.0)))
+    ).toDF("id", "loc")
+    val out = Graft.aggregate(docs, """[
+      {"$geoNear": {"near": [0, 0], "key": "loc", "distanceField": "d"}}
+    ]""").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // nearest first, no id=2
+    assert(out.forall(!_.isNullAt(out.head.fieldIndex("d"))))
+  }
+
   test("$$ROOT/$$CURRENT and $mergeObjects: whole-document expressions") {
     // {$push: "$$ROOT"} — the canonical collect-whole-docs idiom
     val pushed = Graft.aggregate(sales, """[
