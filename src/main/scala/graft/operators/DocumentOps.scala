@@ -416,7 +416,58 @@ object DocumentOps {
       |SELECT s_suppkey, ROUND(dist, 0) AS d FROM dists
       |WHERE dist <= 5000000 ORDER BY d, s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- d21
+  /** `$redact` field-level access control: every (sub)document carries a
+    * security `level` (derived deterministically from event keys); the
+    * decision expression re-evaluates at EVERY level, so a level-3
+    * sub-document is pruned out of a level-1 row, a level-3 array entry
+    * drops out of its array, and a level-3 row disappears entirely —
+    * Mongo's canonical clearance-filter example, compiled at plan time
+    * over the frame's struct schema.
+    *
+    * Scale: pure map-side column algebra (no UDFs, no shuffle besides the
+    * presentation sort) — the per-level decisions are CaseWhen trees over
+    * the same row.
+    */
+  def d21Redact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "events")
+      .filter(col("event_id") <= 3000)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(5)).as("level"),
+        struct(pmod(col("user_id") + 1, lit(5)).as("level"),
+          col("event_type").as("note")).as("audit"),
+        array(
+          struct(pmod(col("event_id"), lit(5)).as("level"),
+            lit("e0").as("tag")),
+          struct(pmod(col("event_id") + 3, lit(5)).as("level"),
+            lit("e1").as("tag"))).as("entries"))
+    graft.Graft.aggregate(docs, """[
+      {"$redact": {"$cond": [{"$lte": [{"$ifNull": ["$level", 0]}, 2]},
+                             "$$DESCEND", "$$PRUNE"]}},
+      {"$project": {"event_id": 1, "level": 1,
+        "audit_note": {"$ifNull": ["$audit.note", "[redacted]"]},
+        "n_entries": {"$toLong": {"$size": "$entries"}}}},
+      {"$sort": {"event_id": 1}}
+    ]""")
+  }
+
+  val d21Sql: String =
+    """WITH d AS (
+      |  SELECT event_id,
+      |    user_id % 5 AS level,
+      |    (user_id + 1) % 5 AS audit_level,
+      |    event_type AS note,
+      |    event_id % 5 AS e0,
+      |    (event_id + 3) % 5 AS e1
+      |  FROM events WHERE event_id <= 3000)
+      |SELECT event_id, level,
+      |  CASE WHEN audit_level <= 2 THEN note ELSE '[redacted]' END AS audit_note,
+      |  CAST((CASE WHEN e0 <= 2 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN e1 <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_entries
+      |FROM d WHERE level <= 2 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_redact" -> (d21Redact _),
     "d18_object_entries" -> (d18ObjectEntries _),
     "d19_regex_findall" -> (d19RegexFindAll _),
     "d20_geo_near" -> (d20GeoNear _),
@@ -429,6 +480,7 @@ object DocumentOps {
     "d14_densify_fill" -> (d14DensifyFill _))
 
   val oracle: Map[String, String] = Map(
+    "d21_redact" -> d21Sql,
     "d18_object_entries" -> d18Sql,
     "d19_regex_findall" -> d19Sql,
     "d20_geo_near" -> d20Sql,

@@ -24,7 +24,9 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
   * $maxN`), `$sort`, `$limit`, `$skip`, `$unwind` (string and document
   * forms incl. `preserveNullAndEmptyArrays`), `$count`, `$sortByCount`,
   * `$bucket`, `$lookup` (equality form, via a collection resolver),
-  * `$replaceRoot`/`$replaceWith`, `$unionWith` (with sub-pipeline),
+  * `$replaceRoot`/`$replaceWith`, `$redact` (per-level
+  * $$KEEP/$$PRUNE/$$DESCEND access control, compiled over the schema),
+  * `$unionWith` (with sub-pipeline),
   * `$facet` (input pinned once, facets cross-joined to the one-row doc),
   * `$sample` (rand-keyed TopN → per-partition heaps, optional `seed`),
   * `$setWindowFields` (`$documentNumber $rank $denseRank $shift` +
@@ -549,6 +551,83 @@ object MongoPipeline {
         // promote the (struct-typed) expression to the document root
         df.select(valueExpr(rootExpr, rootEnv).as("__graft_root"))
           .select(col("__graft_root.*"))
+
+      // $redact: field-level access control — the decision expression is
+      // re-evaluated at EVERY document level (the row, each embedded doc,
+      // docs inside arrays) and must resolve to $$KEEP (keep the subtree
+      // as-is), $$PRUNE (remove the subtree — the row itself at the top
+      // level, a null field below it, removal from arrays), or $$DESCEND
+      // (keep this level's scalars, recurse into embedded docs). Field
+      // paths in the expression resolve against the CURRENT level (Mongo
+      // binds bare paths to $$CURRENT there); a field missing at some
+      // level reads as null, so `{$ifNull: [..., default]}` guards are
+      // honored. Compiled entirely at plan time by recursing over the
+      // frame's struct schema — per-row work is pure column algebra.
+      // Divergence note: a null element of an array of documents is
+      // dropped alongside pruned elements (Spark cannot distinguish the
+      // two after elementwise redaction).
+      case "$redact" =>
+        import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+        val Prune = "__graft_redact_prune"
+        val Descend = "__graft_redact_descend"
+        val Keep = "__graft_redact_keep"
+        // Rewrite bare "$field" refs to fresh $$variables so the one
+        // decision AST evaluates at any level: each level binds the
+        // variables to its own (schema-checked) field columns. $literal
+        // sub-trees are opaque, like everywhere else in the language.
+        val refs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        def rewrite(v: DocValue): DocValue = v match {
+          case lit0 @ DDoc(Seq(("$literal", _)))   => lit0
+          case DString(s) if s.startsWith("$$")    => DString(s)
+          case DString(s) if s.startsWith("$")     =>
+            DString("$$" + refs.getOrElseUpdate(s.drop(1), s"__rf${refs.size}"))
+          case DArray(items) => DArray(items.map(rewrite))
+          case d: DDoc => DDoc(d.fields.map { case (k, x) => (k, rewrite(x)) })
+          case other => other
+        }
+        val decisionAst = rewrite(spec)
+        def resolve(base: Column, tpe: DataType, path: List[String]): Column =
+          (tpe, path) match {
+            case (_, Nil) => base
+            case (st: StructType, h :: t) if st.fieldNames.contains(h) =>
+              resolve(base.getField(h), st(h).dataType, t)
+            case _ => lit(null) // missing at this level = Mongo's missing
+          }
+        val rootC = struct(df.columns.map(col): _*)
+        def decision(base: Column, tpe: StructType): Column = {
+          val d = valueExpr(decisionAst, Map(
+            "ROOT" -> rootC, "CURRENT" -> base,
+            "PRUNE" -> lit(Prune), "DESCEND" -> lit(Descend),
+            "KEEP" -> lit(Keep)) ++
+            refs.map { case (p, n) =>
+              n -> resolve(base, tpe, p.split('.').toList) })
+          when(d.isin(Prune, Descend, Keep), d).otherwise(raise_error(concat(
+            lit("$redact must resolve to $$PRUNE/$$DESCEND/$$KEEP, got "),
+            coalesce(d.cast("string"), lit("null")))))
+        }
+        def redactValue(v: Column, dt: DataType): Column = dt match {
+          case st: StructType =>
+            val d = decision(v, st)
+            when(v.isNull, v)
+              .when(d === Keep, v)
+              .when(d === Prune, lit(null))
+              .otherwise(struct(st.fields.map(f =>
+                redactValue(v.getField(f.name), f.dataType).as(f.name)): _*))
+          case at: ArrayType => at.elementType match {
+            case st: StructType =>
+              filter(transform(v, x => redactValue(x, st)), _.isNotNull)
+            case inner: ArrayType =>
+              transform(v, x => redactValue(x, inner))
+            case _ => v
+          }
+          case _ => v
+        }
+        val topDec = decision(rootC, df.schema)
+        df.filter(topDec =!= Prune)
+          .select(df.schema.fields.map { f =>
+            when(topDec === Keep, col(f.name))
+              .otherwise(redactValue(col(f.name), f.dataType)).as(f.name)
+          }: _*)
 
       // Atlas's ANN stage compiled to the exact cosine top-k the engine
       // already owns (operators/Similarity.scala s01): score every doc

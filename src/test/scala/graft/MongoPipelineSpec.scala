@@ -666,6 +666,50 @@ class MongoPipelineSpec extends SparkSpec {
     assert(!r.getBoolean(r.fieldIndex("neqs")))
   }
 
+  test("$redact: per-level KEEP/PRUNE/DESCEND over nested docs and arrays") {
+    // level-gated access control: every (sub)document carries a `level`;
+    // levels above the viewer's clearance (2) are pruned at THAT level
+    val docs = Seq(
+      (1L, 1L, Some((1L, "a-inner")), Seq((1L, "e1"), (3L, "e2"))),
+      (2L, 3L, Some((1L, "b-inner")), Seq.empty[(Long, String)]), // row pruned
+      (3L, 2L, Some((3L, "c-inner")), Seq((2L, "e3"))) // inner doc pruned
+    ).toDF("id", "level", "sub", "items")
+      .select(col("id"), col("level"),
+        col("sub").cast("struct<level:bigint,note:string>").as("sub"),
+        col("items").cast("array<struct<level:bigint,note:string>>").as("items"))
+    val out = Graft.aggregate(docs, """[
+      {"$redact": {"$cond": [{"$lte": [{"$ifNull": ["$level", 0]}, 2]},
+                             "$$DESCEND", "$$PRUNE"]}},
+      {"$sort": {"id": 1}}
+    ]""").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // id=2: top-level prune
+    val r1 = out(0)
+    assert(r1.getStruct(r1.fieldIndex("sub")).getString(1) == "a-inner")
+    // array element with level 3 removed, level 1 kept
+    assert(r1.getSeq[org.apache.spark.sql.Row](r1.fieldIndex("items"))
+      .map(_.getString(1)) == Seq("e1"))
+    val r3 = out(1)
+    assert(r3.isNullAt(r3.fieldIndex("sub"))) // embedded doc pruned → null
+    assert(r3.getSeq[org.apache.spark.sql.Row](r3.fieldIndex("items"))
+      .map(_.getString(1)) == Seq("e3"))
+    // $$KEEP stops descent: the high-level inner docs survive verbatim
+    val kept = Graft.aggregate(docs, """[
+      {"$redact": {"$cond": [{"$eq": [{"$ifNull": ["$note", ""]}, ""]},
+                             "$$KEEP", "$$DESCEND"]}},
+      {"$sort": {"id": 1}}
+    ]""").collect()
+    assert(kept.length == 3) // KEEP at the top: nothing pruned anywhere
+    val k3 = kept(2)
+    assert(k3.getStruct(k3.fieldIndex("sub")).getString(1) == "c-inner")
+    // an expression resolving to none of the three sentinels is an error
+    val err = intercept[Exception] {
+      Graft.aggregate(docs, """[{"$redact": {"$literal": "nope"}}]""").collect()
+    }
+    val msgs = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("PRUNE"), s"unexpected error chain: $msgs")
+  }
+
   test("$geoNear omits documents without a location (index semantics)") {
     val docs = Seq(
       (1L, Some(Array(0.001, 0.0))),
