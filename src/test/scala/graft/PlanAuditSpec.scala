@@ -331,9 +331,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("round-6 keys keep their claimed plan shapes") {
-    // d19 ($regexFindAll spans) and d20 ($geoNear trig) are map-only:
-    // nothing but the presentation sort may shuffle
-    for (k <- Seq("d19_regex_findall", "d20_geo_near")) {
+    // d19 ($regexFindAll spans), d20 ($geoNear trig), and d21 ($redact
+    // CaseWhen trees) are map-only: nothing but the presentation sort may
+    // shuffle
+    for (k <- Seq("d19_regex_findall", "d20_geo_near", "d21_redact")) {
       val p = finalPlan(k).split("== Initial Plan ==").head
       assert(!p.contains("Exchange hashpartitioning"),
         s"$k shuffles where it should be map-only:\n$p")
