@@ -69,6 +69,8 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[EvRow]
     val piped = Graft.aggregate(input.toDF, """[
       {"$match": {"value": {"$gte": 2}, "event_type": {"$ne": "noise"}}},
+      {"$redact": {"$cond": [{"$lt": [{"$ifNull": ["$value", 0]}, 8]},
+                             "$$DESCEND", "$$PRUNE"]}},
       {"$addFields": {"bucket": {"$cond": {"if": {"$gte": ["$value", 5]},
                                            "then": "big", "else": "small"}},
                       "hour": {"$hour": "$ts"}}},
@@ -81,7 +83,8 @@ class StreamingSpec extends SparkSpec {
         EvRow(ts(3, 10), 1, "click", 1.0),  // filtered: value < 2
         EvRow(ts(4, 20), 2, "noise", 9.0),  // filtered: event_type
         EvRow(ts(5, 30), 3, "click", 3.0),
-        EvRow(ts(6, 40), 4, "view", 7.0))
+        EvRow(ts(6, 40), 4, "view", 7.0),
+        EvRow(ts(7, 50), 5, "view", 8.5))  // $redact-pruned: value >= 8
       q.processAllAvailable()
       val rows = spark.table("pipe_sink").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
