@@ -100,6 +100,50 @@ class PipelineParitySpec extends SparkSpec {
     }
   }
 
+  test("round-6 scalar operators match native functions (30 cases)") {
+    // bitwise / byte-string / inverse-hyperbolic / set-equality — randoms
+    // run through the same null-planted frame, so null propagation is
+    // covered on every path
+    for (i <- 1 to 30) {
+      val (json, native): (String, Column) = rnd.nextInt(8) match {
+        case 0 =>
+          val m = rnd.nextInt(1 << 16)
+          (s"""{"$$bitAnd": ["$$event_id", $m]}""",
+            col("event_id").bitwiseAND(lit(m.toLong)))
+        case 1 =>
+          val m = rnd.nextInt(1 << 16)
+          (s"""{"$$bitOr": ["$$event_id", $m]}""",
+            col("event_id").bitwiseOR(lit(m.toLong)))
+        case 2 =>
+          val m = rnd.nextInt(1 << 16)
+          (s"""{"$$bitXor": ["$$user_id", $m]}""",
+            col("user_id").bitwiseXOR(lit(m.toLong)))
+        case 3 =>
+          ("""{"$bitNot": "$event_id"}""", bitwise_not(col("event_id")))
+        case 4 =>
+          ("""{"$strLenBytes": "$event_type"}""", octet_length(col("event_type")))
+        case 5 =>
+          val (s0, l0) = (rnd.nextInt(3), 1 + rnd.nextInt(4))
+          (s"""{"$$substrBytes": ["$$event_type", $s0, $l0]}""",
+            substring(col("event_type").cast("binary"), s0 + 1, l0)
+              .cast("string"))
+        case 6 =>
+          ("""{"$asinh": {"$divide": [{"$ifNull": ["$value", 0]}, 100]}}""",
+            asinh(coalesce(col("value"), lit(0L)).cast("double") / 100))
+        case _ =>
+          // sets equal iff the (distinct, sorted) views agree — argument
+          // order and duplicates must not matter
+          (s"""{"$$setEquals": [["$$event_type", "x", "x"],
+                                ["x", "$$event_type", "$$event_type"]]}""",
+            array_sort(array_distinct(array(col("event_type"), lit("x"), lit("x")))) ===
+              array_sort(array_distinct(array(lit("x"), col("event_type"), col("event_type")))))
+      }
+      samePlanOutput(s"case $i: $json",
+        Graft.aggregate(ev, s"""[{"$$project": {"event_id": 1, "out": $json}}]"""),
+        ev.select(col("event_id"), native.as("out")))
+    }
+  }
+
   test("composed $match → $group → $sort pipelines match native chains (15 cases)") {
     for (i <- 1 to 15) {
       val t = rnd.nextInt(150)
