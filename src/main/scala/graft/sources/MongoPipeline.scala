@@ -315,10 +315,13 @@ object MongoPipeline {
           val docCol = freshName(taken, "__graft_gl_doc")
           val dCol = freshName(taken, "__graft_gl_d")
           val hCol = freshName(taken, "__graft_gl_h")
-          // row identity survives the loop; checkpoint pins the ids (a
-          // recompute could renumber). Mongo overwrite semantics for `as`.
+          // row identity survives the loop; the LAZY checkpoint pins the
+          // ids without a driver-blocking job — the RDD materializes once
+          // inside the first consuming job and every later consumer
+          // (frontier seed, final join) reads the same pinned rows.
+          // Mongo overwrite semantics for `as`.
           val left0 = df.withColumn(rid, monotonically_increasing_id())
-            .localCheckpoint()
+            .localCheckpoint(false)
           val left = if (df.columns.contains(as)) left0.drop(as) else left0
           // foreign side once: (match key, next-hop key, whole doc, doc
           // hash). The 64-bit hash is the doc's identity for visited-set
