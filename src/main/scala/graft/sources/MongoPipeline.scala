@@ -22,7 +22,8 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
   * (`$sum $avg $min $max $count $push $addToSet $stdDevPop $stdDevSamp
   * $median $percentile $first $last $top $bottom $topN $bottomN $minN
   * $maxN`), `$sort`, `$limit`, `$skip`, `$unwind` (string and document
-  * forms incl. `preserveNullAndEmptyArrays`), `$count`, `$sortByCount`,
+  * forms incl. `preserveNullAndEmptyArrays` + `includeArrayIndex`),
+  * `$count`, `$sortByCount`,
   * `$bucket`, `$lookup` (equality form, via a collection resolver),
   * `$replaceRoot`/`$replaceWith`, `$redact` (per-level
   * $$KEEP/$$PRUNE/$$DESCEND access control, compiled over the schema),
@@ -1256,25 +1257,47 @@ object MongoPipeline {
     * nested field is replaced like Mongo does. Shared by the top-level
     * stage and the correlated `$lookup.pipeline` suffix. */
   private def unwindStage(df: DataFrame, spec: DocValue): DataFrame = {
-    val (path, preserve) = spec match {
-      case DString(p) => (fieldPath(p), false)
+    val (path, preserve, idxField) = spec match {
+      case DString(p) => (fieldPath(p), false, None)
       case d: DDoc =>
         val m = d.fields.toMap
         val p = m.get("path") match {
           case Some(DString(s)) => fieldPath(s)
           case other => throw bad(s"$$unwind.path needs a string, got $other")
         }
-        (p, m.get("preserveNullAndEmptyArrays") == Some(DBool(true)))
+        val idx = m.get("includeArrayIndex") match {
+          case Some(DString(f)) => Some(f)
+          case None             => None
+          case Some(x) =>
+            throw bad(s"$$unwind.includeArrayIndex needs a field name, got $x")
+        }
+        (p, m.get("preserveNullAndEmptyArrays") == Some(DBool(true)), idx)
       case other => throw bad(s"$$unwind needs a path, got $other")
     }
-    if (!path.contains('.'))
-      df.withColumn(path,
-        if (preserve) explode_outer(col(path)) else explode(col(path)))
-    else {
-      val tmp = freshName(df.columns, "__graft_unwind")
-      setPath(df.withColumn(tmp,
-          if (preserve) explode_outer(col(path)) else explode(col(path))),
-        path, col(tmp)).drop(tmp)
+    idxField match {
+      case None =>
+        if (!path.contains('.'))
+          df.withColumn(path,
+            if (preserve) explode_outer(col(path)) else explode(col(path)))
+        else {
+          val tmp = freshName(df.columns, "__graft_unwind")
+          setPath(df.withColumn(tmp,
+              if (preserve) explode_outer(col(path)) else explode(col(path))),
+            path, col(tmp)).drop(tmp)
+        }
+      case Some(f) =>
+        // posexplode emits (pos, value); the 0-based index lands in `f`
+        // as a LONG (Mongo's type), null on rows preserve kept for a
+        // null/empty array
+        val tmp = freshName(df.columns, "__graft_unwind")
+        val idxTmp = freshName(df.columns :+ tmp, "__graft_unwind_idx")
+        val gen = if (preserve) posexplode_outer(col(path))
+                  else posexplode(col(path))
+        val exploded = df.select(col("*"), gen.as(Seq(idxTmp, tmp)))
+        val replaced =
+          if (!path.contains('.')) exploded.withColumn(path, col(tmp))
+          else setPath(exploded, path, col(tmp))
+        replaced.withColumn(f, col(idxTmp).cast("long")).drop(tmp, idxTmp)
     }
   }
 

@@ -53,6 +53,19 @@ class MongoPipelineSpec extends SparkSpec {
       """[{"$unwind": {"path": "$items", "preserveNullAndEmptyArrays": true}}]""")
     assert(outer.count() == 8) // id 3 kept with NULL item
     assert(outer.filter(col("id") === 3L).head.isNullAt(3))
+    // includeArrayIndex: 0-based LONG position; null on the preserved row
+    val idx = Graft.aggregate(sales, """[
+      {"$unwind": {"path": "$items", "includeArrayIndex": "pos",
+                   "preserveNullAndEmptyArrays": true}},
+      {"$sort": {"id": 1, "pos": 1}}
+    ]""")
+    assert(idx.schema("pos").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val byId = idx.select("id", "pos").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        if (r.isNullAt(1)) -1L else r.getLong(1)).sorted.toSeq).toMap
+    assert(byId(1L) == Seq(0L, 1L)) // two items → indexes 0, 1
+    assert(byId(3L) == Seq(-1L))    // preserved empty array → null index
   }
 
   test("$lookup attaches the matching foreign docs as an array") {
