@@ -778,6 +778,13 @@ object MongoPipeline {
             case None             => 1.0
             case Some(x) => throw bad(s"$$geoNear.distanceMultiplier: $x")
           }
+          // spherical: false means FLAT (legacy 2d) geometry — refusing
+          // beats silently returning spherical distances for it
+          m.get("spherical") match {
+            case None | Some(DBool(true)) => ()
+            case Some(x) => throw bad("$geoNear.spherical: only spherical " +
+              s"(2dsphere) geometry is supported, got $x")
+          }
           val dist = lit(2 * R) * asin(sqrt(h))
           val filtered = m.get("query") match {
             case Some(q: DDoc) => df.filter(toColumn(MongoFilter.compileDoc(q)))
@@ -793,8 +800,13 @@ object MongoPipeline {
           // $geoNear from the 2dsphere index, which such docs are absent
           // from) — without this, a null distance would sort FIRST under
           // Spark's asc nulls-first default
-          val withDist = filtered.withColumn(distField, dist * mult)
+          val withDist0 = filtered.withColumn(distField, dist * mult)
             .filter(col(distField).isNotNull)
+          val withDist = m.get("includeLocs") match {
+            case Some(DString(f)) => withDist0.withColumn(f, loc)
+            case None             => withDist0
+            case Some(x) => throw bad(s"$$geoNear.includeLocs needs a field name, got $x")
+          }
           val ranged = (bound("minDistance"), bound("maxDistance")) match {
             case (lo, hi) =>
               val base = dist // bounds compare the UNmultiplied meters
@@ -960,6 +972,11 @@ object MongoPipeline {
             case Some(DLong(b)) if b >= 1 => b.toInt
             case other => throw bad(s"$$bucketAuto.buckets needs a positive integer, got $other")
           }
+          // refuse rather than silently ignore: granularity SNAPS the
+          // boundaries to a preferred-number series, changing every bucket
+          if (m.contains("granularity"))
+            throw bad("$bucketAuto.granularity is not supported " +
+              "(boundaries here are exact equal-count splits)")
           val outPairs: Seq[(String, Column)] = m.get("output") match {
             case Some(o: DDoc) => o.fields.map { case (alias, aspec) =>
               alias -> groupAccumulator(aspec, rootEnv).as(alias) }.toSeq

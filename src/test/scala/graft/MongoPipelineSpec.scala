@@ -734,6 +734,28 @@ class MongoPipelineSpec extends SparkSpec {
     ]""").collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // nearest first, no id=2
     assert(out.forall(!_.isNullAt(out.head.fieldIndex("d"))))
+    // includeLocs carries the matched location; spherical: true accepted
+    val locs = Graft.aggregate(docs, """[
+      {"$geoNear": {"near": [0, 0], "key": "loc", "distanceField": "d",
+                    "spherical": true, "includeLocs": "where"}}
+    ]""").collect()
+    assert(locs.head.getSeq[Double](locs.head.fieldIndex("where")) ==
+      Seq(0.001, 0.0))
+    // result-changing options REFUSE instead of silently diverging:
+    // spherical: false = flat legacy-2d geometry
+    val flat = intercept[IllegalArgumentException] {
+      Graft.aggregate(docs, """[
+        {"$geoNear": {"near": [0, 0], "key": "loc", "distanceField": "d",
+                      "spherical": false}}]""")
+    }
+    assert(flat.getMessage.contains("spherical"))
+    // $bucketAuto granularity snaps boundaries to a preferred series
+    val gran = intercept[IllegalArgumentException] {
+      Graft.aggregate(docs, """[
+        {"$bucketAuto": {"groupBy": "$id", "buckets": 2,
+                         "granularity": "R5"}}]""")
+    }
+    assert(gran.getMessage.contains("granularity"))
   }
 
   test("$$ROOT/$$CURRENT and $mergeObjects: whole-document expressions") {
