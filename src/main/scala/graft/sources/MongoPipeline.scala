@@ -1700,14 +1700,16 @@ object MongoPipeline {
           valueExpr(len, env))
       case other => throw bad(s"$$substrCP needs [str, start, len], got $other")
     }
-    case "$substrBytes" => operand match {
+    case "$substrBytes" | "$substr" => operand match {
       // byte-addressed slice: substring over BINARY is byte-wise in Spark.
-      // Divergence note: a slice that splits a multi-byte UTF-8 sequence
-      // is an error in Mongo; here the torn bytes decode to U+FFFD.
+      // $substr is the deprecated pre-3.4 alias with the same byte
+      // semantics (reference expression surface). Divergence note: a
+      // slice that splits a multi-byte UTF-8 sequence is an error in
+      // Mongo; here the torn bytes decode to U+FFFD.
       case DArray(Seq(s, start, len)) =>
         substring(valueExpr(s, env).cast("binary"),
           lit(1) + valueExpr(start, env), valueExpr(len, env)).cast("string")
-      case other => throw bad(s"$$substrBytes needs [str, start, len], got $other")
+      case other => throw bad(s"$op needs [str, start, len], got $other")
     }
     case "$split"    => operand match {
       // Mongo's delimiter is a LITERAL string; Spark's split() takes a
@@ -1721,6 +1723,11 @@ object MongoPipeline {
     }
     case "$indexOfCP" => // 0-based; -1 when absent — instr is 1-based, 0-absent
       { val (s, sub) = arg2(op, operand, env); instr(s, sub) - 1 }
+    case "$indexOfBytes" => // like $indexOfCP but the index counts BYTES:
+      // find the codepoint index, then measure the UTF-8 prefix before it
+      { val (s, sub) = arg2(op, operand, env)
+        val cp = instr(s, sub)
+        when(cp === 0, -1).otherwise(octet_length(substring(s, lit(1), cp - 1))) }
     case "$replaceAll" => operand match { // literal (non-regex) find/replace
       case d: DDoc =>
         replace(valueExpr(docField(op, d, "input"), env),
@@ -1882,6 +1889,25 @@ object MongoPipeline {
     case "$toString"  => valueExpr(operand, env).cast("string")
     case "$toBool"    => valueExpr(operand, env).cast("boolean")
     case "$toDate"    => valueExpr(operand, env).cast("timestamp")
+    // ObjectId/UUID are modeled as their canonical hex strings (the
+    // docstore maps $oid to string — SURVEY §3): conversion validates the
+    // shape and canonicalizes case; a malformed value errors like Mongo's
+    // ConversionFailure. Null passes through.
+    case "$toObjectId" =>
+      val s = valueExpr(operand, env).cast("string")
+      when(s.isNull, lit(null).cast("string"))
+        .when(s.rlike("^[0-9a-fA-F]{24}$"), lower(s))
+        .otherwise(raise_error(concat(
+          lit("$toObjectId: not a 24-hex-character string: "), s)))
+    case "$toUUID" => // Mongo 8.0: string → UUID (canonical lowercase)
+      val s = valueExpr(operand, env).cast("string")
+      val rx = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+      when(s.isNull, lit(null).cast("string"))
+        .when(s.rlike(rx), lower(s))
+        .otherwise(raise_error(concat(lit("$toUUID: not a UUID string: "), s)))
+    case "$bsonSize" => // exact BSON-encoded byte size, from the schema
+      toColumn(graft.functions.BsonSizeExpr(toExpression(valueExpr(operand, env))))
     case "$convert"   => operand match {
       case d: DDoc =>
         val to = docField(op, d, "to") match {

@@ -679,6 +679,34 @@ class MongoPipelineSpec extends SparkSpec {
     assert(!r.getBoolean(r.fieldIndex("neqs")))
   }
 
+  test("$substr/$indexOfBytes/$bsonSize/$toObjectId/$toUUID") {
+    val df = Seq((12L, "héllo", Seq(1, 2), (true), Option.empty[String]))
+      .toDF("a", "s", "arr", "x", "nul")
+      .select(col("a"), col("s"), col("arr"),
+        struct(col("x")).as("sub"), col("nul"))
+    val r = Graft.aggregate(df,
+      """[{"$project": {
+           "sb":  {"$substr": ["$s", 0, 3]},
+           "ib":  {"$indexOfBytes": ["$s", "llo"]},
+           "ibm": {"$indexOfBytes": ["$s", "zzz"]},
+           "bs":  {"$bsonSize": "$$ROOT"},
+           "oid": {"$toObjectId": "507F1F77BCF86CD799439011"},
+           "uid": {"$toUUID": "123E4567-E89B-12D3-A456-426614174000"}}}]""").head
+    assert(r.getString(r.fieldIndex("sb")) == "hé")   // deprecated byte alias
+    assert(r.getInt(r.fieldIndex("ib")) == 3)         // "hé" is 3 UTF-8 bytes
+    assert(r.getInt(r.fieldIndex("ibm")) == -1)
+    // BSON by hand: 4 + [a int64 11] + [s string 14] +
+    //   [arr 1+3+1 + (4+7+7+1)] + [sub 1+3+1 + (4+4+1)] + [nul null 5] + 1
+    assert(r.getInt(r.fieldIndex("bs")) == 73)
+    assert(r.getString(r.fieldIndex("oid")) == "507f1f77bcf86cd799439011")
+    assert(r.getString(r.fieldIndex("uid")) == "123e4567-e89b-12d3-a456-426614174000")
+    // malformed conversions error like Mongo's ConversionFailure
+    intercept[Exception] {
+      Graft.aggregate(df,
+        """[{"$project": {"o": {"$toObjectId": "$s"}}}]""").collect()
+    }
+  }
+
   test("$redact: per-level KEEP/PRUNE/DESCEND over nested docs and arrays") {
     // level-gated access control: every (sub)document carries a `level`;
     // levels above the viewer's clearance (2) are pruned at THAT level
