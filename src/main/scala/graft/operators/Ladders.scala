@@ -71,6 +71,109 @@ object Ladders {
       .drop("__off")
   }
 
+  /** Exponential moving average — Mongo's `$expMovingAvg` recurrence
+    * (reference window surface; MongoDB docs: ema_0 = x_0,
+    * ema_i = alpha·x_i + (1−alpha)·ema_{i−1}; null/non-numeric inputs are
+    * ignored and carry the previous value forward) — WITHOUT a sequential
+    * scan operator, which Spark lacks. The recurrence is linear, so it
+    * unrolls to a geometric-decay kernel the same two-level way the rank
+    * /cumsum ladders unroll a plain sum:
+    *
+    *   1. index valid rows 1..n per stratum (`rnn`, one window over the
+    *      user's partition key — the operator's own semantics);
+    *   2. block rows into cells of B valid rows; inside a cell the
+    *      kernel renormalizes to bounded exponents (r^{−o}, o < B) and a
+    *      running sum gives the block-local EMA term exactly;
+    *   3. per-block tails form a tiny frame (n/B rows); the cross-block
+    *      recurrence E_k = A_k + r^{len_k}·E_{k−1} unrolls to a BANDED
+    *      sum Σ A_j·r^{p_k−p_j} — beyond the band the kernel has decayed
+    *      below double precision — computed by a bounded explode-join,
+    *      then joined back on (stratum, block).
+    *
+    * B adapts to the decay rate so r^{−B} ≤ 1e15 (no catastrophic
+    * magnitude spread), and the band covers every term until r^Δ
+    * underflows. For alpha < ~1.7e-4 the kernel is truncated at
+    * B·4096 ≈ 4M valid rows per stratum (documented; Mongo's N-form
+    * alpha = 2/(N+1) reaches that only past N ≈ 12000). Values agree
+    * with the sequential recurrence to double rounding (order of
+    * summation differs), not bit-for-bit.
+    *
+    * Leading rows before the first valid value yield null, like Mongo.
+    */
+  def expMovingAvg(df: DataFrame, part: Seq[Column], order: Seq[Column],
+      input: Column, alpha: Double, out: String): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"expMovingAvg: alpha in (0,1), got $alpha")
+    val r = 1.0 - alpha
+    val lnInv = -math.log(r)
+    val B = math.max(1L, math.min(1024L, (34.5 / lnInv).toLong))
+    val hb = math.min(4096L, (709.0 / (B * lnInv)).toLong + 1L)
+
+    val x = input.cast("double")
+    val pcols = part.zipWithIndex.map { case (c, i) => c.as(s"__ema_p$i") }
+    val pnames = part.indices.map(i => s"__ema_p$i")
+    val keyed = df.select((col("*") +: pcols) :+ x.as("__ema_x"): _*)
+
+    val wPart = Window.partitionBy(pnames.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // index among VALID rows; an invalid row shares its predecessor's
+    // index — and therefore, below, its block, offset, and final value
+    // (exactly Mongo's carry-forward)
+    val rnn = sum(when(col("__ema_x").isNotNull, 1L).otherwise(0L)).over(wPart)
+    val staged = keyed.withColumn("__ema_rnn", rnn)
+      .withColumn("__ema_b", floor((col("__ema_rnn") - 1) / lit(B.toDouble)))
+      .withColumn("__ema_o", col("__ema_rnn") - 1 - col("__ema_b") * B)
+    // renormalized kernel weight: the global first valid row enters with
+    // weight 1 (ema_0 = x_0), later valid rows with alpha; invalid → 0
+    val w = when(col("__ema_x").isNull, lit(0.0))
+      .when(col("__ema_rnn") === 1, lit(1.0)).otherwise(lit(alpha))
+    val y = w * coalesce(col("__ema_x"), lit(0.0)) *
+      pow(lit(r), -col("__ema_o").cast("double"))
+    val wCell = Window
+      .partitionBy((pnames :+ "__ema_b").map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = staged.withColumn("__ema_L",
+      pow(lit(r), col("__ema_o").cast("double")) * sum(y).over(wCell))
+
+    // per-block tails: the block's final local term and final valid index
+    // (aggregating the windowed frame reuses its (stratum, block)
+    // distribution — one scan, no extra exchange)
+    val tails = local.where(col("__ema_rnn") > 0)
+      .groupBy((pnames :+ "__ema_b").map(col): _*)
+      .agg(max_by(col("__ema_L"), col("__ema_rnn")).as("__ema_A"),
+        max(col("__ema_rnn")).as("__ema_p"))
+    // banded unroll: block j contributes A_j·r^{p_k−p_j} to E_k for
+    // k ∈ [j, j+hb]; farther blocks are past the kernel's double horizon
+    val contrib = tails.select(
+      (pnames.map(col) :+
+        explode(sequence(col("__ema_b"), col("__ema_b") + hb)).as("__ema_k") :+
+        col("__ema_A") :+ col("__ema_p").as("__ema_pj")): _*)
+    val ends = tails.select(
+      (pnames.map(c => col(c).as("__r_" + c)) :+
+        col("__ema_b").as("__r_k") :+ col("__ema_p").as("__ema_pk")): _*)
+    def pcond(pre: String): Column =
+      pnames.map(c => col(c) <=> col(pre + c))
+        .foldLeft(lit(true))(_ && _) // no partitionBy → one global stratum
+    val e = contrib.join(ends,
+        pcond("__r_") && col("__ema_k") === col("__r_k"))
+      .groupBy((pnames :+ "__ema_k").map(col): _*)
+      .agg(sum(col("__ema_A") *
+        pow(lit(r), col("__ema_pk") - col("__ema_pj"))).as("__ema_E"))
+    // rows in block b need the PREVIOUS block's tail EMA
+    val prev = e.select(
+      (pnames.map(c => col(c).as("__e_" + c)) :+
+        (col("__ema_k") + 1).as("__e_b") :+ col("__ema_E")): _*)
+
+    local.join(prev,
+        pcond("__e_") && col("__ema_b") === col("__e_b"), "left")
+      .withColumn(out,
+        when(col("__ema_rnn") === 0, lit(null).cast("double"))
+          .otherwise(col("__ema_L") +
+            pow(lit(r), col("__ema_o").cast("double") + 1) *
+              coalesce(col("__ema_E"), lit(0.0))))
+      .drop((pnames ++ Seq("__ema_x", "__ema_rnn", "__ema_b", "__ema_o",
+        "__ema_L", "__ema_E") ++ pnames.map("__e_" + _) :+ "__e_b"): _*)
+  }
+
   /** Broadcast the tiny offsets frame back onto the ranked rows.
     * NULL-SAFE keys: a NULL stratum (or NULL order key → NULL bucket) is
     * its own group under Window.partitionBy, so the ladder must join it

@@ -863,8 +863,31 @@ object MongoPipeline {
             case x       => throw bad(s"output needs a document, got $x")
           }
           outputs.foldLeft(df) { case (acc, (alias, ospec)) =>
-            acc.withColumn(alias,
-              windowFunction(ospec, partition, sortCols, sortKey))
+            ospec match {
+              // $expMovingAvg is a sequential recurrence, not a frame
+              // aggregate — it compiles to the whole-frame blocked-scan
+              // ladder, so it rewrites the DataFrame instead of adding a
+              // window Column (graft.operators.Ladders.expMovingAvg)
+              case dd: DDoc if dd.fields.exists(_._1 == "$expMovingAvg") =>
+                if (sortCols.isEmpty) throw bad("$expMovingAvg requires sortBy")
+                val sd = dd.fields.toMap.apply("$expMovingAvg") match {
+                  case d: DDoc => d.fields.toMap
+                  case x => throw bad(s"$$expMovingAvg needs {input, N|alpha}, got $x")
+                }
+                val in = valueExpr(sd.getOrElse("input",
+                  throw bad("$expMovingAvg needs input")))
+                val alpha = (sd.get("N"), sd.get("alpha")) match {
+                  case (Some(DLong(n)), None) if n >= 1 => 2.0 / (n + 1)
+                  case (None, Some(DDouble(a))) => a
+                  case (None, Some(DLong(a)))   => a.toDouble
+                  case _ => throw bad(
+                    "$expMovingAvg needs exactly one of N (>= 1) or alpha")
+                }
+                graft.operators.Ladders.expMovingAvg(
+                  acc, partition, sortCols, in, alpha, alias)
+              case _ => acc.withColumn(alias,
+                windowFunction(ospec, partition, sortCols, sortKey))
+            }
           }
         case x => throw bad(s"$$setWindowFields needs a document, got $x")
       }

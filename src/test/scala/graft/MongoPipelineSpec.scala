@@ -919,6 +919,47 @@ class MongoPipelineSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("sd") - math.sqrt(2.0)) < 1e-9)
   }
 
+  test("$expMovingAvg matches the sequential recurrence across blocks") {
+    // 2 partitions × 200 rows with nulls sprinkled in: alpha = 0.5 gives
+    // block size B = 49, so each partition spans several ladder blocks
+    val rng = new scala.util.Random(7)
+    val data = for (g <- Seq("a", "b"); i <- 0 until 200) yield
+      (g, i.toLong, if (rng.nextInt(10) == 0) None
+                    else Some(rng.nextDouble() * 200 - 100))
+    val df = data.toDF("grp", "t", "v")
+    val out = Graft.aggregate(df, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"t": 1},
+        "output": {"ema":  {"$expMovingAvg": {"input": "$v", "alpha": 0.5}},
+                   "emaN": {"$expMovingAvg": {"input": "$v", "N": 19}}}}},
+      {"$sort": {"grp": 1, "t": 1}}
+    ]""").collect()
+    // reference: the textbook recurrence, nulls carry the value forward
+    def ref(alpha: Double, g: String): Seq[Option[Double]] = {
+      var acc = Option.empty[Double]
+      data.filter(_._1 == g).sortBy(_._2).map { case (_, _, v) =>
+        acc = v match {
+          case Some(x) => Some(acc.fold(x)(p => alpha * x + (1 - alpha) * p))
+          case None    => acc
+        }
+        acc
+      }
+    }
+    for ((g, alpha, fld) <- Seq(("a", 0.5, "ema"), ("b", 0.5, "ema"),
+                                ("a", 0.1, "emaN"), ("b", 0.1, "emaN"))) {
+      val got = out.filter(_.getString(0) == g).map(r =>
+        if (r.isNullAt(r.fieldIndex(fld))) None
+        else Some(r.getAs[Double](fld))).toSeq
+      val want = ref(alpha, g)
+      assert(got.size == want.size)
+      got.zip(want).zipWithIndex.foreach {
+        case ((Some(x), Some(y)), i) =>
+          assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+            s"$fld $g row $i: got $x want $y")
+        case ((a, b), i) => assert(a == b, s"$fld $g row $i: got $a want $b")
+      }
+    }
+  }
+
   test("$firstN/$lastN as accumulators and as array operators") {
     val g = Graft.aggregate(sales, """[
       {"$sort": {"id": 1}},
