@@ -339,17 +339,113 @@ object Similarity {
       |SELECT vec_id, ROUND((1 + c) / 2, 4) AS score
       |FROM top ORDER BY score DESC, vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- s06
+  /** Hybrid retrieval — MongoDB 8.1's `$rankFusion` over a lexical
+    * `$search` (BM25) pipeline and a semantic `$vectorSearch` pipeline,
+    * the retrieval shape an LLM data/RAG stack actually runs: candidates
+    * from both modalities, reciprocal-rank-fused (Σ w/(60+rank)).
+    *
+    * Scale shape: BM25 is two passes over the pruned text column (query
+    * terms are literals → map-side tf/dl; ONE tiny global stats row
+    * broadcast back) ending in a TakeOrderedAndProject cut; the vector
+    * side is the s05 zero-shuffle TopN; fusion unions 2×30 rows — the
+    * heavy lifting never leaves the per-partition scans regardless of
+    * corpus size. Ranks and cuts are tie-pinned by `_id` so the result
+    * is reproducible run-to-run and engine-to-engine.
+    */
+  def s06HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+    val base = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id").as("_id"), docs("text"), emb("embedding"))
+    val qv = emb.filter(col("vec_id") === 3)
+      .select(col("embedding")).head.getSeq[Float](0)
+    graft.Graft.aggregate(base, s"""[
+      {"$$rankFusion": {"input": {"pipelines": {
+        "lexical": [
+          {"$$search": {"text": {"query": "spark merge window", "path": "text"}}},
+          {"$$limit": 30}],
+        "semantic": [
+          {"$$vectorSearch": {"path": "embedding",
+            "queryVector": [${qv.mkString(",")}],
+            "limit": 30, "numCandidates": 120}}]}},
+        "combination": {"weights": {"lexical": 1, "semantic": 1}}}},
+      {"$$project": {"_id": 1, "fused": {"$$round": [{"$$meta": "score"}, 6]}}},
+      {"$$sort": {"fused": -1, "_id": 1}},
+      {"$$limit": 20}
+    ]""").select(col("_id").as("doc_id"), col("fused"))
+  }
+
+  /** Oracle re-derives BM25 (identical formula and operation order), the
+    * s05 cosine, both rank lists (same `_id` tie-pins), and the RRF sum.
+    */
+  val s06Sql: String =
+    """WITH base AS (
+      |  SELECT d.doc_id AS id, d.text, e.embedding
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      |tk AS (
+      |  SELECT id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    x -> x <> '') AS toks
+      |  FROM base WHERE text IS NOT NULL),
+      |tf AS (
+      |  SELECT id, len(toks) AS dl,
+      |    len(list_filter(toks, x -> x = 'spark'))  AS tf1,
+      |    len(list_filter(toks, x -> x = 'merge'))  AS tf2,
+      |    len(list_filter(toks, x -> x = 'window')) AS tf3
+      |  FROM tk),
+      |stats AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+      |    count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+      |    count(CASE WHEN tf2 > 0 THEN 1 END) AS df2,
+      |    count(CASE WHEN tf3 > 0 THEN 1 END) AS df3
+      |  FROM tf),
+      |lex AS (
+      |  SELECT id,
+      |    (CASE WHEN tf1 > 0 THEN
+      |       ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5)) *
+      |       (CAST(tf1 AS DOUBLE) /
+      |        (tf1 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) ELSE 0 END
+      |   + CASE WHEN tf2 > 0 THEN
+      |       ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5)) *
+      |       (CAST(tf2 AS DOUBLE) /
+      |        (tf2 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) ELSE 0 END
+      |   + CASE WHEN tf3 > 0 THEN
+      |       ln(1.0 + (CAST(n AS DOUBLE) - df3 + 0.5) / (df3 + 0.5)) *
+      |       (CAST(tf3 AS DOUBLE) /
+      |        (tf3 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) ELSE 0 END) AS s
+      |  FROM tf, stats),
+      |lexrank AS (
+      |  SELECT id, row_number() OVER (ORDER BY s DESC, id) AS r
+      |  FROM lex WHERE s > 0 QUALIFY r <= 30),
+      |sem AS (
+      |  SELECT b.id, list_cosine_similarity(q.qv, b.embedding::DOUBLE[]) AS c
+      |  FROM base b,
+      |    (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3) q),
+      |semrank AS (
+      |  SELECT id, row_number() OVER (ORDER BY c DESC, id) AS r
+      |  FROM sem QUALIFY r <= 30),
+      |rrf AS (
+      |  SELECT coalesce(l.id, m.id) AS id,
+      |    coalesce(1.0 / (60 + l.r), 0) + coalesce(1.0 / (60 + m.r), 0) AS f
+      |  FROM lexrank l FULL OUTER JOIN semrank m ON l.id = m.id)
+      |SELECT id AS doc_id, ROUND(f, 6) AS fused
+      |FROM rrf ORDER BY ROUND(f, 6) DESC, id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01BruteForce _),
     "s02_ann_ivf" -> (s02Ivf _),
     "s03_vector_quantize" -> (s03Quantize _),
     "s04_pq_quantize" -> (s04PqQuantize _),
-    "s05_vector_search" -> (s05VectorSearch _))
+    "s05_vector_search" -> (s05VectorSearch _),
+    "s06_hybrid_search" -> (s06HybridSearch _))
 
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_ivf" -> s02Sql,
     "s03_vector_quantize" -> s03Sql,
     "s04_pq_quantize" -> s04Sql,
-    "s05_vector_search" -> s05Sql)
+    "s05_vector_search" -> s05Sql,
+    "s06_hybrid_search" -> s06Sql)
 }

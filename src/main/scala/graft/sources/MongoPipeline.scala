@@ -102,12 +102,20 @@ object MongoPipeline {
   /** Hidden column carrying `$vectorSearch`'s similarity score between
     * the stage and a `{$meta: "vectorSearchScore"}` projection. */
   private[sources] val VsScoreCol = "__graft_vs_score"
+  /** Same for `$search`'s BM25 relevance → `{$meta: "searchScore"}`. */
+  private[sources] val SearchScoreCol = "__graft_search_score"
+  /** Same for `$rankFusion`'s fused score → `{$meta: "score"}`. */
+  private[sources] val FusionScoreCol = "__graft_fusion_score"
 
-  /** Drop an unprojected `$vectorSearch` score — applied wherever a
+  private val HiddenCols = Seq(VsScoreCol, SearchScoreCol, FusionScoreCol)
+
+  /** Drop unprojected search/fusion scores — applied wherever a
     * sub-pipeline's frame becomes user-visible (top-level result,
-    * `$unionWith`/`$facet`/`$lookup` sub-pipelines). */
-  private def stripVs(df: DataFrame): DataFrame =
-    if (df.columns.contains(VsScoreCol)) df.drop(VsScoreCol) else df
+    * `$unionWith`/`$facet`/`$lookup` sub-pipelines, `$out`/`$merge`). */
+  private def stripVs(df: DataFrame): DataFrame = {
+    val present = HiddenCols.filter(df.columns.contains)
+    if (present.nonEmpty) df.drop(present: _*) else df
+  }
 
   private def applyStage(df: DataFrame, stage: DDoc,
       resolver: String => DataFrame): DataFrame = {
@@ -672,6 +680,180 @@ object MongoPipeline {
             .orderBy(col(VsScoreCol).desc)
             .limit(limitN)
         case other => throw bad(s"$$vectorSearch needs a document, got $other")
+      }
+
+      // Atlas Search's `text` operator, scored with Lucene's BM25
+      // (k1 = 1.2, b = 0.75, idf = ln(1 + (N − df + 0.5)/(df + 0.5)),
+      // tf_norm = tf/(tf + k1·(1 − b + b·dl/avgdl)); reference test
+      // surface has no $search — this mirrors the published operator so
+      // an Atlas user's hybrid pipelines run unchanged). Analyzer subset:
+      // lowercase + split on non-alphanumeric (Lucene's standard analyzer
+      // minus stemming); `index` is accepted and ignored — the frame IS
+      // the index. Only matching documents (any term, matchCriteria
+      // "any") flow on, ordered by relevance; the score rides the hidden
+      // column until `{$meta: "searchScore"}` projects it. Ties are
+      // pinned by `_id` when present (Atlas leaves them arbitrary;
+      // deterministic cuts are what make a $limit reproducible at scale).
+      //
+      // Plan: query terms are literals, so tf/dl are map-side array ops;
+      // corpus stats (N, Σdl, per-term df) are ONE tiny global aggregate
+      // cross-joined back as a broadcast — two passes over the pruned
+      // text column, no explode, no per-term shuffle.
+      case "$search" => spec match {
+        case d: DDoc =>
+          val m = d.fields.toMap
+          val unknown = m.keySet -- Set("text", "index")
+          if (unknown.nonEmpty) throw bad(
+            s"$$search: unsupported operators ${unknown.mkString(", ")} (text only)")
+          val td = m.get("text") match {
+            case Some(t: DDoc) => t.fields.toMap
+            case _ => throw bad("$search needs {text: {query, path}}")
+          }
+          val query = td.get("query") match {
+            case Some(DString(q)) => q
+            case other => throw bad(s"$$search.text.query needs a string, got $other")
+          }
+          val paths: Seq[String] = td.get("path") match {
+            case Some(DString(p)) => Seq(p)
+            case Some(DArray(ps)) if ps.forall(_.isInstanceOf[DString]) =>
+              ps.map { case DString(p) => p case _ => "" }
+            case other => throw bad(s"$$search.text.path needs a string or strings, got $other")
+          }
+          val extra = td.keySet -- Set("query", "path")
+          if (extra.nonEmpty) throw bad(
+            s"$$search.text: unsupported options ${extra.mkString(", ")}")
+          val tokRx = "[^\\p{L}\\p{N}]+"
+          val terms = query.toLowerCase.split(tokRx).filter(_.nonEmpty).distinct.toSeq
+          if (terms.isEmpty) throw bad("$search.text.query has no terms")
+          val (k1, b) = (1.2, 0.75)
+
+          def toks(p: String) =
+            filter(split(lower(col(p)), tokRx), x => x =!= lit(""))
+          // one token-array column per path; tf/dl derive from it map-side
+          val staged = paths.zipWithIndex.foldLeft(df) { case (acc, (p, i)) =>
+            val withTk = acc.withColumn(s"__srch_tk_$i", toks(p))
+              .withColumn(s"__srch_dl_$i",
+                when(col(p).isNotNull, size(col(s"__srch_tk_$i"))))
+            terms.zipWithIndex.foldLeft(withTk) { case (a, (t, j)) =>
+              a.withColumn(s"__srch_tf_${i}_$j", when(col(p).isNotNull,
+                size(filter(col(s"__srch_tk_$i"), x => x === lit(t))))
+                .otherwise(lit(0)))
+            }
+          }
+          val statAggs = paths.indices.flatMap { i =>
+            Seq(count(col(s"__srch_dl_$i")).as(s"__srch_n_$i"),
+              sum(col(s"__srch_dl_$i")).as(s"__srch_sl_$i")) ++
+              terms.indices.map(j =>
+                count(when(col(s"__srch_tf_${i}_$j") > 0, 1))
+                  .as(s"__srch_df_${i}_$j"))
+          }
+          val stats = staged.agg(statAggs.head, statAggs.tail: _*)
+          val scored = staged.crossJoin(broadcast(stats))
+          val score = paths.indices.flatMap { i =>
+            val n = col(s"__srch_n_$i").cast("double")
+            val avgdl = col(s"__srch_sl_$i").cast("double") / n
+            terms.indices.map { j =>
+              val tf = col(s"__srch_tf_${i}_$j").cast("double")
+              val dfreq = col(s"__srch_df_${i}_$j").cast("double")
+              val idf = log(lit(1.0) + (n - dfreq + 0.5) / (dfreq + 0.5))
+              when(tf > 0, idf *
+                (tf / (tf + lit(k1) * (lit(1 - b) + lit(b) * (col(s"__srch_dl_$i") / avgdl)))))
+                .otherwise(lit(0.0))
+            }
+          }.reduce(_ + _)
+          val temps = scored.columns.filter(_.startsWith("__srch_"))
+          val ordered = scored.withColumn(SearchScoreCol, score)
+            .drop(temps: _*)
+            .filter(col(SearchScoreCol) > 0)
+          if (df.columns.contains("_id"))
+            ordered.orderBy(col(SearchScoreCol).desc, col("_id").asc)
+          else ordered.orderBy(col(SearchScoreCol).desc)
+        case other => throw bad(s"$$search needs a document, got $other")
+      }
+
+      // MongoDB 8.1's hybrid-search combiner: run N "ranked" selection
+      // sub-pipelines over the in-flow frame, then reciprocal-rank-fuse
+      // (score = Σ weight/(60 + rank)). Sub-pipelines must be bounded
+      // ($limit or $vectorSearch's internal limit) and ranked ($sort,
+      // $search, or $vectorSearch) — so each per-pipeline rank window
+      // runs over at most limit rows, and the fusion itself is a tiny
+      // union + hash-agg. Ties (and document identity) are pinned by
+      // `_id` when present, else by a whole-document hash.
+      case "$rankFusion" => spec match {
+        case d: DDoc =>
+          import org.apache.spark.sql.expressions.Window
+          val m = d.fields.toMap
+          m.get("scoreDetails") match {
+            case Some(DBool(true)) => throw bad("$rankFusion: scoreDetails not supported")
+            case _ => ()
+          }
+          val unknown = m.keySet -- Set("input", "combination", "scoreDetails")
+          if (unknown.nonEmpty) throw bad(
+            s"$$rankFusion: unsupported options ${unknown.mkString(", ")}")
+          val pipelines: Seq[(String, Seq[DDoc])] = m.get("input") match {
+            case Some(in: DDoc) => in.fields.toMap.get("pipelines") match {
+              case Some(ps: DDoc) if ps.fields.nonEmpty => ps.fields.map {
+                case (nm, DArray(sts)) if sts.forall(_.isInstanceOf[DDoc]) =>
+                  nm -> sts.map(_.asInstanceOf[DDoc])
+                case (nm, x) => throw bad(s"$$rankFusion pipeline $nm: needs stages, got $x")
+              }
+              case _ => throw bad("$rankFusion needs {input: {pipelines: {...}}}")
+            }
+            case _ => throw bad("$rankFusion needs {input: {pipelines: {...}}}")
+          }
+          val weights: Map[String, Double] = m.get("combination") match {
+            case Some(c: DDoc) => c.fields.toMap.get("weights") match {
+              case Some(w: DDoc) => w.fields.map {
+                case (nm, DLong(x))   => nm -> x.toDouble
+                case (nm, DDouble(x)) => nm -> x
+                case (nm, x) => throw bad(s"$$rankFusion weight $nm: $x")
+              }.toMap
+              case None    => Map.empty
+              case Some(x) => throw bad(s"$$rankFusion.combination.weights: $x")
+            }
+            case None    => Map.empty
+            case Some(x) => throw bad(s"$$rankFusion.combination needs a document, got $x")
+          }
+          val visible = df.columns.filterNot(HiddenCols.contains).toSeq
+          def identity(f: DataFrame): Column =
+            if (f.columns.contains("_id")) col("_id")
+            else xxhash64(to_json(struct(visible.map(col): _*)))
+          val ranked = pipelines.map { case (name, stages) =>
+            val ops = stages.map(_.fields.head._1)
+            if (!ops.exists(o => o == "$limit" || o == "$vectorSearch"))
+              throw bad(s"$$rankFusion pipeline $name must be bounded " +
+                "by $limit (or $vectorSearch)")
+            val out = stages.foldLeft(df)((acc, st) => applyStage(acc, st, resolver))
+            val orderCols: Seq[Column] =
+              if (ops.contains("$vectorSearch")) Seq(col(VsScoreCol).desc)
+              else if (ops.contains("$search")) Seq(col(SearchScoreCol).desc)
+              else stages.reverse.collectFirst {
+                case s if s.fields.head._1 == "$sort" => s.fields.head._2
+              } match {
+                case Some(sd: DDoc) => sd.fields.map {
+                  case (f, DLong(1))  => col(f).asc
+                  case (f, DLong(-1)) => col(f).desc
+                  case (f, x) => throw bad(s"$$rankFusion $name sort.$f: $x")
+                }
+                case _ => throw bad(s"$$rankFusion pipeline $name is not " +
+                  "ranked: needs $sort, $search, or $vectorSearch")
+              }
+            // a global rank window — bounded by the pipeline's own $limit
+            val w = Window.orderBy((orderCols :+ identity(out).asc): _*)
+            out.select((visible.map(col) :+
+              identity(out).as("__rf_id") :+
+              row_number().over(w).cast("long").as("__rf_rank")): _*)
+              .withColumn("__rf_w", lit(weights.getOrElse(name, 1.0)))
+          }
+          val aggs = visible.map(c => first(col(c)).as(c)) :+
+            sum(col("__rf_w") / (lit(60L) + col("__rf_rank")))
+              .as(FusionScoreCol)
+          ranked.reduce(_.unionByName(_))
+            .groupBy(col("__rf_id"))
+            .agg(aggs.head, aggs.tail: _*)
+            .orderBy(col(FusionScoreCol).desc, col("__rf_id").asc)
+            .select((visible.map(col) :+ col(FusionScoreCol)): _*)
+        case other => throw bad(s"$$rankFusion needs a document, got $other")
       }
 
       case "$unionWith" =>
@@ -2237,8 +2419,10 @@ object MongoPipeline {
     // {$meta: "vectorSearchScore"} from the stage's hidden column
     case "$meta" => operand match {
       case DString("vectorSearchScore") => col(VsScoreCol)
-      case other => throw bad(
-        s"$$meta: unsupported metadata $other (vectorSearchScore only)")
+      case DString("searchScore")       => col(SearchScoreCol)
+      case DString("score")             => col(FusionScoreCol)
+      case other => throw bad(s"$$meta: unsupported metadata $other " +
+        "(vectorSearchScore, searchScore, score)")
     }
     // type introspection: Spark type names mapped to Mongo's $type names
     case "$type" =>

@@ -919,6 +919,61 @@ class MongoPipelineSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("sd") - math.sqrt(2.0)) < 1e-9)
   }
 
+  test("$search: BM25 text relevance; $rankFusion: reciprocal rank fusion") {
+    val docs = Seq(
+      (1L, Some("apple banana apple")),
+      (2L, Some("banana cherry")),
+      (3L, Some("cherry cherry cherry")),
+      (4L, None)
+    ).toDF("_id", "text")
+    // BM25 by hand (k1=1.2, b=0.75, N=3, avgdl=8/3):
+    //   idf(apple)=ln(8/3), df=1; idf(cherry)=ln(1.6), df=2
+    val out = Graft.aggregate(docs, """[
+      {"$search": {"index": "default",
+                   "text": {"query": "apple cherry", "path": "text"}}},
+      {"$set": {"s": {"$meta": "searchScore"}}}
+    ]""").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L)) // by relevance
+    val byId = out.map(r => r.getLong(0) -> r.getAs[Double]("s")).toMap
+    def tfn(tf: Double, dl: Double) =
+      tf / (tf + 1.2 * (0.25 + 0.75 * (dl / (8.0 / 3.0))))
+    assert(math.abs(byId(1L) - math.log(8.0 / 3.0) * tfn(2, 3)) < 1e-12)
+    assert(math.abs(byId(2L) - math.log(1.6) * tfn(1, 2)) < 1e-12)
+    assert(math.abs(byId(3L) - math.log(1.6) * tfn(3, 3)) < 1e-12)
+    // the hidden score column never leaks without a $meta projection
+    val bare = Graft.aggregate(docs, """[
+      {"$search": {"text": {"query": "apple", "path": "text"}}}]""")
+    assert(!bare.columns.exists(_.startsWith("__graft")))
+
+    // RRF: lexical [1,3] (ranks 1,2; w=1) ⊕ by-id-desc [4,3] (ranks 1,2;
+    // w=2) → doc3 = 1/62+2/62, doc4 = 2/61, doc1 = 1/61
+    val fused = Graft.aggregate(docs, """[
+      {"$rankFusion": {
+        "input": {"pipelines": {
+          "lex":  [{"$search": {"text": {"query": "apple cherry", "path": "text"}}},
+                   {"$limit": 2}],
+          "newest": [{"$sort": {"_id": -1}}, {"$limit": 2}]}},
+        "combination": {"weights": {"lex": 1, "newest": 2}}}},
+      {"$project": {"_id": 1, "f": {"$meta": "score"}}}
+    ]""").collect()
+    assert(fused.map(_.getLong(0)).toSeq == Seq(3L, 4L, 1L))
+    val f = fused.map(r => r.getLong(0) -> r.getAs[Double]("f")).toMap
+    assert(math.abs(f(3L) - 3.0 / 62) < 1e-12)
+    assert(math.abs(f(4L) - 2.0 / 61) < 1e-12)
+    assert(math.abs(f(1L) - 1.0 / 61) < 1e-12)
+    // unranked or unbounded input pipelines are refused
+    intercept[IllegalArgumentException] {
+      Graft.aggregate(docs,
+        """[{"$rankFusion": {"input": {"pipelines": {
+             "p": [{"$match": {"_id": 1}}, {"$limit": 1}]}}}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      Graft.aggregate(docs,
+        """[{"$rankFusion": {"input": {"pipelines": {
+             "p": [{"$sort": {"_id": 1}}]}}}}]""")
+    }
+  }
+
   test("$expMovingAvg matches the sequential recurrence across blocks") {
     // 2 partitions × 200 rows with nulls sprinkled in: alpha = 0.5 gives
     // block size B = 49, so each partition spans several ladder blocks

@@ -355,6 +355,18 @@ class PlanAuditSpec extends SparkSpec {
       !st8.contains("BroadcastNestedLoopJoin"), st8)
   }
 
+  test("s06: hybrid search cuts are TopN heaps; windows only on tiny frames") {
+    val p = finalPlan("s06_hybrid_search")
+    // both retrieval arms must cut with per-partition heaps + driver
+    // merge, never a global sort of the scored corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only windows are the rank assignments over the ≤limit-row
+    // fused candidates (empty partition spec over a LIMITED frame);
+    // nothing may window-partition a corpus-sized key
+    assert(!p.contains("windowspecdefinition(doc_id#") &&
+      !p.contains("windowspecdefinition(_id#"), p)
+  }
+
   test("docstore scan shows its pushdown in the plan") {
     val p = finalPlan("d08_docstore_scan")
     assert(p.contains("docstore"), p)
