@@ -453,6 +453,63 @@ object Streaming {
       |FROM events JOIN nation ON user_id % 25 = n_nationkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- st09
+  /** Per-key exponential moving average over event time — the classic
+    * online feature (reference has no streaming at all; this pairs the
+    * `$expMovingAvg` window operator with its continuous twin).
+    *
+    * Batch twin: the blocked-scan ladder (`Ladders.expMovingAvg`) — no
+    * sequential scan operator, bounded windows only; alpha = 0.5 makes
+    * each ~49-row block boundary cross the banded unroll path, so the
+    * oracle gates the ladder's cross-block recurrence too.
+    *
+    * The gate compares each user's FINAL ema (the full 49–86-step chain,
+    * so every block boundary still matters) at 4 decimals: the ladder
+    * reorders float additions vs the textbook recurrence, so agreement
+    * is ~1e-11 absolute, far inside 4dp but NOT bit-for-bit — per-row
+    * 6dp gating measurably straddles a rounding boundary once in ~10k
+    * rows (seen at sf0.01). Per-row values stay spec-covered with a
+    * tolerance in MongoPipelineSpec.
+    */
+  def st09StreamEma(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ladders.expMovingAvg(
+        Tables(spark, dir, "events"),
+        Seq(col("user_id")), Seq(col("ts").asc), col("value"), 0.5, "__ema")
+      .groupBy(col("user_id"))
+      .agg(round(max_by(col("__ema"), col("ts")), 4).as("ema"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  final case class EmaEv(user_id: Long, sec: Long, event_id: Long, value: Double)
+  final case class EmaOut(user_id: Long, event_id: Long, ema: Double)
+
+  /** Streaming twin: per-user running state via flatMapGroupsWithState;
+    * state is ONE double per key (bounded forever), each micro-batch
+    * folds its events in event-time order from the carried value. */
+  def st09Stream(events: Dataset[EmaEv], alpha: Double = 0.5): Dataset[EmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, EmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[EmaEv], state: GroupState[Double]) =>
+          var acc = state.getOption
+          val out = evs.toVector.sortBy(e => (e.sec, e.event_id)).map { e =>
+            val v = acc.fold(e.value)(p => alpha * e.value + (1 - alpha) * p)
+            acc = Some(v)
+            EmaOut(user, e.event_id, v)
+          }
+          acc.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  val st09Sql: String =
+    """SELECT user_id,
+      |  ROUND(list_reduce(list(value ORDER BY ts),
+      |                    (a, b) -> 0.5*b + 0.5*a), 4) AS ema,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -463,7 +520,8 @@ object Streaming {
     "st04_interval_join" -> (st04IntervalJoin _),
     "st08_abandoned_clicks" -> (st08AbandonedClicks _),
     "st05_latest_state" -> (st05LatestState _),
-    "st06_asof_join" -> (st06AsofJoin _))
+    "st06_asof_join" -> (st06AsofJoin _),
+    "st09_stream_ema" -> (st09StreamEma _))
 
   val oracle: Map[String, String] = Map(
     "st07_stream_enrich" -> st07Sql,
@@ -473,5 +531,6 @@ object Streaming {
     "st04_interval_join" -> st04Sql,
     "st08_abandoned_clicks" -> st08Sql,
     "st05_latest_state" -> st05Sql,
-    "st06_asof_join" -> st06Sql)
+    "st06_asof_join" -> st06Sql,
+    "st09_stream_ema" -> st09Sql)
 }

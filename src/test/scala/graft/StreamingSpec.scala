@@ -113,6 +113,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st09 streaming EMA carries per-key state across batches") {
+    import Streaming.{EmaEv, EmaOut}
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EmaEv]
+    val q = Streaming.st09Stream(input.toDS()).writeStream
+      .format("memory").queryName("st09_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(EmaEv(1, 10, 1, 100.0), EmaEv(1, 20, 2, 50.0),
+        EmaEv(2, 10, 3, 8.0))
+      q.processAllAvailable()
+      // batch 2 folds from the carried state, not from scratch
+      input.addData(EmaEv(1, 30, 4, 10.0))
+      q.processAllAvailable()
+      val out = spark.table("st09_sink").as[EmaOut].collect()
+        .map(o => o.event_id -> o.ema).toMap
+      assert(out(1L) == 100.0)                       // first value seeds
+      assert(out(2L) == 0.5 * 50 + 0.5 * 100.0)      // 75
+      assert(out(3L) == 8.0)
+      assert(out(4L) == 0.5 * 10 + 0.5 * 75.0)       // 42.5 — state carried
+    } finally q.stop()
+  }
+
+  test("st09 streaming EMA equals the batch ladder on the events table") {
+    import Streaming.{EmaEv, EmaOut}
+    implicit val ctx = spark.sqlContext
+    val events = Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "CAST(unix_timestamp(ts) AS BIGINT) AS sec",
+        "event_id", "value").as[EmaEv].collect().toSeq
+      .sortBy(e => (e.sec, e.event_id))
+    val (a, b) = events.splitAt(events.size / 2)
+    val input = MemoryStream[EmaEv]
+    val q = Streaming.st09Stream(input.toDS()).writeStream
+      .format("memory").queryName("st09_full_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      // the online final value per user agrees with the batch ladder key
+      // to the ladder's documented precision
+      val byEvent = spark.table("st09_full_sink").as[EmaOut].collect()
+        .map(o => o.event_id -> o.ema).toMap
+      // final state per user = the ema at its last event in fold order
+      val online = events.groupBy(_.user_id).map { case (u, es) =>
+        u -> byEvent(es.maxBy(e => (e.sec, e.event_id)).event_id) }
+      val batch = Streaming.st09StreamEma(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(online.keySet == batch.keySet)
+      for ((u, v) <- online)
+        assert(math.abs(v - batch(u)) < 1e-3, s"user $u: online $v batch ${batch(u)}")
+    } finally q.stop()
+  }
+
   test("st02 streaming total sessions equal batch twin on the same data") {
     implicit val ctx = spark.sqlContext
     val events = Tables(spark, sfDir, "events")
