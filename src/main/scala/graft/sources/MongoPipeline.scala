@@ -1122,8 +1122,18 @@ object MongoPipeline {
             case None                           => dflt
             case Some(x) => throw bad(s"$$merge.$k: unsupported $x")
           }
-        val whenMatched = mode("whenMatched", "merge",
-          Set("replace", "keepExisting", "merge", "fail"))
+        // whenMatched also takes a PIPELINE ($set/$addFields/$unset/
+        // $replaceRoot/$replaceWith over the TARGET doc, with the source
+        // doc bound as $$new) — Mongo's incremental-aggregation form
+        val wmPipeline: Option[Seq[DDoc]] = m.get("whenMatched") match {
+          case Some(DArray(sts)) if sts.forall(_.isInstanceOf[DDoc]) =>
+            Some(sts.map(_.asInstanceOf[DDoc]))
+          case Some(DArray(x)) => throw bad(s"$$merge.whenMatched pipeline: $x")
+          case _ => None
+        }
+        val whenMatched = if (wmPipeline.isDefined) "pipeline"
+          else mode("whenMatched", "merge",
+            Set("replace", "keepExisting", "merge", "fail"))
         val whenNotMatched = mode("whenNotMatched", "insert",
           Set("insert", "discard", "fail"))
         val targetDir = new java.io.File(into)
@@ -1146,6 +1156,17 @@ object MongoPipeline {
             val matched = whenMatched match {
               case "keepExisting" => tgt.join(src.select(on.map(col): _*), on, "left_semi")
               case "replace"      => matchedSrc
+              case "pipeline" =>
+                // matched TARGET docs flow through the update pipeline;
+                // the joined source doc is visible only as $$new
+                val srcKeyed = src.select((on.map(col) :+
+                  struct(src.columns.map(col).toIndexedSeq: _*)
+                    .as("__merge_new")): _*)
+                val pairs = tgt
+                  .join(src.select(on.map(col): _*), on, "left_semi")
+                  .join(srcKeyed, on)
+                wmPipeline.get.foldLeft(pairs)(mergeUpdateStage)
+                  .drop("__merge_new")
               case "merge" => // source columns win; target-only columns survive
                 val tgtOnly = tgt.columns.filterNot(c =>
                   src.columns.contains(c) || on.contains(c))
@@ -2632,6 +2653,52 @@ object MongoPipeline {
         df.withColumn(head, rest.split('.').foldRight(value) {
           (f, acc) => struct(acc.as(f)) })
     }
+
+  /** One stage of a `$merge` whenMatched UPDATE pipeline. Mongo limits
+    * these to $addFields/$set/$project/$unset/$replaceRoot/$replaceWith;
+    * field refs read the TARGET document, `$$new` is the source doc
+    * (bound to the hidden join struct). $project is not supported —
+    * the target's fixed schema makes inclusion-projection ambiguous
+    * with the unmatched rows it must union back with. */
+  private def mergeUpdateStage(df: DataFrame, stage: DDoc): DataFrame = {
+    val env: Map[String, Column] = {
+      val rootCol = struct(df.columns
+        .filterNot(c => c.startsWith("__graft") || c == "__merge_new")
+        .map(col).toIndexedSeq: _*)
+      Map("new" -> col("__merge_new"), "ROOT" -> rootCol, "CURRENT" -> rootCol)
+    }
+    stage.fields.toList match {
+      case (op, spec) :: Nil => op match {
+        case "$set" | "$addFields" => spec match {
+          case d: DDoc => d.fields.foldLeft(df) { case (acc, (f, v)) =>
+            setPath(acc, f, valueExpr(v, env)) }
+          case other => throw bad(s"$$merge whenMatched $op: needs a document, got $other")
+        }
+        case "$unset" => spec match {
+          case DString(f)    => df.drop(f)
+          case DArray(items) => df.drop(items.map {
+            case DString(f) => f
+            case x          => throw bad(s"$$merge whenMatched $$unset: $x")
+          }: _*)
+          case other => throw bad(s"$$merge whenMatched $$unset: $other")
+        }
+        case "$replaceRoot" | "$replaceWith" =>
+          val rootSpec = (op, spec) match {
+            case ("$replaceRoot", d: DDoc) => d.fields.toMap.getOrElse("newRoot",
+              throw bad("$merge whenMatched $replaceRoot needs newRoot"))
+            case ("$replaceWith", s)       => s
+            case (_, x) => throw bad(s"$$merge whenMatched $op: $x")
+          }
+          df.select(valueExpr(rootSpec, env).as("__merge_root"),
+              col("__merge_new"))
+            .select(col("__merge_root.*"), col("__merge_new"))
+        case other => throw bad(s"$$merge whenMatched pipeline: unsupported " +
+          s"stage $other ($$set/$$addFields/$$unset/$$replaceRoot/$$replaceWith)")
+      }
+      case other => throw bad(
+        s"$$merge whenMatched stage must have exactly one operator, got $other")
+    }
+  }
 
   private def bad(msg: String) =
     new IllegalArgumentException(s"mongo pipeline: $msg")

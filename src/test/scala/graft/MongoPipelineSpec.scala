@@ -480,6 +480,42 @@ class MongoPipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("whenMatched"))
   }
 
+  test("$merge whenMatched pipeline updates target docs with $$new") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_pipe").toString
+    Graft.aggregate(sales.filter(col("id") <= 3)
+        .select(col("id"), col("grp"), col("amount"), lit(1L).as("seen")),
+      s"""[{"$$out": "$dir"}]""")
+    // incremental aggregation: matched rows accumulate the incoming
+    // amount and bump a counter; unmatched insert as-is
+    Graft.aggregate(
+      sales.filter(col("id") >= 2)
+        .select(col("id"), col("grp"), col("amount"), lit(1L).as("seen")),
+      s"""[{"$$merge": {"into": "$dir", "on": "id",
+            "whenMatched": [{"$$set": {
+              "amount": {"$$add": ["$$amount", "$$$$new.amount"]},
+              "seen":   {"$$add": ["$$seen", 1]}}}],
+            "whenNotMatched": "insert"}}]""")
+    val out = spark.read.format("docstore").option("path", dir).load()
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        ((r.getDouble(r.fieldIndex("amount")), r.getLong(r.fieldIndex("seen"))))).toMap
+    assert(out == Map(
+      1L -> ((10.0, 1L)),            // untouched target-only row
+      2L -> ((40.0, 2L)),            // 20 + 20, counter bumped
+      3L -> ((10.0, 2L)),            // 5 + 5
+      4L -> ((15.0, 1L)), 5L -> ((7.5, 1L)))) // inserted
+    // $replaceWith form: replace the matched doc wholesale from $$new
+    Graft.aggregate(
+      sales.filter(col("id") === 2)
+        .select(col("id"), col("grp"), lit(99.0).as("amount"), lit(7L).as("seen")),
+      s"""[{"$$merge": {"into": "$dir", "on": "id",
+            "whenMatched": [{"$$replaceWith": "$$$$new"}],
+            "whenNotMatched": "discard"}}]""")
+    val out2 = spark.read.format("docstore").option("path", dir).load()
+      .filter(col("id") === 2).collect()
+    assert(out2.head.getDouble(out2.head.fieldIndex("amount")) == 99.0)
+    assert(out2.head.getLong(out2.head.fieldIndex("seen")) == 7L)
+  }
+
   test("expression zoo: $range/$zip/$type/$isNumber/trig/date ops") {
     val one = Seq((1L, "2024-03-15 10:30:45", 2.5))
       .toDF("id", "ds", "x")
