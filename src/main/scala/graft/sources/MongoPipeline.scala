@@ -779,17 +779,21 @@ object MongoPipeline {
       // runs over at most limit rows, and the fusion itself is a tiny
       // union + hash-agg. Ties (and document identity) are pinned by
       // `_id` when present, else by a whole-document hash.
-      case "$rankFusion" => spec match {
+      // $scoreFusion (MongoDB 8.2) shares the whole harness; it combines
+      // NORMALIZED SCORES (none | sigmoid | minMaxScaler over each
+      // pipeline's ≤limit candidates) as Σw·s/Σw with absent pipelines
+      // contributing 0, where $rankFusion combines reciprocal RANKS.
+      case "$rankFusion" | "$scoreFusion" => spec match {
         case d: DDoc =>
           import org.apache.spark.sql.expressions.Window
           val m = d.fields.toMap
           m.get("scoreDetails") match {
-            case Some(DBool(true)) => throw bad("$rankFusion: scoreDetails not supported")
+            case Some(DBool(true)) => throw bad(s"$op: scoreDetails not supported")
             case _ => ()
           }
           val unknown = m.keySet -- Set("input", "combination", "scoreDetails")
           if (unknown.nonEmpty) throw bad(
-            s"$$rankFusion: unsupported options ${unknown.mkString(", ")}")
+            s"$op: unsupported options ${unknown.mkString(", ")}")
           val pipelines: Seq[(String, Seq[DDoc])] = m.get("input") match {
             case Some(in: DDoc) => in.fields.toMap.get("pipelines") match {
               case Some(ps: DDoc) if ps.fields.nonEmpty => ps.fields.map {
@@ -814,46 +818,84 @@ object MongoPipeline {
             case None    => Map.empty
             case Some(x) => throw bad(s"$$rankFusion.combination needs a document, got $x")
           }
+          val normalization: String =
+            if (op == "$rankFusion") "none"
+            else m.get("input") match {
+              case Some(in: DDoc) => in.fields.toMap.get("normalization") match {
+                case Some(DString(n))
+                  if Set("none", "sigmoid", "minMaxScaler")(n) => n
+                case None    => "none"
+                case Some(x) => throw bad(s"$$scoreFusion.input.normalization: $x")
+              }
+              case _ => "none"
+            }
           val visible = df.columns.filterNot(HiddenCols.contains).toSeq
           def identity(f: DataFrame): Column =
             if (f.columns.contains("_id")) col("_id")
             else xxhash64(to_json(struct(visible.map(col): _*)))
-          val ranked = pipelines.map { case (name, stages) =>
+          val contributions = pipelines.map { case (name, stages) =>
             val ops = stages.map(_.fields.head._1)
             if (!ops.exists(o => o == "$limit" || o == "$vectorSearch"))
-              throw bad(s"$$rankFusion pipeline $name must be bounded " +
+              throw bad(s"$op pipeline $name must be bounded " +
                 "by $limit (or $vectorSearch)")
             val out = stages.foldLeft(df)((acc, st) => applyStage(acc, st, resolver))
-            val orderCols: Seq[Column] =
-              if (ops.contains("$vectorSearch")) Seq(col(VsScoreCol).desc)
-              else if (ops.contains("$search")) Seq(col(SearchScoreCol).desc)
-              else stages.reverse.collectFirst {
-                case s if s.fields.head._1 == "$sort" => s.fields.head._2
-              } match {
-                case Some(sd: DDoc) => sd.fields.map {
-                  case (f, DLong(1))  => col(f).asc
-                  case (f, DLong(-1)) => col(f).desc
-                  case (f, x) => throw bad(s"$$rankFusion $name sort.$f: $x")
-                }
-                case _ => throw bad(s"$$rankFusion pipeline $name is not " +
-                  "ranked: needs $sort, $search, or $vectorSearch")
+            val wgt = lit(weights.getOrElse(name, 1.0))
+            val scoreCol: Option[Column] =
+              if (ops.contains("$vectorSearch")) Some(col(VsScoreCol))
+              else if (ops.contains("$search")) Some(col(SearchScoreCol))
+              else None
+            if (op == "$scoreFusion") {
+              // scored pipelines only; normalize over the ≤limit
+              // candidates, then weight — absent docs contribute 0
+              val s = scoreCol.getOrElse(throw bad(s"$$scoreFusion pipeline " +
+                s"$name is not scored: needs $$search or $$vectorSearch"))
+              val norm = normalization match {
+                case "sigmoid" => lit(1.0) / (lit(1.0) + exp(-s))
+                case "minMaxScaler" =>
+                  val whole = Window.partitionBy()
+                    .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                  val (lo, hi) = (min(s).over(whole), max(s).over(whole))
+                  when(hi === lo, lit(1.0)).otherwise((s - lo) / (hi - lo))
+                case _ => s
               }
-            // a global rank window — bounded by the pipeline's own $limit
-            val w = Window.orderBy((orderCols :+ identity(out).asc): _*)
-            out.select((visible.map(col) :+
-              identity(out).as("__rf_id") :+
-              row_number().over(w).cast("long").as("__rf_rank")): _*)
-              .withColumn("__rf_w", lit(weights.getOrElse(name, 1.0)))
+              out.select((visible.map(col) :+
+                identity(out).as("__rf_id") :+
+                (wgt * norm).as("__rf_s")): _*)
+            } else {
+              val orderCols: Seq[Column] = scoreCol match {
+                case Some(s) => Seq(s.desc)
+                case None => stages.reverse.collectFirst {
+                  case s if s.fields.head._1 == "$sort" => s.fields.head._2
+                } match {
+                  case Some(sd: DDoc) => sd.fields.map {
+                    case (f, DLong(1))  => col(f).asc
+                    case (f, DLong(-1)) => col(f).desc
+                    case (f, x) => throw bad(s"$$rankFusion $name sort.$f: $x")
+                  }
+                  case _ => throw bad(s"$$rankFusion pipeline $name is not " +
+                    "ranked: needs $sort, $search, or $vectorSearch")
+                }
+              }
+              // a global rank window — bounded by the pipeline's own $limit
+              val w = Window.orderBy((orderCols :+ identity(out).asc): _*)
+              out.select((visible.map(col) :+
+                identity(out).as("__rf_id") :+
+                (wgt / (lit(60L) + row_number().over(w).cast("long")))
+                  .as("__rf_s")): _*)
+            }
           }
+          val totalW =
+            if (op == "$scoreFusion")
+              pipelines.map { case (n, _) => weights.getOrElse(n, 1.0) }.sum
+            else 1.0
           val aggs = visible.map(c => first(col(c)).as(c)) :+
-            sum(col("__rf_w") / (lit(60L) + col("__rf_rank")))
-              .as(FusionScoreCol)
-          ranked.reduce(_.unionByName(_))
+            (sum(col("__rf_s")) / lit(totalW)).as(FusionScoreCol)
+          contributions.reduce(_.unionByName(_))
             .groupBy(col("__rf_id"))
             .agg(aggs.head, aggs.tail: _*)
             .orderBy(col(FusionScoreCol).desc, col("__rf_id").asc)
             .select((visible.map(col) :+ col(FusionScoreCol)): _*)
-        case other => throw bad(s"$$rankFusion needs a document, got $other")
+        case other => throw bad(s"$op needs a document, got $other")
       }
 
       case "$unionWith" =>

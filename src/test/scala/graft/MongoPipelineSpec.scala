@@ -1010,6 +1010,55 @@ class MongoPipelineSpec extends SparkSpec {
     }
   }
 
+  test("$scoreFusion combines normalized scores (sigmoid / minMaxScaler)") {
+    val docs = Seq(
+      (1L, Some("apple banana apple"), Seq(1.0f, 0.0f)),
+      (2L, Some("banana cherry"), Seq(0.0f, 1.0f)),
+      (3L, Some("cherry cherry cherry"), Seq(0.6f, 0.8f)),
+      (4L, None: Option[String], Seq(-1.0f, 0.0f))
+    ).toDF("_id", "text", "embedding")
+    def arm(pipeline: String, metaKey: String): Map[Long, Double] =
+      Graft.aggregate(docs, pipeline.replace("META", metaKey)).collect()
+        .map(r => r.getLong(0) -> r.getAs[Double]("s")).toMap
+    val lex = arm("""[
+      {"$search": {"text": {"query": "apple cherry", "path": "text"}}},
+      {"$limit": 3},
+      {"$project": {"_id": 1, "s": {"$meta": "META"}}}]""", "searchScore")
+    val sem = arm("""[
+      {"$vectorSearch": {"path": "embedding", "queryVector": [1, 0],
+        "limit": 3}},
+      {"$project": {"_id": 1, "s": {"$meta": "META"}}}]""", "vectorSearchScore")
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    val fused = Graft.aggregate(docs, """[
+      {"$scoreFusion": {"input": {"normalization": "sigmoid", "pipelines": {
+          "lex": [{"$search": {"text": {"query": "apple cherry", "path": "text"}}},
+                  {"$limit": 3}],
+          "sem": [{"$vectorSearch": {"path": "embedding",
+                    "queryVector": [1, 0], "limit": 3}}]}},
+        "combination": {"weights": {"lex": 1, "sem": 3}}}},
+      {"$project": {"_id": 1, "f": {"$meta": "score"}}}
+    ]""").collect().map(r => r.getLong(0) -> r.getAs[Double]("f")).toMap
+    for ((id, f) <- fused) {
+      val want = (lex.get(id).map(s => 1.0 * sig(s)).getOrElse(0.0) +
+        sem.get(id).map(s => 3.0 * sig(s)).getOrElse(0.0)) / 4.0
+      assert(math.abs(f - want) < 1e-12, s"doc $id: got $f want $want")
+    }
+    assert(fused.keySet == (lex.keySet ++ sem.keySet))
+    // minMaxScaler: each arm's best doc normalizes to 1, worst to 0
+    val mm = Graft.aggregate(docs, """[
+      {"$scoreFusion": {"input": {"normalization": "minMaxScaler", "pipelines": {
+          "sem": [{"$vectorSearch": {"path": "embedding",
+                    "queryVector": [1, 0], "limit": 3}}]}}}},
+      {"$project": {"_id": 1, "f": {"$meta": "score"}}}
+    ]""").collect().map(r => r.getLong(0) -> r.getAs[Double]("f")).toMap
+    assert(mm(1L) == 1.0 && mm.values.min == 0.0)
+    // an unscored pipeline is refused
+    intercept[IllegalArgumentException] {
+      Graft.aggregate(docs, """[{"$scoreFusion": {"input": {"pipelines": {
+        "p": [{"$sort": {"_id": 1}}, {"$limit": 2}]}}}}]""")
+    }
+  }
+
   test("$expMovingAvg matches the sequential recurrence across blocks") {
     // 2 partitions × 200 rows with nulls sprinkled in: alpha = 0.5 gives
     // block size B = 49, so each partition spans several ladder blocks
