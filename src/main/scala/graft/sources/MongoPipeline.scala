@@ -193,7 +193,10 @@ object MongoPipeline {
         case d: DDoc => df.orderBy(d.fields.map {
           case (f, DLong(1))  => col(f).asc
           case (f, DLong(-1)) => col(f).desc
-          case (f, v) => throw bad(s"$$sort $f needs 1 or -1, got $v")
+          // {"score": {"$meta": "..."}} sorts by relevance metadata —
+          // DESCENDING, like Mongo's textScore sort convention
+          case (_, md @ DDoc(Seq(("$meta", _)))) => valueExpr(md).desc
+          case (f, v) => throw bad(s"$$sort $f needs 1, -1, or {$$meta}, got $v")
         }: _*)
         case other => throw bad(s"$$sort needs a document, got $other")
       }
@@ -779,6 +782,35 @@ object MongoPipeline {
       // runs over at most limit rows, and the fusion itself is a tiny
       // union + hash-agg. Ties (and document identity) are pinned by
       // `_id` when present, else by a whole-document hash.
+      // MongoDB 8.2's $score: assign a custom relevance score from any
+      // expression over the document; surfaces via {$meta: "score"},
+      // sortable with {"$sort": {"x": {"$meta": "score"}}}, and marks
+      // the pipeline "scored" for $scoreFusion. minMaxScaler needs the
+      // global min/max — ONE tiny aggregate broadcast back, never a
+      // global window (this stage runs pre-limit on the full frame).
+      case "$score" => spec match {
+        case d: DDoc =>
+          val sm = d.fields.toMap
+          val sc = valueExpr(docField(op, d, "score")).cast("double")
+          sm.get("normalization") match {
+            case None | Some(DString("none")) => df.withColumn(FusionScoreCol, sc)
+            case Some(DString("sigmoid")) =>
+              df.withColumn(FusionScoreCol, lit(1.0) / (lit(1.0) + exp(-sc)))
+            case Some(DString("minMaxScaler")) =>
+              val staged = df.withColumn(FusionScoreCol, sc)
+              val ext = staged.agg(min(col(FusionScoreCol)).as("__score_lo"),
+                max(col(FusionScoreCol)).as("__score_hi"))
+              staged.crossJoin(broadcast(ext))
+                .withColumn(FusionScoreCol,
+                  when(col("__score_hi") === col("__score_lo"), lit(1.0))
+                    .otherwise((col(FusionScoreCol) - col("__score_lo")) /
+                      (col("__score_hi") - col("__score_lo"))))
+                .drop("__score_lo", "__score_hi")
+            case Some(x) => throw bad(s"$$score.normalization: $x")
+          }
+        case other => throw bad(s"$$score needs {score, normalization?}, got $other")
+      }
+
       // $scoreFusion (MongoDB 8.2) shares the whole harness; it combines
       // NORMALIZED SCORES (none | sigmoid | minMaxScaler over each
       // pipeline's ≤limit candidates) as Σw·s/Σw with absent pipelines
@@ -840,10 +872,13 @@ object MongoPipeline {
                 "by $limit (or $vectorSearch)")
             val out = stages.foldLeft(df)((acc, st) => applyStage(acc, st, resolver))
             val wgt = lit(weights.getOrElse(name, 1.0))
-            val scoreCol: Option[Column] =
-              if (ops.contains("$vectorSearch")) Some(col(VsScoreCol))
-              else if (ops.contains("$search")) Some(col(SearchScoreCol))
-              else None
+            // the LATEST score-producing stage wins ($score can rescore
+            // a $search/$vectorSearch arm)
+            val scoreCol: Option[Column] = Seq(
+              "$vectorSearch" -> VsScoreCol, "$search" -> SearchScoreCol,
+              "$score" -> FusionScoreCol)
+              .map { case (o, c) => ops.lastIndexOf(o) -> c }
+              .filter(_._1 >= 0).sortBy(-_._1).headOption.map(p => col(p._2))
             if (op == "$scoreFusion") {
               // scored pipelines only; normalize over the ≤limit
               // candidates, then weight — absent docs contribute 0
@@ -1989,13 +2024,37 @@ object MongoPipeline {
         throw bad(s"$$split delimiter must be a literal string, got $d")
       case other => throw bad(s"$$split needs [string, delimiter], got $other")
     }
-    case "$indexOfCP" => // 0-based; -1 when absent — instr is 1-based, 0-absent
-      { val (s, sub) = arg2(op, operand, env); instr(s, sub) - 1 }
-    case "$indexOfBytes" => // like $indexOfCP but the index counts BYTES:
-      // find the codepoint index, then measure the UTF-8 prefix before it
-      { val (s, sub) = arg2(op, operand, env)
-        val cp = instr(s, sub)
-        when(cp === 0, -1).otherwise(octet_length(substring(s, lit(1), cp - 1))) }
+    case "$indexOfCP" | "$indexOfBytes" =>
+      // 0-based; -1 when absent (instr is 1-based, 0-absent); optional
+      // [start, end) restricts the search range — in code points for CP,
+      // in bytes for Bytes (whose index also counts bytes; the byte
+      // variant shares $substrBytes' torn-multibyte divergence note)
+      val (s, sub, range) = operand match {
+        case DArray(Seq(a, b))       => (valueExpr(a, env), valueExpr(b, env), None)
+        case DArray(Seq(a, b, st))   => (valueExpr(a, env), valueExpr(b, env),
+          Some((valueExpr(st, env), None)))
+        case DArray(Seq(a, b, st, en)) => (valueExpr(a, env), valueExpr(b, env),
+          Some((valueExpr(st, env), Some(valueExpr(en, env)))))
+        case other => throw bad(s"$op needs [str, sub, start?, end?], got $other")
+      }
+      val byBytes = op == "$indexOfBytes"
+      def idxIn(hay: Column, offset: Column): Column = {
+        val cp = instr(hay, sub)
+        if (byBytes)
+          when(cp === 0, -1)
+            .otherwise(offset + octet_length(substring(hay, lit(1), cp - 1)))
+        else when(cp === 0, -1).otherwise(offset + cp - 1)
+      }
+      (range match {
+        case None => idxIn(s, lit(0))
+        case Some((start, endOpt)) =>
+          val whole = if (byBytes) s.cast("binary") else s
+          val totalLen = if (byBytes) octet_length(s) else length(s)
+          val end = endOpt.getOrElse(totalLen)
+          val window = substring(whole, start + 1, end - start)
+          val hay = if (byBytes) window.cast("string") else window
+          when(start > totalLen, -1).otherwise(idxIn(hay, start))
+      }).cast("int")
     case "$replaceAll" => operand match { // literal (non-regex) find/replace
       case d: DDoc =>
         replace(valueExpr(docField(op, d, "input"), env),

@@ -731,6 +731,17 @@ class MongoPipelineSpec extends SparkSpec {
     assert(r.getString(r.fieldIndex("sb")) == "hé")   // deprecated byte alias
     assert(r.getInt(r.fieldIndex("ib")) == 3)         // "hé" is 3 UTF-8 bytes
     assert(r.getInt(r.fieldIndex("ibm")) == -1)
+    // ranged search: [start, end) in code points / bytes, index in the
+    // ORIGINAL string's units
+    val rr = Graft.aggregate(df, """[{"$project": {
+        "c1": {"$indexOfCP":    ["$s", "l", 3]},
+        "c2": {"$indexOfCP":    ["$s", "l", 0, 2]},
+        "b1": {"$indexOfBytes": ["$s", "l", 4]},
+        "b2": {"$indexOfBytes": ["$s", "o", 0, 5]}}}]""").head
+    assert(rr.getInt(rr.fieldIndex("c1")) == 3)  // h é l [l] o
+    assert(rr.getInt(rr.fieldIndex("c2")) == -1) // window "hé"
+    assert(rr.getInt(rr.fieldIndex("b1")) == 4)  // h é é l [l] o bytes
+    assert(rr.getInt(rr.fieldIndex("b2")) == -1) // 'o' is byte 5, excluded
     // BSON by hand: 4 + [a int64 11] + [s string 14] +
     //   [arr 1+3+1 + (4+7+7+1)] + [sub 1+3+1 + (4+4+1)] + [nul null 5] + 1
     assert(r.getInt(r.fieldIndex("bs")) == 73)
@@ -1008,6 +1019,31 @@ class MongoPipelineSpec extends SparkSpec {
         """[{"$rankFusion": {"input": {"pipelines": {
              "p": [{"$sort": {"_id": 1}}]}}}}]""")
     }
+  }
+
+  test("$score custom relevance + $sort by $meta + $scoreFusion arm") {
+    val docs = Seq((1L, 5.0), (2L, 9.0), (3L, 2.0)).toDF("_id", "v")
+    val out = Graft.aggregate(docs, """[
+      {"$score": {"score": {"$multiply": ["$v", 2]}}},
+      {"$sort": {"r": {"$meta": "score"}}},
+      {"$limit": 2},
+      {"$project": {"_id": 1, "sc": {"$meta": "score"}}}]""").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 1L)) // desc by 2v
+    assert(out.map(_.getAs[Double]("sc")).toSeq == Seq(18.0, 10.0))
+    // minMaxScaler normalizes over the whole frame pre-limit
+    val mm = Graft.aggregate(docs, """[
+      {"$score": {"score": "$v", "normalization": "minMaxScaler"}},
+      {"$project": {"_id": 1, "sc": {"$meta": "score"}}}]""").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("sc")).toMap
+    assert(mm == Map(1L -> 3.0 / 7.0, 2L -> 1.0, 3L -> 0.0))
+    // a $score arm makes a pipeline "scored" for $scoreFusion
+    val fused = Graft.aggregate(docs, """[
+      {"$scoreFusion": {"input": {"pipelines": {
+          "a": [{"$score": {"score": "$v"}},
+                {"$sort": {"r": {"$meta": "score"}}}, {"$limit": 2}]}}}},
+      {"$project": {"_id": 1, "f": {"$meta": "score"}}}]""").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("f")).toMap
+    assert(fused == Map(2L -> 9.0, 1L -> 5.0))
   }
 
   test("$scoreFusion combines normalized scores (sigmoid / minMaxScaler)") {
