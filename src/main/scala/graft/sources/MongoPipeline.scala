@@ -1116,6 +1116,11 @@ object MongoPipeline {
             case Some(s: DDoc) if s.fields.size == 1 => Some(col(s.fields.head._1))
             case _                                   => None
           }
+          val sortAsc = m.get("sortBy") match { // range windows require asc
+            case Some(s: DDoc) if s.fields.size == 1 =>
+              s.fields.head._2 == DLong(1)
+            case _ => true
+          }
           val outputs = m.getOrElse("output",
             throw bad("$setWindowFields needs output")) match {
             case o: DDoc => o.fields
@@ -1145,7 +1150,7 @@ object MongoPipeline {
                 graft.operators.Ladders.expMovingAvg(
                   acc, partition, sortCols, in, alpha, alias)
               case _ => acc.withColumn(alias,
-                windowFunction(ospec, partition, sortCols, sortKey))
+                windowFunction(ospec, partition, sortCols, sortKey, sortAsc))
             }
           }
         case x => throw bad(s"$$setWindowFields needs a document, got $x")
@@ -1319,7 +1324,8 @@ object MongoPipeline {
   private def windowFunction(spec: DocValue,
       partition: Seq[Column],
       sortCols: Seq[Column],
-      sortKey: Option[Column]): Column = {
+      sortKey: Option[Column],
+      sortAscending: Boolean = true): Column = {
     import org.apache.spark.sql.expressions.{Window, WindowSpec}
     val base = if (partition.nonEmpty) Window.partitionBy(partition: _*)
                else Window.partitionBy()
@@ -1336,19 +1342,47 @@ object MongoPipeline {
         // explicit {window: {documents: [lo, hi]}} bounds → a row frame;
         // None when the output has no window doc (operator picks default)
         lazy val explicitFrame: Option[WindowSpec] = m.get("window") match {
-          case Some(w: DDoc) => w.fields.toMap.get("documents") match {
-            case Some(DArray(Seq(lo, hi))) =>
-              needSort(op)
-              def bound(b: DocValue, isLo: Boolean): Long = b match {
-                case DString("unbounded") =>
-                  if (isLo) Window.unboundedPreceding else Window.unboundedFollowing
-                case DString("current") => Window.currentRow
-                case DLong(k)           => k
-                case x => throw bad(s"window bound: $x")
-              }
-              Some(ordered.rowsBetween(bound(lo, isLo = true), bound(hi, isLo = false)))
-            case _ => throw bad("window needs {documents: [lo, hi]}")
-          }
+          case Some(w: DDoc) =>
+            val wm = w.fields.toMap
+            def bound(b: DocValue, isLo: Boolean, scale: Long): Long = b match {
+              case DString("unbounded") =>
+                if (isLo) Window.unboundedPreceding else Window.unboundedFollowing
+              case DString("current") => Window.currentRow
+              case DLong(k)           => k * scale
+              case x => throw bad(s"window bound: $x")
+            }
+            (wm.get("documents"), wm.get("range")) match {
+              case (Some(DArray(Seq(lo, hi))), None) =>
+                needSort(op)
+                Some(ordered.rowsBetween(
+                  bound(lo, isLo = true, 1L), bound(hi, isLo = false, 1L)))
+              // range frame: bounds are offsets of the sortBy VALUE
+              // (Mongo 5.0) — with `unit`, time offsets over a date key.
+              // Spark's rangeBetween takes long bounds, so the time form
+              // orders by epoch micros and scales the bounds to micros;
+              // fractional bounds are not supported (integer per unit).
+              case (None, Some(DArray(Seq(lo, hi)))) =>
+                needSort(op)
+                if (!sortAscending) throw bad(
+                  "range window requires an ascending single-field sortBy")
+                val key = sortKey.getOrElse(throw bad(
+                  "range window requires a single-field sortBy"))
+                val scale: Long = wm.get("unit") match {
+                  // micros per unit — exact for every supported unit
+                  // (millisecond = 1000 micros)
+                  case Some(DString(u)) => (1e6 * secondsPerUnit(u)).toLong
+                  case None             => 1L
+                  case Some(x) => throw bad(s"window.unit needs a string, got $x")
+                }
+                val orderKey =
+                  if (scale == 1L) key else unix_micros(key.cast("timestamp"))
+                val basep = if (partition.nonEmpty)
+                  Window.partitionBy(partition: _*) else Window.partitionBy()
+                Some(basep.orderBy(orderKey.asc).rangeBetween(
+                  bound(lo, isLo = true, scale), bound(hi, isLo = false, scale)))
+              case _ => throw bad(
+                "window needs {documents: [lo, hi]} or {range: [lo, hi], unit?}")
+            }
           case None    => None
           case Some(x) => throw bad(s"window needs a document, got $x")
         }

@@ -1136,6 +1136,47 @@ class MongoPipelineSpec extends SparkSpec {
     }
   }
 
+  test("$setWindowFields range windows: value offsets and time units") {
+    val series = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 5L, 50.0), (1L, 6L, 60.0),
+      (2L, 1L, 1.0)
+    ).toDF("grp", "x", "v")
+    val out = Graft.aggregate(series, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"x": 1},
+        "output": {
+          "near": {"$sum": "$v", "window": {"range": [-1, 1]}},
+          "back": {"$sum": "$v", "window": {"range": ["unbounded", "current"]}}
+        }}},
+      {"$sort": {"grp": 1, "x": 1}}]""").collect()
+    // value-range [-1, 1] around x: x=1 → {1,2}; x=2 → {1,2}; x=5 →
+    // {5,6}; x=6 → {5,6} (x=2 and x=5 are 3 apart — rows frames would
+    // have linked them, range frames must not)
+    assert(out.map(_.getAs[Double]("near")).toSeq ==
+      Seq(30.0, 30.0, 110.0, 110.0, 1.0))
+    assert(out.map(_.getAs[Double]("back")).toSeq ==
+      Seq(10.0, 30.0, 80.0, 140.0, 1.0))
+    // time-unit range over a timestamp sort key
+    val times = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 4.0)
+    ).toDF("grp", "ts", "v")
+    val t = Graft.aggregate(times, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"ts": 1},
+        "output": {"hourly": {"$sum": "$v",
+          "window": {"range": [-1, 0], "unit": "hour"}}}}},
+      {"$sort": {"ts": 1}}]""").collect()
+    // one-hour trailing windows: 00:00 → 1; 00:30 → 1+2; 03:00 → 4
+    assert(t.map(_.getAs[Double]("hourly")).toSeq == Seq(1.0, 3.0, 4.0))
+    // a descending sortBy refuses the range form, like Mongo
+    intercept[IllegalArgumentException] {
+      Graft.aggregate(series, """[
+        {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"x": -1},
+          "output": {"bad": {"$sum": "$v", "window": {"range": [-1, 1]}}}}}]""")
+        .collect()
+    }
+  }
+
   test("$firstN/$lastN as accumulators and as array operators") {
     val g = Graft.aggregate(sales, """[
       {"$sort": {"id": 1}},
