@@ -954,6 +954,21 @@ object MongoPipeline {
         // Mongo semantics: absent fields = missing → null on the other side
         df.unionByName(other, allowMissingColumns = true)
 
+      // $collStats count form: one document {count: N} for the in-flow
+      // collection, compiled LAZILY as an aggregate (no driver action at
+      // stage-build time). storageStats/latencyStats describe server
+      // internals with no docstore analog → refused, not faked.
+      case "$collStats" => spec match {
+        case d: DDoc =>
+          val unknown = d.fields.toMap.keySet - "count"
+          if (unknown.nonEmpty) throw bad(
+            s"$$collStats: unsupported sections ${unknown.mkString(", ")} (count only)")
+          if (!d.fields.toMap.contains("count"))
+            throw bad("$collStats needs {count: {}}")
+          df.agg(count(lit(1)).as("count"))
+        case other => throw bad(s"$$collStats needs a document, got $other")
+      }
+
       case "$sample" => spec match {
         case d: DDoc =>
           val n = docField(op, d, "size") match {

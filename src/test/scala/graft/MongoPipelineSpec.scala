@@ -1136,6 +1136,18 @@ class MongoPipelineSpec extends SparkSpec {
     }
   }
 
+  test("$collStats count form; other sections refused") {
+    val one = Graft.aggregate(sales, """[{"$collStats": {"count": {}}}]""").collect()
+    assert(one.length == 1 && one.head.getLong(0) == 5L)
+    // composes lazily: a $match upstream narrows the counted frame
+    val two = Graft.aggregate(sales, """[
+      {"$match": {"grp": "a"}}, {"$collStats": {"count": {}}}]""").head
+    assert(two.getLong(0) == 2L)
+    intercept[IllegalArgumentException] {
+      Graft.aggregate(sales, """[{"$collStats": {"storageStats": {}}}]""")
+    }
+  }
+
   test("$setWindowFields range windows: value offsets and time units") {
     val series = Seq(
       (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 5L, 50.0), (1L, 6L, 60.0),

@@ -105,7 +105,7 @@ class PipelineParitySpec extends SparkSpec {
     // run through the same null-planted frame, so null propagation is
     // covered on every path
     for (i <- 1 to 30) {
-      val (json, native): (String, Column) = rnd.nextInt(8) match {
+      val (json, native): (String, Column) = rnd.nextInt(11) match {
         case 0 =>
           val m = rnd.nextInt(1 << 16)
           (s"""{"$$bitAnd": ["$$event_id", $m]}""",
@@ -130,13 +130,30 @@ class PipelineParitySpec extends SparkSpec {
         case 6 =>
           ("""{"$asinh": {"$divide": [{"$ifNull": ["$value", 0]}, 100]}}""",
             asinh(coalesce(col("value"), lit(0L)).cast("double") / 100))
-        case _ =>
+        case 7 =>
           // sets equal iff the (distinct, sorted) views agree — argument
           // order and duplicates must not matter
           (s"""{"$$setEquals": [["$$event_type", "x", "x"],
                                 ["x", "$$event_type", "$$event_type"]]}""",
             array_sort(array_distinct(array(col("event_type"), lit("x"), lit("x")))) ===
               array_sort(array_distinct(array(lit("x"), col("event_type"), col("event_type")))))
+        case 8 => // deprecated $substr = byte-addressed $substrBytes
+          val (s0, l0) = (rnd.nextInt(3), 1 + rnd.nextInt(4))
+          (s"""{"$$substr": ["$$event_type", $s0, $l0]}""",
+            substring(col("event_type").cast("binary"), s0 + 1, l0)
+              .cast("string"))
+        case 9 => // ranged code-point index (index in the ORIGINAL string)
+          val (s0, e0) = (rnd.nextInt(3), 2 + rnd.nextInt(6))
+          val win = substring(col("event_type"), s0 + 1, e0 - s0)
+          (s"""{"$$indexOfCP": ["$$event_type", "e", $s0, $e0]}""",
+            when(lit(s0) > length(col("event_type")), -1)
+              .otherwise(when(instr(win, "e") === 0, -1)
+                .otherwise(instr(win, "e") - 1 + s0)).cast("int"))
+        case _ => // byte index = octet length of the code-point prefix
+          (s"""{"$$indexOfBytes": ["$$event_type", "i"]}""",
+            when(instr(col("event_type"), "i") === 0, -1)
+              .otherwise(octet_length(substring(col("event_type"), lit(1),
+                instr(col("event_type"), "i") - 1))).cast("int"))
       }
       samePlanOutput(s"case $i: $json",
         Graft.aggregate(ev, s"""[{"$$project": {"event_id": 1, "out": $json}}]"""),
