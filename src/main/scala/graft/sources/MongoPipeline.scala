@@ -702,77 +702,30 @@ object MongoPipeline {
       // corpus stats (N, Σdl, per-term df) are ONE tiny global aggregate
       // cross-joined back as a broadcast — two passes over the pruned
       // text column, no explode, no per-term shuffle.
-      case "$search" => spec match {
-        case d: DDoc =>
-          val m = d.fields.toMap
-          val unknown = m.keySet -- Set("text", "index")
-          if (unknown.nonEmpty) throw bad(
-            s"$$search: unsupported operators ${unknown.mkString(", ")} (text only)")
-          val td = m.get("text") match {
-            case Some(t: DDoc) => t.fields.toMap
-            case _ => throw bad("$search needs {text: {query, path}}")
-          }
-          val query = td.get("query") match {
-            case Some(DString(q)) => q
-            case other => throw bad(s"$$search.text.query needs a string, got $other")
-          }
-          val paths: Seq[String] = td.get("path") match {
-            case Some(DString(p)) => Seq(p)
-            case Some(DArray(ps)) if ps.forall(_.isInstanceOf[DString]) =>
-              ps.map { case DString(p) => p case _ => "" }
-            case other => throw bad(s"$$search.text.path needs a string or strings, got $other")
-          }
-          val extra = td.keySet -- Set("query", "path")
-          if (extra.nonEmpty) throw bad(
-            s"$$search.text: unsupported options ${extra.mkString(", ")}")
-          val tokRx = "[^\\p{L}\\p{N}]+"
-          val terms = query.toLowerCase.split(tokRx).filter(_.nonEmpty).distinct.toSeq
-          if (terms.isEmpty) throw bad("$search.text.query has no terms")
-          val (k1, b) = (1.2, 0.75)
+      case "$search" =>
+        val matched = bm25Scored(df, op, spec)
+        if (df.columns.contains("_id"))
+          matched.orderBy(col(SearchScoreCol).desc, col("_id").asc)
+        else matched.orderBy(col(SearchScoreCol).desc)
 
-          def toks(p: String) =
-            filter(split(lower(col(p)), tokRx), x => x =!= lit(""))
-          // one token-array column per path; tf/dl derive from it map-side
-          val staged = paths.zipWithIndex.foldLeft(df) { case (acc, (p, i)) =>
-            val withTk = acc.withColumn(s"__srch_tk_$i", toks(p))
-              .withColumn(s"__srch_dl_$i",
-                when(col(p).isNotNull, size(col(s"__srch_tk_$i"))))
-            terms.zipWithIndex.foldLeft(withTk) { case (a, (t, j)) =>
-              a.withColumn(s"__srch_tf_${i}_$j", when(col(p).isNotNull,
-                size(filter(col(s"__srch_tk_$i"), x => x === lit(t))))
-                .otherwise(lit(0)))
-            }
+      // $searchMeta's count form: the match-set size WITHOUT returning
+      // documents — one doc {count: {total: N}}, a lazy aggregate over
+      // the same BM25 match predicate $search uses.
+      case "$searchMeta" =>
+        val matched = bm25Scored(df, op, spec match {
+          case d: DDoc => DDoc(d.fields.filter(_._1 != "count"))
+          case x => x
+        })
+        spec match {
+          case d: DDoc => d.fields.toMap.get("count") match {
+            case None | Some(DDoc(Seq())) => ()
+            case Some(cd: DDoc) if cd.fields.toMap.get("type")
+              .forall(_ == DString("total")) => ()
+            case Some(x) => throw bad(s"$$searchMeta.count: unsupported $x")
           }
-          val statAggs = paths.indices.flatMap { i =>
-            Seq(count(col(s"__srch_dl_$i")).as(s"__srch_n_$i"),
-              sum(col(s"__srch_dl_$i")).as(s"__srch_sl_$i")) ++
-              terms.indices.map(j =>
-                count(when(col(s"__srch_tf_${i}_$j") > 0, 1))
-                  .as(s"__srch_df_${i}_$j"))
-          }
-          val stats = staged.agg(statAggs.head, statAggs.tail: _*)
-          val scored = staged.crossJoin(broadcast(stats))
-          val score = paths.indices.flatMap { i =>
-            val n = col(s"__srch_n_$i").cast("double")
-            val avgdl = col(s"__srch_sl_$i").cast("double") / n
-            terms.indices.map { j =>
-              val tf = col(s"__srch_tf_${i}_$j").cast("double")
-              val dfreq = col(s"__srch_df_${i}_$j").cast("double")
-              val idf = log(lit(1.0) + (n - dfreq + 0.5) / (dfreq + 0.5))
-              when(tf > 0, idf *
-                (tf / (tf + lit(k1) * (lit(1 - b) + lit(b) * (col(s"__srch_dl_$i") / avgdl)))))
-                .otherwise(lit(0.0))
-            }
-          }.reduce(_ + _)
-          val temps = scored.columns.filter(_.startsWith("__srch_"))
-          val ordered = scored.withColumn(SearchScoreCol, score)
-            .drop(temps: _*)
-            .filter(col(SearchScoreCol) > 0)
-          if (df.columns.contains("_id"))
-            ordered.orderBy(col(SearchScoreCol).desc, col("_id").asc)
-          else ordered.orderBy(col(SearchScoreCol).desc)
-        case other => throw bad(s"$$search needs a document, got $other")
-      }
+          case _ => ()
+        }
+        matched.agg(struct(count(lit(1)).as("total")).as("count"))
 
       // MongoDB 8.1's hybrid-search combiner: run N "ranked" selection
       // sub-pipelines over the in-flow frame, then reciprocal-rank-fuse
@@ -2803,6 +2756,94 @@ object MongoPipeline {
         df.withColumn(head, rest.split('.').foldRight(value) {
           (f, acc) => struct(acc.as(f)) })
     }
+
+  /** The shared `$search`/`$searchMeta` engine: Lucene-BM25 score the
+    * in-flow frame for a literal text query and keep only matching docs
+    * (matchCriteria "any" = at least one term, "all" = every term), the
+    * score riding [[SearchScoreCol]]. Query terms are literals → tf/dl
+    * are map-side array ops; corpus stats (per-path docCount, Σdl,
+    * per-term df) are ONE tiny aggregate broadcast back. */
+  private def bm25Scored(df: DataFrame, op: String, spec: DocValue): DataFrame = {
+    val m = spec match {
+      case d: DDoc => d.fields.toMap
+      case other   => throw bad(s"$op needs a document, got $other")
+    }
+    val unknown = m.keySet -- Set("text", "index")
+    if (unknown.nonEmpty) throw bad(
+      s"$op: unsupported operators ${unknown.mkString(", ")} (text only)")
+    val td = m.get("text") match {
+      case Some(t: DDoc) => t.fields.toMap
+      case _ => throw bad(s"$op needs {text: {query, path}}")
+    }
+    val query = td.get("query") match {
+      case Some(DString(q)) => q
+      case other => throw bad(s"$op.text.query needs a string, got $other")
+    }
+    val paths: Seq[String] = td.get("path") match {
+      case Some(DString(p)) => Seq(p)
+      case Some(DArray(ps)) if ps.forall(_.isInstanceOf[DString]) =>
+        ps.map { case DString(p) => p case _ => "" }
+      case other => throw bad(s"$op.text.path needs a string or strings, got $other")
+    }
+    val requireAll = td.get("matchCriteria") match {
+      case Some(DString("all")) => true
+      case None | Some(DString("any")) => false
+      case Some(x) => throw bad(s"$op.text.matchCriteria: $x (any | all)")
+    }
+    val extra = td.keySet -- Set("query", "path", "matchCriteria")
+    if (extra.nonEmpty) throw bad(
+      s"$op.text: unsupported options ${extra.mkString(", ")}")
+    val tokRx = "[^\\p{L}\\p{N}]+"
+    val terms = query.toLowerCase.split(tokRx).filter(_.nonEmpty).distinct.toSeq
+    if (terms.isEmpty) throw bad(s"$op.text.query has no terms")
+    val (k1, b) = (1.2, 0.75)
+
+    def toks(p: String) =
+      filter(split(lower(col(p)), tokRx), x => x =!= lit(""))
+    // one token-array column per path; tf/dl derive from it map-side
+    val staged = paths.zipWithIndex.foldLeft(df) { case (acc, (p, i)) =>
+      val withTk = acc.withColumn(s"__srch_tk_$i", toks(p))
+        .withColumn(s"__srch_dl_$i",
+          when(col(p).isNotNull, size(col(s"__srch_tk_$i"))))
+      terms.zipWithIndex.foldLeft(withTk) { case (a, (t, j)) =>
+        a.withColumn(s"__srch_tf_${i}_$j", when(col(p).isNotNull,
+          size(filter(col(s"__srch_tk_$i"), x => x === lit(t))))
+          .otherwise(lit(0)))
+      }
+    }
+    val statAggs = paths.indices.flatMap { i =>
+      Seq(count(col(s"__srch_dl_$i")).as(s"__srch_n_$i"),
+        sum(col(s"__srch_dl_$i")).as(s"__srch_sl_$i")) ++
+        terms.indices.map(j =>
+          count(when(col(s"__srch_tf_${i}_$j") > 0, 1))
+            .as(s"__srch_df_${i}_$j"))
+    }
+    val stats = staged.agg(statAggs.head, statAggs.tail: _*)
+    val scored = staged.crossJoin(broadcast(stats))
+    val score = paths.indices.flatMap { i =>
+      val n = col(s"__srch_n_$i").cast("double")
+      val avgdl = col(s"__srch_sl_$i").cast("double") / n
+      terms.indices.map { j =>
+        val tf = col(s"__srch_tf_${i}_$j").cast("double")
+        val dfreq = col(s"__srch_df_${i}_$j").cast("double")
+        val idf = log(lit(1.0) + (n - dfreq + 0.5) / (dfreq + 0.5))
+        when(tf > 0, idf *
+          (tf / (tf + lit(k1) * (lit(1 - b) + lit(b) * (col(s"__srch_dl_$i") / avgdl)))))
+          .otherwise(lit(0.0))
+      }
+    }.reduce(_ + _)
+    // "all": every term must appear in at least one path
+    val allMatch = terms.indices.map { j =>
+      paths.indices.map(i => col(s"__srch_tf_${i}_$j") > 0)
+        .reduce(_ || _)
+    }.reduce(_ && _)
+    val temps = scored.columns.filter(_.startsWith("__srch_"))
+    val withScore = scored.withColumn(SearchScoreCol, score)
+    val filtered =
+      if (requireAll) withScore.filter(allMatch && col(SearchScoreCol) > 0)
+      else withScore.filter(col(SearchScoreCol) > 0)
+    filtered.drop(temps: _*)
+  }
 
   /** One stage of a `$merge` whenMatched UPDATE pipeline. Mongo limits
     * these to $addFields/$set/$project/$unset/$replaceRoot/$replaceWith;

@@ -991,6 +991,18 @@ class MongoPipelineSpec extends SparkSpec {
     val bare = Graft.aggregate(docs, """[
       {"$search": {"text": {"query": "apple", "path": "text"}}}]""")
     assert(!bare.columns.exists(_.startsWith("__graft")))
+    // matchCriteria "all": every term must appear (only doc 1 lacks
+    // cherry, docs 2/3 lack apple → nobody has both except none)
+    val all = Graft.aggregate(docs, """[
+      {"$search": {"text": {"query": "banana cherry", "path": "text",
+                            "matchCriteria": "all"}}}]""").collect()
+    assert(all.map(_.getLong(0)).toSeq == Seq(2L)) // only doc 2 has both
+    // $searchMeta count form: match-set size without the documents
+    val meta = Graft.aggregate(docs, """[
+      {"$searchMeta": {"text": {"query": "apple cherry", "path": "text"},
+                       "count": {"type": "total"}}}]""").collect()
+    assert(meta.length == 1 &&
+      meta.head.getStruct(0).getLong(0) == 3L) // docs 1, 2, 3 match
 
     // RRF: lexical [1,3] (ranks 1,2; w=1) ⊕ by-id-desc [4,3] (ranks 1,2;
     // w=2) → doc3 = 1/62+2/62, doc4 = 2/61, doc1 = 1/61
