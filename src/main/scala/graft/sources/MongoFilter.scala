@@ -65,6 +65,57 @@ object MongoFilter {
       case DLong(1) => Literal.TrueLiteral
       case other => throw bad(s"$$sampleRate needs a number in [0,1], got $other")
     }
+    // Legacy find()-API $text. Mongo resolves the searched field from a
+    // server-side text INDEX; there is no index here, so the graft form
+    // names the field(s) explicitly with `$path` (refused with a clear
+    // message otherwise). Term semantics follow Mongo: whitespace-split
+    // OR-terms, `-term` negations exclude; quoted phrases are refused.
+    // Compiles to pure tokenized array-membership — codegen'd, no stats.
+    case "$text" => v match {
+      case d: DDoc =>
+        val m = d.fields.toMap
+        val unknown = m.keySet -- Set("$search", "$path", "$caseSensitive")
+        if (unknown.nonEmpty) throw bad(
+          s"$$text: unsupported options ${unknown.mkString(", ")}")
+        val raw = m.get("$search") match {
+          case Some(DString(s)) => s
+          case other => throw bad(s"$$text.$$search needs a string, got $other")
+        }
+        if (raw.contains("\"")) throw bad(
+          "$text: quoted phrases are not supported (terms only)")
+        val caseSensitive = m.get("$caseSensitive") match {
+          case Some(DBool(b)) => b
+          case None           => false
+          case Some(x) => throw bad(s"$$text.$$caseSensitive: $x")
+        }
+        val paths: Seq[String] = m.get("$path") match {
+          case Some(DString(p)) => Seq(p)
+          case Some(DArray(ps)) if ps.forall(_.isInstanceOf[DString]) =>
+            ps.map { case DString(p) => p case _ => "" }
+          case _ => throw bad("$text needs $path naming the searched " +
+            "field(s) — there is no server-side text index to resolve it from")
+        }
+        val (neg, pos) = raw.split("\\s+").filter(_.nonEmpty).distinct
+          .partition(_.startsWith("-"))
+        if (pos.isEmpty) throw bad("$text.$search has no positive terms")
+        import org.apache.spark.sql.functions.{col, filter, lit, lower, split, array_contains}
+        val tokRx = "[^\\p{L}\\p{N}]+"
+        def toks(p: String): Column = {
+          val base = if (caseSensitive) col(p) else lower(col(p))
+          filter(split(base, tokRx), x => x =!= lit(""))
+        }
+        def norm(t: String) = if (caseSensitive) t else t.toLowerCase
+        val hit = (field: Column, t: String) => array_contains(field, norm(t))
+        val anyPos = paths.map(toks).map(f =>
+          pos.map(t => hit(f, t)).reduce(_ || _)).reduce(_ || _)
+        val negTerms = neg.map(_.drop(1)).filter(_.nonEmpty).toSeq
+        val anyNeg =
+          if (negTerms.isEmpty) lit(false)
+          else paths.map(toks).map(f =>
+            negTerms.map(t => hit(f, t)).reduce(_ || _)).reduce(_ || _)
+        org.apache.spark.sql.graftshim.toExpression(anyPos && !anyNeg)
+      case other => throw bad(s"$$text needs a document, got $other")
+    }
     case "$and" => subDocs(key, v).map(compileDoc).reduce(And)
     case "$or"  => subDocs(key, v).map(compileDoc).reduce(Or)
     case "$nor" => Not(subDocs(key, v).map(compileDoc).reduce(Or))

@@ -135,6 +135,34 @@ class MongoFilterSpec extends SparkSpec {
     assert(ids("""{"id":{"$bitsAnyClear":3}}""") == Seq(1L, 2L, 4L))
   }
 
+  test("$text: tokenized term search with negation over named paths") {
+    val docs = Seq(
+      (1L, "Spark joins the shuffle"),
+      (2L, "mongo pipelines and stages"),
+      (3L, "spark AND mongo together"),
+      (4L, "nothing relevant here")
+    ).toDF("id", "body")
+    def tids(f: String): Seq[Long] =
+      docs.filter(MongoFilter.compile(f)).select("id").as[Long].collect().toSeq.sorted
+    // OR-terms, case-insensitive by default
+    assert(tids("""{"$text": {"$search": "spark mongo", "$path": "body"}}""")
+      == Seq(1L, 2L, 3L))
+    // -negation excludes
+    assert(tids("""{"$text": {"$search": "spark -mongo", "$path": "body"}}""")
+      == Seq(1L))
+    // case-sensitive form
+    assert(tids("""{"$text": {"$search": "Spark", "$path": "body",
+                              "$caseSensitive": true}}""") == Seq(1L))
+    // no $path → clear refusal (no server-side text index to consult)
+    val err = intercept[IllegalArgumentException] {
+      MongoFilter.compile("""{"$text": {"$search": "spark"}}""")
+    }
+    assert(err.getMessage.contains("$path"))
+    intercept[IllegalArgumentException] {
+      MongoFilter.compile("""{"$text": {"$search": "\"a phrase\"", "$path": "body"}}""")
+    }
+  }
+
   test("mongo filter lands in parquet PushedFilters") {
     val orders = Tables(spark, sfDir, "orders")
       .filter(MongoFilter.compile("""{"o_orderstatus":"O","o_totalprice":{"$gt":1000.0}}"""))

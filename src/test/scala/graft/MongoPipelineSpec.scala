@@ -1020,6 +1020,15 @@ class MongoPipelineSpec extends SparkSpec {
     assert(math.abs(f(3L) - 3.0 / 62) < 1e-12)
     assert(math.abs(f(4L) - 2.0 / 61) < 1e-12)
     assert(math.abs(f(1L) - 1.0 / 61) < 1e-12)
+    // an arm that matches nothing contributes nothing (no crash, no
+    // phantom rows); the other arm's ranking flows through
+    val oneArm = Graft.aggregate(docs, """[
+      {"$rankFusion": {"input": {"pipelines": {
+        "none": [{"$search": {"text": {"query": "zzz", "path": "text"}}},
+                 {"$limit": 2}],
+        "newest": [{"$sort": {"_id": -1}}, {"$limit": 2}]}}}},
+      {"$project": {"_id": 1, "f": {"$meta": "score"}}}]""").collect()
+    assert(oneArm.map(_.getLong(0)).toSeq == Seq(4L, 3L))
     // unranked or unbounded input pipelines are refused
     intercept[IllegalArgumentException] {
       Graft.aggregate(docs,
