@@ -466,7 +466,48 @@ object DocumentOps {
       |       (CASE WHEN e1 <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_entries
       |FROM d WHERE level <= 2 ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- d22
+  /** find()-API geo query grammar oracle-gated end-to-end: the same
+    * deterministic supplier coordinates as d20, filtered by a flat
+    * `$geoWithin.$box` OR'd with a GeoJSON `$nearSphere` distance bound
+    * (haversine meters, IUGG sphere — d20's kernel as a PREDICATE). The
+    * oracle replicates both branches in DuckDB SQL with the same operand
+    * order. Polygon ray-cast membership is spec-gated against a
+    * reference implementation (MongoFilterSpec) — a SQL ray-cast oracle
+    * would re-derive the same parity fold, proving nothing new.
+    *
+    * Scale: pure map-side codegen'd boolean — pushdown-eligible like any
+    * other predicate; zero shuffles before the presentation sort.
+    */
+  def d22GeoWithin(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(spark, dir, "supplier")
+      .withColumn("loc", array(
+        (col("s_suppkey") * 37 % 360 - 180 + 0.5).cast("double"),
+        (col("s_suppkey") * 53 % 180 - 90 + 0.5).cast("double")))
+    sup.filter(graft.Graft.mongoFilter("""{"$or": [
+        {"loc": {"$geoWithin": {"$box": [[-60, -30], [60, 30]]}}},
+        {"loc": {"$nearSphere": {"$geometry": {"type": "Point",
+          "coordinates": [90, 45]}, "$maxDistance": 3000000}}}]}"""))
+      .select(col("s_suppkey"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val d22Sql: String =
+    """WITH pts AS (
+      |  SELECT s_suppkey,
+      |    CAST(s_suppkey * 37 % 360 - 180 + 0.5 AS DOUBLE) AS lng,
+      |    CAST(s_suppkey * 53 % 180 - 90 + 0.5 AS DOUBLE) AS lat
+      |  FROM supplier)
+      |SELECT s_suppkey FROM pts
+      |WHERE (lng >= -60 AND lng <= 60 AND lat >= -30 AND lat <= 30)
+      |   OR (6371008.8 * 2 * asin(sqrt(
+      |        pow(sin(radians(lat - 45) / 2), 2) +
+      |        cos(radians(45)) * cos(radians(lat)) *
+      |          pow(sin(radians(lng - 90) / 2), 2))) <= 3000000)
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_geo_within" -> (d22GeoWithin _),
     "d21_redact" -> (d21Redact _),
     "d18_object_entries" -> (d18ObjectEntries _),
     "d19_regex_findall" -> (d19RegexFindAll _),
@@ -480,6 +521,7 @@ object DocumentOps {
     "d14_densify_fill" -> (d14DensifyFill _))
 
   val oracle: Map[String, String] = Map(
+    "d22_geo_within" -> d22Sql,
     "d21_redact" -> d21Sql,
     "d18_object_entries" -> d18Sql,
     "d19_regex_findall" -> d19Sql,

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.graftshim.toColumn
+import org.apache.spark.sql.graftshim.{toColumn, toExpression}
 
 /** MongoDB filter-document → Catalyst expression compiler.
   *
@@ -27,7 +27,11 @@ import org.apache.spark.sql.graftshim.toColumn
   * aggregation expression language), array `$size $all $elemMatch`
   * (scalar-ops and document forms — compiled to Catalyst higher-order
   * `exists`, still codegen'd), dotted paths (`a.b` → nested field /
-  * struct access, resolved by the analyzer).
+  * struct access, resolved by the analyzer), and the find()-API geo
+  * grammar over `[x, y]` pair columns: `$geoWithin` (`$box $center
+  * $centerSphere $polygon $geometry`), `$geoIntersects` (point-field
+  * form), `$near $nearSphere` (distance-range form; see the geo section
+  * below for unit and ordering semantics).
   *
   * Scale: output is a pure Catalyst boolean expression — codegen'd,
   * pushdown-eligible, no UDFs.
@@ -125,8 +129,15 @@ object MongoFilter {
     }
     case field => v match {
       case ops: DDoc if ops.fields.nonEmpty && ops.fields.forall(_._1.startsWith("$")) =>
-        ops.fields.map { case (op, operand) => compileOp(attr(field), op, operand) }
-          .reduce(And)
+        // $near/$nearSphere own their $maxDistance/$minDistance SIBLINGS
+        // (the legacy find() grammar), so the whole ops doc compiles as one
+        if (ops.fields.exists(f => f._1 == "$near" || f._1 == "$nearSphere"))
+          compileNear(field, ops.fields)
+        else ops.fields.map {
+          case ("$geoWithin", operand)     => compileGeoWithin(field, operand)
+          case ("$geoIntersects", operand) => compileGeoIntersects(field, operand)
+          case (op, operand)               => compileOp(attr(field), op, operand)
+        }.reduce(And)
       // Mongo: {field: null} matches docs where the field is null OR
       // missing — both map to Spark NULL, so implicit/explicit equality
       // with null must compile to IsNull, not EqualTo(_, null) (which
@@ -279,6 +290,209 @@ object MongoFilter {
       }
       case other => throw bad(s"unsupported operator $other")
     }
+  }
+
+  // -------- geo query operators (find()-API geospatial grammar) --------
+  //
+  // Reference scope note: the reference's pushdown grammar
+  // (src/mongo_filter_pushdown.cpp:1) stops at scalar predicates; geo
+  // queries are part of the find()/$match surface a porting user brings
+  // along, so they compile here to pure closed-form Catalyst math —
+  // codegen'd, partition-prunable when the coordinates are sargable.
+  //
+  // The queried field must hold a numeric `[lng, lat]` (or flat `[x, y]`)
+  // pair array — the legacy coordinate form. For GeoJSON Point FIELDS,
+  // query the embedded pair directly: `{"loc.coordinates": {...}}`
+  // (there is no server-side 2dsphere index metadata to resolve the
+  // shape from, mirroring $geoNear's explicit `key`).
+  //
+  // Geometry semantics: $box/$center/$polygon are flat (2d) per Mongo;
+  // $centerSphere is a spherical cap over central angle (radians);
+  // $geometry polygons are evaluated by PLANAR ray-cast on the lng/lat
+  // grid — exact for Mongo's small-region polygons away from the
+  // antimeridian (edges spanning >180° of longitude are refused rather
+  // than silently misclassified); boundary points follow ray-cast
+  // parity, matching Mongo's own edge-inclusion looseness for flat
+  // shapes. Distances: haversine central angle on the IUGG mean sphere
+  // (R = 6371008.8 m), the same kernel as the $geoNear stage.
+
+  private def numD(v: DocValue, what: String): Double = v match {
+    case DDouble(d) => d
+    case DLong(l)   => l.toDouble
+    case other      => throw bad(s"$what needs a number, got $other")
+  }
+
+  /** `[x, y]` pair or GeoJSON `{coordinates: [x, y]}` → doubles. */
+  private def pairOf(v: DocValue, what: String): (Double, Double) = v match {
+    case DArray(Seq(a, b)) => (numD(a, what), numD(b, what))
+    case d: DDoc => d.fields.toMap.get("coordinates") match {
+      case Some(DArray(Seq(a, b))) => (numD(a, what), numD(b, what))
+      case _ => throw bad(s"$what GeoJSON point needs coordinates [lng, lat]")
+    }
+    case other => throw bad(s"$what needs an [x, y] pair, got $other")
+  }
+
+  /** The queried pair field as (x, y) double columns. */
+  private def geoXY(field: String): (Column, Column) = {
+    import org.apache.spark.sql.functions.element_at
+    val c = toColumn(attr(field))
+    (element_at(c, 1).cast(org.apache.spark.sql.types.DoubleType),
+      element_at(c, 2).cast(org.apache.spark.sql.types.DoubleType))
+  }
+
+  /** Haversine central angle (radians) from (x, y) to a literal point. */
+  private def centralAngle(x: Column, y: Column,
+      lng: Double, lat: Double): Column = {
+    import org.apache.spark.sql.functions.{asin, cos, lit, pow, radians, sin, sqrt}
+    val h = pow(sin(radians(y - lit(lat)) / 2), 2) +
+      cos(radians(lit(lat))) * cos(radians(y)) *
+        pow(sin(radians(x - lit(lng)) / 2), 2)
+    lit(2.0) * asin(sqrt(h))
+  }
+
+  /** Ray-cast point-in-ring parity with LITERAL vertices: per-edge
+    * straddle-and-left-of-intersection tests XOR-folded (`=!=` chain),
+    * slopes precomputed in Scala — the whole test is branch-free
+    * codegen'd arithmetic, no loops at runtime. Horizontal edges never
+    * flip parity and are dropped at compile time. */
+  private def pointInRing(x: Column, y: Column,
+      ring: Seq[(Double, Double)]): Column = {
+    import org.apache.spark.sql.functions.lit
+    val vs = if (ring.size > 1 && ring.head == ring.last) ring.dropRight(1)
+      else ring
+    if (vs.size < 3) throw bad("polygon ring needs at least 3 distinct points")
+    val edges = vs.zip(vs.tail :+ vs.head)
+    edges.filter { case ((_, y1), (_, y2)) => y1 != y2 }
+      .map { case ((x1, y1), (x2, y2)) =>
+        val straddles = (lit(y1) > y) =!= (lit(y2) > y)
+        val slope = (x2 - x1) / (y2 - y1)
+        straddles && (x < lit(slope) * (y - lit(y1)) + lit(x1))
+      }.foldLeft(lit(false))((acc, e) => acc =!= e)
+  }
+
+  /** GeoJSON Polygon membership: inside the outer ring, outside every
+    * hole. Single Polygon only; antimeridian-crossing edges refused. */
+  private def geometryContains(x: Column, y: Column, g: DDoc): Column = {
+    val m = g.fields.toMap
+    m.get("type") match {
+      case Some(DString("Polygon")) => ()
+      case Some(DString(t)) =>
+        throw bad(s"$$geometry type $t is not supported (Polygon only)")
+      case _ => throw bad("$geometry needs a type")
+    }
+    val rings: Seq[Seq[(Double, Double)]] = m.get("coordinates") match {
+      case Some(DArray(rs)) if rs.nonEmpty => rs.map {
+        case DArray(pts) if pts.size >= 4 => pts.map(pairOf(_, "$geometry ring"))
+        case other => throw bad(
+          s"$$geometry ring needs >= 4 [lng, lat] points (closed), got $other")
+      }
+      case other => throw bad(s"$$geometry Polygon needs coordinates rings, got $other")
+    }
+    for (ring <- rings; ((x1, _), (x2, _)) <- ring.zip(ring.tail))
+      if (math.abs(x2 - x1) > 180.0) throw bad(
+        "$geometry polygons crossing the antimeridian are not supported " +
+          "(planar ray-cast evaluation)")
+    val inOuter = pointInRing(x, y, rings.head)
+    rings.tail.foldLeft(inOuter)((acc, hole) => acc && !pointInRing(x, y, hole))
+  }
+
+  private def compileGeoWithin(field: String, shape: DocValue): Expression = {
+    import org.apache.spark.sql.functions.lit
+    val (x, y) = geoXY(field)
+    val pred: Column = shape match {
+      case d: DDoc => d.fields match {
+        case Seq(("$box", DArray(Seq(p1, p2)))) =>
+          // opposite corners in either order; boundary included
+          val (x1, y1) = pairOf(p1, "$box"); val (x2, y2) = pairOf(p2, "$box")
+          x >= lit(math.min(x1, x2)) && x <= lit(math.max(x1, x2)) &&
+            y >= lit(math.min(y1, y2)) && y <= lit(math.max(y1, y2))
+        case Seq(("$center", DArray(Seq(c, r)))) =>
+          val (cx, cy) = pairOf(c, "$center")
+          val rr = numD(r, "$center radius")
+          // squared-distance form: no sqrt in the hot path
+          (x - lit(cx)) * (x - lit(cx)) + (y - lit(cy)) * (y - lit(cy)) <=
+            lit(rr * rr)
+        case Seq(("$centerSphere", DArray(Seq(c, r)))) =>
+          val (cx, cy) = pairOf(c, "$centerSphere")
+          centralAngle(x, y, cx, cy) <= lit(numD(r, "$centerSphere radius"))
+        case Seq(("$polygon", DArray(pts))) if pts.size >= 3 =>
+          pointInRing(x, y, pts.map(pairOf(_, "$polygon")))
+        case Seq(("$geometry", g: DDoc)) => geometryContains(x, y, g)
+        case other => throw bad("$geoWithin needs one of $box $center " +
+          s"$$centerSphere $$polygon $$geometry, got ${other.map(_._1).mkString(", ")}")
+      }
+      case other => throw bad(s"$$geoWithin needs a shape document, got $other")
+    }
+    // docs without a (complete) location never match a geo predicate
+    toExpression(pred && x.isNotNull && y.isNotNull)
+  }
+
+  /** `$geoIntersects` over a point FIELD degenerates to polygon
+    * membership (a point intersects a polygon iff it lies within it) —
+    * the analytic case; non-point field geometries have no relational
+    * column form here. */
+  private def compileGeoIntersects(field: String, operand: DocValue): Expression =
+    operand match {
+      case d: DDoc => d.fields match {
+        case Seq(("$geometry", g: DDoc)) =>
+          val (x, y) = geoXY(field)
+          toExpression(geometryContains(x, y, g) && x.isNotNull && y.isNotNull)
+        case other => throw bad(
+          s"$$geoIntersects needs $$geometry, got ${other.map(_._1).mkString(", ")}")
+      }
+      case other => throw bad(s"$$geoIntersects needs a document, got $other")
+    }
+
+  /** `$near`/`$nearSphere` as a DISTANCE-RANGE predicate. Mongo's near
+    * operators also ORDER results nearest-first — an ordering is not
+    * expressible in a boolean filter, so the unbounded form is refused
+    * (use the `$geoNear` stage, which owns the sort); with
+    * `$maxDistance`/`$minDistance` the membership set is exactly Mongo's
+    * and only the row order differs (documented divergence; SQL engines
+    * treat WHERE output as unordered anyway).
+    *
+    * Units per Mongo: legacy `$near [x, y]` = flat euclidean in
+    * coordinate units; legacy `$nearSphere [lng, lat]` = central angle
+    * RADIANS; GeoJSON form (both ops) = spherical METERS. */
+  private def compileNear(field: String,
+      ops: Seq[(String, DocValue)]): Expression = {
+    import org.apache.spark.sql.functions.{lit, pow, sqrt}
+    val m = ops.toMap
+    val opName = if (m.contains("$near")) "$near" else "$nearSphere"
+    if (m.contains("$near") && m.contains("$nearSphere"))
+      throw bad("$near and $nearSphere cannot be combined")
+    val extra = m.keySet -- Set(opName, "$maxDistance", "$minDistance")
+    if (extra.nonEmpty) throw bad(
+      s"$opName: unsupported sibling operators ${extra.mkString(", ")}")
+    // GeoJSON form nests the bounds INSIDE the operator document;
+    // legacy form puts them as siblings — accept both positions
+    val (center, geoJson, innerMax, innerMin) = m(opName) match {
+      case d: DDoc if d.fields.toMap.contains("$geometry") =>
+        val dm = d.fields.toMap
+        val unknown = dm.keySet -- Set("$geometry", "$maxDistance", "$minDistance")
+        if (unknown.nonEmpty) throw bad(
+          s"$opName: unsupported options ${unknown.mkString(", ")}")
+        (pairOf(dm("$geometry"), s"$opName.$$geometry"), true,
+          dm.get("$maxDistance"), dm.get("$minDistance"))
+      case v => (pairOf(v, opName), false, None, None)
+    }
+    val maxD = innerMax.orElse(m.get("$maxDistance")).map(numD(_, "$maxDistance"))
+    val minD = innerMin.orElse(m.get("$minDistance")).map(numD(_, "$minDistance"))
+    if (maxD.isEmpty && minD.isEmpty) throw bad(
+      s"$opName without $$maxDistance/$$minDistance is a pure ordering — " +
+        "use the $geoNear aggregation stage for sorted proximity results")
+    val (cx, cy) = center
+    val (x, y) = geoXY(field)
+    val dist: Column =
+      if (!geoJson && opName == "$near") // flat 2d, legacy units
+        sqrt(pow(x - lit(cx), 2) + pow(y - lit(cy), 2))
+      else {
+        val ca = centralAngle(x, y, cx, cy)
+        if (geoJson) lit(6371008.8) * ca else ca // meters vs radians
+      }
+    val bounds = (minD.map(dist >= lit(_)) ++ maxD.map(dist <= lit(_)))
+      .reduce(_ && _)
+    toExpression(bounds && x.isNotNull && y.isNotNull)
   }
 
   /** Literal prefix of a ^-anchored regex (chars before the first

@@ -163,6 +163,99 @@ class MongoFilterSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ geo ops
+  // deterministic point grid: 49 points spanning [-3,3]² plus a null row
+  lazy val geo = {
+    val pts = for (i <- -3 to 3; j <- -3 to 3)
+      yield ((i + 3) * 7L + (j + 3) + 1, Some(Seq(i.toDouble, j.toDouble)))
+    (pts :+ (0L, Option.empty[Seq[Double]]))
+      .toDF("id", "loc")
+  }
+  private def gids(f: String): Seq[Long] =
+    geo.filter(MongoFilter.compile(f)).select("id").as[Long].collect().toSeq.sorted
+  private def expectIds(p: (Double, Double) => Boolean): Seq[Long] =
+    (for (i <- -3 to 3; j <- -3 to 3 if p(i.toDouble, j.toDouble))
+      yield (i + 3) * 7L + (j + 3) + 1).sorted
+
+  test("$geoWithin $box / $center include the boundary, skip null locations") {
+    assert(gids("""{"loc":{"$geoWithin":{"$box":[[-1,-2],[2,1]]}}}""") ==
+      expectIds((x, y) => x >= -1 && x <= 2 && y >= -2 && y <= 1))
+    // corners in the "wrong" order normalize
+    assert(gids("""{"loc":{"$geoWithin":{"$box":[[2,1],[-1,-2]]}}}""") ==
+      expectIds((x, y) => x >= -1 && x <= 2 && y >= -2 && y <= 1))
+    assert(gids("""{"loc":{"$geoWithin":{"$center":[[0,0],2]}}}""") ==
+      expectIds((x, y) => x * x + y * y <= 4.0))
+  }
+
+  test("$geoWithin $polygon: ray-cast parity matches a reference implementation") {
+    def inRing(x: Double, y: Double, ring: Seq[(Double, Double)]): Boolean = {
+      val es = ring.zip(ring.tail :+ ring.head)
+      es.foldLeft(false) { case (acc, ((x1, y1), (x2, y2))) =>
+        if ((y1 > y) != (y2 > y) && x < (x2 - x1) * (y - y1) / (y2 - y1) + x1)
+          !acc else acc
+      }
+    }
+    // non-convex (arrow-head) polygon
+    val ring = Seq((-2.5, -2.5), (2.5, -2.5), (0.0, 0.5), (2.5, 2.5), (-2.5, 2.5))
+    assert(gids("""{"loc":{"$geoWithin":{"$polygon":
+        [[-2.5,-2.5],[2.5,-2.5],[0,0.5],[2.5,2.5],[-2.5,2.5]]}}}""") ==
+      expectIds((x, y) => inRing(x, y, ring)))
+  }
+
+  test("$geoWithin $geometry: polygon with a hole; antimeridian refused") {
+    val outer = Seq((-3.5, -3.5), (3.5, -3.5), (3.5, 3.5), (-3.5, 3.5), (-3.5, -3.5))
+    val hole = Seq((-1.5, -1.5), (1.5, -1.5), (1.5, 1.5), (-1.5, 1.5), (-1.5, -1.5))
+    assert(gids("""{"loc":{"$geoWithin":{"$geometry":{"type":"Polygon",
+        "coordinates":[[[-3.5,-3.5],[3.5,-3.5],[3.5,3.5],[-3.5,3.5],[-3.5,-3.5]],
+                       [[-1.5,-1.5],[1.5,-1.5],[1.5,1.5],[-1.5,1.5],[-1.5,-1.5]]]}}}}""") ==
+      expectIds((x, y) =>
+        (x.abs <= 3.5 && y.abs <= 3.5) && !(x.abs <= 1.5 && y.abs <= 1.5)))
+    val err = intercept[IllegalArgumentException] {
+      MongoFilter.compile("""{"loc":{"$geoWithin":{"$geometry":{"type":"Polygon",
+          "coordinates":[[[179,0],[-179,0],[-179,1],[179,0]]]}}}}""")
+    }
+    assert(err.getMessage.contains("antimeridian"))
+    // $geoIntersects point-vs-polygon = membership
+    assert(gids("""{"loc":{"$geoIntersects":{"$geometry":{"type":"Polygon",
+        "coordinates":[[[-0.5,-0.5],[1.5,-0.5],[1.5,1.5],[-0.5,1.5],[-0.5,-0.5]]]}}}}""") ==
+      expectIds((x, y) => x >= -0.5 && x <= 1.5 && y >= -0.5 && y <= 1.5))
+  }
+
+  test("$near family: units per grammar; unbounded form refused") {
+    // legacy $near: flat euclidean in coordinate units
+    assert(gids("""{"loc":{"$near":[0,0],"$maxDistance":2}}""") ==
+      expectIds((x, y) => math.sqrt(x * x + y * y) <= 2.0))
+    // $minDistance ring
+    assert(gids("""{"loc":{"$near":[0,0],"$maxDistance":2,"$minDistance":1}}""") ==
+      expectIds((x, y) =>
+        { val d = math.sqrt(x * x + y * y); d >= 1.0 && d <= 2.0 }))
+    // legacy $nearSphere: central-angle radians (3° of arc ≈ 0.05236 rad)
+    def ca(lng: Double, lat: Double): Double = {
+      val h = math.pow(math.sin(math.toRadians(lat) / 2), 2) +
+        math.cos(0.0) * math.cos(math.toRadians(lat)) *
+          math.pow(math.sin(math.toRadians(lng) / 2), 2)
+      2 * math.asin(math.sqrt(h))
+    }
+    assert(gids("""{"loc":{"$nearSphere":[0,0],"$maxDistance":0.03}}""") ==
+      expectIds((x, y) => ca(x, y) <= 0.03))
+    // GeoJSON form: meters on the IUGG sphere, bounds nested inside
+    assert(gids("""{"loc":{"$nearSphere":{"$geometry":{"type":"Point",
+        "coordinates":[0,0]},"$maxDistance":200000}}}""") ==
+      expectIds((x, y) => 6371008.8 * ca(x, y) <= 200000.0))
+    val err = intercept[IllegalArgumentException] {
+      MongoFilter.compile("""{"loc":{"$near":[0,0]}}""")
+    }
+    assert(err.getMessage.contains("$geoNear"))
+  }
+
+  test("geo predicates stay codegen'd boolean filters (no UDF, no shuffle)") {
+    val f = geo.filter(MongoFilter.compile(
+      """{"loc":{"$geoWithin":{"$centerSphere":[[0,0],0.05]}}}"""))
+    val plan = f.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
   test("mongo filter lands in parquet PushedFilters") {
     val orders = Tables(spark, sfDir, "orders")
       .filter(MongoFilter.compile("""{"o_orderstatus":"O","o_totalprice":{"$gt":1000.0}}"""))
