@@ -571,7 +571,81 @@ object Dedup {
       |SELECT canonical_url, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
       |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
 
+  // --------------------------------------------------------------- dd09
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with a coarse quantizer, then drop any
+    * vector whose cosine to a LOWER-id member of the SAME cluster crosses
+    * the threshold — near-duplicate semantics without an all-pairs
+    * compare. The quantizer is s02's: 8 seeded deterministic corpus picks
+    * (Similarity.scala s02Ivf), nearest-cell by cosine with c_id
+    * tie-break, so build and oracle agree exactly. Planted: dd05's
+    * verbatim copies (same cell by construction, cosine 1).
+    *
+    * Scale: assignment is a map-only broadcast compare (per-vector window
+    * over ≤8 rows — bounded, not data-sized); the dup check is a
+    * within-cell self-join, shuffle ∝ Σ|cell|·avg-members. Cell sizes are
+    * the knob: at corpus scale the centroid count grows ∝ N/target-cell
+    * (SemDeDup runs k ≈ 11k on LAION), keeping every cell's pair work
+    * bounded — same discipline as dd02's LSH band caps. The left-semi
+    * join short-circuits on the first lower-id match, so a pathological
+    * all-same-cell corpus degrades to AQE-split skew, not O(N²) output.
+    */
+  def dd09SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "embeddings")
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .unionAll(base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + PlantOffset).as("vec_id"), col("embedding")))
+    val centroids = base.filter(col("vec_id") % 61 === 3)
+      .orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        V.cosine_sim(col("embedding"), col("c_vec")).as("c_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+      // barrier: both self-join sides reuse one assignment computation
+      .repartition(col("vec_id"))
+    val a = assigned.select(col("cell"), col("vec_id"), col("embedding"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"))
+    a.join(b,
+        a("cell") === b("cell") && b("b_id") < a("vec_id") &&
+          V.cosine_sim(a("embedding"), b("b_vec")) >= 0.99,
+        "left_semi")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle replicates build + dup test declaratively (same centroid
+    * picks, same tie-breaks — the s02 discipline): the planted copies
+    * are the exact expected drop set on this corpus. */
+  val dd09Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $PlantOffset, embedding FROM embeddings
+       |  WHERE vec_id % 25 = 0),
+       |cent AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
+       |  FROM embeddings WHERE vec_id % 61 = 3 ORDER BY vec_id LIMIT 8),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT v.vec_id, v.embedding, c.c_id AS cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+       |               c.c_vec) DESC, c.c_id) AS rn
+       |    FROM corpus v, cent c) WHERE rn = 1)
+       |SELECT a.vec_id, a.cell FROM assigned a
+       |WHERE EXISTS (SELECT 1 FROM assigned b
+       |  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+       |    AND list_cosine_similarity(a.embedding::DOUBLE[],
+       |      b.embedding::DOUBLE[]) >= 0.99)
+       |ORDER BY a.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd09_semantic_dedup" -> (dd09SemanticDedup _),
     "dd08_url_dedup" -> (dd08UrlDedup _),
     "dd07_para_dedup" -> (dd07ChunkDedup _),
     "dd01_dedup_exact" -> (dd01Exact _),
@@ -586,6 +660,7 @@ object Dedup {
     * (graft.functions.KernelOracleSql).
     */
   val oracle: Map[String, String] = Map(
+    "dd09_semantic_dedup" -> dd09Sql,
     "dd08_url_dedup" -> dd08Sql,
     "dd07_para_dedup" -> dd07Sql,
     "dd01_dedup_exact" -> dd01Sql,

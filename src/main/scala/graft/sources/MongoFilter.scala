@@ -31,7 +31,8 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
   * grammar over `[x, y]` pair columns: `$geoWithin` (`$box $center
   * $centerSphere $polygon $geometry`), `$geoIntersects` (point-field
   * form), `$near $nearSphere` (distance-range form; see the geo section
-  * below for unit and ordering semantics).
+  * below for unit and ordering semantics), and `$jsonSchema` (the
+  * draft-4 validation subset as a match predicate — see its section).
   *
   * Scale: output is a pure Catalyst boolean expression — codegen'd,
   * pushdown-eligible, no UDFs.
@@ -120,6 +121,19 @@ object MongoFilter {
         org.apache.spark.sql.graftshim.toExpression(anyPos && !anyNeg)
       case other => throw bad(s"$$text needs a document, got $other")
     }
+    // $jsonSchema: the draft-4 validation subset Mongo supports, as a
+    // MATCH predicate (the query form, not collMod validation). Mongo's
+    // validation semantics — a keyword constrains only values it
+    // APPLIES to: a missing field passes everything except `required`,
+    // and a type-mismatched keyword (e.g. `minimum` on a string column)
+    // passes. Relational columns are statically typed, so applicability
+    // resolves at compile time per column. Unknown/JS-only keywords are
+    // refused, not ignored (silently accepting `uniqueItems` would
+    // claim semantics we don't check).
+    case "$jsonSchema" => v match {
+      case d: DDoc => compileSchema(None, d)
+      case other   => throw bad(s"$$jsonSchema needs a document, got $other")
+    }
     case "$and" => subDocs(key, v).map(compileDoc).reduce(And)
     case "$or"  => subDocs(key, v).map(compileDoc).reduce(Or)
     case "$nor" => Not(subDocs(key, v).map(compileDoc).reduce(Or))
@@ -196,25 +210,7 @@ object MongoFilter {
         // predicate: compare the column's Spark type mapped to Mongo's
         // name (plus the value's null-ness for "null")
         case DString(want) =>
-          // TypeNameOf, not Spark's TypeOf: same value, but codegen-safe
-          // on unoptimized paths (TypeOf splices the name unquoted)
-          val sparkType = graft.functions.TypeNameOf(c)
-          val mapped: Expression = CaseWhen(Seq(
-            (IsNull(c), Literal("null")),
-            (In(sparkType, Seq("tinyint", "smallint", "int").map(Literal(_))),
-              Literal("int")),
-            (EqualTo(sparkType, Literal("bigint")), Literal("long")),
-            (In(sparkType, Seq("double", "float").map(Literal(_))),
-              Literal("double")),
-            (StartsWith(sparkType, Literal("decimal")), Literal("decimal")),
-            (EqualTo(sparkType, Literal("string")), Literal("string")),
-            (EqualTo(sparkType, Literal("boolean")), Literal("bool")),
-            (In(sparkType, Seq("timestamp", "timestamp_ntz", "date")
-              .map(Literal(_))), Literal("date")),
-            (StartsWith(sparkType, Literal("array")), Literal("array")),
-            (StartsWith(sparkType, Literal("struct")), Literal("object")),
-            (EqualTo(sparkType, Literal("binary")), Literal("binData"))),
-            Some(sparkType))
+          val mapped = mongoTypeName(c)
           // Mongo aliases: "number" matches any numeric type
           if (want == "number")
             In(mapped, Seq("int", "long", "double", "decimal").map(Literal(_)))
@@ -290,6 +286,191 @@ object MongoFilter {
       }
       case other => throw bad(s"unsupported operator $other")
     }
+  }
+
+  /** The VALUE's Mongo type name for a column: the Spark column type
+    * mapped through the reference's BSON table (README "BSON Type
+    * Mapping"), with the value's null-ness checked first ("null").
+    * TypeNameOf, not Spark's TypeOf: same value, but codegen-safe on
+    * unoptimized paths (TypeOf splices the name unquoted); constant-folds
+    * to a literal during optimization, so every branch below folds away. */
+  private def mongoTypeName(c: Expression): Expression = {
+    val sparkType = graft.functions.TypeNameOf(c)
+    CaseWhen(Seq(
+      (IsNull(c), Literal("null")),
+      (In(sparkType, Seq("tinyint", "smallint", "int").map(Literal(_))),
+        Literal("int")),
+      (EqualTo(sparkType, Literal("bigint")), Literal("long")),
+      (In(sparkType, Seq("double", "float").map(Literal(_))),
+        Literal("double")),
+      (StartsWith(sparkType, Literal("decimal")), Literal("decimal")),
+      (EqualTo(sparkType, Literal("string")), Literal("string")),
+      (EqualTo(sparkType, Literal("boolean")), Literal("bool")),
+      (In(sparkType, Seq("timestamp", "timestamp_ntz", "date")
+        .map(Literal(_))), Literal("date")),
+      (StartsWith(sparkType, Literal("array")), Literal("array")),
+      (StartsWith(sparkType, Literal("struct")), Literal("object")),
+      (EqualTo(sparkType, Literal("binary")), Literal("binData"))),
+      Some(sparkType))
+  }
+
+  // -------- $jsonSchema (draft-4 validation subset, as a MATCH) --------
+  //
+  // Semantics follow Mongo validation-as-query: a keyword constrains
+  // only values it applies to — a missing (null) field passes every
+  // keyword except `required`, and a type-guarded keyword (numeric
+  // bounds, string lengths, pattern) passes on values of other types.
+  // The guards are runtime type-name comparisons that CONSTANT-FOLD per
+  // column (relational schemas are statically typed), so the residual
+  // predicate is the plain comparison. `minItems`/`maxItems` have no
+  // type-agnostic form (`size` only analyzes on arrays) — on a
+  // non-array column they fail analysis loudly instead of passing.
+  // Unknown / unenforceable keywords (JS `$where`-class, uniqueItems,
+  // additionalProperties: false over a fixed column set) are refused,
+  // not ignored. `description`/`title` are annotations and pass.
+
+  private val numericTypeNames = Seq("int", "long", "double", "decimal")
+
+  private def compileSchema(path: Option[String], schema: DDoc): Expression = {
+    val m = schema.fields.toMap
+    path match {
+      case None =>
+        val allowed = Set("properties", "required", "type", "bsonType",
+          "additionalProperties", "description", "title")
+        val unknown = m.keySet -- allowed
+        if (unknown.nonEmpty) throw bad(
+          s"$$jsonSchema: unsupported root keywords ${unknown.mkString(", ")}")
+        m.get("type").orElse(m.get("bsonType")).foreach {
+          case DString("object") => ()
+          case x => throw bad(s"$$jsonSchema root type must be object, got $x")
+        }
+        m.get("additionalProperties").foreach {
+          case DBool(true) => () // the default — a no-op over fixed columns
+          case x => throw bad("$jsonSchema additionalProperties must be " +
+            s"true (a relational column set is fixed by the schema), got $x")
+        }
+        (requiredOf(m, prefix = "") ++ propertiesOf(m, prefix = ""))
+          .reduceOption(And).getOrElse(Literal.TrueLiteral)
+      case Some(p) => fieldSchema(p, m)
+    }
+  }
+
+  private def requiredOf(m: Map[String, DocValue],
+      prefix: String): Seq[Expression] = m.get("required").toSeq.flatMap {
+    case DArray(names) if names.nonEmpty => names.map {
+      case DString(f) => IsNotNull(attr(prefix + f))
+      case x          => throw bad(s"$$jsonSchema required needs field names, got $x")
+    }
+    case x => throw bad(s"$$jsonSchema required needs a non-empty array, got $x")
+  }
+
+  private def propertiesOf(m: Map[String, DocValue],
+      prefix: String): Seq[Expression] = m.get("properties").toSeq.flatMap {
+    case props: DDoc => props.fields.map {
+      case (f, sub: DDoc) => fieldSchema(prefix + f, sub.fields.toMap)
+      case (f, x) => throw bad(s"$$jsonSchema properties.$f needs a schema, got $x")
+    }
+    case x => throw bad(s"$$jsonSchema properties needs a document, got $x")
+  }
+
+  private def fieldSchema(p: String, m: Map[String, DocValue]): Expression = {
+    val allowed = Set("bsonType", "type", "enum", "minimum", "maximum",
+      "exclusiveMinimum", "exclusiveMaximum", "multipleOf", "minLength",
+      "maxLength", "pattern", "minItems", "maxItems", "properties",
+      "required", "description", "title")
+    val unknown = m.keySet -- allowed
+    if (unknown.nonEmpty) throw bad(
+      s"$$jsonSchema.$p: unsupported keywords ${unknown.mkString(", ")}")
+    val c = attr(p)
+    val typeName = mongoTypeName(c)
+    val isNumeric = In(typeName, numericTypeNames.map(Literal(_)))
+    val isString = EqualTo(typeName, Literal("string"))
+    def guarded(guard: Expression, cons: Expression): Expression =
+      Or(Not(guard), cons)
+    def numOperand(k: String): Expression = m(k) match {
+      case DLong(l)   => Literal(l.toDouble)
+      case DDouble(d) => Literal(d)
+      case x          => throw bad(s"$$jsonSchema.$p.$k needs a number, got $x")
+    }
+    def longOperand(k: String): Long = m(k) match {
+      case DLong(l) => l
+      case x        => throw bad(s"$$jsonSchema.$p.$k needs an integer, got $x")
+    }
+    def boolFlag(k: String): Boolean = m.get(k) match {
+      case Some(DBool(b)) => b
+      case None           => false
+      case Some(x) => throw bad(s"$$jsonSchema.$p.$k needs a boolean (draft 4), got $x")
+    }
+    val asDouble = Cast(c, org.apache.spark.sql.types.DoubleType)
+    val asString = Cast(c, org.apache.spark.sql.types.StringType)
+    val constraints = Seq.newBuilder[Expression]
+    m.get("bsonType").orElse(m.get("type")).foreach { tv =>
+      val fromType = m.contains("type") && !m.contains("bsonType")
+      def one(name: String): Expression = {
+        // JSON-schema `type` names differ from bsonType's: boolean/null
+        // spell out; "number" is any numeric in BOTH vocabularies
+        val mapped = if (fromType) name match {
+          case "boolean" => "bool"
+          case "integer" => throw bad(
+            s"$$jsonSchema.$p: type 'integer' is not supported by Mongo (use bsonType)")
+          case other => other
+        } else name
+        if (mapped == "number") isNumeric else EqualTo(typeName, Literal(mapped))
+      }
+      val names = tv match {
+        case DString(t)  => Seq(t)
+        case DArray(ts)  => ts.map {
+          case DString(t) => t
+          case x => throw bad(s"$$jsonSchema.$p type entry: $x")
+        }
+        case x => throw bad(s"$$jsonSchema.$p type needs a name or array, got $x")
+      }
+      constraints += names.map(one).reduce(Or)
+    }
+    m.get("enum").foreach {
+      case DArray(items) if items.nonEmpty =>
+        val (nulls, vals) = items.partition(_ == DNull)
+        val inPart = if (vals.nonEmpty) Some(In(c, vals.map(toLit))) else None
+        val nullPart = if (nulls.nonEmpty) Some(IsNull(c)) else None
+        constraints += (inPart ++ nullPart).reduceOption[Expression](Or)
+          .getOrElse(Literal.FalseLiteral)
+      case x => throw bad(s"$$jsonSchema.$p enum needs a non-empty array, got $x")
+    }
+    if (m.contains("minimum")) constraints += guarded(isNumeric,
+      if (boolFlag("exclusiveMinimum")) GreaterThan(asDouble, numOperand("minimum"))
+      else GreaterThanOrEqual(asDouble, numOperand("minimum")))
+    if (m.contains("maximum")) constraints += guarded(isNumeric,
+      if (boolFlag("exclusiveMaximum")) LessThan(asDouble, numOperand("maximum"))
+      else LessThanOrEqual(asDouble, numOperand("maximum")))
+    if (m.contains("exclusiveMinimum") && !m.contains("minimum"))
+      throw bad(s"$$jsonSchema.$p: exclusiveMinimum needs minimum (draft 4)")
+    if (m.contains("exclusiveMaximum") && !m.contains("maximum"))
+      throw bad(s"$$jsonSchema.$p: exclusiveMaximum needs maximum (draft 4)")
+    m.get("multipleOf").foreach { _ =>
+      val d = numOperand("multipleOf")
+      constraints += guarded(isNumeric,
+        EqualTo(Remainder(asDouble, d), Literal(0.0)))
+    }
+    if (m.contains("minLength")) constraints += guarded(isString,
+      GreaterThanOrEqual(Length(asString), Literal(longOperand("minLength").toInt)))
+    if (m.contains("maxLength")) constraints += guarded(isString,
+      LessThanOrEqual(Length(asString), Literal(longOperand("maxLength").toInt)))
+    m.get("pattern").foreach {
+      case DString(re) => constraints += guarded(isString, RLike(asString, Literal(re)))
+      case x => throw bad(s"$$jsonSchema.$p pattern needs a string, got $x")
+    }
+    if (m.contains("minItems"))
+      constraints += GreaterThanOrEqual(Size(c), Literal(longOperand("minItems").toInt))
+    if (m.contains("maxItems"))
+      constraints += LessThanOrEqual(Size(c), Literal(longOperand("maxItems").toInt))
+    // nested object schema: properties/required recurse on dotted paths
+    constraints ++= requiredOf(m, prefix = p + ".")
+    constraints ++= propertiesOf(m, prefix = p + ".")
+    val built = constraints.result()
+    if (built.isEmpty) Literal.TrueLiteral
+    // a missing field passes every per-field keyword (required is the
+    // root's job) — Mongo validation applicability
+    else Or(IsNull(c), built.reduce(And))
   }
 
   // -------- geo query operators (find()-API geospatial grammar) --------

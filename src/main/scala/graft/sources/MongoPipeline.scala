@@ -61,7 +61,8 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
   * $dateFromString $dateFromParts $dateToParts $dateDiff $dateAdd
   * $dateSubtract $dateTrunc`), regex (`$regexMatch $regexFind`),
   * `$meta`, conversion (`$toInt $toLong $toDouble $toString
-  * $toBool $toDate $convert` with try-cast `onError`), type
+  * $toBool $toDate $convert` with try-cast `onError`), BSON-timestamp
+  * accessors (`$tsSecond $tsIncrement` over the VARCHAR envelope), type
   * introspection (`$type $isNumber`), comparison (`$eq $ne $gt $gte
   * $lt $lte $cmp`), boolean (`$and $or $not`), conditional (`$cond
   * $ifNull $switch`), array (`$size $arrayElemAt $first $last
@@ -2237,6 +2238,20 @@ object MongoPipeline {
         .otherwise(raise_error(concat(lit("$toUUID: not a UUID string: "), s)))
     case "$bsonSize" => // exact BSON-encoded byte size, from the schema
       toColumn(graft.functions.BsonSizeExpr(toExpression(valueExpr(operand, env))))
+    // BSON Timestamp accessors. The type maps to VARCHAR carrying its
+    // raw extended-JSON form `{"$timestamp":{"t":…,"i":…}}` (reference
+    // README "BSON Type Mapping"; ExtJson keeps the source text), so the
+    // accessors parse that envelope with an explicit schema. Divergence:
+    // a non-timestamp string yields NULL, not Mongo's type error — the
+    // 100-TB posture (one malformed doc must not kill the job), matching
+    // $convert's try_cast stance.
+    case "$tsSecond" | "$tsIncrement" =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("$timestamp", StructType(Seq(
+        StructField("t", LongType), StructField("i", LongType))))))
+      val part = if (op == "$tsSecond") "t" else "i"
+      from_json(valueExpr(operand, env).cast("string"), schema)
+        .getField("$timestamp").getField(part)
     case "$convert"   => operand match {
       case d: DDoc =>
         val to = docField(op, d, "to") match {

@@ -163,6 +163,74 @@ class MongoFilterSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------- $jsonSchema
+  test("$jsonSchema: type/enum/bounds/length/pattern with validation applicability") {
+    // required + numeric bounds + string keywords together
+    assert(ids("""{"$jsonSchema":{
+        "required":["id","name"],
+        "properties":{
+          "score":{"bsonType":"double","minimum":15,"maximum":35},
+          "name":{"type":"string","minLength":3,"maxLength":5,"pattern":"^[a-d]"}
+        }}}""") == Seq(2L, 3L))
+    // exclusive bounds (draft-4 boolean form)
+    assert(ids("""{"$jsonSchema":{"properties":{
+        "score":{"minimum":10,"exclusiveMinimum":true,
+                 "maximum":40,"exclusiveMaximum":true}}}}""") == Seq(2L, 3L))
+    // a missing (null) field passes per-field keywords — only `required`
+    // rejects it
+    assert(ids("""{"$jsonSchema":{"properties":{"tag":{"enum":["x"]}}}}""")
+      == Seq(1L, 2L, 4L))
+    assert(ids("""{"$jsonSchema":{"required":["tag"],
+        "properties":{"tag":{"enum":["x"]}}}}""") == Seq(1L, 4L))
+    // enum with null matches the missing value too
+    assert(ids("""{"$jsonSchema":{"properties":{"tag":{"enum":["y",null]}}}}""")
+      == Seq(2L, 3L))
+    // multipleOf
+    assert(ids("""{"$jsonSchema":{"properties":{"score":{"multipleOf":20}}}}""")
+      == Seq(2L, 4L))
+    // type array = any-of
+    assert(ids("""{"$jsonSchema":{"properties":{"id":{"bsonType":["long","double"]}}}}""")
+      == Seq(1L, 2L, 3L, 4L))
+    // statically inapplicable keyword passes: numeric bound on a string
+    // column (the type guard constant-folds per column)
+    assert(ids("""{"$jsonSchema":{"properties":{"name":{"minimum":99}}}}""")
+      == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("$jsonSchema: nested properties, array items, refusals") {
+    val nested = Seq(
+      (1L, ("u1", 25L), Seq(1.0, 2.0)),
+      (2L, ("u2", 16L), Seq(1.0)),
+      (3L, ("x", 40L), Seq(1.0, 2.0, 3.0))
+    ).toDF("id", "user", "vals")
+      .select(col("id"),
+        struct(col("user._1").as("name"), col("user._2").as("age")).as("user"),
+        col("vals"))
+    def nids(f: String): Seq[Long] =
+      nested.filter(MongoFilter.compile(f)).select("id").as[Long].collect().toSeq.sorted
+    // nested object schema via properties recursion
+    assert(nids("""{"$jsonSchema":{"properties":{
+        "user":{"bsonType":"object","required":["name"],
+                "properties":{"age":{"minimum":18},
+                              "name":{"minLength":2}}}}}}""") == Seq(1L))
+    // minItems/maxItems on a real array column
+    assert(nids("""{"$jsonSchema":{"properties":{"vals":{"minItems":2}}}}""")
+      == Seq(1L, 3L))
+    assert(nids("""{"$jsonSchema":{"properties":{"vals":{"minItems":1,"maxItems":2}}}}""")
+      == Seq(1L, 2L))
+    // unknown keywords are refused, not ignored
+    val err = intercept[IllegalArgumentException] {
+      MongoFilter.compile("""{"$jsonSchema":{"properties":{"id":{"uniqueItems":true}}}}""")
+    }
+    assert(err.getMessage.contains("unsupported"))
+    intercept[IllegalArgumentException] {
+      MongoFilter.compile("""{"$jsonSchema":{"additionalProperties":false}}""")
+    }
+    intercept[IllegalArgumentException] {
+      MongoFilter.compile("""{"$jsonSchema":{"properties":{"id":{"type":"integer"}}}}""")
+    }
+  }
+
   // ------------------------------------------------------------ geo ops
   // deterministic point grid: 49 points spanning [-3,3]² plus a null row
   lazy val geo = {
@@ -246,6 +314,47 @@ class MongoFilterSpec extends SparkSpec {
       MongoFilter.compile("""{"loc":{"$near":[0,0]}}""")
     }
     assert(err.getMessage.contains("$geoNear"))
+  }
+
+  test("geo fuzz: random shapes match a reference implementation on random points") {
+    val rnd = new scala.util.Random(4242L)
+    val pts = (1L to 300L).map(i =>
+      (i, rnd.nextDouble() * 8 - 4, rnd.nextDouble() * 8 - 4))
+    val pdf = pts.map { case (i, x, y) => (i, Seq(x, y)) }.toDF("id", "loc")
+    def inRing(x: Double, y: Double, ring: Seq[(Double, Double)]): Boolean = {
+      val es = ring.zip(ring.tail :+ ring.head)
+      es.foldLeft(false) { case (acc, ((x1, y1), (x2, y2))) =>
+        if (y1 != y2 && (y1 > y) != (y2 > y) &&
+          x < (x2 - x1) * (y - y1) / (y2 - y1) + x1) !acc else acc
+      }
+    }
+    for (_ <- 1 to 12) {
+      val n = 3 + rnd.nextInt(6)
+      // star-shaped random polygon: sorted random angles around a random
+      // center (guarantees a simple, possibly non-convex ring)
+      val (cx, cy) = (rnd.nextDouble() * 4 - 2, rnd.nextDouble() * 4 - 2)
+      val ring = (1 to n).map(_ =>
+        (rnd.nextDouble() * 2 * math.Pi, 0.5 + rnd.nextDouble() * 3))
+        .sortBy(_._1)
+        .map { case (th, r) => (cx + r * math.cos(th), cy + r * math.sin(th)) }
+      val json = ring.map { case (x, y) => s"[$x,$y]" }.mkString(",")
+      val got = pdf.filter(MongoFilter.compile(
+        s"""{"loc":{"$$geoWithin":{"$$polygon":[$json]}}}"""))
+        .select("id").as[Long].collect().toSeq.sorted
+      val want = pts.filter { case (_, x, y) => inRing(x, y, ring) }
+        .map(_._1).sorted
+      assert(got == want, s"polygon $json")
+    }
+    for (_ <- 1 to 8) {
+      val (qx, qy) = (rnd.nextDouble() * 4 - 2, rnd.nextDouble() * 4 - 2)
+      val r = 0.5 + rnd.nextDouble() * 2
+      val got = pdf.filter(MongoFilter.compile(
+        s"""{"loc":{"$$geoWithin":{"$$center":[[$qx,$qy],$r]}}}"""))
+        .select("id").as[Long].collect().toSeq.sorted
+      val want = pts.filter { case (_, x, y) =>
+        (x - qx) * (x - qx) + (y - qy) * (y - qy) <= r * r }.map(_._1).sorted
+      assert(got == want)
+    }
   }
 
   test("geo predicates stay codegen'd boolean filters (no UDF, no shuffle)") {

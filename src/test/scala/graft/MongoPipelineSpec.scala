@@ -715,6 +715,24 @@ class MongoPipelineSpec extends SparkSpec {
     assert(!r.getBoolean(r.fieldIndex("neqs")))
   }
 
+  test("$tsSecond/$tsIncrement read the BSON-timestamp VARCHAR envelope") {
+    // the docstore maps BSON Timestamp to its raw extended-JSON text
+    val df = Seq(
+      (1L, """{"$timestamp":{"t":1565545664,"i":3}}"""),
+      (2L, "not a timestamp"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "ts")
+    val r = Graft.aggregate(df, """[
+      {"$project": {"id": 1, "sec": {"$tsSecond": "$ts"},
+                    "inc": {"$tsIncrement": "$ts"}}},
+      {"$sort": {"id": 1}}]""").collect()
+    assert(r(0).getLong(r(0).fieldIndex("sec")) == 1565545664L)
+    assert(r(0).getLong(r(0).fieldIndex("inc")) == 3L)
+    // malformed / null → NULL (documented divergence from Mongo's error)
+    assert(r(1).isNullAt(r(1).fieldIndex("sec")))
+    assert(r(2).isNullAt(r(2).fieldIndex("inc")))
+  }
+
   test("$substr/$indexOfBytes/$bsonSize/$toObjectId/$toUUID") {
     val df = Seq((12L, "héllo", Seq(1, 2), (true), Option.empty[String]))
       .toDF("a", "s", "arr", "x", "nul")
