@@ -21,20 +21,45 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanos type
-      // (the reference's BSON Date rule maps to micros-backed TIMESTAMP
-      // too). Read the raw int64 and integer-divide to micros: a double
-      // division here would silently lose precision (2024 epoch-nanos
-      // exceed 2^53).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(spark, s"$sfDir/$name.parquet")
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Read an events-shaped parquet and normalize `ts` to session-zoned
+    * TIMESTAMP regardless of the file's physical layout. The reference's
+    * schema inference adapts to whatever BSON arrives (reference:
+    * src/mongo_schema.cpp:1 — BSON Date always maps to one logical
+    * timestamp type); pinning one parquet physical type here is the kind
+    * of brittleness a document engine must not have, so branch on the
+    * RESOLVED type instead:
+    *
+    *  - TIMESTAMP(NANOS): Spark has no nanos type; with
+    *    `legacy.parquet.nanosAsLong` the column resolves LongType. Use
+    *    integer `DIV 1000` to micros — a double division would silently
+    *    lose precision (2024 epoch-nanos exceed 2^53).
+    *  - TIMESTAMP_NTZ (micros, isAdjustedToUTC=false): cast to
+    *    TimestampType. The session zone is UTC, so the cast preserves
+    *    the wall-clock the oracles assume.
+    *  - TIMESTAMP (micros/millis, UTC-adjusted): already right.
+    */
+  def normalizeEventTs(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Conf is a no-op unless the file actually annotates TIMESTAMP(NANOS).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    raw.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(TimestampNTZType) =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case Some(TimestampType) => raw
+      case other => throw new IllegalStateException(
+        s"graft.Tables: events parquet at $path has unsupported ts type " +
+          s"${other.map(_.sql).getOrElse("<missing>")}; expected int64 " +
+          "nanos, TIMESTAMP_NTZ, or TIMESTAMP. Did the testdata layout " +
+          "change again? Extend Tables.normalizeEventTs.")
     }
+  }
 
   /** Register all tables as temp views so `spark.sql` queries work too. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =

@@ -38,13 +38,38 @@ object DocstoreOps {
     * nested `props` (→ `props_k`), an array of strings, a double, and a
     * field (`maybe`) present only on some docs (null-refinement path).
     */
+  /** Cheap fingerprint of the source parquet (file names + sizes +
+    * mtimes) so a regenerated testdata set invalidates the cached JSONL
+    * instead of silently serving docs derived from the old data. */
+  private def sourceFingerprint(sfDir: String): String = {
+    val p = Paths.get(s"$sfDir/events.parquet")
+    val parts: Seq[String] =
+      if (Files.isDirectory(p))
+        Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .toSeq.sortBy(_.toString)
+          .map(f => s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+      else Seq(s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|")).toLong & 0xffffffffL)
+  }
+
   def ensureEventDocs(spark: SparkSession, sfDir: String): String = synchronized {
-    // v2: chunked layout — real collection dumps arrive as many chunks;
-    // one monolithic JSONL would serialize every scan on a single core
-    val dir = s"${docsRoot(sfDir)}/events_docs_v2"
+    // v3: chunked layout (real collection dumps arrive as many chunks;
+    // one monolithic JSONL would serialize every scan on a single core),
+    // cache-keyed by a fingerprint of the source parquet so driver-side
+    // testdata regeneration can never serve stale docs.
+    val dir = s"${docsRoot(sfDir)}/events_docs_v3_${sourceFingerprint(sfDir)}"
     val marker = Paths.get(s"$dir/_SUCCESS")
     if (Files.exists(marker)) return dir
     val ev = Tables(spark, sfDir, "events")
+    // Tables normalizes ts to session-zoned TIMESTAMP whatever the
+    // parquet physical layout; the date_format below depends on that.
+    // Fail here with a named culprit rather than a Spark analysis stack.
+    val tsType = ev.schema.find(_.name == "ts").map(_.dataType)
+    require(tsType.contains(org.apache.spark.sql.types.TimestampType),
+      s"ensureEventDocs: Tables normalization contract broken — events.ts " +
+        s"resolved as ${tsType.map(_.sql).getOrElse("<missing>")}, expected " +
+        "TIMESTAMP. Fix graft.Tables.normalizeEventTs for the new layout.")
     val json = concat(
       lit("""{"_id":{"$oid":""""), lower(lpad(hex(col("event_id")), 24, "0")),
       lit(""""},"event_id":"""), col("event_id").cast(StringType),

@@ -470,11 +470,14 @@ object DocumentOps {
   /** find()-API geo query grammar oracle-gated end-to-end: the same
     * deterministic supplier coordinates as d20, filtered by a flat
     * `$geoWithin.$box` OR'd with a GeoJSON `$nearSphere` distance bound
-    * (haversine meters, IUGG sphere — d20's kernel as a PREDICATE). The
-    * oracle replicates both branches in DuckDB SQL with the same operand
-    * order. Polygon ray-cast membership is spec-gated against a
-    * reference implementation (MongoFilterSpec) — a SQL ray-cast oracle
-    * would re-derive the same parity fold, proving nothing new.
+    * (haversine meters, IUGG sphere — d20's kernel as a PREDICATE) OR'd
+    * with a LITERAL flat `$geoWithin.$polygon` (ray-cast parity). The
+    * oracle replicates all three branches in DuckDB SQL with the same
+    * operand order — the ray-cast per-edge straddle-and-left-of-
+    * intersection tests become an odd-crossing-count (XOR of booleans =
+    * parity of their sum), each edge's slope written as the identical
+    * IEEE double division, so the oracle and the compiled Column agree
+    * bit-for-bit (the KernelOracleSql transcription pattern).
     *
     * Scale: pure map-side codegen'd boolean — pushdown-eligible like any
     * other predicate; zero shuffles before the presentation sort.
@@ -487,13 +490,28 @@ object DocumentOps {
     sup.filter(graft.Graft.mongoFilter("""{"$or": [
         {"loc": {"$geoWithin": {"$box": [[-60, -30], [60, 30]]}}},
         {"loc": {"$nearSphere": {"$geometry": {"type": "Point",
-          "coordinates": [90, 45]}, "$maxDistance": 3000000}}}]}"""))
+          "coordinates": [90, 45]}, "$maxDistance": 3000000}}},
+        {"loc": {"$geoWithin": {"$polygon":
+          [[-150, -70], [-40, 60], [80, 75], [150, -60]]}}}]}"""))
       .select(col("s_suppkey"))
       .orderBy(col("s_suppkey"))
   }
 
+  /** SQL twin of MongoFilter.pointInRing for the d22 literal quad: one
+    * crossing term per non-horizontal edge, inside ⇔ odd crossings. */
+  private def rayCastSql(ring: Seq[(Double, Double)]): String = {
+    val edges = ring.zip(ring.tail :+ ring.head)
+      .filter { case ((_, y1), (_, y2)) => y1 != y2 }
+    val terms = edges.map { case ((x1, y1), (x2, y2)) =>
+      s"""(CASE WHEN (($y1 > lat) <> ($y2 > lat))
+         |  AND lng < (($x2 - $x1) / ($y2 - $y1)) * (lat - $y1) + $x1
+         |  THEN 1 ELSE 0 END)""".stripMargin.replace("\n", " ")
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
   val d22Sql: String =
-    """WITH pts AS (
+    s"""WITH pts AS (
       |  SELECT s_suppkey,
       |    CAST(s_suppkey * 37 % 360 - 180 + 0.5 AS DOUBLE) AS lng,
       |    CAST(s_suppkey * 53 % 180 - 90 + 0.5 AS DOUBLE) AS lat
@@ -504,6 +522,8 @@ object DocumentOps {
       |        pow(sin(radians(lat - 45) / 2), 2) +
       |        cos(radians(45)) * cos(radians(lat)) *
       |          pow(sin(radians(lng - 90) / 2), 2))) <= 3000000)
+      |   OR ${rayCastSql(Seq((-150.0, -70.0), (-40.0, 60.0),
+             (80.0, 75.0), (150.0, -60.0)))}
       |ORDER BY s_suppkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

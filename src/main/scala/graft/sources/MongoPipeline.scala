@@ -1064,7 +1064,12 @@ object MongoPipeline {
             }
             sub.agg(collect_list(struct(sub.columns.map(col): _*)).as(name))
           }
-          facets.reduce(_.crossJoin(_))
+          // every facet frame is a GLOBAL aggregate — exactly one row by
+          // construction — so the cross is a 1×1 document assembly, not a
+          // data-sized cartesian. broadcast() the right side to pin the
+          // physical plan to BroadcastNestedLoopJoin over that one row
+          // (PlanAuditSpec asserts no unbroadcast CartesianProduct).
+          facets.reduce((acc, f) => acc.crossJoin(broadcast(f)))
         case x => throw bad(s"$$facet needs a document of pipelines, got $x")
       }
 

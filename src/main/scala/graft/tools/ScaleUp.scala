@@ -30,8 +30,10 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // events.ts is TIMESTAMP(NANOS) — read raw int64 (Tables converts at
-    // query time; the copy keeps the long, which Tables also accepts)
+    // events.ts physical layout varies by testdata generation (int64
+    // nanos or timestamp[us]); copy it through untouched — Tables
+    // normalizes at query time whatever the layout (nanosAsLong makes
+    // the nanos variant readable; a no-op otherwise).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def tbl(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
     def write(df: DataFrame, n: String): Unit =

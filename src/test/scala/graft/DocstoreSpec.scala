@@ -549,4 +549,27 @@ class DocstoreSpec extends SparkSpec {
     assert(r(0).getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 3))
     assert(r(1).getSeq[Long](4) == Seq(3L))
   }
+
+  test("ensureEventDocs invalidates its cache when the source parquet changes") {
+    import spark.implicits._
+    val sf = Files.createTempDirectory("graft_evdocs_fp").toString
+    def writeEvents(n: Int): Unit =
+      Tables(spark, sfDir, "events").limit(n)
+        .coalesce(1).write.mode("overwrite").parquet(s"$sf/events.parquet")
+
+    writeEvents(10)
+    val dir1 = DocstoreOps.ensureEventDocs(spark, sf)
+    assert(Files.exists(Paths.get(s"$dir1/_SUCCESS")))
+    val count1 = spark.read.text(dir1).count()
+    assert(count1 == 10)
+    // same source → same dir, no regeneration (marker short-circuit)
+    assert(DocstoreOps.ensureEventDocs(spark, sf) == dir1)
+
+    // regenerated source (different size) → new fingerprint, fresh docs
+    writeEvents(25)
+    val dir2 = DocstoreOps.ensureEventDocs(spark, sf)
+    assert(dir2 != dir1,
+      "regenerated events.parquet must produce a new docs dir")
+    assert(spark.read.text(dir2).count() == 25)
+  }
 }

@@ -1248,6 +1248,32 @@ class MongoPipelineSpec extends SparkSpec {
     assert(e.getAs[scala.collection.Seq[Long]]("t").toList == List(5L, 6L))
   }
 
+  test("$facet: sub-pipelines over one input, one-row doc out, broadcast cross") {
+    val out = Graft.aggregate(sales, """[
+      {"$facet": {
+        "byGrp": [{"$group": {"_id": "$grp", "n": {"$sum": 1}}},
+                  {"$sort": {"_id": 1}},
+                  {"$group": {"_id": null, "groups": {"$push": "$_id"}}}],
+        "big":   [{"$match": {"amount": {"$gte": 10}}},
+                  {"$count": "n"}],
+        "stats": [{"$group": {"_id": null, "total": {"$sum": "$amount"}}}]
+      }}
+    ]""")
+    val rows = out.collect()
+    assert(rows.length == 1, "a $facet stage must emit exactly one document")
+    val r = rows.head
+    assert(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("big")
+      .head.getAs[Long]("n") == 3L)
+    assert(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stats")
+      .head.getAs[Double]("total") == 57.5)
+    // scale audit: the facet cross must be a broadcast of one-row frames,
+    // never an unbroadcast cartesian (which at 100 TB would be a
+    // data-sized NLJ if a facet ever stopped being a global aggregate)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("a $match stage pushes into the parquet scan like native SQL") {
     val ev = Tables(spark, sfDir, "events")
     val out = Graft.aggregate(ev,

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tables.normalizeEventTs must adapt to whatever physical layout the
+  * driver writes events.parquet in — the round-6 testdata regeneration
+  * (TIMESTAMP(NANOS) → timestamp[us] NTZ) took down every events key
+  * because the old code pinned one layout. These fixtures cover all
+  * three resolved shapes so the next regeneration is a green diff, not
+  * an outage. (Spark cannot author a TIMESTAMP(NANOS) annotation, but
+  * under `legacy.parquet.nanosAsLong` that layout resolves LongType —
+  * identical to a plain int64 fixture, which is what we write.)
+  */
+class TablesLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  // One wall-clock instant, expressed per-layout. Session zone is UTC.
+  private val wallClock = "2024-03-15 07:30:45.123456"
+  private val micros: Long = {
+    val ldt = LocalDateTime.parse(wallClock.replace(' ', 'T'))
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      ldt.getNano / 1000L
+  }
+
+  private def fixtureDir(): String =
+    Files.createTempDirectory("graft_tables_layout").toString
+
+  private def assertNormalized(path: String): Unit = {
+    val df = Tables.normalizeEventTs(spark, path)
+    val tsField = df.schema.find(_.name == "ts").get
+    assert(tsField.dataType == TimestampType,
+      s"resolved ${tsField.dataType} for $path")
+    val got = df.select(date_format(col("ts"),
+      "yyyy-MM-dd HH:mm:ss.SSSSSS")).as[String].head()
+    assert(got == wallClock, s"wall-clock drifted: $got for $path")
+  }
+
+  test("int64-nanos layout (legacy testdata) normalizes to TIMESTAMP") {
+    val dir = s"${fixtureDir()}/events.parquet"
+    Seq((1L, micros * 1000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(dir)
+    assertNormalized(dir)
+  }
+
+  test("timestamp[us] NTZ layout (current testdata) normalizes to TIMESTAMP") {
+    val dir = s"${fixtureDir()}/events.parquet"
+    Seq((1L, LocalDateTime.parse(wallClock.replace(' ', 'T'))))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(dir)
+    // sanity: the fixture really is NTZ on disk
+    val raw = spark.read.parquet(dir)
+    assert(raw.schema("ts").dataType == TimestampNTZType)
+    assertNormalized(dir)
+  }
+
+  test("UTC-adjusted timestamp layout passes through unchanged") {
+    val dir = s"${fixtureDir()}/events.parquet"
+    Seq((1L, Timestamp.valueOf(wallClock))).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(dir)
+    assertNormalized(dir)
+  }
+
+  test("an unrecognized ts type fails with a named, actionable error") {
+    val dir = s"${fixtureDir()}/events.parquet"
+    Seq((1L, "not-a-timestamp")).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalStateException] {
+      Tables.normalizeEventTs(spark, dir)
+    }
+    assert(e.getMessage.contains("Tables.normalizeEventTs"))
+    assert(e.getMessage.contains("ts type"))
+  }
+
+  test("live testdata resolves through whatever layout it currently has") {
+    val df = Tables(spark, sfDir, "events")
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.limit(1).count() == 1)
+  }
+}
