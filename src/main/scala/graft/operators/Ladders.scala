@@ -41,11 +41,16 @@ object Ladders {
     val wLocal = Window.partitionBy((col(bucket) +: part.map(col)): _*)
       .orderBy(order: _*)
     val local = df.withColumn(out, row_number().over(wLocal).cast(LongType))
-    // per-cell counts aggregate the RANKED frame, not the input: the
-    // window's (bucket, part) exchange already satisfies the grouping
-    // distribution, so this is one scan and one exchange total
+    // Per-cell count = max(row_number) OVER THE WINDOW OUTPUT — not
+    // count(1) over the input. Referencing the window column is what
+    // makes this one scan: an aggregate that doesn't consume `out` lets
+    // Catalyst prune the Window away and re-derive the cell counts from
+    // a SECOND scan of the (possibly 100 TB) input, duplicating the
+    // scan, the map-side compute, and the exchange (observed in the
+    // pre-fix p04/p05 plans). The agg groups on the window's own
+    // partition keys, so it rides the window's exchange — no new one.
     val cells = local.groupBy((col(bucket) +: part.map(col)): _*)
-      .agg(count(lit(1)).as("__v"))
+      .agg(max(col(out)).as("__v"))
     val offs = offsets(cells, part, bucket, totalOut)
     joinBack(local, offs, part, bucket)
       .withColumn(out, col(out) + col("__off"))
@@ -54,17 +59,30 @@ object Ladders {
 
   /** Exact global inclusive running sum of `value` within each `part`
     * stratum, ordered by `(bucket, order…)`. Same monotone-bucket
-    * requirement as [[globalRank]]. Adds `out` (Long). */
+    * requirement as [[globalRank]], plus: `order` must be plain ASCENDING
+    * columns forming a total order within each stratum (a running sum
+    * under order ties is nondeterministic in ANY engine, so this only
+    * formalizes what exactness already required). Adds `out` (Long). */
   def globalCumsum(df: DataFrame, part: Seq[String], bucket: String,
       order: Seq[Column], value: Column, out: String): DataFrame = {
     require(part.nonEmpty, "globalCumsum needs at least one stratum column")
+    require(!order.exists(c =>
+        org.apache.spark.sql.graftshim.toExpression(c).isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.SortOrder]),
+      "globalCumsum: order columns must be plain ascending columns " +
+        "(the cell-total extraction below picks the max-order row)")
     val wLocal = Window.partitionBy((col(bucket) +: part.map(col)): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = df.withColumn(out, sum(value).over(wLocal))
-    // same single-scan trick as globalRank: aggregate the windowed frame
+    // Per-cell total = the running sum AT THE LAST ROW of the cell,
+    // extracted from the window output with max_by — not sum(value) over
+    // the input. Same single-scan reasoning as globalRank: consuming the
+    // window column pins the Window (and the one exchange + one scan
+    // beneath it) into this branch; sum(value) would let Catalyst prune
+    // the window and rebuild the totals from a second full scan.
     val cells = local.groupBy((col(bucket) +: part.map(col)): _*)
-      .agg(sum(value).as("__v"))
+      .agg(max_by(col(out), struct(order: _*)).as("__v"))
     val offs = offsets(cells, part, bucket, None)
     joinBack(local, offs, part, bucket)
       .withColumn(out, col(out) + col("__off"))
