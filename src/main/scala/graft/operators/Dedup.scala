@@ -581,9 +581,11 @@ object Dedup {
     * tie-break, so build and oracle agree exactly. Planted: dd05's
     * verbatim copies (same cell by construction, cosine 1).
     *
-    * Scale: assignment is a map-only broadcast compare (per-vector window
-    * over ≤8 rows — bounded, not data-sized); the dup check is a
-    * within-cell self-join, shuffle ∝ Σ|cell|·avg-members. Cell sizes are
+    * Scale: assignment is a map-only fold over the broadcast centroid
+    * array (no exchange at all — the k×N candidate expansion never
+    * materializes); the dup check is a within-cell self-join fed by ONE
+    * cell-keyed shuffle both sides reuse, shuffle ∝ Σ|cell|·avg-members.
+    * Cell sizes are
     * the knob: at corpus scale the centroid count grows ∝ N/target-cell
     * (SemDeDup runs k ≈ 11k on LAION), keeping every cell's pair work
     * bounded — same discipline as dd02's LSH band caps. The left-semi
@@ -598,16 +600,35 @@ object Dedup {
     val centroids = base.filter(col("vec_id") % 61 === 3)
       .orderBy(col("vec_id")).limit(8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("c_id"),
-        V.cosine_sim(col("embedding"), col("c_vec")).as("c_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-      // barrier: both self-join sides reuse one assignment computation
-      .repartition(col("vec_id"))
+    // One-row array of the ≤k centroids, c_id-sorted (array_sort on a
+    // struct orders by its first field). Nearest-cell assignment is then
+    // a FOLD over that broadcast array — genuinely map-only, ZERO
+    // exchange: the previous shape window-partitioned the k×N candidate
+    // frame by vec_id, which shuffled the whole expanded corpus just to
+    // pick each vector's argmax. Strict `>` in the fold keeps the
+    // lowest-c_id winner on cosine ties — exactly the old window's
+    // (c_cos DESC, c_id ASC) order, and the oracle's.
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_vec"))))
+        .as("cents"))
+    val best = aggregate(
+      col("cents"),
+      struct(lit(Double.MinValue).as("cos"), lit(-1L).as("cell")),
+      (acc, c) => {
+        val cos = V.cosine_sim(col("embedding"), c.getField("c_vec"))
+        when(cos > acc.getField("cos"),
+          struct(cos.as("cos"), c.getField("c_id").as("cell")))
+          .otherwise(acc)
+      })
+    val assigned = corpus.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"),
+        best.getField("cell").as("cell"))
+      .filter(col("cell") >= 0) // empty-quantizer guard (old shape: no rows)
+      // barrier ON THE JOIN KEY: both self-join sides reuse this one
+      // exchange (canonically identical subtrees → ReusedExchange), and
+      // the cell-keyed join needs no further shuffle when the right side
+      // is too big to broadcast — one corpus shuffle total at any scale.
+      .repartition(col("cell"))
     val a = assigned.select(col("cell"), col("vec_id"), col("embedding"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
       col("embedding").as("b_vec"))

@@ -355,6 +355,16 @@ class PlanAuditSpec extends SparkSpec {
       !st8.contains("BroadcastNestedLoopJoin"), st8)
   }
 
+  test("dd09: centroid assignment is a map-only fold, never a window") {
+    // the nearest-cell pick must fold over the broadcast centroid array;
+    // a window partitioned by vec_id would shuffle the k×N expanded
+    // candidate frame just to take an argmax
+    val p = finalPlan("dd09_semantic_dedup")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("windowspecdefinition(vec_id#"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s06: hybrid search cuts are TopN heaps; windows only on tiny frames") {
     val p = finalPlan("s06_hybrid_search")
     // both retrieval arms must cut with per-partition heaps + driver
