@@ -600,34 +600,15 @@ object Dedup {
     val centroids = base.filter(col("vec_id") % 61 === 3)
       .orderBy(col("vec_id")).limit(8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    // One-row array of the ≤k centroids, c_id-sorted (array_sort on a
-    // struct orders by its first field). Nearest-cell assignment is then
-    // a FOLD over that broadcast array — genuinely map-only, ZERO
-    // exchange: the previous shape window-partitioned the k×N candidate
-    // frame by vec_id, which shuffled the whole expanded corpus just to
-    // pick each vector's argmax. Strict `>` in the fold keeps the
-    // lowest-c_id winner on cosine ties — exactly the old window's
-    // (c_cos DESC, c_id ASC) order, and the oracle's.
-    val centArr = centroids
-      .agg(array_sort(collect_list(struct(col("c_id"), col("c_vec"))))
-        .as("cents"))
-    val best = aggregate(
-      col("cents"),
-      struct(lit(Double.MinValue).as("cos"), lit(-1L).as("cell")),
-      (acc, c) => {
-        val cos = V.cosine_sim(col("embedding"), c.getField("c_vec"))
-        when(cos > acc.getField("cos"),
-          struct(cos.as("cos"), c.getField("c_id").as("cell")))
-          .otherwise(acc)
-      })
-    val assigned = corpus.crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("embedding"),
-        best.getField("cell").as("cell"))
-      .filter(col("cell") >= 0) // empty-quantizer guard (old shape: no rows)
-      // barrier ON THE JOIN KEY: both self-join sides reuse this one
-      // exchange (canonically identical subtrees → ReusedExchange), and
-      // the cell-keyed join needs no further shuffle when the right side
-      // is too big to broadcast — one corpus shuffle total at any scale.
+    // Nearest-cell assignment: Similarity.assignCells — a map-only fold
+    // over the c_id-sorted broadcast centroid array (lowest-c_id wins
+    // ties, exactly the oracle's (cos DESC, c_id ASC) window order),
+    // zero exchange. Then a barrier ON THE JOIN KEY: both self-join
+    // sides reuse this one exchange, and the cell-keyed join needs no
+    // further shuffle when the right side is too big to broadcast — one
+    // corpus shuffle total at any scale.
+    val assigned = Similarity.assignCells(corpus, centroids, col("embedding"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
       .repartition(col("cell"))
     val a = assigned.select(col("cell"), col("vec_id"), col("embedding"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),

@@ -26,6 +26,36 @@ object Similarity {
     Tables(spark, dir, "embeddings").filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
 
+  /** Map-only nearest-centroid assignment (shared by s02's IVF build and
+    * dd09's SemDeDup quantizer): adds `cell` = the c_id of the nearest
+    * centroid by cosine, lowest c_id on ties. The centroids frame
+    * (columns `c_id`, `c_vec`) collapses to ONE row holding the
+    * c_id-sorted centroid array (array_sort on a struct orders by its
+    * first field), is broadcast, and each vector folds over it with
+    * `functions.aggregate` — strict `>` keeps the first (lowest-c_id)
+    * winner, exactly a `(cos DESC, c_id ASC)` window's pick. ZERO
+    * exchange: the k×N candidate frame a window-based argmax would
+    * shuffle never materializes. Rows keep all input columns. */
+  private[operators] def assignCells(df: DataFrame, centroids: DataFrame,
+      vec: Column): DataFrame = {
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_vec"))))
+        .as("cents"))
+    val best = aggregate(
+      col("cents"),
+      struct(lit(Double.MinValue).as("cos"), lit(-1L).as("cell")),
+      (acc, c) => {
+        val cos = V.cosine_sim(vec, c.getField("c_vec"))
+        when(cos > acc.getField("cos"),
+          struct(cos.as("cos"), c.getField("c_id").as("cell")))
+          .otherwise(acc)
+      })
+    df.crossJoin(broadcast(centArr))
+      .withColumn("cell", best.getField("cell"))
+      .filter(col("cell") >= 0) // empty-quantizer guard: no cells, no rows
+      .drop("cents")
+  }
+
   /** Exact per-query top-k in the shape that survives 100× (s05's
     * TakeOrdered shape generalized to many queries): stage 1 keeps a
     * LOCAL top-k inside each bounded (hash-bucket, query) cell — a window
@@ -110,16 +140,10 @@ object Similarity {
       .orderBy(col("vec_id")).limit(8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
 
-    // build: assign each corpus vector to its nearest centroid (cell)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("label"), col("embedding"), col("c_id"),
-        V.cosine_sim(col("embedding"), col("c_vec")).as("c_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        col("c_id").as("cell"))
+    // build: assign each corpus vector to its nearest centroid (cell) —
+    // map-only fold, no window, no exchange (assignCells)
+    val assigned = assignCells(corpus, centroids, col("embedding"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
 
     // probe: each query picks its 2 nearest cells — per-query rows are
     // bounded by the centroid count, so a window-free sort/slice agg
