@@ -191,8 +191,13 @@ object Dedup {
     * shared candidate-pair pipeline behind dd04 (scored pairs) and dd06
     * (clusters).
     */
-  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables.spread(plantedDocs(spark, dir)) // parallel shingling
+  /** Shared inverted-index pair machinery (dd04/dd06/dd10): corpus
+    * `(doc_id, text, source)` → per-pair shingle-overlap stats
+    * `(source, id_a, id_b, sz_a, sz_b, common)` for every same-source
+    * pair sharing ≥1 shingle (bucket df capped at 10k).
+    */
+  private def commonCounts(corpus0: DataFrame): DataFrame = {
+    val corpus = Tables.spread(corpus0) // parallel shingling
       .select(col("doc_id"), col("source"),
         array_distinct(T.shingle_hashes(col("text"), 3)).as("sh"))
     // explode_OUTER: sh is never empty (the shingle kernel falls back to
@@ -215,10 +220,13 @@ object Dedup {
       .groupBy(col("source"), col("id_a"), col("id_b"), col("sz_a"),
         col("sz_b"))
       .agg(count(lit(1)).as("common"))
+  }
+
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    commonCounts(plantedDocs(spark, dir))
       .withColumn("jaccard", col("common").cast(DoubleType) /
         (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= 0.5)
-  }
 
   /** Expand each `(source, ds)` bucket into its unordered element pairs
     * in TWO Generate levels: posexplode the doc list (one row per head
@@ -297,6 +305,79 @@ object Dedup {
     s"""WITH $pairCtes
        |SELECT id_a, id_b, source, ROUND(jaccard, 4) AS jaccard
        |FROM jp ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- dd10
+  /** Containment dedup: C(A,B) = |A∩B| / min(|A|, |B|) over word
+    * 3-shingle sets — the near-SUBSET detector symmetric Jaccard
+    * structurally misses (a doc quoted whole inside a 2× longer doc has
+    * J ≈ 0.5 but C = 1.0; the standard quote/boilerplate/prefix case in
+    * web corpora). Planted: every 7th doc re-enters as its first-half
+    * word prefix — C = 1.0 by construction (every prefix shingle is a
+    * source shingle), while J ≈ 0.5 sits below dd04's own threshold.
+    *
+    * Scale: identical machinery to dd04 — the one capped inverted-index
+    * shuffle, bounded two-level pair expansion, per-pair counts; only
+    * the final ratio differs. Nothing new to audit.
+    */
+  def dd10Containment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    // half-prefix plant, built with the kernel's own whitespace class so
+    // the oracle's reconstruction is byte-identical
+    val ws = filter(split(col("text"), "[ \t\n\r]+"), t => t =!= "")
+    val planted = docs.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        array_join(slice(ws, lit(1), greatest(lit(3),
+          floor(size(ws) / lit(2)).cast("int"))), " ").as("text"),
+        col("source"))
+    commonCounts(docs.unionAll(planted))
+      .withColumn("containment", col("common").cast(DoubleType) /
+        least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= 0.9)
+      .select(col("id_a"), col("id_b"), col("source"),
+        round(col("containment"), 4).as("containment")) // oracle parity
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Same CTE discipline as dd04: string-shingle sets over the
+    * half-prefix-planted corpus, exact C = common/least ratio. */
+  val dd10Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset,
+       |    array_to_string(list_filter(string_split_regex(text,
+       |      '[ \\t\\n\\r]+'), t -> t <> '')[1:greatest(3,
+       |      len(list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |        t -> t <> '')) // 2)], ' '),
+       |    source FROM documents WHERE doc_id % 7 = 1),
+       |toks AS (
+       |  SELECT doc_id, source, text,
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ts
+       |  FROM corpus),
+       |sets AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN len(ts) < 3 THEN [text]
+       |         ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+       |           i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2] ||
+       |                chr(31)))
+       |    END AS sh
+       |  FROM toks),
+       |postings AS (
+       |  SELECT source, doc_id, len(sh) AS sz, unnest(sh) AS shingle
+       |  FROM sets),
+       |cpairs AS (
+       |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+       |  FROM postings a JOIN postings b
+       |    ON a.source = b.source AND a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT id_a, id_b, source,
+       |  ROUND(common / least(sz_a, sz_b), 4) AS containment
+       |FROM cpairs WHERE common / least(sz_a, sz_b) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
 
   // --------------------------------------------------------------- dd06
   /** Near-dup CLUSTERS: connected components over the Jaccard pair graph
@@ -647,6 +728,7 @@ object Dedup {
        |ORDER BY a.vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd10_containment" -> (dd10Containment _),
     "dd09_semantic_dedup" -> (dd09SemanticDedup _),
     "dd08_url_dedup" -> (dd08UrlDedup _),
     "dd07_para_dedup" -> (dd07ChunkDedup _),
@@ -662,6 +744,7 @@ object Dedup {
     * (graft.functions.KernelOracleSql).
     */
   val oracle: Map[String, String] = Map(
+    "dd10_containment" -> dd10Sql,
     "dd09_semantic_dedup" -> dd09Sql,
     "dd08_url_dedup" -> dd08Sql,
     "dd07_para_dedup" -> dd07Sql,

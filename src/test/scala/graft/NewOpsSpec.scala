@@ -139,6 +139,24 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("dd10: every planted half-prefix doc is caught at containment 1.0, " +
+      "below dd04's Jaccard radar") {
+    val df = SparkEntry.queries("dd10_containment")(spark, sfDir).cache()
+    val plants = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 7 === 1).count()
+    // every plant pairs with ITS OWN source at exactly C = 1.0 (prefix
+    // shingles are a subset of the source's shingles by construction);
+    // additional plant-to-plant / doc-to-plant pairs are legitimate
+    // detections on naturally similar docs, not false positives
+    val own = df.filter(col("id_b") === col("id_a") + 1000000L)
+    assert(own.count() == plants, s"own-pairs=${own.count()} of $plants")
+    assert(own.filter(col("containment") < 1.0).count() == 0)
+    // the added coverage is real: a half-prefix's symmetric Jaccard is
+    // (p−2)/(n−2) ≈ 0.5 with p = max(3, n/2) — strictly below dd04's
+    // 0.5 threshold for every word count, so only containment sees these
+    df.unpersist()
+  }
+
   test("t10: exactly the planted leaks are contaminated; eval set broadcast") {
     val df = SparkEntry.queries("t10_contamination")(spark, sfDir).cache()
     // every planted leak (id >= 3M) is caught at full overlap; naturally
