@@ -510,6 +510,48 @@ object Streaming {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- st10
+  /** Per-(hour window, event_type) EXACT value quantiles (p50/p95) — the
+    * latency/quality-distribution monitor every streaming pipeline runs.
+    * Batch and stream share one aggregation: `percentile` is a
+    * TypedImperativeAggregate, so the same logical plan runs as a
+    * streaming stateful agg, its buffer holding the open window's values
+    * (state ∝ watermark horizon × per-window volume — the price of
+    * EXACTNESS; at 100 TB swap `percentile` for `approx_percentile` to
+    * get sketch-sized state in the identical plan shape, the documented
+    * trade). Both engines interpolate the same R-7 definition
+    * (index p·(n−1), linear between neighbors), so 4dp rounding gives
+    * cross-engine equality.
+    */
+  def windowQuantilesRaw(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(round(expr("percentile(value, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95D)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+
+  /** Batch twin with deterministic, oracle-comparable output. */
+  def st10WindowQuantiles(spark: SparkSession, dir: String): DataFrame =
+    windowQuantilesRaw(Tables(spark, dir, "events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("p50"), col("p95"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Streaming twin: same transform + watermark, for the spec. */
+  def st10Stream(events: DataFrame): DataFrame =
+    windowQuantilesRaw(events.withWatermark("ts", "2 hours"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("p50"), col("p95"), col("n"))
+
+  val st10Sql: String =
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type,
+      |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -521,7 +563,8 @@ object Streaming {
     "st08_abandoned_clicks" -> (st08AbandonedClicks _),
     "st05_latest_state" -> (st05LatestState _),
     "st06_asof_join" -> (st06AsofJoin _),
-    "st09_stream_ema" -> (st09StreamEma _))
+    "st09_stream_ema" -> (st09StreamEma _),
+    "st10_window_quantiles" -> (st10WindowQuantiles _))
 
   val oracle: Map[String, String] = Map(
     "st07_stream_enrich" -> st07Sql,
@@ -532,5 +575,6 @@ object Streaming {
     "st08_abandoned_clicks" -> st08Sql,
     "st05_latest_state" -> st05Sql,
     "st06_asof_join" -> st06Sql,
-    "st09_stream_ema" -> st09Sql)
+    "st09_stream_ema" -> st09Sql,
+    "st10_window_quantiles" -> st10Sql)
 }

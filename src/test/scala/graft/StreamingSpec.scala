@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, date_format}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.Streaming
@@ -314,6 +314,52 @@ class StreamingSpec extends SparkSpec {
         2000L -> -1L,  // no order yet → null enrichment
         1001L -> 501L, // newer order supersedes
         2001L -> 600L)) // late-arriving order visible from here on
+    } finally q.stop()
+  }
+
+  test("st10 streaming window quantiles: exact p50/p95 per closed window") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EvRow]
+    val q = Streaming.st10Stream(input.toDF)
+      .writeStream.format("memory").queryName("st10_sink")
+      .outputMode("append").start()
+    try {
+      // window 00:00–01:00, "click": values 1..5 → p50=3, p95=4.8
+      input.addData((1 to 5).map(i =>
+        EvRow(ts(0, i), 1, "click", i.toDouble)): _*)
+      input.addData(EvRow(ts(0, 40), 2, "view", 10.0))
+      q.processAllAvailable()
+      input.addData(EvRow(ts(5), 1, "click", 9.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("st10_sink")
+        .select("event_type", "p50", "p95", "n").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      assert(rows == Set(
+        ("click", 3.0, 4.8, 5L),
+        ("view", 10.0, 10.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("st10 streaming quantiles equal the batch twin on the events table") {
+    implicit val ctx = spark.sqlContext
+    val batch = Streaming.st10WindowQuantiles(spark, sfDir)
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => EvRow(r.getTimestamp(0), r.getLong(1),
+        r.getString(2), r.getDouble(3)))
+    val input = MemoryStream[EvRow]
+    val q = Streaming.st10Stream(input.toDF)
+      .writeStream.format("memory").queryName("st10_full_sink")
+      .outputMode("complete").start()
+    try {
+      input.addData(evs.toSeq: _*)
+      q.processAllAvailable()
+      val stream = spark.table("st10_full_sink")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("p50"), col("p95"), col("n"))
+      assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
     } finally q.stop()
   }
 }
