@@ -22,7 +22,32 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") normalizeEventTs(spark, s"$sfDir/$name.parquet")
+    else if (name == "embeddings")
+      normalizeEmbedding(spark.read.parquet(s"$sfDir/$name.parquet"))
     else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Normalize `embedding` to array<float> — the vector kernels
+    * (graft.functions.VectorMath) read elements with `getFloat`, which
+    * on a silently-regenerated array<double> file would produce GARBAGE
+    * values, not an error (the same physical-layout-drift class as the
+    * round-6 events.ts outage, but worse: wrong answers instead of a
+    * crash). A float64 layout downcasts map-side; anything else fails
+    * loudly with the culprit named.
+    */
+  def normalizeEmbedding(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    raw.schema.find(_.name == "embedding").map(_.dataType) match {
+      case Some(ArrayType(FloatType, _)) => raw
+      case Some(ArrayType(DoubleType, _)) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other => throw new IllegalStateException(
+        s"graft.Tables: embeddings.embedding resolved as " +
+          s"${other.map(_.sql).getOrElse("<missing>")}; expected " +
+          "ARRAY<FLOAT> (or ARRAY<DOUBLE>, downcast here). Did the " +
+          "testdata layout change? Extend Tables.normalizeEmbedding.")
+    }
+  }
 
   /** Read an events-shaped parquet and normalize `ts` to session-zoned
     * TIMESTAMP regardless of the file's physical layout. The reference's

@@ -81,4 +81,27 @@ class TablesLayoutSpec extends SparkSpec {
     assert(df.schema("ts").dataType == TimestampType)
     assert(df.limit(1).count() == 1)
   }
+
+  test("embeddings normalize to array<float> from either float width") {
+    // float layout (current testdata): pass-through
+    val live = Tables(spark, sfDir, "embeddings")
+    assert(live.schema("embedding").dataType == ArrayType(FloatType))
+    // double layout (a plausible regeneration): map-side downcast, so
+    // the getFloat-based kernels never read garbage
+    val dir = s"${fixtureDir()}/embeddings.parquet"
+    Seq((1L, Seq(0.25, -1.5, 3.0))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val down = Tables.normalizeEmbedding(spark.read.parquet(dir))
+    assert(down.schema("embedding").dataType == ArrayType(FloatType))
+    assert(down.select(col("embedding")).head.getSeq[Float](0)
+      == Seq(0.25f, -1.5f, 3.0f))
+    // anything else fails with the culprit named
+    val bad = s"${fixtureDir()}/embeddings.parquet"
+    Seq((1L, "oops")).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(bad)
+    val e = intercept[IllegalStateException] {
+      Tables.normalizeEmbedding(spark.read.parquet(bad))
+    }
+    assert(e.getMessage.contains("normalizeEmbedding"))
+  }
 }
