@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // substring(s,1,n) = 'lit' → sargable prefix predicate, so it reaches
+    // the docstore/parquet scans (reference: substr_filter_pushdown.test)
+    ext.injectOptimizerRule(_ => graft.plans.SargableSubstring)
+
     def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft", name, usage), builder))
