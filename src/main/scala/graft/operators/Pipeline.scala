@@ -124,6 +124,52 @@ object Pipeline {
       |       THEN 'bf' ELSE '3f' END
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p07
+  /** Mixture sampling WITH UPSAMPLING: per-source repeat factors
+    * (w = 0.25 + (srcnum mod 4)·0.75 → 0.25, 1.0, 1.75, 2.5), the
+    * Dolma/Pile "source mixing" step where high-quality sources repeat
+    * across an epoch and low-quality ones subsample. Deterministic
+    * randomized rounding: every doc emits floor(w) copies plus one more
+    * when its hash-uniform falls below frac(w) — E[copies] = w exactly,
+    * and the decision is a pure function of (doc_id, source), so every
+    * engine, run, and cluster size deals the same mixture (p02's
+    * hex-threshold idiom: frac .25/.75/.5 → prefix ≤ '3f'/'bf'/'7f').
+    *
+    * Scale: map-only (hash + bounded explode, max 3 copies); no
+    * shuffle before the presentation sort. Repeat copies carry `rep`
+    * (1-based copy index) so downstream epoch assembly can interleave.
+    */
+  def p07MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val m = substring(col("source"), 4, 10).cast(LongType) % 4
+    val base = when(m === 0, 0L).when(m === 1, 1L).when(m === 2, 1L)
+      .otherwise(2L)
+    val h2 = substring(md5(concat(col("doc_id").cast(StringType),
+      lit("#mix"), col("source"))), 1, 2)
+    val extra = when((m === 0 && h2 <= "3f") || (m === 2 && h2 <= "bf") ||
+      (m === 3 && h2 <= "7f"), 1L).otherwise(0L)
+    docs.select(col("doc_id"), col("source"), (base + extra).as("r"))
+      .filter(col("r") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("r"))).as("rep"))
+      .orderBy(col("doc_id"), col("rep"))
+  }
+
+  val p07Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(substr(source, 4) AS BIGINT) % 4 AS m,
+      |    substr(md5(CAST(doc_id AS VARCHAR) || '#mix' || source), 1, 2) AS h2
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END) +
+      |    (CASE WHEN (m = 0 AND h2 <= '3f') OR (m = 2 AND h2 <= 'bf')
+      |               OR (m = 3 AND h2 <= '7f') THEN 1 ELSE 0 END) AS reps
+      |  FROM d)
+      |SELECT doc_id, source, unnest(generate_series(1, reps)) AS rep
+      |FROM r WHERE reps >= 1 ORDER BY doc_id, rep""".stripMargin
+
   // ---------------------------------------------------------------- p04
   /** Stratified sampling: a fixed FRACTION of every (source) stratum,
     * picked by hash rank — the "equal representation" counterpart to
@@ -278,6 +324,7 @@ object Pipeline {
     "p03_training_mix" -> (p03TrainingMix _),
     "p04_stratified" -> (p04Stratified _),
     "p05_token_shards" -> (p05TokenShards _),
+    "p07_mixture_sample" -> (p07MixtureSample _),
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
@@ -287,5 +334,6 @@ object Pipeline {
     "p03_training_mix" -> p03Sql,
     "p04_stratified" -> p04Sql,
     "p05_token_shards" -> p05Sql,
+    "p07_mixture_sample" -> p07Sql,
     "d11_variant" -> d11Sql)
 }

@@ -157,6 +157,35 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p07: mixture repeats match their per-source weights") {
+    val df = SparkEntry.queries("p07_mixture_sample")(spark, sfDir).cache()
+    val perDoc = df.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("copies"), max(col("rep")).as("maxrep"))
+    // rep is a contiguous 1..copies index
+    assert(perDoc.filter(col("maxrep") =!= col("copies")).count() == 0)
+    val m = substring(col("source"), 4, 10).cast("long") % 4
+    // w = 1.0 sources pass through exactly once; upsampled sources emit
+    // floor(w) or floor(w)+1 copies, never outside
+    assert(perDoc.filter(m === 1 && col("copies") =!= 1).count() == 0)
+    assert(perDoc.filter(m === 2 && !col("copies").isin(1, 2)).count() == 0)
+    assert(perDoc.filter(m === 3 && !col("copies").isin(2, 3)).count() == 0)
+    // E[copies] = w: empirical means land near 0.25/1/1.75/2.5 (the
+    // hex-threshold rounding is exact at 64/256ths, data is ~125 docs
+    // per weight class at sf0.001 — allow a generous band)
+    val docsBySrc = Tables(spark, sfDir, "documents")
+      .groupBy((substring(col("source"), 4, 10).cast("long") % 4).as("m"))
+      .agg(count(lit(1)).as("n_docs"))
+    val emitted = df.groupBy(m.as("m")).agg(count(lit(1)).as("n_rows"))
+    val ratio = docsBySrc.join(emitted, "m")
+      .select(col("m"), (col("n_rows").cast("double") / col("n_docs")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ratio(1L) - 1.0) < 1e-9)
+    assert(math.abs(ratio(0L) - 0.25) < 0.15, ratio(0L).toString)
+    assert(math.abs(ratio(2L) - 1.75) < 0.15, ratio(2L).toString)
+    assert(math.abs(ratio(3L) - 2.5) < 0.15, ratio(3L).toString)
+    df.unpersist()
+  }
+
   test("t10: exactly the planted leaks are contaminated; eval set broadcast") {
     val df = SparkEntry.queries("t10_contamination")(spark, sfDir).cache()
     // every planted leak (id >= 3M) is caught at full overlap; naturally
