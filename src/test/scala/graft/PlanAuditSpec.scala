@@ -355,6 +355,25 @@ class PlanAuditSpec extends SparkSpec {
       !st8.contains("BroadcastNestedLoopJoin"), st8)
   }
 
+  test("round-7 keys keep their claimed plan shapes") {
+    // st10: the quantile agg combines map-side before its exchange
+    // (percentile buffers are partial-mergeable like any agg)
+    val st10 = finalPlan("st10_window_quantiles")
+    assert(st10.contains("partial_percentile") ||
+      st10.contains("partial_count"), st10)
+    assert(!st10.contains("Window"), st10)
+    // p07: the mixture deal is map-only — hash + bounded explode; the
+    // only exchange is the presentation sort's range partitioning
+    val p7 = finalPlan("p07_mixture_sample").split("== Initial Plan ==").head
+    assert(!p7.contains("Exchange hashpartitioning"), p7)
+    assert(!p7.contains("Window"), p7)
+    // dd10 rides dd04's audited inverted-index machinery: no cartesian,
+    // no window, bounded two-level pair expansion (two Generates)
+    val d10 = finalPlan("dd10_containment")
+    assert(!d10.contains("CartesianProduct") && !d10.contains("Window"), d10)
+    assert("Generate ".r.findAllIn(d10).length >= 2, d10)
+  }
+
   test("dd09: centroid assignment is a map-only fold, never a window") {
     // the nearest-cell pick must fold over the broadcast centroid array;
     // a window partitioned by vec_id would shuffle the k×N expanded
