@@ -457,7 +457,144 @@ object Similarity {
       |SELECT id AS doc_id, ROUND(f, 6) AS fused
       |FROM rrf ORDER BY ROUND(f, 6) DESC, id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- s07
+  /** IVF-PQ ANN — the full at-scale ANN shape (Jégou et al. 2011, "PQ
+    * for nearest neighbor search"; same structure as FAISS IVFPQ):
+    * corpus → coarse cell (assignCells, map-only) + 8×8-dim PQ codes
+    * (s04's seeded codebooks, map-only encode); each query probes its 2
+    * nearest cells and scores candidates by ADC — a per-query 8×4
+    * lookup table of subspace distances, so the scan never touches the
+    * original vectors, only the 8-byte codes.
+    *
+    * Scale: the corpus-side state is (cell, 8 codes) per vector — the
+    * memory shape that makes billion-vector ANN fit; scoring is a
+    * broadcast join on cell + pure CASE/add arithmetic (codegen'd, no
+    * kernel call), then the bounded local-topk + tiny merge
+    * (topKPerQuery). Ranking uses the 4dp-ROUNDED distance with vec_id
+    * ties so both engines rank identically (raw cross-subspace sums
+    * differ in low bits by association order).
+    */
+  def s07IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val m = 8; val sub = 8; val kCb = 4; val nprobe = 2
+    val corpus = Tables(spark, dir, "embeddings")
+    val ivfCent = corpus.filter(col("vec_id") % 61 === 3)
+      .orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    // PQ codebooks: s04's seeded picks — 4 rows of model parameters,
+    // the same bounded driver-side collect s04 documents
+    val cb: Array[Array[Double]] = corpus.filter(col("vec_id") % 97 === 11)
+      .orderBy(col("vec_id")).limit(kCb)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def cdist(vecCol: Column, c: Int, s: Int): Column =
+      (0 until sub).map { i =>
+        val d = try_element_at(vecCol, lit(s * sub + i + 1)) -
+          lit(cb(c)(s * sub + i))
+        d * d
+      }.reduce(_ + _)
+    // hoist the float→double view into ONE projected column so the 32
+    // per-(subspace, centroid) distance expressions share it instead of
+    // each re-materializing the transform
+    def bestCode(s: Int): Column = array_min(array(
+      (0 until kCb).map(c => struct(cdist(col("__v"), c, s).as("d"),
+        lit(c).as("c"))): _*)).getField("c")
+    val encoded = assignCells(corpus.select(col("vec_id"), col("embedding")),
+        ivfCent, col("embedding"))
+      .withColumn("__v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id") +: col("cell") +:
+        (0 until m).map(s => bestCode(s).as(s"code$s")): _*)
+    // probes: nprobe nearest cells per query (bounded sort/slice agg,
+    // same as s02) + the 8×4 ADC lookup table as 32 plain columns
+    // (tiny frame — ≤ queries × nprobe rows — so the repeated q_vec
+    // transform inside each lut column is irrelevant)
+    val qv = expr("transform(q_vec, x -> CAST(x AS DOUBLE))")
+    val probes = queriesDf(spark, dir).crossJoin(broadcast(ivfCent))
+      .select(col("q_id"), col("q_vec"), col("c_id"),
+        V.cosine_sim(col("q_vec"), col("c_vec")).as("q_cos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_vec")).as("q_vec"),
+        slice(array_sort(collect_list(
+          struct((col("q_cos") * -1).as("__n"), col("c_id")))), 1, nprobe)
+          .as("__top"))
+      .select(col("q_id"), col("q_vec"), explode(col("__top")).as("f"))
+      .select(col("q_id") +: col("f.c_id").as("cell") +:
+        (for (s <- 0 until m; c <- 0 until kCb)
+          yield cdist(qv, c, s).as(s"lut_${s}_$c")): _*)
+    def codeLut(s: Int): Column =
+      (1 until kCb).foldLeft(
+        when(col(s"code$s") === 0, col(s"lut_${s}_0")))(
+        (acc, c) => acc.when(col(s"code$s") === c, col(s"lut_${s}_$c")))
+    val adc = (0 until m).map(codeLut).reduce(_ + _)
+    val scored = encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        (round(adc, 4) * -1).as("cos")) // topKPerQuery ranks cos DESC
+    topKPerQuery(scored, K, Seq("cell"))
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        round(col("cos") * -1, 4).as("adc_dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Full IVF-PQ replica in SQL: same seeded centroids/codebooks, same
+    * assignment tie-breaks, ADC re-derived by joining codes back to the
+    * codebook (subspace distances are bit-identical; the cross-subspace
+    * sum is rounded to 4dp before ranking in BOTH engines). */
+  val s07Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+      |  FROM embeddings WHERE vec_id < 5),
+      |cent AS (
+      |  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
+      |  FROM embeddings WHERE vec_id % 61 = 3 ORDER BY vec_id LIMIT 8),
+      |cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+      |    embedding::DOUBLE[] AS v
+      |  FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 11
+      |        ORDER BY vec_id LIMIT 4)),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT e.vec_id, e.embedding, c.c_id AS cell,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+      |               c.c_vec) DESC, c.c_id) AS rn
+      |    FROM embeddings e, cent c) WHERE rn = 1),
+      |codes AS (
+      |  SELECT vec_id, s, MIN(ROW(d, c))[2] AS code FROM (
+      |    SELECT a.vec_id, s.s, b.c,
+      |      list_sum(list_transform(range(1, 9),
+      |        i -> pow(a.embedding[s.s * 8 + i]::DOUBLE - b.v[s.s * 8 + i],
+      |                 2))) AS d
+      |    FROM assigned a
+      |    CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+      |    CROSS JOIN cb b)
+      |  GROUP BY vec_id, s),
+      |probes AS (
+      |  SELECT q_id, q_vec, cell FROM (
+      |    SELECT q.q_id, q.q_vec, c.c_id AS cell,
+      |           row_number() OVER (PARTITION BY q.q_id
+      |             ORDER BY list_cosine_similarity(q.q_vec, c.c_vec) DESC,
+      |               c.c_id) AS rn
+      |    FROM q, cent c) WHERE rn <= 2),
+      |adc AS (
+      |  SELECT p.q_id, a.vec_id, a.cell,
+      |    ROUND(SUM(list_sum(list_transform(range(1, 9),
+      |      i -> pow(p.q_vec[k.s * 8 + i] - b.v[k.s * 8 + i], 2)))), 4)
+      |      AS dist
+      |  FROM probes p
+      |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+      |  JOIN codes k ON k.vec_id = a.vec_id
+      |  JOIN cb b ON b.c = k.code
+      |  GROUP BY p.q_id, a.vec_id, a.cell),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cell, dist,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id)
+      |      AS rank
+      |  FROM adc)
+      |SELECT q_id, vec_id, cell, dist AS adc_dist, rank
+      |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s07_ivfpq" -> (s07IvfPq _),
     "s01_ann_bruteforce" -> (s01BruteForce _),
     "s02_ann_ivf" -> (s02Ivf _),
     "s03_vector_quantize" -> (s03Quantize _),
@@ -466,6 +603,7 @@ object Similarity {
     "s06_hybrid_search" -> (s06HybridSearch _))
 
   val oracle: Map[String, String] = Map(
+    "s07_ivfpq" -> s07Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_ivf" -> s02Sql,
     "s03_vector_quantize" -> s03Sql,
