@@ -157,6 +157,31 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("s07: IVF-PQ results are structurally sound and recall the exact top-k") {
+    val df = SparkEntry.queries("s07_ivfpq")(spark, sfDir).cache()
+    // per query: exactly K ranked rows, contiguous ranks, distance
+    // nondecreasing in rank (the ADC ordering invariant)
+    val perQ = df.groupBy(col("q_id")).agg(count(lit(1)).as("n"),
+      max(col("rank")).as("maxr"))
+    assert(perQ.filter(col("n") =!= 10 || col("maxr") =!= 10).count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+    assert(df.withColumn("prev", lag(col("adc_dist"), 1).over(w))
+      .filter(col("prev").isNotNull && col("adc_dist") < col("prev"))
+      .count() == 0)
+    // every hit comes from one of the query's 2 probed cells
+    assert(df.select(col("q_id"), col("cell")).distinct()
+      .groupBy(col("q_id")).count().filter(col("count") > 2).count() == 0)
+    // approximation quality: the PQ top-10 shares hits with the exact
+    // brute-force top-10 (loose floor — 4-entry codebooks are coarse)
+    val exact = SparkEntry.queries("s01_ann_bruteforce")(spark, sfDir)
+      .select(col("q_id"), col("vec_id"))
+    val overlap = df.select(col("q_id"), col("vec_id"))
+      .intersect(exact).count()
+    assert(overlap >= 5, s"recall floor: only $overlap of 50 exact hits")
+    df.unpersist()
+  }
+
   test("p07: mixture repeats match their per-source weights") {
     val df = SparkEntry.queries("p07_mixture_sample")(spark, sfDir).cache()
     val perDoc = df.groupBy(col("doc_id"), col("source"))
