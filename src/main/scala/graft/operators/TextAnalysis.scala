@@ -623,7 +623,54 @@ object TextAnalysis {
       |FROM per_doc, tot ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // --------------------------------------------------------------- t13
+  /** Sliding-window chunking — the RAG / embedding-prep step: split
+    * every document into fixed-size token windows (64 tokens, stride 48
+    * → 16-token overlap so no semantic boundary is lost at a cut),
+    * emitting (chunk_id, start_tok, n_tok, chunk_text) with exact token
+    * offsets for later span mapping. Deterministic pure function of the
+    * text, so chunk ids are stable across runs/engines — the property a
+    * vector index keyed by (doc_id, chunk_id) needs.
+    *
+    * Scale: map-only — one tokenization plus a bounded explode (chunks
+    * ∝ tokens/stride); no shuffle before the presentation sort.
+    */
+  def t13ChunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val W = 64; val S = 48
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("__ws", toks(col("text")))
+      .filter(size(col("__ws")) >= 1)
+    docs
+      .select(col("doc_id"), col("__ws"),
+        posexplode(sequence(lit(0), size(col("__ws")) - 1, lit(S))))
+      .select(col("doc_id"), col("pos").cast(LongType).as("chunk_id"),
+        col("col").cast(LongType).as("start_tok"),
+        slice(col("__ws"), col("col") + 1, lit(W)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("__chunk")).cast(LongType).as("n_tok"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val t13Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '') AS ts
+      |  FROM documents),
+      |starts AS (
+      |  SELECT doc_id, ts,
+      |    unnest(range(0, len(ts), 48)) AS start_tok
+      |  FROM d WHERE len(ts) >= 1)
+      |SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS chunk_id,
+      |  CAST(start_tok AS BIGINT) AS start_tok,
+      |  CAST(len(ts[start_tok + 1 : start_tok + 64]) AS BIGINT) AS n_tok,
+      |  array_to_string(ts[start_tok + 1 : start_tok + 64], ' ')
+      |    AS chunk_text
+      |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_chunk_windows" -> (t13ChunkWindows _),
     "t12_unigram_logprob" -> (t12UnigramScore _),
     "t11_markup_strip" -> (t11MarkupStrip _),
     "t10_contamination" -> (t10Contamination _),
@@ -638,6 +685,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t13_chunk_windows" -> t13Sql,
     "t12_unigram_logprob" -> t12Sql,
     "t11_markup_strip" -> t11Sql,
     "t10_contamination" -> t10Sql,

@@ -157,6 +157,30 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t13: chunk windows tile every document with exact 48-stride offsets") {
+    val df = SparkEntry.queries("t13_chunk_windows")(spark, sfDir).cache()
+    val totals = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), size(filter(split(lower(col("text")), "\\s+"),
+        x => x =!= "")).cast("long").as("total"))
+    val joined = df.join(totals, "doc_id")
+    // every chunk is the window the spec says: start = 48·chunk_id,
+    // length = min(64, total − start)
+    assert(joined.filter(col("start_tok") =!= col("chunk_id") * 48)
+      .count() == 0)
+    assert(joined.filter(col("n_tok") =!=
+      least(lit(64L), col("total") - col("start_tok"))).count() == 0)
+    // full coverage: first chunk at 0, last chunk reaches the final token
+    val cov = joined.groupBy(col("doc_id"), col("total"))
+      .agg(min(col("start_tok")).as("lo"),
+        max(col("start_tok") + col("n_tok")).as("hi"),
+        count(lit(1)).as("n_chunks"))
+    assert(cov.filter(col("lo") =!= 0 || col("hi") =!= col("total"))
+      .count() == 0)
+    // and docs long enough really do produce overlapping multi-chunks
+    assert(cov.filter(col("n_chunks") > 1).count() > 0)
+    df.unpersist()
+  }
+
   test("s07: IVF-PQ results are structurally sound and recall the exact top-k") {
     val df = SparkEntry.queries("s07_ivfpq")(spark, sfDir).cache()
     // per query: exactly K ranked rows, contiguous ranks, distance
