@@ -55,6 +55,23 @@ case class RollingFingerprintExpr(child: Expression)
   override def prettyName: String = "rolling_fingerprint"
 }
 
+/** Quantized nibble-histogram fingerprint (16 ints) — the m05 stub
+  * perceptual hash; see TextHashes.nibbleQuant. */
+case class NibbleQuantExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextHashes.nibbleQuant(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHashes.nibbleQuant($c))")
+  override protected def withNewChildInternal(c: Expression): NibbleQuantExpr =
+    copy(child = c)
+  override def prettyName: String = "nibble_quant"
+}
+
 /** Word k-shingle hash set (64-bit) — input to exact Jaccard. */
 case class ShingleHashesExpr(child: Expression, shingleK: Int)
     extends UnaryExpression {
@@ -112,6 +129,8 @@ object text {
     toColumn(ShingleHashesExpr(expression(c), shingleK))
   def strip_accents(c: Column): Column =
     toColumn(StripAccentsExpr(expression(c)))
+  def nibble_quant(c: Column): Column =
+    toColumn(NibbleQuantExpr(expression(c)))
 
   private[graft] def expression(c: Column): Expression = toExpression(c)
 }

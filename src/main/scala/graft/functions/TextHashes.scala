@@ -141,6 +141,32 @@ object TextHashes {
     sig
   }
 
+  /** Quantized nibble-histogram fingerprint — the STUB "perceptual hash"
+    * of the multimodal surface (m05): 16 high-nibble frequency bins,
+    * each quantized to 64ths with integer floor (min 63), so payloads
+    * that differ by small edits usually quantize identically while
+    * different content does not. The real-codec analog is a DCT-bin
+    * signature; the structure (coarse quantized features as the dedup
+    * key) is the load-bearing part. One byte pass, no allocation beyond
+    * the 16 ints.
+    */
+  def nibbleQuant(text: UTF8String): Array[Int] = {
+    val b = text.getBytes
+    val cnt = new Array[Int](16)
+    var i = 0
+    while (i < b.length) { cnt((b(i) & 0xff) >> 4) += 1; i += 1 }
+    val out = new Array[Int](16)
+    if (b.length > 0) {
+      var j = 0
+      while (j < 16) {
+        val q = (64L * cnt(j) / b.length).toInt
+        out(j) = if (q > 63) 63 else q
+        j += 1
+      }
+    }
+    out
+  }
+
   /** Rabin-Karp rolling polynomial fingerprint of the whole document
     * (base 257 over bytes, native Long wraparound — stable across JVMs).
     */

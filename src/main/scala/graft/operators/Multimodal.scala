@@ -220,14 +220,74 @@ object Multimodal {
       |  FROM documents)
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m05
+  /** Perceptual media dedup: group by the quantized feature fingerprint
+    * (TextHashes.nibbleQuant — 16 coarse histogram bins, the stub for a
+    * DCT-bin perceptual hash), keep-min. Where m04 collapses only
+    * BIT-EXACT payloads (md5), m05 collapses payloads whose coarse
+    * features quantize identically — robust to small edits, the
+    * re-encoded/trimmed-asset case. Planted: every 9th doc re-enters
+    * with its last word removed; most such edits vanish at 64th-level
+    * quantization and collapse with their source, while md5 never would.
+    *
+    * Scale: m04's audited shape exactly — one shuffle on the (media
+    * type, 16-int fingerprint) key with map-side combine; payload bytes
+    * never shuffle (the fingerprint is computed in the scan projection).
+    */
+  def m05(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
+    corpus
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        graft.functions.text.nibble_quant(col("text")).as("ph"))
+      .groupBy(col("media_type"), col("ph"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("media_type"), col("n_copies"))
+      .orderBy(col("doc_id"), col("media_type"))
+  }
+
+  /** Oracle: the nibble histogram + 64th-level integer quantization
+    * re-derived in SQL (the m02 nibs pattern); ASCII corpus ⇒ DuckDB
+    * codepoints equal the bytes the kernel bins. */
+  val m05Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+$', '')
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |q AS (
+      |  SELECT doc_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+      |      AS media_type,
+      |    CASE WHEN strlen(text) = 0
+      |         THEN list_transform(range(0, 16), j -> 0)
+      |         ELSE list_transform(range(0, 16), j -> least(63,
+      |           CAST((64 * len(list_filter(
+      |             list_transform(range(1, strlen(text) + 1),
+      |               i -> ord(text[i]) // 16), x -> x = j)))
+      |             // strlen(text) AS INT)))
+      |    END AS ph
+      |  FROM corpus)
+      |SELECT MIN(doc_id) AS doc_id, media_type, COUNT(*) AS n_copies
+      |FROM q GROUP BY media_type, ph
+      |ORDER BY doc_id, media_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal" -> (m01 _),
     "m02_media_features" -> (m02 _),
     "m03_frame_explode" -> (m03 _),
-    "m04_media_dedup" -> (m04 _))
+    "m04_media_dedup" -> (m04 _),
+    "m05_perceptual_dedup" -> (m05 _))
   val oracle: Map[String, String] = Map(
     "m01_multimodal" -> m01Sql,
     "m02_media_features" -> graft.functions.KernelOracleSql.m02Sql,
     "m03_frame_explode" -> m03Sql,
-    "m04_media_dedup" -> m04Sql)
+    "m04_media_dedup" -> m04Sql,
+    "m05_perceptual_dedup" -> m05Sql)
 }

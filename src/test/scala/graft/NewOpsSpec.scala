@@ -157,6 +157,29 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("m05: perceptual clusters are coarser than exact ones and absorb edits") {
+    val df = SparkEntry.queries("m05_perceptual_dedup")(spark, sfDir).cache()
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
+    val rows = corpus.count()
+    // partition property: clusters cover the corpus exactly once
+    assert(df.agg(sum(col("n_copies"))).head.getLong(0) == rows)
+    // perceptual ⇒ coarser-or-equal than exact text identity: identical
+    // payloads always share a fingerprint, so clusters ≤ distinct texts
+    val exact = corpus
+      .select((col("doc_id") % 3).as("mt"), col("text")).distinct().count()
+    assert(df.count() <= exact, s"${df.count()} > $exact")
+    // and the point of the op: some trimmed-asset plants (id ≥ 1M) are
+    // ABSORBED into their source's cluster — md5 dedup never does this
+    val plants = corpus.filter(col("doc_id") >= 1000000L).count()
+    val plantOwnClusters = df.filter(col("doc_id") >= 1000000L).count()
+    assert(plantOwnClusters < plants,
+      s"no plant was absorbed ($plantOwnClusters of $plants kept as min)")
+    df.unpersist()
+  }
+
   test("t13: chunk windows tile every document with exact 48-stride offsets") {
     val df = SparkEntry.queries("t13_chunk_windows")(spark, sfDir).cache()
     val totals = Tables(spark, sfDir, "documents")
