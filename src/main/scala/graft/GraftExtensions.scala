@@ -66,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(t) => StripAccentsExpr(t)
       case args   => throw new IllegalArgumentException(s"strip_accents: bad arity ${args.size}")
     }
+    reg("nibble_quant", "nibble_quant(text) - quantized 16-bin byte-histogram fingerprint") {
+      case Seq(t) => NibbleQuantExpr(t)
+      case args   => throw new IllegalArgumentException(s"nibble_quant: bad arity ${args.size}")
+    }
     reg("cosine_sim", "cosine_sim(vec, vec) - cosine similarity of float vectors") {
       case Seq(a, b) => CosineSimExpr(a, b)
       case args => throw new IllegalArgumentException(s"cosine_sim: bad arity ${args.size}")

@@ -552,6 +552,73 @@ object Streaming {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- st11
+  /** Per-window heavy hitters: the top-3 event types of every hour, the
+    * trending/alerting staple. Batch twin: windowed counts + a rank over
+    * the per-window type counts — that rank's partitions are (windows ×
+    * types) rows, BOUNDED by the type cardinality, never data-sized.
+    *
+    * Streaming twin: the space-saving sketch (Metwally et al. 2005) in
+    * `flatMapGroupsWithState`, state = one bounded counter map per open
+    * window (capacity is the knob; with capacity ≥ distinct keys the
+    * sketch degenerates to exact counting, which the spec exploits to
+    * equal the batch twin; at real cardinalities it bounds state at
+    * O(capacity) per window — the actual production trade).
+    */
+  def st11HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rk = Window.partitionBy(col("w"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n"), col("rank"))
+      .orderBy(col("window_start"), col("rank"))
+  }
+
+  final case class HhEv(window_start: Long, event_type: String)
+  final case class HhOut(window_start: Long, event_type: String, n: Long,
+      rank: Long)
+
+  /** Streaming twin: per-window space-saving counters; each batch folds
+    * its events into the bounded map and emits the current top-3. */
+  def st11Stream(events: Dataset[HhEv], capacity: Int = 16): Dataset[HhOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.window_start)
+      .flatMapGroupsWithState[Map[String, Long], HhOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (w: Long, evs: Iterator[HhEv], state: GroupState[Map[String, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          evs.foreach { e =>
+            m.get(e.event_type) match {
+              case Some(c) => m = m.updated(e.event_type, c + 1)
+              case None if m.size < capacity =>
+                m = m.updated(e.event_type, 1L)
+              case None => // space-saving: evict the min, inherit its count
+                val (mk, mc) = m.minBy { case (k, c) => (c, k) }
+                m = (m - mk).updated(e.event_type, mc + 1)
+            }
+          }
+          state.update(m)
+          m.toSeq.sortBy { case (k, c) => (-c, k) }.take(3).zipWithIndex
+            .map { case ((k, c), i) => HhOut(w, k, c, i + 1L) }.iterator
+      }
+  }
+
+  val st11Sql: String =
+    """SELECT window_start, event_type, n, rank FROM (
+      |  SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+      |      '%Y-%m-%d %H:%M:%S') AS window_start,
+      |    event_type, COUNT(*) AS n,
+      |    row_number() OVER (
+      |      PARTITION BY time_bucket(INTERVAL 1 HOUR, ts)
+      |      ORDER BY COUNT(*) DESC, event_type) AS rank
+      |  FROM events GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type)
+      |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -564,7 +631,8 @@ object Streaming {
     "st05_latest_state" -> (st05LatestState _),
     "st06_asof_join" -> (st06AsofJoin _),
     "st09_stream_ema" -> (st09StreamEma _),
-    "st10_window_quantiles" -> (st10WindowQuantiles _))
+    "st10_window_quantiles" -> (st10WindowQuantiles _),
+    "st11_heavy_hitters" -> (st11HeavyHitters _))
 
   val oracle: Map[String, String] = Map(
     "st07_stream_enrich" -> st07Sql,
@@ -576,5 +644,6 @@ object Streaming {
     "st05_latest_state" -> st05Sql,
     "st06_asof_join" -> st06Sql,
     "st09_stream_ema" -> st09Sql,
-    "st10_window_quantiles" -> st10Sql)
+    "st10_window_quantiles" -> st10Sql,
+    "st11_heavy_hitters" -> st11Sql)
 }

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, date_format}
+import org.apache.spark.sql.functions.{col, date_format, date_trunc, max, unix_timestamp}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.Streaming
@@ -338,6 +338,55 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set(
         ("click", 3.0, 4.8, 5L),
         ("view", 10.0, 10.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("st11 space-saving heavy hitters equal the batch twin at ample capacity") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.HhEv
+    val batch = Streaming.st11HeavyHitters(spark, sfDir)
+    val evs = Tables(spark, sfDir, "events")
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("w"),
+        col("event_type"))
+      .collect().map(r => HhEv(r.getLong(0), r.getString(1)))
+    val input = MemoryStream[HhEv]
+    val q = Streaming.st11Stream(input.toDS())
+      .writeStream.format("memory").queryName("st11_sink")
+      .outputMode("update").start()
+    try {
+      input.addData(evs.toSeq: _*)
+      q.processAllAvailable()
+      val stream = spark.table("st11_sink")
+        .select(date_format(col("window_start").cast("timestamp"),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("rank"))
+      assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+    } finally q.stop()
+  }
+
+  test("st11 space-saving eviction keeps heavy keys under tight capacity") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.HhEv
+    val input = MemoryStream[HhEv]
+    // capacity 2: the two heavy keys must survive the noise keys
+    val q = Streaming.st11Stream(input.toDS(), capacity = 2)
+      .writeStream.format("memory").queryName("st11_tight_sink")
+      .outputMode("update").start()
+    try {
+      val heavy = Seq.fill(20)(HhEv(0L, "click")) ++
+        Seq.fill(10)(HhEv(0L, "view"))
+      val noise = Seq("a", "b", "c").map(t => HhEv(0L, t))
+      input.addData((heavy ++ noise): _*)
+      q.processAllAvailable()
+      val top = spark.table("st11_tight_sink")
+        .filter(col("rank") === 1).select("event_type").collect()
+      assert(top.map(_.getString(0)).contains("click"))
+      // space-saving guarantee: counts overestimate by at most the min
+      // counter — the top key's reported count is ≥ its true frequency
+      val n = spark.table("st11_tight_sink")
+        .filter(col("event_type") === "click").agg(max(col("n")))
+        .head.getLong(0)
+      assert(n >= 20)
     } finally q.stop()
   }
 
