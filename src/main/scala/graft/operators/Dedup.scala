@@ -461,6 +461,26 @@ object Dedup {
        |FROM labels JOIN sizes USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Oracle for p08 (graft.operators.Pipeline.p08LeakSafeSplit) — lives
+    * here because it shares the recursive-closure CTE chain with dd06:
+    * same cluster labels, then the split tag is a hash of the CLUSTER
+    * id, so the whole cluster lands on one side. */
+  val p08Sql: String =
+    s"""WITH RECURSIVE $pairCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jp
+       |  UNION ALL SELECT id_b, id_a FROM jp),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR) || '#split'),
+       |            1, 2) <= '19'
+       |       THEN 'eval' ELSE 'train' END AS split
+       |FROM labels ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- dd05
   /** Embedding near-dup: sign-LSH hyperplane buckets → in-bucket pairwise
     * cosine ≥ 0.99. Planted: verbatim copies of every 25th vector (same

@@ -170,6 +170,29 @@ object Pipeline {
       |SELECT doc_id, source, unnest(generate_series(1, reps)) AS rep
       |FROM r WHERE reps >= 1 ORDER BY doc_id, rep""".stripMargin
 
+  // ---------------------------------------------------------------- p08
+  /** Leak-safe train/eval split: assignment is per NEAR-DUP CLUSTER, not
+    * per document — a per-doc split lets a near-duplicate of a training
+    * doc land in eval, the classic contamination path a per-doc hash
+    * split cannot prevent. Clusters come from dd06's connected
+    * components over the verified Jaccard pair graph; the ~10 % eval
+    * tag is a hash of the CLUSTER id, so every member of a cluster —
+    * and therefore every near-dup pair — lands on the same side, and
+    * the assignment is reproducible across engines and runs.
+    *
+    * Scale: dd06's audited CC loop (cost ∝ the dup-pair graph) plus a
+    * map-only tag — no new shuffle beyond the cluster join.
+    */
+  def p08LeakSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dd06Clusters(spark, dir)
+      .withColumn("split",
+        when(substring(md5(concat(col("cluster_id").cast(StringType),
+          lit("#split"))), 1, 2) <= "19", "eval").otherwise("train"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  val p08Sql: String = Dedup.p08Sql
+
   // ---------------------------------------------------------------- p04
   /** Stratified sampling: a fixed FRACTION of every (source) stratum,
     * picked by hash rank — the "equal representation" counterpart to
@@ -325,6 +348,7 @@ object Pipeline {
     "p04_stratified" -> (p04Stratified _),
     "p05_token_shards" -> (p05TokenShards _),
     "p07_mixture_sample" -> (p07MixtureSample _),
+    "p08_leak_safe_split" -> (p08LeakSafeSplit _),
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
@@ -335,5 +359,6 @@ object Pipeline {
     "p04_stratified" -> p04Sql,
     "p05_token_shards" -> p05Sql,
     "p07_mixture_sample" -> p07Sql,
+    "p08_leak_safe_split" -> p08Sql,
     "d11_variant" -> d11Sql)
 }

@@ -157,6 +157,32 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p08: no near-dup pair straddles the train/eval split") {
+    val df = SparkEntry.queries("p08_leak_safe_split")(spark, sfDir).cache()
+    // one side per cluster, by construction AND by observation
+    assert(df.select(col("cluster_id"), col("split")).distinct()
+      .groupBy(col("cluster_id")).count().filter(col("count") > 1)
+      .count() == 0)
+    // the contamination barrier: every verified near-dup pair (the dd04
+    // pair graph p08's clusters are built from) has both ends same-side
+    val sides = df.select(col("doc_id"), col("split"))
+    val pairs = SparkEntry.queries("dd04_ngram_jaccard")(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+    val straddling = pairs
+      .join(sides.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), "id_a")
+      .join(sides.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddling.count() == 0)
+    // both sides exist and eval is minority (~10 % of clusters)
+    val bySide = df.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide.contains("train") && bySide.contains("eval"))
+    assert(bySide("eval") < bySide("train"))
+    df.unpersist()
+  }
+
   test("m05: perceptual clusters are coarser than exact ones and absorb edits") {
     val df = SparkEntry.queries("m05_perceptual_dedup")(spark, sfDir).cache()
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
