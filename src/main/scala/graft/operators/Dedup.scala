@@ -290,12 +290,16 @@ object Dedup {
        |postings AS (
        |  SELECT source, doc_id, len(sh) AS sz, unnest(sh) AS shingle
        |  FROM sets),
+       |bsz AS (
+       |  SELECT source, shingle, count(*) AS df FROM postings GROUP BY 1, 2),
        |cpairs AS (
        |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
        |  FROM postings a JOIN postings b
        |    ON a.source = b.source AND a.shingle = b.shingle
        |    AND a.doc_id < b.doc_id
+       |  JOIN bsz s ON s.source = a.source AND s.shingle = a.shingle
+       |    AND s.df <= 10000
        |  GROUP BY 1, 2, 3, 4, 5),
        |jp AS (
        |  SELECT source, id_a, id_b, common / (sz_a + sz_b - common) AS jaccard
@@ -367,12 +371,16 @@ object Dedup {
        |postings AS (
        |  SELECT source, doc_id, len(sh) AS sz, unnest(sh) AS shingle
        |  FROM sets),
+       |bsz AS (
+       |  SELECT source, shingle, count(*) AS df FROM postings GROUP BY 1, 2),
        |cpairs AS (
        |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
        |  FROM postings a JOIN postings b
        |    ON a.source = b.source AND a.shingle = b.shingle
        |    AND a.doc_id < b.doc_id
+       |  JOIN bsz s ON s.source = a.source AND s.shingle = a.shingle
+       |    AND s.df <= 10000
        |  GROUP BY 1, 2, 3, 4, 5)
        |SELECT id_a, id_b, source,
        |  ROUND(common / least(sz_a, sz_b), 4) AS containment

@@ -44,11 +44,13 @@ object DocstoreOps {
   private def sourceFingerprint(sfDir: String): String = {
     val p = Paths.get(s"$sfDir/events.parquet")
     val parts: Seq[String] =
-      if (Files.isDirectory(p))
-        Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      if (Files.isDirectory(p)) {
+        val stream = Files.list(p)
+        try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
           .toSeq.sortBy(_.toString)
           .map(f => s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
-      else Seq(s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+        finally stream.close() // Files.list leaks a directory fd otherwise
+      } else Seq(s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|")).toLong & 0xffffffffL)
   }

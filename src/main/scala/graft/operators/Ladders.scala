@@ -60,9 +60,15 @@ object Ladders {
   /** Exact global inclusive running sum of `value` within each `part`
     * stratum, ordered by `(bucket, order…)`. Same monotone-bucket
     * requirement as [[globalRank]], plus: `order` must be plain ASCENDING
-    * columns forming a total order within each stratum (a running sum
-    * under order ties is nondeterministic in ANY engine, so this only
-    * formalizes what exactness already required). Adds `out` (Long). */
+    * columns forming a TOTAL order within each stratum. This is a hard
+    * correctness requirement, not just determinism hygiene: the per-cell
+    * totals below are extracted with max_by(runningSum, order), and with
+    * duplicate order keys inside a cell the picked "last" row is
+    * arbitrary — its running sum can EXCLUDE tied rows' values, which
+    * corrupts the offset of every later bucket in the stratum (silently
+    * wrong totals, where a window under ties would only reorder). Pass a
+    * unique tiebreak column (both in-repo callers order by doc_id).
+    * Adds `out` (Long). */
   def globalCumsum(df: DataFrame, part: Seq[String], bucket: String,
       order: Seq[Column], value: Column, out: String): DataFrame = {
     require(part.nonEmpty, "globalCumsum needs at least one stratum column")

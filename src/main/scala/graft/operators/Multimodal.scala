@@ -239,7 +239,11 @@ object Multimodal {
       .select(col("doc_id"), col("text"))
     val corpus = docs.unionAll(
       docs.filter(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        // offset divisible by 3 so the plant KEEPS its source's derived
+        // media_type (id % 3) — with 1000000 (≡ 1 mod 3) the plant could
+        // never share its source's (media_type, ph) group key and the
+        // whole absorption premise would be vacuous
+        .select((col("doc_id") + 999999L).as("doc_id"),
           regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
     corpus
       .select(col("doc_id"),
@@ -259,7 +263,7 @@ object Multimodal {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+$', '')
+      |  SELECT doc_id + 999999, regexp_replace(text, '\s+\S+$', '')
       |  FROM documents WHERE doc_id % 9 = 0),
       |q AS (
       |  SELECT doc_id,

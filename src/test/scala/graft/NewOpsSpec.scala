@@ -187,7 +187,7 @@ class NewOpsSpec extends SparkSpec {
     val df = SparkEntry.queries("m05_perceptual_dedup")(spark, sfDir).cache()
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.unionAll(docs.filter(col("doc_id") % 9 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + 999999L).as("doc_id"),
         regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
     val rows = corpus.count()
     // partition property: clusters cover the corpus exactly once
@@ -197,10 +197,12 @@ class NewOpsSpec extends SparkSpec {
     val exact = corpus
       .select((col("doc_id") % 3).as("mt"), col("text")).distinct().count()
     assert(df.count() <= exact, s"${df.count()} > $exact")
-    // and the point of the op: some trimmed-asset plants (id ≥ 1M) are
-    // ABSORBED into their source's cluster — md5 dedup never does this
-    val plants = corpus.filter(col("doc_id") >= 1000000L).count()
-    val plantOwnClusters = df.filter(col("doc_id") >= 1000000L).count()
+    // and the point of the op: trimmed-asset plants (id ≥ 999999) whose
+    // edit vanishes at 64th-level quantization are ABSORBED into their
+    // SOURCE's cluster — the 999999 offset keeps id % 3 (media_type), so
+    // absorption means exactly (source, plant) sharing a fingerprint
+    val plants = corpus.filter(col("doc_id") >= 999999L).count()
+    val plantOwnClusters = df.filter(col("doc_id") >= 999999L).count()
     assert(plantOwnClusters < plants,
       s"no plant was absorbed ($plantOwnClusters of $plants kept as min)")
     df.unpersist()
