@@ -579,32 +579,58 @@ object Streaming {
       .orderBy(col("window_start"), col("rank"))
   }
 
-  final case class HhEv(window_start: Long, event_type: String)
+  final case class HhEv(ts: java.sql.Timestamp, event_type: String)
   final case class HhOut(window_start: Long, event_type: String, n: Long,
       rank: Long)
 
   /** Streaming twin: per-window space-saving counters; each batch folds
-    * its events into the bounded map and emits the current top-3. */
-  def st11Stream(events: Dataset[HhEv], capacity: Int = 16): Dataset[HhOut] = {
+    * its events into the bounded map and emits the current top-3.
+    *
+    * State LIFECYCLE: the state key is the hour window — a TIME-indexed
+    * key, so unlike the entity-keyed twins (st02/st05/st06/st09, bounded
+    * by user/key cardinality) the number of keys grows with stream
+    * lifetime. Each window therefore arms `EventTimeTimeout` at
+    * window_end + allowed lateness; once the watermark passes that point
+    * the window can receive no more rows (the watermark pre-filter drops
+    * them), its state is purged, and total store size stays bounded at
+    * O(capacity × open windows within the watermark horizon) — the same
+    * discipline the windowed-agg twins get from `withWatermark` for free.
+    */
+  def st11Stream(events: Dataset[HhEv], capacity: Int = 16,
+      latenessSec: Long = 7200L): Dataset[HhOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.window_start)
+    events.withWatermark("ts", s"$latenessSec seconds")
+      .groupByKey(e => e.ts.getTime / 1000L / 3600L * 3600L)
       .flatMapGroupsWithState[Map[String, Long], HhOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (w: Long, evs: Iterator[HhEv], state: GroupState[Map[String, Long]]) =>
-          var m = state.getOption.getOrElse(Map.empty[String, Long])
-          evs.foreach { e =>
-            m.get(e.event_type) match {
-              case Some(c) => m = m.updated(e.event_type, c + 1)
-              case None if m.size < capacity =>
-                m = m.updated(e.event_type, 1L)
-              case None => // space-saving: evict the min, inherit its count
-                val (mk, mc) = m.minBy { case (k, c) => (c, k) }
-                m = (m - mk).updated(e.event_type, mc + 1)
+          if (state.hasTimedOut) {
+            // watermark > window_end + lateness: no row for this window
+            // can ever arrive again — drop its counters from the store.
+            // Update-mode consumers already hold the final top-3 from the
+            // last data batch, so purge emits nothing.
+            state.remove()
+            Iterator.empty
+          } else {
+            var m = state.getOption.getOrElse(Map.empty[String, Long])
+            evs.foreach { e =>
+              m.get(e.event_type) match {
+                case Some(c) => m = m.updated(e.event_type, c + 1)
+                case None if m.size < capacity =>
+                  m = m.updated(e.event_type, 1L)
+                case None => // space-saving: evict the min, inherit its count
+                  val (mk, mc) = m.minBy { case (k, c) => (c, k) }
+                  m = (m - mk).updated(e.event_type, mc + 1)
+              }
             }
+            state.update(m)
+            // Any event that survived the watermark filter has ts ≥
+            // watermark and ts < window_end, so window_end + lateness >
+            // watermark always holds — the timestamp is valid to arm.
+            state.setTimeoutTimestamp((w + 3600L + latenessSec) * 1000L)
+            m.toSeq.sortBy { case (k, c) => (-c, k) }.take(3).zipWithIndex
+              .map { case ((k, c), i) => HhOut(w, k, c, i + 1L) }.iterator
           }
-          state.update(m)
-          m.toSeq.sortBy { case (k, c) => (-c, k) }.take(3).zipWithIndex
-            .map { case ((k, c), i) => HhOut(w, k, c, i + 1L) }.iterator
       }
   }
 

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, date_format, date_trunc, max, unix_timestamp}
+import org.apache.spark.sql.functions.{col, date_format, max}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.Streaming
@@ -346,9 +346,8 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.Streaming.HhEv
     val batch = Streaming.st11HeavyHitters(spark, sfDir)
     val evs = Tables(spark, sfDir, "events")
-      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("w"),
-        col("event_type"))
-      .collect().map(r => HhEv(r.getLong(0), r.getString(1)))
+      .select(col("ts"), col("event_type"))
+      .collect().map(r => HhEv(r.getTimestamp(0), r.getString(1)))
     val input = MemoryStream[HhEv]
     val q = Streaming.st11Stream(input.toDS())
       .writeStream.format("memory").queryName("st11_sink")
@@ -373,9 +372,9 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("st11_tight_sink")
       .outputMode("update").start()
     try {
-      val heavy = Seq.fill(20)(HhEv(0L, "click")) ++
-        Seq.fill(10)(HhEv(0L, "view"))
-      val noise = Seq("a", "b", "c").map(t => HhEv(0L, t))
+      val heavy = Seq.fill(20)(HhEv(ts(0, 5), "click")) ++
+        Seq.fill(10)(HhEv(ts(0, 10), "view"))
+      val noise = Seq("a", "b", "c").map(t => HhEv(ts(0, 15), t))
       input.addData((heavy ++ noise): _*)
       q.processAllAvailable()
       val top = spark.table("st11_tight_sink")
@@ -388,6 +387,131 @@ class StreamingSpec extends SparkSpec {
         .head.getLong(0)
       assert(n >= 20)
     } finally q.stop()
+  }
+
+  test("st11 closed-window state is purged once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.HhEv
+
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.reverseIterator
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+        .getOrElse(-1L)
+
+    val input = MemoryStream[HhEv]
+    val q = Streaming.st11Stream(input.toDS())
+      .writeStream.format("memory").queryName("st11_evict_sink")
+      .outputMode("update").start()
+    try {
+      // three distinct hour windows open
+      input.addData(HhEv(ts(0, 5), "click"), HhEv(ts(1, 5), "view"),
+        HhEv(ts(2, 5), "click"))
+      q.processAllAvailable()
+      assert(stateRows(q) == 3L)
+      // advance the watermark far past all three windows' end + lateness:
+      // ts=10:00 → watermark 08:00 > (02:00-hour end 03:00) + 2h = 05:00
+      input.addData(HhEv(ts(10, 5), "view"))
+      q.processAllAvailable()
+      // the three closed windows' state left the store; only the hour-10
+      // window (still inside the watermark horizon) remains
+      assert(stateRows(q) == 1L)
+      // and the purge emitted nothing new for the closed windows: their
+      // last update-mode rows are still the final answer
+      val win0 = spark.table("st11_evict_sink")
+        .filter(col("window_start") === ts(0).getTime / 1000L)
+        .select("event_type", "n").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(win0 == Set(("click", 1L)))
+    } finally q.stop()
+  }
+
+  test("state-lifecycle audit: every stateful twin declares and honors its bound") {
+    // Every (flat)mapGroupsWithState twin must either (a) key its state by
+    // a bounded ENTITY (user/key — cardinality-bounded, time-free: feeding
+    // 12 hours of events for 2 entities leaves exactly 2 state rows), or
+    // (b) key by TIME and arm EventTimeTimeout so the watermark purges
+    // closed keys (st11). A time-keyed NoTimeout twin would grow its store
+    // with stream lifetime — the class of bug this table pins down.
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming._
+    import org.apache.spark.sql.catalyst.plans.logical.{FlatMapGroupsWithState => FMGWS}
+
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.reverseIterator
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+        .getOrElse(-1L)
+
+    def declaredTimeouts(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect { case f: FMGWS => f.timeout.toString }
+
+    def run(name: String, df: org.apache.spark.sql.DataFrame, mode: String)(
+        feed: () => Unit): (Long, Seq[String]) = {
+      val q = df.writeStream.format("memory")
+        .queryName(s"audit_${name}_sink").outputMode(mode).start()
+      try { feed(); q.processAllAvailable(); (stateRows(q), declaredTimeouts(df)) }
+      finally q.stop()
+    }
+
+    val hours = 0 until 12
+    val users = Seq(1L, 2L)
+
+    // -- entity-keyed twins: NoTimeout is SAFE because the key is time-free
+    val in02 = MemoryStream[Ev]
+    val (s02Rows, s02To) = run("st02", Streaming.st02Stream(in02.toDS).toDF,
+      "append") { () =>
+      in02.addData((for { u <- users; h <- hours }
+        yield Ev(u, h * 3600L, u * 100 + h)): _*)
+    }
+    val in05 = MemoryStream[UpEv]
+    val (s05Rows, s05To) = run("st05", Streaming.st05Stream(in05.toDS).toDF,
+      "update") { () =>
+      in05.addData((for { u <- users; h <- hours }
+        yield UpEv(u, h * 3600L, u * 100 + h, "click", h.toDouble)): _*)
+    }
+    val in06 = MemoryStream[AsofIn]
+    val (s06Rows, s06To) = run("st06", Streaming.st06Stream(in06.toDS).toDF,
+      "append") { () =>
+      in06.addData((for { u <- users; h <- hours }
+        yield AsofIn(u, h * 3600L, h % 2, u * 100 + h, u * 100 + h, 1.0)): _*)
+    }
+    val in09 = MemoryStream[EmaEv]
+    val (s09Rows, s09To) = run("st09", Streaming.st09Stream(in09.toDS).toDF,
+      "append") { () =>
+      in09.addData((for { u <- users; h <- hours }
+        yield EmaEv(u, h * 3600L, u * 100 + h, h.toDouble)): _*)
+    }
+    // -- time-keyed twin: MUST arm EventTimeTimeout (watermark purges)
+    val in11 = MemoryStream[HhEv]
+    val (s11Rows, s11To) = run("st11", Streaming.st11Stream(in11.toDS).toDF,
+      "update") { () =>
+      in11.addData(hours.map(h =>
+        HhEv(Timestamp.valueOf(f"2024-01-01 $h%02d:05:00"), "click")): _*)
+      // second batch far in the future: watermark passes every window above
+      in11.addData(HhEv(Timestamp.valueOf("2024-01-03 02:00:00"), "view"))
+    }
+
+    // The audit table. bound = what limits the state store's size; the
+    // behavioral column PROVES it (12 hours of data, state ∝ bound only).
+    val audit = Seq(
+      //  twin     timeouts   rows     bound
+      ("st02", s02To, s02Rows, users.size.toLong, "NoTimeout",
+        "user_id — one open-session row per user, time-free key"),
+      ("st05", s05To, s05Rows, users.size.toLong, "NoTimeout",
+        "user_id — one latest-row upsert per user, time-free key"),
+      ("st06", s06To, s06Rows, users.size.toLong, "NoTimeout",
+        "key — one latest-order row per user, time-free key"),
+      ("st09", s09To, s09Rows, users.size.toLong, "NoTimeout",
+        "user_id — one running double per user, time-free key"),
+      ("st11", s11To, s11Rows, 1L, "EventTimeTimeout",
+        "open windows inside the watermark horizon — closed windows purged"))
+    audit.foreach { case (name, timeouts, rows, bound, expectTo, why) =>
+      assert(timeouts.nonEmpty && timeouts.forall(_.contains(expectTo)),
+        s"$name: expected $expectTo, declared $timeouts ($why)")
+      assert(rows == bound,
+        s"$name: state rows $rows != bound $bound ($why)")
+    }
   }
 
   test("st10 streaming quantiles equal the batch twin on the events table") {
