@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(t) => NibbleQuantExpr(t)
       case args   => throw new IllegalArgumentException(s"nibble_quant: bad arity ${args.size}")
     }
+    reg("dct_sign_hash", "dct_sign_hash(text) - DCT-sign perceptual hash (15 non-DC sign bits)") {
+      case Seq(t) => DctSignHashExpr(t)
+      case args   => throw new IllegalArgumentException(s"dct_sign_hash: bad arity ${args.size}")
+    }
     reg("cosine_sim", "cosine_sim(vec, vec) - cosine similarity of float vectors") {
       case Seq(a, b) => CosineSimExpr(a, b)
       case args => throw new IllegalArgumentException(s"cosine_sim: bad arity ${args.size}")

@@ -72,6 +72,20 @@ case class NibbleQuantExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "nibble_quant"
 }
 
+/** DCT-sign perceptual hash (15 sign bits of the non-DC 4×4 DCT-II
+  * coefficients over the stub-decoded matrix); see TextHashes.dctSignHash. */
+case class DctSignHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.dctSignHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.dctSignHash($c)")
+  override protected def withNewChildInternal(c: Expression): DctSignHashExpr =
+    copy(child = c)
+  override def prettyName: String = "dct_sign_hash"
+}
+
 /** Word k-shingle hash set (64-bit) — input to exact Jaccard. */
 case class ShingleHashesExpr(child: Expression, shingleK: Int)
     extends UnaryExpression {
@@ -131,6 +145,8 @@ object text {
     toColumn(StripAccentsExpr(expression(c)))
   def nibble_quant(c: Column): Column =
     toColumn(NibbleQuantExpr(expression(c)))
+  def dct_sign_hash(c: Column): Column =
+    toColumn(DctSignHashExpr(expression(c)))
 
   private[graft] def expression(c: Column): Expression = toExpression(c)
 }

@@ -40,7 +40,7 @@ object Dedup {
       .select(col("doc_id"), col("text"), col("source"))
     val planted = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + PlantOffset).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+        regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text"),
         col("source"))
     docs.unionAll(planted)
   }

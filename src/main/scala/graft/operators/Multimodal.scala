@@ -221,17 +221,20 @@ object Multimodal {
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- m05
-  /** Perceptual media dedup: group by the quantized feature fingerprint
-    * (TextHashes.nibbleQuant — 16 coarse histogram bins, the stub for a
-    * DCT-bin perceptual hash), keep-min. Where m04 collapses only
-    * BIT-EXACT payloads (md5), m05 collapses payloads whose coarse
-    * features quantize identically — robust to small edits, the
-    * re-encoded/trimmed-asset case. Planted: every 9th doc re-enters
-    * with its last word removed; most such edits vanish at 64th-level
-    * quantization and collapse with their source, while md5 never would.
+  /** Perceptual media dedup: group by the DCT-SIGN perceptual hash
+    * (TextHashes.dctSignHash — the stub decoder's 16-bin matrix put
+    * through an integer 4×4 DCT-II; the fingerprint packs the signs of
+    * the 15 non-DC coefficients, the classic pHash feature), keep-min.
+    * Where m04 collapses only BIT-EXACT payloads (md5), m05 collapses
+    * payloads whose low-frequency structure agrees — robust to small
+    * edits, the re-encoded/trimmed-asset case (and scale-invariant for
+    * free: DC exclusion makes the sign vector independent of payload
+    * length). Planted: every 9th doc re-enters with its last word
+    * removed; most such edits leave every coefficient sign unchanged and
+    * collapse with their source, while md5 never would.
     *
     * Scale: m04's audited shape exactly — one shuffle on the (media
-    * type, 16-int fingerprint) key with map-side combine; payload bytes
+    * type, Long fingerprint) key with map-side combine; payload bytes
     * never shuffle (the fingerprint is computed in the scan projection).
     */
   def m05(spark: SparkSession, dir: String): DataFrame = {
@@ -244,40 +247,58 @@ object Multimodal {
         // never share its source's (media_type, ph) group key and the
         // whole absorption premise would be vacuous
         .select((col("doc_id") + 999999L).as("doc_id"),
-          regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
+          regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text")))
     corpus
       .select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        graft.functions.text.nibble_quant(col("text")).as("ph"))
+        graft.functions.text.dct_sign_hash(col("text")).as("ph"))
       .groupBy(col("media_type"), col("ph"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("media_type"), col("n_copies"))
       .orderBy(col("doc_id"), col("media_type"))
   }
 
-  /** Oracle: the nibble histogram + 64th-level integer quantization
-    * re-derived in SQL (the m02 nibs pattern); ASCII corpus ⇒ DuckDB
-    * codepoints equal the bytes the kernel bins. */
+  /** Oracle: the DCT-sign hash re-derived in SQL (the m02 nibs pattern).
+    * Unit discipline: BOTH engines bin codepoints — the kernel iterates
+    * codepoints and drops cp ≥ 256; `ord(text[i]) // 4` over character
+    * indices lands such codepoints outside bins 0..63 identically, so
+    * parity holds for any input, not just the ASCII corpus (ADVICE r7).
+    * The DCT basis is the same hardcoded ×1000 integer literal matrix as
+    * TextHashes.DctBasis, keeping every coefficient integer-exact — no
+    * cross-engine float sign hazard. */
   val m05Sql: String =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 999999, regexp_replace(text, '\s+\S+$', '')
       |  FROM documents WHERE doc_id % 9 = 0),
-      |q AS (
+      |bm(b) AS (
+      |  SELECT [[1000, 1000, 1000, 1000, 1000, 1000, 1000, 1000],
+      |          [981, 831, 556, 195, -195, -556, -831, -981],
+      |          [924, 383, -383, -924, -924, -383, 383, 924],
+      |          [831, -195, -981, -556, 556, 981, 195, -831],
+      |          [707, -707, -707, 707, 707, -707, -707, 707],
+      |          [556, -981, 195, 831, -831, -195, 981, -556],
+      |          [383, -924, 924, -383, -383, 924, -924, 383],
+      |          [195, -556, 831, -981, 981, -831, 556, -195]]),
+      |hist AS (
       |  SELECT doc_id,
       |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
       |      AS media_type,
-      |    CASE WHEN strlen(text) = 0
-      |         THEN list_transform(range(0, 16), j -> 0)
-      |         ELSE list_transform(range(0, 16), j -> least(63,
-      |           CAST((64 * len(list_filter(
-      |             list_transform(range(1, strlen(text) + 1),
-      |               i -> ord(text[i]) // 16), x -> x = j)))
-      |             // strlen(text) AS INT)))
-      |    END AS ph
-      |  FROM corpus)
+      |    list_transform(range(0, 64), j ->
+      |      len(list_filter(
+      |        list_transform(range(1, len(text) + 1),
+      |          i -> ord(text[i]) // 4), x -> x = j))) AS h
+      |  FROM corpus),
+      |q AS (
+      |  SELECT doc_id, media_type,
+      |    list_sum(list_transform(range(1, 64), m ->
+      |      CASE WHEN list_sum(list_transform(range(0, 64), n ->
+      |          b[m // 8 + 1][n // 8 + 1] * b[m % 8 + 1][n % 8 + 1]
+      |            * h[n + 1])) > 0
+      |      THEN 1::BIGINT << (m - 1) ELSE 0 END)) AS ph
+      |  FROM hist, bm)
       |SELECT MIN(doc_id) AS doc_id, media_type, COUNT(*) AS n_copies
       |FROM q GROUP BY media_type, ph
       |ORDER BY doc_id, media_type""".stripMargin

@@ -45,7 +45,19 @@ object Similarity {
       col("cents"),
       struct(lit(Double.MinValue).as("cos"), lit(-1L).as("cell")),
       (acc, c) => {
-        val cos = V.cosine_sim(vec, c.getField("c_vec"))
+        // Degenerate embeddings must NOT vanish: a NaN cosine (zero-norm
+        // vector) ranks ABOVE every real value in both Spark's and
+        // DuckDB's `cos DESC` window order, and a NULL one (null vector)
+        // ranks below (NULLS LAST) but the window still emits a row. The
+        // fold replicates both picks deterministically: NaN → +Inf
+        // (outside cosine's [-1,1], beats all reals; strict `>` then
+        // keeps the lowest c_id among NaNs, the window's tie-break) and
+        // NULL → -2.0 (below all reals, still beats the -1 init so the
+        // row keeps its first-centroid assignment instead of dropping).
+        val cos = coalesce(
+          nanvl(V.cosine_sim(vec, c.getField("c_vec")),
+            lit(Double.PositiveInfinity)),
+          lit(-2.0d))
         when(cos > acc.getField("cos"),
           struct(cos.as("cos"), c.getField("c_id").as("cell")))
           .otherwise(acc)
@@ -486,6 +498,11 @@ object Similarity {
       .orderBy(col("vec_id")).limit(kCb)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // name the culprit instead of an opaque ArrayIndexOutOfBounds at plan
+    // build — the Tables.normalizeEmbedding convention for testdata drift
+    require(cb.length == kCb,
+      s"s07: expected $kCb PQ codebook vectors (vec_id % 97 == 11), got " +
+        s"${cb.length} — did the embeddings testdata shrink?")
     def cdist(vecCol: Column, c: Int, s: Int): Column =
       (0 until sub).map { i =>
         val d = try_element_at(vecCol, lit(s * sub + i + 1)) -

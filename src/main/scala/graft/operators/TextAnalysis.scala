@@ -434,7 +434,7 @@ object TextAnalysis {
     val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val evalDocs = base.filter(col("doc_id") % 97 === 0)
     val leaked = evalDocs.select((col("doc_id") + 3000000L).as("doc_id"),
-      regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+      regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text"))
     val corpus = base.filter(col("doc_id") % 97 =!= 0).unionAll(leaked)
 
     // distinct 8-word grams per doc; short docs contribute their full text

@@ -188,7 +188,7 @@ class NewOpsSpec extends SparkSpec {
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.unionAll(docs.filter(col("doc_id") % 9 === 0)
       .select((col("doc_id") + 999999L).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
+        regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text")))
     val rows = corpus.count()
     // partition property: clusters cover the corpus exactly once
     assert(df.agg(sum(col("n_copies"))).head.getLong(0) == rows)
@@ -198,7 +198,7 @@ class NewOpsSpec extends SparkSpec {
       .select((col("doc_id") % 3).as("mt"), col("text")).distinct().count()
     assert(df.count() <= exact, s"${df.count()} > $exact")
     // and the point of the op: trimmed-asset plants (id ≥ 999999) whose
-    // edit vanishes at 64th-level quantization are ABSORBED into their
+    // edit flips no DCT-coefficient sign are ABSORBED into their
     // SOURCE's cluster — the 999999 offset keeps id % 3 (media_type), so
     // absorption means exactly (source, plant) sharing a fingerprint
     val plants = corpus.filter(col("doc_id") >= 999999L).count()
@@ -206,6 +206,24 @@ class NewOpsSpec extends SparkSpec {
     assert(plantOwnClusters < plants,
       s"no plant was absorbed ($plantOwnClusters of $plants kept as min)")
     df.unpersist()
+  }
+
+  test("dct_sign_hash: DC-excluded signs are scale-invariant and content-sensitive") {
+    import graft.functions.TextHashes
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String) = TextHashes.dctSignHash(UTF8String.fromString(s))
+    // empty payload → all-zero coefficients → zero hash
+    assert(h("") == 0L)
+    // doubling the payload doubles every histogram bin: every coefficient
+    // scales by 2, no sign flips — the resize/normalization step of a
+    // real pHash falls out of DC exclusion for free
+    val s = "the quick brown fox jumps over the lazy dog"
+    assert(h(s) == h(s + s))
+    // but a different character mix lands elsewhere
+    assert(h(s) != h("zzzyyy 0123456789 ZZZYYY!!!"))
+    // codepoints ≥ 256 are dropped from binning (unit parity with the
+    // oracle's ord // 4 over 0..63), so adding them never changes the hash
+    assert(h(s) == h(s + "€世Ω"))
   }
 
   test("t13: chunk windows tile every document with exact 48-stride offsets") {
