@@ -59,10 +59,16 @@ object Bench {
     // its parse. The file holds everything; stdout gets a line that FITS.
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Testdata fingerprint: ties this measurement to the exact bytes it
+    // ran against. Cross-round per-query deltas are only meaningful when
+    // the fingerprints match (the driver regenerates testdata between
+    // rounds; a "regression" against different data is noise, not code).
+    val dataFp = Tables.testdataFingerprint(sfDir)
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","rounds":5,""" +
         s""""queries":${qjson(results)},"total_p50":$totalP50,""" +
-        s""""queries_p50":${qjson(medians)},"sf":"$sfDir"}"""
+        s""""queries_p50":${qjson(medians)},"sf":"$sfDir",""" +
+        s""""testdata_fingerprint":"$dataFp"}"""
     // On write failure, advertise null instead of the path — otherwise a
     // consumer silently reads a STALE file from a previous run.
     val fullRef =
@@ -84,7 +90,9 @@ object Bench {
     val hqs = results.filter(r => headline.contains(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_p50":${r3(totalP50)},"queries":$hqs,"full_per_query":$fullRef,"sf":"$sfDir"}""")
+    val dataFpShort = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dataFp).toLong & 0xffffffffL)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_p50":${r3(totalP50)},"queries":$hqs,"full_per_query":$fullRef,"data_fp":"$dataFpShort","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -86,6 +86,37 @@ object Tables {
     }
   }
 
+  /** Fingerprint of one table's parquet files (names + sizes + mtimes) —
+    * cheap metadata walk, no data read. Shared by the docstore's derived
+    * cache key and the bench stamp below.
+    */
+  def tableFingerprint(sfDir: String, name: String): String = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(s"$sfDir/$name.parquet")
+    val parts: Seq[String] =
+      if (Files.isDirectory(p)) {
+        val stream = Files.list(p)
+        try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .toSeq.sortBy(_.toString)
+          .map(f => s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+        finally stream.close() // Files.list leaks a directory fd otherwise
+      } else if (Files.exists(p))
+        Seq(s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+      else Seq("absent")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|")).toLong & 0xffffffffL)
+  }
+
+  /** Fingerprint of the WHOLE testdata set a measurement ran against.
+    * Stamped into BENCH_FULL.json so cross-round per-query deltas are
+    * attributable: same fingerprint ⇒ same bytes were measured and a
+    * delta is code or environment; different ⇒ the driver regenerated
+    * testdata between runs and per-query comparisons are void (the
+    * round-7 dedup-family "regressions" were exactly this ambiguity).
+    */
+  def testdataFingerprint(sfDir: String): String =
+    all.map(n => s"$n=${tableFingerprint(sfDir, n)}").mkString(",")
+
   /** Register all tables as temp views so `spark.sql` queries work too. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))

@@ -489,6 +489,32 @@ object Dedup {
        |       THEN 'eval' ELSE 'train' END AS split
        |FROM labels ORDER BY doc_id""".stripMargin
 
+  /** Materialize dd06's cluster assignment ONCE per documents generation
+    * into a docstore collection and return its path — the production
+    * composition for every cluster consumer (split/dedup/audit): the CC
+    * chain (shingle → inverted index → pair verify → iterative closure)
+    * is an expensive artifact, so it is written with the engine's own
+    * sink (the same path a pipeline-terminal `{"$out": path}` takes —
+    * MongoPipeline.scala $out) and read back as a plain docstore scan
+    * instead of re-running per consumer. Cache-keyed by the documents
+    * table's fingerprint, so a regenerated corpus invalidates the
+    * artifact instead of silently serving stale clusters (the
+    * ensureEventDocs discipline); the completion marker is written only
+    * after the sink's failure-atomic commit, so a crashed build is
+    * re-run, never half-read.
+    */
+  def ensureClusterArtifact(spark: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val path = s"${DocstoreOps.docsRoot(dir)}/dd06_clusters_v1_" +
+      graft.Tables.tableFingerprint(dir, "documents")
+    val marker = Paths.get(s"$path/_GRAFT_COMPLETE")
+    if (Files.exists(marker)) return path
+    dd06Clusters(spark, dir)
+      .write.format("docstore").mode("overwrite").save(path)
+    Files.write(marker, Array.emptyByteArray)
+    path
+  }
+
   // --------------------------------------------------------------- dd05
   /** Embedding near-dup: sign-LSH hyperplane buckets → in-bucket pairwise
     * cosine ≥ 0.99. Planted: verbatim copies of every 25th vector (same

@@ -41,19 +41,8 @@ object DocstoreOps {
   /** Cheap fingerprint of the source parquet (file names + sizes +
     * mtimes) so a regenerated testdata set invalidates the cached JSONL
     * instead of silently serving docs derived from the old data. */
-  private def sourceFingerprint(sfDir: String): String = {
-    val p = Paths.get(s"$sfDir/events.parquet")
-    val parts: Seq[String] =
-      if (Files.isDirectory(p)) {
-        val stream = Files.list(p)
-        try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
-          .toSeq.sortBy(_.toString)
-          .map(f => s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
-        finally stream.close() // Files.list leaks a directory fd otherwise
-      } else Seq(s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|")).toLong & 0xffffffffL)
-  }
+  private def sourceFingerprint(sfDir: String): String =
+    graft.Tables.tableFingerprint(sfDir, "events")
 
   def ensureEventDocs(spark: SparkSession, sfDir: String): String = synchronized {
     // v3: chunked layout (real collection dumps arrive as many chunks;

@@ -45,6 +45,22 @@ object SargableSubstring extends Rule[LogicalPlan] {
           Substring(s, Literal(1, IntegerType), Literal(n: Int, IntegerType)))
           if v != null && n >= 1 =>
         rewrite(s, n, v, l).getOrElse(eq)
+      // The MQL path: the docstore filter/pipeline compiler renders Mongo
+      // `$eq` as null-SAFE equality (`<=>`, Mongo's null==null contract —
+      // reference mongo_expr_pushdown.cpp compiles `$substrCP`-in-`$expr`
+      // server-side the same way). For a NON-null literal the null-safe
+      // form differs from EqualTo only on null input, where it is false —
+      // exactly `IsNotNull(s) AND <EqualTo-rewrite>`, both conjuncts of
+      // which are standard pushable filter shapes.
+      case eq @ EqualNullSafe(
+          Substring(s, Literal(1, IntegerType), Literal(n: Int, IntegerType)),
+          l @ Literal(v: UTF8String, StringType)) if v != null && n >= 1 =>
+        rewrite(s, n, v, l).map(And(IsNotNull(s), _)).getOrElse(eq)
+      case eq @ EqualNullSafe(
+          l @ Literal(v: UTF8String, StringType),
+          Substring(s, Literal(1, IntegerType), Literal(n: Int, IntegerType)))
+          if v != null && n >= 1 =>
+        rewrite(s, n, v, l).map(And(IsNotNull(s), _)).getOrElse(eq)
     }
 
   private def rewrite(s: Expression, n: Int, v: UTF8String,

@@ -105,9 +105,14 @@ object MiniBench {
         samples.getOrElseUpdate(k, Nil)
       }
     }
-    println(samples.map { case (k, v) =>
+    val qs = samples.map { case (k, v) =>
       if (v.isEmpty) s""""$k":"FAILED""""
-      else f""""$k":${v.min}%.3f""" }.mkString("{", ",", "}"))
+      else f""""$k":${v.min}%.3f""" }.mkString("{", ",", "}")
+    // same attributability stamp as Bench: a timing is only comparable
+    // to another timing taken against the same testdata bytes
+    val fp = java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+      .stringHash(graft.Tables.testdataFingerprint(sfDir)).toLong & 0xffffffffL)
+    println(s"""{"queries":$qs,"data_fp":"$fp","sf":"$sfDir"}""")
     spark.stop()
   }
 }

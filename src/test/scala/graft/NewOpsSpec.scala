@@ -183,6 +183,36 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p08 reads the materialized dd06 cluster artifact, not the CC loop") {
+    import graft.operators.Dedup
+    // write→read contract: the docstore round-trip returns the cluster
+    // assignment dd06 computes, bit-for-bit (ids and sizes as BIGINT)
+    val path = Dedup.ensureClusterArtifact(spark, sfDir)
+    val readBack = spark.read.format("docstore").option("path", path).load()
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val direct = Dedup.dd06Clusters(spark, sfDir)
+    // names + types match; nullability intentionally differs (a docstore
+    // scan is always nullable — a collection can omit any field)
+    assert(readBack.schema.map(f => (f.name, f.dataType)) ==
+      direct.schema.map(f => (f.name, f.dataType)),
+      s"${readBack.schema} != ${direct.schema}")
+    assert(readBack.exceptAll(direct).isEmpty && direct.exceptAll(readBack).isEmpty)
+    // idempotence: a second ensure serves the cache (marker honored) —
+    // the collection's files are untouched
+    val before = new java.io.File(path).listFiles().map(f =>
+      f.getName -> f.lastModified()).toMap
+    assert(Dedup.ensureClusterArtifact(spark, sfDir) == path)
+    val after = new java.io.File(path).listFiles().map(f =>
+      f.getName -> f.lastModified()).toMap
+    assert(after == before)
+    // and p08's plan is a docstore scan where the CC loop used to sit:
+    // no iterative-checkpoint frames (LogicalRDD scans) anywhere in it
+    val p08 = SparkEntry.queries("p08_leak_safe_split")(spark, sfDir)
+    val physical = p08.queryExecution.executedPlan.toString
+    assert(physical.contains("docstore"), physical)
+    assert(!physical.contains("Scan ExistingRDD"), physical)
+  }
+
   test("m05: perceptual clusters are coarser than exact ones and absorb edits") {
     val df = SparkEntry.queries("m05_perceptual_dedup")(spark, sfDir).cache()
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))

@@ -51,4 +51,39 @@ class SargableSubstringSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("StartsWith"), plan)
   }
+
+  test("the MQL $expr/$substrCP form is pushed too (null-safe $eq path)") {
+    // the reference compiles {"$expr": {"$eq": [{"$substrCP": ...}, lit]}}
+    // server-side (mongo_expr_pushdown.cpp); here the pipeline compiler
+    // renders $eq as null-safe equality, and the rule's EqualNullSafe arm
+    // turns it into IsNotNull AND prefix — both pushable
+    val docs = DocstoreOps.ensureEventDocs(spark, sfDir)
+    val raw = spark.read.format("docstore").option("path", docs).load()
+    val mql = raw.filter(Graft.mongoFilter(
+      """{"$expr": {"$eq": [{"$substrCP": ["$event_type", 0, 1]}, "c"]}}"""))
+      .select(col("event_id"))
+    val rows = mql.count()
+    assert(rows > 0)
+    // same rows as the plain prefix predicate
+    assert(rows == raw.filter(expr("event_type LIKE 'c%'")).count())
+    val plan = mql.queryExecution.executedPlan.toString
+    assert(plan.contains("StartsWith"), plan)
+    // and through a full pipeline $match stage as well
+    val piped = Graft.aggregate(raw,
+      """[{"$match": {"$expr": {"$eq": [{"$substrCP": ["$event_type", 0, 1]}, "c"]}}},
+         |{"$project": {"event_id": 1}}]""".stripMargin)
+    assert(piped.count() == rows)
+    val pplan = piped.queryExecution.executedPlan.toString
+    assert(pplan.contains("StartsWith"), pplan)
+  }
+
+  test("null-safe rewrite semantics: null input is FALSE, not null") {
+    val withNull = Seq(Some("Alice"), Some("Bob"), None).toDF("name")
+    // SELECT-level evaluation exposes the three-valued difference a WHERE
+    // clause would mask: <=> must stay false on null input after rewrite
+    val out = withNull
+      .select(expr("substring(name, 1, 1) <=> 'A'").as("m"))
+      .as[Boolean].collect().toSeq
+    assert(out.sorted == Seq(false, false, true))
+  }
 }
