@@ -222,6 +222,32 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
   }
 
+  /** Sizing diagnostic for the inverted-index family (dd04/dd06/dd10):
+    * the volumes that decide their cost at a given corpus — posting
+    * count (shuffle input), bucket count, buckets lost to the df cap,
+    * max df, and the candidate-pair volume Σ df·(df−1)/2 over uncapped
+    * buckets (the post-index shuffle). `graft.tools.IndexStats` prints
+    * it per SF; SCALING.md's cap-sizing rule reads off this output.
+    */
+  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedDocs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        array_distinct(T.shingle_hashes(col("text"), 3)).as("sh"))
+    val dfs = corpus
+      .select(col("source"), explode_outer(col("sh")).as("shingle"))
+      .groupBy(col("source"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    dfs.agg(
+      count(lit(1)).as("n_shingles"),
+      sum(col("df")).as("n_postings"),
+      sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_buckets"),
+      sum(when(col("df") > 10000, 1L).otherwise(0L)).as("n_capped"),
+      max(col("df")).as("max_df"),
+      sum(when(col("df").between(2, 10000),
+        (col("df") * (col("df") - 1) / 2).cast(LongType))
+        .otherwise(0L)).as("cand_pairs"))
+  }
+
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     commonCounts(plantedDocs(spark, dir))
       .withColumn("jaccard", col("common").cast(DoubleType) /

@@ -69,6 +69,30 @@ object ScaleUp {
   }
 }
 
+/** Inverted-index sizing diagnostic:
+  * `runMain graft.tools.IndexStats <sfDir>` — prints the posting /
+  * bucket / candidate-pair volumes (Dedup.indexStats) that govern the
+  * dd04/dd06/dd10 cost at that corpus, one JSON line out.
+  */
+object IndexStats {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val r = graft.operators.Dedup.indexStats(spark, sfDir).head()
+    val cols = Seq("n_shingles", "n_postings", "n_buckets", "n_capped",
+      "max_df", "cand_pairs")
+    println(cols.zipWithIndex.map { case (c, i) =>
+      s""""$c":${r.getLong(i)}""" }.mkString("{", ",", s""","sf":"$sfDir"}"""))
+    spark.stop()
+  }
+}
+
 /** Targeted per-key bench for scaling curves:
   * `runMain graft.tools.MiniBench <sfDir> <key1,key2,...>` — Bench's
   * methodology (warm pass, then per-query min over 3 interleaved
