@@ -515,6 +515,80 @@ object Dedup {
        |       THEN 'eval' ELSE 'train' END AS split
        |FROM labels ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- dd11
+  /** Duplicated-text fraction per document — the exact-substring dedup
+    * diagnostic of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), reduced to hashed 8-token grams: for each
+    * doc, the fraction of its distinct 8-grams that appear in at least
+    * one OTHER document anywhere in the corpus. The index is GLOBAL, not
+    * dd04's per-source one — cross-source boilerplate is exactly what
+    * this metric exists to expose — and the number is what a curation
+    * pipeline thresholds to drop boilerplate-heavy docs and what a
+    * memorization audit reports per training document.
+    *
+    * Scale: the dd04 posting shape MINUS the pair expansion — one
+    * shuffle to per-gram df, one co-partitioned join back, one doc agg.
+    * No pairs ever materialize, so no df cap is needed: cost is
+    * Σ postings, strictly linear in the corpus (IndexStats measures it).
+    */
+  def dd11DupGramFrac(spark: SparkSession, dir: String): DataFrame = {
+    // postings feed BOTH the df aggregation and the join-back; a lazy
+    // localCheckpoint pins them so the scan + shingle kernel (the
+    // expensive part) runs ONCE, not once per consumer — the dd06/d13
+    // discipline (at cluster scale: checkpoint to reliable storage).
+    // The agg side shuffles partially-aggregated rows, so plain exchange
+    // reuse can never unify the two consumers here.
+    val postings = plantedDocs(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(T.shingle_hashes(col("text"), 8)).as("g"))
+      .select(col("doc_id"), explode_outer(col("g")).as("gram"))
+      .localCheckpoint(false)
+    val dfs = postings.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+    // merge-join ON PURPOSE: broadcasting dfs (what stats would pick at
+    // local SFs) is impossible at corpus scale — the per-gram df frame
+    // is data-sized. The shuffles carry only (doc_id, gram) pairs.
+    postings.join(dfs.hint("merge"), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        round(col("n_dup_grams").cast(DoubleType) / col("n_grams"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle over gram STRINGS (the dd04 argument: 64-bit FNV collisions
+    * are negligible, so hashed-gram df equals string-gram df). */
+  val dd11Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '\\s+\\S+$$', '')
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |toks AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ts
+       |  FROM corpus),
+       |grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) < 8 THEN [text]
+       |         ELSE list_distinct(list_transform(range(1, len(ts) - 6),
+       |           i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2] ||
+       |                chr(31) || ts[i+3] || chr(31) || ts[i+4] || chr(31) ||
+       |                ts[i+5] || chr(31) || ts[i+6] || chr(31) || ts[i+7]))
+       |    END AS gs
+       |  FROM toks),
+       |posts AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+       |dfs AS (SELECT gram, COUNT(*) AS df FROM posts GROUP BY gram)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_grams,
+       |  ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 4) AS dup_frac
+       |FROM posts JOIN dfs USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Materialize dd06's cluster assignment ONCE per documents generation
     * into a docstore collection and return its path — the production
     * composition for every cluster consumer (split/dedup/audit): the CC
@@ -808,6 +882,7 @@ object Dedup {
        |ORDER BY a.vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd11_dup_gram_frac" -> (dd11DupGramFrac _),
     "dd10_containment" -> (dd10Containment _),
     "dd09_semantic_dedup" -> (dd09SemanticDedup _),
     "dd08_url_dedup" -> (dd08UrlDedup _),
@@ -824,6 +899,7 @@ object Dedup {
     * (graft.functions.KernelOracleSql).
     */
   val oracle: Map[String, String] = Map(
+    "dd11_dup_gram_frac" -> dd11Sql,
     "dd10_containment" -> dd10Sql,
     "dd09_semantic_dedup" -> dd09Sql,
     "dd08_url_dedup" -> dd08Sql,

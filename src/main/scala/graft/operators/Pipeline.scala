@@ -346,8 +346,94 @@ object Pipeline {
       |FROM (SELECT doc_id, md5(doc_id || ':epoch7') AS h FROM documents)
       |ORDER BY shard, pos""".stripMargin
 
+  // ---------------------------------------------------------------- p09
+  /** Quality-filter FUNNEL with per-rule attrition — the C4/Gopher-style
+    * cascade every curation run fronts, with the reporting that makes it
+    * operable: each rule applies to the previous rule's survivors and
+    * publishes (n_in, n_dropped, n_out), so a mis-tuned threshold shows
+    * up as the stage that guts the corpus — the number-one data-bug
+    * class in pretraining pipelines, and invisible when filters are
+    * fused into one WHERE. Rules are Gopher-adjacent, thresholds sized
+    * to the corpus distributions (documented in each rule name):
+    * minimum length → stopword presence → mean-word-length band →
+    * lexical diversity. Feature definitions are t02's exactly, so both
+    * engines compute identical IEEE ratios and the comparisons agree
+    * bitwise.
+    *
+    * Scale: ONE scan — every per-doc feature is a map-side expression,
+    * the funnel collapses to a single partially-aggregated count row,
+    * and the stage rows are a constant-width unpivot of that row. No
+    * shuffle of document data at all; cost = scan bandwidth.
+    */
+  def p09QualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val t = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val nTok = size(t).cast(LongType)
+    val nStop = size(filter(t, x => x.isin(Seq("the", "a", "of", "to",
+      "and", "is", "in", "that", "it").map(lit): _*))).cast(LongType)
+    val wordChars = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val nUniq = size(array_distinct(t)).cast(LongType)
+    val stopR = nStop.cast(DoubleType) / nTok
+    val awl = wordChars.cast(DoubleType) / nTok
+    val uniqR = nUniq.cast(DoubleType) / nTok
+    val b1 = nTok >= 25
+    val b2 = stopR >= 0.02
+    val b3 = awl >= 3.0 && awl <= 4.7
+    val b4 = uniqR >= 0.35
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val one = Tables(spark, dir, "documents").agg(
+      count(lit(1)).as("n0"), cnt(b1).as("s1"), cnt(b1 && b2).as("s2"),
+      cnt(b1 && b2 && b3).as("s3"), cnt(b1 && b2 && b3 && b4).as("s4"))
+    def stage(i: Int, rule: String, in: String, out: String) =
+      struct(lit(i.toLong).as("stage"), lit(rule).as("rule"),
+        col(in).as("n_in"), (col(in) - col(out)).as("n_dropped"),
+        col(out).as("n_out"))
+    one.select(explode(array(
+        stage(1, "min_tokens_25", "n0", "s1"),
+        stage(2, "stopword_ratio_ge_0.02", "s1", "s2"),
+        stage(3, "avg_word_len_3.0_4.7", "s2", "s3"),
+        stage(4, "uniq_token_ratio_ge_0.35", "s3", "s4"))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.rule").as("rule"),
+        col("r.n_in").as("n_in"), col("r.n_dropped").as("n_dropped"),
+        col("r.n_out").as("n_out"))
+      .orderBy(col("stage"))
+  }
+
+  val p09Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+      |      x -> x IN ('the','a','of','to','and','is','in','that','it'))) AS BIGINT) AS n_stop,
+      |    CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+      |      x -> length(x))) AS BIGINT) AS word_chars,
+      |    CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_uniq
+      |  FROM documents),
+      |flags AS (
+      |  SELECT
+      |    n_tokens >= 25 AS b1,
+      |    CAST(n_stop AS DOUBLE) / n_tokens >= 0.02 AS b2,
+      |    CAST(word_chars AS DOUBLE) / n_tokens >= 3.0
+      |      AND CAST(word_chars AS DOUBLE) / n_tokens <= 4.7 AS b3,
+      |    CAST(n_uniq AS DOUBLE) / n_tokens >= 0.35 AS b4
+      |  FROM base),
+      |c AS (
+      |  SELECT COUNT(*) AS n0,
+      |    CAST(SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(SUM(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+      |    CAST(SUM(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+      |  FROM flags)
+      |SELECT stage, rule, n_in, n_in - n_out AS n_dropped, n_out FROM (
+      |  SELECT 1::BIGINT AS stage, 'min_tokens_25' AS rule, n0 AS n_in, s1 AS n_out FROM c
+      |  UNION ALL SELECT 2, 'stopword_ratio_ge_0.02', s1, s2 FROM c
+      |  UNION ALL SELECT 3, 'avg_word_len_3.0_4.7', s2, s3 FROM c
+      |  UNION ALL SELECT 4, 'uniq_token_ratio_ge_0.35', s3, s4 FROM c)
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_pipeline" -> (p01CleanPipeline _),
+    "p09_quality_funnel" -> (p09QualityFunnel _),
     "p06_global_shuffle" -> (p06GlobalShuffle _),
     "p02_hash_sample" -> (p02HashSample _),
     "p03_training_mix" -> (p03TrainingMix _),
@@ -359,6 +445,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "p01_clean_pipeline" -> p01Sql,
+    "p09_quality_funnel" -> p09Sql,
     "p06_global_shuffle" -> p06Sql,
     "p02_hash_sample" -> p02Sql,
     "p03_training_mix" -> p03Sql,

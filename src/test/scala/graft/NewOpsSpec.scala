@@ -183,6 +183,52 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p09: the funnel's stages chain and every count reconciles") {
+    val df = SparkEntry.queries("p09_quality_funnel")(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // per-stage arithmetic: in − dropped = out
+    rows.foreach { case (s, rule, in, drop, out) =>
+      assert(in - drop == out, s"stage $s ($rule)") }
+    // the funnel chains: stage i's survivors are stage i+1's input
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 == b._3, s"stage ${a._1} out != stage ${b._1} in") }
+    // stage 1 sees the whole corpus; the cascade is non-degenerate
+    // (something is dropped, something survives)
+    assert(rows.head._3 == Tables(spark, sfDir, "documents").count())
+    assert(rows.map(_._4).sum > 0)
+    assert(rows.last._5 > 0)
+  }
+
+  test("dd11: trimmed plants are fully-duplicated text; sources nearly so") {
+    val df = SparkEntry.queries("dd11_dup_gram_frac")(spark, sfDir).cache()
+    val byId = df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // every corpus member gets a row
+    assert(byId.size == Tables(spark, sfDir, "documents").count() +
+      byId.keys.count(_ >= 1000000L))
+    // a trimmed plant's token sequence is a PREFIX of its source's, so
+    // its 8-gram set is a subset of the source's: every gram has df ≥ 2
+    // and dup_frac is exactly 1.0 — whenever the plant took the window
+    // path (≥ 8 tokens; below that the whole-text fallback hash is
+    // unique and the fraction is legitimately 0)
+    val plants = byId.filter { case (id, _) => id >= 1000000L }
+    val windowed = plants.filter { case (_, (n, _, _)) => n > 1 }
+    assert(windowed.nonEmpty)
+    windowed.foreach { case (id, (_, _, f)) =>
+      assert(f == 1.0, s"plant $id dup_frac $f") }
+    // and the source shares all its windows except the last with the
+    // plant: dup_frac ≥ (n−1)/n
+    windowed.keys.foreach { pid =>
+      val sid = pid - 1000000L
+      byId.get(sid).foreach { case (n, _, f) =>
+        // f is published at 4dp; allow the half-ulp of that rounding
+        assert(f >= (n - 1).toDouble / n - 5e-5, s"source $sid frac $f") }
+    }
+    df.unpersist()
+  }
+
   test("p08 reads the materialized dd06 cluster artifact, not the CC loop") {
     import graft.operators.Dedup
     // write→read contract: the docstore round-trip returns the cluster

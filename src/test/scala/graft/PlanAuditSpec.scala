@@ -374,6 +374,29 @@ class PlanAuditSpec extends SparkSpec {
     assert("Generate ".r.findAllIn(d10).length >= 2, d10)
   }
 
+  test("round-8 keys keep their claimed plan shapes") {
+    // p09: ONE document scan feeds the whole funnel (all four rule
+    // flags are columns of one partial-aggregated count row); the
+    // constant unpivot adds no exchange of document data
+    val p9 = finalPlan("p09_quality_funnel").split("== Initial Plan ==").head
+    assert("FileScan|BatchScan".r.findAllIn(p9).length == 1, p9)
+    assert(p9.contains("partial_count") || p9.contains("partial_sum"), p9)
+    assert(!p9.contains("Window"), p9)
+    // dd11: pair-free — no cartesian, no window; the checkpointed
+    // postings mean the corpus is scanned and shingled ONCE (both join
+    // sides read the pinned RDD, no parquet scan or Generate remains),
+    // and the forced merge join keeps the data-sized df frame off the
+    // broadcast path
+    val d11 = finalPlan("dd11_dup_gram_frac").split("== Initial Plan ==").head
+    assert(!d11.contains("CartesianProduct") && !d11.contains("Window"), d11)
+    assert(d11.contains("SortMergeJoin"), d11)
+    assert(!d11.contains("FileScan") && !d11.contains("Generate"), d11)
+    assert("Scan ExistingRDD".r.findAllIn(d11).length == 2, d11) // one per consumer of the pinned postings
+    // p08: a docstore read, not the CC loop (audited in NewOpsSpec too)
+    val p8 = finalPlan("p08_leak_safe_split")
+    assert(p8.contains("docstore"), p8)
+  }
+
   test("dd09: centroid assignment is a map-only fold, never a window") {
     // the nearest-cell pick must fold over the broadcast centroid array;
     // a window partitioned by vec_id would shuffle the k×N expanded
