@@ -538,7 +538,7 @@ object Dedup {
     // discipline (at cluster scale: checkpoint to reliable storage).
     // The agg side shuffles partially-aggregated rows, so plain exchange
     // reuse can never unify the two consumers here.
-    val postings = plantedDocs(spark, dir)
+    val postings = Tables.spread(plantedDocs(spark, dir)) // parallel shingling
       .select(col("doc_id"),
         array_distinct(T.shingle_hashes(col("text"), 8)).as("g"))
       .select(col("doc_id"), explode_outer(col("g")).as("gram"))
