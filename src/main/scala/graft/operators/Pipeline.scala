@@ -431,8 +431,93 @@ object Pipeline {
       |  UNION ALL SELECT 4, 'uniq_token_ratio_ge_0.35', s3, s4 FROM c)
       |ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------- p10
+  /** Concat-and-chunk sequence packing — the step that turns a curated
+    * corpus into fixed-length training sequences (GPT-style pretraining
+    * packing; p05 stops at shard token budgets): per source, the token
+    * stream in deterministic doc_id order is concatenated and chopped
+    * into 512-token sequences, and each document is mapped to the
+    * span(s) it occupies — (seq_id, seq_off, doc_off, seg_tok) — exactly
+    * the index a training data loader needs to materialize packed,
+    * attention-masked batches. Documents straddle sequence boundaries by
+    * design (that IS concat-and-chunk); every sequence except each
+    * source's last is exactly full, which the spec asserts.
+    *
+    * Scale: p05's two-level [[Ladders.globalCumsum]] ladder (range-
+    * bucketed doc_id order — no data-sized window task), then a MAP-ONLY
+    * bounded explode: a doc emits at most tokens/512 + 1 span rows, so
+    * output ∝ corpus tokens / 512 + corpus docs regardless of skew.
+    * Zero-token docs are filtered explicitly: they occupy no span, and
+    * the cross-engine hazard is sharp — Spark's sequence(a, a-1) infers
+    * step −1 and emits TWO rows where DuckDB's generate_series(a, a-1)
+    * is empty. The filter runs AFTER the cumsum, not before it: a
+    * zero-token doc contributes 0 to every later cend, so the spans are
+    * identical either way, but filtering pre-ladder poisons the plan —
+    * the predicate needs `text`, so the ladder's pruned side branches
+    * (doc_id bounds, the offsets key frame) each re-read AND re-tokenize
+    * the full text column (measured: 4 text-bearing scans in the final
+    * plan vs p05's 1). Post-window it is a cheap Long predicate on the
+    * already-computed column and the ladder input stays canonical with
+    * p05's, keeping the single text-bearing scan + ReusedExchange shape.
+    */
+  def p10PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 512L
+    val toks = Tables(spark, dir, "documents")
+      .withColumn("tokens",
+        size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .cast(LongType))
+      .select(col("doc_id"), col("source"), col("tokens"))
+    val bounds = toks.agg(min(col("doc_id")).as("__lo"),
+      max(col("doc_id")).as("__hi"))
+    val bucketed = toks.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        expr("(doc_id - __lo) div (((__hi - __lo) div 256) + 1)"))
+      .drop("__lo", "__hi")
+    Ladders.globalCumsum(bucketed, Seq("source"), "__b",
+        Seq(col("doc_id")), col("tokens"), "cend")
+      .filter(col("tokens") > 0L)
+      .withColumn("cstart", col("cend") - col("tokens"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"cstart div $seqLen"), expr(s"(cend - 1) div $seqLen"))))
+      .withColumn("gstart", greatest(col("cstart"), col("seq_id") * seqLen))
+      .withColumn("gend",
+        least(col("cend"), (col("seq_id") + lit(1L)) * seqLen))
+      .select(col("source"), col("seq_id"), col("doc_id"),
+        (col("gstart") - col("cstart")).as("doc_off"),
+        (col("gstart") - col("seq_id") * seqLen).as("seq_off"),
+        (col("gend") - col("gstart")).as("seg_tok"))
+      .orderBy(col("source"), col("seq_id"), col("seq_off"))
+  }
+
+  val p10Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, tokens,
+      |    SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+      |  FROM toks),
+      |spans AS (
+      |  SELECT source, doc_id,
+      |    CAST(cend - tokens AS BIGINT) AS cstart, CAST(cend AS BIGINT) AS cend
+      |  FROM c WHERE tokens > 0),
+      |segs AS (
+      |  SELECT source, doc_id, cstart, cend,
+      |    unnest(generate_series(cstart // 512, (cend - 1) // 512)) AS seq_id
+      |  FROM spans)
+      |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+      |  CAST(greatest(cstart, seq_id * 512) - cstart AS BIGINT) AS doc_off,
+      |  CAST(greatest(cstart, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_off,
+      |  CAST(least(cend, (seq_id + 1) * 512)
+      |    - greatest(cstart, seq_id * 512) AS BIGINT) AS seg_tok
+      |FROM segs ORDER BY source, seq_id, seq_off""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_pipeline" -> (p01CleanPipeline _),
+    "p10_pack_sequences" -> (p10PackSequences _),
     "p09_quality_funnel" -> (p09QualityFunnel _),
     "p06_global_shuffle" -> (p06GlobalShuffle _),
     "p02_hash_sample" -> (p02HashSample _),
@@ -445,6 +530,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "p01_clean_pipeline" -> p01Sql,
+    "p10_pack_sequences" -> p10Sql,
     "p09_quality_funnel" -> p09Sql,
     "p06_global_shuffle" -> p06Sql,
     "p02_hash_sample" -> p02Sql,

@@ -106,6 +106,47 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p10: sequences tile exactly and every token lands in one span") {
+    val df = SparkEntry.queries("p10_pack_sequences")(spark, sfDir).cache()
+    assert(df.count() > 0)
+    // per (source, seq_id): spans tile the sequence without gap or
+    // overlap, starting at 0; every sequence but the source's last is
+    // exactly full (512 tokens)
+    val perSeq = df.groupBy(col("source"), col("seq_id"))
+      .agg(sum(col("seg_tok")).as("fill"), min(col("seq_off")).as("off0"),
+        max(col("seq_off") + col("seg_tok")).as("offEnd"),
+        count(lit(1)).as("n_spans"))
+      .cache()
+    assert(perSeq.filter(col("off0") =!= 0L).count() == 0, "gap at start")
+    assert(perSeq.filter(col("fill") =!= col("offEnd")).count() == 0,
+      "spans overlap or leave a hole")
+    val lastSeq = perSeq.groupBy(col("source"))
+      .agg(max(col("seq_id")).as("last_id"))
+    val notFull = perSeq.join(lastSeq, "source")
+      .filter(col("seq_id") =!= col("last_id") && col("fill") =!= 512L)
+    assert(notFull.count() == 0, "a non-final sequence is not full")
+    // seq ids dense from 0 per source: max_id + 1 == distinct count
+    val dense = perSeq.groupBy(col("source"))
+      .agg(max(col("seq_id")).as("m"), count(lit(1)).as("c"))
+      .filter(col("m") + 1L =!= col("c"))
+    assert(dense.count() == 0, "sequence ids not dense")
+    // token conservation per doc: spans re-assemble the tokenized doc
+    val perDoc = df.groupBy(col("doc_id"))
+      .agg(sum(col("seg_tok")).as("got"), min(col("doc_off")).as("d0"),
+        max(col("doc_off") + col("seg_tok")).as("dEnd"))
+    val want = Tables(spark, sfDir, "documents")
+      .withColumn("tokens",
+        size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .cast("long"))
+      .filter(col("tokens") > 0L).select(col("doc_id"), col("tokens"))
+    val broken = perDoc.join(want, "doc_id")
+      .filter(col("got") =!= col("tokens") || col("d0") =!= 0L ||
+        col("dEnd") =!= col("tokens"))
+    assert(broken.count() == 0, "doc spans don't reassemble the doc")
+    assert(perDoc.count() == want.count(), "doc set mismatch")
+    perSeq.unpersist(); df.unpersist()
+  }
+
   test("p04: every stratum keeps ceil(20%) docs, reproducibly") {
     val df = SparkEntry.queries("p04_stratified")(spark, sfDir).cache()
     val kept = df.groupBy(col("source")).agg(count(lit(1)).as("kept"))

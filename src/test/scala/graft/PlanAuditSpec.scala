@@ -184,12 +184,25 @@ class PlanAuditSpec extends SparkSpec {
     // Window.partitionBy(source) lands a whole stratum (tens of TB at
     // corpus scale) on ONE task. Both must bucket first: windows may only
     // partition on (bucket, source) cells; the offsets frame is window-free.
-    for (k <- Seq("p04_stratified", "p05_token_shards")) {
-      val p = finalPlan(k)
+    val plans = Seq("p04_stratified", "p05_token_shards",
+      "p10_pack_sequences").map(k => k -> finalPlan(k)).toMap
+    plans.foreach { case (k, p) =>
       assert(!p.contains("windowspecdefinition(source#"),
         s"$k windows over the raw stratum key:\n$p")
       assert(p.contains("HashAggregate"), s"$k:\n$p")
     }
+    // p10's explode is a bounded Generate ABOVE the ladder — per input
+    // row it emits ≤ tokens/512 + 1 spans — and its tokens>0 filter runs
+    // post-window, so it must not add any text-bearing scan beyond the
+    // p05 ladder shape it extends (a pre-ladder filter measurably forced
+    // 4 text scans in the final plan: bounds + offsets frames all had to
+    // re-tokenize to evaluate it)
+    def textScans(p: String) = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("text"))
+    val p10 = plans("p10_pack_sequences")
+    assert(p10.contains("Generate"), p10)
+    assert(textScans(p10) == textScans(plans("p05_token_shards")),
+      s"p10 has more text-bearing scans than the p05 ladder shape:\n$p10")
   }
 
   test("ladders: NULL stratum/bucket keys rank exactly like the window form") {
