@@ -684,18 +684,28 @@ object Dedup {
     * checkpointed so one chunking pass feeds both the winners agg and the
     * per-doc totals; all three shuffles move compact keys.
     */
-  def dd07ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, pos, chunk): the planted corpus tokenized into 10-word
+    * chunks — the shared first pass of the chunk-level passes (dd07
+    * dedup, dd12 boilerplate strip). localCheckpointed: every consumer
+    * aggregates it at least twice, and re-chunking 100 TB of text per
+    * consumer branch is the expensive half of either operator.
+    */
+  private def chunked10(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.spread(plantedDocs(spark, dir))
     val toksDf = corpus.select(col("doc_id"),
       filter(split(col("text"), "[ \\t\\n\\r]+"), t => t =!= "").as("ws"))
       .filter(size(col("ws")) > 0)
-    val chunks = toksDf.select(col("doc_id"), explode(expr(
+    toksDf.select(col("doc_id"), explode(expr(
       """transform(sequence(0, int(floor((size(ws)-1)/10))),
         |  i -> named_struct('pos', i,
         |    'chunk', array_join(slice(ws, i*10+1, 10), ' ')))""".stripMargin))
       .as("c"))
       .select(col("doc_id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
-      .localCheckpoint() // one chunking pass for winners + totals
+      .localCheckpoint()
+  }
+
+  def dd07ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunked10(spark, dir)
     // struct min orders by (doc_id, pos) — unique, so this IS the
     // first-occurrence row, chunk text riding along for reassembly
     val winners = chunks
@@ -746,6 +756,77 @@ object Dedup {
        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
        |    ORDER BY pos), '') AS clean_text
        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- dd12
+  /** Boilerplate stripping — the frequency-threshold complement of
+    * dd07: a 10-word chunk occurring in ≥ 3 DISTINCT documents is
+    * boilerplate (headers, navigation, license blurbs — the C4/
+    * RefinedWeb "repeated across many pages" rule), and EVERY
+    * occurrence is removed, including the first. dd07 keeps first
+    * occurrences — that is dedup; boilerplate has no privileged copy.
+    * Docs are reassembled from surviving chunks in position order.
+    *
+    * Scale: the chunk pass is shared with dd07 ([[chunked10]]); chunk
+    * doc-frequency is one (hash, doc) distinct + count shuffle of
+    * HASHES, never text; and the boilerplate set (df ≥ 3) is
+    * df-tail-sized — orders smaller than the corpus — so the removal is
+    * a left_anti join whose build side AQE broadcasts, leaving chunk
+    * rows in place. Exact distinct here because the oracle needs exact;
+    * at 100 TB the documented swap is approx_count_distinct when df is
+    * only thresholded, which drops the distinct's first shuffle stage.
+    */
+  def dd12Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunked10(spark, dir)
+    val boiler = chunks
+      .select(md5(col("chunk")).as("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3L)
+      .select(col("h"))
+    val totals = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val kept = chunks.withColumn("h", md5(col("chunk")))
+      .join(boiler, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x("chunk")), " ").as("clean_text"))
+    totals.join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dd12Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '\\s+\\S+$$', '')
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ws
+       |  FROM corpus WHERE len(list_filter(string_split_regex(text,
+       |    '[ \\t\\n\\r]+'), t -> t <> '')) > 0),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0,
+       |      CAST(floor((len(ws)-1)/10) AS INT) + 1),
+       |      i -> struct_pack(pos := i,
+       |        chunk := array_to_string(ws[(i*10+1):(i*10+10)], ' ')))) AS c
+       |  FROM toks),
+       |flat AS (SELECT doc_id, c.pos AS pos, c.chunk AS chunk FROM chunks),
+       |dfreq AS (
+       |  SELECT md5(chunk) AS h, COUNT(DISTINCT doc_id) AS df
+       |  FROM flat GROUP BY 1)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  COUNT(CASE WHEN df < 3 THEN 1 END) AS n_kept,
+       |  COALESCE(string_agg(CASE WHEN df < 3 THEN chunk END, ' '
+       |    ORDER BY pos), '') AS clean_text
+       |FROM flat JOIN dfreq ON md5(chunk) = h
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
   // --------------------------------------------------------------- dd08
@@ -883,6 +964,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd11_dup_gram_frac" -> (dd11DupGramFrac _),
+    "dd12_boilerplate" -> (dd12Boilerplate _),
     "dd10_containment" -> (dd10Containment _),
     "dd09_semantic_dedup" -> (dd09SemanticDedup _),
     "dd08_url_dedup" -> (dd08UrlDedup _),
@@ -900,6 +982,7 @@ object Dedup {
     */
   val oracle: Map[String, String] = Map(
     "dd11_dup_gram_frac" -> dd11Sql,
+    "dd12_boilerplate" -> dd12Sql,
     "dd10_containment" -> dd10Sql,
     "dd09_semantic_dedup" -> dd09Sql,
     "dd08_url_dedup" -> dd08Sql,

@@ -180,6 +180,48 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("dd12: boilerplate removal is total and conserves non-boiler chunks") {
+    val df = SparkEntry.queries("dd12_boilerplate")(spark, sfDir).cache()
+    // independently re-derive the chunk frame + per-chunk doc-frequency
+    val corpus = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Tables(spark, sfDir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text")))
+    val chunks = corpus
+      .select(col("doc_id"),
+        filter(split(col("text"), "[ \\t\\n\\r]+"), t => t =!= "").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, int(floor((size(ws)-1)/10))),
+          |  i -> array_join(slice(ws, i*10+1, 10), ' '))""".stripMargin))
+        .as("chunk")).cache()
+    val dfreq = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("dfr")).cache()
+    val boiler = dfreq.filter(col("dfr") >= 3L)
+    assert(boiler.count() > 0, "threshold vacuous at this sf")
+    // conservation: kept = occurrences of chunk types with df < 3
+    val keptWant = chunks.join(dfreq, "chunk")
+      .filter(col("dfr") < 3L).count()
+    assert(df.agg(sum(col("n_kept"))).head.getLong(0) == keptWant)
+    assert(df.agg(sum(col("n_chunks"))).head.getLong(0) == chunks.count())
+    // totality: re-chunking every clean_text (all survivors are intact
+    // 10-word chunks, bar each doc's tail) reproduces the survivor
+    // list, and NO survivor is a boilerplate chunk — unlike dd07, not
+    // even a first occurrence is kept
+    val survivors = df.filter(col("n_kept") > 0)
+      .select(col("doc_id"),
+        filter(split(col("clean_text"), " "), t => t =!= "").as("ws"))
+      .select(explode(expr(
+        """transform(sequence(0, int(floor((size(ws)-1)/10))),
+          |  i -> array_join(slice(ws, i*10+1, 10), ' '))""".stripMargin))
+        .as("chunk"))
+    assert(survivors.join(boiler, "chunk").count() == 0,
+      "a boilerplate chunk survived")
+    chunks.unpersist(); dfreq.unpersist(); df.unpersist()
+  }
+
   test("dd10: every planted half-prefix doc is caught at containment 1.0, " +
       "below dd04's Jaccard radar") {
     val df = SparkEntry.queries("dd10_containment")(spark, sfDir).cache()
