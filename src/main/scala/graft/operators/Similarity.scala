@@ -610,8 +610,124 @@ object Similarity {
       |SELECT q_id, vec_id, cell, dist AS adc_dist, rank
       |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s08
+  /** MMR diversity re-ranking (Carbonell & Goldstein 1998) — the
+    * retrieval step after ANN in a RAG stack: from each query's cosine
+    * top-10, pick 5 by Maximal Marginal Relevance,
+    * score(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) with λ = 0.7, so
+    * near-duplicate candidates (exactly what a dup-heavy corpus's raw
+    * top-k is full of) are traded for coverage.
+    *
+    * Cross-engine determinism: rel and every pairwise sim round to 4dp
+    * BEFORE combining (s07's rank-key convention); both engines then
+    * run the same IEEE double arithmetic (rel·0.7 − pen·0.3, same
+    * operation order) on identical inputs, so every argmax picks the
+    * same winner, with vec_id as the tie-break. The output score
+    * rounds again for hash parity.
+    *
+    * Scale: the heavy half is s01's shape — broadcast queries × corpus
+    * scan + window-free top-k merge. The selection loop then runs on
+    * the (queries × 10) candidate frame: model-output-sized, localCheck-
+    * pointed once (so the corpus scan is NOT in any iteration's
+    * lineage), joined broadcast-small, with a FIXED 4-step unroll
+    * (k = 5) — constant plan depth, nothing data-sized moves.
+    */
+  def s08MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val scored = corpus.crossJoin(broadcast(queriesDf(spark, dir)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding").as("emb"),
+        round(V.cosine_sim(col("q_vec"), col("embedding")), 4).as("cos"))
+    val cands = topKPerQuery(scored, K, Seq("emb"))
+      .select(col("q_id"), col("vec_id"), col("emb"), col("cos").as("rel"))
+      .localCheckpoint()
+    // argmax score per query, lowest vec_id on ties (min over the
+    // negated-score struct — the same lexicographic trick as topK)
+    def winner(frame: DataFrame, rank: Int): DataFrame =
+      frame.groupBy(col("q_id"))
+        .agg(min(struct((col("score") * -1).as("__ns"), col("vec_id"),
+          col("rel"), col("score"))).as("w"))
+        .select(col("q_id"), col("w.vec_id").as("vec_id"),
+          col("w.rel").as("rel"), col("w.score").as("score"),
+          lit(rank.toLong).as("rank"))
+    var selected = winner(cands.withColumn("score", col("rel") * 0.7), 1)
+    for (i <- 2 to 5) {
+      val rem = cands.join(selected.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+      val selEmb = cands
+        .join(selected.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"))
+        .select(col("q_id"), col("emb").as("s_emb"))
+      val pen = rem.select(col("q_id"), col("vec_id"), col("emb"))
+        .join(selEmb, Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(V.cosine_sim(col("emb"), col("s_emb")), 4).as("sim"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(max(col("sim")).as("pen"))
+      val scoredI = rem.join(pen, Seq("q_id", "vec_id"))
+        .withColumn("score", col("rel") * 0.7 - col("pen") * 0.3)
+      selected = selected.unionByName(winner(scoredI, i))
+    }
+    // score = rel4·0.7 − pen4·0.3 is an EXACT 5-decimal-digit value, so
+    // round(·, 5) has no half-way cases; rounding to 4dp would sit on a
+    // .xxxx5 boundary for half the rows, where Spark (BigDecimal of the
+    // shortest string) rounds up and DuckDB (raw binary double) down
+    selected.select(col("q_id"), col("rank"), col("vec_id"), col("rel"),
+        round(col("score"), 5).as("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private def mmrStepSql(i: Int): String = {
+    val prev = (1 until i).map(j => s"SELECT * FROM w$j").mkString(" UNION ALL ")
+    s"""s$i AS ($prev),
+       |p$i AS (
+       |  SELECT c.q_id, c.vec_id, c.rel,
+       |    max(round(list_cosine_similarity(c.emb, s.emb), 4)) AS pen
+       |  FROM cands c
+       |  JOIN (SELECT cc.q_id, cc.emb FROM cands cc
+       |        JOIN s$i ss ON cc.q_id = ss.q_id AND cc.vec_id = ss.vec_id) s
+       |    ON c.q_id = s.q_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM s$i x
+       |    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+       |  GROUP BY 1, 2, 3),
+       |w$i AS (
+       |  SELECT q_id, vec_id, rel, score, $i AS rank FROM (
+       |    SELECT q_id, vec_id, rel, rel * 0.7 - pen * 0.3 AS score,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY rel * 0.7 - pen * 0.3 DESC, vec_id) AS rn
+       |    FROM p$i) WHERE rn = 1)""".stripMargin
+  }
+
+  val s08Sql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+       |  FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, e.embedding::DOUBLE[] AS emb,
+       |    round(list_cosine_similarity(q.q_vec, e.embedding::DOUBLE[]), 4)
+       |      AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+       |cands AS (
+       |  SELECT q_id, vec_id, emb, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= 10),
+       |w1 AS (
+       |  SELECT q_id, vec_id, rel, score, 1 AS rank FROM (
+       |    SELECT q_id, vec_id, rel, rel * 0.7 AS score,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY rel * 0.7 DESC, vec_id) AS rn
+       |    FROM cands) WHERE rn = 1),
+       |${(2 to 5).map(mmrStepSql).mkString(",\n")}
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, rel,
+       |  round(score, 5) AS score
+       |FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+       |  UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4
+       |  UNION ALL SELECT * FROM w5)
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s07_ivfpq" -> (s07IvfPq _),
+    "s08_mmr_rerank" -> (s08MmrRerank _),
     "s01_ann_bruteforce" -> (s01BruteForce _),
     "s02_ann_ivf" -> (s02Ivf _),
     "s03_vector_quantize" -> (s03Quantize _),
@@ -621,6 +737,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s07_ivfpq" -> s07Sql,
+    "s08_mmr_rerank" -> s08Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_ivf" -> s02Sql,
     "s03_vector_quantize" -> s03Sql,

@@ -180,6 +180,52 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("s08: the distributed MMR selection equals a scalar reference MMR") {
+    val df = SparkEntry.queries("s08_mmr_rerank")(spark, sfDir).cache()
+    // shape: exactly 5 picks per query, ranks dense, ids distinct
+    val byQ = df.collect().groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to 5L))
+      assert(rows.map(_.getLong(2)).distinct.length == 5)
+    }
+    // candidate pool = s01's top-10 (same kernel, same 4dp rel)
+    val cands = SparkEntry.queries("s01_ann_bruteforce")(spark, sfDir)
+      .select(col("q_id"), col("vec_id"), col("cos").as("rel"))
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val ce = cands.join(emb, "vec_id").cache()
+    // pairwise candidate sims through the SAME codegen'd kernel
+    val a = ce.select(col("q_id"), col("vec_id").as("ia"),
+      col("embedding").as("ea"))
+    val b = ce.select(col("q_id"), col("vec_id").as("ib"),
+      col("embedding").as("eb"))
+    val sims = a.join(b, "q_id").filter(col("ia") =!= col("ib"))
+      .select(col("q_id"), col("ia"), col("ib"),
+        round(graft.functions.vectors.cosine_sim(col("ea"), col("eb")), 4)
+          .as("sim"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getDouble(3))).toMap
+    val rels = cands.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // scalar reference MMR, λ = 0.7, lowest-vec_id tie-break
+    byQ.foreach { case (q, got) =>
+      val pool = rels.keys.filter(_._1 == q).map(_._2).toSeq.sorted
+      var sel = Vector.empty[Long]
+      for (_ <- 1 to 5) {
+        val scoredPool = pool.filterNot(sel.contains).map { d =>
+          val pen = if (sel.isEmpty) 0.0
+            else sel.map(s => sims((q, d, s))).max
+          (d, rels((q, d)) * 0.7 - pen * 0.3)
+        }
+        sel = sel :+ scoredPool.minBy { case (d, s) => (-s, d) }._1
+      }
+      val gotSeq = got.sortBy(_.getLong(1)).map(_.getLong(2)).toVector
+      assert(gotSeq == sel, s"q=$q got=$gotSeq want=$sel")
+    }
+    ce.unpersist(); df.unpersist()
+  }
+
   test("dd12: boilerplate removal is total and conserves non-boiler chunks") {
     val df = SparkEntry.queries("dd12_boilerplate")(spark, sfDir).cache()
     // independently re-derive the chunk frame + per-chunk doc-frequency
