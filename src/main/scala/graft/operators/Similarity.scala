@@ -626,11 +626,15 @@ object Similarity {
     * rounds again for hash parity.
     *
     * Scale: the heavy half is s01's shape — broadcast queries × corpus
-    * scan + window-free top-k merge. The selection loop then runs on
-    * the (queries × 10) candidate frame: model-output-sized, localCheck-
-    * pointed once (so the corpus scan is NOT in any iteration's
-    * lineage), joined broadcast-small, with a FIXED 4-step unroll
-    * (k = 5) — constant plan depth, nothing data-sized moves.
+    * scan + window-free top-k merge. The selection is PER-QUERY LOCAL
+    * (≤10 candidates), so it runs inside ONE aggregation: candidates
+    * collect to a bounded per-query array and the 4 MMR steps unroll as
+    * higher-order `aggregate` argmax folds over it — one job, zero
+    * joins, no iterative lineage. (The first cut iterated tiny
+    * dataframe joins instead: 9.1 s at sf0.1 from compounding plan
+    * re-optimization, 2.1 s with per-iteration checkpoints, 0.9 s as
+    * this single-aggregation form — the selection is not distributed
+    * work and must not be scheduled as such.)
     */
   def s08MmrRerank(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables(spark, dir, "embeddings")
@@ -638,42 +642,44 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("embedding").as("emb"),
         round(V.cosine_sim(col("q_vec"), col("embedding")), 4).as("cos"))
-    val cands = topKPerQuery(scored, K, Seq("emb"))
-      .select(col("q_id"), col("vec_id"), col("emb"), col("cos").as("rel"))
-      .localCheckpoint()
-    // argmax score per query, lowest vec_id on ties (min over the
-    // negated-score struct — the same lexicographic trick as topK)
-    def winner(frame: DataFrame, rank: Int): DataFrame =
-      frame.groupBy(col("q_id"))
-        .agg(min(struct((col("score") * -1).as("__ns"), col("vec_id"),
-          col("rel"), col("score"))).as("w"))
-        .select(col("q_id"), col("w.vec_id").as("vec_id"),
-          col("w.rel").as("rel"), col("w.score").as("score"),
-          lit(rank.toLong).as("rank"))
-    var selected = winner(cands.withColumn("score", col("rel") * 0.7), 1)
-    for (i <- 2 to 5) {
-      val rem = cands.join(selected.select(col("q_id"), col("vec_id")),
-        Seq("q_id", "vec_id"), "left_anti")
-      val selEmb = cands
-        .join(selected.select(col("q_id"), col("vec_id")),
-          Seq("q_id", "vec_id"))
-        .select(col("q_id"), col("emb").as("s_emb"))
-      val pen = rem.select(col("q_id"), col("vec_id"), col("emb"))
-        .join(selEmb, Seq("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          round(V.cosine_sim(col("emb"), col("s_emb")), 4).as("sim"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(max(col("sim")).as("pen"))
-      val scoredI = rem.join(pen, Seq("q_id", "vec_id"))
-        .withColumn("score", col("rel") * 0.7 - col("pen") * 0.3)
-      selected = selected.unionByName(winner(scoredI, i))
+    val packed = topKPerQuery(scored, K, Seq("emb"))
+      .groupBy(col("q_id"))
+      .agg(collect_list(struct(col("vec_id"), col("cos").as("rel"),
+        col("emb"))).as("cs"))
+    def sim(a: Column, b: Column) = round(V.cosine_sim(a, b), 4)
+    // argmax of `score` over the candidate array, excluding prior picks,
+    // lowest vec_id on ties — an assignCells-style fold (strict > keeps
+    // the first winner under the (score desc, vec_id asc) order)
+    def pick(prior: Seq[Column]): Column = aggregate(
+      filter(col("cs"), x => prior.map(p =>
+          x.getField("vec_id") =!= p.getField("vec_id"))
+        .reduceOption(_ && _).getOrElse(lit(true))),
+      struct(lit(Double.MinValue).as("score"), lit(Long.MaxValue).as("vec_id"),
+        lit(0.0d).as("rel"), lit(null).cast("array<float>").as("emb")),
+      (acc, x) => {
+        val pen = prior.map(p => sim(x.getField("emb"), p.getField("emb")))
+          .reduceOption((a, b) => greatest(a, b)).getOrElse(lit(0.0d))
+        val sx = x.getField("rel") * 0.7 - pen * 0.3
+        when(sx > acc.getField("score") ||
+            (sx === acc.getField("score") &&
+              x.getField("vec_id") < acc.getField("vec_id")),
+          struct(sx.as("score"), x.getField("vec_id").as("vec_id"),
+            x.getField("rel").as("rel"), x.getField("emb").as("emb")))
+          .otherwise(acc)
+      })
+    val withPicks = (1 to 5).foldLeft(packed) { (df, i) =>
+      df.withColumn(s"w$i", pick((1 until i).map(j => col(s"w$j"))))
     }
     // score = rel4·0.7 − pen4·0.3 is an EXACT 5-decimal-digit value, so
     // round(·, 5) has no half-way cases; rounding to 4dp would sit on a
     // .xxxx5 boundary for half the rows, where Spark (BigDecimal of the
     // shortest string) rounds up and DuckDB (raw binary double) down
-    selected.select(col("q_id"), col("rank"), col("vec_id"), col("rel"),
-        round(col("score"), 5).as("score"))
+    withPicks
+      .select(col("q_id"),
+        posexplode(array((1 to 5).map(i => col(s"w$i")): _*)))
+      .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.vec_id").as("vec_id"), col("col.rel").as("rel"),
+        round(col("col.score"), 5).as("score"))
       .orderBy(col("q_id"), col("rank"))
   }
 
