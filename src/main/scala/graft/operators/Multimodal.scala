@@ -303,14 +303,147 @@ object Multimodal {
       |FROM q GROUP BY media_type, ph
       |ORDER BY doc_id, media_type""".stripMargin
 
+  // ---------------------------------------------------------------- m06
+  /** Video-level near-dup detection by perceptual FRAME voting — the
+    * cross-asset pass after m05's whole-asset grouping: two videos are
+    * near-duplicates when they share ≥ half of the smaller one's
+    * sampled-frame perceptual hashes (frame-set containment — dd10's
+    * asymmetric measure, which catches the trimmed/clipped copy whose
+    * symmetric overlap is diluted). Frames are m03's sampled blocks,
+    * hashed with m05's `dct_sign_hash` kernel; with a real codec the
+    * pHash absorbs per-frame re-encodes — on the stub codec frames are
+    * byte-stable, so absorption is exact and the kernel seam is what a
+    * real decoder would feed. Planted: every `doc_id % 9 == 2` video
+    * loses its last 80 bytes (offset 999999 ≡ 0 mod 3 keeps the
+    * media-type class, the m05 lesson) — every surviving plant frame
+    * lies fully inside the kept prefix, so each plant MUST pair with
+    * its source at containment exactly 1.0 (specced).
+    *
+    * Scale: dd02/dd04's inverted-index shape on frame hashes — per-ph
+    * postings (2..1000 cap = the LSH skew guard), in-place pair
+    * emission, shared-count shuffle ∝ candidate pairs; frame text never
+    * shuffles, only 64-bit hashes and ids.
+    */
+  def m06(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 9 === 2)
+        .select((col("doc_id") + 999999L).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 80, 0))")
+            .as("text")))
+    // 64-byte frames at stride 1: the frame geometry is a stub-codec
+    // parameter, sized to THIS corpus (median video 267 bytes — m03's
+    // 256-byte blocks would leave every video a single frame and the
+    // containment measure vacuous)
+    val vids = corpus.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) / lit(64)).cast("int").as("nf"))
+      .filter(col("nf") > 0)
+    // per-video frame-hash SET (containment is over sets)
+    val ph = vids
+      .select(col("doc_id"), col("text"),
+        explode_outer(sequence(lit(0), col("nf") - 1)).as("fi"))
+      .select(col("doc_id"), graft.functions.text
+        .dct_sign_hash(expr("substring(text, fi * 64 + 1, 64)")).as("ph"))
+      .distinct()
+    val counts = ph.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val buckets = ph.groupBy(col("ph"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, 1000))
+    val pairs = buckets.select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> named_struct(
+          |    'id_a', least(x, y), 'id_b', greatest(x, y)))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(counts.select(col("doc_id").as("id_a"), col("n").as("n_a")),
+        "id_a")
+      .join(counts.select(col("doc_id").as("id_b"), col("n").as("n_b")),
+        "id_b")
+      .withColumn("containment", round(
+        col("shared").cast("double") / least(col("n_a"), col("n_b")), 4))
+      // evidence guard: a single shared frame between single-frame clips
+      // is containment 1.0 by arithmetic, not by overlap — require at
+      // least 2 frames on both sides before scoring the pair
+      .filter(col("containment") >= 0.5 && least(col("n_a"), col("n_b")) >= 2)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"),
+        col("n_b"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Oracle: m03's frame arithmetic + m05's integer-DCT replica applied
+    * per frame, then the pair/containment algebra verbatim. */
+  val m06Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 999999,
+      |    substr(text, 1, greatest(strlen(text) - 80, 0))
+      |  FROM documents WHERE doc_id % 9 = 2),
+      |vids AS (
+      |  SELECT doc_id, text, CAST(strlen(text) // 64 AS INT) AS nf
+      |  FROM corpus WHERE doc_id % 3 = 2 AND strlen(text) // 64 > 0),
+      |frames AS (
+      |  SELECT doc_id, text, UNNEST(range(0, nf)) AS fi FROM vids),
+      |ftexts AS (
+      |  SELECT doc_id,
+      |    substr(text, CAST(fi * 64 + 1 AS INT), 64) AS ftext
+      |  FROM frames),
+      |bm(b) AS (
+      |  SELECT [[1000, 1000, 1000, 1000, 1000, 1000, 1000, 1000],
+      |          [981, 831, 556, 195, -195, -556, -831, -981],
+      |          [924, 383, -383, -924, -924, -383, 383, 924],
+      |          [831, -195, -981, -556, 556, 981, 195, -831],
+      |          [707, -707, -707, 707, 707, -707, -707, 707],
+      |          [556, -981, 195, 831, -831, -195, 981, -556],
+      |          [383, -924, 924, -383, -383, 924, -924, 383],
+      |          [195, -556, 831, -981, 981, -831, 556, -195]]),
+      |hist AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64), j ->
+      |      len(list_filter(
+      |        list_transform(range(1, len(ftext) + 1),
+      |          i -> ord(ftext[i]) // 4), x -> x = j))) AS h
+      |  FROM ftexts),
+      |ph AS (
+      |  SELECT DISTINCT doc_id,
+      |    list_sum(list_transform(range(1, 64), m ->
+      |      CASE WHEN list_sum(list_transform(range(0, 64), n ->
+      |          b[m // 8 + 1][n // 8 + 1] * b[m % 8 + 1][n % 8 + 1]
+      |            * h[n + 1])) > 0
+      |      THEN 1::BIGINT << (m - 1) ELSE 0 END)) AS ph
+      |  FROM hist, bm),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ph GROUP BY 1),
+      |dfq AS (SELECT ph AS h, COUNT(*) AS df FROM ph GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      |  FROM ph a JOIN ph b ON a.ph = b.ph AND a.doc_id < b.doc_id
+      |  JOIN dfq ON dfq.h = a.ph
+      |  WHERE dfq.df BETWEEN 2 AND 1000
+      |  GROUP BY 1, 2)
+      |SELECT p.id_a, p.id_b, p.shared, ca.n AS n_a, cb.n AS n_b,
+      |  round(CAST(p.shared AS DOUBLE) / least(ca.n, cb.n), 4)
+      |    AS containment
+      |FROM pairs p
+      |JOIN cnt ca ON ca.doc_id = p.id_a
+      |JOIN cnt cb ON cb.doc_id = p.id_b
+      |WHERE round(CAST(p.shared AS DOUBLE) / least(ca.n, cb.n), 4) >= 0.5
+      |  AND least(ca.n, cb.n) >= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal" -> (m01 _),
+    "m06_video_neardup" -> (m06 _),
     "m02_media_features" -> (m02 _),
     "m03_frame_explode" -> (m03 _),
     "m04_media_dedup" -> (m04 _),
     "m05_perceptual_dedup" -> (m05 _))
   val oracle: Map[String, String] = Map(
     "m01_multimodal" -> m01Sql,
+    "m06_video_neardup" -> m06Sql,
     "m02_media_features" -> graft.functions.KernelOracleSql.m02Sql,
     "m03_frame_explode" -> m03Sql,
     "m04_media_dedup" -> m04Sql,

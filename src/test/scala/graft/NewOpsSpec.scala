@@ -180,6 +180,26 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("m06: every >=2-frame trimmed plant pairs with its source at 1.0") {
+    val df = SparkEntry.queries("m06_video_neardup")(spark, sfDir).cache()
+    // plants that survive the evidence guard: videos (id%9==2 are all
+    // id%3==2) whose trimmed text still holds >= 2 full 64-byte frames
+    val wantPlants = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 9 === 2 &&
+        (length(col("text")) - 80) >= 128)
+      .count()
+    val plantPairs = df.filter(col("id_b") === col("id_a") + 999999L)
+    assert(wantPlants > 0, "no plantable videos at this sf")
+    assert(plantPairs.count() == wantPlants,
+      s"plant pairs ${plantPairs.count()} != $wantPlants")
+    // every surviving plant frame lies fully inside the kept prefix, so
+    // its frame set is a SUBSET of the source's: containment exactly 1.0
+    assert(plantPairs.filter(col("containment") =!= 1.0).count() == 0)
+    // the asymmetric measure is doing work: sources are strictly larger
+    assert(plantPairs.filter(col("n_a") <= col("n_b")).count() == 0)
+    df.unpersist()
+  }
+
   test("s08: the distributed MMR selection equals a scalar reference MMR") {
     val df = SparkEntry.queries("s08_mmr_rerank")(spark, sfDir).cache()
     // shape: exactly 5 picks per query, ranks dense, ids distinct
