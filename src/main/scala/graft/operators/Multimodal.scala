@@ -320,7 +320,7 @@ object Multimodal {
     * its source at containment exactly 1.0 (specced).
     *
     * Scale: dd02/dd04's inverted-index shape on frame hashes — per-ph
-    * postings (2..1000 cap = the LSH skew guard), in-place pair
+    * postings (2..50 cap = dd02's LSH skew guard), in-place pair
     * emission, shared-count shuffle ∝ candidate pairs; frame text never
     * shuffles, only 64-bit hashes and ids.
     */
@@ -350,7 +350,14 @@ object Multimodal {
     val counts = ph.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val buckets = ph.groupBy(col("ph"))
       .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")).between(2, 1000))
+      // cap 50 = dd02's LSH skew guard, and it BITES here: a 63-bit
+      // histogram pHash over 64-byte frames collides on generic
+      // "stopword frames" (measured at the synthesized sf1: buckets
+      // near the old 1000 cap drove 5.4M candidate pairs and 6.3 s;
+      // capped, 66k pairs and 1.3 s). At oracle scales max df is 7, so
+      // the cap drops nothing there — it exists purely to keep pair
+      // emission ∝ discriminating collisions at scale.
+      .filter(size(col("ds")).between(2, 50))
     val pairs = buckets.select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds)), y -> named_struct(
@@ -422,7 +429,7 @@ object Multimodal {
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
       |  FROM ph a JOIN ph b ON a.ph = b.ph AND a.doc_id < b.doc_id
       |  JOIN dfq ON dfq.h = a.ph
-      |  WHERE dfq.df BETWEEN 2 AND 1000
+      |  WHERE dfq.df BETWEEN 2 AND 50
       |  GROUP BY 1, 2)
       |SELECT p.id_a, p.id_b, p.shared, ca.n AS n_a, cb.n AS n_b,
       |  round(CAST(p.shared AS DOUBLE) / least(ca.n, cb.n), 4)
