@@ -645,6 +645,137 @@ object Streaming {
       |  FROM events GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type)
       |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin
 
+  // ---------------------------------------------------------------- st12
+  /** Trailing-window anomaly flags — the volume-spike monitor: each
+    * (hour, event_type) count is z-scored against that type's 3
+    * PRECEDING hourly counts and flagged when z > 2 (classic rate
+    * alerting). The z-test runs in EXACT INTEGER algebra:
+    * n > mean + 2σ over trailing counts x₁..x₃ is equivalent to
+    * 3n − Σx > 0 ∧ (3n − Σx)² > 4·(3Σx² − (Σx)²) — both engines
+    * compare the same BIGINTs, so the flag can never flip on a
+    * stddev ulp (Spark's Welford vs DuckDB's accumulation WOULD
+    * diverge in low bits near the boundary). The reported z itself is
+    * display-only: a division and a correctly-rounded IEEE sqrt of
+    * integers, identical in both engines, rounded 4dp; NULL when the
+    * trailing window is flat (σ = 0).
+    *
+    * Scale: one windowed-count shuffle (streaming-state shaped), then a
+    * window over the per-type COUNT frame — partitions are (type ×
+    * hours) AGGREGATE rows (~9k/year per type), never raw events; row
+    * frame, so calendar gaps mean "previous 3 observed windows", the
+    * deterministic reading in both engines.
+    */
+  def st12AnomalyWindows(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+    val f = Window.partitionBy(col("event_type")).orderBy(col("ws"))
+      .rowsBetween(-3, -1)
+    val scored = counts
+      .withColumn("t_cnt", count(lit(1)).over(f))
+      .withColumn("t_sum", sum(col("n")).over(f))
+      .withColumn("t_sum2", sum(col("n") * col("n")).over(f))
+      .filter(col("t_cnt") === 3)
+    val dev = col("n") * 3 - col("t_sum")
+    val varTerm = col("t_sum2") * 3 - col("t_sum") * col("t_sum")
+    scored
+      .withColumn("is_anomaly", dev > 0 && dev * dev > varTerm * 4)
+      .withColumn("z", when(varTerm > 0,
+        round(dev.cast("double") / sqrt(varTerm.cast("double")), 4)))
+      .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n"), col("t_sum"), col("z"),
+        col("is_anomaly"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val st12Sql: String =
+    """WITH counts AS (
+      |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |trail AS (
+      |  SELECT ws, event_type, n,
+      |    COUNT(*) OVER f AS t_cnt,
+      |    SUM(n) OVER f AS t_sum,
+      |    SUM(n * n) OVER f AS t_sum2
+      |  FROM counts
+      |  WINDOW f AS (PARTITION BY event_type ORDER BY ws
+      |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, n, CAST(t_sum AS BIGINT) AS t_sum,
+      |  CASE WHEN t_sum2 * 3 - t_sum * t_sum > 0
+      |    THEN round(CAST(n * 3 - t_sum AS DOUBLE)
+      |      / sqrt(CAST(t_sum2 * 3 - t_sum * t_sum AS DOUBLE)), 4)
+      |  END AS z,
+      |  (n * 3 - t_sum > 0 AND
+      |   (n * 3 - t_sum) * (n * 3 - t_sum)
+      |     > 4 * (t_sum2 * 3 - t_sum * t_sum)) AS is_anomaly
+      |FROM trail WHERE t_cnt = 3
+      |ORDER BY window_start, event_type""".stripMargin
+
+  final case class AnEv(ts: java.sql.Timestamp, event_type: String)
+  final case class AnOut(window_start: Long, event_type: String, n: Long,
+      t_sum: Long, is_anomaly: Boolean)
+  final case class AnState(open: Map[Long, Long], trail: Vector[Long])
+
+  /** Streaming twin: `flatMapGroupsWithState` keyed by event_type — an
+    * ENTITY key (cardinality-bounded state ROWS, the st02/st05
+    * taxonomy) whose VALUE is time-bounded by the st11 discipline:
+    * open windows accumulate counts, `EventTimeTimeout` is armed at
+    * the EARLIEST open window's close time (window_end + lateness), and
+    * when the watermark passes it the group wakes WITHOUT data, scores
+    * the sealed windows against the trailing-3 ring in window order,
+    * appends them to the ring and drops them — a quiet type cannot
+    * strand open-window state (the round-7 st11 bug class), and each
+    * closed window emits its flag EXACTLY ONCE. Same integer z-test as
+    * the batch twin; the per-type trailing ring (3 longs) persists, as
+    * the entity-keyed taxonomy allows.
+    */
+  def st12Stream(events: Dataset[AnEv],
+      latenessSec: Long = 7200L): Dataset[AnOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", s"$latenessSec seconds")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnState, AnOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (tpe: String, evs: Iterator[AnEv], state: GroupState[AnState]) =>
+          // on timeout wake-up `evs` is empty — the closure sweep below
+          // is the whole purpose of the call
+          val st0 = state.getOption.getOrElse(AnState(Map.empty, Vector.empty))
+          var open = st0.open
+          evs.foreach { e =>
+            val w = e.ts.getTime / 1000L / 3600L * 3600L
+            open = open.updated(w, open.getOrElse(w, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          // close every window the watermark has sealed, in time order
+          val (closed, stillOpen) =
+            open.partition { case (w, _) => w + 3600L + latenessSec <= wm }
+          var trail = st0.trail
+          val out = closed.toSeq.sortBy(_._1).flatMap { case (w, n) =>
+            val emit = if (trail.length == 3) {
+              val tSum = trail.sum
+              val tSum2 = trail.map(x => x * x).sum
+              val dev = n * 3 - tSum
+              val varT = tSum2 * 3 - tSum * tSum
+              Some(AnOut(w, tpe, n, tSum,
+                dev > 0 && dev * dev > varT * 4))
+            } else None
+            trail = (trail :+ n).takeRight(3)
+            emit
+          }
+          state.update(AnState(stillOpen, trail))
+          // every still-open window satisfies w_end + lateness > wm, so
+          // the armed timestamp is always legal (> current watermark)
+          if (stillOpen.nonEmpty)
+            state.setTimeoutTimestamp(
+              (stillOpen.keys.min + 3600L + latenessSec) * 1000L)
+          out.iterator
+      }
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -658,7 +789,8 @@ object Streaming {
     "st06_asof_join" -> (st06AsofJoin _),
     "st09_stream_ema" -> (st09StreamEma _),
     "st10_window_quantiles" -> (st10WindowQuantiles _),
-    "st11_heavy_hitters" -> (st11HeavyHitters _))
+    "st11_heavy_hitters" -> (st11HeavyHitters _),
+    "st12_anomaly_windows" -> (st12AnomalyWindows _))
 
   val oracle: Map[String, String] = Map(
     "st07_stream_enrich" -> st07Sql,
@@ -671,5 +803,6 @@ object Streaming {
     "st06_asof_join" -> st06Sql,
     "st09_stream_ema" -> st09Sql,
     "st10_window_quantiles" -> st10Sql,
-    "st11_heavy_hitters" -> st11Sql)
+    "st11_heavy_hitters" -> st11Sql,
+    "st12_anomaly_windows" -> st12Sql)
 }

@@ -341,6 +341,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st12 streaming anomaly flags equal the batch twin on closed windows") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.AnEv
+    val batch = Streaming.st12AnomalyWindows(spark, sfDir)
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("t_sum"), col("is_anomaly"))
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"))
+      .collect().map(r => AnEv(r.getTimestamp(0), r.getString(1)))
+    val input = MemoryStream[AnEv]
+    val q = Streaming.st12Stream(input.toDS())
+      .writeStream.format("memory").queryName("st12_sink")
+      .outputMode("update").start()
+    try {
+      input.addData(evs.toSeq: _*)
+      q.processAllAvailable()
+      // a far-future sentinel closes every real window; its own type has
+      // no trailing history and its window never closes, so it emits
+      // nothing itself
+      val maxTs = evs.map(_.ts.getTime).max
+      input.addData(AnEv(new Timestamp(maxTs + 2592000000L), "__probe"))
+      q.processAllAvailable()
+      val stream = spark.table("st12_sink")
+        .select(date_format(col("window_start").cast("timestamp"),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("t_sum"), col("is_anomaly"))
+      assert(stream.count() > 0)
+      assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+    } finally q.stop()
+  }
+
   test("st11 space-saving heavy hitters equal the batch twin at ample capacity") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.Streaming.HhEv
@@ -492,6 +523,17 @@ class StreamingSpec extends SparkSpec {
       in11.addData(HhEv(Timestamp.valueOf("2024-01-03 02:00:00"), "view"))
     }
 
+    // -- entity-keyed twin whose state VALUE is time-bounded internally:
+    // one state row per event_type; the value holds open windows (purged
+    // on watermark closure inside the function) + a trailing-3 ring
+    val in12 = MemoryStream[AnEv]
+    val (s12Rows, s12To) = run("st12", Streaming.st12Stream(in12.toDS).toDF,
+      "update") { () =>
+      in12.addData((for { t <- Seq("click", "view"); h <- hours }
+        yield AnEv(Timestamp.valueOf(f"2024-01-01 $h%02d:05:00"), t)): _*)
+      in12.addData(AnEv(Timestamp.valueOf("2024-01-03 02:00:00"), "click"))
+    }
+
     // The audit table. bound = what limits the state store's size; the
     // behavioral column PROVES it (12 hours of data, state ∝ bound only).
     val audit = Seq(
@@ -505,7 +547,11 @@ class StreamingSpec extends SparkSpec {
       ("st09", s09To, s09Rows, users.size.toLong, "NoTimeout",
         "user_id — one running double per user, time-free key"),
       ("st11", s11To, s11Rows, 1L, "EventTimeTimeout",
-        "open windows inside the watermark horizon — closed windows purged"))
+        "open windows inside the watermark horizon — closed windows purged"),
+      ("st12", s12To, s12Rows, 2L, "EventTimeTimeout",
+        "event_type — entity-keyed ROWS; the VALUE is horizon-bounded by " +
+          "timeout-driven closure: sealed windows leave the open map " +
+          "through the trailing-3 ring even when the type goes quiet"))
     audit.foreach { case (name, timeouts, rows, bound, expectTo, why) =>
       assert(timeouts.nonEmpty && timeouts.forall(_.contains(expectTo)),
         s"$name: expected $expectTo, declared $timeouts ($why)")
