@@ -731,8 +731,66 @@ object Similarity {
        |  UNION ALL SELECT * FROM w5)
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s09
+  /** ANN recall@10 evaluation — the index-quality gate a production
+    * vector deployment runs after every build: per query, the fraction
+    * of the EXACT cosine top-10 (s01, ground truth) that the IVF index
+    * (s02, 2-probe) actually returned. Recall is THE number that
+    * decides nprobe/cell-count retuning; shipping an index without it
+    * is flying blind.
+    *
+    * Scale: ground truth and index search are the audited s01/s02
+    * shapes (one corpus scan each); both top-k frames are query-sized
+    * (Q × 10 rows) and localCheckpointed, so the recall join/aggs — and
+    * every re-reference of either frame — never re-enter a corpus
+    * scan. Cost = one exact pass + one probed pass, which is exactly
+    * what the evaluation MUST pay (the ground truth is the product
+    * being checked).
+    */
+  def s09AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s01BruteForce(spark, dir)
+      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    val approx = s02Ivf(spark, dir)
+      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    val hits = exact.join(approx, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(approx.groupBy(col("q_id")).agg(count(lit(1)).as("n_approx")),
+        Seq("q_id"), "left_outer")
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double")
+          / col("n_exact"), 4).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Oracle: the s01 and s02 replicas verbatim as subqueries, then the
+    * recall algebra. */
+  val s09Sql: String =
+    s"""WITH exact AS (SELECT q_id, vec_id FROM ($s01Sql)),
+       |approx AS (SELECT q_id, vec_id FROM ($s02Sql)),
+       |h AS (
+       |  SELECT e.q_id, COUNT(*) AS hits
+       |  FROM exact e JOIN approx a
+       |    ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+       |  GROUP BY 1),
+       |ne AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+       |na AS (SELECT q_id, COUNT(*) AS n_approx FROM approx GROUP BY 1)
+       |SELECT ne.q_id, ne.n_exact,
+       |  CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / ne.n_exact, 4)
+       |    AS recall
+       |FROM ne
+       |LEFT JOIN na ON na.q_id = ne.q_id
+       |LEFT JOIN h ON h.q_id = ne.q_id
+       |ORDER BY ne.q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s07_ivfpq" -> (s07IvfPq _),
+    "s09_ann_recall" -> (s09AnnRecall _),
     "s08_mmr_rerank" -> (s08MmrRerank _),
     "s01_ann_bruteforce" -> (s01BruteForce _),
     "s02_ann_ivf" -> (s02Ivf _),
@@ -744,6 +802,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "s07_ivfpq" -> s07Sql,
     "s08_mmr_rerank" -> s08Sql,
+    "s09_ann_recall" -> s09Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_ivf" -> s02Sql,
     "s03_vector_quantize" -> s03Sql,

@@ -180,6 +180,35 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("s09: recall rows equal the set intersection of s01 and s02 top-10s") {
+    val df = SparkEntry.queries("s09_ann_recall")(spark, sfDir).cache()
+    val exact = SparkEntry.queries("s01_ann_bruteforce")(spark, sfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = SparkEntry.queries("s02_ann_ivf")(spark, sfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      val (q, nE, nA, hits, recall) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nE == exact(q).size)
+      assert(nA == approx.getOrElse(q, Set.empty[Long]).size)
+      assert(hits ==
+        (exact(q) & approx.getOrElse(q, Set.empty[Long])).size.toLong,
+        s"q=$q")
+      assert(recall == math.round(hits.toDouble / nE * 10000) / 10000.0)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // the 2-probe IVF index is a real approximation on this corpus:
+    // recall must be high but the operator must be able to report < 1
+    assert(rows.map(_.getDouble(4)).sum / rows.length > 0.2)
+    df.unpersist()
+  }
+
   test("m06: every >=2-frame trimmed plant pairs with its source at 1.0") {
     val df = SparkEntry.queries("m06_video_neardup")(spark, sfDir).cache()
     // plants that survive the evidence guard: videos (id%9==2 are all
