@@ -752,12 +752,15 @@ object Similarity {
       .select(col("q_id"), col("vec_id")).localCheckpoint()
     val approx = s02Ivf(spark, dir)
       .select(col("q_id"), col("vec_id")).localCheckpoint()
-    val hits = exact.join(approx, Seq("q_id", "vec_id"))
+    // every frame here is Q×10 rows, but a localCheckpointed RDD has no
+    // size statistics, so without the hints Spark plans sort-merge
+    // joins for 50-row inputs — the hint IS the bound's documentation
+    val hits = exact.join(broadcast(approx), Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
     exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
-      .join(approx.groupBy(col("q_id")).agg(count(lit(1)).as("n_approx")),
-        Seq("q_id"), "left_outer")
-      .join(hits, Seq("q_id"), "left_outer")
+      .join(broadcast(approx.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_approx"))), Seq("q_id"), "left_outer")
+      .join(broadcast(hits), Seq("q_id"), "left_outer")
       .select(col("q_id"), col("n_exact"),
         coalesce(col("n_approx"), lit(0L)).as("n_approx"),
         coalesce(col("hits"), lit(0L)).as("hits"),

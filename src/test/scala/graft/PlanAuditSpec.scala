@@ -205,6 +205,30 @@ class PlanAuditSpec extends SparkSpec {
       s"p10 has more text-bearing scans than the p05 ladder shape:\n$p10")
   }
 
+  test("round-8 keys: dd12 anti-join broadcasts, st12 windows the count " +
+      "frame off one scan, s08/s09 joins stay broadcast") {
+    // dd12: the boilerplate-removal anti-join's build side is the
+    // df-tail-sized hash set — it must broadcast, never sort-merge; the
+    // chunk frame arrives via the shared localCheckpoint (no re-scan)
+    val dd12 = finalPlan("dd12_boilerplate")
+    assert(dd12.contains("LeftAnti"), dd12)
+    assert(!dd12.contains("SortMergeJoin"), dd12)
+    // st12: ONE events scan; the trailing window runs over the
+    // AGGREGATED count frame (partial_count before the exchange proves
+    // the windowed count collapsed map-side first)
+    val st12 = finalPlan("st12_anomaly_windows")
+    assert(st12.linesIterator.count(_.contains("FileScan parquet")) <= 2,
+      st12) // final + initial AQE sections print the same single scan
+    assert(st12.contains("partial_count"), st12)
+    // s08/s09: every join in the selection/eval half is broadcast-small
+    // (query-sized frames) — a SortMergeJoin would mean a data-sized
+    // frame leaked into the per-query algebra
+    for (k <- Seq("s08_mmr_rerank", "s09_ann_recall")) {
+      val p = finalPlan(k)
+      assert(!p.contains("SortMergeJoin"), s"$k:\n$p")
+    }
+  }
+
   test("ladders: NULL stratum/bucket keys rank exactly like the window form") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
