@@ -828,6 +828,56 @@ object Dedup {
        |FROM flat JOIN dfreq ON md5(chunk) = h
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- dd13
+  /** Cross-source duplication matrix — the provenance report a curation
+    * team reads off the dup graph: for every (source, source) pair, how
+    * many verified near-dup pairs straddle it. The diagonal is
+    * within-source redundancy (crawl re-fetches, mirrors); the
+    * off-diagonal names which sources plagiarize/syndicate each other —
+    * the number that decides whether to drop a whole source versus
+    * dedup it. Pairs are dd02's global MinHash-verified set; sources
+    * are normalized to an unordered (least, greatest) key so the matrix
+    * is triangular.
+    *
+    * Scale: the pair frame is candidate-sized (≪ corpus) and joins the
+    * corpus-sized (doc_id, source) projection by id — AQE broadcasts
+    * the pair side; the matrix itself is |sources|² at most.
+    */
+  def dd13DupSources(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dd02MinHash(spark, dir).select(col("id_a"), col("id_b"))
+    val srcs = plantedDocs(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(srcs.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        "id_a")
+      .join(srcs.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val dd13Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |${graft.functions.KernelOracleSql.dd02Sql(PlantOffset)})),
+       |srcs AS (
+       |  SELECT doc_id, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, source FROM documents
+       |  WHERE doc_id % 10 = 0)
+       |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+       |  source_a <> source_b AS cross_source
+       |FROM (
+       |  SELECT least(a.source, b.source) AS source_a,
+       |    greatest(a.source, b.source) AS source_b
+       |  FROM pairs p
+       |  JOIN srcs a ON a.doc_id = p.id_a
+       |  JOIN srcs b ON b.doc_id = p.id_b)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
   // --------------------------------------------------------------- dd08
   /** URL-canonicalization dedup — the provenance-level dedup pass every
@@ -965,6 +1015,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd11_dup_gram_frac" -> (dd11DupGramFrac _),
     "dd12_boilerplate" -> (dd12Boilerplate _),
+    "dd13_dup_sources" -> (dd13DupSources _),
     "dd10_containment" -> (dd10Containment _),
     "dd09_semantic_dedup" -> (dd09SemanticDedup _),
     "dd08_url_dedup" -> (dd08UrlDedup _),
@@ -983,6 +1034,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "dd11_dup_gram_frac" -> dd11Sql,
     "dd12_boilerplate" -> dd12Sql,
+    "dd13_dup_sources" -> dd13Sql,
     "dd10_containment" -> dd10Sql,
     "dd09_semantic_dedup" -> dd09Sql,
     "dd08_url_dedup" -> dd08Sql,

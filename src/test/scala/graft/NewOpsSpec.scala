@@ -180,6 +180,30 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("dd13: the source matrix partitions dd02's pair set") {
+    val df = SparkEntry.queries("dd13_dup_sources")(spark, sfDir).cache()
+    val pairs = SparkEntry.queries("dd02_dedup_minhash")(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // conservation: every dup pair lands in exactly one matrix cell
+    assert(df.agg(sum(col("n_pairs"))).head.getLong(0) == pairs.length)
+    // a plant keeps its source, so every (doc, doc+1M) pair is diagonal
+    val srcOf = Tables(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val diagWant = pairs.count { case (a, b) =>
+      srcOf(if (a < 1000000L) a else a - 1000000L) ==
+        srcOf(if (b < 1000000L) b else b - 1000000L) }
+    assert(df.filter(!col("cross_source")).agg(sum(col("n_pairs")))
+      .head.getLong(0) == diagWant)
+    // the report is non-degenerate both ways on this corpus
+    assert(df.filter(col("cross_source")).count() > 0)
+    assert(df.filter(!col("cross_source")).count() > 0)
+    // triangular: keys are normalized (source_a <= source_b)
+    assert(df.filter(col("source_a") > col("source_b")).count() == 0)
+    df.unpersist()
+  }
+
   test("s09: recall rows equal the set intersection of s01 and s02 top-10s") {
     val df = SparkEntry.queries("s09_ann_recall")(spark, sfDir).cache()
     val exact = SparkEntry.queries("s01_ann_bruteforce")(spark, sfDir)
