@@ -461,12 +461,18 @@ object Pipeline {
     * p05's, keeping the single text-bearing scan + ReusedExchange shape.
     */
   def p10PackSequences(spark: SparkSession, dir: String): DataFrame = {
-    val seqLen = 512L
     val toks = Tables(spark, dir, "documents")
       .withColumn("tokens",
         size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
           .cast(LongType))
       .select(col("doc_id"), col("source"), col("tokens"))
+    packSpans(toks, 512L)
+  }
+
+  /** The packing core over a `(doc_id, source, tokens)` frame — factored
+    * so unit specs can feed adversarial shapes (a doc larger than many
+    * sequences, zero/one-token docs) through the exact algebra. */
+  private[graft] def packSpans(toks: DataFrame, seqLen: Long): DataFrame = {
     val bounds = toks.agg(min(col("doc_id")).as("__lo"),
       max(col("doc_id")).as("__hi"))
     val bucketed = toks.crossJoin(broadcast(bounds))

@@ -180,6 +180,34 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p10 core: a giant doc straddles many sequences with exact spans") {
+    import spark.implicits._
+    // doc 2: 2000 tokens — longer than 3 full 512-token sequences; doc 1
+    // and 3 surround it; doc 4 is empty (must vanish); doc 5 is 1 token
+    val toks = Seq(
+      (1L, "s", 100L), (2L, "s", 2000L), (3L, "s", 50L),
+      (4L, "s", 0L), (5L, "s", 1L))
+      .toDF("doc_id", "source", "tokens")
+    val spans = graft.operators.Pipeline.packSpans(toks, 512L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // cumsum order: doc1 [0,100) doc2 [100,2100) doc3 [2100,2150)
+    // doc5 [2150,2151); doc4 contributes nothing
+    val giant = spans.filter(_._2 == 2L)
+    assert(giant.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L),
+      giant.mkString(","))
+    // span tiling of the giant doc: offsets advance by the emitted
+    // lengths and cover [0, 2000) exactly
+    assert(giant.map(s => (s._3, s._5)).toSeq ==
+      Seq((0L, 412L), (412L, 512L), (924L, 512L), (1436L, 512L),
+        (1948L, 52L)))
+    assert(spans.filter(_._2 == 4L).isEmpty, "empty doc leaked a span")
+    assert(spans.filter(_._2 == 5L).toSeq ==
+      Seq((4L, 5L, 0L, 102L, 1L)), "1-token doc span wrong")
+    // global conservation
+    assert(spans.map(_._5).sum == 2151L)
+  }
+
   test("dd13: the source matrix partitions dd02's pair set") {
     val df = SparkEntry.queries("dd13_dup_sources")(spark, sfDir).cache()
     val pairs = SparkEntry.queries("dd02_dedup_minhash")(spark, sfDir)

@@ -372,6 +372,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st12 late events inside the lateness land in their closed window") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.AnEv
+    def at(day: Int, hour: Int, min: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-0$day $hour%02d:$min%02d:00")
+    val input = MemoryStream[AnEv]
+    val q = Streaming.st12Stream(input.toDS(), latenessSec = 7200L)
+      .writeStream.format("memory").queryName("st12_late_sink")
+      .outputMode("update").start()
+    try {
+      // hours 0-2 build the trailing ring (1, 2, 3 events); hour 3 gets
+      // 2 events now and 1 LATE event later
+      input.addData(
+        Seq(at(1, 0, 5)) ++ Seq.fill(2)(at(1, 1, 5)) ++
+          Seq.fill(3)(at(1, 2, 5)) ++ Seq.fill(2)(at(1, 3, 5))
+          map (t => AnEv(t, "click")): _*)
+      q.processAllAvailable()
+      // watermark after this batch = 03:05 - 2h = 01:05: window 3 is
+      // still open, so a 03:30 arrival is late-but-admissible
+      input.addData(AnEv(at(1, 3, 30), "click"))
+      q.processAllAvailable()
+      // seal everything
+      input.addData(AnEv(at(2, 23, 0), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("st12_late_sink")
+        .select("window_start", "n", "t_sum", "is_anomaly").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      // window 3 scored with n = 3 (late event INCLUDED), trail 1+2+3=6:
+      // dev = 9-6 = 3 > 0, dev² = 9 vs 4·(3·14−36) = 24 → not anomalous
+      val w3 = Timestamp.valueOf("2024-01-01 03:00:00").getTime / 1000L
+      assert(rows.contains((w3, 3L, 6L, false)), rows)
+      assert(rows.size == 1, s"only window 3 has a full ring: $rows")
+    } finally q.stop()
+  }
+
   test("st11 space-saving heavy hitters equal the batch twin at ample capacity") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.Streaming.HhEv
