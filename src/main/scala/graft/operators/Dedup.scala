@@ -878,6 +878,109 @@ object Dedup {
        |  JOIN srcs b ON b.doc_id = p.id_b)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- dd14
+  /** Exact-substring dedup (Lee et al. 2022's removal pass — dd11 is
+    * its diagnostic): any token span duplicated ANYWHERE in the corpus
+    * (≥ 2 positional occurrences, same or different doc) and at least
+    * 16 tokens long is removed from EVERY occurrence — unlike document
+    * dedup there is no privileged copy, the duplicated TEXT itself is
+    * what memorization/contamination rides on. Spans are found as
+    * maximal runs of duplicated positional 8-grams: a gram is dup if
+    * its global occurrence count ≥ 2; dup grams cover their 8 tokens;
+    * maximal contiguous covered runs ≥ 16 tokens are cut and the doc
+    * reassembled from the survivors.
+    *
+    * Scale: the dd11 shape — one tokenize pass (checkpointed), the
+    * gram-count shuffle carries (hash, count) pairs, the flag join is
+    * forced MERGE (the per-gram count frame is data-sized; broadcast
+    * is a local-SF illusion), and the run detection windows over
+    * (doc_id) partitions bounded by ONE DOC's token count — never a
+    * corpus-sized key. Output ∝ corpus docs.
+    */
+  def dd14SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val minSpan = 16
+    val toksDf = Tables.spread(plantedDocs(spark, dir))
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[ \\t\\n\\r]+"), x => x =!= "")
+          .as("ts"))
+      .filter(size(col("ts")) > 0)
+      .localCheckpoint(false) // reused: grams + final reassembly
+    val grams = toksDf.select(col("doc_id"), size(col("ts")).as("n"),
+        posexplode(expr(
+          """transform(sequence(0, greatest(size(ts) - 8, 0)),
+            |  i -> xxhash64(concat_ws('',
+            |    slice(ts, i + 1, least(8, size(ts))))))""".stripMargin)))
+      .select(col("doc_id"), col("n"), col("pos").as("i"), col("col").as("gh"))
+      .localCheckpoint(false) // feeds the count agg AND the flag join
+    val cnts = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+    val covered = grams
+      .join(cnts.filter(col("c") >= 2L).hint("merge"), "gh")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), least(col("i") + 7, col("n") - 1)))
+          .as("t"))
+      .distinct()
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("t"))
+    val rem = covered
+      .withColumn("grp", col("t") - row_number().over(wRun))
+      .withColumn("span", count(lit(1))
+        .over(Window.partitionBy(col("doc_id"), col("grp"))))
+      .filter(col("span") >= minSpan)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("t")).as("rm"))
+    toksDf.join(rem, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        size(col("ts")).cast(LongType).as("n_tokens"),
+        coalesce(size(col("rm")), lit(0)).cast(LongType).as("n_removed"),
+        array_join(filter(col("ts"), (x, i) =>
+          !array_contains(coalesce(col("rm"), array().cast("array<int>")), i)),
+          " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle over gram STRINGS (dd11's collision argument); DuckDB lambda
+    * indices are 1-based where Spark's are 0-based — the `i - 1` in the
+    * final filter is that conversion. */
+  val dd14Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '\\s+\\S+$$', '')
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ts
+       |  FROM corpus),
+       |nz AS (SELECT * FROM toks WHERE len(ts) > 0),
+       |gidx AS (
+       |  SELECT doc_id, ts, len(ts) AS n,
+       |    unnest(range(0, greatest(len(ts) - 8, 0) + 1)) AS i
+       |  FROM nz),
+       |grams AS (
+       |  SELECT doc_id, n, i,
+       |    array_to_string(ts[(i + 1):(i + least(8, n))], chr(31)) AS g
+       |  FROM gidx),
+       |cnts AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY 1),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, unnest(range(i, least(i + 8, n))) AS t
+       |  FROM grams JOIN cnts USING (g) WHERE c >= 2),
+       |runs AS (
+       |  SELECT doc_id, t,
+       |    t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS grp
+       |  FROM cov),
+       |rem AS (
+       |  SELECT doc_id, t FROM (
+       |    SELECT doc_id, t,
+       |      COUNT(*) OVER (PARTITION BY doc_id, grp) AS span
+       |    FROM runs) WHERE span >= 16),
+       |ra AS (SELECT doc_id, list(t ORDER BY t) AS rm FROM rem GROUP BY 1)
+       |SELECT nz.doc_id, CAST(len(nz.ts) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(len(ra.rm), 0) AS BIGINT) AS n_removed,
+       |  COALESCE(array_to_string(list_filter(nz.ts, (x, i) ->
+       |    NOT COALESCE(list_contains(ra.rm, i - 1), FALSE)), ' '), '')
+       |    AS clean_text
+       |FROM nz LEFT JOIN ra USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   // --------------------------------------------------------------- dd08
   /** URL-canonicalization dedup — the provenance-level dedup pass every
@@ -1016,6 +1119,7 @@ object Dedup {
     "dd11_dup_gram_frac" -> (dd11DupGramFrac _),
     "dd12_boilerplate" -> (dd12Boilerplate _),
     "dd13_dup_sources" -> (dd13DupSources _),
+    "dd14_substring_dedup" -> (dd14SubstringDedup _),
     "dd10_containment" -> (dd10Containment _),
     "dd09_semantic_dedup" -> (dd09SemanticDedup _),
     "dd08_url_dedup" -> (dd08UrlDedup _),
@@ -1035,6 +1139,7 @@ object Dedup {
     "dd11_dup_gram_frac" -> dd11Sql,
     "dd12_boilerplate" -> dd12Sql,
     "dd13_dup_sources" -> dd13Sql,
+    "dd14_substring_dedup" -> dd14Sql,
     "dd10_containment" -> dd10Sql,
     "dd09_semantic_dedup" -> dd09Sql,
     "dd08_url_dedup" -> dd08Sql,

@@ -208,6 +208,33 @@ class NewOpsSpec extends SparkSpec {
     assert(spans.map(_._5).sum == 2151L)
   }
 
+  test("dd14: duplicated spans vanish from every occurrence, both copies") {
+    val df = SparkEntry.queries("dd14_substring_dedup")(spark, sfDir).cache()
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // conservation: clean word count == n_tokens − n_removed, per doc
+    rows.values.foreach { case (n, rm, txt) =>
+      val words = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(words == n - rm, s"$n $rm '$txt'")
+    }
+    // a plant duplicates its source minus the last word, so for every
+    // plant with >= 16 tokens: the ENTIRE plant is a duplicated span
+    // (removed to empty), and the source keeps AT MOST its last token —
+    // removal has no privileged copy
+    val plants = rows.keys.filter(_ >= 1000000L)
+      .filter(id => rows(id)._1 >= 16L)
+    assert(plants.nonEmpty)
+    plants.foreach { id =>
+      val (pn, prm, ptxt) = rows(id)
+      assert(prm == pn && ptxt.isEmpty, s"plant $id kept text '$ptxt'")
+      val (sn, srm, _) = rows(id - 1000000L)
+      assert(srm >= sn - 1, s"source ${id - 1000000L} kept $srm of $sn")
+    }
+    // sub-threshold duplication survives: docs exist with zero removal
+    assert(rows.values.count(_._2 == 0L) > 0)
+    df.unpersist()
+  }
+
   test("dd13: the source matrix partitions dd02's pair set") {
     val df = SparkEntry.queries("dd13_dup_sources")(spark, sfDir).cache()
     val pairs = SparkEntry.queries("dd02_dedup_minhash")(spark, sfDir)
