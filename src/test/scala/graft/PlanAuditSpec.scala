@@ -227,6 +227,14 @@ class PlanAuditSpec extends SparkSpec {
       val p = finalPlan(k)
       assert(!p.contains("SortMergeJoin"), s"$k:\n$p")
     }
+    // dd14: the dup-flag join keeps its FORCED merge (the per-gram count
+    // frame is data-sized; a broadcast here is a local-SF illusion), and
+    // run-detection windows partition by doc_id (bounded by one doc's
+    // tokens) — never by a gram key
+    val dd14 = finalPlan("dd14_substring_dedup")
+    assert(dd14.contains("SortMergeJoin"), dd14)
+    assert(!dd14.contains("windowspecdefinition(gh#"), dd14)
+    assert(dd14.contains("windowspecdefinition(doc_id#"), dd14)
   }
 
   test("ladders: NULL stratum/bucket keys rank exactly like the window form") {
