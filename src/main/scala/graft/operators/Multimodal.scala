@@ -382,17 +382,21 @@ object Multimodal {
   }
 
   /** Oracle: m03's frame arithmetic + m05's integer-DCT replica applied
-    * per frame, then the pair/containment algebra verbatim. */
+    * per frame, then the pair/containment algebra verbatim. Unit
+    * discipline (the m05 rule): DuckDB `length()`/`substr` are both
+    * CHARACTER-based, matching Spark's `length`/`substring`, so frame
+    * boundaries agree for any input — `strlen` (bytes) would silently
+    * diverge on non-ASCII. */
   val m06Sql: String =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 999999,
-      |    substr(text, 1, greatest(strlen(text) - 80, 0))
+      |    substr(text, 1, greatest(length(text) - 80, 0))
       |  FROM documents WHERE doc_id % 9 = 2),
       |vids AS (
-      |  SELECT doc_id, text, CAST(strlen(text) // 64 AS INT) AS nf
-      |  FROM corpus WHERE doc_id % 3 = 2 AND strlen(text) // 64 > 0),
+      |  SELECT doc_id, text, CAST(length(text) // 64 AS INT) AS nf
+      |  FROM corpus WHERE doc_id % 3 = 2 AND length(text) // 64 > 0),
       |frames AS (
       |  SELECT doc_id, text, UNNEST(range(0, nf)) AS fi FROM vids),
       |ftexts AS (
