@@ -90,8 +90,7 @@ object Bench {
     val hqs = results.filter(r => headline.contains(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val dataFpShort = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dataFp).toLong & 0xffffffffL)
+    val dataFpShort = graft.Tables.shortFp(dataFp)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_p50":${r3(totalP50)},"queries":$hqs,"full_per_query":$fullRef,"data_fp":"$dataFpShort","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -70,7 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(t) => NibbleQuantExpr(t)
       case args   => throw new IllegalArgumentException(s"nibble_quant: bad arity ${args.size}")
     }
-    reg("dct_sign_hash", "dct_sign_hash(text) - DCT-sign perceptual hash (15 non-DC sign bits)") {
+    reg("dct_sign_hash", "dct_sign_hash(text) - DCT-sign perceptual hash (63 non-DC sign bits of an 8x8 integer DCT-II)") {
       case Seq(t) => DctSignHashExpr(t)
       case args   => throw new IllegalArgumentException(s"dct_sign_hash: bad arity ${args.size}")
     }

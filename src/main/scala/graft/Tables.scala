@@ -103,9 +103,15 @@ object Tables {
       } else if (Files.exists(p))
         Seq(s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
       else Seq("absent")
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|")).toLong & 0xffffffffL)
+    shortFp(parts.mkString("|"))
   }
+
+  /** The ONE fingerprint format (32-bit Murmur hex) — Bench, MiniBench,
+    * and the per-table fingerprints must stay comparable, so every
+    * stamp goes through here. */
+  def shortFp(s: String): String =
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
 
   /** Fingerprint of the WHOLE testdata set a measurement ran against.
     * Stamped into BENCH_FULL.json so cross-round per-query deltas are

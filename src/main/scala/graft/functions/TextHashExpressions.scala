@@ -72,7 +72,7 @@ case class NibbleQuantExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "nibble_quant"
 }
 
-/** DCT-sign perceptual hash (15 sign bits of the non-DC 4×4 DCT-II
+/** DCT-sign perceptual hash (63 sign bits of the non-DC 8×8 DCT-II
   * coefficients over the stub-decoded matrix); see TextHashes.dctSignHash. */
 case class DctSignHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -230,7 +230,9 @@ object Dedup {
     * it per SF; SCALING.md's cap-sizing rule reads off this output.
     */
   def indexStats(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = plantedDocs(spark, dir)
+    // spread like every other shingling pass: the diagnostic must not be
+    // the slowest way to measure the volumes it reports
+    val corpus = Tables.spread(plantedDocs(spark, dir))
       .select(col("doc_id"), col("source"),
         array_distinct(T.shingle_hashes(col("text"), 3)).as("sh"))
     val dfs = corpus
@@ -908,7 +910,7 @@ object Dedup {
     val grams = toksDf.select(col("doc_id"), size(col("ts")).as("n"),
         posexplode(expr(
           """transform(sequence(0, greatest(size(ts) - 8, 0)),
-            |  i -> xxhash64(concat_ws('',
+            |  i -> xxhash64(concat_ws(char(31),
             |    slice(ts, i + 1, least(8, size(ts))))))""".stripMargin)))
       .select(col("doc_id"), col("n"), col("pos").as("i"), col("col").as("gh"))
       .localCheckpoint(false) // feeds the count agg AND the flag join
@@ -920,20 +922,29 @@ object Dedup {
           .as("t"))
       .distinct()
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("t"))
+    // runs collapse to (start, end) SPANS via a shrinking agg (not a
+    // second window — the §4 set-window rule), and reassembly tests
+    // membership against the spans list: O(tokens × spans) per doc,
+    // where a per-token removal list would be O(tokens × removed) — a
+    // heavily-duplicated 100k-token doc is exactly the input this
+    // operator exists for
     val rem = covered
       .withColumn("grp", col("t") - row_number().over(wRun))
-      .withColumn("span", count(lit(1))
-        .over(Window.partitionBy(col("doc_id"), col("grp"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("span"), min(col("t")).as("t0"),
+        max(col("t")).as("t1"))
       .filter(col("span") >= minSpan)
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("t")).as("rm"))
+      .agg(collect_list(struct(col("t0"), col("t1"))).as("spans"),
+        sum(col("span")).as("n_rm"))
     toksDf.join(rem, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         size(col("ts")).cast(LongType).as("n_tokens"),
-        coalesce(size(col("rm")), lit(0)).cast(LongType).as("n_removed"),
-        array_join(filter(col("ts"), (x, i) =>
-          !array_contains(coalesce(col("rm"), array().cast("array<int>")), i)),
-          " ").as("clean_text"))
+        coalesce(col("n_rm"), lit(0L)).as("n_removed"),
+        array_join(filter(col("ts"), (x, i) => !exists(
+          coalesce(col("spans"),
+            array().cast("array<struct<t0:int,t1:int>>")),
+          sp => i >= sp("t0") && i <= sp("t1"))), " ").as("clean_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -968,16 +979,19 @@ object Dedup {
        |  SELECT doc_id, t,
        |    t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS grp
        |  FROM cov),
-       |rem AS (
-       |  SELECT doc_id, t FROM (
-       |    SELECT doc_id, t,
-       |      COUNT(*) OVER (PARTITION BY doc_id, grp) AS span
-       |    FROM runs) WHERE span >= 16),
-       |ra AS (SELECT doc_id, list(t ORDER BY t) AS rm FROM rem GROUP BY 1)
+       |spans AS (
+       |  SELECT doc_id, COUNT(*) AS span, MIN(t) AS t0, MAX(t) AS t1
+       |  FROM runs GROUP BY doc_id, grp
+       |  HAVING COUNT(*) >= 16),
+       |ra AS (
+       |  SELECT doc_id, list(struct_pack(t0 := t0, t1 := t1)) AS sp,
+       |    SUM(span) AS n_rm
+       |  FROM spans GROUP BY 1)
        |SELECT nz.doc_id, CAST(len(nz.ts) AS BIGINT) AS n_tokens,
-       |  CAST(COALESCE(len(ra.rm), 0) AS BIGINT) AS n_removed,
+       |  CAST(COALESCE(ra.n_rm, 0) AS BIGINT) AS n_removed,
        |  COALESCE(array_to_string(list_filter(nz.ts, (x, i) ->
-       |    NOT COALESCE(list_contains(ra.rm, i - 1), FALSE)), ' '), '')
+       |    len(list_filter(COALESCE(ra.sp, []),
+       |      s -> i - 1 >= s.t0 AND i - 1 <= s.t1)) = 0), ' '), '')
        |    AS clean_text
        |FROM nz LEFT JOIN ra USING (doc_id) ORDER BY doc_id""".stripMargin
 

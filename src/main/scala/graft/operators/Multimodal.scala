@@ -222,9 +222,9 @@ object Multimodal {
 
   // ---------------------------------------------------------------- m05
   /** Perceptual media dedup: group by the DCT-SIGN perceptual hash
-    * (TextHashes.dctSignHash — the stub decoder's 16-bin matrix put
-    * through an integer 4×4 DCT-II; the fingerprint packs the signs of
-    * the 15 non-DC coefficients, the classic pHash feature), keep-min.
+    * (TextHashes.dctSignHash — the stub decoder's 64-bin matrix put
+    * through an integer 8×8 DCT-II; the fingerprint packs the signs of
+    * the 63 non-DC coefficients, the classic pHash feature), keep-min.
     * Where m04 collapses only BIT-EXACT payloads (md5), m05 collapses
     * payloads whose low-frequency structure agrees — robust to small
     * edits, the re-encoded/trimmed-asset case (and scale-invariant for
@@ -340,13 +340,18 @@ object Multimodal {
       .select(col("doc_id"), col("text"),
         (length(col("text")) / lit(64)).cast("int").as("nf"))
       .filter(col("nf") > 0)
-    // per-video frame-hash SET (containment is over sets)
+    // per-video frame-hash SET (containment is over sets); checkpointed
+    // because TWO aggregations (per-video counts, per-hash buckets)
+    // shuffle it on different keys — exchange reuse can't unify them,
+    // and without the pin each consumer re-scans and re-hashes every
+    // frame (the dd11 multi-consumer discipline)
     val ph = vids
       .select(col("doc_id"), col("text"),
         explode_outer(sequence(lit(0), col("nf") - 1)).as("fi"))
       .select(col("doc_id"), graft.functions.text
         .dct_sign_hash(expr("substring(text, fi * 64 + 1, 64)")).as("ph"))
       .distinct()
+      .localCheckpoint(false)
     val counts = ph.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val buckets = ph.groupBy(col("ph"))
       .agg(collect_list(col("doc_id")).as("ds"))

@@ -600,7 +600,7 @@ object Streaming {
       latenessSec: Long = 7200L): Dataset[HhOut] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", s"$latenessSec seconds")
-      .groupByKey(e => e.ts.getTime / 1000L / 3600L * 3600L)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, 3600000L) * 3600L)
       .flatMapGroupsWithState[Map[String, Long], HhOut](
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (w: Long, evs: Iterator[HhEv], state: GroupState[Map[String, Long]]) =>
@@ -746,7 +746,7 @@ object Streaming {
           val st0 = state.getOption.getOrElse(AnState(Map.empty, Vector.empty))
           var open = st0.open
           evs.foreach { e =>
-            val w = e.ts.getTime / 1000L / 3600L * 3600L
+            val w = Math.floorDiv(e.ts.getTime, 3600000L) * 3600L
             open = open.updated(w, open.getOrElse(w, 0L) + 1L)
           }
           val wm = state.getCurrentWatermarkMs() / 1000L

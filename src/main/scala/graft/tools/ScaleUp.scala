@@ -134,8 +134,7 @@ object MiniBench {
       else f""""$k":${v.min}%.3f""" }.mkString("{", ",", "}")
     // same attributability stamp as Bench: a timing is only comparable
     // to another timing taken against the same testdata bytes
-    val fp = java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
-      .stringHash(graft.Tables.testdataFingerprint(sfDir)).toLong & 0xffffffffL)
+    val fp = graft.Tables.shortFp(graft.Tables.testdataFingerprint(sfDir))
     println(s"""{"queries":$qs,"data_fp":"$fp","sf":"$sfDir"}""")
     spark.stop()
   }
