@@ -776,6 +776,123 @@ object Streaming {
       }
   }
 
+  // ---------------------------------------------------------------- st13
+  /** Session conversion funnel — the product-analytics staple on top of
+    * sessionization: within each st02 session (same gap rule, same
+    * windows), how far did the user get through the ORDERED
+    * click → view → purchase funnel? Stage = the prefix-automaton fold
+    * over the session's events in (sec, event_id) order: a `view` only
+    * counts after a `click`, a `purchase` only after such a `view` —
+    * set-membership ("did both happen") funnels overcount precisely
+    * the broken orderings a funnel exists to expose. Output: sessions
+    * per stage reached (0–3).
+    *
+    * Scale: st02's audited per-user windows; the fold runs inside one
+    * aggregation over each session's (gap-bounded) event list — pure
+    * discrete string/int logic, so both engines fold identically with
+    * no float hazard (§5).
+    */
+  def st13SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = ev.withColumn("new_session",
+      when(col("sec") - lag(col("sec"), 1).over(byUser) > SessionGapSeconds,
+        1L).otherwise(lit(0L)))
+      .withColumn("session_seq", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val folded = flagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(
+          struct(col("sec"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type")),
+        lit(0L),
+        (st, t) => when(st === 0L && t === "click", 1L)
+          .when(st === 1L && t === "view", 2L)
+          .when(st === 2L && t === "purchase", 3L)
+          .otherwise(st)).as("stage"))
+    folded.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("stage"))
+  }
+
+  /** Oracle: the same automaton as a list_reduce over ordered event
+    * types; DuckDB's list_reduce has no init, so stage rides as a
+    * prepended string digit. */
+  val st13Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+      |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+      |               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, sec, event_id, event_type,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_seq
+      |  FROM flagged),
+      |folded AS (
+      |  SELECT user_id, session_seq,
+      |    CAST(list_reduce(
+      |      list_prepend('0', list(event_type ORDER BY sec, event_id)),
+      |      (a, x) -> CASE WHEN a = '0' AND x = 'click' THEN '1'
+      |                     WHEN a = '1' AND x = 'view' THEN '2'
+      |                     WHEN a = '2' AND x = 'purchase' THEN '3'
+      |                     ELSE a END) AS BIGINT) AS stage
+      |  FROM sess GROUP BY user_id, session_seq)
+      |SELECT stage, COUNT(*) AS n_sessions
+      |FROM folded GROUP BY stage ORDER BY stage""".stripMargin
+
+  final case class FunnelEv(user_id: Long, sec: Long, event_id: Long,
+      event_type: String)
+  final case class FunnelState(startSec: Long, lastSec: Long, seq: Long,
+      stage: Long)
+  final case class FunnelOut(user_id: Long, session_seq: Long, stage: Long)
+
+  /** Streaming twin: the funnel automaton POSITION rides st02's
+    * per-user session state — one extra Long, O(1) per user (an
+    * entity-keyed twin per the lifecycle taxonomy); the session's stage
+    * is final the moment the gap closes it, so each closed session
+    * emits its stage exactly once. */
+  def st13Stream(events: Dataset[FunnelEv]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    def adv(stage: Long, t: String): Long =
+      if (stage == 0L && t == "click") 1L
+      else if (stage == 1L && t == "view") 2L
+      else if (stage == 2L && t == "purchase") 3L
+      else stage
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[FunnelState], FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[FunnelEv],
+            state: GroupState[List[FunnelState]]) =>
+          var open = state.getOption.flatMap(_.headOption)
+          var closed = List.empty[FunnelOut]
+          evs.toVector.sortBy(e => (e.sec, e.event_id)).foreach { e =>
+            open match {
+              case Some(s) if e.sec - s.lastSec <= SessionGapSeconds =>
+                open = Some(s.copy(lastSec = e.sec,
+                  stage = adv(s.stage, e.event_type)))
+              case Some(s) =>
+                closed ::= FunnelOut(user, s.seq, s.stage)
+                open = Some(FunnelState(e.sec, e.sec, s.seq + 1,
+                  adv(0L, e.event_type)))
+              case None =>
+                open = Some(FunnelState(e.sec, e.sec, 0L,
+                  adv(0L, e.event_type)))
+            }
+          }
+          state.update(open.toList)
+          closed.reverseIterator
+      }
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -790,7 +907,8 @@ object Streaming {
     "st09_stream_ema" -> (st09StreamEma _),
     "st10_window_quantiles" -> (st10WindowQuantiles _),
     "st11_heavy_hitters" -> (st11HeavyHitters _),
-    "st12_anomaly_windows" -> (st12AnomalyWindows _))
+    "st12_anomaly_windows" -> (st12AnomalyWindows _),
+    "st13_session_funnel" -> (st13SessionFunnel _))
 
   val oracle: Map[String, String] = Map(
     "st07_stream_enrich" -> st07Sql,
@@ -804,5 +922,6 @@ object Streaming {
     "st09_stream_ema" -> st09Sql,
     "st10_window_quantiles" -> st10Sql,
     "st11_heavy_hitters" -> st11Sql,
-    "st12_anomaly_windows" -> st12Sql)
+    "st12_anomaly_windows" -> st12Sql,
+    "st13_session_funnel" -> st13Sql)
 }

@@ -408,6 +408,88 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st13 funnel order matters: stages advance only click→view→purchase") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.{FunnelEv, FunnelOut}
+    val input = MemoryStream[FunnelEv]
+    val q = Streaming.st13Stream(input.toDS()).writeStream
+      .format("memory").queryName("st13_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // user 1: full ordered funnel → stage 3
+        FunnelEv(1, 1000, 1, "click"), FunnelEv(1, 1010, 2, "view"),
+        FunnelEv(1, 1020, 3, "purchase"),
+        // user 2: view before click never counts → stage 2, not 3
+        FunnelEv(2, 1000, 4, "view"), FunnelEv(2, 1010, 5, "click"),
+        FunnelEv(2, 1020, 6, "view"),
+        // user 3: purchase before any click/view → stage 1 only
+        FunnelEv(3, 1000, 7, "purchase"), FunnelEv(3, 1010, 8, "click"))
+      q.processAllAvailable()
+      // a >gap event closes every first session and emits its stage
+      input.addData(FunnelEv(1, 9000, 9, "click"),
+        FunnelEv(2, 9000, 10, "click"), FunnelEv(3, 9000, 11, "click"))
+      q.processAllAvailable()
+      val out = spark.table("st13_sink").as[FunnelOut].collect()
+        .map(o => o.user_id -> o.stage).toMap
+      assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), out)
+    } finally q.stop()
+  }
+
+  test("st13 streaming stages equal the batch fold on the events table") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.{FunnelEv, FunnelOut}
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val evs = Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "CAST(unix_timestamp(ts) AS BIGINT) AS sec",
+        "event_id", "event_type").as[FunnelEv].collect().toSeq
+    val input = MemoryStream[FunnelEv]
+    val q = Streaming.st13Stream(input.toDS()).writeStream
+      .format("memory").queryName("st13_full_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      // batch per-session stages, recomputed through the SAME windows
+      // the operator uses (the registry key only publishes counts)
+      val ev = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          sexpr("CAST(unix_timestamp(ts) AS BIGINT)").as("sec"))
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val batch = ev.withColumn("new_session",
+          org.apache.spark.sql.functions.when(
+            col("sec") - org.apache.spark.sql.functions.lag(col("sec"), 1)
+              .over(byUser) > Streaming.SessionGapSeconds, 1L)
+            .otherwise(org.apache.spark.sql.functions.lit(0L)))
+        .withColumn("session_seq",
+          org.apache.spark.sql.functions.sum(col("new_session"))
+            .over(byUser.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(sexpr("""aggregate(
+          transform(array_sort(collect_list(
+            struct(sec, event_id, event_type))), e -> e.event_type),
+          0L,
+          (st, t) -> CASE WHEN st = 0L AND t = 'click' THEN 1L
+                          WHEN st = 1L AND t = 'view' THEN 2L
+                          WHEN st = 2L AND t = 'purchase' THEN 3L
+                          ELSE st END)""").as("stage"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      // the stream emits every CLOSED session; the last session of each
+      // user stays open — stream output must equal batch minus those
+      val lastSeq = batch.keys.groupBy(_._1)
+        .view.mapValues(_.map(_._2).max).toMap
+      val want = batch.filter { case ((u, s), _) => s != lastSeq(u) }
+      val got = spark.table("st13_full_sink").as[FunnelOut].collect()
+        .map(o => (o.user_id, o.session_seq) -> o.stage).toMap
+      assert(got == want,
+        s"closed-session stages diverge: ${got.size} vs ${want.size}")
+    } finally q.stop()
+  }
+
   test("st11 space-saving heavy hitters equal the batch twin at ample capacity") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.Streaming.HhEv
@@ -559,6 +641,13 @@ class StreamingSpec extends SparkSpec {
       in11.addData(HhEv(Timestamp.valueOf("2024-01-03 02:00:00"), "view"))
     }
 
+    val in13 = MemoryStream[FunnelEv]
+    val (s13Rows, s13To) = run("st13", Streaming.st13Stream(in13.toDS).toDF,
+      "append") { () =>
+      in13.addData((for { u <- users; h <- hours }
+        yield FunnelEv(u, h * 3600L, u * 100 + h, "click")): _*)
+    }
+
     // -- entity-keyed twin whose state VALUE is time-bounded internally:
     // one state row per event_type; the value holds open windows (purged
     // on watermark closure inside the function) + a trailing-3 ring
@@ -584,6 +673,9 @@ class StreamingSpec extends SparkSpec {
         "user_id — one running double per user, time-free key"),
       ("st11", s11To, s11Rows, 1L, "EventTimeTimeout",
         "open windows inside the watermark horizon — closed windows purged"),
+      ("st13", s13To, s13Rows, users.size.toLong, "NoTimeout",
+        "user_id — one open-session row (+ automaton Long) per user, " +
+          "time-free key"),
       ("st12", s12To, s12Rows, 2L, "EventTimeTimeout",
         "event_type — entity-keyed ROWS; the VALUE is horizon-bounded by " +
           "timeout-driven closure: sealed windows leave the open map " +
