@@ -638,14 +638,26 @@ object Similarity {
     */
   def s08MmrRerank(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables(spark, dir, "embeddings")
+    // rank the RAW cosine (exactly s01's top-k order — ranking a rounded
+    // copy instead would let the pool diverge from s01's at a .00005
+    // boundary, ADVICE r8); rel rounds to 4dp AFTER selection into the
+    // pool, which is where the deterministic MMR arithmetic starts
     val scored = corpus.crossJoin(broadcast(queriesDf(spark, dir)))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("embedding").as("emb"),
-        round(V.cosine_sim(col("q_vec"), col("embedding")), 4).as("cos"))
+        V.cosine_sim(col("q_vec"), col("embedding")).as("cos"))
     val packed = topKPerQuery(scored, K, Seq("emb"))
       .groupBy(col("q_id"))
-      .agg(collect_list(struct(col("vec_id"), col("cos").as("rel"),
-        col("emb"))).as("cs"))
+      .agg(collect_list(struct(col("vec_id"),
+        round(col("cos"), 4).as("rel"), col("emb"))).as("cs"))
+    mmrSelect(packed).orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The MMR selection core over a packed `(q_id, cs)` candidate frame
+    * (cs = array of (vec_id, rel, emb) structs, rel pre-rounded 4dp):
+    * 5 unrolled argmax folds, λ = 0.7. Factored so the short-candidate
+    * edge (< 5 candidates) is unit-testable without a corpus scan. */
+  private[graft] def mmrSelect(packed: DataFrame): DataFrame = {
     def sim(a: Column, b: Column) = round(V.cosine_sim(a, b), 4)
     // argmax of `score` over the candidate array, excluding prior picks,
     // lowest vec_id on ties — an assignCells-style fold (strict > keeps
@@ -677,10 +689,13 @@ object Similarity {
     withPicks
       .select(col("q_id"),
         posexplode(array((1 to 5).map(i => col(s"w$i")): _*)))
+      // a query with < 5 candidates exhausts the pool before 5 picks and
+      // the fold's init struct survives into the explode — drop it by its
+      // sentinel id (the oracle's rn = 1 over an empty set emits nothing)
+      .filter(col("col.vec_id") =!= Long.MaxValue)
       .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rank"),
         col("col.vec_id").as("vec_id"), col("col.rel").as("rel"),
         round(col("col.score"), 5).as("score"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   private def mmrStepSql(i: Int): String = {
@@ -709,13 +724,12 @@ object Similarity {
        |  FROM embeddings WHERE vec_id < 5),
        |scored AS (
        |  SELECT q.q_id, e.vec_id, e.embedding::DOUBLE[] AS emb,
-       |    round(list_cosine_similarity(q.q_vec, e.embedding::DOUBLE[]), 4)
-       |      AS rel
+       |    list_cosine_similarity(q.q_vec, e.embedding::DOUBLE[]) AS c
        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
        |cands AS (
-       |  SELECT q_id, vec_id, emb, rel FROM (
+       |  SELECT q_id, vec_id, emb, round(c, 4) AS rel FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
-       |      ORDER BY rel DESC, vec_id) AS rn
+       |      ORDER BY c DESC, vec_id) AS rn
        |    FROM scored) WHERE rn <= 10),
        |w1 AS (
        |  SELECT q_id, vec_id, rel, score, 1 AS rank FROM (

@@ -354,6 +354,26 @@ class NewOpsSpec extends SparkSpec {
     ce.unpersist(); df.unpersist()
   }
 
+  test("s08: mmrSelect emits exactly the pool when a query has < 5 candidates") {
+    // 3-candidate query: the selection must emit 3 rows (ranks 1..3) and
+    // the fold's Long.MaxValue init sentinel must never reach the output
+    // (VERDICT r8 "What's wrong" #2)
+    import spark.implicits._
+    val cs = Seq(
+      MmrCand(10L, 0.9, Array(1.0f, 0.0f)),
+      MmrCand(11L, 0.8, Array(0.9f, 0.1f)),
+      MmrCand(12L, 0.7, Array(0.0f, 1.0f)))
+    val packed = Seq((7L, cs)).toDF("q_id", "cs")
+    val got = graft.operators.Similarity.mmrSelect(packed)
+      .orderBy(col("rank")).collect()
+    assert(got.length == 3, s"want 3 rows, got ${got.toSeq}")
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    // scalar reference: 10 first (max rel); then 12 (11 is near-dup of
+    // 10: sim 0.9938 → 0.8·0.7 − 0.9938·0.3 < 0.7·0.7 − 0); then 11
+    assert(got.map(_.getLong(2)).toSeq == Seq(10L, 12L, 11L))
+    assert(got.forall(_.getLong(2) != Long.MaxValue))
+  }
+
   test("dd12: boilerplate removal is total and conserves non-boiler chunks") {
     val df = SparkEntry.queries("dd12_boilerplate")(spark, sfDir).cache()
     // independently re-derive the chunk frame + per-chunk doc-frequency
@@ -653,3 +673,7 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 }
+
+/** Row shape for the s08 short-candidate spec (top-level for the
+  * encoder). */
+final case class MmrCand(vec_id: Long, rel: Double, emb: Array[Float])
