@@ -166,7 +166,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("st02 streaming total sessions equal batch twin on the same data") {
+  test("st02 streaming sessions equal batch twin on ALL sessions once flushed") {
     implicit val ctx = spark.sqlContext
     val events = Tables(spark, sfDir, "events")
       .selectExpr("user_id", "CAST(unix_timestamp(ts) AS BIGINT) AS sec",
@@ -179,15 +179,55 @@ class StreamingSpec extends SparkSpec {
       val (first, second) = events.splitAt(events.size / 2)
       input.addData(first); q.processAllAvailable()
       input.addData(second); q.processAllAvailable()
+      // a far-future sentinel (its own key) advances the watermark past
+      // every real session's last + gap + lateness: the timeout flushes
+      // each user's FINAL session, so stream parity covers ALL sessions
+      input.addData(Ev(-1L, events.last.sec + 1000000L, -1L))
+      q.processAllAvailable()
       val streamed = spark.table("st02_full_sink").as[SessOut].collect()
+        .filter(_.user_id >= 0)
         .map(s => (s.user_id, s.session_seq) -> (s.n_events, s.start_sec)).toMap
       val batch = Streaming.st02Sessionize(spark, sfDir).collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
-      // streaming only emits CLOSED sessions; every emitted one must match
-      // the batch twin exactly
-      assert(streamed.nonEmpty)
-      streamed.foreach { case (k, v) => assert(batch.get(k).contains(v), s"session $k") }
+      assert(streamed == batch,
+        s"full parity: streamed ${streamed.size} vs batch ${batch.size}")
     } finally q.stop()
+  }
+
+  test("st02/st13 flush a quiet user's final session when the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.{FunnelEv, FunnelOut}
+    val in02 = MemoryStream[Ev]
+    val q02 = Streaming.st02Stream(in02.toDS()).writeStream
+      .format("memory").queryName("st02_flush_sink")
+      .outputMode(OutputMode.Append()).start()
+    val in13 = MemoryStream[FunnelEv]
+    val q13 = Streaming.st13Stream(in13.toDS()).writeStream
+      .format("memory").queryName("st13_flush_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in02.addData(Ev(1, 1000, 1), Ev(1, 1600, 2))
+      q02.processAllAvailable()
+      in13.addData(FunnelEv(1, 1000, 1, "click"), FunnelEv(1, 1600, 2, "view"))
+      q13.processAllAvailable()
+      // user 1 goes quiet FOREVER; another user's traffic advances the
+      // watermark past 1600 + gap + lateness → the timeout must emit
+      // user 1's stranded session (the round-8 semantics gap)
+      in02.addData(Ev(2, 500000, 3)); q02.processAllAvailable()
+      in13.addData(FunnelEv(2, 500000, 3, "click")); q13.processAllAvailable()
+      val got02 = spark.table("st02_flush_sink").as[SessOut].collect().toSet
+      assert(got02.contains(SessOut(1, 0, 2, 1000, 600)), got02)
+      val got13 = spark.table("st13_flush_sink").as[FunnelOut].collect().toSet
+      assert(got13.contains(FunnelOut(1, 0, 2)), got13)
+      // and a RETURNING user numbers the next session after the cursor
+      in02.addData(Ev(1, 600000, 4), Ev(1, 700000, 5))
+      q02.processAllAvailable()
+      in02.addData(Ev(1, 900000, 6)) // closes seq-1 session by gap
+      q02.processAllAvailable()
+      val seqs = spark.table("st02_flush_sink").as[SessOut].collect()
+        .filter(_.user_id == 1).map(_.session_seq).toSet
+      assert(seqs.contains(1L), s"post-flush seq continuity: $seqs")
+    } finally { q02.stop(); q13.stop() }
   }
 
   test("st03 stream dedup keeps one row per key within watermark") {
@@ -450,6 +490,11 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData(evs: _*)
       q.processAllAvailable()
+      // far-future sentinel advances the watermark → every user's final
+      // session flushes via the timeout, so parity covers ALL sessions
+      input.addData(FunnelEv(-1L,
+        evs.map(_.sec).max + 1000000L, -1L, "click"))
+      q.processAllAvailable()
       // batch per-session stages, recomputed through the SAME windows
       // the operator uses (the registry key only publishes counts)
       val ev = Tables(spark, sfDir, "events")
@@ -478,15 +523,12 @@ class StreamingSpec extends SparkSpec {
                           ELSE st END)""").as("stage"))
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
         .toMap
-      // the stream emits every CLOSED session; the last session of each
-      // user stays open — stream output must equal batch minus those
-      val lastSeq = batch.keys.groupBy(_._1)
-        .view.mapValues(_.map(_._2).max).toMap
-      val want = batch.filter { case ((u, s), _) => s != lastSeq(u) }
+      // gap-closed sessions + watermark-flushed finals = ALL sessions
       val got = spark.table("st13_full_sink").as[FunnelOut].collect()
+        .filter(_.user_id >= 0)
         .map(o => (o.user_id, o.session_seq) -> o.stage).toMap
-      assert(got == want,
-        s"closed-session stages diverge: ${got.size} vs ${want.size}")
+      assert(got == batch,
+        s"session stages diverge: ${got.size} vs ${batch.size}")
     } finally q.stop()
   }
 
@@ -582,6 +624,10 @@ class StreamingSpec extends SparkSpec {
     // (b) key by TIME and arm EventTimeTimeout so the watermark purges
     // closed keys (st11). A time-keyed NoTimeout twin would grow its store
     // with stream lifetime — the class of bug this table pins down.
+    // Entity-keyed twins holding OPEN-SESSION values (st02/st13) arm
+    // EventTimeTimeout too — not for the store bound (the entity key
+    // already bounds it) but for EMISSION COMPLETENESS: a quiet user's
+    // final session must flush when the watermark proves it final.
     implicit val ctx = spark.sqlContext
     import graft.streaming.Streaming._
     import org.apache.spark.sql.catalyst.plans.logical.{FlatMapGroupsWithState => FMGWS}
@@ -663,8 +709,9 @@ class StreamingSpec extends SparkSpec {
     // behavioral column PROVES it (12 hours of data, state ∝ bound only).
     val audit = Seq(
       //  twin     timeouts   rows     bound
-      ("st02", s02To, s02Rows, users.size.toLong, "NoTimeout",
-        "user_id — one open-session row per user, time-free key"),
+      ("st02", s02To, s02Rows, users.size.toLong, "EventTimeTimeout",
+        "user_id — one open-session row (or flushed-seq cursor) per " +
+          "user; timeout flushes a quiet user's final session"),
       ("st05", s05To, s05Rows, users.size.toLong, "NoTimeout",
         "user_id — one latest-row upsert per user, time-free key"),
       ("st06", s06To, s06Rows, users.size.toLong, "NoTimeout",
@@ -673,9 +720,9 @@ class StreamingSpec extends SparkSpec {
         "user_id — one running double per user, time-free key"),
       ("st11", s11To, s11Rows, 1L, "EventTimeTimeout",
         "open windows inside the watermark horizon — closed windows purged"),
-      ("st13", s13To, s13Rows, users.size.toLong, "NoTimeout",
-        "user_id — one open-session row (+ automaton Long) per user, " +
-          "time-free key"),
+      ("st13", s13To, s13Rows, users.size.toLong, "EventTimeTimeout",
+        "user_id — one open-session row (+ automaton Long) per user; " +
+          "timeout flushes a quiet user's final session"),
       ("st12", s12To, s12Rows, 2L, "EventTimeTimeout",
         "event_type — entity-keyed ROWS; the VALUE is horizon-bounded by " +
           "timeout-driven closure: sealed windows leave the open map " +
