@@ -435,7 +435,11 @@ object Dedup {
     */
   def dd06Clusters(spark: SparkSession, dir: String): DataFrame = {
     val nodes = plantedDocs(spark, dir).select(col("doc_id"))
-    val edges = jaccardPairs(spark, dir)
+    // edge list = the materialized dd04 pair artifact (one inverted-index
+    // verification per corpus generation; the CC loop is this operator's
+    // own work) — a docstore scan where the shingle pipeline used to sit
+    val edges = spark.read.format("docstore")
+      .option("path", ensureJaccardPairArtifact(spark, dir)).load()
       .select(col("id_a"), col("id_b"))
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -605,17 +609,40 @@ object Dedup {
     * after the sink's failure-atomic commit, so a crashed build is
     * re-run, never half-read.
     */
-  def ensureClusterArtifact(spark: SparkSession, dir: String): String = synchronized {
-    import java.nio.file.{Files, Paths}
-    val path = s"${DocstoreOps.docsRoot(dir)}/dd06_clusters_v1_" +
-      graft.Tables.tableFingerprint(dir, "documents")
-    val marker = Paths.get(s"$path/_GRAFT_COMPLETE")
-    if (Files.exists(marker)) return path
-    dd06Clusters(spark, dir)
-      .write.format("docstore").mode("overwrite").save(path)
-    Files.write(marker, Array.emptyByteArray)
-    path
-  }
+  def ensureClusterArtifact(spark: SparkSession, dir: String): String =
+    graft.Graft.ensureArtifact(DocstoreOps.docsRoot(dir), "dd06_clusters_v1",
+        graft.Tables.tableFingerprint(dir, "documents")) { path =>
+      dd06Clusters(spark, dir)
+        .write.format("docstore").mode("overwrite").save(path)
+    }
+
+  /** dd02's VERIFIED near-dup pair set, materialized once per documents
+    * generation ([[graft.Graft.ensureArtifact]]) — the corpus-expensive
+    * half of the whole MinHash dedup family (shingle → signature → LSH
+    * banding → verification). The dd02 key itself stays the definitional
+    * live pipeline (its oracle gates the computation); every OTHER
+    * consumer (dd13's provenance matrix, future drop/dedup passes) reads
+    * this collection instead of re-running the pipeline (VERDICT r8 #1).
+    */
+  def ensureMinhashPairArtifact(spark: SparkSession, dir: String): String =
+    graft.Graft.ensureArtifact(DocstoreOps.docsRoot(dir), "dd02_pairs_v1",
+        graft.Tables.tableFingerprint(dir, "documents")) { path =>
+      dd02MinHash(spark, dir)
+        .write.format("docstore").mode("overwrite").save(path)
+    }
+
+  /** dd04's verified Jaccard ≥ 0.5 pair set (the dd06 cluster graph's
+    * edges), materialized once per documents generation. dd04 stays the
+    * definitional live pipeline; dd06's CC loop — and therefore the
+    * cluster artifact build — consumes this collection, so the
+    * inverted-index pair verification runs once per corpus, not once
+    * per cluster consumer. */
+  def ensureJaccardPairArtifact(spark: SparkSession, dir: String): String =
+    graft.Graft.ensureArtifact(DocstoreOps.docsRoot(dir), "dd04_pairs_v1",
+        graft.Tables.tableFingerprint(dir, "documents")) { path =>
+      jaccardPairs(spark, dir).select(col("id_a"), col("id_b"))
+        .write.format("docstore").mode("overwrite").save(path)
+    }
 
   // --------------------------------------------------------------- dd05
   /** Embedding near-dup: sign-LSH hyperplane buckets → in-bucket pairwise
@@ -841,12 +868,17 @@ object Dedup {
     * are normalized to an unordered (least, greatest) key so the matrix
     * is triangular.
     *
-    * Scale: the pair frame is candidate-sized (≪ corpus) and joins the
-    * corpus-sized (doc_id, source) projection by id — AQE broadcasts
-    * the pair side; the matrix itself is |sources|² at most.
+    * Scale: the pair set is READ from the materialized dd02 artifact
+    * ([[ensureMinhashPairArtifact]] — shingle/MinHash/LSH verification
+    * runs once per corpus generation, not per consumer); the pair frame
+    * is candidate-sized (≪ corpus) and joins the corpus-sized
+    * (doc_id, source) projection by id — AQE broadcasts the pair side;
+    * the matrix itself is |sources|² at most.
     */
   def dd13DupSources(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dd02MinHash(spark, dir).select(col("id_a"), col("id_b"))
+    val pairs = spark.read.format("docstore")
+      .option("path", ensureMinhashPairArtifact(spark, dir)).load()
+      .select(col("id_a"), col("id_b"))
     val srcs = plantedDocs(spark, dir).select(col("doc_id"), col("source"))
     pairs
       .join(srcs.select(col("doc_id").as("id_a"), col("source").as("sa")),

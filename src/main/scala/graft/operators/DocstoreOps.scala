@@ -44,14 +44,13 @@ object DocstoreOps {
   private def sourceFingerprint(sfDir: String): String =
     graft.Tables.tableFingerprint(sfDir, "events")
 
-  def ensureEventDocs(spark: SparkSession, sfDir: String): String = synchronized {
+  def ensureEventDocs(spark: SparkSession, sfDir: String): String =
     // v3: chunked layout (real collection dumps arrive as many chunks;
     // one monolithic JSONL would serialize every scan on a single core),
-    // cache-keyed by a fingerprint of the source parquet so driver-side
-    // testdata regeneration can never serve stale docs.
-    val dir = s"${docsRoot(sfDir)}/events_docs_v3_${sourceFingerprint(sfDir)}"
-    val marker = Paths.get(s"$dir/_SUCCESS")
-    if (Files.exists(marker)) return dir
+    // served through the engine's fingerprint-keyed artifact cache so
+    // driver-side testdata regeneration can never serve stale docs.
+    graft.Graft.ensureArtifact(docsRoot(sfDir), "events_docs_v3",
+        sourceFingerprint(sfDir)) { dir =>
     val ev = Tables(spark, sfDir, "events")
     // Tables normalizes ts to session-zoned TIMESTAMP whatever the
     // parquet physical layout; the date_format below depends on that.
@@ -80,7 +79,6 @@ object DocstoreOps {
     ev.select(json.as("doc"))
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").text(dir)
-    dir
   }
 
   // ------------------------------------------------------------------ d02

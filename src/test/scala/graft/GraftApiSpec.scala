@@ -335,4 +335,34 @@ class GraftApiSpec extends AnyFunSuite {
         |WHERE mongo_filter('{"xs":{"$elemMatch":{"$gte":2,"$lte":3}}}')"""
         .stripMargin).head.getInt(0) == 1)
   }
+
+  test("ensureArtifact: marker-committed cache, stale fingerprint " +
+      "invalidates, crash-mid-write rebuilds") {
+    val root = Files.createTempDirectory("graft_art_spec").toString
+    var builds = 0
+    def build(path: String): Unit = {
+      builds += 1
+      Files.createDirectories(Paths.get(path))
+      Files.writeString(Paths.get(s"$path/data.jsonl"), s"""{"v":$builds}""")
+    }
+    val p1 = Graft.ensureArtifact(root, "t", "fp1")(build)
+    assert(builds == 1 && Files.exists(Paths.get(s"$p1/_GRAFT_COMPLETE")))
+    // marker honored: a second ensure serves the cache without building
+    assert(Graft.ensureArtifact(root, "t", "fp1")(build) == p1)
+    assert(builds == 1)
+    // stale fingerprint (regenerated source data) keys a NEW path — the
+    // old artifact can never be served for the new corpus
+    val p2 = Graft.ensureArtifact(root, "t", "fp2")(build)
+    assert(p2 != p1 && builds == 2)
+    // crash mid-write: the build throws AFTER partial output — no marker
+    // lands, so the next ensure rebuilds instead of half-reading
+    intercept[RuntimeException] {
+      Graft.ensureArtifact(root, "t", "fp3") { path =>
+        build(path); throw new RuntimeException("crash before commit")
+      }
+    }
+    assert(!Files.exists(Paths.get(s"$root/t_fp3/_GRAFT_COMPLETE")))
+    Graft.ensureArtifact(root, "t", "fp3")(build)
+    assert(builds == 4, "crashed build must re-run, not serve partial files")
+  }
 }

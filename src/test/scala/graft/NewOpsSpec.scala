@@ -536,6 +536,28 @@ class NewOpsSpec extends SparkSpec {
     assert(!physical.contains("Scan ExistingRDD"), physical)
   }
 
+  test("dd02 pair artifact round-trips bit-exact and serves dd06/dd13") {
+    import graft.operators.Dedup
+    // write→read contract for the VERIFIED pair set (ids BIGINT,
+    // est_jaccard an exact dyadic k/64 double — lossless through the
+    // docstore's shortest-repr JSON)
+    val path = Dedup.ensureMinhashPairArtifact(spark, sfDir)
+    val readBack = spark.read.format("docstore").option("path", path).load()
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    val direct = Dedup.dd02MinHash(spark, sfDir)
+    assert(readBack.schema.map(f => (f.name, f.dataType)) ==
+      direct.schema.map(f => (f.name, f.dataType)),
+      s"${readBack.schema} != ${direct.schema}")
+    assert(readBack.exceptAll(direct).isEmpty &&
+      direct.exceptAll(readBack).isEmpty)
+    // the dd04 (Jaccard-edge) artifact exists with a commit marker after
+    // any dd06 run — the CC loop consumes the materialized edge list
+    Dedup.dd06Clusters(spark, sfDir).collect()
+    val jp = Dedup.ensureJaccardPairArtifact(spark, sfDir)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$jp/_GRAFT_COMPLETE")))
+  }
+
   test("m05: perceptual clusters are coarser than exact ones and absorb edits") {
     val df = SparkEntry.queries("m05_perceptual_dedup")(spark, sfDir).cache()
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))

@@ -237,6 +237,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(dd14.contains("windowspecdefinition(doc_id#"), dd14)
   }
 
+  test("round-9: dd13 reads the pair artifact — docstore scan, no " +
+      "shingle/LSH pipeline in the consumer plan") {
+    graft.operators.Dedup.ensureMinhashPairArtifact(spark, sfDir)
+    val p = finalPlan("dd13_dup_sources")
+    assert(p.contains("docstore"), p)
+    // the shingle → MinHash → band-explode pipeline ran once into the
+    // artifact; the consumer plan must carry none of it
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("minhash_sig"), p)
+  }
+
   test("ladders: NULL stratum/bucket keys rank exactly like the window form") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
