@@ -185,6 +185,38 @@ object KernelOracleSql {
        |  JOIN feats f ON b.doc_id = f.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** p11 oracle: the hashed-unigram linear quality scorer. Per-token
+    * bucket = (shingle-kernel k=1 hash) mod 64, replicated exactly:
+    * fnv1a(lowercased token) then the kernel's separator fold (xor 0x1f,
+    * × FNV prime); token-less docs fall back to the raw full-text hash
+    * like the kernel. mod 64 needs no sign handling — 64 divides 2^64,
+    * so the unsigned HUGEINT residue equals Spark's pmod on the signed
+    * Long. Weights arrive as the same driver-side literal the Spark plan
+    * inlines; the score is an exact BIGINT sum (§5: no float enters the
+    * decision).
+    */
+  def p11Sql(weights: Seq[Long]): String = {
+    val wl = weights.mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, $toksExpr AS ts FROM documents),
+       |bs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) < 1 THEN [(${fnv1a("text")}) % 64::HUGEINT]
+       |         ELSE list_transform(ts, t ->
+       |           (((xor(${fnv1a("t")}, 31::HUGEINT))
+       |             * 1099511628211::HUGEINT) % $P64) % 64::HUGEINT)
+       |    END AS bks
+       |  FROM toks),
+       |sc AS (
+       |  SELECT doc_id, CAST(len(bks) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(bks, bk -> ($wl)[CAST(bk AS INT) + 1])),
+       |      (a, x) -> a + x) AS BIGINT) AS score_milli
+       |  FROM bs)
+       |SELECT doc_id, n_tokens, score_milli, score_milli > 0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** t04 oracle: Rabin-Karp base-257 over raw text bytes finalized with
     * mix64, plus the SimHash — both as signed BIGINT.
     */

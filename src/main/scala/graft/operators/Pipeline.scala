@@ -521,7 +521,55 @@ object Pipeline {
       |    - greatest(cstart, seq_id * 512) AS BIGINT) AS seg_tok
       |FROM segs ORDER BY source, seq_id, seq_off""".stripMargin
 
+  // ---------------------------------------------------------------- p11
+  /** Model-based quality classifier (the DCLM / FineWeb-Edu curation
+    * step the heuristic gates p09/t02 stop short of): a hashed-unigram
+    * LINEAR scorer — each lowercased token hashes through the shingle
+    * kernel (k = 1) into one of 64 weight buckets, the document's score
+    * is the exact-integer sum of its tokens' bucket weights in
+    * MILLI-units, and the keep flag is `score > 0` (threshold 0 is the
+    * declared knob). The weights are a seeded driver-side literal (the
+    * s04 codebook pattern: training happens offline; what ships to the
+    * cluster is the fitted parameters inlined into the plan) derived
+    * from splitmix64, so both engines — and any rerun — score with the
+    * identical model.
+    *
+    * Cross-engine determinism (§5): features are integer hash buckets,
+    * weights integer milli-units, the score an exact BIGINT sum, the
+    * flag an integer comparison — no float ever enters the decision
+    * (the st12 discipline). A rounded score/(1000·n) quotient is
+    * deliberately NOT emitted: rational quotients land exactly on
+    * .xxxx5 half-way boundaries (score 2, n = 8 → 0.00025) where Spark
+    * and DuckDB round apart.
+    *
+    * Scale: map-only — one scan; the score folds per row over the token
+    * hash array against the 64-literal weight array; zero shuffles
+    * besides the output sort. PlanAuditSpec pins the shape.
+    */
+  private[graft] val p11Weights: IndexedSeq[Long] =
+    (0 until 64).map(i =>
+      Math.floorMod(graft.functions.TextHashes.mix64(0x9011L + i), 2001L)
+        - 1000L)
+
+  def p11QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val w = array(p11Weights.map(lit(_)): _*)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.text.shingle_hashes(col("text"), 1).as("hs"))
+      .select(col("doc_id"),
+        size(col("hs")).cast(LongType).as("n_tokens"),
+        aggregate(col("hs"), lit(0L), (acc, h) =>
+          acc + element_at(w, (pmod(h, lit(64L)) + 1).cast(IntegerType)))
+          .as("score_milli"))
+      .withColumn("keep", col("score_milli") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  val p11Sql: String =
+    graft.functions.KernelOracleSql.p11Sql(p11Weights)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_quality_classifier" -> (p11QualityClassifier _),
     "p01_clean_pipeline" -> (p01CleanPipeline _),
     "p10_pack_sequences" -> (p10PackSequences _),
     "p09_quality_funnel" -> (p09QualityFunnel _),
@@ -535,6 +583,7 @@ object Pipeline {
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
+    "p11_quality_classifier" -> p11Sql,
     "p01_clean_pipeline" -> p01Sql,
     "p10_pack_sequences" -> p10Sql,
     "p09_quality_funnel" -> p09Sql,

@@ -248,6 +248,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("minhash_sig"), p)
   }
 
+  test("round-9: p11 classifier scoring is map-only — one scan, no " +
+      "join/window/aggregate") {
+    val p = finalPlan("p11_quality_classifier")
+    // final + initial AQE sections print the same single scan
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 2, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("ladders: NULL stratum/bucket keys rank exactly like the window form") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
