@@ -622,6 +622,95 @@ object TextAnalysis {
       |    AS avg_neglogp
       |FROM per_doc, tot ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t14
+  /** Bigram-LM log-probability score — t12's perplexity proxy upgraded
+    * one order: score(doc) = Σ over the doc's bigram positions of
+    * −ln P(w_i | w_{i−1}) under the corpus's own add-one-smoothed bigram
+    * model, P(w₂|w₁) = (c(w₁w₂) + 1) / (c_left(w₁) + V) with V = exact
+    * unigram vocabulary size. −ln P = ln(c_left + V) − ln(c + 1), so the
+    * per-position term is a difference of logs of INTEGERS — each log is
+    * rounded 6dp and summed as DECIMAL, making the per-doc aggregation
+    * order-independent and bit-identical cross-engine (the t12
+    * discipline; ln of an integer ≥ 2 is irrational, so the 6dp round
+    * has no half-way cases).
+    *
+    * The deliverable is the exact-decimal SUM cast to double — a
+    * rounded avg (sum/n_bigrams) is deliberately NOT emitted: the sum
+    * is an exact 6dp decimal, so the quotient is rational and lands
+    * exactly on .xxxx5 half-way boundaries (~1 % of docs at n = 1)
+    * where Spark and DuckDB round apart (§5; t12's avg is safe only
+    * because its ln(n_total) offset is irrational).
+    *
+    * Scale: ONE tokenization pass — the token-array frame is
+    * checkpointed and feeds both the vocab count and the bigram
+    * postings; corpus bigram counts and left-context totals both derive
+    * from the checkpointed (doc, w₁, w₂, k) frame (shrinking hash aggs,
+    * never a window over a term key); V is one exact distinct-count
+    * (shuffle ∝ vocab — and V must stay exact: it enters every score).
+    */
+  def t14BigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val toksDf = Tables.spread(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .localCheckpoint() // one tokenization: vocab + bigram postings
+    val vocab = toksDf.select(explode(col("ts")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val bg = toksDf.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ts) - 2),
+          |  i -> struct(ts[i] AS w1, ts[i + 1] AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // postings once: corpus counts + scoring join
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("cb"))
+    val cl = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
+    val scored = bg.join(cb, Seq("w1", "w2")).join(cl, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("r",
+        (round(log((col("cl") + col("v")).cast(DoubleType)), 6)
+            .cast("decimal(18,6)") -
+          round(log((col("cb") + 1).cast(DoubleType)), 6)
+            .cast("decimal(18,6)")) * col("k"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("r")).as("s"))
+    // < 2-token docs have no bigram rows — keep them at sum 0
+    toksDf.select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tokens"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("s"), lit(0)).cast(DoubleType).as("sum_neglogp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t14Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '') AS ts
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT COUNT(DISTINCT t) AS v
+      |  FROM (SELECT unnest(ts) AS t FROM d)),
+      |bg AS (
+      |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, COUNT(*) AS k
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+      |        FROM d WHERE len(ts) >= 2)
+      |  GROUP BY 1, 2, 3),
+      |cb AS (SELECT w1, w2, SUM(k) AS cb FROM bg GROUP BY 1, 2),
+      |cl AS (SELECT w1, SUM(cb) AS cl FROM cb GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id, SUM(k) AS n_bigrams,
+      |    SUM((CAST(ROUND(ln(CAST(cl + v AS DOUBLE)), 6) AS DECIMAL(18,6))
+      |       - CAST(ROUND(ln(CAST(cb + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)))
+      |      * k) AS s
+      |  FROM bg JOIN cb USING (w1, w2) JOIN cl USING (w1), vocab
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(COALESCE(sc.s, 0) AS DOUBLE) AS sum_neglogp
+      |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   // --------------------------------------------------------------- t13
   /** Sliding-window chunking — the RAG / embedding-prep step: split
@@ -670,6 +759,7 @@ object TextAnalysis {
       |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_bigram_logprob" -> (t14BigramScore _),
     "t13_chunk_windows" -> (t13ChunkWindows _),
     "t12_unigram_logprob" -> (t12UnigramScore _),
     "t11_markup_strip" -> (t11MarkupStrip _),
@@ -685,6 +775,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t14_bigram_logprob" -> t14Sql,
     "t13_chunk_windows" -> t13Sql,
     "t12_unigram_logprob" -> t12Sql,
     "t11_markup_strip" -> t11Sql,

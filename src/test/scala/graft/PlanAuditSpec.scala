@@ -248,6 +248,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("minhash_sig"), p)
   }
 
+  test("round-9: t14 tokenizes once (checkpointed token arrays feed " +
+      "vocab + postings), per-bigram totals are hash aggs") {
+    // final plan reads the checkpointed frames — the TEXT column never
+    // appears in a parquet scan (tokenization ran exactly once into the
+    // checkpoint; the vocab branch explodes checkpointed token arrays,
+    // not text), no window over a bigram key, the vocab scalar arrives
+    // by broadcast (t12's discipline)
+    val p = finalPlan("t14_bigram_logprob")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("text")) == 0, p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("round-9: p11 classifier scoring is map-only — one scan, no " +
       "join/window/aggregate") {
     val p = finalPlan("p11_quality_classifier")
