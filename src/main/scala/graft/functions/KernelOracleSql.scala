@@ -70,11 +70,15 @@ object KernelOracleSql {
     * 16 bands of 4 consecutive positions identical, est Jaccard =
     * matching positions / 64.
     */
-  def dd02Sql(plantOffset: Long): String =
-    s"""WITH ${corpusCte(plantOffset)},
-       |toks AS (
+  /** CTE chain from `srcCte`(doc_id, text) to `sig`(doc_id, sig) — the
+    * bit-exact 64-seed MinHash signature replica (fnv1a shingle hashes ⊕
+    * mix64 seeds, min over SIGNED values like the JVM Long min). Shared
+    * by dd02 (documents) and dd15 (10-word chunks as pseudo-docs).
+    */
+  private def minhashSigCtes(srcCte: String): String =
+    s"""toks AS (
        |  SELECT doc_id, text, $toksExpr AS ts
-       |  FROM corpus),
+       |  FROM $srcCte),
        |sets AS (
        |  SELECT doc_id,
        |    CASE WHEN len(ts) < 3 THEN [text]
@@ -93,7 +97,12 @@ object KernelOracleSql {
        |${mix64Ctes("crossed", "hx", "v_u", "mx", Seq("doc_id", "i"))},
        |vals AS (SELECT doc_id, i, ${toSigned("v_u")} AS v FROM mxd),
        |sigpos AS (SELECT doc_id, i, min(v) AS m FROM vals GROUP BY doc_id, i),
-       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigpos GROUP BY doc_id),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigpos GROUP BY doc_id)"""
+      .stripMargin
+
+  def dd02Sql(plantOffset: Long): String =
+    s"""WITH ${corpusCte(plantOffset)},
+       |${minhashSigCtes("corpus")},
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
@@ -106,6 +115,64 @@ object KernelOracleSql {
        |    sa[bb*4+3]=sb[bb*4+3] AND sa[bb*4+4]=sb[bb*4+4])) > 0)
        |SELECT id_a, id_b, est_jaccard FROM banded
        |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** dd15 oracle: paragraph(=10-word-chunk)-level MinHash near-dup
+    * pairs. Chunks become pseudo-docs keyed doc_id·100000 + pos, run
+    * through the shared signature chain, then candidates replicate
+    * Spark's LSH bucket join EXACTLY — including the 2..50 bucket cap
+    * (at chunk level boilerplate buckets DO exceed the cap, unlike the
+    * doc-level dd02 where an exhaustive uncapped oracle matched) — and
+    * est Jaccard verifies at ≥ 0.5. Bucket identity uses the four raw
+    * signature values where Spark uses their 64-bit band hash: the
+    * standard collision-negligibility argument (dd04/dd11).
+    */
+  def dd15Sql(plantOffset: Long): String =
+    s"""WITH ${corpusCte(plantOffset)},
+       |ctoks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ws
+       |  FROM corpus WHERE len(list_filter(string_split_regex(text,
+       |    '[ \\t\\n\\r]+'), t -> t <> '')) > 0),
+       |cchunks AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0,
+       |      CAST(floor((len(ws)-1)/10) AS INT) + 1),
+       |      i -> struct_pack(pos := i,
+       |        chunk := array_to_string(ws[(i*10+1):(i*10+10)], ' ')))) AS c
+       |  FROM ctoks),
+       |src AS (
+       |  SELECT doc_id * 100000 + c.pos AS doc_id, c.chunk AS text
+       |  FROM cchunks),
+       |${minhashSigCtes("src")},
+       |bands AS (
+       |  SELECT doc_id, bb.bb AS bb,
+       |    CAST(sig[bb.bb*4+1] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+2] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+3] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+4] AS VARCHAR) AS bkey
+       |  FROM sig, (SELECT unnest(range(16)) AS bb) bb),
+       |bsz AS (SELECT bb, bkey, COUNT(*) AS c FROM bands GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a
+       |  JOIN bands b ON a.bb = b.bb AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id
+       |  JOIN bsz s ON s.bb = a.bb AND s.bkey = a.bkey
+       |    AND s.c BETWEEN 2 AND 50),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    len(list_filter(range(64), p -> sa.sig[p+1] = sb.sig[p+1]))
+       |      / 64.0 AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.id_a
+       |  JOIN sig sb ON sb.doc_id = cand.id_b)
+       |SELECT CAST(id_a // 100000 AS BIGINT) AS doc_a,
+       |  CAST(id_a % 100000 AS BIGINT) AS pos_a,
+       |  CAST(id_b // 100000 AS BIGINT) AS doc_b,
+       |  CAST(id_b % 100000 AS BIGINT) AS pos_b, est_jaccard
+       |FROM est WHERE est_jaccard >= 0.5
+       |ORDER BY doc_a, pos_a, doc_b, pos_b""".stripMargin
 
   /** Per-doc 64-bit SimHash CTE chain ending in `allsig(doc_id, sig_u)`
     * (zero signature for token-less docs, like the kernel).

@@ -1027,6 +1027,49 @@ object Dedup {
        |    AS clean_text
        |FROM nz LEFT JOIN ra USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- dd15
+  /** Paragraph-level FUZZY dedup — the gap between dd07 (exact at chunk
+    * level) and dd02 (fuzzy at doc level): near-duplicate PARAGRAPHS
+    * (quotes, templated intros, lightly-edited boilerplate) are the
+    * remaining duplicated mass in a web corpus. Each 10-word chunk (the
+    * shared [[chunked10]] segmentation) becomes a pseudo-doc keyed
+    * doc_id·100000 + pos and runs through dd02's exact machinery:
+    * 64-hash MinHash signature over its 3-shingles, 16×4 LSH banding
+    * with the 2..50 bucket cap, signature-estimated Jaccard ≥ 0.5.
+    * The planted corpus supplies the targets for free: a planted doc's
+    * final chunk differs from its source's by one word (near-dup, found
+    * fuzzy-only), every earlier chunk is an exact dup (est 1.0).
+    *
+    * Scale: chunk signatures are map-only over the checkpointed chunk
+    * pass; the band shuffle carries (band-hash, cid) pairs; the 2..50
+    * cap is the collision-entropy rule (§4) — at chunk level
+    * boilerplate chunks (dd12's df ≥ 3 mass) DO produce over-cap
+    * buckets, and dropping them is correct: high-df chunks are
+    * boilerplate for dd12 to strip, not pairs to enumerate. The oracle
+    * replicates the cap exactly.
+    */
+  def dd15ParaMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunked10(spark, dir)
+    val sigs = chunks.select(
+        (col("doc_id") * 100000 + col("pos")).as("doc_id"),
+        T.minhash_sig(col("chunk"), 64, 3).as("sig"))
+      .repartition(col("doc_id")) // one kernel pass feeds banding + verify
+    val cand = minhashCandidates(sigs)
+    val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)).cast(DoubleType) / 64.0)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(expr("id_a DIV 100000").as("doc_a"),
+        pmod(col("id_a"), lit(100000L)).as("pos_a"),
+        expr("id_b DIV 100000").as("doc_b"),
+        pmod(col("id_b"), lit(100000L)).as("pos_b"),
+        col("est_jaccard"))
+      .orderBy(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
+  }
+
   // ------------------------------------------------------------ registry
   // --------------------------------------------------------------- dd08
   /** URL-canonicalization dedup — the provenance-level dedup pass every
@@ -1162,6 +1205,7 @@ object Dedup {
        |ORDER BY a.vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd15_para_minhash" -> (dd15ParaMinhash _),
     "dd11_dup_gram_frac" -> (dd11DupGramFrac _),
     "dd12_boilerplate" -> (dd12Boilerplate _),
     "dd13_dup_sources" -> (dd13DupSources _),
@@ -1182,6 +1226,8 @@ object Dedup {
     * (graft.functions.KernelOracleSql).
     */
   val oracle: Map[String, String] = Map(
+    "dd15_para_minhash" ->
+      graft.functions.KernelOracleSql.dd15Sql(PlantOffset),
     "dd11_dup_gram_frac" -> dd11Sql,
     "dd12_boilerplate" -> dd12Sql,
     "dd13_dup_sources" -> dd13Sql,

@@ -536,6 +536,27 @@ class NewOpsSpec extends SparkSpec {
     assert(!physical.contains("Scan ExistingRDD"), physical)
   }
 
+  test("dd15: fuzzy chunk pairs include the one-word-trimmed finals " +
+      "exact chunk dedup misses; identical chunks score exactly 1.0") {
+    val df = SparkEntry.queries("dd15_para_minhash")(spark, sfDir).cache()
+    assert(df.filter(col("est_jaccard") < 0.5).count() == 0)
+    // the FUZZY value-add: a planted doc's final chunk differs from its
+    // source's by one word — found as a plant/source pair at est < 1.0
+    val plantPairs = df.filter(col("doc_b") === col("doc_a") + 1000000L &&
+      col("pos_a") === col("pos_b"))
+    assert(plantPairs.filter(col("est_jaccard") < 1.0).count() > 0,
+      "no fuzzy plant pairs — the near-dup target is vacuous")
+    // identical text ⇒ identical signature ⇒ est exactly 1.0: every
+    // NON-final same-pos plant/source pair is an exact chunk copy
+    val rows = plantPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    val lastPos = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    rows.filter { case (d, p, _) => p < lastPos(d) }.foreach {
+      case (d, p, e) => assert(e == 1.0, s"doc $d pos $p est $e")
+    }
+    df.unpersist()
+  }
+
   test("dd02 pair artifact round-trips bit-exact and serves dd06/dd13") {
     import graft.operators.Dedup
     // write→read contract for the VERIFIED pair set (ids BIGINT,
