@@ -450,7 +450,188 @@ object Multimodal {
       |  AND least(ca.n, cb.n) >= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- m07
+  /** Audio near-dup detection by spectral-peak constellation matching —
+    * the Shazam shape (Wang 2003), closing the multimodal triangle
+    * (m05 image, m06 video, m07 audio): each audio stream's 64-byte
+    * stub-codec frames yield one "spectral peak" (the frame's DCT-sign
+    * signature quantized to 64 bands — the stub spectrogram's dominant
+    * bin); landmarks pair each anchor peak with the next 3 frames'
+    * peaks (fan-out 3) into a (p_t, p_{t+d}, d) hash carrying its
+    * anchor time; two clips match when the landmark votes AGREE ON ONE
+    * TIME OFFSET — the constellation diagonal that makes the scheme
+    * robust to clipping, unlike m06's set containment which ignores
+    * time structure. Pure integer algebra end to end (peaks, hashes,
+    * offsets, votes): zero cross-engine float hazard (§5).
+    *
+    * Planted: every `doc_id % 9 == 1` audio clip re-enters with its
+    * first 128 bytes (= 2 frames) removed — a TIME-SHIFTED clip, the
+    * case whole-asset hashes (m04/m05) and unordered frame sets can
+    * mistake but a constellation pins: each plant must pair with its
+    * source at offset exactly +2 (specced).
+    *
+    * Scale: peaks and landmarks are map-only per doc (bounded
+    * transform over the frame array — no join against self, no
+    * shuffle); the landmark index is the dd02/m06 inverted-index shape
+    * with the 2..50 cap sized to the hash's collision entropy (§4: the
+    * landmark space is only 64·64·3 = 12k values, far below an exact
+    * hash's — generic landmarks go over-cap fast and are
+    * non-discriminative by construction); offset votes ride the pair
+    * shuffle as one extra int.
+    */
+  def m07(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 9 === 1) // ⊂ audio third; 999999 ≡ 0 mod 3
+        .select((col("doc_id") + 999999L).as("doc_id"),
+          expr("substring(text, 129)").as("text")))
+    val auds = corpus.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) / lit(64)).cast("int").as("nf"))
+      .filter(col("nf") >= 2)
+    // the stub spectrogram: per-frame DCT-sign signature → 64 peak bands
+    // (Column-form kernel call — the SQL name needs GraftExtensions)
+    val peaks = auds.select(col("doc_id"),
+      transform(sequence(lit(0), col("nf") - 1), i =>
+        pmod(graft.functions.text.dct_sign_hash(
+          col("text").substr(i * 64 + 1, lit(64))), lit(64L))).as("ps"))
+    val lms = peaks.select(col("doc_id"), explode_outer(expr(
+        """flatten(transform(ps, (p, t) ->
+          |  filter(transform(array(1, 2, 3), d ->
+          |    IF(t + d < size(ps),
+          |      named_struct(
+          |        'lm', p * 256L + element_at(ps, t + d + 1) * 4L + (d - 1),
+          |        't', t), null)),
+          |    x -> x IS NOT NULL)))""".stripMargin)).as("l"))
+      .filter(col("l").isNotNull)
+      .select(col("doc_id"), col("l.lm").as("lm"), col("l.t").as("t"))
+    // lms feeds the per-doc landmark counts AND the index buckets —
+    // checkpoint so the peak/landmark construction runs once (the m06
+    // multi-consumer discipline)
+    val lmsP = lms.localCheckpoint(false)
+    val buckets = lmsP.groupBy(col("lm"))
+      .agg(collect_list(struct(col("doc_id"), col("t"))).as("es"))
+      .filter(size(col("es")).between(2, 50))
+      .localCheckpoint(false) // feeds pair emission + indexed-landmark counts
+    // a clip's INDEXED landmark count — only landmarks surviving the
+    // discriminativeness cap count toward the aligned fraction (a vote
+    // can only come from an indexed landmark, so the denominator must
+    // be the same universe or over-cap generics penalize true copies)
+    val nlm = buckets.select(explode(col("es")).as("e"))
+      .groupBy(col("e.doc_id").as("doc_id")).agg(count(lit(1)).as("n"))
+    // in-place pair emission (bounded ≤ cap²/2 per bucket); same-doc
+    // landmark repeats never pair
+    val votes = buckets.select(explode_outer(expr(
+        """flatten(transform(es, (x, i) ->
+          |  filter(transform(slice(es, i + 2, size(es)), y ->
+          |    IF(x.doc_id <> y.doc_id, named_struct(
+          |      'id_a', least(x.doc_id, y.doc_id),
+          |      'id_b', greatest(x.doc_id, y.doc_id),
+          |      'delta', IF(x.doc_id < y.doc_id, x.t - y.t, y.t - x.t)),
+          |      null)),
+          |    z -> z IS NOT NULL)))""".stripMargin)).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.delta").as("delta"))
+      .agg(count(lit(1)).as("v"))
+    votes.groupBy(col("id_a"), col("id_b"))
+      // best offset = max votes, lowest delta on ties (lexicographic
+      // struct max with the negated delta — the assignCells pick rule)
+      .agg(max(struct(col("v"), (-col("delta")).as("nd"))).as("b"))
+      .join(nlm.select(col("doc_id").as("id_a"), col("n").as("n_lm_a")),
+        "id_a")
+      .join(nlm.select(col("doc_id").as("id_b"), col("n").as("n_lm_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        (-col("b.nd")).cast("long").as("offset"), col("b.v").as("votes"),
+        col("n_lm_a"), col("n_lm_b"))
+      // decision in exact integer algebra (§5, no rounded quotient):
+      // ≥ 3 aligned landmarks AND ≥ 80 % of the smaller clip's
+      // constellation on ONE diagonal — the 64-band stub peak space is
+      // coarse enough that short clips chance-align a few landmarks;
+      // the aligned-fraction guard is what separates a time-shifted
+      // copy (fraction exactly 1) from coincidence
+      .filter(col("votes") >= 3 &&
+        col("votes") * 5 >= least(col("n_lm_a"), col("n_lm_b")) * 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Oracle: m06's per-frame integer-DCT replica quantized to 64 bands,
+    * landmarks via a (doc, t+d) self-join, the capped landmark index,
+    * and the offset vote verbatim — all integers. */
+  val m07Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 999999, substr(text, 129)
+      |  FROM documents WHERE doc_id % 9 = 1),
+      |auds AS (
+      |  SELECT doc_id, text, CAST(length(text) // 64 AS INT) AS nf
+      |  FROM corpus WHERE doc_id % 3 = 1 AND length(text) // 64 >= 2),
+      |frames AS (
+      |  SELECT doc_id, text, UNNEST(range(0, nf)) AS t FROM auds),
+      |ftexts AS (
+      |  SELECT doc_id, t,
+      |    substr(text, CAST(t * 64 + 1 AS INT), 64) AS ftext
+      |  FROM frames),
+      |bm(b) AS (
+      |  SELECT [[1000, 1000, 1000, 1000, 1000, 1000, 1000, 1000],
+      |          [981, 831, 556, 195, -195, -556, -831, -981],
+      |          [924, 383, -383, -924, -924, -383, 383, 924],
+      |          [831, -195, -981, -556, 556, 981, 195, -831],
+      |          [707, -707, -707, 707, 707, -707, -707, 707],
+      |          [556, -981, 195, 831, -831, -195, 981, -556],
+      |          [383, -924, 924, -383, -383, 924, -924, 383],
+      |          [195, -556, 831, -981, 981, -831, 556, -195]]),
+      |hist AS (
+      |  SELECT doc_id, t,
+      |    list_transform(range(0, 64), j ->
+      |      len(list_filter(
+      |        list_transform(range(1, len(ftext) + 1),
+      |          i -> ord(ftext[i]) // 4), x -> x = j))) AS h
+      |  FROM ftexts),
+      |pk AS (
+      |  SELECT doc_id, t,
+      |    list_sum(list_transform(range(1, 64), m ->
+      |      CASE WHEN list_sum(list_transform(range(0, 64), n ->
+      |          b[m // 8 + 1][n // 8 + 1] * b[m % 8 + 1][n % 8 + 1]
+      |            * h[n + 1])) > 0
+      |      THEN 1::BIGINT << (m - 1) ELSE 0 END)) % 64 AS pk
+      |  FROM hist, bm),
+      |lms AS (
+      |  SELECT a.doc_id AS doc_id, a.pk * 256 + b.pk * 4 + (d.d - 1) AS lm,
+      |    a.t AS t
+      |  FROM pk a, (SELECT unnest([1, 2, 3]) AS d) d, pk b
+      |  WHERE b.doc_id = a.doc_id AND b.t = a.t + d.d),
+      |bsz AS (SELECT lm, COUNT(*) AS c FROM lms GROUP BY 1),
+      |nlm AS (
+      |  SELECT doc_id, COUNT(*) AS n
+      |  FROM lms JOIN bsz USING (lm)
+      |  WHERE c BETWEEN 2 AND 50 GROUP BY doc_id),
+      |votes AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.t - b.t AS delta,
+      |    COUNT(*) AS v
+      |  FROM lms a
+      |  JOIN lms b ON b.lm = a.lm AND a.doc_id < b.doc_id
+      |  JOIN bsz s ON s.lm = a.lm AND s.c BETWEEN 2 AND 50
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT id_a, id_b, delta, v,
+      |    row_number() OVER (PARTITION BY id_a, id_b
+      |      ORDER BY v DESC, delta ASC) AS rn
+      |  FROM votes)
+      |SELECT id_a, id_b, CAST(delta AS BIGINT) AS offset,
+      |  CAST(v AS BIGINT) AS votes,
+      |  CAST(na.n AS BIGINT) AS n_lm_a, CAST(nb.n AS BIGINT) AS n_lm_b
+      |FROM best
+      |JOIN nlm na ON na.doc_id = best.id_a
+      |JOIN nlm nb ON nb.doc_id = best.id_b
+      |WHERE rn = 1 AND v >= 3 AND v * 5 >= least(na.n, nb.n) * 4
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_audio_neardup" -> (m07 _),
     "m01_multimodal" -> (m01 _),
     "m06_video_neardup" -> (m06 _),
     "m02_media_features" -> (m02 _),
@@ -458,6 +639,7 @@ object Multimodal {
     "m04_media_dedup" -> (m04 _),
     "m05_perceptual_dedup" -> (m05 _))
   val oracle: Map[String, String] = Map(
+    "m07_audio_neardup" -> m07Sql,
     "m01_multimodal" -> m01Sql,
     "m06_video_neardup" -> m06Sql,
     "m02_media_features" -> graft.functions.KernelOracleSql.m02Sql,

@@ -579,6 +579,29 @@ class NewOpsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$jp/_GRAFT_COMPLETE")))
   }
 
+  test("m07: time-shifted clips pair with their source at offset exactly 2, " +
+      "full constellation alignment") {
+    val df = SparkEntry.queries("m07_audio_neardup")(spark, sfDir).cache()
+    // every planted clip (source minus its first 2 frames) that has
+    // enough indexed landmarks MUST pair with its source on the exact
+    // +2 diagonal…
+    val plants = df.filter(col("id_b") === col("id_a") + 999999L).collect()
+    assert(plants.nonEmpty, "no plant pairs — the shift target is vacuous")
+    plants.foreach { r =>
+      assert(r.getLong(2) == 2L, s"offset ${r.getLong(2)} for ${r.getLong(0)}")
+      // …and with its WHOLE indexed constellation aligned: every indexed
+      // plant landmark recurs in the source shifted by 2, so votes equal
+      // the smaller clip's indexed landmark count exactly
+      assert(r.getLong(3) == math.min(r.getLong(4), r.getLong(5)),
+        s"partial alignment for plant pair ${r.getLong(0)}")
+    }
+    // decision guards hold everywhere (integer algebra: no rounded score)
+    assert(df.filter(col("votes") < 3 ||
+      col("votes") * 5 < least(col("n_lm_a"), col("n_lm_b")) * 4)
+      .count() == 0)
+    df.unpersist()
+  }
+
   test("m05: perceptual clusters are coarser than exact ones and absorb edits") {
     val df = SparkEntry.queries("m05_perceptual_dedup")(spark, sfDir).cache()
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
