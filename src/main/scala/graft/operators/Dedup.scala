@@ -930,6 +930,14 @@ object Dedup {
     * is a local-SF illusion), and the run detection windows over
     * (doc_id) partitions bounded by ONE DOC's token count — never a
     * corpus-sized key. Output ∝ corpus docs.
+    *
+    * Collision stance (ADVICE r8): the dup flag rides xxhash64 of the
+    * token slice while the oracle compares gram STRINGS — a 64-bit
+    * collision would cut a span the string form would keep, and unlike
+    * dd11's diagnostic fraction this MUTATES output text. Negligible at
+    * oracle scale (expected collisions ≈ n²/2⁶⁵); at 100 TB gram
+    * volume, pair the flag with a second independent hash (or a
+    * doc-local string recheck of flagged runs) before cutting spans.
     */
   def dd14SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
     val minSpan = 16

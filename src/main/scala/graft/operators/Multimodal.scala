@@ -317,7 +317,12 @@ object Multimodal {
     * loses its last 80 bytes (offset 999999 ≡ 0 mod 3 keeps the
     * media-type class, the m05 lesson) — every surviving plant frame
     * lies fully inside the kept prefix, so each plant MUST pair with
-    * its source at containment exactly 1.0 (specced).
+    * its source at containment exactly 1.0 (specced). NOTE (ADVICE r8):
+    * the exact-1.0 guarantee holds only while no SHARED frame hash
+    * lands in an over-cap (df > 50) bucket — a generic frame dropped
+    * by the cap lowers `shared` but not `min(n)`. At sf ≤ 0.1 max
+    * frame df is single-digit; at larger SFs the invariant degrades
+    * to containment ≥ 0.5 and the spec must relax with it.
     *
     * Scale: dd02/dd04's inverted-index shape on frame hashes — per-ph
     * postings (2..50 cap = dd02's LSH skew guard), in-place pair
