@@ -26,7 +26,11 @@ import graft.sources.MongoFilter
   */
 object Graft {
 
-  private val artifactLock = new Object
+  // per-artifact monitors: concurrent builds of DIFFERENT artifacts must
+  // not serialize behind one global lock (a long events-docs write would
+  // otherwise block an unrelated marker check for the whole Spark job)
+  private val artifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Fingerprint-keyed, marker-committed cache for DERIVED collections
     * (generated doc corpora, near-dup pair sets, cluster assignments,
@@ -44,13 +48,17 @@ object Graft {
     * re-runs (VERDICT r8 #1/#7).
     */
   def ensureArtifact(root: String, name: String, fingerprint: String)(
-      write: String => Unit): String = artifactLock.synchronized {
+      write: String => Unit): String = {
     import java.nio.file.{Files, Paths}
     val path = s"$root/${name}_$fingerprint"
     val marker = Paths.get(s"$path/_GRAFT_COMPLETE")
-    if (!Files.exists(marker)) {
-      write(path)
-      Files.write(marker, Array.emptyByteArray)
+    // fast path: a committed artifact needs no lock at all
+    if (Files.exists(marker)) return path
+    artifactLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      if (!Files.exists(marker)) {
+        write(path)
+        Files.write(marker, Array.emptyByteArray)
+      }
     }
     path
   }

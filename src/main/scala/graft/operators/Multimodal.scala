@@ -220,6 +220,40 @@ object Multimodal {
       |  FROM documents)
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Shared oracle CTE chain (m05/m06/m07): `bm` (the same hardcoded
+    * ×1000 integer DCT-II basis as TextHashes.DctBasis) + `hist` (64-bin
+    * codepoint histogram of `textCol`) + `outCte`(carry…, ph) — the
+    * integer DCT-sign fingerprint, factored so the replica has ONE
+    * definition (ADVICE-class fix, round 9). */
+  private def dctSignCtes(srcCte: String, textCol: String,
+      carry: Seq[String], outCte: String): String = {
+    val cs = carry.mkString(", ")
+    s"""bm(b) AS (
+      |  SELECT [[1000, 1000, 1000, 1000, 1000, 1000, 1000, 1000],
+      |          [981, 831, 556, 195, -195, -556, -831, -981],
+      |          [924, 383, -383, -924, -924, -383, 383, 924],
+      |          [831, -195, -981, -556, 556, 981, 195, -831],
+      |          [707, -707, -707, 707, 707, -707, -707, 707],
+      |          [556, -981, 195, 831, -831, -195, 981, -556],
+      |          [383, -924, 924, -383, -383, 924, -924, 383],
+      |          [195, -556, 831, -981, 981, -831, 556, -195]]),
+      |hist AS (
+      |  SELECT $cs,
+      |    list_transform(range(0, 64), j ->
+      |      len(list_filter(
+      |        list_transform(range(1, len($textCol) + 1),
+      |          i -> ord(($textCol)[i]) // 4), x -> x = j))) AS h
+      |  FROM $srcCte),
+      |$outCte AS (
+      |  SELECT $cs,
+      |    list_sum(list_transform(range(1, 64), m ->
+      |      CASE WHEN list_sum(list_transform(range(0, 64), n ->
+      |          b[m // 8 + 1][n // 8 + 1] * b[m % 8 + 1][n % 8 + 1]
+      |            * h[n + 1])) > 0
+      |      THEN 1::BIGINT << (m - 1) ELSE 0 END)) AS ph
+      |  FROM hist, bm)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- m05
   /** Perceptual media dedup: group by the DCT-SIGN perceptual hash
     * (TextHashes.dctSignHash — the stub decoder's 64-bin matrix put
@@ -268,37 +302,18 @@ object Multimodal {
     * TextHashes.DctBasis, keeping every coefficient integer-exact — no
     * cross-engine float sign hazard. */
   val m05Sql: String =
-    """WITH corpus AS (
+    s"""WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 999999, regexp_replace(text, '\s+\S+$', '')
+      |  SELECT doc_id + 999999, regexp_replace(text, '\\s+\\S+$$', '')
       |  FROM documents WHERE doc_id % 9 = 0),
-      |bm(b) AS (
-      |  SELECT [[1000, 1000, 1000, 1000, 1000, 1000, 1000, 1000],
-      |          [981, 831, 556, 195, -195, -556, -831, -981],
-      |          [924, 383, -383, -924, -924, -383, 383, 924],
-      |          [831, -195, -981, -556, 556, 981, 195, -831],
-      |          [707, -707, -707, 707, 707, -707, -707, 707],
-      |          [556, -981, 195, 831, -831, -195, 981, -556],
-      |          [383, -924, 924, -383, -383, 924, -924, 383],
-      |          [195, -556, 831, -981, 981, -831, 556, -195]]),
-      |hist AS (
+      |med AS (
       |  SELECT doc_id,
       |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
       |      AS media_type,
-      |    list_transform(range(0, 64), j ->
-      |      len(list_filter(
-      |        list_transform(range(1, len(text) + 1),
-      |          i -> ord(text[i]) // 4), x -> x = j))) AS h
+      |    text
       |  FROM corpus),
-      |q AS (
-      |  SELECT doc_id, media_type,
-      |    list_sum(list_transform(range(1, 64), m ->
-      |      CASE WHEN list_sum(list_transform(range(0, 64), n ->
-      |          b[m // 8 + 1][n // 8 + 1] * b[m % 8 + 1][n % 8 + 1]
-      |            * h[n + 1])) > 0
-      |      THEN 1::BIGINT << (m - 1) ELSE 0 END)) AS ph
-      |  FROM hist, bm)
+      |${dctSignCtes("med", "text", Seq("doc_id", "media_type"), "q")}
       |SELECT MIN(doc_id) AS doc_id, media_type, COUNT(*) AS n_copies
       |FROM q GROUP BY media_type, ph
       |ORDER BY doc_id, media_type""".stripMargin
@@ -398,7 +413,7 @@ object Multimodal {
     * boundaries agree for any input — `strlen` (bytes) would silently
     * diverge on non-ASCII. */
   val m06Sql: String =
-    """WITH corpus AS (
+    s"""WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 999999,
@@ -413,30 +428,8 @@ object Multimodal {
       |  SELECT doc_id,
       |    substr(text, CAST(fi * 64 + 1 AS INT), 64) AS ftext
       |  FROM frames),
-      |bm(b) AS (
-      |  SELECT [[1000, 1000, 1000, 1000, 1000, 1000, 1000, 1000],
-      |          [981, 831, 556, 195, -195, -556, -831, -981],
-      |          [924, 383, -383, -924, -924, -383, 383, 924],
-      |          [831, -195, -981, -556, 556, 981, 195, -831],
-      |          [707, -707, -707, 707, 707, -707, -707, 707],
-      |          [556, -981, 195, 831, -831, -195, 981, -556],
-      |          [383, -924, 924, -383, -383, 924, -924, 383],
-      |          [195, -556, 831, -981, 981, -831, 556, -195]]),
-      |hist AS (
-      |  SELECT doc_id,
-      |    list_transform(range(0, 64), j ->
-      |      len(list_filter(
-      |        list_transform(range(1, len(ftext) + 1),
-      |          i -> ord(ftext[i]) // 4), x -> x = j))) AS h
-      |  FROM ftexts),
-      |ph AS (
-      |  SELECT DISTINCT doc_id,
-      |    list_sum(list_transform(range(1, 64), m ->
-      |      CASE WHEN list_sum(list_transform(range(0, 64), n ->
-      |          b[m // 8 + 1][n // 8 + 1] * b[m % 8 + 1][n % 8 + 1]
-      |            * h[n + 1])) > 0
-      |      THEN 1::BIGINT << (m - 1) ELSE 0 END)) AS ph
-      |  FROM hist, bm),
+      |${dctSignCtes("ftexts", "ftext", Seq("doc_id"), "phx")},
+      |ph AS (SELECT DISTINCT doc_id, ph FROM phx),
       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ph GROUP BY 1),
       |dfq AS (SELECT ph AS h, COUNT(*) AS df FROM ph GROUP BY 1),
       |pairs AS (
@@ -566,7 +559,7 @@ object Multimodal {
     * landmarks via a (doc, t+d) self-join, the capped landmark index,
     * and the offset vote verbatim — all integers. */
   val m07Sql: String =
-    """WITH corpus AS (
+    s"""WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 999999, substr(text, 129)
@@ -580,30 +573,8 @@ object Multimodal {
       |  SELECT doc_id, t,
       |    substr(text, CAST(t * 64 + 1 AS INT), 64) AS ftext
       |  FROM frames),
-      |bm(b) AS (
-      |  SELECT [[1000, 1000, 1000, 1000, 1000, 1000, 1000, 1000],
-      |          [981, 831, 556, 195, -195, -556, -831, -981],
-      |          [924, 383, -383, -924, -924, -383, 383, 924],
-      |          [831, -195, -981, -556, 556, 981, 195, -831],
-      |          [707, -707, -707, 707, 707, -707, -707, 707],
-      |          [556, -981, 195, 831, -831, -195, 981, -556],
-      |          [383, -924, 924, -383, -383, 924, -924, 383],
-      |          [195, -556, 831, -981, 981, -831, 556, -195]]),
-      |hist AS (
-      |  SELECT doc_id, t,
-      |    list_transform(range(0, 64), j ->
-      |      len(list_filter(
-      |        list_transform(range(1, len(ftext) + 1),
-      |          i -> ord(ftext[i]) // 4), x -> x = j))) AS h
-      |  FROM ftexts),
-      |pk AS (
-      |  SELECT doc_id, t,
-      |    list_sum(list_transform(range(1, 64), m ->
-      |      CASE WHEN list_sum(list_transform(range(0, 64), n ->
-      |          b[m // 8 + 1][n // 8 + 1] * b[m % 8 + 1][n % 8 + 1]
-      |            * h[n + 1])) > 0
-      |      THEN 1::BIGINT << (m - 1) ELSE 0 END)) % 64 AS pk
-      |  FROM hist, bm),
+      |${dctSignCtes("ftexts", "ftext", Seq("doc_id", "t"), "phx")},
+      |pk AS (SELECT doc_id, t, ph % 64 AS pk FROM phx),
       |lms AS (
       |  SELECT a.doc_id AS doc_id, a.pk * 256 + b.pk * 4 + (d.d - 1) AS lm,
       |    a.t AS t
