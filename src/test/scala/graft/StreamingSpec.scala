@@ -102,15 +102,63 @@ class StreamingSpec extends SparkSpec {
       // user 1: two events 10 min apart (one session), then 2h silence
       input.addData(Ev(1, 1000, 1), Ev(1, 1600, 2))
       q.processAllAvailable()
-      input.addData(Ev(1, 1600 + 7200, 3)) // gap > 1800s → closes session 0
+      input.addData(Ev(1, 1600 + 7200, 3)) // gap > 1800s → a new session
       q.processAllAvailable()
-      val out = spark.table("st02_sink").as[SessOut].collect().toSeq
-      assert(out == Seq(SessOut(1, 0, 2, 1000, 600)))
-      // next event continues session 1 (not yet closed → not emitted)
-      input.addData(Ev(1, 1600 + 7200 + 60, 4))
+      // nothing emits yet: every event is still inside the lateness
+      // horizon (event-time buffering — an admitted-late arrival could
+      // still reorder them)
+      assert(spark.table("st02_sink").count() == 0)
+      // a far-future clock event advances the watermark past everything:
+      // both sessions are provably final and flush
+      input.addData(Ev(-1, 1000000, 99))
       q.processAllAvailable()
-      assert(spark.table("st02_sink").count() == 1)
+      val out = spark.table("st02_sink").as[SessOut].collect()
+        .filter(_.user_id == 1).toSet
+      assert(out == Set(SessOut(1, 0, 2, 1000, 600),
+        SessOut(1, 1, 1, 8800, 0)), out)
     } finally q.stop()
+  }
+
+  test("st02/st13 streaming twins are arrival-order independent") {
+    // the round-9 review caught the pre-buffering twins folding
+    // admitted-late cross-batch events into whatever session was open
+    // (mis-merged sessions; for st13, stages the batch twin can never
+    // produce). Events now fold in event-time order once final.
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.{FunnelEv, FunnelOut}
+    val in02 = MemoryStream[Ev]
+    val q02 = Streaming.st02Stream(in02.toDS()).writeStream
+      .format("memory").queryName("st02_ooo_sink")
+      .outputMode(OutputMode.Append()).start()
+    val in13 = MemoryStream[FunnelEv]
+    val q13 = Streaming.st13Stream(in13.toDS()).writeStream
+      .format("memory").queryName("st13_ooo_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // event-time order: 1000, 1600 | 8000, 8500 (two sessions);
+      // arrival order scrambles across batches within the 2 h lateness
+      in02.addData(Ev(1, 8000, 3), Ev(1, 1000, 1)); q02.processAllAvailable()
+      in02.addData(Ev(1, 1600, 2), Ev(1, 8500, 4)); q02.processAllAvailable()
+      in02.addData(Ev(-1, 1000000, 99)); q02.processAllAvailable()
+      val got02 = spark.table("st02_ooo_sink").as[SessOut].collect()
+        .filter(_.user_id == 1).toSet
+      assert(got02 == Set(SessOut(1, 0, 2, 1000, 600),
+        SessOut(1, 1, 2, 8000, 500)), got02)
+      // st13: a purchase that ARRIVES late but happened (sec=1050)
+      // between click(1000) and view(1100) must fold in event-time
+      // order: click→1, purchase (needs a view first) no-op, view→2.
+      // Arrival-order folding would reach stage 3.
+      in13.addData(FunnelEv(1, 1000, 1, "click"),
+        FunnelEv(1, 1100, 3, "view"))
+      q13.processAllAvailable()
+      in13.addData(FunnelEv(1, 1050, 2, "purchase"))
+      q13.processAllAvailable()
+      in13.addData(FunnelEv(-1, 1000000, 99, "click"))
+      q13.processAllAvailable()
+      val got13 = spark.table("st13_ooo_sink").as[FunnelOut].collect()
+        .filter(o => o.user_id == 1 && o.session_seq == 0).map(_.stage).toSeq
+      assert(got13 == Seq(2L), got13)
+    } finally { q02.stop(); q13.stop() }
   }
 
   test("st09 streaming EMA carries per-key state across batches") {
@@ -466,11 +514,12 @@ class StreamingSpec extends SparkSpec {
         // user 3: purchase before any click/view → stage 1 only
         FunnelEv(3, 1000, 7, "purchase"), FunnelEv(3, 1010, 8, "click"))
       q.processAllAvailable()
-      // a >gap event closes every first session and emits its stage
-      input.addData(FunnelEv(1, 9000, 9, "click"),
-        FunnelEv(2, 9000, 10, "click"), FunnelEv(3, 9000, 11, "click"))
+      // a clock event advances the watermark past everything: the first
+      // sessions are provably final and flush with their stages
+      input.addData(FunnelEv(-1, 1000000, 99, "click"))
       q.processAllAvailable()
       val out = spark.table("st13_sink").as[FunnelOut].collect()
+        .filter(o => o.user_id > 0 && o.session_seq == 0)
         .map(o => o.user_id -> o.stage).toMap
       assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), out)
     } finally q.stop()
@@ -710,8 +759,9 @@ class StreamingSpec extends SparkSpec {
     val audit = Seq(
       //  twin     timeouts   rows     bound
       ("st02", s02To, s02Rows, users.size.toLong, "EventTimeTimeout",
-        "user_id — one open-session row (or flushed-seq cursor) per " +
-          "user; timeout flushes a quiet user's final session"),
+        "user_id — one row per user holding the watermark-horizon event " +
+          "buffer + open session/seq cursor; timeout ripens the buffer " +
+          "and flushes a quiet user's final session"),
       ("st05", s05To, s05Rows, users.size.toLong, "NoTimeout",
         "user_id — one latest-row upsert per user, time-free key"),
       ("st06", s06To, s06Rows, users.size.toLong, "NoTimeout",
@@ -721,8 +771,9 @@ class StreamingSpec extends SparkSpec {
       ("st11", s11To, s11Rows, 1L, "EventTimeTimeout",
         "open windows inside the watermark horizon — closed windows purged"),
       ("st13", s13To, s13Rows, users.size.toLong, "EventTimeTimeout",
-        "user_id — one open-session row (+ automaton Long) per user; " +
-          "timeout flushes a quiet user's final session"),
+        "user_id — one row per user (event buffer + session + automaton " +
+          "Long); timeout ripens the buffer and flushes a quiet user's " +
+          "final session"),
       ("st12", s12To, s12Rows, 2L, "EventTimeTimeout",
         "event_type — entity-keyed ROWS; the VALUE is horizon-bounded by " +
           "timeout-driven closure: sealed windows leave the open map " +
