@@ -805,7 +805,81 @@ object Similarity {
        |LEFT JOIN h ON h.q_id = ne.q_id
        |ORDER BY ne.q_id""".stripMargin
 
+  // ---------------------------------------------------------------- s10
+  /** Matryoshka (MRL, Kusupati 2022) truncated-dimension retrieval
+    * evaluation — the memory/latency knob a production vector stack
+    * tunes after adopting nested embeddings: rank by cosine over only
+    * the FIRST 16 of 64 dimensions (a 4× cheaper scan — at corpus scale
+    * the short prefix is the resident index tier and the full vector
+    * stays in cold storage for re-ranking) and report recall@10 against
+    * the full-dimension exact top-10. The s09 evaluation shape: both
+    * top-k frames are query-sized, localCheckpointed, joined broadcast.
+    *
+    * Cross-engine: ranks on the RAW cosine with vec_id tie-break (the
+    * s01 discipline — both engines accumulate the same float32 inputs
+    * left-to-right in double); recall = hits/10 is an exact 1-digit
+    * decimal, no rounding hazard.
+    */
+  def s10MrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val scoredT = corpus.crossJoin(broadcast(queriesDf(spark, dir)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        V.cosine_sim(slice(col("q_vec"), 1, 16),
+          slice(col("embedding"), 1, 16)).as("cos"))
+    val trunc = topKPerQuery(scoredT, K, Seq.empty)
+      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    val exact = s01BruteForce(spark, dir)
+      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    val hits = exact.join(broadcast(trunc), Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(trunc.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_trunc"))), Seq("q_id"), "left_outer")
+      .join(broadcast(hits), Seq("q_id"), "left_outer")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_trunc"), lit(0L)).as("n_trunc"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double")
+          / col("n_exact"), 4).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Oracle: the s01 replica for ground truth + the same brute-force
+    * chain over the 16-dim prefixes. */
+  val s10Sql: String =
+    s"""WITH exact AS (SELECT q_id, vec_id FROM ($s01Sql)),
+       |tq AS (SELECT vec_id AS q_id, embedding[1:16]::DOUBLE[] AS q_vec
+       |  FROM embeddings WHERE vec_id < 5),
+       |tscored AS (
+       |  SELECT tq.q_id, e.vec_id,
+       |    list_cosine_similarity(tq.q_vec, e.embedding[1:16]::DOUBLE[])
+       |      AS c
+       |  FROM embeddings e, tq WHERE e.vec_id <> tq.q_id),
+       |trunc AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY c DESC, vec_id) AS rn
+       |    FROM tscored) WHERE rn <= 10),
+       |h AS (
+       |  SELECT e.q_id, COUNT(*) AS hits
+       |  FROM exact e JOIN trunc t
+       |    ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+       |  GROUP BY 1),
+       |ne AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+       |nt AS (SELECT q_id, COUNT(*) AS n_trunc FROM trunc GROUP BY 1)
+       |SELECT ne.q_id, ne.n_exact,
+       |  CAST(COALESCE(nt.n_trunc, 0) AS BIGINT) AS n_trunc,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / ne.n_exact, 4)
+       |    AS recall
+       |FROM ne
+       |LEFT JOIN nt ON nt.q_id = ne.q_id
+       |LEFT JOIN h ON h.q_id = ne.q_id
+       |ORDER BY ne.q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_mrl_recall" -> (s10MrlRecall _),
     "s07_ivfpq" -> (s07IvfPq _),
     "s09_ann_recall" -> (s09AnnRecall _),
     "s08_mmr_rerank" -> (s08MmrRerank _),
@@ -817,6 +891,7 @@ object Similarity {
     "s06_hybrid_search" -> (s06HybridSearch _))
 
   val oracle: Map[String, String] = Map(
+    "s10_mrl_recall" -> s10Sql,
     "s07_ivfpq" -> s07Sql,
     "s08_mmr_rerank" -> s08Sql,
     "s09_ann_recall" -> s09Sql,

@@ -711,6 +711,100 @@ object TextAnalysis {
       |  CAST(COALESCE(sc.s, 0) AS DOUBLE) AS sum_neglogp
       |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t15
+  /** Zipf rank-frequency fit — the distributional quality diagnostic
+    * (Gopher/C4-class corpus reporting): natural language's term
+    * frequencies follow freq ∝ rank^s with s ≈ −1; templated/synthetic
+    * or heavily-boilerplated corpora flatten toward 0 and spam skews
+    * below −1, so the fitted slope is a one-number corpus-health check
+    * (this corpus measures ≈ 0 — correctly flagging synthetic text).
+    * Fit = least-squares over (ln rank, ln freq) of the top-1000 terms.
+    *
+    * Scale: term frequencies are a shrinking hash agg (map-side
+    * combine); the top-1000 cut is a TakeOrdered (bounded heap per
+    * partition, never a global sort); the rank window runs over the
+    * BOUNDED 1000-row frame (st11's bounded-rank-frame argument); the
+    * regression is one aggregation over ≤ 1000 rows.
+    *
+    * Cross-engine (§5): each ln(integer) rounds to 6dp (irrational ⇒ no
+    * half-way case) and enters DECIMAL sums — exact and
+    * order-independent; the final slope/intercept are quotients of
+    * exact decimals cast to double, emitted UNROUNDED (identical IEEE
+    * division of identical doubles — rounding them would re-introduce
+    * the rational-quotient hazard).
+    */
+  def t15ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val topK = 1000
+    val freq = Tables.spread(Tables(spark, dir, "documents"))
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("term")).limit(topK)
+    val ranked = top.withColumn("rank", row_number().over(
+      Window.orderBy(col("freq").desc, col("term"))))
+    val x = round(log(col("rank").cast(DoubleType)), 6).cast("decimal(18,6)")
+    val y = round(log(col("freq").cast(DoubleType)), 6).cast("decimal(18,6)")
+    // the normal-equation combination must stay EXACT: Spark's default
+    // decimal widening blows past precision 38 on n·sxy / sx·sy and
+    // silently rounds the low digits (caught live: 1e-12 slope drift vs
+    // DuckDB). The sums are tiny (|x|,|y| ≤ ln 1000 < 7, 1000 rows), so
+    // recast them to tight decimals first — every product then fits
+    // exactly, mirrored cast-for-cast in the oracle.
+    ranked.select(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        col("n").cast("decimal(4,0)").as("nd"),
+        col("sx").cast("decimal(12,6)").as("sx"),
+        col("sy").cast("decimal(12,6)").as("sy"),
+        col("sxy").cast("decimal(20,12)").as("sxy"),
+        col("sxx").cast("decimal(20,12)").as("sxx"))
+      .select(col("n_terms"),
+        ((col("nd") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (col("nd") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+          .as("zipf_slope"),
+        col("sx").cast(DoubleType).as("__sx"),
+        col("sy").cast(DoubleType).as("__sy"))
+      .select(col("n_terms"), col("zipf_slope"),
+        ((col("__sy") - col("zipf_slope") * col("__sx")) / col("n_terms"))
+          .as("zipf_intercept"))
+  }
+
+  val t15Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> x <> '')) AS term
+      |  FROM documents),
+      |freq AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1),
+      |topt AS (SELECT term, freq FROM freq
+      |  ORDER BY freq DESC, term LIMIT 1000),
+      |ranked AS (
+      |  SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+      |  FROM topt),
+      |xy AS (
+      |  SELECT
+      |    CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+      |    CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      |  FROM ranked),
+      |s0 AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM xy),
+      |s AS (
+      |  SELECT n, CAST(n AS DECIMAL(4,0)) AS nd,
+      |    CAST(sx AS DECIMAL(12,6)) AS sx, CAST(sy AS DECIMAL(12,6)) AS sy,
+      |    CAST(sxy AS DECIMAL(20,12)) AS sxy,
+      |    CAST(sxx AS DECIMAL(20,12)) AS sxx
+      |  FROM s0)
+      |SELECT CAST(n AS BIGINT) AS n_terms,
+      |  CAST(nd * sxy - sx * sy AS DOUBLE)
+      |    / CAST(nd * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+      |  (CAST(sy AS DOUBLE) -
+      |    (CAST(nd * sxy - sx * sy AS DOUBLE)
+      |      / CAST(nd * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n
+      |    AS zipf_intercept
+      |FROM s""".stripMargin
+
   // ------------------------------------------------------------ registry
   // --------------------------------------------------------------- t13
   /** Sliding-window chunking — the RAG / embedding-prep step: split
@@ -759,6 +853,7 @@ object TextAnalysis {
       |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_zipf_fit" -> (t15ZipfFit _),
     "t14_bigram_logprob" -> (t14BigramScore _),
     "t13_chunk_windows" -> (t13ChunkWindows _),
     "t12_unigram_logprob" -> (t12UnigramScore _),
@@ -775,6 +870,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t15_zipf_fit" -> t15Sql,
     "t14_bigram_logprob" -> t14Sql,
     "t13_chunk_windows" -> t13Sql,
     "t12_unigram_logprob" -> t12Sql,

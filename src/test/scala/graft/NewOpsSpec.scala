@@ -536,6 +536,23 @@ class NewOpsSpec extends SparkSpec {
     assert(!physical.contains("Scan ExistingRDD"), physical)
   }
 
+  test("s10: truncated-dim recall is a well-formed top-10-vs-top-10 " +
+      "measure; t15: zipf slope flags the synthetic corpus") {
+    val s10 = SparkEntry.queries("s10_mrl_recall")(spark, sfDir).collect()
+    assert(s10.nonEmpty)
+    s10.foreach { r =>
+      assert(r.getLong(1) == 10 && r.getLong(2) == 10) // both sides top-10
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // near-uniform 31-term vocab → slope far above natural text's ≈ −1:
+    // exactly the templated-text signal the diagnostic exists to raise
+    val t15 = SparkEntry.queries("t15_zipf_fit")(spark, sfDir).head
+    assert(t15.getLong(0) >= 30)
+    assert(t15.getDouble(1) > -0.5 && t15.getDouble(1) <= 0.0,
+      s"slope ${t15.getDouble(1)}")
+  }
+
   test("dd15: fuzzy chunk pairs include the one-word-trimmed finals " +
       "exact chunk dedup misses; identical chunks score exactly 1.0") {
     val df = SparkEntry.queries("dd15_para_minhash")(spark, sfDir).cache()
