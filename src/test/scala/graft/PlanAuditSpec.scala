@@ -223,7 +223,7 @@ class PlanAuditSpec extends SparkSpec {
     // s08/s09: every join in the selection/eval half is broadcast-small
     // (query-sized frames) — a SortMergeJoin would mean a data-sized
     // frame leaked into the per-query algebra
-    for (k <- Seq("s08_mmr_rerank", "s09_ann_recall")) {
+    for (k <- Seq("s08_mmr_rerank", "s09_ann_recall", "s10_mrl_recall")) {
       val p = finalPlan(k)
       assert(!p.contains("SortMergeJoin"), s"$k:\n$p")
     }
