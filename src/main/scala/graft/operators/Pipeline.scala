@@ -551,16 +551,22 @@ object Pipeline {
       Math.floorMod(graft.functions.TextHashes.mix64(0x9011L + i), 2001L)
         - 1000L)
 
-  def p11QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  /** The p11 model's scoring fold over a token-hash array column —
+    * shared by the p11 key and p12's data card. */
+  private def p11Score(hs: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     val w = array(p11Weights.map(lit(_)): _*)
+    aggregate(hs, lit(0L), (acc, h) =>
+      acc + element_at(w, (pmod(h, lit(64L)) + 1).cast(IntegerType)))
+  }
+
+  def p11QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "documents")
       .select(col("doc_id"),
         graft.functions.text.shingle_hashes(col("text"), 1).as("hs"))
       .select(col("doc_id"),
         size(col("hs")).cast(LongType).as("n_tokens"),
-        aggregate(col("hs"), lit(0L), (acc, h) =>
-          acc + element_at(w, (pmod(h, lit(64L)) + 1).cast(IntegerType)))
-          .as("score_milli"))
+        p11Score(col("hs")).as("score_milli"))
       .withColumn("keep", col("score_milli") > 0L)
       .orderBy(col("doc_id"))
   }
@@ -568,7 +574,56 @@ object Pipeline {
   val p11Sql: String =
     graft.functions.KernelOracleSql.p11Sql(p11Weights)
 
+  // ---------------------------------------------------------------- p12
+  /** Per-source dataset card — the release "datasheet" every corpus
+    * drop ships (Datasheets for Datasets, Gebru 2018; the summary table
+    * on a HF dataset page): document/token volumes, exact-duplicate
+    * mass, language mix, and the p11 classifier's keep rate, PER
+    * SOURCE, in one pass. Every statistic is an exact integer (counts
+    * and integer-milli score sums — consumers derive rates themselves;
+    * §5's rational-quotient rule), so the card is bit-stable across
+    * engines, runs, and cluster sizes.
+    *
+    * Scale: one scan (tokenization + hash + classifier fold all
+    * map-side), one groupBy(source) with map-side partial aggregation;
+    * the distinct-text count is the standard two-phase
+    * count-distinct — at 100 TB the documented swap is
+    * approx_count_distinct when the card tolerates ±1 %.
+    */
+  def p12DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables(spark, dir, "documents")
+      .select(col("source"), col("lang"), md5(col("text")).as("h"),
+        graft.functions.text.shingle_hashes(col("text"), 1).as("hs"))
+      .select(col("source"), col("lang"), col("h"),
+        size(col("hs")).cast(LongType).as("n_tokens"),
+        p11Score(col("hs")).as("score_milli"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("h")).as("n_unique_texts"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(col("score_milli")).as("sum_score_milli"),
+        sum(when(col("score_milli") > 0L, 1L).otherwise(0L)).as("n_keep"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the p11 replica as a subquery (same hash buckets, same
+    * weight literal) joined back to the documents attributes. */
+  val p12Sql: String =
+    s"""WITH p11 AS (SELECT doc_id, n_tokens, score_milli FROM ($p11Sql))
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT md5(d.text)) AS BIGINT) AS n_unique_texts,
+       |  CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_en,
+       |  CAST(SUM(p.score_milli) AS BIGINT) AS sum_score_milli,
+       |  CAST(SUM(CASE WHEN p.score_milli > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep
+       |FROM documents d JOIN p11 p ON p.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_dataset_card" -> (p12DatasetCard _),
     "p11_quality_classifier" -> (p11QualityClassifier _),
     "p01_clean_pipeline" -> (p01CleanPipeline _),
     "p10_pack_sequences" -> (p10PackSequences _),
@@ -583,6 +638,7 @@ object Pipeline {
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
+    "p12_dataset_card" -> p12Sql,
     "p11_quality_classifier" -> p11Sql,
     "p01_clean_pipeline" -> p01Sql,
     "p10_pack_sequences" -> p10Sql,

@@ -274,6 +274,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("round-9: p12 data card is one scan + per-source partial aggs, " +
+      "no join/window") {
+    val p = finalPlan("p12_dataset_card")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 2, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("ladders: NULL stratum/bucket keys rank exactly like the window form") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
