@@ -717,7 +717,8 @@ object TextAnalysis {
     * frequencies follow freq ∝ rank^s with s ≈ −1; templated/synthetic
     * or heavily-boilerplated corpora flatten toward 0 and spam skews
     * below −1, so the fitted slope is a one-number corpus-health check
-    * (this corpus measures ≈ 0 — correctly flagging synthetic text).
+    * (this corpus measures ≈ −0.18, far above natural text's ≈ −1 —
+    * correctly flagging synthetic/templated text).
     * Fit = least-squares over (ln rank, ln freq) of the top-1000 terms.
     *
     * Scale: term frequencies are a shrinking hash agg (map-side

@@ -128,6 +128,56 @@ object Streaming {
   final case class SessOut(user_id: Long, session_seq: Long, n_events: Long,
       start_sec: Long, duration_sec: Long)
 
+  /** The watermark-buffered session automaton shared by st02/st13 (the
+    * round-9 review asked for one definition): partition the buffer into
+    * the provably-final ripe prefix (`sec < wm` — every later arrival
+    * carries ts ≥ wm) and the still-pending rest, fold ripe events in
+    * (sec, event_id) order through the gap automaton, close-by-gap as
+    * folding, then flush the open session once the watermark passes its
+    * gap horizon. Returns (pending, open, seq cursor, emissions in
+    * chronological order). Pure function — the twins differ only in the
+    * session payload they thread through `extend`/`start`/`emit`.
+    */
+  private def foldSessions[E, S, O](wm: Long, pend0: List[E],
+      open0: Option[S], cursor0: Long,
+      sec: E => Long, eid: E => Long,
+      lastSec: S => Long, seqOf: S => Long,
+      extend: (S, E) => S, start: (E, Long) => S, emit: S => O)
+      : (List[E], Option[S], Long, List[O]) = {
+    val (ripe, pend) = pend0.partition(e => sec(e) < wm)
+    var open = open0
+    var cursor = cursor0
+    var closed = List.empty[O]
+    def close(s: S): Unit = { closed ::= emit(s); cursor = seqOf(s) + 1 }
+    // ripe events can never precede the restored session's end: a folded
+    // event had sec < wm_then, and everything admitted later carries
+    // sec ≥ wm_then — the gap test is order-safe
+    ripe.sortBy(e => (sec(e), eid(e))).foreach { e =>
+      open match {
+        case Some(s) if sec(e) - lastSec(s) <= SessionGapSeconds =>
+          open = Some(extend(s, e))
+        case Some(s) => close(s); open = Some(start(e, cursor))
+        case None => open = Some(start(e, cursor))
+      }
+    }
+    // watermark closure: extending needs sec ≤ last + gap, but every
+    // pending/future event has sec ≥ wm
+    open.filter(s => wm > lastSec(s) + SessionGapSeconds).foreach { s =>
+      close(s); open = None
+    }
+    (pend, open, cursor, closed.reverse)
+  }
+
+  /** Arm the wake-up at the earlier of (earliest pending event + 1) and
+    * (open session's gap horizon + 1) — both strictly above the current
+    * watermark (pending sec ≥ wm; a passed horizon was already flushed),
+    * so the timestamp is always legal. */
+  private def armSessionWakeup(state: GroupState[_], pendSecs: Seq[Long],
+      openLast: Option[Long]): Unit =
+    (pendSecs.map(_ + 1L) ++
+      openLast.map(_ + SessionGapSeconds + 1L)).minOption
+      .foreach(t => state.setTimeoutTimestamp(t * 1000L))
+
   def st02Stream(events: Dataset[Ev],
       latenessSec: Long = 7200L): Dataset[SessOut] = {
     import events.sparkSession.implicits._
@@ -141,52 +191,25 @@ object Streaming {
           val wm = state.getCurrentWatermarkMs() / 1000L
           val st0 = state.getOption
             .getOrElse(SessBuf(Nil, 0L, 0L, 0L, 0L, live = false))
-          // ripe = provably-final events; the rest stay buffered
-          val (ripe, pend) =
-            (st0.pend ++ evs.map(e => EvLite(e.sec, e.event_id)))
-              .partition(_.sec < wm)
-          var open: Option[SessState] =
-            if (st0.live)
-              Some(SessState(st0.startSec, st0.lastSec, st0.n, st0.seq))
-            else None
-          var cursor = if (st0.live) st0.seq + 1L else st0.seq
-          var closed = List.empty[SessOut]
-          def close(s: SessState): Unit = {
-            closed ::= SessOut(user, s.seq, s.n, s.startSec,
-              s.lastSec - s.startSec)
-            cursor = s.seq + 1
-          }
-          // ripe events can never precede the restored session's end: a
-          // folded event had sec < wm_then, and everything admitted
-          // later carries sec ≥ wm_then — the gap test is order-safe
-          ripe.sortBy(e => (e.sec, e.event_id)).foreach { e =>
-            open match {
-              case Some(s) if e.sec - s.lastSec <= SessionGapSeconds =>
-                open = Some(s.copy(lastSec = e.sec, n = s.n + 1))
-              case Some(s) =>
-                close(s)
-                open = Some(SessState(e.sec, e.sec, 1, cursor))
-              case None =>
-                open = Some(SessState(e.sec, e.sec, 1, cursor))
-            }
-          }
-          // watermark closure: extending needs sec ≤ last + gap, but
-          // every pending/future event has sec ≥ wm
-          open.filter(s => wm > s.lastSec + SessionGapSeconds).foreach { s =>
-            close(s); open = None
-          }
+          val (pend, open, cursor, out) =
+            foldSessions[EvLite, SessState, SessOut](
+              wm, st0.pend ++ evs.map(e => EvLite(e.sec, e.event_id)),
+              if (st0.live)
+                Some(SessState(st0.startSec, st0.lastSec, st0.n, st0.seq))
+              else None,
+              if (st0.live) st0.seq + 1L else st0.seq,
+              _.sec, _.event_id, _.lastSec, _.seq,
+              (s, e) => s.copy(lastSec = e.sec, n = s.n + 1),
+              (e, c) => SessState(e.sec, e.sec, 1, c),
+              s => SessOut(user, s.seq, s.n, s.startSec,
+                s.lastSec - s.startSec))
           state.update(open match {
             case Some(s) =>
               SessBuf(pend, s.startSec, s.lastSec, s.n, s.seq, live = true)
             case None => SessBuf(pend, 0L, 0L, 0L, cursor, live = false)
           })
-          // wake when the earliest pending event ripens or the gap
-          // horizon passes — both strictly above the current watermark
-          // (pending sec ≥ wm; a passed horizon was flushed above)
-          (pend.map(_.sec + 1L) ++
-            open.map(_.lastSec + SessionGapSeconds + 1L)).minOption
-            .foreach(t => state.setTimeoutTimestamp(t * 1000L))
-          closed.reverseIterator
+          armSessionWakeup(state, pend.map(_.sec), open.map(_.lastSec))
+          out.iterator
       }
   }
 
@@ -947,46 +970,28 @@ object Streaming {
           val wm = state.getCurrentWatermarkMs() / 1000L
           val st0 = state.getOption
             .getOrElse(FunnelBuf(Nil, 0L, 0L, 0L, 0L, live = false))
-          val (ripe, pend) =
-            (st0.pend ++ evs.map(e => FunnelLite(e.sec, e.event_id,
-              e.event_type))).partition(_.sec < wm)
-          var open: Option[FunnelState] =
-            if (st0.live)
-              Some(FunnelState(st0.startSec, st0.lastSec, st0.seq, st0.stage))
-            else None
-          var cursor = if (st0.live) st0.seq + 1L else st0.seq
-          var closed = List.empty[FunnelOut]
-          def close(s: FunnelState): Unit = {
-            closed ::= FunnelOut(user, s.seq, s.stage)
-            cursor = s.seq + 1
-          }
-          ripe.sortBy(e => (e.sec, e.event_id)).foreach { e =>
-            open match {
-              case Some(s) if e.sec - s.lastSec <= SessionGapSeconds =>
-                open = Some(s.copy(lastSec = e.sec,
-                  stage = adv(s.stage, e.event_type)))
-              case Some(s) =>
-                close(s)
-                open = Some(FunnelState(e.sec, e.sec, cursor,
-                  adv(0L, e.event_type)))
-              case None =>
-                open = Some(FunnelState(e.sec, e.sec, cursor,
-                  adv(0L, e.event_type)))
-            }
-          }
-          open.filter(s => wm > s.lastSec + SessionGapSeconds).foreach { s =>
-            close(s); open = None
-          }
+          val (pend, open, cursor, out) =
+            foldSessions[FunnelLite, FunnelState, FunnelOut](
+              wm, st0.pend ++ evs.map(e =>
+                FunnelLite(e.sec, e.event_id, e.event_type)),
+              if (st0.live)
+                Some(FunnelState(st0.startSec, st0.lastSec, st0.seq,
+                  st0.stage))
+              else None,
+              if (st0.live) st0.seq + 1L else st0.seq,
+              _.sec, _.event_id, _.lastSec, _.seq,
+              (s, e) => s.copy(lastSec = e.sec,
+                stage = adv(s.stage, e.event_type)),
+              (e, c) => FunnelState(e.sec, e.sec, c, adv(0L, e.event_type)),
+              s => FunnelOut(user, s.seq, s.stage))
           state.update(open match {
             case Some(s) =>
               FunnelBuf(pend, s.startSec, s.lastSec, s.seq, s.stage,
                 live = true)
             case None => FunnelBuf(pend, 0L, 0L, cursor, 0L, live = false)
           })
-          (pend.map(_.sec + 1L) ++
-            open.map(_.lastSec + SessionGapSeconds + 1L)).minOption
-            .foreach(t => state.setTimeoutTimestamp(t * 1000L))
-          closed.reverseIterator
+          armSessionWakeup(state, pend.map(_.sec), open.map(_.lastSec))
+          out.iterator
       }
   }
 
