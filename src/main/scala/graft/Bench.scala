@@ -19,28 +19,10 @@ object Bench {
     // benign single-partition WindowExec WARN from q21's ~25-row
     // post-aggregate frame would otherwise interleave with it)
     spark.sparkContext.setLogLevel("ERROR")
-    // AQE cancels speculative stages mid-flight; their late accumulator
-    // updates log benign-but-alarming DAGScheduler ERRORs into the
-    // driver's captured tail (VERDICT r8 #9). Deny exactly that message
-    // class — NOT the whole logger: a real stage failure's narrative
-    // (task root causes, lost executors) must keep flowing. Best-effort:
-    // a log4j2 API drift degrades to noisy-but-complete logs.
-    try {
-      import org.apache.logging.log4j.core.{Filter, LogEvent}
-      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
-        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
-      ctx.getConfiguration.addFilter(
-        new org.apache.logging.log4j.core.filter.AbstractFilter() {
-          override def filter(e: LogEvent): Filter.Result =
-            if (e.getLoggerName != null &&
-                e.getLoggerName.endsWith("DAGScheduler") &&
-                String.valueOf(e.getMessage.getFormattedMessage)
-                  .contains("accumulator"))
-              Filter.Result.DENY
-            else Filter.Result.NEUTRAL
-        })
-      ctx.updateLoggers()
-    } catch { case _: Throwable => () }
+    // benign AQE late-accumulator ERRORs out of the captured tail; real
+    // stage-failure narrative keeps flowing (graft.tools.LogFilters,
+    // spec-pinned through a real log call)
+    tools.LogFilters.installAccumulatorFilter()
     // Warmup (untimed): JVM/JIT/codegen spin-up, parquet footer reads, and
     // the one-time docstore test-collection generation — data prep, not
     // query time. A full pass at the smallest SF warms every kernel's JIT
@@ -65,9 +47,15 @@ object Bench {
     // hostage to one lucky/unlucky window.
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
-    for (_ <- 1 to 5; (name, fn) <- keys) {
+    for (r <- 1 to 5; (name, fn) <- keys) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // a failure must be VISIBLE (stderr — stdout stays the JSON line):
+      // a silently-swallowed round would publish a bogus fast timing
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name round $r FAILED: " +
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .take(300))
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       samples(name) = dt :: samples.getOrElse(name, Nil)
     }

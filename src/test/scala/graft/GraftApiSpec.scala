@@ -336,6 +336,35 @@ class GraftApiSpec extends AnyFunSuite {
         .stripMargin).head.getInt(0) == 1)
   }
 
+  test("accumulator log filter denies only the benign message class, " +
+      "through a real log call") {
+    graft.tools.LogFilters.installAccumulatorFilter()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val name = "org.apache.spark.scheduler.DAGScheduler"
+    val lc = ctx.getConfiguration.getLoggerConfig(name)
+    // the filter must sit on an EXACT-name LoggerConfig (a config-level
+    // addFilter is not consulted — found live when a bench run leaked
+    // 106 accumulator ERRORs past the first wiring)
+    assert(lc.getName == name, lc.getName)
+    val seen = scala.collection.mutable.Buffer[String]()
+    val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "spec_capture", null, null, false, null) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        seen += e.getMessage.getFormattedMessage
+    }
+    app.start()
+    lc.addAppender(app, org.apache.logging.log4j.Level.ERROR, null)
+    ctx.updateLoggers()
+    try {
+      val log = org.apache.logging.log4j.LogManager.getLogger(name)
+      log.error("Failed to update accumulator 42 (Unknown class) for task 0")
+      log.error("Stage 7 failed: executor lost; task root cause follows")
+      assert(!seen.exists(_.contains("accumulator")), seen)
+      assert(seen.exists(_.contains("Stage 7 failed")), seen)
+    } finally { lc.removeAppender("spec_capture"); ctx.updateLoggers() }
+  }
+
   test("ensureArtifact: marker-committed cache, stale fingerprint " +
       "invalidates, crash-mid-write rebuilds") {
     val root = Files.createTempDirectory("graft_art_spec").toString
