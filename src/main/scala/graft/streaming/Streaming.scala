@@ -995,9 +995,119 @@ object Streaming {
       }
   }
 
+  // ---------------------------------------------------------------- st14
+  /** SCD type-2 attribute history — the warehouse/CDC staple st05's
+    * latest-state (SCD1) upsert cannot express: every CHANGE of a key's
+    * attribute opens a new versioned validity interval
+    * [valid_from, valid_to), the current version open-ended — the shape
+    * a dimension table keeps so facts join "as of" any point in time
+    * (st06's as-of join is this table's consumer). Attribute here =
+    * event_type per user; consecutive equal values collapse into one
+    * interval.
+    *
+    * Scale: per-user windows (lag for change detection, row_number +
+    * lead for versions/intervals) — partitions bounded by one user's
+    * events, both windows share one user_id exchange. Output ∝ changes,
+    * not events.
+    */
+  def st14Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("ts"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .withColumn("valid_to_sec", lead(col("sec"), 1).over(byUser))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("sec").as("valid_from_sec"), col("valid_to_sec"),
+        col("valid_to_sec").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val st14Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, ts
+      |  FROM events),
+      |ch AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_id, event_type, sec, ts,
+      |      lag(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS prev
+      |    FROM ev)
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |v AS (
+      |  SELECT user_id, event_type, sec AS valid_from_sec,
+      |    row_number() OVER w AS version,
+      |    lead(sec) OVER w AS valid_to_sec
+      |  FROM ch
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+      |  valid_from_sec, valid_to_sec, valid_to_sec IS NULL AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
+  final case class Scd2Buf(pend: List[FunnelLite], curType: String,
+      curFrom: Long, version: Long, live: Boolean)
+  final case class Scd2Out(user_id: Long, version: Long, event_type: String,
+      valid_from_sec: Long, valid_to_sec: Long)
+
+  /** Streaming twin: the change-stream consumer that MAINTAINS the SCD2
+    * table — st02's watermark-buffering discipline (events ripen once
+    * `sec < wm` and fold in event-time order; order matters doubly here
+    * because a late out-of-order event can change WHERE the attribute
+    * changed), but with NO gap horizon: an SCD2 current version is
+    * open-ended by definition, so only superseded versions emit (with
+    * their closing timestamp) and the open version rides in state.
+    * Timeout arms only to ripen pending events. Entity-keyed, O(1) +
+    * lateness buffer per user.
+    */
+  def st14Stream(events: Dataset[FunnelEv],
+      latenessSec: Long = 7200L): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events.map(e => FunnelEvW(e.user_id, e.sec, e.event_id, e.event_type,
+        new java.sql.Timestamp(e.sec * 1000L)))
+      .withWatermark("ts", s"$latenessSec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Buf, Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[FunnelEvW], state: GroupState[Scd2Buf]) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val st0 = state.getOption
+            .getOrElse(Scd2Buf(Nil, "", 0L, 0L, live = false))
+          val (ripe, pend) =
+            (st0.pend ++ evs.map(e => FunnelLite(e.sec, e.event_id,
+              e.event_type))).partition(_.sec < wm)
+          var cur: Option[(String, Long, Long)] =
+            if (st0.live) Some((st0.curType, st0.curFrom, st0.version))
+            else None
+          var closed = List.empty[Scd2Out]
+          ripe.sortBy(e => (e.sec, e.event_id)).foreach { e =>
+            cur match {
+              case Some((t, _, _)) if t == e.event_type => () // unchanged
+              case Some((t, f, v)) =>
+                closed ::= Scd2Out(user, v, t, f, e.sec)
+                cur = Some((e.event_type, e.sec, v + 1))
+              case None => cur = Some((e.event_type, e.sec, 1L))
+            }
+          }
+          state.update(cur match {
+            case Some((t, f, v)) => Scd2Buf(pend, t, f, v, live = true)
+            case None => Scd2Buf(pend, "", 0L, 0L, live = false)
+          })
+          pend.map(_.sec + 1L).minOption
+            .foreach(t => state.setTimeoutTimestamp(t * 1000L))
+          closed.reverseIterator
+      }
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st14_scd2" -> (st14Scd2 _),
     "st07_stream_enrich" -> (st07StreamEnrich _),
     "st01_windowed_agg" -> (st01WindowedAgg _),
     "st02_sessionize" -> (st02Sessionize _),
@@ -1013,6 +1123,7 @@ object Streaming {
     "st13_session_funnel" -> (st13SessionFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "st14_scd2" -> st14Sql,
     "st07_stream_enrich" -> st07Sql,
     "st01_windowed_agg" -> st01Sql,
     "st02_sessionize" -> st02Sql,

@@ -581,6 +581,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st14 SCD2 twin: versions close on attribute change, in event-time " +
+      "order, and closed versions equal the batch history") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.{FunnelEv, Scd2Out}
+    val input = MemoryStream[FunnelEv]
+    val q = Streaming.st14Stream(input.toDS()).writeStream
+      .format("memory").queryName("st14_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // change-detection: click, click (no-op), view (closes v1),
+      // arriving with a LATE click at sec=1500 that must fold between —
+      // it is a no-op (same attribute as current) in event-time order,
+      // while arrival-order folding after the view would fabricate v3
+      input.addData(FunnelEv(1, 1000, 1, "click"),
+        FunnelEv(1, 2000, 3, "view"))
+      q.processAllAvailable()
+      input.addData(FunnelEv(1, 1500, 2, "click"))
+      q.processAllAvailable()
+      input.addData(FunnelEv(-1, 1000000, 99, "click")) // clock
+      q.processAllAvailable()
+      val mini = spark.table("st14_sink").as[Scd2Out].collect()
+        .filter(_.user_id == 1).toSet
+      assert(mini == Set(Scd2Out(1, 1, "click", 1000, 2000)), mini)
+    } finally q.stop()
+
+    // full-table parity: every CLOSED version matches the batch history
+    // exactly (the current open version per user rides in state, which
+    // is the SCD2 semantics — the batch twin marks it is_current)
+    val evs = Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "CAST(unix_timestamp(ts) AS BIGINT) AS sec",
+        "event_id", "event_type").as[FunnelEv].collect().toSeq
+    val input2 = MemoryStream[FunnelEv]
+    val q2 = Streaming.st14Stream(input2.toDS()).writeStream
+      .format("memory").queryName("st14_full_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input2.addData(evs: _*)
+      q2.processAllAvailable()
+      input2.addData(FunnelEv(-1L, evs.map(_.sec).max + 1000000L, -1L,
+        "click"))
+      q2.processAllAvailable()
+      val got = spark.table("st14_full_sink").as[Scd2Out].collect()
+        .filter(_.user_id >= 0)
+        .map(o => (o.user_id, o.version) ->
+          (o.event_type, o.valid_from_sec, o.valid_to_sec)).toMap
+      val want = Streaming.st14Scd2(spark, sfDir).collect()
+        .filter(!_.getBoolean(5)) // closed versions only
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == want, s"${got.size} vs ${want.size}")
+    } finally q2.stop()
+  }
+
   test("st11 space-saving heavy hitters equal the batch twin at ample capacity") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.Streaming.HhEv
@@ -743,6 +796,13 @@ class StreamingSpec extends SparkSpec {
         yield FunnelEv(u, h * 3600L, u * 100 + h, "click")): _*)
     }
 
+    val in14 = MemoryStream[FunnelEv]
+    val (s14Rows, s14To) = run("st14", Streaming.st14Stream(in14.toDS).toDF,
+      "append") { () =>
+      in14.addData((for { u <- users; h <- hours }
+        yield FunnelEv(u, h * 3600L, u * 100 + h, "click")): _*)
+    }
+
     // -- entity-keyed twin whose state VALUE is time-bounded internally:
     // one state row per event_type; the value holds open windows (purged
     // on watermark closure inside the function) + a trailing-3 ring
@@ -774,6 +834,10 @@ class StreamingSpec extends SparkSpec {
         "user_id — one row per user (event buffer + session + automaton " +
           "Long); timeout ripens the buffer and flushes a quiet user's " +
           "final session"),
+      ("st14", s14To, s14Rows, users.size.toLong, "EventTimeTimeout",
+        "user_id — lateness event buffer + the open SCD2 version per " +
+          "user; timeout only ripens the buffer (the current version " +
+          "is open-ended by design)"),
       ("st12", s12To, s12Rows, 2L, "EventTimeTimeout",
         "event_type — entity-keyed ROWS; the VALUE is horizon-bounded by " +
           "timeout-driven closure: sealed windows leave the open map " +
