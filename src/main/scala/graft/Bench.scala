@@ -49,19 +49,27 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     for (r <- 1 to 5; (name, fn) <- keys) {
       val t0 = System.nanoTime()
-      // a failure must be VISIBLE (stderr — stdout stays the JSON line):
-      // a silently-swallowed round would publish a bogus fast timing
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      // a failed round is VISIBLE (stderr — stdout stays the JSON line)
+      // and contributes NO sample: its near-zero elapsed time would
+      // otherwise publish as a bogus fast min (the MiniBench rule)
+      try {
+        fn(spark, sfDir).count()
+        samples(name) =
+          (System.nanoTime() - t0) / 1e9 :: samples.getOrElse(name, Nil)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name round $r FAILED: " +
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
             .take(300))
+        samples.getOrElseUpdate(name, Nil)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      samples(name) = dt :: samples.getOrElse(name, Nil)
     }
-    val results = keys.map { case (name, _) => name -> samples(name).min }
+    // a key with zero successful rounds publishes -1.0 — an impossible
+    // timing, unmistakably a failure flag rather than a fast min
+    val results = keys.map { case (name, _) =>
+      name -> samples(name).minOption.getOrElse(-1.0) }
     val medians = keys.map { case (name, _) =>
-      name -> samples(name).sorted.apply(samples(name).size / 2) }
+      val ss = samples(name).sorted
+      name -> (if (ss.isEmpty) -1.0 else ss(ss.size / 2)) }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalP50 = if (medians.nonEmpty) medians.map(_._2).sum else 0.0
     // Full per-query timings → file: the driver's stdout tail capture is

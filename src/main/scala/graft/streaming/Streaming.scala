@@ -60,8 +60,13 @@ object Streaming {
     val ev = Tables(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         unix_timestamp(col("ts")).as("sec"))
+    // canonical event order = (sec, event_id): the session family's
+    // streaming twins fold on whole-second event time + id, so the
+    // batch twins DECLARE the same resolution — ordering by the raw
+    // microsecond ts here would silently diverge from the stream on
+    // same-second events whose id order disagrees (round-9 review)
     val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("sec"), col("event_id"))
     val flagged = ev.withColumn("new_session",
       when(col("sec") - lag(col("sec"), 1).over(byUser) > SessionGapSeconds, 1L)
         .otherwise(lit(0L)))
@@ -83,12 +88,13 @@ object Streaming {
       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
       |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
       |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
-      |               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |               OVER (PARTITION BY user_id
+      |                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
       |           > 1800 THEN 1 ELSE 0 END AS new_session
       |  FROM events),
       |sess AS (
       |  SELECT user_id, sec,
-      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM flagged)
       |SELECT user_id, session_seq, COUNT(*) AS n_events,
@@ -144,7 +150,7 @@ object Streaming {
       lastSec: S => Long, seqOf: S => Long,
       extend: (S, E) => S, start: (E, Long) => S, emit: S => O)
       : (List[E], Option[S], Long, List[O]) = {
-    val (ripe, pend) = pend0.partition(e => sec(e) < wm)
+    val (ripe, pend) = ripen(wm, pend0, sec, eid)
     var open = open0
     var cursor = cursor0
     var closed = List.empty[O]
@@ -152,7 +158,7 @@ object Streaming {
     // ripe events can never precede the restored session's end: a folded
     // event had sec < wm_then, and everything admitted later carries
     // sec ≥ wm_then — the gap test is order-safe
-    ripe.sortBy(e => (sec(e), eid(e))).foreach { e =>
+    ripe.foreach { e =>
       open match {
         case Some(s) if sec(e) - lastSec(s) <= SessionGapSeconds =>
           open = Some(extend(s, e))
@@ -166,6 +172,16 @@ object Streaming {
       close(s); open = None
     }
     (pend, open, cursor, closed.reverse)
+  }
+
+  /** The ripening step every watermark-buffered twin shares: split the
+    * buffer into the provably-final prefix — already SORTED in the
+    * canonical (sec, event_id) fold order — and the still-pending rest.
+    */
+  private def ripen[E](wm: Long, pend0: List[E], sec: E => Long,
+      eid: E => Long): (List[E], List[E]) = {
+    val (ripe, pend) = pend0.partition(e => sec(e) < wm)
+    (ripe.sortBy(e => (sec(e), eid(e))), pend)
   }
 
   /** Arm the wake-up at the earlier of (earliest pending event + 1) and
@@ -879,8 +895,10 @@ object Streaming {
     val ev = Tables(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         unix_timestamp(col("ts")).as("sec"))
+    // (sec, event_id) = the session family's canonical event order (see
+    // st02Sessionize) — already what the fold's array_sort uses below
     val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("sec"), col("event_id"))
     val flagged = ev.withColumn("new_session",
       when(col("sec") - lag(col("sec"), 1).over(byUser) > SessionGapSeconds,
         1L).otherwise(lit(0L)))
@@ -910,13 +928,14 @@ object Streaming {
       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
       |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
       |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
-      |               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |               OVER (PARTITION BY user_id
+      |                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
       |           > 1800 THEN 1 ELSE 0 END AS new_session
       |  FROM events),
       |sess AS (
       |  SELECT user_id, sec, event_id, event_type,
       |    CAST(SUM(new_session) OVER (PARTITION BY user_id
-      |      ORDER BY ts, event_id
+      |      ORDER BY sec, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |      AS session_seq
       |  FROM flagged),
@@ -1013,9 +1032,11 @@ object Streaming {
   def st14Scd2(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_timestamp(col("ts")).as("sec"), col("ts"))
+        unix_timestamp(col("ts")).as("sec"))
+    // (sec, event_id) = the session family's canonical event order (see
+    // st02Sessionize) — the change-stream twin folds on exactly this key
     val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("sec"), col("event_id"))
     val changes = ev
       .withColumn("prev", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
@@ -1031,13 +1052,13 @@ object Streaming {
   val st14Sql: String =
     """WITH ev AS (
       |  SELECT user_id, event_id, event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, ts
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
       |  FROM events),
       |ch AS (
       |  SELECT * FROM (
-      |    SELECT user_id, event_id, event_type, sec, ts,
+      |    SELECT user_id, event_id, event_type, sec,
       |      lag(event_type) OVER (PARTITION BY user_id
-      |        ORDER BY ts, event_id) AS prev
+      |        ORDER BY sec, event_id) AS prev
       |    FROM ev)
       |  WHERE prev IS NULL OR prev <> event_type),
       |v AS (
@@ -1045,7 +1066,7 @@ object Streaming {
       |    row_number() OVER w AS version,
       |    lead(sec) OVER w AS valid_to_sec
       |  FROM ch
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
       |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
       |  valid_from_sec, valid_to_sec, valid_to_sec IS NULL AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
@@ -1078,14 +1099,14 @@ object Streaming {
           val wm = state.getCurrentWatermarkMs() / 1000L
           val st0 = state.getOption
             .getOrElse(Scd2Buf(Nil, "", 0L, 0L, live = false))
-          val (ripe, pend) =
-            (st0.pend ++ evs.map(e => FunnelLite(e.sec, e.event_id,
-              e.event_type))).partition(_.sec < wm)
+          val (ripe, pend) = ripen[FunnelLite](wm,
+            st0.pend ++ evs.map(e => FunnelLite(e.sec, e.event_id,
+              e.event_type)), _.sec, _.event_id)
           var cur: Option[(String, Long, Long)] =
             if (st0.live) Some((st0.curType, st0.curFrom, st0.version))
             else None
           var closed = List.empty[Scd2Out]
-          ripe.sortBy(e => (e.sec, e.event_id)).foreach { e =>
+          ripe.foreach { e =>
             cur match {
               case Some((t, _, _)) if t == e.event_type => () // unchanged
               case Some((t, f, v)) =>
@@ -1098,8 +1119,9 @@ object Streaming {
             case Some((t, f, v)) => Scd2Buf(pend, t, f, v, live = true)
             case None => Scd2Buf(pend, "", 0L, 0L, live = false)
           })
-          pend.map(_.sec + 1L).minOption
-            .foreach(t => state.setTimeoutTimestamp(t * 1000L))
+          // no gap horizon: an open SCD2 version is open-ended, so the
+          // wake-up only ripens pending events
+          armSessionWakeup(state, pend.map(_.sec), None)
           closed.reverseIterator
       }
   }

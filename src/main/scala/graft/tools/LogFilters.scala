@@ -24,8 +24,10 @@ object LogFilters {
     val name = "org.apache.spark.scheduler.DAGScheduler"
     val f = new org.apache.logging.log4j.core.filter.AbstractFilter() {
       override def filter(e: LogEvent): Filter.Result =
+        // exact message class only — a real failure narrative that merely
+        // MENTIONS accumulators must keep flowing (review r9)
         if (String.valueOf(e.getMessage.getFormattedMessage)
-            .contains("accumulator")) Filter.Result.DENY
+            .startsWith("Failed to update accumulator")) Filter.Result.DENY
         else Filter.Result.NEUTRAL
     }
     f.start()

@@ -551,7 +551,7 @@ class StreamingSpec extends SparkSpec {
           col("event_type"),
           sexpr("CAST(unix_timestamp(ts) AS BIGINT)").as("sec"))
       val byUser = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
       val batch = ev.withColumn("new_session",
           org.apache.spark.sql.functions.when(
             col("sec") - org.apache.spark.sql.functions.lag(col("sec"), 1)
