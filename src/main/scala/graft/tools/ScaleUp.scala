@@ -139,3 +139,43 @@ object MiniBench {
     spark.stop()
   }
 }
+
+/** Suite-wide physical-plan sweep: run EVERY registry key and grep its
+  * executed plan for the global anti-patterns no key may ship —
+  * unbroadcast CartesianProduct (quadratic at any scale) — plus an
+  * inventory of which keys run SortMergeJoins (each must be a
+  * documented data-sized join, not an accident). One JSON line out;
+  * exit 1 on any cartesian. `runMain graft.tools.PlanSweep <sfDir>`
+  * (direct `java -cp` invocations need Spark's
+  * `--add-opens=java.base/sun.util.calendar=ALL-UNNAMED` — collect()
+  * decodes external Date rows, unlike Verify's parquet writes).
+  */
+object PlanSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val carts = scala.collection.mutable.ListBuffer[String]()
+    val smjs = scala.collection.mutable.ListBuffer[String]()
+    val errs = scala.collection.mutable.ListBuffer[String]()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) carts += k
+        if (p.contains("SortMergeJoin")) smjs += k
+      } catch { case e: Throwable => errs += s"$k:${e.getClass.getSimpleName}" }
+    }
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"n_keys":${graft.SparkEntry.queries.size},""" +
+      s""""cartesian":${arr(carts.toSeq)},"sortmerge":${arr(smjs.toSeq)},""" +
+      s""""errors":${arr(errs.toSeq)},"sf":"$sfDir"}""")
+    spark.stop()
+    if (carts.nonEmpty || errs.nonEmpty) sys.exit(1)
+  }
+}
