@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -103,12 +103,41 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Count-gated bucket materialization — the inverted-index cap done
+    * in the order that survives a hot key (VERDICT r9 #1): a cheap
+    * COUNT per bucket key first (map-side combined, shuffles only
+    * (key, n) pairs), keys filtered to [lo, hi], and `collect_list`
+    * run ONLY over rows whose key survived. The naive
+    * `collect_list → filter(size)` form materializes an over-cap
+    * bucket's entire membership in one aggregation buffer BEFORE the
+    * size filter can drop it — partial aggregation does not bound it
+    * (a hot key's partials still merge into one task), so a degenerate
+    * bucket (boilerplate chunk, near-silence audio frame) is an O(N)
+    * array on a single task at 100 TB. Here the per-task peak is
+    * ≤ hi members per key by construction. The gate joins by MERGE:
+    * the surviving-key frame is bucket-count-sized — data-sized at
+    * corpus scale — so a broadcast would be a local-SF illusion (the
+    * dd14 count-frame rule). Semantics are identical to the naive
+    * form (count(rows) == size(collect_list(rows)) per key).
+    */
+  private[graft] def gatedBuckets(rows: DataFrame, keys: Seq[String],
+      value: Column, valueName: String, lo: Int, hi: Int): DataFrame = {
+    val gate = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(lo, hi))
+      .select(keys.map(col): _*)
+    rows.join(gate.hint("merge"), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(value).as(valueName))
+  }
+
   /** LSH candidate generation over a `(doc_id, sig)` minhash-signature
     * table: 16 bands × 4 rows → per-bucket doc lists, pathological
     * buckets (the LSH skew guard — a stopword-like bucket would
-    * contribute quadratically) DROPPED by the size cap before any pair
-    * is emitted, pairs generated in place. One shuffle; candidate count
-    * is bounded by cap²/2 per bucket regardless of corpus skew.
+    * contribute quadratically) dropped by the [[gatedBuckets]]
+    * count-gate BEFORE their membership materializes anywhere, pairs
+    * generated in place. Candidate count is bounded by cap²/2 per
+    * bucket and per-task memory by cap regardless of corpus skew.
     * Factored so scale audits can feed degenerate corpora. */
   private[graft] def minhashCandidates(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until 16).map(b =>
@@ -117,13 +146,13 @@ object Dedup {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // One shuffle: band rows → per-bucket doc list; pathological buckets
-    // (the LSH skew guard) dropped by size; candidate pairs emitted
-    // in-place — no per-bucket self-join, no window.
-    val buckets = bands
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")).between(2, 50))
+    // count-gate, then per-bucket doc list over survivors only;
+    // candidate pairs emitted in-place — no per-bucket self-join, no
+    // window. The band explode runs twice (gate + collect), but both
+    // consumers hang off the sigs exchange upstream, so the minhash
+    // kernel itself still runs once.
+    val buckets = gatedBuckets(bands, Seq("band", "bh"), col("doc_id"),
+      "ds", 2, 50)
     buckets.select(explode(expr(
       """flatten(transform(ds, (x, i) ->
         |  transform(slice(ds, i + 2, size(ds)), y -> named_struct(

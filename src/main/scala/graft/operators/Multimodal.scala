@@ -373,16 +373,18 @@ object Multimodal {
       .distinct()
       .localCheckpoint(false)
     val counts = ph.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val buckets = ph.groupBy(col("ph"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      // cap 50 = dd02's LSH skew guard, and it BITES here: a 63-bit
-      // histogram pHash over 64-byte frames collides on generic
-      // "stopword frames" (measured at the synthesized sf1: buckets
-      // near the old 1000 cap drove 5.4M candidate pairs and 6.3 s;
-      // capped, 66k pairs and 1.3 s). At oracle scales max df is 7, so
-      // the cap drops nothing there — it exists purely to keep pair
-      // emission ∝ discriminating collisions at scale.
-      .filter(size(col("ds")).between(2, 50))
+    // cap 50 = dd02's LSH skew guard, and it BITES here: a 63-bit
+    // histogram pHash over 64-byte frames collides on generic
+    // "stopword frames" (measured at the synthesized sf1: buckets
+    // near the old 1000 cap drove 5.4M candidate pairs and 6.3 s;
+    // capped, 66k pairs and 1.3 s). At oracle scales max df is 7, so
+    // the cap drops nothing there — it exists purely to keep pair
+    // emission ∝ discriminating collisions at scale. Count-gated
+    // (Dedup.gatedBuckets, VERDICT r9 #1) so an over-cap frame hash
+    // never materializes its membership in one task; ph is
+    // checkpointed, so the gate's second pass re-reads the pinned RDD.
+    val buckets = Dedup.gatedBuckets(ph, Seq("ph"), col("doc_id"),
+      "ds", 2, 50)
     val pairs = buckets.select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds)), y -> named_struct(
@@ -508,9 +510,12 @@ object Multimodal {
     // checkpoint so the peak/landmark construction runs once (the m06
     // multi-consumer discipline)
     val lmsP = lms.localCheckpoint(false)
-    val buckets = lmsP.groupBy(col("lm"))
-      .agg(collect_list(struct(col("doc_id"), col("t"))).as("es"))
-      .filter(size(col("es")).between(2, 50))
+    // count-gated capped index (Dedup.gatedBuckets, VERDICT r9 #1):
+    // the 12k-value landmark space guarantees over-cap generics at any
+    // real corpus, and they must be dropped by a (key, n) count — not
+    // after a full collect_list of a near-silence landmark's postings
+    val buckets = Dedup.gatedBuckets(lmsP, Seq("lm"),
+        struct(col("doc_id"), col("t")), "es", 2, 50)
       .localCheckpoint(false) // feeds pair emission + indexed-landmark counts
     // a clip's INDEXED landmark count — only landmarks surviving the
     // discriminativeness cap count toward the aligned fraction (a vote

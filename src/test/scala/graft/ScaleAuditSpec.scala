@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-corpus scale audits for the count-gated bucket caps
+  * (VERDICT r9 #1): the inverted-index family (dd02/dd15 LSH bands,
+  * m06 frame buckets, m07 landmark buckets) must survive a pathological
+  * all-same-bucket corpus with BOUNDED per-task memory — the over-cap
+  * bucket's membership may never materialize as one collect_list array.
+  * The proof is executed-plan metrics, not plan text alone: the
+  * collect_list aggregate's observed output rows are read off the final
+  * adaptive plan after running the degenerate corpus.
+  */
+class ScaleAuditSpec extends SparkSpec {
+
+  /** Every node of the FINAL adaptive plan, descending through AQE
+    * wrappers (AdaptiveSparkPlanExec re-plans; QueryStageExec pins a
+    * materialized stage). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+    case q: QueryStageExec => p +: allNodes(q.plan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  /** Sum of `numOutputRows` over aggregate nodes evaluating a
+    * collect_list — 0 means no bucket membership ever materialized. */
+  private def collectAggOutputRows(df: DataFrame): Long =
+    allNodes(df.queryExecution.executedPlan)
+      .filter(n => n.nodeName.contains("Aggregate") &&
+        n.toString.linesIterator.next().contains("collect_list"))
+      .map(n => n.metrics.get("numOutputRows").map(_.value).getOrElse(0L))
+      .sum
+
+  test("dd02 count-gate: an all-identical corpus completes with ZERO " +
+      "bucket materialization (no O(N) collect array on any task)") {
+    // 2000 identical docs: every one of the 16 band buckets holds 2000
+    // members — over the 50 cap. The count-gate must drop every key
+    // BEFORE collect_list sees a row: candidates empty AND the
+    // collect-aggregate's executed output-row metric exactly 0. The
+    // pre-gate naive form would build sixteen 2000-entry arrays here
+    // (and an O(corpus) array at 100 TB).
+    val sigs = spark.range(2000).select(col("id").as("doc_id"),
+      graft.functions.text.minhash_sig(lit("same text everywhere"), 64, 3)
+        .as("sig"))
+    val cand = graft.operators.Dedup.minhashCandidates(sigs)
+    assert(cand.queryExecution.toRdd.count() == 0)
+    assert(collectAggOutputRows(cand) == 0L,
+      "an over-cap bucket reached the collect_list aggregate")
+    val plan = cand.queryExecution.executedPlan.toString
+    // the gate itself must combine map-side: only (key, n) pairs shuffle
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("gatedBuckets: a hot key is dropped pre-collect, survivors are " +
+      "exact and capped") {
+    // one hot key (10k rows — would be a 10k-entry array uncapped), a
+    // surviving key of 3, a singleton (below lo). Only the survivor may
+    // come back, complete and ordered-insensitive.
+    val rows = spark.range(10000).select(lit(7L).as("k"), col("id").as("v"))
+      .unionAll(spark.range(3).select(lit(8L).as("k"), (col("id") + 100).as("v")))
+      .unionAll(spark.range(1).select(lit(9L).as("k"), col("id").as("v")))
+    val out = graft.operators.Dedup
+      .gatedBuckets(rows, Seq("k"), col("v"), "vs", 2, 50)
+    val got = out.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    assert(got.keySet == Set(8L))
+    assert(got(8L) == Seq(100L, 101L, 102L))
+    assert(collectAggOutputRows(out) <= 2L, // partial + final of ONE key
+      "hot-key rows reached the collect_list aggregate")
+    // the gate joins MERGE (the surviving-key frame is data-sized at
+    // corpus scale; broadcast is a local-SF illusion — dd14's rule)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("m06/m07: degenerate all-same-frame corpora complete with zero " +
+      "bucket materialization") {
+    // m06 shape: every doc is one identical frame hash → one over-cap
+    // ph bucket; m07 shape: every landmark identical → one over-cap lm
+    // bucket. Both ride gatedBuckets, so the audit feeds the helper the
+    // family's own key/payload shapes at over-cap size.
+    val ph = spark.range(500).select(col("id").as("doc_id"), lit(42L).as("ph"))
+    val phB = graft.operators.Dedup
+      .gatedBuckets(ph, Seq("ph"), col("doc_id"), "ds", 2, 50)
+    assert(phB.queryExecution.toRdd.count() == 0)
+    assert(collectAggOutputRows(phB) == 0L)
+    val lms = spark.range(500).select(col("id").as("doc_id"),
+      lit(1234L).as("lm"), (col("id") % 7).as("t"))
+    val lmB = graft.operators.Dedup.gatedBuckets(lms, Seq("lm"),
+      struct(col("doc_id"), col("t")), "es", 2, 50)
+    assert(lmB.queryExecution.toRdd.count() == 0)
+    assert(collectAggOutputRows(lmB) == 0L)
+  }
+}
