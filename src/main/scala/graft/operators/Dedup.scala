@@ -960,32 +960,60 @@ object Dedup {
     * (doc_id) partitions bounded by ONE DOC's token count — never a
     * corpus-sized key. Output ∝ corpus docs.
     *
-    * Collision stance (ADVICE r8): the dup flag rides xxhash64 of the
-    * token slice while the oracle compares gram STRINGS — a 64-bit
-    * collision would cut a span the string form would keep, and unlike
-    * dd11's diagnostic fraction this MUTATES output text. Negligible at
-    * oracle scale (expected collisions ≈ n²/2⁶⁵); at 100 TB gram
-    * volume, pair the flag with a second independent hash (or a
-    * doc-local string recheck of flagged runs) before cutting spans.
+    * Collision stance (ADVICE r8, closed VERDICT r9 #2): unlike dd11's
+    * diagnostic fraction this operator MUTATES output text, so the dup
+    * flag rides a PAIR of independent 64-bit hashes of the token slice
+    * (xxhash64, and xxhash64 re-seeded by a literal prefix) while the
+    * oracle compares gram STRINGS — a span is cut only when BOTH
+    * hashes agree the gram repeats, pushing the false-cut probability
+    * from ~n²/2⁶⁵ (real at 100 TB gram volume) to ~n²/2¹²⁹ (never).
+    * The count shuffle carries 16 B of key instead of 8 — the entire
+    * cost of the guard. The key constructors are injectable
+    * ([[substringDedupCore]]) so the collision spec can force a total
+    * primary-hash collision and prove the second hash keeps every
+    * uncorrupted span.
     */
   def dd14SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
-    val minSpan = 16
     val toksDf = Tables.spread(plantedDocs(spark, dir))
       .select(col("doc_id"),
         filter(split(lower(col("text")), "[ \\t\\n\\r]+"), x => x =!= "")
           .as("ts"))
       .filter(size(col("ts")) > 0)
       .localCheckpoint(false) // reused: grams + final reassembly
+    substringDedupCore(toksDf, dd14GramKeys, 16)
+  }
+
+  /** The production gram-key pair: xxhash64 of the separator-joined
+    * slice, and the same bytes under an independent seed-prefixed
+    * xxhash64 (the kernel-seam seeded-variant pattern). */
+  private[graft] val dd14GramKeys: Seq[Column => Column] = {
+    val sep = 31.toChar.toString // unit separator, built not embedded
+    Seq(sl => xxhash64(concat_ws(sep, sl)),
+      sl => xxhash64(lit(0x5eedL), concat_ws(sep, sl)))
+  }
+
+  /** dd14's span-removal core over a `(doc_id, ts)` token frame with
+    * injectable gram-key constructors (each maps the 8-token slice
+    * column to one key column; a gram is "duplicated" when the FULL
+    * key tuple occurs ≥ 2 times corpus-wide). Factored so the
+    * collision spec can degrade one key to a constant and prove the
+    * others still decide correctly. */
+  private[graft] def substringDedupCore(toksDf: DataFrame,
+      keys: Seq[Column => Column], minSpan: Int): DataFrame = {
+    val keyNames = keys.indices.map(j => s"g$j")
     val grams = toksDf.select(col("doc_id"), size(col("ts")).as("n"),
-        posexplode(expr(
-          """transform(sequence(0, greatest(size(ts) - 8, 0)),
-            |  i -> xxhash64(concat_ws(char(31),
-            |    slice(ts, i + 1, least(8, size(ts))))))""".stripMargin)))
-      .select(col("doc_id"), col("n"), col("pos").as("i"), col("col").as("gh"))
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("ts")) - 8, lit(0))),
+          i => {
+            val sl = slice(col("ts"), i + 1, least(lit(8), size(col("ts"))))
+            struct(keys.zip(keyNames).map { case (f, nm) => f(sl).as(nm) }: _*)
+          })))
+      .select(Seq(col("doc_id"), col("n"), col("pos").as("i")) ++
+        keyNames.map(nm => col(s"col.$nm")): _*)
       .localCheckpoint(false) // feeds the count agg AND the flag join
-    val cnts = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+    val cnts = grams.groupBy(keyNames.map(col): _*).agg(count(lit(1)).as("c"))
     val covered = grams
-      .join(cnts.filter(col("c") >= 2L).hint("merge"), "gh")
+      .join(cnts.filter(col("c") >= 2L).hint("merge"), keyNames)
       .select(col("doc_id"),
         explode(sequence(col("i"), least(col("i") + 7, col("n") - 1)))
           .as("t"))

@@ -235,6 +235,46 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("dd14: a forced primary-hash collision cannot cut a span the " +
+      "string form would keep — the second hash guards text mutation") {
+    import graft.operators.Dedup
+    // two docs share a real 24-token span (a true duplicate, must be
+    // cut from both); two docs are entirely unique (must survive
+    // intact even when the primary hash claims EVERY gram collides)
+    val common = (1 to 24).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      1L -> (common + " alpha beta gamma delta epsilon zeta"),
+      2L -> (common + " one two three four five six"),
+      3L -> (1 to 30).map(i => s"uniqA$i").mkString(" "),
+      4L -> (1 to 30).map(i => s"uniqB$i").mkString(" "))
+    val toksDf = spark.createDataFrame(docs).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[ \\t\\n\\r]+"), x => x =!= "")
+          .as("ts"))
+    def run(keys: Seq[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column]) =
+      Dedup.substringDedupCore(toksDf, keys, 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+    val real = run(Dedup.dd14GramKeys)
+    // ground truth: the shared span vanishes from both copies; unique
+    // docs are untouched
+    assert(real.filter(_._1 <= 2L).forall(r => r._3 >= 24L), real)
+    assert(real.filter(_._1 >= 3L).forall(r => r._3 == 0L), real)
+    // force a TOTAL primary-hash collision (g0 constant): the seeded
+    // second hash alone must still produce the identical output —
+    // this is the guard that makes a real 64-bit collision harmless
+    val degraded = run(Seq(_ => lit(0L), Dedup.dd14GramKeys(1)))
+    assert(degraded == real,
+      "a primary-hash collision changed dd14's output despite the guard")
+    // power check: without any independent key the collision DOES cut
+    // unique text — proving this spec can fail
+    val blind = run(Seq(_ => lit(0L)))
+    assert(blind != real)
+    assert(blind.filter(_._1 >= 3L).forall(r => r._3 == r._2),
+      "expected the blind run to cut everything")
+  }
+
   test("dd13: the source matrix partitions dd02's pair set") {
     val df = SparkEntry.queries("dd13_dup_sources")(spark, sfDir).cache()
     val pairs = SparkEntry.queries("dd02_dedup_minhash")(spark, sfDir)

@@ -233,7 +233,8 @@ class PlanAuditSpec extends SparkSpec {
     // tokens) — never by a gram key
     val dd14 = finalPlan("dd14_substring_dedup")
     assert(dd14.contains("SortMergeJoin"), dd14)
-    assert(!dd14.contains("windowspecdefinition(gh#"), dd14)
+    assert(!dd14.contains("windowspecdefinition(g0#") &&
+      !dd14.contains("windowspecdefinition(g1#"), dd14)
     assert(dd14.contains("windowspecdefinition(doc_id#"), dd14)
   }
 
