@@ -379,11 +379,16 @@ object Pipeline {
     val b2 = stopR >= 0.02
     val b3 = awl >= 3.0 && awl <= 4.7
     val b4 = uniqR >= 0.35
+    // stage 5 = t16's C4 blocklist gate (the same literal list), so
+    // the funnel reports the attrition of EVERY shipping filter
+    val b5 = size(filter(t,
+      x => x.isin(TextAnalysis.blocklist.map(lit): _*))) === 0
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
     val one = Tables(spark, dir, "documents").agg(
       count(lit(1)).as("n0"), cnt(b1).as("s1"), cnt(b1 && b2).as("s2"),
-      cnt(b1 && b2 && b3).as("s3"), cnt(b1 && b2 && b3 && b4).as("s4"))
+      cnt(b1 && b2 && b3).as("s3"), cnt(b1 && b2 && b3 && b4).as("s4"),
+      cnt(b1 && b2 && b3 && b4 && b5).as("s5"))
     def stage(i: Int, rule: String, in: String, out: String) =
       struct(lit(i.toLong).as("stage"), lit(rule).as("rule"),
         col(in).as("n_in"), (col(in) - col(out)).as("n_dropped"),
@@ -392,7 +397,8 @@ object Pipeline {
         stage(1, "min_tokens_25", "n0", "s1"),
         stage(2, "stopword_ratio_ge_0.02", "s1", "s2"),
         stage(3, "avg_word_len_3.0_4.7", "s2", "s3"),
-        stage(4, "uniq_token_ratio_ge_0.35", "s3", "s4"))).as("r"))
+        stage(4, "uniq_token_ratio_ge_0.35", "s3", "s4"),
+        stage(5, "blocklist_c4", "s4", "s5"))).as("r"))
       .select(col("r.stage").as("stage"), col("r.rule").as("rule"),
         col("r.n_in").as("n_in"), col("r.n_dropped").as("n_dropped"),
         col("r.n_out").as("n_out"))
@@ -400,14 +406,16 @@ object Pipeline {
   }
 
   val p09Sql: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT doc_id,
-      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-      |    CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
       |      x -> x IN ('the','a','of','to','and','is','in','that','it'))) AS BIGINT) AS n_stop,
-      |    CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+      |    CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
       |      x -> length(x))) AS BIGINT) AS word_chars,
-      |    CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_uniq
+      |    CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS BIGINT) AS n_uniq,
+      |    CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+      |      x -> x IN (${TextAnalysis.blocklistInSql}))) AS BIGINT) AS n_bad
       |  FROM documents),
       |flags AS (
       |  SELECT
@@ -415,20 +423,23 @@ object Pipeline {
       |    CAST(n_stop AS DOUBLE) / n_tokens >= 0.02 AS b2,
       |    CAST(word_chars AS DOUBLE) / n_tokens >= 3.0
       |      AND CAST(word_chars AS DOUBLE) / n_tokens <= 4.7 AS b3,
-      |    CAST(n_uniq AS DOUBLE) / n_tokens >= 0.35 AS b4
+      |    CAST(n_uniq AS DOUBLE) / n_tokens >= 0.35 AS b4,
+      |    n_bad = 0 AS b5
       |  FROM base),
       |c AS (
       |  SELECT COUNT(*) AS n0,
       |    CAST(SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
       |    CAST(SUM(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
       |    CAST(SUM(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
-      |    CAST(SUM(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+      |    CAST(SUM(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+      |    CAST(SUM(CASE WHEN b1 AND b2 AND b3 AND b4 AND b5 THEN 1 ELSE 0 END) AS BIGINT) AS s5
       |  FROM flags)
       |SELECT stage, rule, n_in, n_in - n_out AS n_dropped, n_out FROM (
       |  SELECT 1::BIGINT AS stage, 'min_tokens_25' AS rule, n0 AS n_in, s1 AS n_out FROM c
       |  UNION ALL SELECT 2, 'stopword_ratio_ge_0.02', s1, s2 FROM c
       |  UNION ALL SELECT 3, 'avg_word_len_3.0_4.7', s2, s3 FROM c
-      |  UNION ALL SELECT 4, 'uniq_token_ratio_ge_0.35', s3, s4 FROM c)
+      |  UNION ALL SELECT 4, 'uniq_token_ratio_ge_0.35', s3, s4 FROM c
+      |  UNION ALL SELECT 5, 'blocklist_c4', s4, s5 FROM c)
       |ORDER BY stage""".stripMargin
 
   // ---------------------------------------------------------------- p10

@@ -878,7 +878,75 @@ object Similarity {
        |LEFT JOIN h ON h.q_id = ne.q_id
        |ORDER BY ne.q_id""".stripMargin
 
+  // ---------------------------------------------------------------- s11
+  /** Matryoshka two-tier retrieval — the OPERATIONAL query path whose
+    * quality s10 measures (Kusupati 2022; VERDICT r9 #4): rank the
+    * corpus by cosine over the first 16 of 64 dimensions (the 4×
+    * cheaper resident tier), shortlist the top-50 per query, re-rank
+    * ONLY the shortlist by full-dimension cosine, and answer with the
+    * re-ranked top-10. A full-dim top-10 hit that survives the prefix
+    * shortlist always survives the re-rank (its full-cos rank within
+    * any subset is ≤ its global rank), so this path's recall is
+    * lower-bounded by s10's truncated-only recall — specced.
+    *
+    * Scale: tier 1 is s01's audited shape over 4× cheaper arithmetic —
+    * one corpus scan, bounded local top-k cells, window-free merge —
+    * carrying the full embedding as payload so tier 2 NEVER re-enters
+    * the corpus: the Q×50 shortlist localCheckpoints (s08's
+    * checkpoint discipline), query vectors re-attach by broadcast,
+    * and the re-rank runs the same bounded top-k over 50-row input.
+    * PlanAuditSpec asserts no SortMergeJoin and no second corpus scan.
+    *
+    * Cross-engine (§5): both tiers rank the RAW cosine with vec_id
+    * tie-break (the s01 discipline); the output cosine rounds to 4dp
+    * for display only.
+    */
+  def s11MrlRerank(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val scoredT = corpus.crossJoin(broadcast(queriesDf(spark, dir)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding").as("emb"),
+        V.cosine_sim(slice(col("q_vec"), 1, 16),
+          slice(col("embedding"), 1, 16)).as("cos"))
+    val shortlist = topKPerQuery(scoredT, 50, Seq("emb"))
+      .select(col("q_id"), col("vec_id"), col("emb")).localCheckpoint()
+    val reranked = shortlist
+      .join(broadcast(queriesDf(spark, dir)), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        V.cosine_sim(col("q_vec"), col("emb")).as("cos"))
+    topKPerQuery(reranked, K, Seq.empty)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Oracle: the s10 prefix chain extended with the emb payload, then
+    * the full-dim re-rank over the 50-row shortlist. */
+  val s11Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+      |  FROM embeddings WHERE vec_id < 5),
+      |tscored AS (
+      |  SELECT q.q_id, e.vec_id, e.embedding::DOUBLE[] AS emb,
+      |    list_cosine_similarity(q.q_vec[1:16], e.embedding[1:16]::DOUBLE[])
+      |      AS c
+      |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      |short AS (
+      |  SELECT q_id, vec_id, emb FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY c DESC, vec_id) AS rn
+      |    FROM tscored) WHERE rn <= 50),
+      |rer AS (
+      |  SELECT s.q_id, s.vec_id,
+      |    list_cosine_similarity(q.q_vec, s.emb) AS c
+      |  FROM short s JOIN q ON q.q_id = s.q_id)
+      |SELECT q_id, vec_id, ROUND(c, 4) AS cos, rank FROM (
+      |  SELECT q_id, vec_id, c,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id)
+      |      AS rank
+      |  FROM rer)
+      |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_mrl_rerank" -> (s11MrlRerank _),
     "s10_mrl_recall" -> (s10MrlRecall _),
     "s07_ivfpq" -> (s07IvfPq _),
     "s09_ann_recall" -> (s09AnnRecall _),
@@ -891,6 +959,7 @@ object Similarity {
     "s06_hybrid_search" -> (s06HybridSearch _))
 
   val oracle: Map[String, String] = Map(
+    "s11_mrl_rerank" -> s11Sql,
     "s10_mrl_recall" -> s10Sql,
     "s07_ivfpq" -> s07Sql,
     "s08_mmr_rerank" -> s08Sql,

@@ -853,7 +853,58 @@ object TextAnalysis {
       |    AS chunk_text
       |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- t16
+  /** Blocklist ("bad words") content gate — C4's list-based filter
+    * (Raffel et al. 2020 §2.2: a document containing ANY listed word
+    * is dropped), the one standard curation step the heuristic gates
+    * (t02/p09) and the model gate (p11) don't cover. The list ships as
+    * a seeded literal (the p11 model-parameters-as-literals pattern:
+    * curation policy is fitted offline; what runs on the cluster is
+    * the inlined list, identical on every engine and rerun). On this
+    * corpus only "dup" occurs — bad words are RARE in a mostly-clean
+    * crawl, so low single-digit-percent attrition is the realistic
+    * profile, and the planted `dup`-marker docs make it deterministic.
+    * Emits the per-doc decision; the same rule reports its attrition
+    * as p09's funnel stage 5, so drop accounting lives in one place.
+    *
+    * Cross-engine (§5): counts are exact integers, the keep flag an
+    * integer comparison — no float anywhere.
+    *
+    * Scale: map-only — each doc's token array folds against the
+    * bounded literal list; zero shuffle beyond the presentation sort
+    * (PlanAuditSpec pins one scan, no join/window/aggregate).
+    */
+  private[graft] val blocklist: Seq[String] =
+    Seq("dup", "nsfw", "unsafe", "badword")
+
+  private[graft] def blocklistInSql: String =
+    blocklist.map(w => s"'$w'").mkString(", ")
+
+  def t16BlocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(t).cast(LongType).as("n_tokens"),
+        size(filter(t, x => x.isin(blocklist.map(lit): _*)))
+          .cast(LongType).as("n_bad"))
+      .withColumn("keep", col("n_bad") === 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  val t16Sql: String =
+    s"""SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(ts, x -> x IN ($blocklistInSql))) AS BIGINT)
+       |    AS n_bad,
+       |  len(list_filter(ts, x -> x IN ($blocklistInSql))) = 0 AS keep
+       |FROM (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> x <> '') AS ts
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_blocklist_filter" -> (t16BlocklistFilter _),
     "t15_zipf_fit" -> (t15ZipfFit _),
     "t14_bigram_logprob" -> (t14BigramScore _),
     "t13_chunk_windows" -> (t13ChunkWindows _),
@@ -871,6 +922,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t16_blocklist_filter" -> t16Sql,
     "t15_zipf_fit" -> t15Sql,
     "t14_bigram_logprob" -> t14Sql,
     "t13_chunk_windows" -> t13Sql,

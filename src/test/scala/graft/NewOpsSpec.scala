@@ -235,6 +235,57 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("s11: two-tier MRL retrieval re-ranks the prefix shortlist and " +
+      "its recall lower-bounds s10's truncated-only recall") {
+    val df = SparkEntry.queries("s11_mrl_rerank")(spark, sfDir).cache()
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // well-formed: 10 ranks per query, cosine non-increasing in rank
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to 10L), s"query $q")
+      assert(rs.sortBy(_._4).map(_._3).sliding(2)
+        .forall(p => p.head >= p.last - 1e-9), s"query $q not sorted")
+    }
+    // recall vs s01 ground truth ≥ s10's recall: a full-dim top-10 hit
+    // that survives the shortlist always survives the re-rank
+    val exact = SparkEntry.queries("s01_ann_bruteforce")(spark, sfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s10 = SparkEntry.queries("s10_mrl_recall")(spark, sfDir)
+      .select("q_id", "hits").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val hits = rs.count(r => exact.contains((q, r._2)))
+      assert(hits >= s10(q),
+        s"query $q: rerank hits $hits < truncated-only hits ${s10(q)}")
+    }
+    df.unpersist()
+  }
+
+  test("t16: exactly the docs containing a listed token are dropped, " +
+      "and p09's stage 5 reports the same rule") {
+    val df = SparkEntry.queries("t16_blocklist_filter")(spark, sfDir).cache()
+    val want = Tables(spark, sfDir, "documents")
+      .filter(exists(split(lower(col("text")), "\\s+"),
+        x => x.isin(graft.operators.TextAnalysis.blocklist.map(lit): _*)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty, "corpus has no blocklisted docs — vacuous gate")
+    val dropped = df.filter(!col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dropped == want)
+    // the flag is exactly n_bad == 0, and n_bad ≤ n_tokens
+    assert(df.filter((col("n_bad") === 0L) =!= col("keep")).count() == 0)
+    assert(df.filter(col("n_bad") > col("n_tokens")).count() == 0)
+    df.unpersist()
+    // funnel wiring: stage 5 carries the blocklist rule and its drop
+    // count equals the blocklisted SURVIVORS of stages 1-4 (the funnel
+    // is sequential, so it can be < the corpus-wide drop count)
+    val s5 = SparkEntry.queries("p09_quality_funnel")(spark, sfDir)
+      .filter(col("stage") === 5L).collect()
+    assert(s5.length == 1 && s5.head.getString(1) == "blocklist_c4")
+    assert(s5.head.getLong(3) > 0, "stage 5 dropped nothing — vacuous")
+  }
+
   test("dd14: a forced primary-hash collision cannot cut a span the " +
       "string form would keep — the second hash guards text mutation") {
     import graft.operators.Dedup
@@ -504,7 +555,7 @@ class NewOpsSpec extends SparkSpec {
     val df = SparkEntry.queries("p09_quality_funnel")(spark, sfDir)
     val rows = df.collect().map(r => (r.getLong(0), r.getString(1),
       r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
-    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
     // per-stage arithmetic: in − dropped = out
     rows.foreach { case (s, rule, in, drop, out) =>
       assert(in - drop == out, s"stage $s ($rule)") }

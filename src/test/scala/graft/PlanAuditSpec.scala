@@ -284,6 +284,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("round-10: t16 blocklist gate is map-only — one scan, no " +
+      "join/window/aggregate; p09 keeps its one-scan funnel with stage 5") {
+    val p = finalPlan("t16_blocklist_filter")
+    // final + initial AQE sections print the same single scan
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 2, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("HashAggregate"), p)
+    val p9 = finalPlan("p09_quality_funnel").split("== Initial Plan ==").head
+    assert("FileScan|BatchScan".r.findAllIn(p9).length == 1, p9)
+    assert(p9.contains("partial_count") || p9.contains("partial_sum"), p9)
+  }
+
+  test("round-10: s11 re-rank touches only the checkpointed shortlist — " +
+      "one corpus scan on the prefix tier, broadcast joins only") {
+    // the shortlist materializes eagerly at localCheckpoint; the final
+    // plan may scan embeddings only for the 5 broadcast query vectors
+    // (vec_id < 5 pushed down) — a second full-corpus scan or a
+    // SortMergeJoin means a data-sized frame leaked into the re-rank
+    val p = finalPlan("s11_mrl_rerank")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size <= 2, p) // final + initial AQE print the same scan
+    assert(scans.forall(_.contains("vec_id")), p)
+  }
+
   test("ladders: NULL stratum/bucket keys rank exactly like the window form") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
