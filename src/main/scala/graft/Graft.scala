@@ -49,18 +49,56 @@ object Graft {
     */
   def ensureArtifact(root: String, name: String, fingerprint: String)(
       write: String => Unit): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val path = s"$root/${name}_$fingerprint"
     val marker = Paths.get(s"$path/_GRAFT_COMPLETE")
     // fast path: a committed artifact needs no lock at all
     if (Files.exists(marker)) return path
     artifactLocks.computeIfAbsent(path, _ => new Object).synchronized {
       if (!Files.exists(marker)) {
-        write(path)
-        Files.write(marker, Array.emptyByteArray)
+        // Cross-process safety (ADVICE r9): the JVM-local monitor only
+        // serializes THREADS — a concurrent process (Bench vs the test
+        // suite) could otherwise interleave overwrite-mode writes to the
+        // same committed path. Build into a private temp sibling (marker
+        // included) and atomically rename into the fingerprint path: a
+        // racing process either loses the rename and discards its temp,
+        // or never observes a half-written committed directory.
+        val tmp = Paths.get(s"$path.build-${java.util.UUID.randomUUID}")
+        var committed = false
+        try {
+          write(tmp.toString)
+          Files.write(tmp.resolve("_GRAFT_COMPLETE"), Array.emptyByteArray)
+          // a marker-less `path` can only be a pre-atomic-scheme crash
+          // leftover (the rename publishes marker and data together) —
+          // clear it so the commit can land instead of failing forever
+          if (Files.exists(Paths.get(path)) && !Files.exists(marker))
+            deleteRecursively(Paths.get(path))
+          try {
+            Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+            committed = true
+          } catch { case _: java.nio.file.FileSystemException =>
+            // another process committed first: serve its artifact iff
+            // its marker is visible; anything else is a real failure
+            if (!Files.exists(marker))
+              throw new IllegalStateException(
+                s"artifact commit race at $path left no marker — " +
+                  "remove the directory and retry")
+          }
+        } finally if (!committed) deleteRecursively(tmp)
       }
     }
     path
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(deleteRecursively) finally s.close()
+      }
+      Files.delete(p)
+    }
   }
 
   /** Scan a document collection as a DataFrame.

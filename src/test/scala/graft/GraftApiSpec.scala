@@ -396,5 +396,39 @@ class GraftApiSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$root/t_fp3/_GRAFT_COMPLETE")))
     Graft.ensureArtifact(root, "t", "fp3")(build)
     assert(builds == 4, "crashed build must re-run, not serve partial files")
+    // the crashed attempt's private temp must not leak next to the path
+    import scala.jdk.CollectionConverters._
+    assert(!Files.list(Paths.get(root)).iterator.asScala
+      .exists(_.getFileName.toString.contains(".build-")),
+      "crashed build left a temp directory behind")
+  }
+
+  test("ensureArtifact: atomic cross-process commit — a lost rename race " +
+      "serves the winner, a stale marker-less path self-heals") {
+    val root = Files.createTempDirectory("graft_art_race").toString
+    def build(tag: String)(path: String): Unit = {
+      Files.createDirectories(Paths.get(path))
+      Files.writeString(Paths.get(s"$path/data.jsonl"), s"""{"who":"$tag"}""")
+    }
+    // simulate losing the race: while OUR build runs (into its temp), a
+    // "second process" commits the real path. Our atomic rename must
+    // fail, our temp must be discarded, and the winner's bytes served.
+    val p = Graft.ensureArtifact(root, "r", "fp1") { tmp =>
+      build("loser")(tmp)
+      build("winner")(s"$root/r_fp1")
+      Files.write(Paths.get(s"$root/r_fp1/_GRAFT_COMPLETE"),
+        Array.emptyByteArray)
+    }
+    assert(Files.readString(Paths.get(s"$p/data.jsonl")).contains("winner"))
+    import scala.jdk.CollectionConverters._
+    assert(!Files.list(Paths.get(root)).iterator.asScala
+      .exists(_.getFileName.toString.contains(".build-")),
+      "losing build left its temp directory behind")
+    // a marker-less committed path (pre-atomic-scheme crash leftover)
+    // is cleared and rebuilt rather than wedging every future ensure
+    build("stale")(s"$root/r_fp2")
+    val p2 = Graft.ensureArtifact(root, "r", "fp2")(build("rebuilt"))
+    assert(Files.readString(Paths.get(s"$p2/data.jsonl")).contains("rebuilt"))
+    assert(Files.exists(Paths.get(s"$p2/_GRAFT_COMPLETE")))
   }
 }
