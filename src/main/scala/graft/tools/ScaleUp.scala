@@ -140,17 +140,76 @@ object MiniBench {
   }
 }
 
-/** Suite-wide physical-plan sweep: run EVERY registry key and grep its
-  * executed plan for the global anti-patterns no key may ship —
-  * unbroadcast CartesianProduct (quadratic at any scale) — plus an
-  * inventory of which keys run SortMergeJoins (each must be a
-  * documented data-sized join, not an accident). One JSON line out;
-  * exit 1 on any cartesian. `runMain graft.tools.PlanSweep <sfDir>`
-  * (direct `java -cp` invocations need Spark's
-  * `--add-opens=java.base/sun.util.calendar=ALL-UNNAMED` — collect()
-  * decodes external Date rows, unlike Verify's parquet writes).
+/** Suite-wide physical-plan sweep — the per-round gate (VERDICT r9 #6):
+  * run EVERY registry key and audit its EXECUTED (post-AQE) plan for
+  * the anti-pattern classes no key may ship silently:
+  *
+  *  - `cartesian`: unbroadcast CartesianProduct — quadratic at any
+  *    scale; hard failure (exit 1).
+  *  - `sortmerge`: SortMergeJoin inventory — each must be a documented
+  *    data-sized join (SCALING.md), not an accident.
+  *  - `global_windows`: windowspecdefinition with an EMPTY partition
+  *    spec (the round-5 killer class: one task sorts the whole frame).
+  *    Legitimate only over provably bounded frames (post-limit ranks,
+  *    scalar posteriors) — each listed key must have a documented
+  *    bound.
+  *  - `window_partitions`: the full window-partition-key inventory per
+  *    key, so a window over a data-sized key (band value, content
+  *    hash) is visible in review — plan text cannot reveal key
+  *    cardinality, the reviewer's table does.
+  *  - `big_broadcasts`: the query carries an explicit broadcast HINT
+  *    (ResolvedHint in the analyzed plan) AND some broadcast exchange
+  *    observed > 10k rows at the swept SF. AQE-chosen broadcasts are
+  *    deliberately NOT flagged — they re-decide by bytes at runtime
+  *    and degrade to shuffle joins at scale (the designed behavior);
+  *    a HINT pins the broadcast regardless of size, so a hinted
+  *    data-sized side is a local-SF illusion that OOMs at scale.
+  *
+  * Plans execute via `toRdd.count()` — no driver-side row
+  * materialization (ADVICE r9), and no `--add-opens` need since
+  * external Date decoding never happens. One JSON line out; exit 1 on
+  * any cartesian or error. `runMain graft.tools.PlanSweep <sfDir>`.
   */
 object PlanSweep {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+    case q: QueryStageExec => p +: allNodes(q.plan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  /** Partition-key name lists of every windowspecdefinition in a plan
+    * string: the leading depth-0 arguments before the first ordering
+    * spec (` ASC`/` DESC`), attribute ids stripped. An empty list is a
+    * GLOBAL window. */
+  private[tools] def windowPartitionSpecs(plan: String): Seq[Seq[String]] = {
+    val marker = "windowspecdefinition("
+    Iterator.iterate(plan.indexOf(marker))(i =>
+        plan.indexOf(marker, i + 1)).takeWhile(_ >= 0).toSeq.map { start =>
+      val args = scala.collection.mutable.ListBuffer[String]()
+      val sb = new StringBuilder
+      var depth = 0
+      var i = start + marker.length
+      var done = false
+      while (!done && i < plan.length) {
+        plan.charAt(i) match {
+          case '(' => depth += 1; sb += '('
+          case ')' if depth == 0 => args += sb.toString; done = true
+          case ')' => depth -= 1; sb += ')'
+          case ',' if depth == 0 => args += sb.toString; sb.clear()
+          case c => sb += c
+        }
+        i += 1
+      }
+      args.toSeq.map(_.trim)
+        .takeWhile(a => !a.contains(" ASC") && !a.contains(" DESC") &&
+          !a.startsWith("specifiedwindowframe"))
+        .map(_.replaceAll("#\\d+L?", ""))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -161,19 +220,41 @@ object PlanSweep {
     spark.sparkContext.setLogLevel("ERROR")
     val carts = scala.collection.mutable.ListBuffer[String]()
     val smjs = scala.collection.mutable.ListBuffer[String]()
+    val globalWins = scala.collection.mutable.ListBuffer[String]()
+    val bigBcasts = scala.collection.mutable.ListBuffer[String]()
+    val winParts = scala.collection.mutable.LinkedHashMap[String, Seq[Seq[String]]]()
     val errs = scala.collection.mutable.ListBuffer[String]()
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.collect()
-        val p = df.queryExecution.executedPlan.toString
+        df.queryExecution.toRdd.count() // executes; rows stay distributed
+        val exec = df.queryExecution.executedPlan
+        val p = exec.toString
         if (p.contains("CartesianProduct")) carts += k
         if (p.contains("SortMergeJoin")) smjs += k
+        val specs = windowPartitionSpecs(p).distinct
+        if (specs.nonEmpty) winParts(k) = specs
+        if (specs.exists(_.isEmpty)) globalWins += k
+        val hintedBcast = df.queryExecution.analyzed.toString.linesIterator
+          .exists(l => l.contains("ResolvedHint") &&
+            l.toLowerCase.contains("broadcast"))
+        val maxBcast = allNodes(exec)
+          .filter(_.nodeName.contains("BroadcastExchange"))
+          .flatMap(_.metrics.get("numOutputRows").map(_.value))
+        if (hintedBcast && maxBcast.exists(_ > 10000L)) bigBcasts += k
       } catch { case e: Throwable => errs += s"$k:${e.getClass.getSimpleName}" }
     }
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val wp = winParts.map { case (k, specs) =>
+      "\"" + k + "\":" + specs.map(s =>
+        s.map("\"" + _ + "\"").mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     println(s"""{"n_keys":${graft.SparkEntry.queries.size},""" +
       s""""cartesian":${arr(carts.toSeq)},"sortmerge":${arr(smjs.toSeq)},""" +
+      s""""global_windows":${arr(globalWins.toSeq)},""" +
+      s""""big_broadcasts":${arr(bigBcasts.toSeq)},""" +
+      s""""window_partitions":$wp,""" +
       s""""errors":${arr(errs.toSeq)},"sf":"$sfDir"}""")
     spark.stop()
     if (carts.nonEmpty || errs.nonEmpty) sys.exit(1)
