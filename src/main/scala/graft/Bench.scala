@@ -47,8 +47,25 @@ object Bench {
     // hostage to one lucky/unlucky window.
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val cpuSamples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    // Executor CPU-time per query (VERDICT r9 #7): task-metrics CPU sums
+    // are stable under the host's co-tenant wall-clock band, so
+    // round-over-round regressions stay attributable when wall swings.
+    // Queries run sequentially, so a before/after counter delta
+    // attributes cleanly; listener posts are async, so the tail of a
+    // query's task-end events can smear into the next delta by listener
+    // lag (ms against per-query CPU seconds) — min-of-5 absorbs it.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+      })
     for (r <- 1 to 5; (name, fn) <- keys) {
       val t0 = System.nanoTime()
+      val c0 = cpuNs.get()
       // a failed round is VISIBLE (stderr — stdout stays the JSON line)
       // and contributes NO sample: its near-zero elapsed time would
       // otherwise publish as a bogus fast min (the MiniBench rule)
@@ -56,11 +73,14 @@ object Bench {
         fn(spark, sfDir).count()
         samples(name) =
           (System.nanoTime() - t0) / 1e9 :: samples.getOrElse(name, Nil)
+        cpuSamples(name) =
+          (cpuNs.get() - c0) / 1e9 :: cpuSamples.getOrElse(name, Nil)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name round $r FAILED: " +
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
             .take(300))
         samples.getOrElseUpdate(name, Nil)
+        cpuSamples.getOrElseUpdate(name, Nil)
       }
     }
     // a key with zero successful rounds publishes -1.0 — an impossible
@@ -70,8 +90,18 @@ object Bench {
     val medians = keys.map { case (name, _) =>
       val ss = samples(name).sorted
       name -> (if (ss.isEmpty) -1.0 else ss(ss.size / 2)) }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val totalP50 = if (medians.nonEmpty) medians.map(_._2).sum else 0.0
+    val cpuMins = keys.map { case (name, _) =>
+      name -> cpuSamples(name).minOption.getOrElse(-1.0) }
+    // a fully-failed key must never IMPROVE the headline number by
+    // summing its -1.0 sentinel (ADVICE r9): any failure poisons the
+    // totals to -1.0 so a bad run is unmistakable at the aggregate
+    val anyFailed = results.exists(_._2 < 0)
+    val total =
+      if (anyFailed || results.isEmpty) -1.0 else results.map(_._2).sum
+    val totalP50 =
+      if (anyFailed || medians.isEmpty) -1.0 else medians.map(_._2).sum
+    val totalCpu =
+      if (anyFailed || cpuMins.isEmpty) -1.0 else cpuMins.map(_._2).sum
     // Full per-query timings → file: the driver's stdout tail capture is
     // ~2000 chars, so a 90+-query JSON line gets front-truncated and fails
     // its parse. The file holds everything; stdout gets a line that FITS.
@@ -85,7 +115,8 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","rounds":5,""" +
         s""""queries":${qjson(results)},"total_p50":$totalP50,""" +
-        s""""queries_p50":${qjson(medians)},"sf":"$sfDir",""" +
+        s""""queries_p50":${qjson(medians)},"total_cpu":$totalCpu,""" +
+        s""""queries_cpu":${qjson(cpuMins)},"sf":"$sfDir",""" +
         s""""testdata_fingerprint":"$dataFp"}"""
     // On write failure, advertise null instead of the path — otherwise a
     // consumer silently reads a STALE file from a previous run.
@@ -109,7 +140,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val dataFpShort = graft.Tables.shortFp(dataFp)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_p50":${r3(totalP50)},"queries":$hqs,"full_per_query":$fullRef,"data_fp":"$dataFpShort","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_p50":${r3(totalP50)},"total_cpu":${r3(totalCpu)},"queries":$hqs,"full_per_query":$fullRef,"data_fp":"$dataFpShort","sf":"$sfDir"}""")
     spark.stop()
   }
 }
