@@ -634,6 +634,50 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("st14 lateness torture: closed versions equal the batch history " +
+      "under RANDOM arrival permutations within the lateness horizon") {
+    // VERDICT r9 #8 — the property the one-late-event mini-spec cannot
+    // give: ANY admissible arrival order (every event arrives before
+    // the watermark passes its own timestamp) must fold to the same
+    // history. Permutations are built by sorting on a pseudo-arrival
+    // key sec + U[0, lateness/2): when an event arrives, every earlier
+    // arrival has key ≤ its key, so maxSec ≤ sec + lateness/2 and the
+    // watermark maxSec − lateness sits strictly below sec — admissible
+    // by construction, with cross-batch displacement up to half the
+    // horizon.
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.{FunnelEv, Scd2Out}
+    val evs = Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "CAST(unix_timestamp(ts) AS BIGINT) AS sec",
+        "event_id", "event_type").as[FunnelEv].collect().toSeq
+    val want = Streaming.st14Scd2(spark, sfDir).collect()
+      .filter(!_.getBoolean(5)) // closed versions only
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    for (seed <- Seq(11, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val arrival = evs.map(e => (e.sec + rnd.nextInt(3600), e))
+        .sortBy { case (k, e) => (k, e.event_id) }.map(_._2)
+      val input = MemoryStream[FunnelEv]
+      val q = Streaming.st14Stream(input.toDS()).writeStream
+        .format("memory").queryName(s"st14_torture_$seed")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        arrival.grouped((arrival.size / 8) + 1).foreach { chunk =>
+          input.addData(chunk: _*); q.processAllAvailable()
+        }
+        input.addData(FunnelEv(-1L, evs.map(_.sec).max + 1000000L, -1L,
+          "click"))
+        q.processAllAvailable()
+        val got = spark.table(s"st14_torture_$seed").as[Scd2Out].collect()
+          .filter(_.user_id >= 0)
+          .map(o => (o.user_id, o.version) ->
+            (o.event_type, o.valid_from_sec, o.valid_to_sec)).toMap
+        assert(got == want, s"seed $seed: ${got.size} vs ${want.size}")
+      } finally q.stop()
+    }
+  }
+
   test("st11 space-saving heavy hitters equal the batch twin at ample capacity") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.Streaming.HhEv
