@@ -114,11 +114,16 @@ object Dedup {
     * (a hot key's partials still merge into one task), so a degenerate
     * bucket (boilerplate chunk, near-silence audio frame) is an O(N)
     * array on a single task at 100 TB. Here the per-task peak is
-    * ≤ hi members per key by construction. The gate joins by MERGE:
-    * the surviving-key frame is bucket-count-sized — data-sized at
-    * corpus scale — so a broadcast would be a local-SF illusion (the
-    * dd14 count-frame rule). Semantics are identical to the naive
-    * form (count(rows) == size(collect_list(rows)) per key).
+    * ≤ hi members per key by construction. The gate joins by
+    * SHUFFLE_HASH with the key frame as build side: the surviving-key
+    * frame is bucket-count-sized — data-sized at corpus scale — so a
+    * broadcast would be a local-SF illusion (the dd14 count-frame
+    * rule), while a forced MERGE join measurably doubled dd15/m06 at
+    * the synthesized sf1 by sorting the full band-row side; the hash
+    * build holds only each partition's distinct surviving keys
+    * (≤ the count aggregation's own per-partition hash table, so no
+    * new memory class). Semantics are identical to the naive form
+    * (count(rows) == size(collect_list(rows)) per key).
     */
   private[graft] def gatedBuckets(rows: DataFrame, keys: Seq[String],
       value: Column, valueName: String, lo: Int, hi: Int): DataFrame = {
@@ -126,7 +131,7 @@ object Dedup {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(lo, hi))
       .select(keys.map(col): _*)
-    rows.join(gate.hint("merge"), keys)
+    rows.join(gate.hint("shuffle_hash"), keys)
       .groupBy(keys.map(col): _*)
       .agg(collect_list(value).as(valueName))
   }
@@ -1107,11 +1112,15 @@ object Dedup {
     *
     * Scale: chunk signatures are map-only over the checkpointed chunk
     * pass; the band shuffle carries (band-hash, cid) pairs; the 2..50
-    * cap is the collision-entropy rule (§4) — at chunk level
-    * boilerplate chunks (dd12's df ≥ 3 mass) DO produce over-cap
-    * buckets, and dropping them is correct: high-df chunks are
-    * boilerplate for dd12 to strip, not pairs to enumerate. The oracle
-    * replicates the cap exactly.
+    * cap is the collision-entropy rule (§4), count-gated
+    * ([[gatedBuckets]]) so an over-cap bucket never materializes.
+    * Measured (r10, Dd15Stats): THIS corpus peaks at bucket size 28 —
+    * under the cap at both sf0.1 and the synthesized sf1, every chain
+    * volume exactly linear — so the cap bites nothing here; it guards
+    * real-corpus boilerplate mass (dd12's df ≥ 3 chunks), which is
+    * correct to drop: high-df chunks are boilerplate for dd12 to
+    * strip, not pairs to enumerate. The oracle replicates the cap
+    * exactly.
     */
   def dd15ParaMinhash(spark: SparkSession, dir: String): DataFrame = {
     val chunks = chunked10(spark, dir)
@@ -1133,6 +1142,35 @@ object Dedup {
         pmod(col("id_b"), lit(100000L)).as("pos_b"),
         col("est_jaccard"))
       .orderBy(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
+  }
+
+  /** dd15 banding-volume diagnostic (the dd04 decade-A/B method at
+    * chunk granularity, VERDICT r9 #5): the chunk / band-row / bucket /
+    * over-cap / candidate-pair volumes that govern dd15's cost, so a
+    * decade wall-clock ratio can be attributed to data growth vs
+    * fixed-overhead amortization. One row out; driven by
+    * `graft.tools.Dd15Stats`. */
+  def dd15Stats(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunked10(spark, dir)
+    val sigs = chunks.select(
+        (col("doc_id") * 100000 + col("pos")).as("cid"),
+        T.minhash_sig(col("chunk"), 64, 3).as("sig"))
+      .localCheckpoint(false)
+    val bandCols = (0 until 16).map(b =>
+      struct(lit(b).as("band"), T.band_hash(col("sig"), b * 4, (b + 1) * 4)
+        .as("bh")))
+    val sizes = sigs
+      .select(col("cid"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+    val bucketAgg = sizes.agg(
+      sum(col("n")).as("n_band_rows"),
+      sum(when(col("n").between(2, 50), 1L).otherwise(0L)).as("n_buckets"),
+      sum(when(col("n") > 50, 1L).otherwise(0L)).as("n_overcap"),
+      max(col("n")).as("max_bucket"),
+      sum(when(col("n").between(2, 50),
+          expr("n * (n - 1) DIV 2")).otherwise(0L)).as("cand_pairs"))
+    sigs.agg(count(lit(1)).as("n_chunks")).crossJoin(bucketAgg)
   }
 
   // ------------------------------------------------------------ registry

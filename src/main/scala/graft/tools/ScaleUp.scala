@@ -93,6 +93,30 @@ object IndexStats {
   }
 }
 
+/** dd15 banding-volume diagnostic:
+  * `runMain graft.tools.Dd15Stats <sfDir>` — chunk/band/bucket/pair
+  * volumes of dd15's chunk-level LSH (Dedup.dd15Stats), one JSON line
+  * out, for SCALING.md decade attribution.
+  */
+object Dd15Stats {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val r = graft.operators.Dedup.dd15Stats(spark, sfDir).head()
+    val cols = Seq("n_chunks", "n_band_rows", "n_buckets", "n_overcap",
+      "max_bucket", "cand_pairs")
+    println(cols.zipWithIndex.map { case (c, i) =>
+      s""""$c":${r.getLong(i)}""" }.mkString("{", ",", s""","sf":"$sfDir"}"""))
+    spark.stop()
+  }
+}
+
 /** Targeted per-key bench for scaling curves:
   * `runMain graft.tools.MiniBench <sfDir> <key1,key2,...>` — Bench's
   * methodology (warm pass, then per-query min over 3 interleaved

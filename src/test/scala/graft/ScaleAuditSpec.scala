@@ -70,10 +70,13 @@ class ScaleAuditSpec extends SparkSpec {
     assert(got(8L) == Seq(100L, 101L, 102L))
     assert(collectAggOutputRows(out) <= 2L, // partial + final of ONE key
       "hot-key rows reached the collect_list aggregate")
-    // the gate joins MERGE (the surviving-key frame is data-sized at
-    // corpus scale; broadcast is a local-SF illusion — dd14's rule)
+    // the gate joins SHUFFLE_HASH, never broadcast (the surviving-key
+    // frame is data-sized at corpus scale — dd14's count-frame rule)
+    // and never merge (sorting the full rows side doubled dd15/m06 at
+    // the synthesized sf1)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("partial_count"), plan)
   }
 
