@@ -52,9 +52,13 @@ object Bench {
     // are stable under the host's co-tenant wall-clock band, so
     // round-over-round regressions stay attributable when wall swings.
     // Queries run sequentially, so a before/after counter delta
-    // attributes cleanly; listener posts are async, so the tail of a
-    // query's task-end events can smear into the next delta by listener
-    // lag (ms against per-query CPU seconds) — min-of-5 absorbs it.
+    // attributes cleanly — PROVIDED the async listener bus is drained
+    // between reads: without the drain, a query's task-end tail posts
+    // after count() returns and double-attributes to the next key, and
+    // min-of-5 then systematically picks the most-undercounted sample
+    // (review r10). waitUntilEmpty is private[spark], which compiles to
+    // a public JVM method — reflected, with a no-drain fallback that
+    // only costs smear, never correctness.
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -63,7 +67,20 @@ object Bench {
           if (t.taskMetrics != null)
             cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
       })
+    val bus =
+      try Some(spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext))
+      catch { case _: Throwable => None }
+    def drainListeners(): Unit = bus.foreach { b =>
+      try b.getClass.getMethod("waitUntilEmpty").invoke(b)
+      catch { case _: Throwable =>
+        try b.getClass.getMethod("waitUntilEmpty", classOf[Long])
+          .invoke(b, java.lang.Long.valueOf(5000L))
+        catch { case _: Throwable => () }
+      }
+    }
     for (r <- 1 to 5; (name, fn) <- keys) {
+      drainListeners()
       val t0 = System.nanoTime()
       val c0 = cpuNs.get()
       // a failed round is VISIBLE (stderr — stdout stays the JSON line)
@@ -73,6 +90,7 @@ object Bench {
         fn(spark, sfDir).count()
         samples(name) =
           (System.nanoTime() - t0) / 1e9 :: samples.getOrElse(name, Nil)
+        drainListeners()
         cpuSamples(name) =
           (cpuNs.get() - c0) / 1e9 :: cpuSamples.getOrElse(name, Nil)
       } catch { case e: Throwable =>

@@ -49,7 +49,7 @@ object Graft {
     */
   def ensureArtifact(root: String, name: String, fingerprint: String)(
       write: String => Unit): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val path = s"$root/${name}_$fingerprint"
     val marker = Paths.get(s"$path/_GRAFT_COMPLETE")
     // fast path: a committed artifact needs no lock at all
@@ -57,32 +57,48 @@ object Graft {
     artifactLocks.computeIfAbsent(path, _ => new Object).synchronized {
       if (!Files.exists(marker)) {
         // Cross-process safety (ADVICE r9): the JVM-local monitor only
-        // serializes THREADS — a concurrent process (Bench vs the test
-        // suite) could otherwise interleave overwrite-mode writes to the
-        // same committed path. Build into a private temp sibling (marker
-        // included) and atomically rename into the fingerprint path: a
-        // racing process either loses the rename and discards its temp,
-        // or never observes a half-written committed directory.
+        // serializes THREADS. The long build runs unserialized into a
+        // private temp sibling (marker included); the COMMIT — stale-
+        // path heal + atomic rename + marker check — runs under an OS
+        // file lock, so two processes can never interleave there (the
+        // lock-free version had a TOCTOU where a healer could delete
+        // an artifact the other process had just committed).
         val tmp = Paths.get(s"$path.build-${java.util.UUID.randomUUID}")
         var committed = false
         try {
           write(tmp.toString)
           Files.write(tmp.resolve("_GRAFT_COMPLETE"), Array.emptyByteArray)
-          // a marker-less `path` can only be a pre-atomic-scheme crash
-          // leftover (the rename publishes marker and data together) —
-          // clear it so the commit can land instead of failing forever
-          if (Files.exists(Paths.get(path)) && !Files.exists(marker))
-            deleteRecursively(Paths.get(path))
+          val lockCh = java.nio.channels.FileChannel.open(
+            Paths.get(s"$path.lock"),
+            StandardOpenOption.CREATE, StandardOpenOption.WRITE)
           try {
-            Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-            committed = true
-          } catch { case _: java.nio.file.FileSystemException =>
-            // another process committed first: serve its artifact iff
-            // its marker is visible; anything else is a real failure
-            if (!Files.exists(marker))
-              throw new IllegalStateException(
-                s"artifact commit race at $path left no marker — " +
-                  "remove the directory and retry")
+            val lock = lockCh.lock()
+            try {
+              if (!Files.exists(marker)) {
+                // a marker-less `path` under the lock is a pre-atomic-
+                // scheme crash leftover — clear it so the commit lands
+                if (Files.exists(Paths.get(path)))
+                  deleteRecursively(Paths.get(path))
+                Files.move(tmp, Paths.get(path),
+                  StandardCopyOption.ATOMIC_MOVE)
+                committed = true
+              } // else: another process committed while we built — serve it
+            } finally lock.release()
+          } finally lockCh.close()
+          // housekeeping (still inside the JVM lock, after the commit):
+          // a hard-killed build (OOM, kill -9) leaks its temp sibling
+          // forever — sweep orphans older than 2 h (never a live build;
+          // ours is already renamed or about to be deleted below)
+          val dir = Paths.get(root)
+          if (Files.isDirectory(dir)) {
+            val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+            val s = Files.list(dir)
+            try s.forEach { p =>
+              val n = p.getFileName.toString
+              if (n.startsWith(s"${name}_$fingerprint.build-") && p != tmp &&
+                  Files.getLastModifiedTime(p).toMillis < cutoff)
+                deleteRecursively(p)
+            } finally s.close()
           }
         } finally if (!committed) deleteRecursively(tmp)
       }
@@ -97,7 +113,9 @@ object Graft {
         val s = Files.list(p)
         try s.forEach(deleteRecursively) finally s.close()
       }
-      Files.delete(p)
+      // a concurrent deleter can empty the tree under us — vanishing
+      // files are success, not failure
+      Files.deleteIfExists(p)
     }
   }
 

@@ -122,18 +122,28 @@ object Dedup {
     * the synthesized sf1 by sorting the full band-row side; the hash
     * build holds only each partition's distinct surviving keys
     * (≤ the count aggregation's own per-partition hash table, so no
-    * new memory class). Semantics are identical to the naive form
-    * (count(rows) == size(collect_list(rows)) per key).
+    * new memory class). Null contract (review r10): a NULL bucket key
+    * is dropped EXPLICITLY up front — the naive groupBy form keeps a
+    * null-key group, but every caller keys on hash outputs (never
+    * null), and an inner equi-join would otherwise drop such rows
+    * SILENTLY (a null-safe join instead costs two extra exchanges:
+    * the join's coalesce-keyed output partitioning cannot serve the
+    * downstream groupBy — measured). Null VALUES are exact parity:
+    * the gate counts non-null values, which is what collect_list
+    * keeps. Both halves of the contract are specced.
     */
   private[graft] def gatedBuckets(rows: DataFrame, keys: Seq[String],
       value: Column, valueName: String, lo: Int, hi: Int): DataFrame = {
-    val gate = rows.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
+    val withVal = rows
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__gv", value)
+    val gate = withVal.groupBy(keys.map(col): _*)
+      .agg(count(col("__gv")).as("__n"))
       .filter(col("__n").between(lo, hi))
       .select(keys.map(col): _*)
-    rows.join(gate.hint("shuffle_hash"), keys)
+    withVal.join(gate.hint("shuffle_hash"), keys)
       .groupBy(keys.map(col): _*)
-      .agg(collect_list(value).as(valueName))
+      .agg(collect_list(col("__gv")).as(valueName))
   }
 
   /** LSH candidate generation over a `(doc_id, sig)` minhash-signature

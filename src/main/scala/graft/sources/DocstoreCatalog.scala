@@ -114,7 +114,10 @@ class FileDocstoreClient(root: String, options: Map[String, String])
 
   override def listNamespaces(): Seq[String] =
     fs.listStatus(new HPath(root)).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).sorted
+      .map(_.getPath.getName)
+      // in-flight/orphaned ensureArtifact build temps are not
+      // namespaces — a listing mid-build must not surface them
+      .filterNot(_.contains(".build-")).sorted
 
   override def namespaceExists(namespace: String): Boolean =
     fs.exists(new HPath(s"$root/$namespace"))

@@ -183,11 +183,16 @@ object MiniBench {
   *    cardinality, the reviewer's table does.
   *  - `big_broadcasts`: the query carries an explicit broadcast HINT
   *    (ResolvedHint in the analyzed plan) AND some broadcast exchange
-  *    observed > 10k rows at the swept SF. AQE-chosen broadcasts are
-  *    deliberately NOT flagged — they re-decide by bytes at runtime
-  *    and degrade to shuffle joins at scale (the designed behavior);
-  *    a HINT pins the broadcast regardless of size, so a hinted
-  *    data-sized side is a local-SF illusion that OOMs at scale.
+  *    observed > 10k rows at the swept SF. AQE/statistics-chosen
+  *    broadcasts alone are deliberately NOT flagged — they re-decide
+  *    by bytes at runtime and degrade to shuffle joins at scale (the
+  *    designed behavior); a HINT pins the broadcast regardless of
+  *    size, so a hinted data-sized side is a local-SF illusion that
+  *    OOMs at scale. This is a REVIEW CUE, not a verdict: the two
+  *    conditions are not matched to the same join, so a key whose
+  *    innocent small hint coexists with a stats-chosen big broadcast
+  *    can land here — each entry is `key:maxObservedBroadcastRows` so
+  *    the reviewer can attribute it.
   *
   * Plans execute via `toRdd.count()` — no driver-side row
   * materialization (ADVICE r9), and no `--add-opens` need since
@@ -198,7 +203,10 @@ object PlanSweep {
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+  /** Every node of a FINAL adaptive plan, descending through AQE
+    * wrappers — shared with ScaleAuditSpec so the production gate and
+    * the test audit can never disagree about what a plan contains. */
+  private[graft] def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
     case q: QueryStageExec => p +: allNodes(q.plan)
     case _ => p +: p.children.flatMap(allNodes)
@@ -265,7 +273,8 @@ object PlanSweep {
         val maxBcast = allNodes(exec)
           .filter(_.nodeName.contains("BroadcastExchange"))
           .flatMap(_.metrics.get("numOutputRows").map(_.value))
-        if (hintedBcast && maxBcast.exists(_ > 10000L)) bigBcasts += k
+        if (hintedBcast && maxBcast.exists(_ > 10000L))
+          bigBcasts += s"$k:${maxBcast.max}"
       } catch { case e: Throwable => errs += s"$k:${e.getClass.getSimpleName}" }
     }
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -397,9 +397,7 @@ class GraftApiSpec extends AnyFunSuite {
     Graft.ensureArtifact(root, "t", "fp3")(build)
     assert(builds == 4, "crashed build must re-run, not serve partial files")
     // the crashed attempt's private temp must not leak next to the path
-    import scala.jdk.CollectionConverters._
-    assert(!Files.list(Paths.get(root)).iterator.asScala
-      .exists(_.getFileName.toString.contains(".build-")),
+    assert(!new java.io.File(root).list().exists(_.contains(".build-")),
       "crashed build left a temp directory behind")
   }
 
@@ -420,9 +418,7 @@ class GraftApiSpec extends AnyFunSuite {
         Array.emptyByteArray)
     }
     assert(Files.readString(Paths.get(s"$p/data.jsonl")).contains("winner"))
-    import scala.jdk.CollectionConverters._
-    assert(!Files.list(Paths.get(root)).iterator.asScala
-      .exists(_.getFileName.toString.contains(".build-")),
+    assert(!new java.io.File(root).list().exists(_.contains(".build-")),
       "losing build left its temp directory behind")
     // a marker-less committed path (pre-atomic-scheme crash leftover)
     // is cleared and rebuilt rather than wedging every future ensure

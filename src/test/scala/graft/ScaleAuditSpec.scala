@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
 
 /** Degenerate-corpus scale audits for the count-gated bucket caps
@@ -16,19 +14,12 @@ import org.apache.spark.sql.functions._
   */
 class ScaleAuditSpec extends SparkSpec {
 
-  /** Every node of the FINAL adaptive plan, descending through AQE
-    * wrappers (AdaptiveSparkPlanExec re-plans; QueryStageExec pins a
-    * materialized stage). */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
-    case q: QueryStageExec => p +: allNodes(q.plan)
-    case _ => p +: p.children.flatMap(allNodes)
-  }
-
   /** Sum of `numOutputRows` over aggregate nodes evaluating a
-    * collect_list — 0 means no bucket membership ever materialized. */
+    * collect_list — 0 means no bucket membership ever materialized.
+    * (Plan walking via the production gate's own AQE-descending
+    * `PlanSweep.allNodes`, so audit and gate can never diverge.) */
   private def collectAggOutputRows(df: DataFrame): Long =
-    allNodes(df.queryExecution.executedPlan)
+    graft.tools.PlanSweep.allNodes(df.queryExecution.executedPlan)
       .filter(n => n.nodeName.contains("Aggregate") &&
         n.toString.linesIterator.next().contains("collect_list"))
       .map(n => n.metrics.get("numOutputRows").map(_.value).getOrElse(0L))
@@ -78,6 +69,38 @@ class ScaleAuditSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"), plan)
     assert(!plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("partial_count"), plan)
+  }
+
+  test("gatedBuckets null contract: null keys drop explicitly, null " +
+      "values don't count toward the cap (naive-form parity otherwise)") {
+    // The contract (documented on the helper): null bucket KEYS are
+    // dropped up front — an explicit, specced decision, not a silent
+    // join artifact (a null-safe join instead measurably added two
+    // exchanges); null VALUES are exact collect_list parity. For every
+    // non-null key the result must equal the naive form's.
+    val rows = spark.createDataFrame(Seq(
+        (Option(1L), Option(10L)), (Option(1L), Option(11L)),
+        (Option.empty[Long], Option(20L)), (None, Option(21L)),
+        (Option(2L), Option(30L)), (Option(2L), Option.empty[Long]),
+        (Option(2L), Option(31L)), (Option(3L), Option(40L)),
+        (Option(4L), None), (Option(4L), Option(50L)),
+        (Option(4L), Option(51L)), (Option(4L), Option(52L))))
+      .toDF("k", "v")
+    def norm(df: DataFrame): Map[Option[Long], Seq[Long]] =
+      df.collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          r.getSeq[Any](1).collect { case l: Long => l }.sorted.toSeq).toMap
+    val gated = norm(graft.operators.Dedup
+      .gatedBuckets(rows, Seq("k"), col("v"), "vs", 2, 3))
+    val naive = norm(rows.groupBy(col("k"))
+      .agg(collect_list(col("v")).as("vs"))
+      .filter(size(col("vs")).between(2, 3)))
+    assert(gated == naive - None, s"$gated vs $naive")
+    // k=2 is null-VALUE-diluted (3 rows, 2 values) and survives at
+    // lo=2; k=4 has exactly 3 non-null values (cap boundary) and
+    // survives; the null-KEY bucket is dropped by contract
+    assert(gated.keySet == Set(Some(1L), Some(2L), Some(4L)))
+    assert(naive.keySet.contains(None), "fixture lost its null-key rows")
   }
 
   test("m06/m07: degenerate all-same-frame corpora complete with zero " +
