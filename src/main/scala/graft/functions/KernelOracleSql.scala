@@ -174,6 +174,42 @@ object KernelOracleSql {
        |FROM est WHERE est_jaccard >= 0.5
        |ORDER BY doc_a, pos_a, doc_b, pos_b""".stripMargin
 
+  /** t17 oracle: fuzzy benchmark contamination. Corpus (non-eval docs +
+    * every-10th-word-substituted paraphrases of the eval docs) and the
+    * eval set ride ONE signature chain with the eval ids offset by 7M
+    * (the chain's CTE names are fixed, so two instantiations cannot
+    * coexist); the signed-id split then crosses corpus × eval and
+    * flags estimated Jaccard ≥ 0.4. list_transform's (w, i) index is
+    * 1-BASED where Spark's transform index is 0-based — `i % 10 = 0`
+    * here substitutes exactly the tokens Spark's `(i+1) % 10 == 0`
+    * does. */
+  def t17Sql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |evaldocs AS (SELECT doc_id, text FROM base WHERE doc_id % 97 = 0),
+       |etoks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws
+       |  FROM evaldocs),
+       |para AS (
+       |  SELECT doc_id + 3000000 AS doc_id,
+       |    array_to_string(list_transform(ws,
+       |      (w, i) -> CASE WHEN i % 10 = 0 THEN 'xq' ELSE w END), ' ')
+       |      AS text
+       |  FROM etoks),
+       |src AS (
+       |  SELECT doc_id, text FROM base WHERE doc_id % 97 <> 0
+       |  UNION ALL SELECT doc_id, text FROM para
+       |  UNION ALL SELECT doc_id + 7000000, text FROM evaldocs),
+       |${minhashSigCtes("src")},
+       |scored AS (
+       |  SELECT c.doc_id, e.doc_id - 7000000 AS eval_id,
+       |    len(list_filter(range(64), p -> c.sig[p+1] = e.sig[p+1]))
+       |      / 64.0 AS est_jaccard
+       |  FROM sig c, sig e
+       |  WHERE c.doc_id < 7000000 AND e.doc_id >= 7000000)
+       |SELECT doc_id, eval_id, est_jaccard FROM scored
+       |WHERE est_jaccard >= 0.4 ORDER BY doc_id, eval_id""".stripMargin
+
   /** Per-doc 64-bit SimHash CTE chain ending in `allsig(doc_id, sig_u)`
     * (zero signature for token-less docs, like the kernel).
     */

@@ -611,7 +611,82 @@ object Multimodal {
       |WHERE rn = 1 AND v >= 3 AND v * 5 >= least(na.n, nb.n) * 4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- m08
+  /** Query-by-asset perceptual similarity search ("reverse image
+    * search") — the RETRIEVAL face of the multimodal fingerprint
+    * family: m05 groups identical-pHash assets, m06/m07 pair near-dups
+    * corpus-wide; m08 answers "given THIS asset, which assets look
+    * like it", per query, ranked. Similarity = Hamming distance
+    * between DCT-sign perceptual hashes (the pHash metric — each bit
+    * is one low-frequency coefficient's sign, so distance counts
+    * structural disagreements). Corpus = m05's planted media corpus
+    * (every 9th asset re-enters trimmed), queries = assets 0–4;
+    * per-query top-10 by (hamming asc, doc_id asc).
+    *
+    * Scale: s01's audited broadcast-queries shape over 8-byte hashes
+    * instead of vectors — one corpus scan, codegen'd XOR/POPCNT per
+    * (asset, query), bounded local top-k cells + window-free merge
+    * ([[Similarity.topKPerQuery]]; ranking rides cos = 64 − hamming,
+    * an exact small-integer double, so the shared kernel's
+    * (cos desc, id asc) order IS (hamming asc, id asc)).
+    *
+    * Cross-engine (§5): hashes are the bit-exact integer-DCT replica,
+    * hamming an integer, ranks integer-ordered with id tie-break —
+    * no float anywhere.
+    */
+  def m08(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 9 === 0) // m05's planted trim corpus
+        .select((col("doc_id") + 999999L).as("doc_id"),
+          regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text")))
+    val med = corpus.select(col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      graft.functions.text.dct_sign_hash(col("text")).as("ph"))
+    val queries = med.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("ph").as("qph"))
+    val scored = med.crossJoin(broadcast(queries))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id").as("vec_id"), col("media_type"),
+        expr("bit_count(ph ^ qph)").cast("long").as("hamming"))
+      .withColumn("cos", (lit(64L) - col("hamming")).cast("double"))
+    Similarity.topKPerQuery(scored, 10, Seq("media_type", "hamming"))
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("media_type"),
+        col("hamming"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Oracle: one DCT-sign chain over the planted media corpus, queries
+    * split off by id, exhaustive hamming rank. */
+  val m08Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 999999, regexp_replace(text, '\\s+\\S+$$', '')
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |med AS (
+      |  SELECT doc_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+      |      AS media_type,
+      |    text
+      |  FROM corpus),
+      |${dctSignCtes("med", "text", Seq("doc_id", "media_type"), "phq")},
+      |q AS (SELECT doc_id AS q_id, ph AS qph FROM phq WHERE doc_id < 5),
+      |scored AS (
+      |  SELECT q.q_id, p.doc_id, p.media_type,
+      |    CAST(bit_count(xor(p.ph, q.qph)) AS BIGINT) AS hamming
+      |  FROM phq p, q WHERE p.doc_id <> q.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY hamming, doc_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, doc_id, media_type, hamming, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_phash_search" -> (m08 _),
     "m07_audio_neardup" -> (m07 _),
     "m01_multimodal" -> (m01 _),
     "m06_video_neardup" -> (m06 _),
@@ -620,6 +695,7 @@ object Multimodal {
     "m04_media_dedup" -> (m04 _),
     "m05_perceptual_dedup" -> (m05 _))
   val oracle: Map[String, String] = Map(
+    "m08_phash_search" -> m08Sql,
     "m07_audio_neardup" -> m07Sql,
     "m01_multimodal" -> m01Sql,
     "m06_video_neardup" -> m06Sql,

@@ -78,7 +78,7 @@ object Similarity {
     * scale knob. Expects columns (q_id, vec_id, cos, payload…); emits
     * (q_id, vec_id, payload…, cos, rank).
     */
-  private def topKPerQuery(scored: DataFrame, k: Int,
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int,
       payload: Seq[String]): DataFrame = {
     // BOTH stages order by the NEGATED score ascending, so their rank
     // orders agree everywhere — including NaN (sorts greatest → last →

@@ -903,7 +903,65 @@ object TextAnalysis {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  /** FUZZY benchmark-contamination check — the decontamination step
+    * t10's exact 8-gram overlap cannot do: a PARAPHRASED leak (word
+    * substitutions, light edits) breaks almost every verbatim 8-gram
+    * while leaving most 3-shingles intact, so it is invisible to t10
+    * and flagrant to a MinHash estimate (the Llama/GPT-style fuzzy
+    * decontamination pass). Corpus docs and the held-out eval set
+    * (t10's `doc_id % 97` split) get dd02's 64-hash MinHash signature;
+    * every (corpus doc, eval doc) pair with estimated Jaccard ≥ 0.4
+    * is flagged. Planted: each eval doc re-enters the corpus with
+    * every 10th word substituted — true 3-shingle Jaccard ≈ 0.54, a
+    * wide margin over the 0.4 threshold, while the verbatim-8-gram
+    * survival collapses to ~1−8f ≈ 0.2…0.27 (t10's exact-overlap
+    * threshold boundary). Detection is PROBABILISTIC in the estimator
+    * (64 hashes ⇒ σ ≈ 0.06): at sf0.01 five of the six plants land
+    * 0.55…0.61 and one lands 0.39, just under the gate — the spec
+    * asserts ≥ 80 % plant recall and zero false positives, which is
+    * the honest contract of a sketch-based gate.
+    *
+    * Scale: signatures are map-only per side; the eval set is
+    * benchmark-sized (tiny by definition), so its signature frame
+    * BROADCASTS and the comparison is a map-only fold per corpus doc —
+    * one corpus-sized scan, zero data-sized shuffle (the s01 broadcast
+    * discipline). At 100 TB this is the cheapest possible shape: a
+    * cross of N docs × |eval| signatures, embarrassingly parallel.
+    *
+    * Cross-engine (§5): the signature chain is the bit-exact dd02
+    * kernel replica; est_jaccard = k/64 is an exact dyadic rational
+    * (the dd02/dd15 precedent).
+    */
+  def t17FuzzyContamination(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val evalDocs = base.filter(col("doc_id") % 97 === 0)
+    val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val paraLeaks = evalDocs.select((col("doc_id") + 3000000L).as("doc_id"),
+      array_join(transform(ws, (w, i) =>
+        when((i + 1) % 10 === 0, lit("xq")).otherwise(w)), " ").as("text"))
+    val corpus = base.filter(col("doc_id") % 97 =!= 0).unionAll(paraLeaks)
+    val sigOf = (df: DataFrame) => df.select(col("doc_id"),
+      graft.functions.text.minhash_sig(col("text"), 64, 3).as("sig"))
+    val evalSigs = sigOf(evalDocs)
+      .select(col("doc_id").as("eval_id"), col("sig").as("esig"))
+    // materialization barrier (the dd02 discipline): without it,
+    // projection collapse pushes the minhash kernel PAST the broadcast
+    // join and re-hashes every document once per eval pair (measured:
+    // 17.5 s vs 2.5 s at the synthesized sf1 — |eval|× kernel cost).
+    // Shuffling 512 B signatures once is the cheap side of that trade.
+    val corpusSigs = sigOf(corpus).repartition(col("doc_id"))
+    corpusSigs.crossJoin(broadcast(evalSigs))
+      .select(col("doc_id"), col("eval_id"),
+        (size(filter(zip_with(col("sig"), col("esig"), (x, y) => x === y),
+          x => x)).cast(DoubleType) / 64.0).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.4)
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_fuzzy_contamination" -> (t17FuzzyContamination _),
     "t16_blocklist_filter" -> (t16BlocklistFilter _),
     "t15_zipf_fit" -> (t15ZipfFit _),
     "t14_bigram_logprob" -> (t14BigramScore _),
@@ -922,6 +980,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t17_fuzzy_contamination" -> graft.functions.KernelOracleSql.t17Sql,
     "t16_blocklist_filter" -> t16Sql,
     "t15_zipf_fit" -> t15Sql,
     "t14_bigram_logprob" -> t14Sql,

@@ -262,6 +262,95 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("m08: pHash search equals a scalar brute-force reference exactly, " +
+      "ties included") {
+    val rows = SparkEntry.queries("m08_phash_search")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // scalar reference: recompute every hash through the same kernel
+    // and rank exhaustively — the distributed two-stage top-k must
+    // match exactly, ties included
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val corpus = texts ++ texts.filter(_._1 % 9 == 0).map { case (id, t) =>
+      (id + 999999L, t.replaceAll("\\s+\\S+\\z", "")) }
+    val ph = corpus.map { case (id, t) =>
+      id -> graft.functions.TextHashes.dctSignHash(UTF8String.fromString(t))
+    }.toMap
+    val want = (0L until 5L).flatMap { q =>
+      ph.toSeq.filter(_._1 != q)
+        .map { case (id, h) =>
+          (id, java.lang.Long.bitCount(ph(q) ^ h).toLong) }
+        .sortBy { case (id, hm) => (hm, id) }.take(10).zipWithIndex
+        .map { case ((id, hm), i) => (q, id, hm, i + 1L) }
+    }.toSet
+    assert(rows.map(r => (r._1, r._2, r._4, r._5)).toSet == want)
+    // structural sanity on top of the exact match: full result sets,
+    // hamming non-decreasing in rank, self excluded
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == 10 && rs.map(_._5).sorted.toSeq == (1L to 10L))
+      assert(rs.sortBy(_._5).map(_._4).sliding(2).forall(p => p.head <= p.last))
+      assert(!rs.exists(_._2 == q))
+    }
+  }
+
+  test("t17: fuzzy contamination flags plants + genuine near-dups only, " +
+      "with >=80% plant recall and a weak verbatim-gram signal") {
+    val df = SparkEntry.queries("t17_fuzzy_contamination")(spark, sfDir)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, j) => assert(j >= 0.4 && j <= 1.0) }
+    // no HASH-level false positive: every flagged pair is either a
+    // planted paraphrase of its own eval source, or a genuine textual
+    // near-dup (the corpus generator plants real near-dup pairs, and
+    // one straddling the eval split IS contamination — the operator
+    // working as designed). Genuine = true 3-shingle Jaccard within
+    // estimator tolerance of the flag threshold.
+    val allTexts = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[Seq[String]] = {
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (ws.length < 3) Set(ws) else ws.sliding(3).toSet
+    }
+    rows.foreach { case (d, e, j) =>
+      if (d < 3000000L) {
+        val (sa, sb) = (shingles(allTexts(d)), shingles(allTexts(e)))
+        val trueJ = (sa & sb).size.toDouble / (sa | sb).size
+        assert(trueJ >= 0.25,
+          s"($d,$e) flagged at $j but true shingle J is $trueJ")
+      } else assert(d - 3000000L == e, s"cross-plant false positive ($d,$e)")
+    }
+    // probabilistic recall contract: >= 80% of the plants flagged (the
+    // 64-hash estimator has sigma ~0.06 around true J ~0.54)
+    val nEval = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 97 === 0).count()
+    val planted = rows.count(_._1 >= 3000000L)
+    assert(planted >= (nEval * 4 + 4) / 5,
+      s"$planted of $nEval plants flagged")
+    // the fuzzy gate's margin vs the verbatim signal: for each FLAGGED
+    // plant, the exact distinct-8-gram overlap (t10's measure) is a
+    // strictly weaker signal than the shingle estimate
+    val texts = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 97 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams8(toks: Seq[String]): Set[Seq[String]] =
+      if (toks.length < 8) Set(toks) else toks.sliding(8).toSet
+    rows.foreach { case (_, e, j) =>
+      val orig = texts(e).split("\\s+").filter(_.nonEmpty).toSeq
+      val para = orig.zipWithIndex.map { case (w, i) =>
+        if ((i + 1) % 10 == 0) "xq" else w }
+      val overlap = grams8(para).count(grams8(orig)) /
+        grams8(para).size.toDouble
+      assert(overlap < j, s"eval $e: verbatim $overlap !< fuzzy $j")
+      assert(overlap < 0.35, s"eval $e: verbatim signal too strong")
+    }
+  }
+
   test("t16: exactly the docs containing a listed token are dropped, " +
       "and p09's stage 5 reports the same rule") {
     val df = SparkEntry.queries("t16_blocklist_filter")(spark, sfDir).cache()

@@ -297,6 +297,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p9.contains("partial_count") || p9.contains("partial_sum"), p9)
   }
 
+  test("round-10: t17's eval signatures broadcast and the corpus " +
+      "signatures materialize ONCE behind their barrier") {
+    val p = finalPlan("t17_fuzzy_contamination").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly ONE hash exchange: the signature materialization barrier.
+    // Without it, projection collapse pushes the minhash kernel past
+    // the broadcast join and re-hashes every doc once per eval pair
+    // (measured 17.5 s vs 2.5 s at the synthesized sf1); with it, the
+    // kernel must appear UPSTREAM of the exchange, never after the join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && p.contains("minhash_sig"), p)
+    assert(!p.substring(0, joinIdx).contains("minhash_sig"),
+      "minhash kernel leaked above the join (tree prints parents first):\n" + p)
+  }
+
+  test("round-10: m08 hamming search broadcasts queries and never ranks " +
+      "a query's whole corpus in one partition") {
+    val p = finalPlan("m08_phash_search")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the s01 top-k discipline: windows only on bounded (__b, q_id) cells
+    assert(!p.contains("windowspecdefinition(q_id#"), p)
+  }
+
   test("round-10: s11 re-rank touches only the checkpointed shortlist — " +
       "one corpus scan on the prefix tier, broadcast joins only") {
     // the shortlist materializes eagerly at localCheckpoint; the final
