@@ -68,8 +68,14 @@ object Graft {
         try {
           write(tmp.toString)
           Files.write(tmp.resolve("_GRAFT_COMPLETE"), Array.emptyByteArray)
+          // lock files live in a hidden subdir: a sibling file would
+          // clutter the root and a sibling DIRECTORY would surface as a
+          // catalog namespace; ".graft_locks" is filtered like any
+          // dotted name (DocstoreCatalog hides dot/.build- entries)
+          val lockDir = Paths.get(root, ".graft_locks")
+          Files.createDirectories(lockDir)
           val lockCh = java.nio.channels.FileChannel.open(
-            Paths.get(s"$path.lock"),
+            lockDir.resolve(s"${name}_$fingerprint.lock"),
             StandardOpenOption.CREATE, StandardOpenOption.WRITE)
           try {
             val lock = lockCh.lock()
@@ -85,37 +91,66 @@ object Graft {
               } // else: another process committed while we built — serve it
             } finally lock.release()
           } finally lockCh.close()
-          // housekeeping (still inside the JVM lock, after the commit):
-          // a hard-killed build (OOM, kill -9) leaks its temp sibling
-          // forever — sweep orphans older than 2 h (never a live build;
-          // ours is already renamed or about to be deleted below)
-          val dir = Paths.get(root)
-          if (Files.isDirectory(dir)) {
-            val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
-            val s = Files.list(dir)
-            try s.forEach { p =>
-              val n = p.getFileName.toString
-              if (n.startsWith(s"${name}_$fingerprint.build-") && p != tmp &&
-                  Files.getLastModifiedTime(p).toMillis < cutoff)
-                deleteRecursively(p)
-            } finally s.close()
-          }
         } finally if (!committed) deleteRecursively(tmp)
       }
     }
     path
   }
 
+  /** Maintenance sweep for artifact-build leftovers: deletes `.build-`
+    * temp directories under `root` older than `maxAgeMillis` (a
+    * hard-killed build — OOM, kill -9 — leaks its temp; soft failures
+    * clean up in [[ensureArtifact]]'s finally). EXPLICIT by design, not
+    * run automatically on the ensure path: an mtime heuristic cannot
+    * distinguish a dead orphan from a live multi-hour build, so the
+    * deletion decision belongs to an operator who knows no build is in
+    * flight (review r10 — the automatic variant could delete a live
+    * temp, or throw after a successful commit when two sweepers raced).
+    * Concurrent sweepers are safe against each other: vanishing paths
+    * are skipped. Returns the deleted paths.
+    */
+  def sweepArtifactTemps(root: String,
+      maxAgeMillis: Long = 24L * 3600 * 1000): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - maxAgeMillis
+    val out = scala.collection.mutable.ListBuffer[String]()
+    val s = Files.list(dir)
+    try s.forEach { p =>
+      try {
+        if (p.getFileName.toString.contains(".build-") &&
+            Files.getLastModifiedTime(p).toMillis < cutoff) {
+          deleteRecursively(p)
+          out += p.toString
+        }
+      } catch { case _: java.nio.file.NoSuchFileException => () }
+    } finally s.close()
+    out.toSeq
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
+    // a concurrent deleter can empty the tree under us at ANY step
+    // (exists-check, listing, delete) — vanishing is success, not
+    // failure, at every level
     if (Files.exists(p)) {
       if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.forEach(deleteRecursively) finally s.close()
+        try {
+          val s = Files.list(p)
+          try s.forEach(deleteRecursively) finally s.close()
+        } catch { case _: java.nio.file.NoSuchFileException => () }
       }
-      // a concurrent deleter can empty the tree under us — vanishing
-      // files are success, not failure
-      Files.deleteIfExists(p)
+      try Files.deleteIfExists(p)
+      catch { case _: java.nio.file.DirectoryNotEmptyException =>
+        // a racer re-created content between our listing and delete;
+        // one retry pass, then give up quietly (the other deleter owns it)
+        try {
+          val s = Files.list(p)
+          try s.forEach(deleteRecursively) finally s.close()
+          Files.deleteIfExists(p)
+        } catch { case _: java.nio.file.FileSystemException => () }
+      }
     }
   }
 

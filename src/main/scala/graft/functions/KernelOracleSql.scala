@@ -188,7 +188,8 @@ object KernelOracleSql {
        |evaldocs AS (SELECT doc_id, text FROM base WHERE doc_id % 97 = 0),
        |etoks AS (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ws
        |  FROM evaldocs),
        |para AS (
        |  SELECT doc_id + 3000000 AS doc_id,

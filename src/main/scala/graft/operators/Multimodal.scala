@@ -254,6 +254,43 @@ object Multimodal {
       |  FROM hist, bm)""".stripMargin
   }
 
+  /** The planted trim corpus, typed and pHashed — ONE definition shared
+    * by m05 (dedup grouping) and m08 (similarity search), with
+    * [[mediaCorpusCtes]] as its SQL twin: every 9th doc re-enters with
+    * its last word removed. The offset is divisible by 3 so the plant
+    * KEEPS its source's derived media_type (id % 3) — with 1000000
+    * (≡ 1 mod 3) a plant could never share its source's
+    * (media_type, ph) group key and the absorption premise would be
+    * vacuous. */
+  private def phashedMedia(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 999999L).as("doc_id"),
+          regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text")))
+    corpus.select(col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      graft.functions.text.dct_sign_hash(col("text")).as("ph"))
+  }
+
+  /** SQL twin of [[phashedMedia]]'s corpus (`corpus` + `med` CTEs,
+    * before the hash chain) — one plant definition across both engines
+    * and both consumers. */
+  private val mediaCorpusCtes: String =
+    s"""corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 999999, regexp_replace(text, '\\s+\\S+$$', '')
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |med AS (
+      |  SELECT doc_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+      |      AS media_type,
+      |    text
+      |  FROM corpus)""".stripMargin
+
   // ---------------------------------------------------------------- m05
   /** Perceptual media dedup: group by the DCT-SIGN perceptual hash
     * (TextHashes.dctSignHash — the stub decoder's 64-bin matrix put
@@ -271,27 +308,12 @@ object Multimodal {
     * type, Long fingerprint) key with map-side combine; payload bytes
     * never shuffle (the fingerprint is computed in the scan projection).
     */
-  def m05(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-    val corpus = docs.unionAll(
-      docs.filter(col("doc_id") % 9 === 0)
-        // offset divisible by 3 so the plant KEEPS its source's derived
-        // media_type (id % 3) — with 1000000 (≡ 1 mod 3) the plant could
-        // never share its source's (media_type, ph) group key and the
-        // whole absorption premise would be vacuous
-        .select((col("doc_id") + 999999L).as("doc_id"),
-          regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text")))
-    corpus
-      .select(col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        graft.functions.text.dct_sign_hash(col("text")).as("ph"))
+  def m05(spark: SparkSession, dir: String): DataFrame =
+    phashedMedia(spark, dir)
       .groupBy(col("media_type"), col("ph"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("media_type"), col("n_copies"))
       .orderBy(col("doc_id"), col("media_type"))
-  }
 
   /** Oracle: the DCT-sign hash re-derived in SQL (the m02 nibs pattern).
     * Unit discipline: BOTH engines bin codepoints — the kernel iterates
@@ -302,17 +324,7 @@ object Multimodal {
     * TextHashes.DctBasis, keeping every coefficient integer-exact — no
     * cross-engine float sign hazard. */
   val m05Sql: String =
-    s"""WITH corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 999999, regexp_replace(text, '\\s+\\S+$$', '')
-      |  FROM documents WHERE doc_id % 9 = 0),
-      |med AS (
-      |  SELECT doc_id,
-      |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
-      |      AS media_type,
-      |    text
-      |  FROM corpus),
+    s"""WITH $mediaCorpusCtes,
       |${dctSignCtes("med", "text", Seq("doc_id", "media_type"), "q")}
       |SELECT MIN(doc_id) AS doc_id, media_type, COUNT(*) AS n_copies
       |FROM q GROUP BY media_type, ph
@@ -635,16 +647,7 @@ object Multimodal {
     * no float anywhere.
     */
   def m08(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-    val corpus = docs.unionAll(
-      docs.filter(col("doc_id") % 9 === 0) // m05's planted trim corpus
-        .select((col("doc_id") + 999999L).as("doc_id"),
-          regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text")))
-    val med = corpus.select(col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      graft.functions.text.dct_sign_hash(col("text")).as("ph"))
+    val med = phashedMedia(spark, dir) // m05's planted trim corpus
     val queries = med.filter(col("doc_id") < 5)
       .select(col("doc_id").as("q_id"), col("ph").as("qph"))
     val scored = med.crossJoin(broadcast(queries))
@@ -661,17 +664,7 @@ object Multimodal {
   /** Oracle: one DCT-sign chain over the planted media corpus, queries
     * split off by id, exhaustive hamming rank. */
   val m08Sql: String =
-    s"""WITH corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 999999, regexp_replace(text, '\\s+\\S+$$', '')
-      |  FROM documents WHERE doc_id % 9 = 0),
-      |med AS (
-      |  SELECT doc_id,
-      |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
-      |      AS media_type,
-      |    text
-      |  FROM corpus),
+    s"""WITH $mediaCorpusCtes,
       |${dctSignCtes("med", "text", Seq("doc_id", "media_type"), "phq")},
       |q AS (SELECT doc_id AS q_id, ph AS qph FROM phq WHERE doc_id < 5),
       |scored AS (

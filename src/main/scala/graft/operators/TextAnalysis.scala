@@ -937,7 +937,10 @@ object TextAnalysis {
     val base = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val evalDocs = base.filter(col("doc_id") % 97 === 0)
-    val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+    // explicit whitespace class, not \s: Java and RE2 \s disagree on
+    // \x0B, and the paraphrase TEXT must be byte-identical cross-engine
+    // (the repo's oracle-tokenizer convention)
+    val ws = filter(split(col("text"), "[ \\t\\n\\r]+"), w => w =!= "")
     val paraLeaks = evalDocs.select((col("doc_id") + 3000000L).as("doc_id"),
       array_join(transform(ws, (w, i) =>
         when((i + 1) % 10 === 0, lit("xq")).otherwise(w)), " ").as("text"))

@@ -112,18 +112,25 @@ class FileDocstoreClient(root: String, options: Map[String, String])
       s"docstore: cannot open root '$root': no such directory")
   }
 
+  /** In-flight/orphaned ensureArtifact build temps and hidden
+    * bookkeeping dirs (.graft_locks) are not namespaces. The guard
+    * applies to EVERY namespace-resolving method, not just the
+    * listing — otherwise a client resolving a temp by name could read
+    * a half-written directory the listing deliberately hides. */
+  private def isInternalName(n: String): Boolean =
+    n.contains(".build-") || n.startsWith(".")
+
   override def listNamespaces(): Seq[String] =
     fs.listStatus(new HPath(root)).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
-      // in-flight/orphaned ensureArtifact build temps are not
-      // namespaces — a listing mid-build must not surface them
-      .filterNot(_.contains(".build-")).sorted
+      .filterNot(isInternalName).sorted
 
   override def namespaceExists(namespace: String): Boolean =
-    fs.exists(new HPath(s"$root/$namespace"))
+    !isInternalName(namespace) && fs.exists(new HPath(s"$root/$namespace"))
 
   override def listCollections(namespace: String): Seq[String] =
-    fs.listStatus(new HPath(s"$root/$namespace")).toSeq
+    if (isInternalName(namespace)) Seq.empty
+    else fs.listStatus(new HPath(s"$root/$namespace")).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".jsonl"))
       .map(_.getPath.getName.stripSuffix(".jsonl")).sorted
 

@@ -427,4 +427,24 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(s"$p2/data.jsonl")).contains("rebuilt"))
     assert(Files.exists(Paths.get(s"$p2/_GRAFT_COMPLETE")))
   }
+
+  test("sweepArtifactTemps: deletes only STALE build temps — explicit, " +
+      "age-gated, race-tolerant") {
+    val root = Files.createTempDirectory("graft_art_sweep").toString
+    def mk(name: String, ageMs: Long): Unit = {
+      val p = Paths.get(root, name)
+      Files.createDirectories(p)
+      Files.writeString(p.resolve("part.jsonl"), "{}")
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    mk("t_fp1.build-dead", 48L * 3600 * 1000)   // orphan: swept
+    mk("t_fp1.build-live", 0L)                  // in-flight: kept
+    mk("t_fp1", 48L * 3600 * 1000)              // committed-looking: kept
+    val deleted = Graft.sweepArtifactTemps(root)
+    assert(deleted.map(_.split('/').last) == Seq("t_fp1.build-dead"), deleted)
+    assert(!Files.exists(Paths.get(root, "t_fp1.build-dead")))
+    assert(Files.exists(Paths.get(root, "t_fp1.build-live")))
+    assert(Files.exists(Paths.get(root, "t_fp1")))
+  }
 }

@@ -331,17 +331,23 @@ class NewOpsSpec extends SparkSpec {
     val planted = rows.count(_._1 >= 3000000L)
     assert(planted >= (nEval * 4 + 4) / 5,
       s"$planted of $nEval plants flagged")
-    // the fuzzy gate's margin vs the verbatim signal: for each FLAGGED
-    // plant, the exact distinct-8-gram overlap (t10's measure) is a
-    // strictly weaker signal than the shingle estimate
+    // the fuzzy gate's margin vs the verbatim signal, for FLAGGED
+    // PLANTS only (a genuine near-dup pair says nothing about the
+    // paraphrase's gram overlap) and only where the doc is long enough
+    // for gram-survival quantization not to dominate (a ~12-token doc
+    // has 5 grams; one substitution kills 3, overlap 0.4 by geometry)
     val texts = Tables(spark, sfDir, "documents")
       .filter(col("doc_id") % 97 === 0)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     def grams8(toks: Seq[String]): Set[Seq[String]] =
       if (toks.length < 8) Set(toks) else toks.sliding(8).toSet
-    rows.foreach { case (_, e, j) =>
-      val orig = texts(e).split("\\s+").filter(_.nonEmpty).toSeq
+    val checked = rows.filter(_._1 >= 3000000L).flatMap { case (_, e, j) =>
+      val orig = texts(e).split("[ \\t\\n\\r]+").filter(_.nonEmpty).toSeq
+      if (orig.length < 20) None else Some((e, j, orig))
+    }
+    assert(checked.nonEmpty, "no long-enough flagged plants to check")
+    checked.foreach { case (e, j, orig) =>
       val para = orig.zipWithIndex.map { case (w, i) =>
         if ((i + 1) % 10 == 0) "xq" else w }
       val overlap = grams8(para).count(grams8(orig)) /
