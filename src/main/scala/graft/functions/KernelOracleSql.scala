@@ -211,6 +211,78 @@ object KernelOracleSql {
        |SELECT doc_id, eval_id, est_jaccard FROM scored
        |WHERE est_jaccard >= 0.4 ORDER BY doc_id, eval_id""".stripMargin
 
+  /** dd16 oracle: incremental batch-vs-corpus dedup. Base docs and the
+    * planted batch (recrawled trims at +5M, suffixed-disjoint pages at
+    * +6M) ride ONE signature chain; banding replicates Spark's probe
+    * with the 4-raw-value bucket key (dd15's collision argument) and
+    * the one-sided ≤ 50 corpus-bucket cap; the per-new-doc verdict
+    * aggregates matches at est ≥ 0.5 with the (est desc, cid asc)
+    * struct-max pick and (-1, 0.0) no-match sentinels. */
+  def dd16Sql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |b3 AS (
+       |  SELECT doc_id + 5000000 AS doc_id,
+       |    regexp_replace(text, '\\s+\\S+$$', '') AS text
+       |  FROM base WHERE doc_id % 7 = 3),
+       |b5t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ws
+       |  FROM base WHERE doc_id % 7 = 5),
+       |b5 AS (
+       |  SELECT doc_id + 6000000 AS doc_id,
+       |    array_to_string(list_transform(ws, w -> w || '~new'), ' ')
+       |      AS text
+       |  FROM b5t),
+       |src AS (
+       |  SELECT * FROM base
+       |  UNION ALL SELECT * FROM b3
+       |  UNION ALL SELECT * FROM b5),
+       |${minhashSigCtes("src")},
+       |csig AS (SELECT doc_id AS cid, sig FROM sig WHERE doc_id < 5000000),
+       |nsig AS (SELECT doc_id AS nid, sig FROM sig WHERE doc_id >= 5000000),
+       |cbands AS (
+       |  SELECT cid, bb.bb AS bb,
+       |    CAST(sig[bb.bb*4+1] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+2] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+3] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+4] AS VARCHAR) AS bkey
+       |  FROM csig, (SELECT unnest(range(16)) AS bb) bb),
+       |bsz AS (SELECT bb, bkey, COUNT(*) AS c FROM cbands GROUP BY 1, 2),
+       |nbands AS (
+       |  SELECT nid, bb.bb AS bb,
+       |    CAST(sig[bb.bb*4+1] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+2] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+3] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+4] AS VARCHAR) AS bkey
+       |  FROM nsig, (SELECT unnest(range(16)) AS bb) bb),
+       |cand AS (
+       |  SELECT DISTINCT c.cid, n.nid
+       |  FROM cbands c
+       |  JOIN nbands n ON n.bb = c.bb AND n.bkey = c.bkey
+       |  JOIN bsz s ON s.bb = c.bb AND s.bkey = c.bkey AND s.c <= 50),
+       |est AS (
+       |  SELECT cand.nid, cand.cid,
+       |    len(list_filter(range(64), p -> cs.sig[p+1] = ns.sig[p+1]))
+       |      / 64.0 AS est
+       |  FROM cand
+       |  JOIN csig cs ON cs.cid = cand.cid
+       |  JOIN nsig ns ON ns.nid = cand.nid),
+       |m AS (
+       |  SELECT nid, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       |    max(ROW(est, -cid)) AS b
+       |  FROM est WHERE est >= 0.5 GROUP BY 1),
+       |allb AS (
+       |  SELECT doc_id AS new_id FROM b3
+       |  UNION ALL SELECT doc_id FROM b5)
+       |SELECT new_id,
+       |  COALESCE(m.n_matches, 0) AS n_matches,
+       |  COALESCE(CAST(-((m.b)[2]) AS BIGINT), -1) AS best_match_id,
+       |  COALESCE((m.b)[1], 0.0) AS best_est,
+       |  m.nid IS NULL AS keep
+       |FROM allb LEFT JOIN m ON m.nid = allb.new_id
+       |ORDER BY new_id""".stripMargin
+
   /** Per-doc 64-bit SimHash CTE chain ending in `allsig(doc_id, sig_u)`
     * (zero signature for token-less docs, like the kernel).
     */

@@ -675,6 +675,21 @@ object Dedup {
         .write.format("docstore").mode("overwrite").save(path)
     }
 
+  /** The BASE corpus's MinHash signature table (doc_id, 64-long sig),
+    * materialized once per documents generation — the resident "index"
+    * an incremental ingest pipeline (dd16) matches arriving batches
+    * against. At 100 TB this is THE point of the artifact API: the
+    * corpus is signed once when it is built, and every subsequent
+    * crawl batch pays only its own batch-sized signature pass plus a
+    * banded probe of this collection. */
+  def ensureMinhashSigArtifact(spark: SparkSession, dir: String): String =
+    graft.Graft.ensureArtifact(DocstoreOps.docsRoot(dir), "dd16_sigs_v1",
+        graft.Tables.tableFingerprint(dir, "documents")) { path =>
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), T.minhash_sig(col("text"), 64, 3).as("sig"))
+        .write.format("docstore").mode("overwrite").save(path)
+    }
+
   /** dd04's verified Jaccard ≥ 0.5 pair set (the dd06 cluster graph's
     * edges), materialized once per documents generation. dd04 stays the
     * definitional live pipeline; dd06's CC loop — and therefore the
@@ -1154,6 +1169,97 @@ object Dedup {
       .orderBy(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
   }
 
+  // --------------------------------------------------------------- dd16
+  /** INCREMENTAL ingest dedup — the production mode every other dedup
+    * key abstracts away: a NEW crawl batch arrives and must be deduped
+    * AGAINST the existing corpus without re-running dedup over the
+    * corpus. The corpus's MinHash signatures are a materialized
+    * artifact ([[ensureMinhashSigArtifact]], signed once per corpus
+    * generation); the batch pays only its own map-only signature pass,
+    * its bands probe the corpus index, and candidates verify by
+    * signature-estimated Jaccard ≥ 0.5. Output is the operational
+    * per-new-doc verdict: match count, best corpus match, keep flag.
+    *
+    * Planted batch: every `doc_id % 7 == 3` doc re-enters as a
+    * "recrawl" (id +5M, last word trimmed — a near-dup that must be
+    * caught) and every `doc_id % 7 == 5` doc as a genuinely new page
+    * (id +6M, every token suffixed — textually disjoint, must be
+    * kept); both planted classes are fully decided, specced.
+    *
+    * Scale: corpus bands stream once through one map-side-combined
+    * bucket count (the cap: corpus buckets with > 50 members are
+    * non-discriminative and dropped — dd02's collision-entropy rule,
+    * one-sided because singleton corpus buckets still legitimately
+    * match a new doc); the BATCH side is broadcast everywhere (a crawl
+    * batch is tiny against the corpus); the verify join touches only
+    * candidate-sized frames. Nothing corpus-sized shuffles except the
+    * (key, n) bucket counts.
+    *
+    * Cross-engine (§5): bucket identity uses Spark's 64-bit band hash
+    * vs the oracle's 4 raw signature values (dd15's
+    * collision-negligibility argument); est = k/64 exact; the no-match
+    * sentinel is (-1, 0.0), not NULL, so the hash compare never meets
+    * engine-null encodings.
+    */
+  def dd16IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val ws = filter(split(col("text"), "[ \\t\\n\\r]+"), w => w =!= "")
+    val batch = base.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text"))
+      .unionAll(base.filter(col("doc_id") % 7 === 5)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          array_join(transform(ws, w => concat(w, lit("~new"))), " ")
+            .as("text")))
+    val corpusSigs = spark.read.format("docstore")
+      .option("path", ensureMinhashSigArtifact(spark, dir)).load()
+      .select(col("doc_id").as("cid"), col("sig").as("csig"))
+    // batch signatures: map-only, then a barrier — the sig feeds both
+    // the band probe and the verify join (the t17 lesson: without it,
+    // projection collapse re-runs the kernel per candidate)
+    val batchSigs = batch.select(col("doc_id").as("nid"),
+        T.minhash_sig(col("text"), 64, 3).as("nsig"))
+      .repartition(col("nid"))
+    def bands(df: DataFrame, id: String, sig: String): DataFrame = {
+      val bandCols = (0 until 16).map(b =>
+        struct(lit(b).as("band"), T.band_hash(col(sig), b * 4, (b + 1) * 4)
+          .as("bh")))
+      df.select(col(id), explode(array(bandCols: _*)).as("bb"))
+        .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    }
+    val corpBands = bands(corpusSigs, "cid", "csig")
+    // one-sided cap: non-discriminative corpus buckets (> 50 members)
+    // never emit candidates; counted map-side, joined shuffle-hash
+    // (the gatedBuckets join rule — the key frame is data-sized)
+    val bucketN = corpBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= 50)
+      .select(col("band"), col("bh"))
+    val cand = corpBands
+      .join(broadcast(bands(batchSigs, "nid", "nsig")), Seq("band", "bh"))
+      .join(bucketN.hint("shuffle_hash"), Seq("band", "bh"))
+      .select(col("cid"), col("nid")).distinct()
+    val est = cand
+      .join(corpusSigs, "cid").join(broadcast(batchSigs), "nid")
+      .select(col("nid"), col("cid"),
+        (size(filter(zip_with(col("csig"), col("nsig"), (x, y) => x === y),
+          x => x)).cast("double") / 64.0).as("est"))
+      .filter(col("est") >= 0.5)
+    val verdicts = est.groupBy(col("nid"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("est"), (-col("cid")).as("nc"))).as("b"))
+    // the full-batch id frame comes off the signature barrier, not a
+    // second text-bearing scan of the batch construction
+    batchSigs.select(col("nid").as("new_id"))
+      .join(broadcast(verdicts), col("new_id") === col("nid"), "left_outer")
+      .select(col("new_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce((-col("b.nc")).cast("long"), lit(-1L)).as("best_match_id"),
+        coalesce(col("b.est"), lit(0.0d)).as("best_est"))
+      .withColumn("keep", col("n_matches") === 0L)
+      .orderBy(col("new_id"))
+  }
+
   /** dd15 banding-volume diagnostic (the dd04 decade-A/B method at
     * chunk granularity, VERDICT r9 #5): the chunk / band-row / bucket /
     * over-cap / candidate-pair volumes that govern dd15's cost, so a
@@ -1318,6 +1424,7 @@ object Dedup {
        |ORDER BY a.vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd16_incremental_dedup" -> (dd16IncrementalDedup _),
     "dd15_para_minhash" -> (dd15ParaMinhash _),
     "dd11_dup_gram_frac" -> (dd11DupGramFrac _),
     "dd12_boilerplate" -> (dd12Boilerplate _),
@@ -1339,6 +1446,7 @@ object Dedup {
     * (graft.functions.KernelOracleSql).
     */
   val oracle: Map[String, String] = Map(
+    "dd16_incremental_dedup" -> graft.functions.KernelOracleSql.dd16Sql,
     "dd15_para_minhash" ->
       graft.functions.KernelOracleSql.dd15Sql(PlantOffset),
     "dd11_dup_gram_frac" -> dd11Sql,

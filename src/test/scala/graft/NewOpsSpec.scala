@@ -262,6 +262,29 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("dd16: recrawls are caught against the corpus artifact, disjoint " +
+      "pages kept, verdicts fully decided") {
+    val rows = SparkEntry.queries("dd16_incremental_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val (recrawls, fresh) = rows.partition(_._1 < 6000000L)
+    assert(recrawls.nonEmpty && fresh.nonEmpty)
+    // every trimmed recrawl is a near-dup of the existing corpus: at
+    // least one match, keep = false, best estimate well over threshold;
+    // its best match is its own source unless a genuine corpus
+    // near-dup of the source ties at a lower id — then there must be
+    // at least the two of them
+    recrawls.foreach { case (id, n, best, est, keep) =>
+      assert(n >= 1 && !keep && est >= 0.5, s"recrawl $id: ($n, $est, $keep)")
+      assert(best == id - 5000000L || n >= 2, s"recrawl $id best $best")
+    }
+    // every suffixed page is textually disjoint: zero matches, kept,
+    // sentinel best (-1, 0.0)
+    fresh.foreach { case (id, n, best, est, keep) =>
+      assert(n == 0 && keep && best == -1L && est == 0.0, s"fresh $id")
+    }
+  }
+
   test("m08: pHash search equals a scalar brute-force reference exactly, " +
       "ties included") {
     val rows = SparkEntry.queries("m08_phash_search")(spark, sfDir).collect()

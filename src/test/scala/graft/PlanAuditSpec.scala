@@ -315,6 +315,26 @@ class PlanAuditSpec extends SparkSpec {
       "minhash kernel leaked above the join (tree prints parents first):\n" + p)
   }
 
+  test("round-10: dd16 probes the corpus SIGNATURE ARTIFACT — docstore " +
+      "scan, batch side broadcast, bucket gate shuffle-hash") {
+    graft.operators.Dedup.ensureMinhashSigArtifact(spark, sfDir)
+    val p = finalPlan("dd16_incremental_dedup")
+    assert(p.contains("docstore"), p)           // corpus sigs from the artifact
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"), p)   // the bucket-cap gate join
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p) // batch bands/sigs broadcast
+    // the corpus side must NOT re-run the minhash kernel: the only
+    // text-bearing scans are the batch construction's two union
+    // branches (%7==3 recrawls, %7==5 fresh pages) feeding the one
+    // signature barrier — the verdict id-frame reads pruned doc_id-only
+    // scans and the verify join reuses the sig exchange
+    val fin = p.split("== Initial Plan ==").head
+    assert(fin.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("text")) == 2, fin)
+    assert(fin.contains("ReusedExchange"), fin)
+  }
+
   test("round-10: m08 hamming search broadcasts queries and never ranks " +
       "a query's whole corpus in one partition") {
     val p = finalPlan("m08_phash_search")
