@@ -146,6 +146,21 @@ object Dedup {
       .agg(collect_list(col("__gv")).as(valueName))
   }
 
+  /** The one 16-band × 4-row LSH banding layout every MinHash consumer
+    * shares (dd02/dd15/dd16 — previously three hand-kept copies):
+    * band rows `(carry…, band, bh)` over a signature frame. `carry`
+    * columns ride along unchanged (dd16's probe side carries the
+    * signature itself so candidates can verify in place). */
+  private[graft] def bandRows(df: DataFrame, sig: String,
+      carry: String*): DataFrame = {
+    val bandCols = (0 until 16).map(b =>
+      struct(lit(b).as("band"), T.band_hash(col(sig), b * 4, (b + 1) * 4)
+        .as("bb_bh")))
+    df.select(carry.map(col) :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(carry.map(col) ++
+        Seq(col("bb.band").as("band"), col("bb.bb_bh").as("bh")): _*)
+  }
+
   /** LSH candidate generation over a `(doc_id, sig)` minhash-signature
     * table: 16 bands × 4 rows → per-bucket doc lists, pathological
     * buckets (the LSH skew guard — a stopword-like bucket would
@@ -155,12 +170,7 @@ object Dedup {
     * bucket and per-task memory by cap regardless of corpus skew.
     * Factored so scale audits can feed degenerate corpora. */
   private[graft] def minhashCandidates(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until 16).map(b =>
-      struct(lit(b).as("band"), T.band_hash(col("sig"), b * 4, (b + 1) * 4)
-        .as("bh")))
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands = bandRows(sigs, "sig", "doc_id")
     // count-gate, then per-bucket doc list over survivors only;
     // candidate pairs emitted in-place — no per-bucket self-join, no
     // window. The band explode runs twice (gate + collect), but both
@@ -685,7 +695,9 @@ object Dedup {
   def ensureMinhashSigArtifact(spark: SparkSession, dir: String): String =
     graft.Graft.ensureArtifact(DocstoreOps.docsRoot(dir), "dd16_sigs_v1",
         graft.Tables.tableFingerprint(dir, "documents")) { path =>
-      Tables(spark, dir, "documents")
+      // spread: the corpus-sized kernel pass (dd02's rule — a narrow
+      // scan would sign the whole corpus on one core)
+      Tables.spread(Tables(spark, dir, "documents"))
         .select(col("doc_id"), T.minhash_sig(col("text"), 64, 3).as("sig"))
         .write.format("docstore").mode("overwrite").save(path)
     }
@@ -1186,14 +1198,23 @@ object Dedup {
     * (id +6M, every token suffixed — textually disjoint, must be
     * kept); both planted classes are fully decided, specced.
     *
-    * Scale: corpus bands stream once through one map-side-combined
-    * bucket count (the cap: corpus buckets with > 50 members are
-    * non-discriminative and dropped — dd02's collision-entropy rule,
-    * one-sided because singleton corpus buckets still legitimately
-    * match a new doc); the BATCH side is broadcast everywhere (a crawl
-    * batch is tiny against the corpus); the verify join touches only
-    * candidate-sized frames. Nothing corpus-sized shuffles except the
-    * (key, n) bucket counts.
+    * Scale: the corpus artifact is read twice, both passes map-only
+    * into bounded sinks — (1) a hash-only band pass into the
+    * map-side-combined bucket count (the cap: corpus buckets with
+    * > 50 members are non-discriminative and dropped — dd02's
+    * collision-entropy rule, one-sided because singleton corpus
+    * buckets still legitimately match a new doc), and (2) a
+    * sig-carrying band pass into the broadcast probe. The gate is
+    * applied to the BATCH side BEFORE any pairing: surviving keys are
+    * semi-joined down to those the batch actually hits (batch-bounded,
+    * so broadcastable), then the batch bands are semi-filtered by
+    * them — an over-cap or batch-missed corpus bucket never
+    * pair-expands at all, and the probe's broadcast hash join drops
+    * its rows map-side. Candidates verify IN PLACE off the pair row
+    * (both sigs ride the probe), so there is no corpus join-back.
+    * Nothing corpus-sized ever shuffles except the (key, n) bucket
+    * counts; the only pair-sized shuffle is the candidate distinct,
+    * bounded by cap × batch bands.
     *
     * Cross-engine (§5): bucket identity uses Spark's 64-bit band hash
     * vs the oracle's 4 raw signature values (dd15's
@@ -1202,8 +1223,11 @@ object Dedup {
     * engine-null encodings.
     */
   def dd16IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
+    // spread BEFORE the kernel (dd02's rule): the batch signature pass
+    // below otherwise runs on the raw scan's split count — the
+    // repartition barrier after the kernel only spreads its output
+    val base = Tables.spread(Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")))
     val ws = filter(split(col("text"), "[ \\t\\n\\r]+"), w => w =!= "")
     val batch = base.filter(col("doc_id") % 7 === 3)
         .select((col("doc_id") + 5000000L).as("doc_id"),
@@ -1218,29 +1242,40 @@ object Dedup {
     // batch signatures: map-only, then a barrier — the sig feeds both
     // the band probe and the verify join (the t17 lesson: without it,
     // projection collapse re-runs the kernel per candidate)
+    // localCheckpoint, not a repartition barrier: the sig frame feeds
+    // THREE differently-pruned consumers (band keys for the gate,
+    // nid+nsig bands for the probe, the nid-only verdict frame) —
+    // per-consumer column pruning defeats exchange reuse and re-ran
+    // the kernel per consumer (measured: 4 text scans). The batch is
+    // small by the operator's own premise (it broadcasts), so
+    // materializing its 512 B/doc signatures is the s09 query-sized
+    // checkpoint discipline, and the kernel provably runs once.
     val batchSigs = batch.select(col("doc_id").as("nid"),
         T.minhash_sig(col("text"), 64, 3).as("nsig"))
-      .repartition(col("nid"))
-    def bands(df: DataFrame, id: String, sig: String): DataFrame = {
-      val bandCols = (0 until 16).map(b =>
-        struct(lit(b).as("band"), T.band_hash(col(sig), b * 4, (b + 1) * 4)
-          .as("bh")))
-      df.select(col(id), explode(array(bandCols: _*)).as("bb"))
-        .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    }
-    val corpBands = bands(corpusSigs, "cid", "csig")
-    // one-sided cap: non-discriminative corpus buckets (> 50 members)
-    // never emit candidates; counted map-side, joined shuffle-hash
-    // (the gatedBuckets join rule — the key frame is data-sized)
-    val bucketN = corpBands.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") <= 50)
-      .select(col("band"), col("bh"))
-    val cand = corpBands
-      .join(broadcast(bands(batchSigs, "nid", "nsig")), Seq("band", "bh"))
-      .join(bucketN.hint("shuffle_hash"), Seq("band", "bh"))
-      .select(col("cid"), col("nid")).distinct()
-    val est = cand
-      .join(corpusSigs, "cid").join(broadcast(batchSigs), "nid")
+      .localCheckpoint(false)
+    // batch bands carry nsig so candidates verify in place (the frame
+    // is batch-sized — broadcast payload, never shuffled)
+    val batchBands = bandRows(batchSigs, "nsig", "nid", "nsig")
+    // one-sided cap, applied BEFORE any pairing: the corpus bucket
+    // count shuffles only (key, n); semi-joining it against the
+    // broadcast batch band keys bounds the surviving-key frame by the
+    // batch band count, so it broadcasts back into the batch side — an
+    // over-cap (non-discriminative) or batch-missed corpus bucket
+    // never pair-expands anywhere
+    val okKeys = bandRows(corpusSigs, "csig")
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= 50)
+      .join(broadcast(batchBands.select(col("band"), col("bh")).distinct()),
+        Seq("band", "bh"), "left_semi")
+    val gatedBatchBands = batchBands
+      .join(broadcast(okKeys), Seq("band", "bh"), "left_semi")
+    // probe: the second corpus band pass carries csig; the broadcast
+    // hash join drops non-candidate rows map-side, so only candidate
+    // pairs (bounded by cap × batch bands) reach the distinct shuffle
+    val est = bandRows(corpusSigs, "csig", "cid", "csig")
+      .join(broadcast(gatedBatchBands), Seq("band", "bh"))
+      .select(col("cid"), col("nid"), col("csig"), col("nsig"))
+      .distinct()
       .select(col("nid"), col("cid"),
         (size(filter(zip_with(col("csig"), col("nsig"), (x, y) => x === y),
           x => x)).cast("double") / 64.0).as("est"))
@@ -1272,12 +1307,7 @@ object Dedup {
         (col("doc_id") * 100000 + col("pos")).as("cid"),
         T.minhash_sig(col("chunk"), 64, 3).as("sig"))
       .localCheckpoint(false)
-    val bandCols = (0 until 16).map(b =>
-      struct(lit(b).as("band"), T.band_hash(col("sig"), b * 4, (b + 1) * 4)
-        .as("bh")))
-    val sizes = sigs
-      .select(col("cid"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val sizes = bandRows(sigs, "sig")
       .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
     val bucketAgg = sizes.agg(
       sum(col("n")).as("n_band_rows"),

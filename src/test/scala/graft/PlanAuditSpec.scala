@@ -316,23 +316,31 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("round-10: dd16 probes the corpus SIGNATURE ARTIFACT — docstore " +
-      "scan, batch side broadcast, bucket gate shuffle-hash") {
+      "scan, batch side broadcast, gate applied before any pairing") {
     graft.operators.Dedup.ensureMinhashSigArtifact(spark, sfDir)
     val p = finalPlan("dd16_incremental_dedup")
     assert(p.contains("docstore"), p)           // corpus sigs from the artifact
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
-    assert(p.contains("ShuffledHashJoin"), p)   // the bucket-cap gate join
-    assert(p.contains("BroadcastHashJoin") ||
-      p.contains("BroadcastNestedLoopJoin"), p) // batch bands/sigs broadcast
-    // the corpus side must NOT re-run the minhash kernel: the only
-    // text-bearing scans are the batch construction's two union
-    // branches (%7==3 recrawls, %7==5 fresh pages) feeding the one
-    // signature barrier — the verdict id-frame reads pruned doc_id-only
-    // scans and the verify join reuses the sig exchange
+    // every join touching corpus-sized rows is a BROADCAST probe (the
+    // bucket gate is semi-joined into the broadcast batch side before
+    // any pairing — review r10: a shuffle-hash gate AFTER the pair
+    // join would shuffle an over-cap bucket's full pair expansion
+    // before dropping it); no shuffled join anywhere in the plan
+    assert(!p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the batch kernel runs ONCE: every consumer reads the batch-sized
+    // signature checkpoint, so NO text-bearing parquet scan appears in
+    // the final plan at all (per-consumer column pruning defeated
+    // exchange reuse under a plain repartition barrier — measured 4
+    // text scans; §4's checkpoint-hides-upstream lesson means the
+    // once-property is guaranteed by the checkpoint, not plan-asserted)
     val fin = p.split("== Initial Plan ==").head
-    assert(fin.linesIterator.count(l =>
-      l.contains("FileScan parquet") && l.contains("text")) == 2, fin)
-    assert(fin.contains("ReusedExchange"), fin)
+    assert(!fin.linesIterator.exists(l =>
+      l.contains("FileScan parquet") && l.contains("text")), fin)
+    // and the corpus artifact is read exactly twice: the gate-count
+    // pass (column-pruned to [sig] — hash-only) and the sig-carrying
+    // probe pass ([doc_id, sig])
+    assert(fin.linesIterator.count(_.contains("BatchScan docstore")) == 2, fin)
   }
 
   test("round-10: m08 hamming search broadcasts queries and never ranks " +
