@@ -199,6 +199,98 @@ object Pipeline {
 
   val p08Sql: String = Dedup.p08Sql
 
+  // ---------------------------------------------------------------- p13
+  /** Temperature-scaled source rebalancing (the XLM-R / mT5 α-sampling
+    * step, Conneau 2020 §3.1, with α = 0.5): per-source sampling
+    * weights w_s ∝ n_s^α flatten the source-size distribution so head
+    * sources stop drowning the tail. Sources are folded into a skewed
+    * head/mid/tail grouping first (the corpus's own sources are
+    * uniform — the fold is what makes the flattening observable and
+    * specced); the total budget B = ⌊N/3⌋ docs is apportioned across
+    * groups by Hamilton largest-remainder, and each group's quota is
+    * filled in deterministic md5-rank order (p04's ladder machinery).
+    *
+    * Cross-engine (§5): α = 0.5 makes the weight a SQRT — the one
+    * power IEEE-754 requires correctly rounded in every engine — so
+    * w_s = CAST(ROUND(sqrt(n_s)·1e6) AS BIGINT) is bit-identical
+    * (sqrt of a non-square integer is irrational, so the ·1e6 product
+    * never sits on the round half-way; a perfect square is integral).
+    * From there the apportionment is EXACT integer algebra:
+    * base_s = (B·w_s) DIV W, rem_s = (B·w_s) MOD W, the B − Σbase
+    * largest remainders (ties by group name) get +1, and alloc is
+    * capped at n_s (one-pass capped Hamilton; the residue is not
+    * redistributed — the oracle replicates the cap). No float ever
+    * meets a comparison.
+    *
+    * Scale: two corpus scans — a source-column-only scan into the
+    * shrinking group count (tiny output), and the ranked-selection
+    * scan through [[Ladders.globalRank]] (bucketed, no group-sized
+    * window partition). The apportionment windows run on the
+    * group-count frame, bounded by the number of sources (the t15
+    * bounded-frame discipline). B·w_s fits a BIGINT up to ~1e9 docs
+    * (N^1.5·1e6 < 2^63); past that drop the weight scaling to 1e3
+    * (bound ~9e10 docs) — documented, not coded.
+    */
+  def p13TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast(LongType)
+    val grpCol = when(srcNum < 10, "head").when(srcNum < 16, "mid")
+      .otherwise(concat(lit("tail"), substring(col("source"), 4, 10)))
+    val docs = Tables(spark, dir, "documents").withColumn("grp", grpCol)
+    val counts = docs.groupBy(col("grp")).agg(count(lit(1)).as("n_s"))
+      .withColumn("w", round(sqrt(col("n_s")) * 1e6).cast(LongType))
+    val tot = counts.agg(sum(col("n_s")).as("__N"), sum(col("w")).as("__W"))
+    // one ordered window over the group-count frame: rank by remainder
+    // and the base total ride the same (full-frame) spec
+    val wTiny = Window.orderBy(col("rem").desc, col("grp"))
+    val alloc = counts.crossJoin(broadcast(tot))
+      .withColumn("b", expr("__N DIV 3"))
+      .withColumn("base", expr("(b * w) DIV __W"))
+      .withColumn("rem", expr("(b * w) % __W"))
+      .withColumn("rr", row_number().over(wTiny))
+      .withColumn("base_sum", sum(col("base")).over(wTiny.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("alloc", least(
+        col("base") + when(col("rr") <= col("b") - col("base_sum"), 1L)
+          .otherwise(0L), col("n_s")))
+      .select(col("grp"), col("alloc"))
+    val sel = Ladders.globalRank(
+      docs.withColumn("__h",
+          md5(concat(col("doc_id").cast(StringType), lit("#temp"))))
+        .withColumn("__b", substring(col("__h"), 1, 2)),
+      Seq("grp"), "__b", Seq(col("__h"), col("doc_id")), "rn", None)
+    sel.join(broadcast(alloc), "grp")
+      .filter(col("rn") <= col("alloc"))
+      .select(col("doc_id"), col("grp"), col("rn"), col("alloc"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p13Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10 THEN 'head'
+      |         WHEN CAST(substr(source, 4) AS BIGINT) < 16 THEN 'mid'
+      |         ELSE 'tail' || substr(source, 4) END AS grp
+      |  FROM documents),
+      |c0 AS (SELECT grp, COUNT(*) AS n_s FROM d GROUP BY grp),
+      |c AS (SELECT grp, n_s,
+      |    CAST(ROUND(SQRT(n_s) * 1000000) AS BIGINT) AS w FROM c0),
+      |t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+      |    CAST(SUM(w) AS BIGINT) AS wsum,
+      |    CAST(SUM(n_s) AS BIGINT) // 3 AS b FROM c),
+      |a0 AS (SELECT grp, n_s, w, b, wsum,
+      |    (b * w) // wsum AS base, (b * w) % wsum AS rem FROM c, t),
+      |a1 AS (SELECT *, row_number() OVER (ORDER BY rem DESC, grp) AS rr,
+      |    SUM(base) OVER () AS base_sum FROM a0),
+      |alloc AS (SELECT grp, CAST(LEAST(base +
+      |      CASE WHEN rr <= b - base_sum THEN 1 ELSE 0 END, n_s)
+      |    AS BIGINT) AS alloc FROM a1),
+      |sel AS (SELECT doc_id, grp, row_number() OVER (PARTITION BY grp
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#temp'), doc_id) AS rn
+      |  FROM d)
+      |SELECT s.doc_id, s.grp, s.rn, a.alloc
+      |FROM sel s JOIN alloc a USING (grp)
+      |WHERE s.rn <= a.alloc ORDER BY s.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- p04
   /** Stratified sampling: a fixed FRACTION of every (source) stratum,
     * picked by hash rank — the "equal representation" counterpart to
@@ -642,6 +734,7 @@ object Pipeline {
     "p06_global_shuffle" -> (p06GlobalShuffle _),
     "p02_hash_sample" -> (p02HashSample _),
     "p03_training_mix" -> (p03TrainingMix _),
+    "p13_temperature_mix" -> (p13TemperatureMix _),
     "p04_stratified" -> (p04Stratified _),
     "p05_token_shards" -> (p05TokenShards _),
     "p07_mixture_sample" -> (p07MixtureSample _),
@@ -657,6 +750,7 @@ object Pipeline {
     "p06_global_shuffle" -> p06Sql,
     "p02_hash_sample" -> p02Sql,
     "p03_training_mix" -> p03Sql,
+    "p13_temperature_mix" -> p13Sql,
     "p04_stratified" -> p04Sql,
     "p05_token_shards" -> p05Sql,
     "p07_mixture_sample" -> p07Sql,

@@ -262,6 +262,31 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p13: sqrt-temperature apportionment flattens the source mix — " +
+      "exact budget, head demoted, tail promoted, quotas filled in rank " +
+      "order") {
+    val rows = SparkEntry.queries("p13_temperature_mix")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val n = Tables(spark, sfDir, "documents").count()
+    // the Hamilton apportionment hands out EXACTLY ⌊N/3⌋ docs (no group
+    // hit its n_s cap on this corpus, so nothing is truncated)
+    assert(rows.length == (n / 3).toInt, s"${rows.length} vs ${n / 3}")
+    val byGrp = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    // every selected row respects its group quota and quotas are full
+    rows.foreach { case (id, g, rn, alloc) =>
+      assert(rn <= alloc, s"doc $id rank $rn > alloc $alloc") }
+    byGrp.foreach { case (g, got) =>
+      assert(got == rows.find(_._2 == g).get._4, s"$g quota not filled") }
+    // the α=0.5 flattening: head holds 50% of the corpus but must get
+    // LESS than its proportional share of the budget; each tail source
+    // holds 5% and must get MORE
+    val tot = rows.length.toDouble
+    assert(byGrp("head") / tot < 0.45, s"head share ${byGrp("head") / tot}")
+    byGrp.filter(_._1.startsWith("tail")).foreach { case (g, c) =>
+      assert(c / tot > 0.07, s"$g share ${c / tot} not promoted") }
+  }
+
   test("dd16: recrawls are caught against the corpus artifact, disjoint " +
       "pages kept, verdicts fully decided") {
     val rows = SparkEntry.queries("dd16_incremental_dedup")(spark, sfDir)

@@ -205,6 +205,19 @@ class PlanAuditSpec extends SparkSpec {
       s"p10 has more text-bearing scans than the p05 ladder shape:\n$p10")
   }
 
+  test("round-10: p13 ranks through the bucketed ladder (no raw-group " +
+      "window), apportions on the tiny count frame, broadcasts alloc") {
+    val p = finalPlan("p13_temperature_mix")
+    // selection windows may only partition on (bucket, grp) cells — a
+    // grp-partitioned window would stream half the corpus (the 'head'
+    // fold) through one task; the only unpartitioned windows are the
+    // apportionment pair on the group-count frame (rows = n_sources)
+    assert(!p.contains("windowspecdefinition(grp#"),
+      s"p13 windows over the raw group key:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)   // alloc joins broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("round-8 keys: dd12 anti-join broadcasts, st12 windows the count " +
       "frame off one scan, s08/s09 joins stay broadcast") {
     // dd12: the boilerplate-removal anti-join's build side is the
