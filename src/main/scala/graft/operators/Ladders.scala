@@ -229,14 +229,21 @@ object Ladders {
     val cond = part.map(c => col(c) <=> col("__r_" + c)).reduce(_ && _) &&
       (col("__r_" + bucket) < col(bucket) ||
         (col("__r_" + bucket).isNull && col(bucket).isNotNull))
-    val off = cells.join(rhs, cond, "left")
+    // explicit broadcast: this self-join usually executes INSIDE the
+    // joinBack broadcast stage, where AQE does not re-plan — without
+    // the hint, a cells frame whose upstream defeats size estimation
+    // (e.g. s12's cross-joined scores) sort-merges the prefix-sum join
+    // (observed). The frame is strata × buckets rows by construction —
+    // broadcast material regardless of corpus size.
+    val off = cells.join(broadcast(rhs), cond, "left")
       .groupBy((col(bucket) +: part.map(col)): _*)
       .agg(coalesce(sum(col("__r_" + "__v")), lit(0L)).as("__off"))
     totalOut.fold(off) { name =>
       val tot = cells.groupBy(part.map(col): _*).agg(sum(col("__v")).as(name))
       val r = tot.select(tot.columns.map(c =>
         col(c).as(if (part.contains(c)) "__t_" + c else c)): _*)
-      off.join(r, part.map(k => col(k) <=> col("__t_" + k)).reduce(_ && _))
+      off.join(broadcast(r),
+          part.map(k => col(k) <=> col("__t_" + k)).reduce(_ && _))
         .drop(part.map("__t_" + _): _*)
     }
   }

@@ -945,7 +945,56 @@ object Similarity {
       |  FROM rer)
       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s12
+  /** Epsilon-ball range search (FAISS `range_search` / Milvus range
+    * query): every corpus vector within cosine ≥ τ of each query —
+    * the retrieval mode top-k cannot express (dedup sweeps, radius
+    * joins, recall-oriented eval pools want *all* neighbors above a
+    * floor, not the best k). Exact brute force IS the operator here
+    * (the FAISS IndexFlat baseline): broadcast queries × one map-only
+    * corpus scan, the τ filter applied to the RAW cosine (s01's
+    * decide-on-raw / present-rounded discipline).
+    *
+    * Scale: unlike top-k, the match set is unbounded by construction
+    * (an ill-chosen τ can match the corpus), so the per-query rank
+    * must not be a q_id window — it rides [[Ladders.globalRank]] with
+    * a RANGE bucket on the score itself: `⌊(1−cos)·32⌋` is a monotone
+    * coarsening of the `(cos DESC, vec_id)` order, so ladder output
+    * equals the single-window rank while no task ever holds more than
+    * one (bucket, query) score slice.
+    */
+  def s12RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val matches = corpus.crossJoin(broadcast(queriesDf(spark, dir)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        V.cosine_sim(col("q_vec"), col("embedding")).as("cos"))
+      .filter(col("cos") >= 0.2)
+      .withColumn("__nc", col("cos") * -1)
+      .withColumn("__b", floor((lit(1.0d) - col("cos")) * 32).cast(LongType))
+    Ladders.globalRank(matches, Seq("q_id"), "__b",
+        Seq(col("__nc"), col("vec_id")), "rank", None)
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Decide on raw cosine, present ROUND(,4) — s01's parity rule. */
+  val s12Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+      |  FROM embeddings WHERE vec_id < 5),
+      |m AS (
+      |  SELECT q.q_id, e.vec_id, e.label,
+      |         list_cosine_similarity(q.q_vec, e.embedding::DOUBLE[]) AS c
+      |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      |f AS (SELECT * FROM m WHERE c >= 0.2)
+      |SELECT q_id, vec_id, label, ROUND(c, 4) AS cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id)
+      |    AS rank
+      |FROM f ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_range_search" -> (s12RangeSearch _),
     "s11_mrl_rerank" -> (s11MrlRerank _),
     "s10_mrl_recall" -> (s10MrlRecall _),
     "s07_ivfpq" -> (s07IvfPq _),
@@ -959,6 +1008,7 @@ object Similarity {
     "s06_hybrid_search" -> (s06HybridSearch _))
 
   val oracle: Map[String, String] = Map(
+    "s12_range_search" -> s12Sql,
     "s11_mrl_rerank" -> s11Sql,
     "s10_mrl_recall" -> s10Sql,
     "s07_ivfpq" -> s07Sql,

@@ -287,6 +287,26 @@ class NewOpsSpec extends SparkSpec {
       assert(c / tot > 0.07, s"$g share ${c / tot} not promoted") }
   }
 
+  test("s12: range search returns the full epsilon-ball — dense ranks, " +
+      "monotone scores, floor respected, and match sets top-k cannot " +
+      "express") {
+    val rows = SparkEntry.queries("s12_range_search")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, ms) =>
+      val sorted = ms.sortBy(_._4)
+      // ranks dense 1..n, scores non-increasing along them
+      assert(sorted.map(_._4).toSeq == (1L to ms.length).toSeq, s"q$q ranks")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true }, s"q$q order")
+      ms.foreach { m => assert(m._3 >= 0.2 - 5e-5, s"q$q floor: $m") }
+    }
+    // the operator's reason to exist: at least one ball holds MORE than
+    // s01's top-k could return
+    assert(rows.groupBy(_._1).values.map(_.length).max > 10)
+  }
+
   test("dd16: recrawls are caught against the corpus artifact, disjoint " +
       "pages kept, verdicts fully decided") {
     val rows = SparkEntry.queries("dd16_incremental_dedup")(spark, sfDir)

@@ -218,6 +218,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("round-10: s12 ranks the unbounded match set through the " +
+      "score-bucketed ladder, never a raw per-query window") {
+    // a range search's match set is unbounded by construction (τ is a
+    // user knob) — a q_id-partitioned window would stream a whole ball
+    // through one task exactly when the ball is big
+    val p = finalPlan("s12_range_search")
+    assert(!p.contains("windowspecdefinition(q_id#"),
+      s"s12 windows over the raw query key:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("round-8 keys: dd12 anti-join broadcasts, st12 windows the count " +
       "frame off one scan, s08/s09 joins stay broadcast") {
     // dd12: the boilerplate-removal anti-join's build side is the
