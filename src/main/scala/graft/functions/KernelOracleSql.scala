@@ -286,6 +286,59 @@ object KernelOracleSql {
   /** Per-doc 64-bit SimHash CTE chain ending in `allsig(doc_id, sig_u)`
     * (zero signature for token-less docs, like the kernel).
     */
+  /** m09 oracle: image-text pair dedup. The caller (Multimodal, which
+    * owns the DCT CTE builder) supplies the pair-corpus CTEs (must
+    * yield `pairsrc`(doc_id, img_txt, caption)) and the DCT-sign chain
+    * over `imgsrc`(doc_id, text) ending in `phq`(doc_id, ph). Captions
+    * ride the shared bit-exact signature chain; candidates replicate
+    * Spark's CAPPED band buckets (2..50 — the dd15 rule: caption
+    * prefixes can be boilerplate, so the uncapped exhaustive form
+    * would diverge); est-J ≥ 0.5 edges reduce to the per-doc earliest
+    * partner; the image branch is a plain min per pHash group. */
+  def m09Sql(pairCorpusCtes: String, dctCtes: String): String =
+    s"""WITH $pairCorpusCtes,
+       |imgsrc AS (SELECT doc_id, img_txt AS text FROM pairsrc),
+       |$dctCtes,
+       |imgmin AS (SELECT ph, MIN(doc_id) AS img_min FROM phq GROUP BY ph),
+       |capsrc AS (SELECT doc_id, caption AS text FROM pairsrc),
+       |${minhashSigCtes("capsrc")},
+       |bands AS (
+       |  SELECT doc_id, bb.bb AS bb,
+       |    CAST(sig[bb.bb*4+1] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+2] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+3] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+4] AS VARCHAR) AS bkey
+       |  FROM sig, (SELECT unnest(range(16)) AS bb) bb),
+       |bsz AS (SELECT bb, bkey, COUNT(*) AS c FROM bands GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a
+       |  JOIN bands b ON a.bb = b.bb AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id
+       |  JOIN bsz s ON s.bb = a.bb AND s.bkey = a.bkey
+       |    AND s.c BETWEEN 2 AND 50),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    len(list_filter(range(64), p -> sa.sig[p+1] = sb.sig[p+1]))
+       |      / 64.0 AS ej
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.id_a
+       |  JOIN sig sb ON sb.doc_id = cand.id_b),
+       |capmin AS (
+       |  SELECT id_b AS doc_id, MIN(id_a) AS cap_min
+       |  FROM est WHERE ej >= 0.5 GROUP BY id_b)
+       |SELECT p.doc_id, i.img_min,
+       |  COALESCE(c.cap_min, -1) AS cap_min,
+       |  CASE WHEN i.img_min < p.doc_id AND COALESCE(c.cap_min, -1) >= 0
+       |         THEN 'both'
+       |       WHEN i.img_min < p.doc_id THEN 'image'
+       |       WHEN COALESCE(c.cap_min, -1) >= 0 THEN 'caption'
+       |       ELSE 'none' END AS dup_kind,
+       |  (i.img_min >= p.doc_id AND COALESCE(c.cap_min, -1) < 0) AS keep
+       |FROM phq p JOIN imgmin i USING (ph)
+       |LEFT JOIN capmin c ON c.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
   private def simhashCtes(srcCte: String): String =
     s"""toks AS (
        |  SELECT doc_id, unnest($toksExpr) AS tok

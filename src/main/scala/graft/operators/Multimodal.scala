@@ -678,7 +678,126 @@ object Multimodal {
       |SELECT q_id, doc_id, media_type, hamming, CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- m09
+  /** Image-text PAIR dedup — the LAION/DataComp curation step for
+    * paired multimodal corpora: a pair is a duplicate when an EARLIER
+    * pair matches on EITHER modality — the image perceptually (equal
+    * DCT-sign pHash, m05's rule: catches re-encoded/trimmed assets
+    * under a rewritten caption) or the caption fuzzily (MinHash
+    * est-Jaccard ≥ 0.5 through dd02's capped LSH machinery: catches
+    * the same caption pasted onto a re-hosted image). Keep-first is
+    * per-modality-min, not transitive closure — the operational LAION
+    * rule, and both engines compute it identically.
+    *
+    * Pair corpus: documents as (image = text through the stub codec,
+    * caption = first 12 words). Plants: every `% 11 == 1` doc
+    * re-enters (+7M) as a re-encoded image (text trimmed — pHash
+    * usually holds) under a rewritten caption (all tokens suffixed —
+    * shingle-disjoint), dup only the IMAGE branch can see; every
+    * `% 11 == 2` doc re-enters (+8M) as a re-hosted image (all tokens
+    * suffixed — pHash breaks) under the SAME caption, dup only the
+    * CAPTION branch can see.
+    *
+    * Scale: two kernel branches off the pair construction, each
+    * localCheckpointed — a repartition barrier is NOT enough for
+    * either: joining ON the hash makes Catalyst infer
+    * isnotnull(kernel(..)) and push the KERNEL itself into every
+    * branch's scan as a post-scan filter (observed: 7 dct sites), and
+    * the verify joins' broadcast stages rebuild the sig subtree
+    * without exchange reuse (the dd16 lesson). The checkpointed
+    * frames are 16 B/doc (pHash) and 520 B/doc (signatures — the
+    * caption index itself, dd12's corpus-checkpoint discipline), and
+    * each kernel provably runs once. Image side: one shrinking
+    * groupBy(ph) + an AQE-managed equi-join back (dd13's shape,
+    * skew-splittable). Caption side: dd02's count-gated candidates +
+    * signature verify, everything hash-only. Verdict joins are
+    * candidate- and group-min-sized.
+    *
+    * Cross-engine (§5): pHash equality and min-id algebra are integer;
+    * est = k/64 is exact (0.5 = 32/64 sits exactly on the threshold in
+    * both engines); the no-caption-match sentinel is -1, never NULL.
+    */
+  def m09(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val ws = filter(split(col("text"), "[ \\t\\n\\r]+"), w => w =!= "")
+    val cap12 = array_join(slice(ws, 1, 12), " ")
+    val base = docs.select(col("doc_id"), col("text").as("img_txt"),
+      cap12.as("caption"))
+    val reenc = docs.filter(col("doc_id") % 11 === 1)
+      .select((col("doc_id") + 7000000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\z", "").as("img_txt"),
+        array_join(transform(slice(ws, 1, 12), w => concat(w, lit("~re"))),
+          " ").as("caption"))
+    val rehost = docs.filter(col("doc_id") % 11 === 2)
+      .select((col("doc_id") + 8000000L).as("doc_id"),
+        array_join(transform(ws, w => concat(w, lit("~img"))), " ")
+          .as("img_txt"),
+        cap12.as("caption"))
+    val pairs = graft.Tables.spread(base.unionAll(reenc).unionAll(rehost))
+    // localCheckpoint: joining ON the hash makes Catalyst infer
+    // isnotnull(dct_sign_hash(..)) and push the KERNEL into every
+    // branch's scan as a post-scan filter (observed: 7 kernel sites) —
+    // a barrier the optimizer can see through is not a barrier here
+    val ph = pairs.select(col("doc_id"),
+        graft.functions.text.dct_sign_hash(col("img_txt")).as("ph"))
+      .localCheckpoint(false)
+    val imgMin = ph.groupBy(col("ph")).agg(min(col("doc_id")).as("img_min"))
+    val withImg = ph.join(imgMin, "ph")
+    // localCheckpoint, not a repartition barrier: the verify joins'
+    // broadcast stages rebuild a plain exchange subtree (no reuse
+    // across exchange kinds — the dd16 lesson), re-running the kernel;
+    // the checkpointed 520 B/doc signature frame IS the caption index
+    // (dd12's corpus-checkpoint discipline), and the kernel provably
+    // runs once
+    val capSigs = pairs.select(col("doc_id"),
+        graft.functions.text.minhash_sig(col("caption"), 64, 3).as("sig"))
+      .localCheckpoint(false)
+    val sa = capSigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sb = capSigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val capMin = Dedup.minhashCandidates(capSigs)
+      .join(sa, "id_a").join(sb, "id_b")
+      .filter(size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => x === y), x => x)).cast("double") / 64.0 >= 0.5)
+      .groupBy(col("id_b").as("doc_id")).agg(min(col("id_a")).as("cap_min"))
+    withImg.join(capMin, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("img_min"),
+        coalesce(col("cap_min"), lit(-1L)).as("cap_min"))
+      .withColumn("dup_kind",
+        when(col("img_min") < col("doc_id") && col("cap_min") >= 0, "both")
+          .when(col("img_min") < col("doc_id"), "image")
+          .when(col("cap_min") >= 0, "caption").otherwise("none"))
+      .withColumn("keep", col("dup_kind") === "none")
+      .orderBy(col("doc_id"))
+  }
+
+  /** SQL twin of m09's pair corpus (the [[mediaCorpusCtes]] pattern). */
+  private val pairCorpusCtes: String =
+    s"""ptoks AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+      |      t -> t <> '') AS ws
+      |  FROM documents),
+      |pairsrc AS (
+      |  SELECT doc_id, text AS img_txt,
+      |    array_to_string(ws[1:12], ' ') AS caption FROM ptoks
+      |  UNION ALL
+      |  SELECT doc_id + 7000000,
+      |    regexp_replace(text, '\\s+\\S+$$', ''),
+      |    array_to_string(list_transform(ws[1:12], w -> w || '~re'), ' ')
+      |  FROM ptoks WHERE doc_id % 11 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 8000000,
+      |    array_to_string(list_transform(ws, w -> w || '~img'), ' '),
+      |    array_to_string(ws[1:12], ' ')
+      |  FROM ptoks WHERE doc_id % 11 = 2)""".stripMargin
+
+  val m09Sql: String = graft.functions.KernelOracleSql.m09Sql(
+    pairCorpusCtes,
+    dctSignCtes("imgsrc", "text", Seq("doc_id"), "phq"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_pair_dedup" -> (m09 _),
     "m08_phash_search" -> (m08 _),
     "m07_audio_neardup" -> (m07 _),
     "m01_multimodal" -> (m01 _),
@@ -688,6 +807,7 @@ object Multimodal {
     "m04_media_dedup" -> (m04 _),
     "m05_perceptual_dedup" -> (m05 _))
   val oracle: Map[String, String] = Map(
+    "m09_pair_dedup" -> m09Sql,
     "m08_phash_search" -> m08Sql,
     "m07_audio_neardup" -> m07Sql,
     "m01_multimodal" -> m01Sql,

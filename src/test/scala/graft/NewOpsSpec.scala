@@ -330,6 +330,38 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("m09: pair dedup — each modality catches the dup the other " +
+      "cannot see; verdicts fully decided") {
+    val rows = SparkEntry.queries("m09_pair_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getBoolean(4)))
+    val a = rows.filter(r => r._1 >= 7000000L && r._1 < 8000000L)
+    val b = rows.filter(_._1 >= 8000000L)
+    assert(a.nonEmpty && b.nonEmpty)
+    // re-encoded images (trim) under a rewritten caption: the caption
+    // branch must NEVER fire (shingle-disjoint), and the image branch
+    // must absorb the majority (m05's premise: most trims keep all 63
+    // signs); whatever it catches must point at the source or earlier
+    a.foreach { case (id, _, cm, _, _) =>
+      assert(cm == -1L, s"plant A $id caption-matched $cm") }
+    // majority of trims keep the hash, landing in a group at least as
+    // early as the source (a flipped sign can still collide into some
+    // OTHER class — a legitimate 'image' verdict, so the per-row bound
+    // is only asserted on the majority count)
+    assert(a.count(r => r._4 == "image" && r._2 <= r._1 - 7000000L) * 2
+      > a.length, "image branch weak")
+    // same caption on a re-hosted image: the caption branch must catch
+    // EVERY one (identical caption → identical signature → all 16
+    // bands collide), pointing at the source or an earlier near-dup
+    b.foreach { case (id, _, cm, kind, keep) =>
+      assert(cm >= 0 && cm <= id - 8000000L && !keep,
+        s"plant B $id: ($cm, $kind, $keep)")
+    }
+    // keep is exactly the none-verdict everywhere
+    rows.foreach { case (id, _, _, kind, keep) =>
+      assert(keep == (kind == "none"), s"$id keep/kind disagree") }
+  }
+
   test("m08: pHash search equals a scalar brute-force reference exactly, " +
       "ties included") {
     val rows = SparkEntry.queries("m08_phash_search")(spark, sfDir).collect()

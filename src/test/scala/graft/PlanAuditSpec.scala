@@ -229,6 +229,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("round-10: m09 runs each kernel once behind its own barrier — " +
+      "no window over the pHash group, no cartesian") {
+    val p = finalPlan("m09_pair_dedup")
+    // the image-group min is a shrinking groupBy + equi-join back
+    // (dd13's shape), never a window over the perceptual hash: a
+    // degenerate pHash (all-black assets) would put its whole class in
+    // one window partition, while the join is AQE skew-splittable
+    assert(!p.contains("windowspecdefinition(ph#"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // each kernel (dct + minhash) computes once: its exchange is built
+    // once and reused across its identically-pruned consumers
+    assert(p.contains("ReusedExchange"), p)
+    val fin = p.split("== Initial Plan ==").head
+    assert(fin.linesIterator.count(l =>
+      l.contains("minhash_sig")) <= 1, s"minhash kernel re-ran:\n$fin")
+    assert(fin.linesIterator.count(l =>
+      l.contains("dct_sign_hash")) <= 1, s"dct kernel re-ran:\n$fin")
+  }
+
   test("round-8 keys: dd12 anti-join broadcasts, st12 windows the count " +
       "frame off one scan, s08/s09 joins stay broadcast") {
     // dd12: the boilerplate-removal anti-join's build side is the
