@@ -100,6 +100,47 @@ object KernelOracleSql {
        |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigpos GROUP BY doc_id)"""
       .stripMargin
 
+  /** One CTE named `name`: explode `srcCte`(idCol, sig) into its 16
+    * LSH band rows (band index `bb`, 4-value string bucket key `bkey`
+    * — the 4 raw signature values where Spark uses their 64-bit band
+    * hash: the standard collision-negligibility argument, dd04/dd11).
+    * Shared by every capped-band oracle (dd15, dd16 both sides, m09).
+    */
+  private def bandsCte(name: String, srcCte: String, idCol: String): String =
+    s"""$name AS (
+       |  SELECT $idCol, bb.bb AS bb,
+       |    CAST(sig[bb.bb*4+1] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+2] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+3] AS VARCHAR) || ',' ||
+       |    CAST(sig[bb.bb*4+4] AS VARCHAR) AS bkey
+       |  FROM $srcCte, (SELECT unnest(range(16)) AS bb) bb)""".stripMargin
+
+  /** CTE chain from `sig`(doc_id, sig) to `est`(id_a, id_b, `estCol`):
+    * Spark's CAPPED symmetric LSH self-join replicated exactly —
+    * band buckets of size 2..50 pair their members (a.doc_id <
+    * b.doc_id), then the pair's signature overlap / 64 estimates
+    * Jaccard. The ONE copy of the capped-candidate SQL shared by dd15
+    * and m09 (dd16's asymmetric corpus-probe variant differs: cap on
+    * the corpus side only).
+    */
+  private def cappedPairCtes(estCol: String): String =
+    s"""${bandsCte("bands", "sig", "doc_id")},
+       |bsz AS (SELECT bb, bkey, COUNT(*) AS c FROM bands GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a
+       |  JOIN bands b ON a.bb = b.bb AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id
+       |  JOIN bsz s ON s.bb = a.bb AND s.bkey = a.bkey
+       |    AND s.c BETWEEN 2 AND 50),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    len(list_filter(range(64), p -> sa.sig[p+1] = sb.sig[p+1]))
+       |      / 64.0 AS $estCol
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.id_a
+       |  JOIN sig sb ON sb.doc_id = cand.id_b)""".stripMargin
+
   def dd02Sql(plantOffset: Long): String =
     s"""WITH ${corpusCte(plantOffset)},
        |${minhashSigCtes("corpus")},
@@ -145,28 +186,7 @@ object KernelOracleSql {
        |  SELECT doc_id * 100000 + c.pos AS doc_id, c.chunk AS text
        |  FROM cchunks),
        |${minhashSigCtes("src")},
-       |bands AS (
-       |  SELECT doc_id, bb.bb AS bb,
-       |    CAST(sig[bb.bb*4+1] AS VARCHAR) || ',' ||
-       |    CAST(sig[bb.bb*4+2] AS VARCHAR) || ',' ||
-       |    CAST(sig[bb.bb*4+3] AS VARCHAR) || ',' ||
-       |    CAST(sig[bb.bb*4+4] AS VARCHAR) AS bkey
-       |  FROM sig, (SELECT unnest(range(16)) AS bb) bb),
-       |bsz AS (SELECT bb, bkey, COUNT(*) AS c FROM bands GROUP BY 1, 2),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a
-       |  JOIN bands b ON a.bb = b.bb AND a.bkey = b.bkey
-       |    AND a.doc_id < b.doc_id
-       |  JOIN bsz s ON s.bb = a.bb AND s.bkey = a.bkey
-       |    AND s.c BETWEEN 2 AND 50),
-       |est AS (
-       |  SELECT id_a, id_b,
-       |    len(list_filter(range(64), p -> sa.sig[p+1] = sb.sig[p+1]))
-       |      / 64.0 AS est_jaccard
-       |  FROM cand
-       |  JOIN sig sa ON sa.doc_id = cand.id_a
-       |  JOIN sig sb ON sb.doc_id = cand.id_b)
+       |${cappedPairCtes("est_jaccard")}
        |SELECT CAST(id_a // 100000 AS BIGINT) AS doc_a,
        |  CAST(id_a % 100000 AS BIGINT) AS pos_a,
        |  CAST(id_b // 100000 AS BIGINT) AS doc_b,
@@ -241,21 +261,9 @@ object KernelOracleSql {
        |${minhashSigCtes("src")},
        |csig AS (SELECT doc_id AS cid, sig FROM sig WHERE doc_id < 5000000),
        |nsig AS (SELECT doc_id AS nid, sig FROM sig WHERE doc_id >= 5000000),
-       |cbands AS (
-       |  SELECT cid, bb.bb AS bb,
-       |    CAST(sig[bb.bb*4+1] AS VARCHAR) || ',' ||
-       |    CAST(sig[bb.bb*4+2] AS VARCHAR) || ',' ||
-       |    CAST(sig[bb.bb*4+3] AS VARCHAR) || ',' ||
-       |    CAST(sig[bb.bb*4+4] AS VARCHAR) AS bkey
-       |  FROM csig, (SELECT unnest(range(16)) AS bb) bb),
+       |${bandsCte("cbands", "csig", "cid")},
        |bsz AS (SELECT bb, bkey, COUNT(*) AS c FROM cbands GROUP BY 1, 2),
-       |nbands AS (
-       |  SELECT nid, bb.bb AS bb,
-       |    CAST(sig[bb.bb*4+1] AS VARCHAR) || ',' ||
-       |    CAST(sig[bb.bb*4+2] AS VARCHAR) || ',' ||
-       |    CAST(sig[bb.bb*4+3] AS VARCHAR) || ',' ||
-       |    CAST(sig[bb.bb*4+4] AS VARCHAR) AS bkey
-       |  FROM nsig, (SELECT unnest(range(16)) AS bb) bb),
+       |${bandsCte("nbands", "nsig", "nid")},
        |cand AS (
        |  SELECT DISTINCT c.cid, n.nid
        |  FROM cbands c
@@ -302,28 +310,7 @@ object KernelOracleSql {
        |imgmin AS (SELECT ph, MIN(doc_id) AS img_min FROM phq GROUP BY ph),
        |capsrc AS (SELECT doc_id, caption AS text FROM pairsrc),
        |${minhashSigCtes("capsrc")},
-       |bands AS (
-       |  SELECT doc_id, bb.bb AS bb,
-       |    CAST(sig[bb.bb*4+1] AS VARCHAR) || ',' ||
-       |    CAST(sig[bb.bb*4+2] AS VARCHAR) || ',' ||
-       |    CAST(sig[bb.bb*4+3] AS VARCHAR) || ',' ||
-       |    CAST(sig[bb.bb*4+4] AS VARCHAR) AS bkey
-       |  FROM sig, (SELECT unnest(range(16)) AS bb) bb),
-       |bsz AS (SELECT bb, bkey, COUNT(*) AS c FROM bands GROUP BY 1, 2),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a
-       |  JOIN bands b ON a.bb = b.bb AND a.bkey = b.bkey
-       |    AND a.doc_id < b.doc_id
-       |  JOIN bsz s ON s.bb = a.bb AND s.bkey = a.bkey
-       |    AND s.c BETWEEN 2 AND 50),
-       |est AS (
-       |  SELECT id_a, id_b,
-       |    len(list_filter(range(64), p -> sa.sig[p+1] = sb.sig[p+1]))
-       |      / 64.0 AS ej
-       |  FROM cand
-       |  JOIN sig sa ON sa.doc_id = cand.id_a
-       |  JOIN sig sb ON sb.doc_id = cand.id_b),
+       |${cappedPairCtes("ej")},
        |capmin AS (
        |  SELECT id_b AS doc_id, MIN(id_a) AS cap_min
        |  FROM est WHERE ej >= 0.5 GROUP BY id_b)

@@ -90,17 +90,33 @@ object Dedup {
       T.minhash_sig(col("text"), 64, 3).as("sig"))
       .repartition(col("doc_id"))
 
-    val cand = minhashCandidates(sigs)
+    verifiedPairs(minhashCandidates(sigs), sigs, 0.5, "est_jaccard")
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
+  /** Estimated Jaccard from two 64-hash MinHash signature columns:
+    * matching positions / 64 — the ONE copy of the estimator every
+    * verify site shares (dd02/dd15/dd16/m09/t17). k/64 is an exact
+    * binary fraction, so the 0.5/0.4 threshold compares identically in
+    * both engines (§5). */
+  private[graft] def estJaccard(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), x => x))
+      .cast(DoubleType) / 64.0
+
+  /** Candidate pairs joined back to their signature frame and verified
+    * at estimated Jaccard ≥ `tau` — the sa/sb rename + [[estJaccard]]
+    * chain shared by dd02/dd15/m09 (dd16 verifies in place: its probe
+    * rows already carry both signatures; t17 broadcasts the eval
+    * side). `sigs` is (doc_id, sig); output (id_a, id_b, `estName`).
+    */
+  private[graft] def verifiedPairs(cand: DataFrame, sigs: DataFrame,
+      tau: Double, estName: String): DataFrame = {
     val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          x => x)).cast(DoubleType) / 64.0)
-      .filter(col("est_jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+      .withColumn(estName, estJaccard(col("sig_a"), col("sig_b")))
+      .filter(col(estName) >= tau)
+      .select(col("id_a"), col("id_b"), col(estName))
   }
 
   /** Count-gated bucket materialization — the inverted-index cap done
@@ -1165,14 +1181,7 @@ object Dedup {
         (col("doc_id") * 100000 + col("pos")).as("doc_id"),
         T.minhash_sig(col("chunk"), 64, 3).as("sig"))
       .repartition(col("doc_id")) // one kernel pass feeds banding + verify
-    val cand = minhashCandidates(sigs)
-    val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    cand.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          x => x)).cast(DoubleType) / 64.0)
-      .filter(col("est_jaccard") >= 0.5)
+    verifiedPairs(minhashCandidates(sigs), sigs, 0.5, "est_jaccard")
       .select(expr("id_a DIV 100000").as("doc_a"),
         pmod(col("id_a"), lit(100000L)).as("pos_a"),
         expr("id_b DIV 100000").as("doc_b"),
@@ -1277,8 +1286,7 @@ object Dedup {
       .select(col("cid"), col("nid"), col("csig"), col("nsig"))
       .distinct()
       .select(col("nid"), col("cid"),
-        (size(filter(zip_with(col("csig"), col("nsig"), (x, y) => x === y),
-          x => x)).cast("double") / 64.0).as("est"))
+        estJaccard(col("csig"), col("nsig")).as("est"))
       .filter(col("est") >= 0.5)
     val verdicts = est.groupBy(col("nid"))
       .agg(count(lit(1)).as("n_matches"),

@@ -753,12 +753,8 @@ object Multimodal {
     val capSigs = pairs.select(col("doc_id"),
         graft.functions.text.minhash_sig(col("caption"), 64, 3).as("sig"))
       .localCheckpoint(false)
-    val sa = capSigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val sb = capSigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    val capMin = Dedup.minhashCandidates(capSigs)
-      .join(sa, "id_a").join(sb, "id_b")
-      .filter(size(filter(zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => x === y), x => x)).cast("double") / 64.0 >= 0.5)
+    val capMin = Dedup.verifiedPairs(Dedup.minhashCandidates(capSigs),
+        capSigs, 0.5, "ej")
       .groupBy(col("id_b").as("doc_id")).agg(min(col("id_a")).as("cap_min"))
     withImg.join(capMin, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("img_min"),

@@ -958,10 +958,15 @@ object Similarity {
     * Scale: unlike top-k, the match set is unbounded by construction
     * (an ill-chosen τ can match the corpus), so the per-query rank
     * must not be a q_id window — it rides [[Ladders.globalRank]] with
-    * a RANGE bucket on the score itself: `⌊(1−cos)·32⌋` is a monotone
-    * coarsening of the `(cos DESC, vec_id)` order, so ladder output
-    * equals the single-window rank while no task ever holds more than
-    * one (bucket, query) score slice.
+    * a RANGE bucket on the score itself: `⌊(1−cos)·1024⌋` is a
+    * monotone coarsening of the `(cos DESC, vec_id)` order, so ladder
+    * output equals the single-window rank while no task ever holds
+    * more than one (bucket, query) score slice. 1024 cells, not p04's
+    * 32/256: range buckets inherit the SCORE skew (most range-search
+    * hits cluster just above τ — review r10), unlike p04's uniformly
+    * distributed hash prefixes, so the coarsening must be fine enough
+    * that one hot ~0.001-wide cosine band stays a bounded cell; the
+    * offsets frame is still only |Q|×1024 rows, broadcast-joined.
     */
   def s12RangeSearch(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables(spark, dir, "embeddings")
@@ -971,7 +976,8 @@ object Similarity {
         V.cosine_sim(col("q_vec"), col("embedding")).as("cos"))
       .filter(col("cos") >= 0.2)
       .withColumn("__nc", col("cos") * -1)
-      .withColumn("__b", floor((lit(1.0d) - col("cos")) * 32).cast(LongType))
+      .withColumn("__b",
+        floor((lit(1.0d) - col("cos")) * 1024).cast(LongType))
     Ladders.globalRank(matches, Seq("q_id"), "__b",
         Seq(col("__nc"), col("vec_id")), "rank", None)
       .select(col("q_id"), col("vec_id"), col("label"),

@@ -957,8 +957,8 @@ object TextAnalysis {
     val corpusSigs = sigOf(corpus).repartition(col("doc_id"))
     corpusSigs.crossJoin(broadcast(evalSigs))
       .select(col("doc_id"), col("eval_id"),
-        (size(filter(zip_with(col("sig"), col("esig"), (x, y) => x === y),
-          x => x)).cast(DoubleType) / 64.0).as("est_jaccard"))
+        graft.operators.Dedup.estJaccard(col("sig"), col("esig"))
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.4)
       .orderBy(col("doc_id"), col("eval_id"))
   }

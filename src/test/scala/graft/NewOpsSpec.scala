@@ -352,7 +352,19 @@ class NewOpsSpec extends SparkSpec {
       > a.length, "image branch weak")
     // same caption on a re-hosted image: the caption branch must catch
     // EVERY one (identical caption → identical signature → all 16
-    // bands collide), pointing at the source or an earlier near-dup
+    // bands collide), pointing at the source or an earlier near-dup.
+    // That full-recall contract holds only while caption band buckets
+    // stay under the operator's 2..50 cap (an over-cap boilerplate
+    // caption drops its candidates BY DESIGN — the dd15 rule); pin the
+    // premise as a named precondition so a regenerated corpus with
+    // caption boilerplate fails HERE with the right diagnosis, not in
+    // the verdict asserts below (review r10)
+    val capWs = filter(split(col("text"), "[ \\t\\n\\r]+"), w => w =!= "")
+    val maxCapGroup = Tables(spark, sfDir, "documents")
+      .select(array_join(slice(capWs, 1, 12), " ").as("cap"))
+      .groupBy("cap").count().agg(max("count")).head().getLong(0)
+    assume(maxCapGroup * 2 <= 50, s"caption group of $maxCapGroup docs " +
+      "approaches the band cap; the full-recall premise no longer holds")
     b.foreach { case (id, _, cm, kind, keep) =>
       assert(cm >= 0 && cm <= id - 8000000L && !keep,
         s"plant B $id: ($cm, $kind, $keep)")

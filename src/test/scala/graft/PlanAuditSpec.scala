@@ -238,9 +238,12 @@ class PlanAuditSpec extends SparkSpec {
     // one window partition, while the join is AQE skew-splittable
     assert(!p.contains("windowspecdefinition(ph#"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // each kernel (dct + minhash) computes once: its exchange is built
-    // once and reused across its identically-pruned consumers
-    assert(p.contains("ReusedExchange"), p)
+    // each kernel (dct + minhash) computes once: both live behind
+    // localCheckpoint barriers, so the EXECUTED plan scans the
+    // checkpointed RDDs and the kernel expressions appear at most once
+    // (in practice zero times — exchange-reuse is NOT the observable
+    // here, because at spec scale AQE broadcast-converts every
+    // consumer join and leaves no shuffle to reuse)
     val fin = p.split("== Initial Plan ==").head
     assert(fin.linesIterator.count(l =>
       l.contains("minhash_sig")) <= 1, s"minhash kernel re-ran:\n$fin")
