@@ -261,9 +261,15 @@ object PlanSweep {
         val df = fn(spark, sfDir)
         df.queryExecution.toRdd.count() // executes; rows stay distributed
         val exec = df.queryExecution.executedPlan
-        val p = exec.toString
-        if (p.contains("CartesianProduct")) carts += k
-        if (p.contains("SortMergeJoin")) smjs += k
+        // audit the FINAL adaptive plan only: allNodes descends
+        // a.executedPlan, and the string checks drop the `== Initial
+        // Plan ==` section — raw toString would flag joins AQE already
+        // replanned away at runtime (observed: m09's pre-AQE
+        // SortMergeJoin, broadcast-converted in every final stage)
+        val names = allNodes(exec).map(_.nodeName)
+        if (names.exists(_.contains("CartesianProduct"))) carts += k
+        if (names.exists(_.contains("SortMergeJoin"))) smjs += k
+        val p = exec.toString.split("== Initial Plan ==").head
         val specs = windowPartitionSpecs(p).distinct
         if (specs.nonEmpty) winParts(k) = specs
         if (specs.exists(_.isEmpty)) globalWins += k
