@@ -963,7 +963,119 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  // ---------------------------------------------------------------- t18
+  /** Repetition GATE — the Gopher repetition rules as a keep/drop
+    * decision (Rae et al. 2021 Table A1). t06 reports two per-doc
+    * repetition SIGNALS (rounded-float fractions, per-doc array
+    * fold); this is the curation gate built on the rule t06 lacks —
+    * duplicate n-GRAM mass, the signature of generation loops and
+    * template spam, which needs a per-gram count no single array fold
+    * expresses cheaply — with every decision in exact integers. Two
+    * rules, as token-mass variants of Gopher's character-fraction
+    * forms:
+    * top-2-gram mass ≤ 20 % (the most frequent bigram's occurrences
+    * cover ≤ 1/5 of the doc: `top2·2·5 ≤ n_tokens`) and duplicate
+    * 5-gram mass ≤ 15 % (occurrences of 5-grams seen ≥ 2× in the doc:
+    * `dup5·100 ≤ n5·15`). Planted: every `doc_id % 17 == 4` doc
+    * re-enters (+9M) with its first five words appended six times — a
+    * generation-loop tail whose repeated 5-gram and its four rotations
+    * put ≥ 26 duplicate occurrences in the doc, so the dup5 rule must
+    * fire on EVERY plant (the bigram rule fires only on the shorter
+    * ones — measured top2 = 7, over 20 % only when n_tokens < 70);
+    * base docs land mixed (short high-concentration docs fail top2 —
+    * the rule working, not an artifact).
+    *
+    * Cross-engine (§5): every statistic is an exact integer and both
+    * keep comparisons are integer cross-multiplications — no rational
+    * quotient anywhere (the p11 rule).
+    *
+    * Scale: one tokenization (checkpointed token arrays — the t14
+    * discipline) feeds both gram passes and the id frame; each pass
+    * is explode → partial-agg on (doc_id, gram) — per-doc-bounded
+    * keys, no window, shrinking joins back on doc_id (AQE-managed).
+    */
+  def t18RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val ws = toks(col("text"))
+    val planted = docs.filter(col("doc_id") % 17 === 4)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        concat_ws(" ", col("text"),
+          array_join(flatten(array_repeat(slice(ws, 1, 5), 6)), " "))
+          .as("text"))
+    val toksDf = Tables.spread(docs.unionAll(planted))
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .localCheckpoint() // one tokenization: both gram passes + ids
+    // per-doc gram counts; the size guard matters — sequence(0, n)
+    // DESCENDS when n < 0 (§5's sequence-step hazard)
+    def gramCounts(n: Int): DataFrame = {
+      val g = (0 until n).map(j => s"ts[i + $j]").mkString(" || ' ' || ")
+      toksDf.filter(size(col("ts")) >= n)
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, size(ts) - $n), i -> $g)"))
+            .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    }
+    val t2 = gramCounts(2).groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
+    val d5 = gramCounts(5).filter(col("c") >= 2)
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup5"))
+    toksDf.select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tokens"))
+      .join(t2, Seq("doc_id"), "left_outer")
+      .join(d5, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top2"), lit(0L)).as("top2"),
+        coalesce(col("dup5"), lit(0L)).cast(LongType).as("dup5"))
+      .withColumn("keep",
+        col("top2") * 10 <= col("n_tokens") &&
+          col("dup5") * 100 <= greatest(col("n_tokens") - 4, lit(0L)) * 15)
+      .orderBy(col("doc_id"))
+  }
+
+  val t18Sql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |ptoks AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '') AS ws
+      |  FROM docs),
+      |planted AS (
+      |  SELECT doc_id + 9000000 AS doc_id,
+      |    text || ' ' || array_to_string(
+      |      flatten(list_transform(range(6), x -> ws[1:5])), ' ') AS text
+      |  FROM ptoks WHERE doc_id % 17 = 4),
+      |src AS (
+      |  SELECT doc_id, text FROM docs
+      |  UNION ALL SELECT doc_id, text FROM planted),
+      |tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '') AS ts
+      |  FROM src),
+      |g2 AS (
+      |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+      |        FROM tk WHERE len(ts) >= 2)),
+      |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+      |t2 AS (SELECT doc_id, MAX(c) AS top2 FROM c2 GROUP BY 1),
+      |g5 AS (
+      |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+      |    ts[i+3] || ' ' || ts[i+4] AS g
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i
+      |        FROM tk WHERE len(ts) >= 5)),
+      |c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+      |d5 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup5
+      |       FROM c5 WHERE c >= 2 GROUP BY 1)
+      |SELECT tk.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+      |  COALESCE(t2.top2, 0) AS top2,
+      |  COALESCE(d5.dup5, 0) AS dup5,
+      |  (COALESCE(t2.top2, 0) * 10 <= len(ts)) AND
+      |  (COALESCE(d5.dup5, 0) * 100 <= GREATEST(len(ts) - 4, 0) * 15)
+      |    AS keep
+      |FROM tk LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_repetition_filter" -> (t18RepetitionFilter _),
     "t17_fuzzy_contamination" -> (t17FuzzyContamination _),
     "t16_blocklist_filter" -> (t16BlocklistFilter _),
     "t15_zipf_fit" -> (t15ZipfFit _),
@@ -983,6 +1095,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t18_repetition_filter" -> t18Sql,
     "t17_fuzzy_contamination" -> graft.functions.KernelOracleSql.t17Sql,
     "t16_blocklist_filter" -> t16Sql,
     "t15_zipf_fit" -> t15Sql,

@@ -374,6 +374,31 @@ class NewOpsSpec extends SparkSpec {
       assert(keep == (kind == "none"), s"$id keep/kind disagree") }
   }
 
+  test("t18: repetition filter — every generation-loop plant fails the " +
+      "dup5 rule; keep is exactly the two-rule integer algebra") {
+    val rows = SparkEntry.queries("t18_repetition_filter")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    val plants = rows.filter(_._1 >= 9000000L)
+    assert(plants.nonEmpty)
+    // the appended 6× five-word loop yields the loop 5-gram 6 times
+    // plus each of its 4 rotations 5 times → dup5 ≥ 26, always over
+    // the 15 % mass bound; the verdict must be drop for every plant
+    plants.foreach { case (id, n, _, dup5, keep) =>
+      assert(dup5 >= 26 && dup5 * 100 > (n - 4) * 15 && !keep,
+        s"plant $id: n=$n dup5=$dup5 keep=$keep")
+    }
+    // keep is EXACTLY the conjunction of the two integer rules, on
+    // every row (no hidden float path)
+    rows.foreach { case (id, n, top2, dup5, keep) =>
+      val want = top2 * 10 <= n && dup5 * 100 <= math.max(n - 4, 0L) * 15
+      assert(keep == want, s"$id keep=$keep want=$want")
+    }
+    // the base corpus is mostly clean: majority kept
+    val base = rows.filter(_._1 < 9000000L)
+    assert(base.count(_._5) * 2 > base.length, "base corpus mostly dropped")
+  }
+
   test("m08: pHash search equals a scalar brute-force reference exactly, " +
       "ties included") {
     val rows = SparkEntry.queries("m08_phash_search")(spark, sfDir).collect()
