@@ -792,7 +792,46 @@ object Multimodal {
     pairCorpusCtes,
     dctSignCtes("imgsrc", "text", Seq("doc_id"), "phq"))
 
+  // ---------------------------------------------------------------- m10
+  /** CLIP-score pair-alignment gate — the DataComp/LAION curation
+    * step after m09's dedup: drop image-text pairs whose two-tower
+    * embedding alignment is low (mis-scraped alt text, watermark
+    * boilerplate, wrong-language captions). The paired corpus models
+    * the two towers as the halves of the 64-dim embedding row: image
+    * tower = dims 1..32, text tower = dims 33..64; score =
+    * cosine(image, text), keep at RAW score ≥ 0.1 (s01's
+    * decide-on-raw / present-ROUND(,4) discipline — at this
+    * distribution τ = 0.1 keeps ~27 %, the DataComp-like attrition).
+    *
+    * Scale: the ideal shape — ONE map-only scan, the per-row cosine a
+    * codegen'd fold over the row's own halves; no join, no shuffle
+    * beyond the presentation sort. At 100 TB this is scan-bandwidth
+    * bound by construction; `label` rides along so downstream
+    * accounting (p12-style cards) can aggregate keep rates without a
+    * second scan.
+    */
+  def m10(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{vectors => V}
+    graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        V.cosine_sim(slice(col("embedding"), 1, 32),
+          slice(col("embedding"), 33, 32)).as("cos"))
+      .withColumn("keep", col("cos") >= 0.1)
+      .select(col("vec_id"), col("label"),
+        round(col("cos"), 4).as("cos"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val m10Sql: String =
+    """SELECT vec_id, label,
+      |  ROUND(list_cosine_similarity(embedding[1:32]::DOUBLE[],
+      |    embedding[33:64]::DOUBLE[]), 4) AS cos,
+      |  list_cosine_similarity(embedding[1:32]::DOUBLE[],
+      |    embedding[33:64]::DOUBLE[]) >= 0.1 AS keep
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_clip_filter" -> (m10 _),
     "m09_pair_dedup" -> (m09 _),
     "m08_phash_search" -> (m08 _),
     "m07_audio_neardup" -> (m07 _),
@@ -803,6 +842,7 @@ object Multimodal {
     "m04_media_dedup" -> (m04 _),
     "m05_perceptual_dedup" -> (m05 _))
   val oracle: Map[String, String] = Map(
+    "m10_clip_filter" -> m10Sql,
     "m09_pair_dedup" -> m09Sql,
     "m08_phash_search" -> m08Sql,
     "m07_audio_neardup" -> m07Sql,

@@ -399,6 +399,32 @@ class NewOpsSpec extends SparkSpec {
     assert(base.count(_._5) * 2 > base.length, "base corpus mostly dropped")
   }
 
+  test("m10: clip filter — keep decided on the RAW two-tower cosine, " +
+      "scalar reference exact") {
+    val out = SparkEntry.queries("m10_clip_filter")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3))).toSeq
+    // scalar reference replicating VectorMath.cosineF's fold order
+    val raw = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect().map { r =>
+        val e = r.getSeq[Float](1)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < 32) {
+          val x = e(i).toDouble; val y = e(i + 32).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        r.getLong(0) ->
+          (if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb))
+      }.toMap
+    out.foreach { case (id, cos4, keep) =>
+      val rw = raw(id)
+      assert(keep == (rw >= 0.1), s"$id raw=$rw keep=$keep")
+      assert(math.abs(cos4 - rw) <= 5e-5 + 1e-12, s"$id rounding drift")
+    }
+    // the gate discriminates at this distribution: both verdicts occur
+    assert(out.exists(_._3) && out.exists(r => !r._3))
+  }
+
   test("m08: pHash search equals a scalar brute-force reference exactly, " +
       "ties included") {
     val rows = SparkEntry.queries("m08_phash_search")(spark, sfDir).collect()
