@@ -291,6 +291,86 @@ object KernelOracleSql {
        |FROM allb LEFT JOIN m ON m.nid = allb.new_id
        |ORDER BY new_id""".stripMargin
 
+  /** st15 oracle: streaming-ingestion dedup, batch twin. dd16's wave
+    * (recrawls +5M, new pages +6M) plus each new page re-submitted
+    * with its last word lost (+6.3M); corpus matches replicate dd16's
+    * one-sided-capped probe, within-stream matches replicate dd02's
+    * symmetric 2..50-capped pairs restricted to earlier ids
+    * (sa < sb = earlier-arrived under the canonical id order). */
+  def st15Sql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |b3 AS (
+       |  SELECT doc_id + 5000000 AS doc_id,
+       |    regexp_replace(text, '\\s+\\S+$$', '') AS text
+       |  FROM base WHERE doc_id % 7 = 3),
+       |b5t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ws
+       |  FROM base WHERE doc_id % 7 = 5),
+       |b5 AS (
+       |  SELECT doc_id + 6000000 AS doc_id,
+       |    array_to_string(list_transform(ws, w -> w || '~new'), ' ')
+       |      AS text
+       |  FROM b5t),
+       |b5r AS (
+       |  SELECT doc_id + 6300000 AS doc_id,
+       |    array_to_string(list_transform(ws[1:len(ws)-1],
+       |      w -> w || '~new'), ' ') AS text
+       |  FROM b5t),
+       |src AS (
+       |  SELECT * FROM base
+       |  UNION ALL SELECT * FROM b3
+       |  UNION ALL SELECT * FROM b5
+       |  UNION ALL SELECT * FROM b5r),
+       |${minhashSigCtes("src")},
+       |csig AS (SELECT doc_id AS cid, sig FROM sig WHERE doc_id < 5000000),
+       |nsig AS (SELECT doc_id AS nid, sig FROM sig WHERE doc_id >= 5000000),
+       |${bandsCte("cbands", "csig", "cid")},
+       |bsz AS (SELECT bb, bkey, COUNT(*) AS c FROM cbands GROUP BY 1, 2),
+       |${bandsCte("nbands", "nsig", "nid")},
+       |cand AS (
+       |  SELECT DISTINCT c.cid, n.nid
+       |  FROM cbands c
+       |  JOIN nbands n ON n.bb = c.bb AND n.bkey = c.bkey
+       |  JOIN bsz s ON s.bb = c.bb AND s.bkey = c.bkey AND s.c <= 50),
+       |cest AS (
+       |  SELECT cand.nid,
+       |    len(list_filter(range(64), p -> cs.sig[p+1] = ns.sig[p+1]))
+       |      / 64.0 AS est
+       |  FROM cand
+       |  JOIN csig cs ON cs.cid = cand.cid
+       |  JOIN nsig ns ON ns.nid = cand.nid),
+       |cm AS (
+       |  SELECT nid, CAST(COUNT(*) AS BIGINT) AS n_corpus
+       |  FROM cest WHERE est >= 0.5 GROUP BY 1),
+       |sbsz AS (SELECT bb, bkey, COUNT(*) AS c FROM nbands GROUP BY 1, 2),
+       |scand AS (
+       |  SELECT DISTINCT a.nid AS sa, b.nid AS sb
+       |  FROM nbands a
+       |  JOIN nbands b ON a.bb = b.bb AND a.bkey = b.bkey
+       |    AND a.nid < b.nid
+       |  JOIN sbsz s ON s.bb = a.bb AND s.bkey = a.bkey
+       |    AND s.c BETWEEN 2 AND 50),
+       |sest AS (
+       |  SELECT sb,
+       |    len(list_filter(range(64), p -> x.sig[p+1] = y.sig[p+1]))
+       |      / 64.0 AS ej
+       |  FROM scand
+       |  JOIN nsig x ON x.nid = scand.sa
+       |  JOIN nsig y ON y.nid = scand.sb),
+       |sm AS (
+       |  SELECT sb AS nid, CAST(COUNT(*) AS BIGINT) AS n_stream
+       |  FROM sest WHERE ej >= 0.5 GROUP BY 1)
+       |SELECT n.nid AS new_id,
+       |  COALESCE(cm.n_corpus, 0) AS n_corpus,
+       |  COALESCE(sm.n_stream, 0) AS n_stream,
+       |  COALESCE(cm.n_corpus, 0) = 0 AND COALESCE(sm.n_stream, 0) = 0
+       |    AS keep
+       |FROM nsig n LEFT JOIN cm ON cm.nid = n.nid
+       |LEFT JOIN sm ON sm.nid = n.nid
+       |ORDER BY new_id""".stripMargin
+
   /** Per-doc 64-bit SimHash CTE chain ending in `allsig(doc_id, sig_u)`
     * (zero signature for token-less docs, like the kernel).
     */

@@ -1231,6 +1231,46 @@ object Dedup {
     * sentinel is (-1, 0.0), not NULL, so the hash compare never meets
     * engine-null encodings.
     */
+  /** dd16's corpus probe, factored for the st15 ingestion twin:
+    * candidates of a small batch signature frame `(nid, nsig)` against
+    * a corpus signature frame `(cid, csig)` through the one-sided
+    * capped band index, verified IN PLACE — output `(nid, cid, est)`
+    * at est ≥ 0.5. `batchSigs` must be materialized (checkpointed) and
+    * batch-sized: every batch-derived frame here broadcasts.
+    *
+    * Scale (the dd16 analysis): the corpus is read twice, both passes
+    * map-only into bounded sinks — (1) hash-only bands into the
+    * map-side-combined bucket count (one-sided ≤ 50 cap: over-cap
+    * corpus buckets are non-discriminative; singletons still match),
+    * (2) sig-carrying bands into the broadcast probe. The gate is
+    * applied BEFORE any pairing; nothing corpus-sized shuffles except
+    * (key, n) counts; the only pair-sized shuffle is the candidate
+    * distinct, bounded by cap × batch bands.
+    */
+  private[graft] def corpusProbeMatches(corpusSigs: DataFrame,
+      batchSigs: DataFrame): DataFrame = {
+    // batch bands carry nsig so candidates verify in place (the frame
+    // is batch-sized — broadcast payload, never shuffled)
+    val batchBands = bandRows(batchSigs, "nsig", "nid", "nsig")
+    val okKeys = bandRows(corpusSigs, "csig")
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= 50)
+      .join(broadcast(batchBands.select(col("band"), col("bh")).distinct()),
+        Seq("band", "bh"), "left_semi")
+    val gatedBatchBands = batchBands
+      .join(broadcast(okKeys), Seq("band", "bh"), "left_semi")
+    // probe: the second corpus band pass carries csig; the broadcast
+    // hash join drops non-candidate rows map-side, so only candidate
+    // pairs (bounded by cap × batch bands) reach the distinct shuffle
+    bandRows(corpusSigs, "csig", "cid", "csig")
+      .join(broadcast(gatedBatchBands), Seq("band", "bh"))
+      .select(col("cid"), col("nid"), col("csig"), col("nsig"))
+      .distinct()
+      .select(col("nid"), col("cid"),
+        estJaccard(col("csig"), col("nsig")).as("est"))
+      .filter(col("est") >= 0.5)
+  }
+
   def dd16IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     // spread BEFORE the kernel (dd02's rule): the batch signature pass
     // below otherwise runs on the raw scan's split count — the
@@ -1262,32 +1302,7 @@ object Dedup {
     val batchSigs = batch.select(col("doc_id").as("nid"),
         T.minhash_sig(col("text"), 64, 3).as("nsig"))
       .localCheckpoint(false)
-    // batch bands carry nsig so candidates verify in place (the frame
-    // is batch-sized — broadcast payload, never shuffled)
-    val batchBands = bandRows(batchSigs, "nsig", "nid", "nsig")
-    // one-sided cap, applied BEFORE any pairing: the corpus bucket
-    // count shuffles only (key, n); semi-joining it against the
-    // broadcast batch band keys bounds the surviving-key frame by the
-    // batch band count, so it broadcasts back into the batch side — an
-    // over-cap (non-discriminative) or batch-missed corpus bucket
-    // never pair-expands anywhere
-    val okKeys = bandRows(corpusSigs, "csig")
-      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= 50)
-      .join(broadcast(batchBands.select(col("band"), col("bh")).distinct()),
-        Seq("band", "bh"), "left_semi")
-    val gatedBatchBands = batchBands
-      .join(broadcast(okKeys), Seq("band", "bh"), "left_semi")
-    // probe: the second corpus band pass carries csig; the broadcast
-    // hash join drops non-candidate rows map-side, so only candidate
-    // pairs (bounded by cap × batch bands) reach the distinct shuffle
-    val est = bandRows(corpusSigs, "csig", "cid", "csig")
-      .join(broadcast(gatedBatchBands), Seq("band", "bh"))
-      .select(col("cid"), col("nid"), col("csig"), col("nsig"))
-      .distinct()
-      .select(col("nid"), col("cid"),
-        estJaccard(col("csig"), col("nsig")).as("est"))
-      .filter(col("est") >= 0.5)
+    val est = corpusProbeMatches(corpusSigs, batchSigs)
     val verdicts = est.groupBy(col("nid"))
       .agg(count(lit(1)).as("n_matches"),
         max(struct(col("est"), (-col("cid")).as("nc"))).as("b"))

@@ -1126,9 +1126,140 @@ object Streaming {
       }
   }
 
+  // ---------------------------------------------------------------- st15
+  /** Streaming-ingestion dedup — the production gate at the crawl
+    * feed's mouth, one step past dd16: a stream of new documents
+    * dedups against the EXISTING corpus (dd16's artifact probe) AND
+    * against EARLIER-ARRIVED stream documents — the case dd16 cannot
+    * see (a page submitted twice in one crawl wave is absent from the
+    * corpus both times; the gate must drop the second copy). Verdict
+    * per new doc: corpus-match count, earlier-stream-match count,
+    * keep = both zero.
+    *
+    * Batch twin (the oracle): arrival order = doc_id order (the
+    * family's canonical-order rule), so "earlier-arrived" = lower id.
+    * Stream self-matches ride dd02's capped LSH machinery
+    * ([[graft.operators.Dedup.minhashCandidates]] + est ≥ 0.5)
+    * restricted to id_a < id_b. Matching is against earlier-ARRIVED,
+    * not earlier-KEPT docs: no verdict depends on another verdict
+    * (no recursive chain), which is what makes the operator
+    * order-stable, SQL-expressible, and micro-batch-split invariant —
+    * the streaming twin emits IDENTICAL verdicts for any id-ordered
+    * micro-batch split (specced).
+    *
+    * Planted wave: dd16's recrawls (+5M, corpus dups — n_corpus > 0,
+    * drop) and new pages (+6M, suffix-disjoint from the corpus —
+    * kept unless a NATURAL base-doc near-dup pair makes two new pages
+    * match each other, where the later arrival loses, as it should),
+    * plus each new page RE-SUBMITTED later in the wave (+6.3M, last
+    * word lost in the second fetch): absent from the corpus, caught
+    * only by the within-stream rule — dd16 would keep it.
+    *
+    * Scale: the corpus probe is dd16's two bounded map-only corpus
+    * passes; within-stream matching is batch-sized end to end (bands
+    * of the checkpointed batch signatures through the count-gated
+    * 2..50 buckets). The streaming twin appends each micro-batch's
+    * signatures to a cumulative store and probes it like a second
+    * corpus — per micro-batch cost stays batch-bounded, the store
+    * grows only by accepted-wave signatures (512 B/doc).
+    */
+  def st15IngestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val D = graft.operators.Dedup
+    val corpusSigs = spark.read.format("docstore")
+      .option("path", D.ensureMinhashSigArtifact(spark, dir)).load()
+      .select(col("doc_id").as("cid"), col("sig").as("csig"))
+    val batchSigs = st15Wave(spark, dir)
+      .select(col("doc_id").as("nid"),
+        graft.functions.text.minhash_sig(col("text"), 64, 3).as("nsig"))
+      .localCheckpoint(false) // kernel once (the dd16 barrier rule)
+    st15Verdicts(corpusSigs, batchSigs, None)
+  }
+
+  /** The planted crawl wave (dd16's batch + the re-submissions). */
+  private[graft] def st15Wave(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")))
+    val ws = filter(split(col("text"), "[ \\t\\n\\r]+"), w => w =!= "")
+    val suffixed = (a: org.apache.spark.sql.Column) =>
+      array_join(transform(a, w => concat(w, lit("~new"))), " ")
+    base.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text"))
+      .unionAll(base.filter(col("doc_id") % 7 === 5)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          suffixed(ws).as("text")))
+      .unionAll(base.filter(col("doc_id") % 7 === 5)
+        .select((col("doc_id") + 6300000L).as("doc_id"),
+          suffixed(slice(ws, lit(1), greatest(size(ws) - 1, lit(0))))
+            .as("text")))
+  }
+
+  /** Verdicts for one signature frame against corpus + optional store
+    * + its own earlier-id members. All three match sources are
+    * batch-bounded per call. */
+  private[graft] def st15Verdicts(corpusSigs: DataFrame,
+      batchSigs: DataFrame, storeSigs: Option[DataFrame]): DataFrame = {
+    val D = graft.operators.Dedup
+    val corpusM = D.corpusProbeMatches(corpusSigs, batchSigs)
+      .groupBy(col("nid").as("new_id")).agg(count(lit(1)).as("n_corpus"))
+    val asSigs = batchSigs
+      .select(col("nid").as("doc_id"), col("nsig").as("sig"))
+    val within = D.verifiedPairs(D.minhashCandidates(asSigs), asSigs,
+      0.5, "est").select(col("id_b").as("nid"))
+    // the store probes like a second corpus: one-sided cap, in-place
+    // verify, nothing store-sized shuffles
+    val matches = storeSigs.fold(within) { st =>
+      within.unionAll(D.corpusProbeMatches(
+          st.select(col("nid").as("cid"), col("nsig").as("csig")),
+          batchSigs)
+        .select(col("nid")))
+    }
+    val streamM = matches
+      .groupBy(col("nid").as("new_id")).agg(count(lit(1)).as("n_stream"))
+    batchSigs.select(col("nid").as("new_id"))
+      .join(broadcast(corpusM), Seq("new_id"), "left_outer")
+      .join(broadcast(streamM), Seq("new_id"), "left_outer")
+      .select(col("new_id"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+        coalesce(col("n_stream"), lit(0L)).as("n_stream"))
+      .withColumn("keep", col("n_corpus") === 0L && col("n_stream") === 0L)
+      .orderBy(col("new_id"))
+  }
+
+  final case class DocRow(doc_id: Long, text: String)
+
+  /** Streaming twin: the gate as a foreachBatch maintainer. Each
+    * micro-batch (1) signs its documents once, (2) probes corpus +
+    * the cumulative signature store + its own earlier-id members,
+    * (3) emits verdicts, (4) appends its signatures to the store.
+    * The verdict frame is EAGERLY materialized before the append —
+    * a lazy plan would re-read the store after step 4 and match
+    * every doc against itself. Arrival order is the dedup order:
+    * under an id-ordered split this emits exactly the batch twin's
+    * verdicts (specced for random admissible splits).
+    */
+  def st15Stream(corpusSigs: DataFrame, storePath: String)(
+      batchDocs: DataFrame, batchId: Long): DataFrame = {
+    val spark = batchDocs.sparkSession
+    val batchSigs = batchDocs.select(col("doc_id").as("nid"),
+        graft.functions.text.minhash_sig(col("text"), 64, 3).as("nsig"))
+      .localCheckpoint(false)
+    val store =
+      if (new java.io.File(storePath).exists())
+        Some(spark.read.parquet(storePath))
+      else None
+    val out = st15Verdicts(corpusSigs, batchSigs, store)
+      .localCheckpoint() // materialize BEFORE the store append
+    // an empty micro-batch must not append an empty parquet dir the
+    // next batch's store read cannot infer a schema from
+    if (!batchSigs.isEmpty) batchSigs.write.mode("append").parquet(storePath)
+    out
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st15_ingest_dedup" -> (st15IngestDedup _),
     "st14_scd2" -> (st14Scd2 _),
     "st07_stream_enrich" -> (st07StreamEnrich _),
     "st01_windowed_agg" -> (st01WindowedAgg _),
@@ -1145,6 +1276,7 @@ object Streaming {
     "st13_session_funnel" -> (st13SessionFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "st15_ingest_dedup" -> graft.functions.KernelOracleSql.st15Sql,
     "st14_scd2" -> st14Sql,
     "st07_stream_enrich" -> st07Sql,
     "st01_windowed_agg" -> st01Sql,

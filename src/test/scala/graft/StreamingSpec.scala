@@ -678,6 +678,73 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st15 ingestion gate: the planted wave fully decided — recrawls " +
+      "corpus-caught, new pages kept, re-submissions stream-caught") {
+    val rows = Streaming.st15IngestDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val b3 = rows.filter(_._1 < 6000000L)
+    val b5 = rows.filter(r => r._1 >= 6000000L && r._1 < 6300000L)
+    val b5r = rows.filter(_._1 >= 6300000L)
+    assert(b3.nonEmpty && b5.nonEmpty && b5r.nonEmpty)
+    // recrawls: the corpus probe must catch every one (dd16's contract)
+    b3.foreach { case (id, nc, _, keep) =>
+      assert(nc > 0 && !keep, s"b3 $id") }
+    // new pages: suffix-disjoint from the corpus ALWAYS (structural);
+    // a NATURAL near-dup pair among the base docs makes its two
+    // suffixed pages match each other, and the later arrival loses —
+    // the earlier-arrival rule working, so the keep claim is
+    // keep ⇔ no earlier stream match, with the clean majority pinned
+    b5.foreach { case (id, nc, ns, keep) =>
+      assert(nc == 0L && keep == (ns == 0L), s"b5 $id") }
+    assert(b5.count(_._4) * 10 >= b5.length * 9, "b5 majority not kept")
+    // re-submissions: invisible to the corpus (dd16 would KEEP them),
+    // caught only by the within-stream rule
+    b5r.foreach { case (id, nc, ns, keep) =>
+      assert(nc == 0L && ns > 0 && !keep, s"b5r $id") }
+  }
+
+  test("st15 streaming twin: identical verdicts under random id-ordered " +
+      "micro-batch splits, signatures accumulated in the store") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.DocRow
+    val corpusSigs = spark.read.format("docstore")
+      .option("path",
+        graft.operators.Dedup.ensureMinhashSigArtifact(spark, sfDir)).load()
+      .select(col("doc_id").as("cid"), col("sig").as("csig"))
+    val wave = Streaming.st15Wave(spark, sfDir).orderBy("doc_id")
+      .collect().map(r => DocRow(r.getLong(0), r.getString(1)))
+    val want = Streaming.st15IngestDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val storePath = java.nio.file.Files
+        .createTempDirectory(s"st15store$seed").toString + "/sigs"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"st15ckpt$seed").toString
+      val input = MemoryStream[DocRow]
+      val outs =
+        scala.collection.mutable.ArrayBuffer[Array[org.apache.spark.sql.Row]]()
+      val q = input.toDS().toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          outs += Streaming.st15Stream(corpusSigs, storePath)(b, id).collect()
+          ()
+        }.start()
+      try {
+        var rest = wave.toList
+        while (rest.nonEmpty) {
+          val (chunk, more) = rest.splitAt(1 + rnd.nextInt(8))
+          input.addData(chunk: _*); q.processAllAvailable()
+          rest = more
+        }
+        val got = outs.flatten.map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+        assert(got == want, s"seed $seed: ${got.size} vs ${want.size}")
+      } finally q.stop()
+    }
+  }
+
   test("st11 space-saving heavy hitters equal the batch twin at ample capacity") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.Streaming.HhEv
