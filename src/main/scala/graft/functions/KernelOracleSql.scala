@@ -291,6 +291,74 @@ object KernelOracleSql {
        |FROM allb LEFT JOIN m ON m.nid = allb.new_id
        |ORDER BY new_id""".stripMargin
 
+  /** dd17 oracle: LSH S-curve calibration. Truth = exact string-shingle
+    * Jaccard over every pair sharing a shingle (df ≤ 10k cap — the
+    * dd04 machinery, corpus-wide), bucketed by decile on the identical
+    * integer-ratio double; measured = the capped band candidates
+    * (Spark's `minhashCandidates` replica); `theory` arrives as the
+    * same (bucket, 6dp literal) pairs the Spark plan inlines. */
+  def dd17Sql(levels: Seq[(Int, Int)],
+      theory: Seq[(Long, Double)]): String = {
+    val theoryCase = theory.map { case (b, p) => s"WHEN $b THEN $p" }
+      .mkString(" ")
+    // list_transform's (w, i) index is 1-BASED where Spark's transform
+    // index is 0-based (the t17 rule): `i % m = 0` substitutes exactly
+    // the tokens Spark's `(i + 1) % m == 0` does
+    val ladder = levels.map { case (m, r) =>
+      s"""  UNION ALL
+         |  SELECT doc_id + ${(20L + r) * 1000000L},
+         |    array_to_string(list_transform(
+         |      list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+         |        t -> t <> ''),
+         |      (w, i) -> CASE WHEN i % $m = 0 THEN 'xq' ELSE w END), ' ')
+         |  FROM documents WHERE doc_id % 31 = $r""".stripMargin
+    }.mkString("\n")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 29000000,
+       |    regexp_replace(text, '\\s+\\S+$$', '')
+       |  FROM documents WHERE doc_id % 10 = 0
+       |$ladder),
+       |ttoks AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ts
+       |  FROM corpus),
+       |tsets AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) < 3 THEN [text]
+       |         ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+       |           i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2] ||
+       |                chr(31)))
+       |    END AS sh
+       |  FROM ttoks),
+       |tpost AS (
+       |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM tsets),
+       |tbsz AS (SELECT shingle, count(*) AS df FROM tpost GROUP BY 1),
+       |tcp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+       |  FROM tpost a JOIN tpost b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN tbsz s ON s.shingle = a.shingle AND s.df <= 10000
+       |  GROUP BY 1, 2, 3, 4),
+       |truth AS (
+       |  SELECT id_a, id_b,
+       |    least(CAST(floor((common / (sz_a + sz_b - common)) * 10)
+       |      AS BIGINT), 9) AS bucket
+       |  FROM tcp WHERE common / (sz_a + sz_b - common) >= 0.1),
+       |${minhashSigCtes("corpus")},
+       |${cappedPairCtes("ej")}
+       |SELECT t.bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_caught,
+       |  CASE t.bucket $theoryCase ELSE 0.0 END AS theory_p
+       |FROM truth t LEFT JOIN cand c
+       |  ON c.id_a = t.id_a AND c.id_b = t.id_b
+       |GROUP BY t.bucket ORDER BY t.bucket""".stripMargin
+  }
+
   /** st15 oracle: streaming-ingestion dedup, batch twin. dd16's wave
     * (recrawls +5M, new pages +6M) plus each new page re-submitted
     * with its last word lost (+6.3M); corpus matches replicate dd16's

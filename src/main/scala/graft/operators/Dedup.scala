@@ -1318,6 +1318,90 @@ object Dedup {
       .orderBy(col("new_id"))
   }
 
+  // --------------------------------------------------------------- dd17
+  /** LSH S-curve calibration — the audit that closes the dedup
+    * family's loop: DID the 16×4 MinHash banding catch what exact
+    * Jaccard says it should? Ground truth = exact 3-shingle Jaccard
+    * over every pair sharing a shingle (dd04's inverted-index
+    * machinery run corpus-wide: the same-source key degenerates to a
+    * constant), J ≥ 0.1; measured = dd02's capped candidate set on
+    * the same corpus and the same shingle definition
+    * (apples-to-apples). Output per Jaccard decile: pair count,
+    * caught count, and the theoretical detection probability
+    * p = 1 − (1 − s⁴)¹⁶ at the bucket midpoint — the S-curve every
+    * LSH parameter choice is graded against (Leskovec MMDS §3.4).
+    *
+    * Cross-engine (§5): counts are exact integers; the bucket floor
+    * runs on the identical integer-ratio double in both engines with
+    * textually parallel expressions; the THEORY column is 6dp
+    * driver-side literals inlined into both engines (the p11
+    * parameters-as-literals rule — `pow` is a libm call with no
+    * cross-engine bit guarantee).
+    *
+    * Scale: one capped inverted-index shuffle (the dd04 analysis) +
+    * dd02's banding; output is 9 rows. At 100 TB this diagnostic runs
+    * on a corpus SAMPLE (p02's hash sample) — calibration is a
+    * statistical property, not a per-doc verdict; the full-corpus
+    * form here is the oracle-checkable exact build.
+    */
+  private[graft] val lshTheory: Seq[(Long, Double)] =
+    (1L to 9L).map { b =>
+      val s = b / 10.0 + 0.05
+      val s4 = s * s * s * s
+      b -> BigDecimal(1 - math.pow(1 - s4, 16))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+  /** The graded similarity ladder: every m-th token substituted gives
+    * true 3-shingle Jaccard ≈ (m−3)/(m+3) (each substitution kills
+    * the 3 shingles covering it), so these eight levels land pairs
+    * across deciles ~1..8; the %10 trims supply decile 9. Without the
+    * ladder this corpus has almost no pairs below J 0.8 (measured:
+    * 81 natural pairs total) and the S-curve's falloff — the whole
+    * point of the audit — would go unexercised. */
+  private[graft] val dd17Levels: Seq[(Int, Int)] =
+    Seq(4, 5, 6, 7, 10, 13, 18, 28).zipWithIndex
+      .map { case (m, i) => (m, i + 1) }
+
+  private[graft] def dd17Corpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val ws = filter(split(col("text"), "[ \\t\\n\\r]+"), w => w =!= "")
+    val trims = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 29000000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text"))
+    dd17Levels.foldLeft(base.unionAll(trims)) { case (acc, (m, r)) =>
+      acc.unionAll(base.filter(col("doc_id") % 31 === r)
+        .select((col("doc_id") + (20L + r) * 1000000L).as("doc_id"),
+          array_join(transform(ws, (w, i) =>
+            when((i + 1) % m === 0, lit("xq")).otherwise(w)), " ")
+            .as("text")))
+    }
+  }
+
+  def dd17LshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val planted = dd17Corpus(spark, dir)
+    val truth = commonCounts(planted.withColumn("source", lit("all")))
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= 0.1)
+      .select(col("id_a"), col("id_b"),
+        least(floor(col("jaccard") * 10), lit(9L)).as("bucket"))
+    val sigs = Tables.spread(planted)
+      .select(col("doc_id"), T.minhash_sig(col("text"), 64, 3).as("sig"))
+      .repartition(col("doc_id"))
+    val cand = minhashCandidates(sigs).withColumn("caught", lit(1L))
+    val theory = lshTheory.foldLeft(lit(0.0d)) { case (acc, (b, p)) =>
+      when(col("bucket") === b, lit(p)).otherwise(acc)
+    }
+    truth.join(cand, Seq("id_a", "id_b"), "left_outer")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .withColumn("theory_p", theory)
+      .orderBy(col("bucket"))
+  }
+
   /** dd15 banding-volume diagnostic (the dd04 decade-A/B method at
     * chunk granularity, VERDICT r9 #5): the chunk / band-row / bucket /
     * over-cap / candidate-pair volumes that govern dd15's cost, so a
@@ -1477,6 +1561,7 @@ object Dedup {
        |ORDER BY a.vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd17_lsh_calibration" -> (dd17LshCalibration _),
     "dd16_incremental_dedup" -> (dd16IncrementalDedup _),
     "dd15_para_minhash" -> (dd15ParaMinhash _),
     "dd11_dup_gram_frac" -> (dd11DupGramFrac _),
@@ -1499,6 +1584,8 @@ object Dedup {
     * (graft.functions.KernelOracleSql).
     */
   val oracle: Map[String, String] = Map(
+    "dd17_lsh_calibration" ->
+      graft.functions.KernelOracleSql.dd17Sql(dd17Levels, lshTheory),
     "dd16_incremental_dedup" -> graft.functions.KernelOracleSql.dd16Sql,
     "dd15_para_minhash" ->
       graft.functions.KernelOracleSql.dd15Sql(PlantOffset),

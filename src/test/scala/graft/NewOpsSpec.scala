@@ -399,6 +399,28 @@ class NewOpsSpec extends SparkSpec {
     assert(base.count(_._5) * 2 > base.length, "base corpus mostly dropped")
   }
 
+  test("dd17: LSH S-curve — the banding misses the low-J ladder floor " +
+      "and catches the high-J end completely; theory literals exact") {
+    val rows = SparkEntry.queries("dd17_lsh_calibration")(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the graded substitution ladder populates every decile
+    assert(rows.map(_._1).toSeq == (1L to 9L).toSeq, rows.mkString(","))
+    val theory = graft.operators.Dedup.lshTheory.toMap
+    rows.foreach { case (b, n, c, p) =>
+      assert(n > 0 && c >= 0 && c <= n, s"bucket $b: $c/$n")
+      assert(p == theory(b), s"bucket $b theory $p != ${theory(b)}")
+    }
+    val m = rows.map(r => r._1 -> r).toMap
+    // decile 1 (J ≈ 0.1–0.2, theory 0.008): the curve's floor — the
+    // banding must NOT catch these (≤ 20 %), or the cap/banding is
+    // broken in the permissive direction
+    assert(m(1L)._3 * 5 <= m(1L)._2, s"floor leak: ${m(1L)}")
+    // deciles 8–9 (theory ≥ 0.99999): complete recall
+    Seq(8L, 9L).foreach(b =>
+      assert(m(b)._3 == m(b)._2, s"high-J miss at $b: ${m(b)}"))
+  }
+
   test("m10: clip filter — keep decided on the RAW two-tower cosine, " +
       "scalar reference exact") {
     val out = SparkEntry.queries("m10_clip_filter")(spark, sfDir).collect()
