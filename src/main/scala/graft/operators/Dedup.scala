@@ -279,13 +279,15 @@ object Dedup {
     val postings = corpus
       .select(col("source"), col("doc_id"), size(col("sh")).as("sz"),
         explode_outer(col("sh")).as("shingle"))
-    // one shuffle: postings → per-shingle doc list (the capped inverted
-    // index), pairs emitted in-place by a higher-order transform — no
-    // per-shingle self-join, no window
-    val buckets = postings
-      .groupBy(col("source"), col("shingle"))
-      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
-      .filter(size(col("ds")).between(2, 10000))
+    // count-gated inverted index (the round-10 discipline — the naive
+    // collect_list → filter(size) form materializes an over-cap
+    // bucket's entire membership in ONE task before the filter can
+    // drop it; a df-10⁶ stopword shingle is an OOM there): count per
+    // (source, shingle) first, collect only surviving buckets; pairs
+    // emitted in-place by a higher-order transform — no per-shingle
+    // self-join, no window
+    val buckets = gatedBuckets(postings, Seq("source", "shingle"),
+      struct(col("doc_id"), col("sz")), "ds", 2, 10000)
     bucketPairs(buckets)
       .groupBy(col("source"), col("id_a"), col("id_b"), col("sz_a"),
         col("sz_b"))

@@ -251,6 +251,37 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("dct_sign_hash")) <= 1, s"dct kernel re-ran:\n$fin")
   }
 
+  test("round-10b keys: t18 grams off the checkpoint, m10 map-only, " +
+      "st15/dd17 window- and cartesian-free") {
+    // t18: both gram passes and the id frame hang off the checkpointed
+    // token arrays — the executed plan carries no text-bearing scan and
+    // no window; gram aggs are partial (map-side combined)
+    val t18 = finalPlan("t18_repetition_filter")
+    val t18fin = t18.split("== Initial Plan ==").head
+    assert(!t18fin.contains("FileScan parquet"), t18fin)
+    assert(!t18.contains("windowspecdefinition"), t18)
+    assert(t18.contains("partial_count") || t18.contains("partial_max"), t18)
+    // m10: the ideal shape — one scan, no join/window/aggregate; the
+    // two-tower cosine is per-row column algebra
+    val m10 = finalPlan("m10_clip_filter")
+    assert(m10.linesIterator.count(_.contains("FileScan parquet")) <= 2,
+      m10) // final + initial AQE sections print the same single scan
+    assert(!m10.contains("Join") && !m10.contains("windowspecdefinition") &&
+      !m10.contains("HashAggregate"), m10)
+    // st15: the wave probes corpus + itself — everything wave-sized
+    // broadcasts, nothing corpus-sized sorts
+    val st15 = finalPlan("st15_ingest_dedup")
+    val st15fin = st15.split("== Initial Plan ==").head
+    assert(!st15fin.contains("SortMergeJoin") &&
+      !st15fin.contains("CartesianProduct"), st15fin)
+    // dd17: two stacked bounded-pair indexes, no cartesian, no window,
+    // and the gate's count agg is partial
+    val dd17 = finalPlan("dd17_lsh_calibration")
+    assert(!dd17.contains("CartesianProduct") &&
+      !dd17.contains("windowspecdefinition"), dd17)
+    assert(dd17.contains("partial_count"), dd17)
+  }
+
   test("round-8 keys: dd12 anti-join broadcasts, st12 windows the count " +
       "frame off one scan, s08/s09 joins stay broadcast") {
     // dd12: the boilerplate-removal anti-join's build side is the
