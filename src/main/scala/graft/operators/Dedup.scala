@@ -322,6 +322,12 @@ object Dedup {
         .otherwise(0L)).as("cand_pairs"))
   }
 
+  /** Audit seam: the raw gated index over an arbitrary corpus, so
+    * ScaleAuditSpec can feed degenerate corpora (the minhashCandidates
+    * discipline). */
+  private[graft] def dd04PairsForAudit(corpus: DataFrame): DataFrame =
+    commonCounts(corpus)
+
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     commonCounts(plantedDocs(spark, dir))
       .withColumn("jaccard", col("common").cast(DoubleType) /

@@ -45,6 +45,25 @@ class ScaleAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("commonCounts gate (round 10b): an all-identical corpus reaches " +
+      "the shingle-bucket collect with ZERO rows") {
+    // 12000 identical docs: every shingle bucket holds 12000 members —
+    // over the 10000 df cap (a stopword shingle at 100 TB). The gated
+    // index must drop every key before collect_list, so the pair set
+    // is empty and the collect aggregate's executed output-row metric
+    // is exactly 0; the ungated pre-round-10b form built
+    // 12000-element arrays per shingle here.
+    val docs = spark.range(12000).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta").as("text"),
+      lit("all").as("source"))
+    val pairs = graft.operators.Dedup.dd04PairsForAudit(docs)
+    assert(pairs.queryExecution.toRdd.count() == 0)
+    assert(collectAggOutputRows(pairs) == 0L,
+      "an over-cap shingle bucket reached the collect_list aggregate")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("gatedBuckets: a hot key is dropped pre-collect, survivors are " +
       "exact and capped") {
     // one hot key (10k rows — would be a 10k-entry array uncapped), a
