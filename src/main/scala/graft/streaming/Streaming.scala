@@ -1244,10 +1244,12 @@ object Streaming {
     val batchSigs = batchDocs.select(col("doc_id").as("nid"),
         graft.functions.text.minhash_sig(col("text"), 64, 3).as("nsig"))
       .localCheckpoint(false)
+    // existence via the Hadoop FS API — the store lives wherever the
+    // checkpoint does at scale (HDFS/S3), not on the driver's local FS
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val store =
-      if (new java.io.File(storePath).exists())
-        Some(spark.read.parquet(storePath))
-      else None
+      if (fs.exists(hPath)) Some(spark.read.parquet(storePath)) else None
     val out = st15Verdicts(corpusSigs, batchSigs, store)
       .localCheckpoint() // materialize BEFORE the store append
     // an empty micro-batch must not append an empty parquet dir the
