@@ -291,6 +291,61 @@ object KernelOracleSql {
        |FROM allb LEFT JOIN m ON m.nid = allb.new_id
        |ORDER BY new_id""".stripMargin
 
+  /** dd18 oracle: Bloom exact-dup prefilter. One fingerprint chain
+    * (t04's Rabin-Karp-257 + mix64 replica) over corpus ∪ wave; the
+    * k=4 probe positions derive by Kirsch-Mitzenhauer double hashing
+    * (h1 = low 16 bits, h2 = next 16 | 1, p_i = (h1 + i·h2) mod 2¹⁶ —
+    * pure integer algebra both engines); membership replicates the
+    * bitmap EXACTLY because a bit is set iff its position is in the
+    * corpus's distinct position set. true_dup = verbatim text match. */
+  def dd18Sql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |wv AS (
+       |  SELECT doc_id + 4000000 AS doc_id, text
+       |  FROM base WHERE doc_id % 7 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 5000000,
+       |    regexp_replace(text, '\\s+\\S+$$', '')
+       |  FROM base WHERE doc_id % 7 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 6000000,
+       |    array_to_string(list_transform(
+       |      list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |        t -> t <> ''), w -> w || '~new'), ' ')
+       |  FROM base WHERE doc_id % 7 = 5),
+       |src AS (SELECT * FROM base UNION ALL SELECT * FROM wv),
+       |roll AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(0::HUGEINT,
+       |      list_transform(range(1, strlen(text)+1),
+       |        i -> ord(text[i])::HUGEINT)),
+       |    (h, b) -> (h * 257::HUGEINT + b) % $P64) AS h0
+       |  FROM src),
+       |${mix64Ctes("roll", "h0", "fp_u", "fp", Seq("doc_id"))},
+       |hh AS (
+       |  SELECT doc_id,
+       |    CAST(fp_u % 65536 AS BIGINT) AS h1,
+       |    CAST((fp_u // 65536) % 65536 AS BIGINT) | 1 AS h2
+       |  FROM fpd),
+       |pos AS (
+       |  SELECT doc_id, i.i AS i, (h1 + i.i * h2) % 65536 AS p
+       |  FROM hh, (SELECT unnest(range(4)) AS i) i),
+       |cpos AS (
+       |  SELECT DISTINCT p FROM pos WHERE doc_id < 4000000),
+       |whit AS (
+       |  SELECT w.doc_id
+       |  FROM pos w JOIN cpos c ON c.p = w.p
+       |  WHERE w.doc_id >= 4000000
+       |  GROUP BY w.doc_id HAVING COUNT(DISTINCT w.i) = 4),
+       |ctext AS (SELECT DISTINCT text FROM base)
+       |SELECT w.doc_id AS new_id,
+       |  h.doc_id IS NOT NULL AS bloom_hit,
+       |  t.text IS NOT NULL AS true_dup
+       |FROM wv w
+       |LEFT JOIN whit h ON h.doc_id = w.doc_id
+       |LEFT JOIN ctext t ON t.text = w.text
+       |ORDER BY new_id""".stripMargin
+
   /** dd17 oracle: LSH S-curve calibration. Truth = exact string-shingle
     * Jaccard over every pair sharing a shingle (df ≤ 10k cap — the
     * dd04 machinery, corpus-wide), bucketed by decile on the identical

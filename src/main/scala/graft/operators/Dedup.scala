@@ -1410,6 +1410,82 @@ object Dedup {
       .orderBy(col("bucket"))
   }
 
+  // --------------------------------------------------------------- dd18
+  /** Bloom exact-dup PREFILTER — the cheap gate in front of the
+    * signature probe (dd16/st15): a recrawled page that re-enters
+    * VERBATIM should never reach MinHash machinery; one fingerprint
+    * and four bit tests decide it. This is `spark.util.sketch`'s
+    * BloomFilter shape re-expressed in exact oracle-checkable
+    * arithmetic: k = 4 positions per doc by Kirsch-Mitzenhauer double
+    * hashing off the t04 rolling fingerprint (h1 = low 16 bits,
+    * h2 = next 16 | 1, p_i = (h1 + i·h2) mod 2¹⁶), an m = 2¹⁶-bit
+    * bitmap built in ONE corpus pass (positions → distinct → driver
+    * collect, bounded by m — model-parameter-sized state, the s04
+    * precedent), and a map-only wave probe against the bitmap
+    * literal. Bloom guarantees: NO false negative (every verbatim
+    * re-post hits — structural, specced); false positives at the
+    * theoretical (fill)⁴ rate (~9e-7 at this corpus's ~3 % fill, so
+    * zero observed — the spec pins the structural direction, not a
+    * vacuous rate). Trimmed recrawls and suffixed new pages miss:
+    * exact-dup gating is the LIMIT that motivates the signature probe
+    * behind it.
+    *
+    * Cross-engine (§5): the bitmap bit for position p is set iff p is
+    * in the corpus's distinct position set, so the oracle replicates
+    * membership set-theoretically — no bit-layout dependence; all
+    * position algebra is exact integers off the bit-exact t04 chain.
+    *
+    * Scale: corpus pays one map-only fingerprint pass into a
+    * shrinking distinct (≤ m rows shuffle); the wave probe is
+    * map-only (the 8 KB bitmap rides the plan); true_dup is a
+    * hash-only (md5) broadcast-able join for the audit column.
+    */
+  def dd18BloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")))
+    val ws = filter(split(col("text"), "[ \\t\\n\\r]+"), w => w =!= "")
+    val wave = base.filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
+      .unionAll(base.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text")))
+      .unionAll(base.filter(col("doc_id") % 7 === 5)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          array_join(transform(ws, w => concat(w, lit("~new"))), " ")
+            .as("text")))
+    def h1h2(fp: Column): (Column, Column) = (
+      fp.bitwiseAND(lit(65535L)),
+      shiftrightunsigned(fp, 16).bitwiseAND(lit(65535L)).bitwiseOR(lit(1L)))
+    def positions(fp: Column): Seq[Column] = {
+      val (h1, h2) = h1h2(fp)
+      (0 until 4).map(i => pmod(h1 + lit(i.toLong) * h2, lit(65536L)))
+    }
+    // one corpus pass → ≤ 2¹⁶ distinct positions → the 1024-word bitmap
+    val posSet = base
+      .select(explode(array(
+        positions(T.rolling_fingerprint(col("text"))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bitmap = new Array[Long](1024)
+    posSet.foreach(p => bitmap(p.toInt / 64) |= (1L << (p.toInt % 64)))
+    val bm = lit(bitmap)
+    val ctext = base.select(md5(col("text")).as("h")).distinct()
+      .withColumn("td", lit(true))
+    val (h1, h2) = h1h2(T.rolling_fingerprint(col("text")))
+    wave.select(col("doc_id").as("new_id"), h1.as("h1"), h2.as("h2"),
+        md5(col("text")).as("h"))
+      .withColumn("bm", bm)
+      .withColumn("bloom_hit", expr(
+        """aggregate(sequence(0, 3), true, (acc, i) ->
+          |  acc AND ((shiftright(element_at(bm,
+          |      cast(((h1 + i * h2) % 65536) DIV 64 as int) + 1),
+          |    cast(((h1 + i * h2) % 65536) % 64 as int)) & 1) = 1))"""
+          .stripMargin))
+      .join(ctext, Seq("h"), "left_outer")
+      .select(col("new_id"), col("bloom_hit"),
+        coalesce(col("td"), lit(false)).as("true_dup"))
+      .orderBy(col("new_id"))
+  }
+
   /** dd15 banding-volume diagnostic (the dd04 decade-A/B method at
     * chunk granularity, VERDICT r9 #5): the chunk / band-row / bucket /
     * over-cap / candidate-pair volumes that govern dd15's cost, so a
@@ -1569,6 +1645,7 @@ object Dedup {
        |ORDER BY a.vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd18_bloom_prefilter" -> (dd18BloomPrefilter _),
     "dd17_lsh_calibration" -> (dd17LshCalibration _),
     "dd16_incremental_dedup" -> (dd16IncrementalDedup _),
     "dd15_para_minhash" -> (dd15ParaMinhash _),
@@ -1592,6 +1669,7 @@ object Dedup {
     * (graft.functions.KernelOracleSql).
     */
   val oracle: Map[String, String] = Map(
+    "dd18_bloom_prefilter" -> graft.functions.KernelOracleSql.dd18Sql,
     "dd17_lsh_calibration" ->
       graft.functions.KernelOracleSql.dd17Sql(dd17Levels, lshTheory),
     "dd16_incremental_dedup" -> graft.functions.KernelOracleSql.dd16Sql,

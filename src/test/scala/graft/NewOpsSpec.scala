@@ -399,6 +399,25 @@ class NewOpsSpec extends SparkSpec {
     assert(base.count(_._5) * 2 > base.length, "base corpus mostly dropped")
   }
 
+  test("dd18: bloom prefilter — structural no-false-negative; verdicts " +
+      "fully decided by class at this fill ratio") {
+    val rows = SparkEntry.queries("dd18_bloom_prefilter")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    // STRUCTURAL: a Bloom filter cannot false-negative — every verbatim
+    // dup must hit, including trims that happen to equal another doc
+    rows.foreach { case (id, hit, td) =>
+      if (td) assert(hit, s"false negative at $id") }
+    val reposts = rows.filter(_._1 < 5000000L)
+    assert(reposts.nonEmpty && reposts.forall(r => r._2 && r._3))
+    // ~3 % bitmap fill → theoretical FPR (fill)⁴ ≈ 1e-6: zero observed
+    // (corpus-bound: a larger corpus raises fill and this becomes a
+    // rate assertion)
+    assert(rows.count(r => r._2 && !r._3) == 0, "false positive")
+    // suffixed new pages never collide here
+    val news = rows.filter(_._1 >= 6000000L)
+    assert(news.nonEmpty && news.forall(r => !r._2))
+  }
+
   test("dd17: LSH S-curve — the banding misses the low-J ladder floor " +
       "and catches the high-J end completely; theory literals exact") {
     val rows = SparkEntry.queries("dd17_lsh_calibration")(spark, sfDir)
