@@ -648,39 +648,61 @@ object TextAnalysis {
     * never a window over a term key); V is one exact distinct-count
     * (shuffle ∝ vocab — and V must stay exact: it enters every score).
     */
-  def t14BigramScore(spark: SparkSession, dir: String): DataFrame = {
+  def t14BigramScore(spark: SparkSession, dir: String): DataFrame =
+    t14Scored(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+        col("s").cast(DoubleType).as("sum_neglogp"))
+      .orderBy(col("doc_id"))
+
+  /** t14's per-doc frame with the EXACT decimal score `s` (the double
+    * cast happens only at t14's own presentation edge): t19's bucket
+    * split orders by this decimal in both engines — ordering by the
+    * cast double instead could tie two 6dp-distinct scores and let the
+    * doc_id tiebreak order them differently per engine (§5). */
+  private[graft] def t14Scored(spark: SparkSession, dir: String): DataFrame = {
     val toksDf = Tables.spread(Tables(spark, dir, "documents"))
-      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .select(col("doc_id"), col("source"), toks(col("text")).as("ts"))
       .localCheckpoint() // one tokenization: vocab + bigram postings
     val vocab = toksDf.select(explode(col("ts")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    val bg = toksDf.filter(size(col("ts")) >= 2)
+    // bigram OCCURRENCES, never shuffled on their own key: the
+    // round-10b shape. The previous chain grouped (doc_id, w1, w2)
+    // first — a Θ(occurrences) wide-key shuffle (300M rows at the
+    // synthesized sf1, ~17 s hidden from the bench by count()'s
+    // left-outer join elimination). Now the corpus count cb shuffles
+    // map-side-combined on the vocab²-BOUNDED (w1, w2) key, the
+    // per-pair weights broadcast back onto the occurrence stream, and
+    // the per-doc score is ONE map-side-combined groupBy(doc_id) —
+    // nothing occurrence-sized ever shuffles. Exactness is unchanged:
+    // the score is a DECIMAL sum over occurrences, and decimal
+    // addition is exact in any order (Σ k·w ≡ Σ_occ w).
+    val occ = toksDf.filter(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(ts) - 2),
           |  i -> struct(ts[i] AS w1, ts[i + 1] AS w2))""".stripMargin))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("k"))
-      .localCheckpoint() // postings once: corpus counts + scoring join
-    val cb = bg.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("cb"))
+    val cb = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val cl = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
-    val scored = bg.join(cb, Seq("w1", "w2")).join(cl, Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .withColumn("r",
+    val weights = cb.join(cl, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
         (round(log((col("cl") + col("v")).cast(DoubleType)), 6)
             .cast("decimal(18,6)") -
           round(log((col("cb") + 1).cast(DoubleType)), 6)
-            .cast("decimal(18,6)")) * col("k"))
+            .cast("decimal(18,6)")).as("w"))
+      .localCheckpoint(false) // vocab²-bounded; broadcast payload
+    val scored = occ.join(broadcast(weights), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_bigrams"), sum(col("r")).as("s"))
-    // < 2-token docs have no bigram rows — keep them at sum 0
-    toksDf.select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tokens"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("s"))
+    // < 2-token docs have no bigram rows — keep them at sum 0;
+    // `source` rides the checkpointed frame so t19 needs no extra
+    // corpus join to attribute scores
+    toksDf.select(col("doc_id"), col("source"),
+        size(col("ts")).cast(LongType).as("n_tokens"))
       .join(scored, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("doc_id"), col("source"), col("n_tokens"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("s"), lit(0)).cast(DoubleType).as("sum_neglogp"))
-      .orderBy(col("doc_id"))
+        coalesce(col("s"), lit(0).cast("decimal(18,6)")).as("s"))
   }
 
   val t14Sql: String =
@@ -710,6 +732,107 @@ object TextAnalysis {
       |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
       |  CAST(COALESCE(sc.s, 0) AS DOUBLE) AS sum_neglogp
       |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t19
+  /** CCNet perplexity bucketing (Wenzek et al. 2020 §4.1) — the
+    * head/middle/tail split every CCNet-descended corpus ships with:
+    * per source, docs ranked by LM score (t14's bigram −log P, the
+    * EXACT decimal — ordering by the presentation double could tie
+    * 6dp-distinct scores and diverge across engines, §5) and cut into
+    * equal thirds by doc count; `head` is the lowest-perplexity third
+    * the high-quality mix oversamples.
+    *
+    * Cross-engine: the cut is integer algebra (rank·3 vs n, 2n) on an
+    * exact rank; order key (s, doc_id) is exact and unique.
+    *
+    * Scale: bucket LABELS need only the two per-source quantile CUT
+    * KEYS, not a per-row global rank — so no corpus-wide window
+    * anywhere (even the bucketed-ladder rank form measured ~5x t14's
+    * own cost at the synthesized sf1, paying a corpus sort for ranks
+    * the CASE never reads). Shape: ONE map-side-combined cell count
+    * on (source, score-unit), per-source prefix sums on the tiny
+    * cell frame, rank only INSIDE the <= 2 boundary cells each
+    * source's k/3-th rows land in (cell-bounded windows), broadcast
+    * the two exact cut keys, and label in one map-only pass over the
+    * checkpointed 32 B/doc score frame.
+    */
+  def t19CcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // micro-unit key: the scale-6 decimal *10^6 is an EXACT integer —
+    // a primitive (Long, Long) total order identical to (s, doc_id)
+    val scored = t14Scored(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (col("s") * 1000000).cast(LongType).as("__sm"))
+      .withColumn("__b", expr("__sm DIV 1000000"))
+      .localCheckpoint(false)
+    val cells = scored.groupBy(col("source"), col("__b"))
+      .agg(count(lit(1)).as("c"))
+    // tiny frame (sources x score-units): per-source running end
+    // positions; windows here are bounded by the unit-bucket count
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("__b"))
+    val withCum = cells.withColumn("cum", sum(col("c")).over(wSrc))
+      .withColumn("prev", col("cum") - col("c"))
+    val ks = withCum.groupBy(col("source")).agg(max(col("cum")).as("n"))
+      .select(col("source"), expr("n DIV 3").as("k1"),
+        expr("2 * n DIV 3").as("k2"))
+    // the <= 2 cells per source containing the cut positions
+    val bounds = withCum.join(ks, "source")
+      .select(col("source"), col("__b"), col("prev"), col("cum"),
+        explode(array(col("k1"), col("k2"))).as("k"))
+      .filter(col("k") > 0 && col("prev") < col("k") &&
+        col("k") <= col("cum"))
+      .select(col("source"), col("__b"), col("prev"), col("k"))
+      .distinct() // k1 == k2 for tiny sources: one row, not two
+    // exact cut keys: rank within ONLY the boundary cells. `k` is a
+    // partition key: when both cuts land in ONE cell the bounds join
+    // duplicates its rows (one copy per k), and each copy must rank
+    // independently
+    val wCell = Window.partitionBy(col("source"), col("__b"), col("k"))
+      .orderBy(col("__sm"), col("doc_id"))
+    val bkeys = scored
+      .join(broadcast(bounds), Seq("source", "__b"))
+      .withColumn("r", row_number().over(wCell).cast(LongType))
+      .filter(col("r") === col("k") - col("prev"))
+      .select(col("source"), col("k"), col("__sm").as("bsm"),
+        col("doc_id").as("bid"))
+    def cut(kCol: String, sm: String, id: String) = bkeys
+      .join(ks.select(col("source"), col(kCol).as("k")), Seq("source", "k"))
+      .select(col("source"), col("bsm").as(sm), col("bid").as(id))
+    val le = (sm: String, id: String) =>
+      col("__sm") < col(sm) ||
+        (col("__sm") === col(sm) && col("doc_id") <= col(id))
+    scored
+      .join(broadcast(cut("k1", "sm1", "id1")), Seq("source"), "left_outer")
+      .join(broadcast(cut("k2", "sm2", "id2")), Seq("source"), "left_outer")
+      .withColumn("ppl_bucket",
+        when(col("sm1").isNotNull && le("sm1", "id1"), "head")
+          .when(col("sm2").isNotNull && le("sm2", "id2"), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("source"), col("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t19Sql: String = {
+    // t14's chain verbatim up to the per-doc decimal score
+    val chain = t14Sql.split("\nSELECT d\\.doc_id").head.stripPrefix("WITH ")
+    s"""WITH $chain,
+       |scored AS (
+       |  SELECT d.doc_id, COALESCE(sc.s, CAST(0 AS DECIMAL(18,6))) AS s
+       |  FROM d LEFT JOIN sc USING (doc_id)),
+       |j AS (
+       |  SELECT s.doc_id, s.s, doc.source
+       |  FROM scored s JOIN documents doc USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY s, doc_id)
+       |      AS rank,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM j)
+       |SELECT doc_id, source,
+       |  CASE WHEN rank * 3 <= n THEN 'head'
+       |       WHEN rank * 3 <= n * 2 THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- t15
   /** Zipf rank-frequency fit — the distributional quality diagnostic
@@ -1075,6 +1198,7 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_ccnet_buckets" -> (t19CcnetBuckets _),
     "t18_repetition_filter" -> (t18RepetitionFilter _),
     "t17_fuzzy_contamination" -> (t17FuzzyContamination _),
     "t16_blocklist_filter" -> (t16BlocklistFilter _),
@@ -1095,6 +1219,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t19_ccnet_buckets" -> t19Sql,
     "t18_repetition_filter" -> t18Sql,
     "t17_fuzzy_contamination" -> graft.functions.KernelOracleSql.t17Sql,
     "t16_blocklist_filter" -> t16Sql,

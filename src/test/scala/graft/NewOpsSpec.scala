@@ -399,6 +399,29 @@ class NewOpsSpec extends SparkSpec {
     assert(base.count(_._5) * 2 > base.length, "base corpus mostly dropped")
   }
 
+  test("t19: per-source thirds are exact and ordered by the t14 score") {
+    val rows = SparkEntry.queries("t19_ccnet_buckets")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rs) =>
+      val n = rs.length
+      val h = rs.count(_._3 == "head"); val m = rs.count(_._3 == "middle")
+      assert(h == n / 3, s"$src head $h != ${n / 3} of $n")
+      assert(h + m == 2 * n / 3, s"$src head+middle ${h + m} != ${2 * n / 3}")
+    }
+    // the cut respects the score order: within a source every head doc
+    // scores ≤ every tail doc (decimal order is double-monotone)
+    val score = SparkEntry.queries("t14_bigram_logprob")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    bySrc.foreach { case (src, rs) =>
+      val heads = rs.filter(_._3 == "head").map(r => score(r._1))
+      val tails = rs.filter(_._3 == "tail").map(r => score(r._1))
+      if (heads.nonEmpty && tails.nonEmpty)
+        assert(heads.max <= tails.min, s"$src head/tail out of order")
+    }
+  }
+
   test("dd18: bloom prefilter — structural no-false-negative; verdicts " +
       "fully decided by class at this fill ratio") {
     val rows = SparkEntry.queries("dd18_bloom_prefilter")(spark, sfDir)
