@@ -137,8 +137,21 @@ object MiniBench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.Tables.all.foreach(n => graft.Tables(spark, sfDir, n).count())
     graft.operators.DocstoreOps.ensureEventDocs(spark, sfDir)
+    // SPARK_GRAFT_BENCH_MODE=noop executes a noop-format WRITE instead
+    // of count(): count's Aggregate wrapper lets the optimizer prune
+    // columns and ELIMINATE joins whose non-projected side is unique —
+    // t14's whole bigram chain vanished under count (SCALING round-10b
+    // lesson). The noop sink keeps every output column, so the plan
+    // materializes fully. Default stays count() for round-over-round
+    // comparability with the Bench history.
+    val noop = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("noop")
+    def run(k: String): Unit = {
+      val df = graft.SparkEntry.queries(k)(spark, sfDir)
+      if (noop) df.write.format("noop").mode("overwrite").save()
+      else df.count()
+    }
     keys.foreach(k =>
-      try graft.SparkEntry.queries(k)(spark, sfDir).count()
+      try run(k)
       catch { case e: Throwable => println(s"WARM FAIL $k: $e") })
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     for (_ <- 1 to 3; k <- keys) {
@@ -146,7 +159,7 @@ object MiniBench {
       // a failed round contributes NO sample — a swallowed failure's
       // elapsed time would otherwise publish as a bogus fast min
       try {
-        graft.SparkEntry.queries(k)(spark, sfDir).count()
+        run(k)
         samples(k) = (System.nanoTime() - t0) / 1e9 :: samples.getOrElse(k, Nil)
       } catch { case e: Throwable =>
         println(s"ROUND FAIL $k: ${e.getClass.getSimpleName}")
