@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Multimodal column plumbing (SURVEY.md §2.3): image/audio/video as
   * opaque `binary` columns + typed metadata, with decode / feature
@@ -830,7 +832,111 @@ object Multimodal {
       |    embedding[33:64]::DOUBLE[]) >= 0.1 AS keep
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- m11
+  /** Shot-boundary (scene) detection — the video-understanding
+    * primitive every frame-sampling pipeline runs BEFORE per-frame
+    * work (PySceneDetect's content detector, TransNet's training
+    * target): segment each video into maximal runs of
+    * perceptually-equal consecutive frames; a cut opens where the
+    * frame signature CHANGES. Frames are m06's 64-byte stub-codec
+    * geometry hashed with the m05 DCT-sign kernel; on the stub codec
+    * frames are byte-stable so "perceptually equal" is signature
+    * equality (the m06 argument — a real decoder would feed the same
+    * seam and a Hamming tolerance would absorb re-encode jitter).
+    *
+    * Planted: every `doc_id % 9 == 5` video (≡ 2 mod 3, so the video
+    * class is preserved; +9900000 ≡ 0 mod 3 keeps it) long enough for
+    * three blocks re-enters EDITED: its first three 64-byte blocks
+    * repeated 4×, 3×, 5× — three held shots with two hard cuts. Where
+    * the three block hashes are distinct (the spec computes them
+    * through the kernel seam and asserts under that premise — the m09
+    * assume() discipline), the plant MUST segment into exactly 3
+    * scenes of 4, 3 and 5 frames. Base stub videos segment near
+    * frame-per-scene (adjacent random-text histograms rarely collide)
+    * — the degenerate-but-correct stub profile; scene STRUCTURE comes
+    * from the plants.
+    *
+    * Scale: one scan → map-side frame explode + hash → lag + running
+    * cut-count windows PER VIDEO (partitions bounded by one video's
+    * frame count — the duration bound, st02's per-entity-window
+    * argument) sharing one doc_id exchange → shrinking per-scene agg.
+    * Output ∝ scenes, not frames.
+    */
+  def m11(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val edited = docs
+      .filter(col("doc_id") % 9 === 5 && length(col("text")) >= 192)
+      .select((col("doc_id") + 9900000L).as("doc_id"),
+        concat(
+          expr("repeat(substring(text, 1, 64), 4)"),
+          expr("repeat(substring(text, 65, 64), 3)"),
+          expr("repeat(substring(text, 129, 64), 5)")).as("text"))
+    val vids = docs.unionAll(edited)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) / lit(64)).cast("int").as("nf"))
+      .filter(col("nf") > 0)
+    val ph = vids
+      .select(col("doc_id"), col("text"),
+        explode_outer(sequence(lit(0), col("nf") - 1)).as("fi"))
+      .select(col("doc_id"), col("fi").cast(LongType).as("fi"),
+        graft.functions.text
+          .dct_sign_hash(expr("substring(text, fi * 64 + 1, 64)")).as("ph"))
+    val byVid = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
+    ph
+      .withColumn("prev", lag(col("ph"), 1).over(byVid))
+      .withColumn("cut",
+        when(col("prev").isNull || col("prev") =!= col("ph"), 1L)
+          .otherwise(0L))
+      .withColumn("scene_id", sum(col("cut")).over(
+        byVid.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("fi")).as("start_fi"), max(col("fi")).as("end_fi"),
+        count(lit(1)).as("n_frames"), min(col("ph")).as("ph"))
+      .orderBy(col("doc_id"), col("scene_id"))
+  }
+
+  /** Oracle: the edited-plant arithmetic + m06's frame/DCT chain, then
+    * the same lag/running-sum windows. `length`/`substring`/`repeat`
+    * are character-based in both engines (the m06 unit rule). */
+  val m11Sql: String =
+    s"""WITH edited AS (
+      |  SELECT doc_id + 9900000 AS doc_id,
+      |    repeat(substr(text, 1, 64), 4) ||
+      |    repeat(substr(text, 65, 64), 3) ||
+      |    repeat(substr(text, 129, 64), 5) AS text
+      |  FROM documents WHERE doc_id % 9 = 5 AND length(text) >= 192),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM edited),
+      |vids AS (
+      |  SELECT doc_id, text, CAST(length(text) // 64 AS INT) AS nf
+      |  FROM corpus WHERE doc_id % 3 = 2 AND length(text) // 64 > 0),
+      |frames AS (
+      |  SELECT doc_id, CAST(fi AS BIGINT) AS fi,
+      |    substr(text, CAST(fi * 64 + 1 AS INT), 64) AS ftext
+      |  FROM (SELECT doc_id, text, UNNEST(range(0, nf)) AS fi FROM vids)),
+      |${dctSignCtes("frames", "ftext", Seq("doc_id", "fi"), "phx")},
+      |cuts AS (
+      |  SELECT doc_id, fi, ph,
+      |    CASE WHEN lag(ph) OVER w IS NULL OR lag(ph) OVER w <> ph
+      |      THEN 1 ELSE 0 END AS cut
+      |  FROM phx
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY fi)),
+      |scened AS (
+      |  SELECT doc_id, fi, ph,
+      |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY fi
+      |      ROWS UNBOUNDED PRECEDING) AS scene_id
+      |  FROM cuts)
+      |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+      |  MIN(fi) AS start_fi, MAX(fi) AS end_fi,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frames, CAST(MIN(ph) AS BIGINT) AS ph
+      |FROM scened GROUP BY doc_id, scene_id
+      |ORDER BY doc_id, scene_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_scene_detect" -> (m11 _),
     "m10_clip_filter" -> (m10 _),
     "m09_pair_dedup" -> (m09 _),
     "m08_phash_search" -> (m08 _),
@@ -842,6 +948,7 @@ object Multimodal {
     "m04_media_dedup" -> (m04 _),
     "m05_perceptual_dedup" -> (m05 _))
   val oracle: Map[String, String] = Map(
+    "m11_scene_detect" -> m11Sql,
     "m10_clip_filter" -> m10Sql,
     "m09_pair_dedup" -> m09Sql,
     "m08_phash_search" -> m08Sql,

@@ -999,7 +999,76 @@ object Similarity {
       |    AS rank
       |FROM f ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s13
+  /** Filtered vector search — the production vector-DB query mode every
+    * managed index exposes (Qdrant/Milvus/Vespa "filtered ANN", FAISS
+    * IDSelector): top-k restricted to a metadata predicate, here "same
+    * label as the query" (retrieve within the query's category). The
+    * operator is the PRE-filter form — the predicate prunes the corpus
+    * BEFORE ranking, so the result is exact top-10 of the eligible pool
+    * regardless of how selective the filter is. Each row also carries
+    * `postfilter_hit`: would the naive POST-filter plan (rank globally,
+    * filter the global top-50 afterwards — what bolting a WHERE onto
+    * s01 does) have found this neighbor? The misses quantify the
+    * post-filter recall hole (with a ~10 % selective filter, a global
+    * top-50 holds ~5 same-label rows — the classic production incident).
+    *
+    * Scale: predicate + cosine both ride the one corpus scan (the
+    * filter reaches the parquet scan when the predicate is on a stored
+    * column); the two rank paths share that scan, each through
+    * [[topKPerQuery]]'s bounded cells; the comparison join is
+    * query-sized (Q×10 vs Q×50) and broadcast.
+    *
+    * Cross-engine (§5): both ranks on the RAW cosine with vec_id
+    * tie-break (s01), rounding at presentation only.
+    */
+  def s13FilteredSearch(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val q = Tables(spark, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        V.cosine_sim(col("q_vec"), col("embedding")).as("cos"))
+    val pre = topKPerQuery(
+      scored.filter(col("label") === col("q_label")), K, Seq("label"))
+    val global50 = topKPerQuery(scored, 50, Seq.empty)
+      .select(col("q_id"), col("vec_id"), lit(true).as("postfilter_hit"))
+    pre.join(broadcast(global50), Seq("q_id", "vec_id"), "left_outer")
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(col("cos"), 4).as("cos"), col("rank"),
+        coalesce(col("postfilter_hit"), lit(false)).as("postfilter_hit"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Oracle: one scored CTE feeds both the filtered and the global
+    * window rank; postfilter_hit = global rank ≤ 50. */
+  val s13Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec,
+      |    label AS q_label
+      |  FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+      |         list_cosine_similarity(q.q_vec, e.embedding::DOUBLE[]) AS c
+      |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      |fr AS (
+      |  SELECT q_id, vec_id, label, c,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id)
+      |      AS rank
+      |  FROM scored WHERE label = q_label),
+      |g AS (
+      |  SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id)
+      |      AS grank
+      |  FROM scored)
+      |SELECT f.q_id, f.vec_id, f.label, ROUND(f.c, 4) AS cos, f.rank,
+      |  g.grank <= 50 AS postfilter_hit
+      |FROM fr f JOIN g ON f.q_id = g.q_id AND f.vec_id = g.vec_id
+      |WHERE f.rank <= 10 ORDER BY f.q_id, f.rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_filtered_search" -> (s13FilteredSearch _),
     "s12_range_search" -> (s12RangeSearch _),
     "s11_mrl_rerank" -> (s11MrlRerank _),
     "s10_mrl_recall" -> (s10MrlRecall _),
@@ -1014,6 +1083,7 @@ object Similarity {
     "s06_hybrid_search" -> (s06HybridSearch _))
 
   val oracle: Map[String, String] = Map(
+    "s13_filtered_search" -> s13Sql,
     "s12_range_search" -> s12Sql,
     "s11_mrl_rerank" -> s11Sql,
     "s10_mrl_recall" -> s10Sql,

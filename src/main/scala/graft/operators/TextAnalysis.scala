@@ -1197,7 +1197,161 @@ object TextAnalysis {
       |FROM tk LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t20
+  /** The Gopher STRUCTURAL quality battery (Rae et al. 2021 Table A1) —
+    * the heuristic rules t18's repetition gate deliberately left out,
+    * completing the pair: t18 decides on gram statistics (needs a
+    * per-doc gram agg), t20 decides on per-row shape statistics, so it
+    * is a pure map-only gate. Seven rules, every decision an integer
+    * comparison (the p11 no-float discipline):
+    *   r_wc       50 ≤ n_words ≤ 100000
+    *   r_wlen     3 ≤ mean word length ≤ 10   (3·n ≤ Σlen ≤ 10·n)
+    *   r_sym      symbol-to-word ratio ≤ 0.1  (10·(#hash + #ellipsis) ≤ n)
+    *   r_bullet   ≤ 90 % of lines start with a bullet (10·b ≤ 9·lines)
+    *   r_ellipsis ≤ 30 % of lines end with "…" (10·e ≤ 3·lines)
+    *   r_alpha    ≥ 80 % of words contain an alphabetic char (5·a ≥ 4·n)
+    *   r_stop     ≥ 2 distinct function words present
+    * The function-word list is corpus-adapted ({the, a, and, of, to} —
+    * Gopher's {the, be, to, of, and, that, have, with} hits only "the"
+    * in this vocabulary, which would make the rule a constant; the t01
+    * langMarkers precedent: literal lists tuned to the corpus, rule
+    * SHAPE verbatim).
+    *
+    * Plants: four fixed-literal re-entries, each tripping EXACTLY the
+    * rule it names (asserted in the spec): a 100 %-bullet list
+    * (+9.3M), a 40 %-ellipsis-lines page (+9.4M, its symbol ratio kept
+    * ≤ 0.1 by 10-word lines so ONLY the line rule fires), a
+    * hash-spam page (+9.5M, 24 '#' chars over 60 words), and a 2-word
+    * fragment (+9.6M). The bullet plant's alpha fraction lands exactly
+    * ON the 80 % boundary (48·5 = 60·4) — integer algebra keeps the
+    * boundary bit-stable cross-engine where a float ratio would not be.
+    *
+    * Scale: one scan + three filter-reuses of it for the plants, zero
+    * joins/windows/aggregates — scan-bandwidth bound at any corpus
+    * size; the presentation sort is the only exchange (dropped at
+    * 100 TB, kept for oracle determinism).
+    */
+  def t20GopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val bulletBody = Seq.fill(12)("- the alpha and beta").mkString("\n")
+    val ellLine = "the alpha beta gamma a delta epsilon zeta eta theta"
+    val ellBody = (1 to 10)
+      .map(i => if (i % 3 == 0 || i == 10) ellLine + "..." else ellLine)
+      .mkString("\n")
+    val symBody = ("the" +: "a" +: Seq.fill(50)("alpha")) ++ Seq.fill(8)("###")
+    val shortBody = "the a"
+    def plant(m: Int, off: Long, body: String): DataFrame =
+      base.filter(col("doc_id") % 29 === m)
+        .select((col("doc_id") + off).as("doc_id"), lit(body).as("text"))
+    val src = Tables.spread(base
+      .unionAll(plant(3, 9300000L, bulletBody))
+      .unionAll(plant(7, 9400000L, ellBody))
+      .unionAll(plant(11, 9500000L, symBody.mkString(" ")))
+      .unionAll(plant(15, 9600000L, shortBody)))
+    val stats = src.select(col("doc_id"), toks(col("text")).as("ts"),
+        split(col("text"), "\n").as("ls"), col("text"))
+      .select(col("doc_id"),
+        size(col("ts")).cast(LongType).as("n_words"),
+        aggregate(transform(col("ts"), x => length(x).cast(LongType)),
+          lit(0L), (a, x) => a + x).as("sum_len"),
+        size(col("ls")).cast(LongType).as("n_lines"),
+        size(filter(col("ls"), l => l.startsWith("- ")))
+          .cast(LongType).as("bullet_lines"),
+        size(filter(col("ls"), l => l.endsWith("...")))
+          .cast(LongType).as("ellipsis_lines"),
+        size(filter(col("ts"), x => x.rlike("[a-z]")))
+          .cast(LongType).as("alpha_words"),
+        expr("CAST((length(text) - length(replace(text, '#', ''))) + " +
+          "(length(text) - length(replace(text, '...', ''))) div 3 " +
+          "AS BIGINT)").as("n_symbols"),
+        Seq("the", "a", "and", "of", "to")
+          .map(w => array_contains(col("ts"), w).cast("int"))
+          .reduce(_ + _).cast(LongType).as("stop_hits"))
+    stats
+      .withColumn("r_wc", col("n_words") >= 50 && col("n_words") <= 100000L)
+      .withColumn("r_wlen", lit(3) * col("n_words") <= col("sum_len") &&
+        col("sum_len") <= lit(10) * col("n_words"))
+      .withColumn("r_sym", col("n_symbols") * 10 <= col("n_words"))
+      .withColumn("r_bullet", col("bullet_lines") * 10 <= col("n_lines") * 9)
+      .withColumn("r_ellipsis",
+        col("ellipsis_lines") * 10 <= col("n_lines") * 3)
+      .withColumn("r_alpha", col("alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("r_stop", col("stop_hits") >= 2)
+      .withColumn("keep", col("r_wc") && col("r_wlen") && col("r_sym") &&
+        col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+        col("r_stop"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: identical tokenization/line split/replace arithmetic in
+    * DuckDB; the plant literals are built by the same Scala expressions
+    * (one definition, interpolated — the dd17 literal-inlining rule).
+    */
+  val t20Sql: String = {
+    val bulletBody = Seq.fill(12)("- the alpha and beta").mkString("\\n")
+    val ellLine = "the alpha beta gamma a delta epsilon zeta eta theta"
+    val ellBody = (1 to 10)
+      .map(i => if (i % 3 == 0 || i == 10) ellLine + "..." else ellLine)
+      .mkString("\\n")
+    val symBody =
+      (("the" +: "a" +: Seq.fill(50)("alpha")) ++ Seq.fill(8)("###"))
+        .mkString(" ")
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+      |src AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL SELECT doc_id + 9300000,
+      |    replace('$bulletBody', '\\n', chr(10)) FROM base WHERE doc_id % 29 = 3
+      |  UNION ALL SELECT doc_id + 9400000,
+      |    replace('$ellBody', '\\n', chr(10)) FROM base WHERE doc_id % 29 = 7
+      |  UNION ALL SELECT doc_id + 9500000, '$symBody'
+      |    FROM base WHERE doc_id % 29 = 11
+      |  UNION ALL SELECT doc_id + 9600000, 'the a'
+      |    FROM base WHERE doc_id % 29 = 15),
+      |f AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'),
+      |      x -> x <> '') AS ts,
+      |    string_split(text, chr(10)) AS ls, text
+      |  FROM src),
+      |stats AS (
+      |  SELECT doc_id,
+      |    CAST(len(ts) AS BIGINT) AS n_words,
+      |    CAST(COALESCE(list_sum(list_transform(ts, x -> strlen(x))), 0)
+      |      AS BIGINT) AS sum_len,
+      |    CAST(len(ls) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(ls, l -> starts_with(l, '- ')))
+      |      AS BIGINT) AS bullet_lines,
+      |    CAST(len(list_filter(ls, l -> ends_with(l, '...')))
+      |      AS BIGINT) AS ellipsis_lines,
+      |    CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))
+      |      AS BIGINT) AS alpha_words,
+      |    CAST((strlen(text) - strlen(replace(text, '#', ''))) +
+      |      (strlen(text) - strlen(replace(text, '...', ''))) // 3
+      |      AS BIGINT) AS n_symbols,
+      |    CAST(list_contains(ts, 'the')::INT + list_contains(ts, 'a')::INT +
+      |      list_contains(ts, 'and')::INT + list_contains(ts, 'of')::INT +
+      |      list_contains(ts, 'to')::INT AS BIGINT) AS stop_hits
+      |  FROM f)
+      |SELECT *,
+      |  n_words >= 50 AND n_words <= 100000 AS r_wc,
+      |  3 * n_words <= sum_len AND sum_len <= 10 * n_words AS r_wlen,
+      |  n_symbols * 10 <= n_words AS r_sym,
+      |  bullet_lines * 10 <= n_lines * 9 AS r_bullet,
+      |  ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis,
+      |  alpha_words * 5 >= n_words * 4 AS r_alpha,
+      |  stop_hits >= 2 AS r_stop,
+      |  (n_words >= 50 AND n_words <= 100000) AND
+      |  (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AND
+      |  (n_symbols * 10 <= n_words) AND
+      |  (bullet_lines * 10 <= n_lines * 9) AND
+      |  (ellipsis_lines * 10 <= n_lines * 3) AND
+      |  (alpha_words * 5 >= n_words * 4) AND
+      |  (stop_hits >= 2) AS keep
+      |FROM stats ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_gopher_quality" -> (t20GopherQuality _),
     "t19_ccnet_buckets" -> (t19CcnetBuckets _),
     "t18_repetition_filter" -> (t18RepetitionFilter _),
     "t17_fuzzy_contamination" -> (t17FuzzyContamination _),
@@ -1219,6 +1373,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t20_gopher_quality" -> t20Sql,
     "t19_ccnet_buckets" -> t19Sql,
     "t18_repetition_filter" -> t18Sql,
     "t17_fuzzy_contamination" -> graft.functions.KernelOracleSql.t17Sql,

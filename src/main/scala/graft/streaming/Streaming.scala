@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.Tables
 
@@ -1029,10 +1030,12 @@ object Streaming {
     * events, both windows share one user_id exchange. Output ∝ changes,
     * not events.
     */
-  def st14Scd2(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_timestamp(col("ts")).as("sec"))
+  /** The unordered SCD2 version chain over a given event frame
+    * (columns user_id, event_id, event_type, sec), factored so st16's
+    * point-in-time join runs the SAME chain st14 presents over its
+    * planted event set (one definition, no inner presentation sort in
+    * the consumer's plan). */
+  private[graft] def scd2VersionsOf(ev: DataFrame): DataFrame = {
     // (sec, event_id) = the session family's canonical event order (see
     // st02Sessionize) — the change-stream twin folds on exactly this key
     val byUser = Window.partitionBy(col("user_id"))
@@ -1046,8 +1049,16 @@ object Streaming {
       .select(col("user_id"), col("version"), col("event_type"),
         col("sec").as("valid_from_sec"), col("valid_to_sec"),
         col("valid_to_sec").isNull.as("is_current"))
-      .orderBy(col("user_id"), col("version"))
   }
+
+  private def rawEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+
+  def st14Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2VersionsOf(rawEvents(spark, dir))
+      .orderBy(col("user_id"), col("version"))
 
   val st14Sql: String =
     """WITH ev AS (
@@ -1258,9 +1269,157 @@ object Streaming {
     out
   }
 
+  // ---------------------------------------------------------------- st16
+  /** Point-in-time (PIT) correct dimension join — the CONSUMER of
+    * st14's SCD2 table, and the feature-store staple (Feast/Tecton
+    * "point-in-time join"): every fact row joins the attribute version
+    * that was VALID AT ITS EVENT TIME, never a later one — the
+    * train-serve leakage guard. A fact at sec s gets the version with
+    * valid_from ≤ s < valid_to (second granularity: all facts in one
+    * second see that second's FINAL state, so a fact can carry an
+    * `attr` differing from its own event_type when a later change
+    * lands in the same second — the dimension-grain effect the spec
+    * pins).
+    *
+    * Scale: NOT a range join (an interval-overlap theta join explodes
+    * and falls to BroadcastNestedLoop) — the union+last_value AS-OF
+    * shape: version-open markers and facts union into one per-user
+    * timeline ordered by (t, kind, version); a running `last(…,
+    * ignoreNulls)` carries the open version onto every fact. ONE
+    * user_id exchange, window partitions bounded per user (the st02
+    * argument); output ∝ facts. The oracle cross-checks this window
+    * formulation against the literal interval join — two independent
+    * formulations, one semantics.
+    */
+  def st16PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val raw = rawEvents(spark, dir)
+    // Planted same-SECOND attribute changes: every `event_id % 97 == 13`
+    // event re-enters (+5M — sorts after every raw id in its second)
+    // with a "_chg" type at the SAME sec. The natural corpus has zero
+    // same-second type flips, which would leave both the empty-interval
+    // rule and the dimension-grain effect (attr ≠ own event_type)
+    // untested by the oracle; the plants make both live: the original
+    // fact at that second must pick up the plant's version.
+    val planted = raw.filter(col("event_id") % 97 === 13)
+      .select(col("user_id"), (col("event_id") + 5000000L).as("event_id"),
+        concat(col("event_type"), lit("_chg")).as("event_type"),
+        col("sec"))
+    val ev = raw.unionByName(planted)
+    val markers = scd2VersionsOf(ev)
+      .select(col("user_id"), col("valid_from_sec").as("t"),
+        lit(0).as("k"), col("version"), col("event_type").as("attr"),
+        lit(null).cast(LongType).as("event_id"),
+        lit(null).cast(StringType).as("ev_type"))
+    val facts = ev
+      .select(col("user_id"), col("sec").as("t"), lit(1).as("k"),
+        lit(null).cast(LongType).as("version"),
+        lit(null).cast(StringType).as("attr"),
+        col("event_id"), col("event_type").as("ev_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("k"), col("version"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    markers.unionAll(facts)
+      .withColumn("v", last(col("version"), ignoreNulls = true).over(w))
+      .withColumn("a", last(col("attr"), ignoreNulls = true).over(w))
+      .filter(col("k") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("sec"),
+        col("ev_type").as("event_type"), col("v").as("version"),
+        col("a").as("attr"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Oracle: st14's version chain + the LITERAL interval join
+    * (valid_from ≤ sec < valid_to) — empty [S, S) intervals from
+    * two same-second changes self-exclude, so exactly one version
+    * matches every fact. */
+  val st16Sql: String =
+    """WITH raw AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |ev AS (
+      |  SELECT * FROM raw
+      |  UNION ALL
+      |  SELECT user_id, event_id + 5000000, event_type || '_chg', sec
+      |  FROM raw WHERE event_id % 97 = 13),
+      |ch AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_id, event_type, sec,
+      |      lag(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY sec, event_id) AS prev
+      |    FROM ev)
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |v AS (
+      |  SELECT user_id, event_type, sec AS valid_from_sec,
+      |    row_number() OVER w AS version,
+      |    lead(sec) OVER w AS valid_to_sec
+      |  FROM ch
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+      |SELECT e.event_id, e.user_id, e.sec, e.event_type,
+      |  CAST(v.version AS BIGINT) AS version, v.event_type AS attr
+      |FROM ev e JOIN v ON v.user_id = e.user_id
+      |  AND v.valid_from_sec <= e.sec
+      |  AND (v.valid_to_sec IS NULL OR e.sec < v.valid_to_sec)
+      |ORDER BY e.event_id""".stripMargin
+
+  final case class PitOut(event_id: Long, user_id: Long, sec: Long,
+      event_type: String, version: Long, attr: String)
+
+  /** Streaming twin: the fact stream tagged with the version valid at
+    * its event time, maintained from the SAME stream (the st14 fold) —
+    * st02's watermark buffering, folding ripe events per SECOND so
+    * every fact in a second sees that second's final state (the batch
+    * grain). A fact emits exactly once, when its second ripens; the
+    * open version rides in state (st14's no-gap-horizon rule).
+    */
+  def st16Stream(events: Dataset[FunnelEv],
+      latenessSec: Long = 7200L): Dataset[PitOut] = {
+    import events.sparkSession.implicits._
+    events.map(e => FunnelEvW(e.user_id, e.sec, e.event_id, e.event_type,
+        new java.sql.Timestamp(e.sec * 1000L)))
+      .withWatermark("ts", s"$latenessSec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Buf, PitOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[FunnelEvW], state: GroupState[Scd2Buf]) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val st0 = state.getOption
+            .getOrElse(Scd2Buf(Nil, "", 0L, 0L, live = false))
+          val (ripe, pend) = ripen[FunnelLite](wm,
+            st0.pend ++ evs.map(e => FunnelLite(e.sec, e.event_id,
+              e.event_type)), _.sec, _.event_id)
+          var cur: Option[(String, Long, Long)] =
+            if (st0.live) Some((st0.curType, st0.curFrom, st0.version))
+            else None
+          var out = List.empty[PitOut]
+          // per-SECOND fold: all changes of a second apply before any
+          // of its facts emit — the batch interval grain
+          ripe.groupBy(_.sec).toSeq.sortBy(_._1).foreach { case (s, g) =>
+            g.foreach { e =>
+              cur match {
+                case Some((t, _, _)) if t == e.event_type => ()
+                case Some((_, _, v)) =>
+                  cur = Some((e.event_type, e.sec, v + 1))
+                case None => cur = Some((e.event_type, e.sec, 1L))
+              }
+            }
+            val (t, _, v) = cur.get
+            g.foreach(e =>
+              out ::= PitOut(e.event_id, user, e.sec, e.event_type, v, t))
+          }
+          state.update(cur match {
+            case Some((t, f, v)) => Scd2Buf(pend, t, f, v, live = true)
+            case None => Scd2Buf(pend, "", 0L, 0L, live = false)
+          })
+          armSessionWakeup(state, pend.map(_.sec), None)
+          out.reverseIterator
+      }
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_pit_join" -> (st16PitJoin _),
     "st15_ingest_dedup" -> (st15IngestDedup _),
     "st14_scd2" -> (st14Scd2 _),
     "st07_stream_enrich" -> (st07StreamEnrich _),
@@ -1278,6 +1437,7 @@ object Streaming {
     "st13_session_funnel" -> (st13SessionFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "st16_pit_join" -> st16Sql,
     "st15_ingest_dedup" -> graft.functions.KernelOracleSql.st15Sql,
     "st14_scd2" -> st14Sql,
     "st07_stream_enrich" -> st07Sql,

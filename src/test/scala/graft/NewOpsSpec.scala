@@ -9,6 +9,112 @@ import org.apache.spark.sql.functions._
   */
 class NewOpsSpec extends SparkSpec {
 
+  test("t20: each Gopher plant trips exactly its rule; the bullet " +
+      "plant sits ON the integer 80% alpha boundary; base docs are " +
+      "symbol-free single-liners") {
+    val df = SparkEntry.queries("t20_gopher_quality")(spark, sfDir).cache()
+    val allBut = Map(
+      "r_bullet" -> 9300000L, "r_ellipsis" -> 9400000L,
+      "r_sym" -> 9500000L, "r_wc" -> 9600000L)
+    val rules = Seq("r_wc", "r_wlen", "r_sym", "r_bullet", "r_ellipsis",
+      "r_alpha", "r_stop")
+    allBut.foreach { case (failing, off) =>
+      val p = df.filter(col("doc_id").between(off, off + 99999L))
+      assert(p.count() > 0, s"no plants at $off")
+      assert(p.filter(col(failing)).count() == 0, s"$failing passed")
+      // the word-count plant also legitimately fails r_wlen (2 words,
+      // mean length 2) — every other plant fails ONLY its named rule
+      val mustPass = rules.filterNot(r => r == failing ||
+        (failing == "r_wc" && r == "r_wlen"))
+      mustPass.foreach(r =>
+        assert(p.filter(!col(r)).count() == 0, s"$r failed at $off"))
+    }
+    val b = df.filter(col("doc_id").between(9300000L, 9399999L))
+    assert(b.filter(col("alpha_words") =!= 48L || col("n_words") =!= 60L)
+      .count() == 0) // 48·5 = 60·4 exactly — the boundary is integer
+    val base = df.filter(col("doc_id") < 9000000L)
+    assert(base.filter(col("n_symbols") =!= 0L || col("n_lines") =!= 1L)
+      .count() == 0)
+    // keep ≡ conjunction of the seven rules (guards refactors)
+    assert(df.filter(col("keep") =!= rules.map(col).reduce(_ && _))
+      .count() == 0)
+    df.unpersist()
+  }
+
+  test("s13: filtered search stays in-category, its ranks are a true " +
+      "top-10, and postfilter_hit agrees with an independent global " +
+      "top-50 — with real misses") {
+    val df = SparkEntry.queries("s13_filtered_search")(spark, sfDir).cache()
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    // category containment + rank shape
+    assert(df.join(q.select("q_id", "q_label"), "q_id")
+      .filter(col("label") =!= col("q_label")).count() == 0)
+    assert(df.groupBy("q_id").agg(count(lit(1)).as("n"),
+        max("rank").as("mx")).filter(col("n") =!= 10 || col("mx") =!= 10)
+      .count() == 0)
+    // the post-filter recall hole is real on this corpus (~10% filter
+    // selectivity vs a 50-deep global list)
+    assert(df.filter(!col("postfilter_hit")).count() > 0)
+    assert(df.filter(col("postfilter_hit")).count() > 0)
+    // independent global top-50 (plain window rank — fine at spec scale)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("c").desc, col("vec_id"))
+    val g50 = emb.crossJoin(broadcast(q.select("q_id", "q_vec")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.vectors.cosine_sim(col("q_vec"), col("embedding"))
+          .as("c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 50)
+      .select(col("q_id"), col("vec_id"), lit(true).as("in50"))
+    val j = df.join(g50, Seq("q_id", "vec_id"), "left_outer")
+    assert(j.filter(col("postfilter_hit") =!=
+      coalesce(col("in50"), lit(false))).count() == 0)
+    df.unpersist()
+  }
+
+  test("m11: edited plants segment into exactly the 4/3/5 held shots " +
+      "where the three block hashes are distinct; scenes tile every " +
+      "video exactly") {
+    val df = SparkEntry.queries("m11_scene_detect")(spark, sfDir).cache()
+    // premise (m09 assume() discipline): the plant guarantee needs the
+    // three source blocks to hash apart pairwise-adjacently
+    val plantSrc = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 9 === 5 && length(col("text")) >= 192)
+      .select(col("doc_id"),
+        graft.functions.text.dct_sign_hash(expr("substring(text, 1, 64)"))
+          .as("h1"),
+        graft.functions.text.dct_sign_hash(expr("substring(text, 65, 64)"))
+          .as("h2"),
+        graft.functions.text.dct_sign_hash(expr("substring(text, 129, 64)"))
+          .as("h3"))
+    val clean = plantSrc
+      .filter(col("h1") =!= col("h2") && col("h2") =!= col("h3"))
+      .select((col("doc_id") + 9900000L).as("doc_id"))
+    assume(clean.count() > 0, "no hash-distinct plant source at this SF")
+    val ps = df.join(clean, "doc_id").cache()
+    assert(ps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= 3).count() == 0)
+    val shape = Map(1L -> (0L, 3L, 4L), 2L -> (4L, 6L, 3L),
+      3L -> (7L, 11L, 5L))
+    shape.foreach { case (sid, (s, e, n)) =>
+      assert(ps.filter(col("scene_id") === sid && (col("start_fi") =!= s ||
+        col("end_fi") =!= e || col("n_frames") =!= n)).count() == 0,
+        s"scene $sid shape")
+    }
+    ps.unpersist()
+    // structural tiling: scenes of any video partition [0, nf) — first
+    // starts at 0, frame counts sum to the last end + 1
+    assert(df.groupBy("doc_id")
+      .agg(min("start_fi").as("s0"), sum("n_frames").as("nf"),
+        max("end_fi").as("e"))
+      .filter(col("s0") =!= 0L || col("nf") =!= col("e") + 1L)
+      .count() == 0)
+    df.unpersist()
+  }
+
   test("q27: pivot cells partition the joined order count") {
     val df = SparkEntry.queries("q27_pivot")(spark, sfDir)
     val rows = df.collect()

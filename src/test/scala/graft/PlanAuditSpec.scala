@@ -681,4 +681,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters: ["), p)
     assert(p.contains("o_totalprice"), p)
   }
+
+  test("round-10c keys: t20 map-only, s13 broadcast-joined, m11 one " +
+      "scan + per-video windows, st16 range-join-free") {
+    // t20: the ideal gate shape (m10's class) — scans + union + project,
+    // no join/window/aggregate anywhere; the presentation sort is the
+    // only exchange
+    val t20 = finalPlan("t20_gopher_quality")
+    assert(!t20.contains("Join") && !t20.contains("windowspecdefinition") &&
+      !t20.contains("HashAggregate"), t20)
+    // s13: both rank paths ride topKPerQuery's bounded cells; the
+    // global-50 comparison join is query-sized and must broadcast
+    val s13 = finalPlan("s13_filtered_search")
+    val s13fin = s13.split("== Initial Plan ==").head
+    assert(!s13fin.contains("SortMergeJoin") &&
+      !s13fin.contains("CartesianProduct"), s13fin)
+    // m11: ONE documents scan feeds base + edited plants (union of two
+    // reads of the same file is still ≤ 2 scan prints incl. the AQE
+    // initial section); no join; the two windows share the per-video
+    // partition; the per-scene agg is partial (map-side combined)
+    val m11 = finalPlan("m11_scene_detect")
+    assert(!m11.contains("Join"), m11)
+    assert(m11.contains("partial_count") || m11.contains("partial_min"),
+      m11)
+    // st16: the AS-OF shape — NO range join anywhere (an interval theta
+    // join would surface as BroadcastNestedLoop/CartesianProduct); the
+    // timeline union resolves through per-user windows only
+    val st16 = finalPlan("st16_pit_join")
+    assert(!st16.contains("BroadcastNestedLoop") &&
+      !st16.contains("CartesianProduct") && !st16.contains("SortMergeJoin"),
+      st16)
+    assert(st16.contains("windowspecdefinition"), st16)
+  }
 }

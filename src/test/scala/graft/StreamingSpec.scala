@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, date_format, max}
+import org.apache.spark.sql.functions.{col, concat, date_format, lit, max}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.Streaming
@@ -673,6 +673,65 @@ class StreamingSpec extends SparkSpec {
           .filter(_.user_id >= 0)
           .map(o => (o.user_id, o.version) ->
             (o.event_type, o.valid_from_sec, o.valid_to_sec)).toMap
+        assert(got == want, s"seed $seed: ${got.size} vs ${want.size}")
+      } finally q.stop()
+    }
+  }
+
+  test("st16 PIT join: every fact sees its second's FINAL dimension " +
+      "state, the planted same-second flips are the only grain effects") {
+    val df = SparkEntry.queries("st16_pit_join")(spark, sfDir).cache()
+    val raw = Tables(spark, sfDir, "events")
+    val nRaw = raw.count()
+    val nPl = raw.filter(col("event_id") % 97 === 13).count()
+    // the join is total: one output row per fact (raw + planted)
+    assert(df.count() == nRaw + nPl)
+    // grain effect: ONLY the same-second partners of a plant carry an
+    // attr differing from their own event_type, and that attr is
+    // exactly the plant's "_chg" value (the second's final state)
+    val mism = df.filter(col("attr") =!= col("event_type")).cache()
+    assert(mism.count() == nPl, s"${mism.count()} vs $nPl")
+    assert(mism.filter(col("attr") =!=
+      concat(col("event_type"), lit("_chg"))).count() == 0)
+    assert(mism.filter(col("event_id") % 97 =!= 13 ||
+      col("event_id") >= 5000000L).count() == 0)
+    mism.unpersist(); df.unpersist()
+  }
+
+  test("st16 streaming twin: per-fact version tags equal the batch PIT " +
+      "join under random arrival permutations within lateness") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.{FunnelEv, PitOut}
+    // the twin consumes the SAME planted event set the batch key builds
+    val raw = Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "CAST(unix_timestamp(ts) AS BIGINT) AS sec",
+        "event_id", "event_type").as[FunnelEv].collect().toSeq
+    val evs = raw ++ raw.filter(_.event_id % 97 == 13)
+      .map(e => FunnelEv(e.user_id, e.sec, e.event_id + 5000000L,
+        e.event_type + "_chg"))
+    val want = SparkEntry.queries("st16_pit_join")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getString(5))).toMap
+    for (seed <- Seq(5, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val arrival = evs.map(e => (e.sec + rnd.nextInt(3600), e))
+        .sortBy { case (k, e) => (k, e.event_id) }.map(_._2)
+      val input = MemoryStream[FunnelEv]
+      val q = Streaming.st16Stream(input.toDS()).writeStream
+        .format("memory").queryName(s"st16_torture_$seed")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        arrival.grouped((arrival.size / 8) + 1).foreach { chunk =>
+          input.addData(chunk: _*); q.processAllAvailable()
+        }
+        input.addData(FunnelEv(-1L, evs.map(_.sec).max + 1000000L, -1L,
+          "click"))
+        q.processAllAvailable()
+        val got = spark.table(s"st16_torture_$seed").as[PitOut].collect()
+          .filter(_.user_id >= 0)
+          .map(o => o.event_id ->
+            (o.user_id, o.sec, o.event_type, o.version, o.attr)).toMap
         assert(got == want, s"seed $seed: ${got.size} vs ${want.size}")
       } finally q.stop()
     }
