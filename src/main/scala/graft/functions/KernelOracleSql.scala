@@ -636,6 +636,36 @@ object KernelOracleSql {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** p14 oracle: the p11 scoring chain (identical CTEs) + the t16
+    * blocklist count + the stage CASE in integer algebra. */
+  def p14Sql(weights: Seq[Long]): String = {
+    val wl = weights.mkString("[", ", ", "]")
+    val bl = graft.operators.TextAnalysis.blocklistInSql
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, text, $toksExpr AS ts FROM documents),
+       |bs AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(ts, x -> x IN ($bl))) AS BIGINT) AS n_bad,
+       |    CASE WHEN len(ts) < 1 THEN [(${fnv1a("text")}) % 64::HUGEINT]
+       |         ELSE list_transform(ts, t ->
+       |           (((xor(${fnv1a("t")}, 31::HUGEINT))
+       |             * 1099511628211::HUGEINT) % $P64) % 64::HUGEINT)
+       |    END AS bks
+       |  FROM toks),
+       |sc AS (
+       |  SELECT doc_id, source, n_bad,
+       |    CAST(len(bks) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(bks, bk -> ($wl)[CAST(bk AS INT) + 1])),
+       |      (a, x) -> a + x) AS BIGINT) AS score_milli
+       |  FROM bs)
+       |SELECT doc_id, source, n_tokens, n_bad, score_milli,
+       |  CASE WHEN n_bad > 0 OR score_milli <= 0 THEN 'dropped'
+       |       WHEN score_milli * 20 >= n_tokens * 1000 THEN 'anneal'
+       |       ELSE 'pretrain' END AS stage
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** t04 oracle: Rabin-Karp base-257 over raw text bytes finalized with
     * mix64, plus the SimHash — both as signed BIGINT.
     */

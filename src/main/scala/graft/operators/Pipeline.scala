@@ -725,7 +725,49 @@ object Pipeline {
        |FROM documents d JOIN p11 p ON p.doc_id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ---------------------------------------------------------------- p14
+  /** Two-stage curriculum assignment — the pretrain/anneal split modern
+    * recipes run (Llama-3's annealing data, FineWeb-Edu's decay-stage
+    * upsample, MiniCPM's two-phase schedule): the final learning-rate
+    * decay phase re-feeds only the HIGHEST-quality slice, so every doc
+    * gets a stage, not just a keep bit:
+    *   dropped   — fails the t16 blocklist OR the p11 model gate
+    *               (score ≤ 0): never trains
+    *   anneal    — mean milli-weight ≥ 50 (`score·20 ≥ n·1000`, the
+    *               integer cross-multiplication §5 demands — a
+    *               score/n quotient sits on half-way boundaries)
+    *   pretrain  — everything else that survives the gates
+    * Composes the SHIPPED components (t16's literal list, p11's literal
+    * model) rather than new heuristics — the split is policy over
+    * existing signals, which is exactly what the production step is.
+    *
+    * Scale: map-only (the t20/m10 class) — both token pipelines fold
+    * per row; zero shuffle beyond the presentation sort. PlanAuditSpec
+    * pins one scan, no join/window/aggregate.
+    */
+  def p14AnnealSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ts = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.text.shingle_hashes(col("text"), 1).as("hs"),
+        size(filter(ts, x =>
+            x.isin(TextAnalysis.blocklist.map(lit): _*)))
+          .cast(LongType).as("n_bad"))
+      .select(col("doc_id"), col("source"),
+        size(col("hs")).cast(LongType).as("n_tokens"), col("n_bad"),
+        p11Score(col("hs")).as("score_milli"))
+      .withColumn("stage",
+        when(col("n_bad") > 0L || col("score_milli") <= 0L, "dropped")
+          .when(col("score_milli") * 20 >= col("n_tokens") * 1000,
+            "anneal")
+          .otherwise("pretrain"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p14Sql: String = graft.functions.KernelOracleSql.p14Sql(p11Weights)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_anneal_split" -> (p14AnnealSplit _),
     "p12_dataset_card" -> (p12DatasetCard _),
     "p11_quality_classifier" -> (p11QualityClassifier _),
     "p01_clean_pipeline" -> (p01CleanPipeline _),
@@ -742,6 +784,7 @@ object Pipeline {
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
+    "p14_anneal_split" -> p14Sql,
     "p12_dataset_card" -> p12Sql,
     "p11_quality_classifier" -> p11Sql,
     "p01_clean_pipeline" -> p01Sql,

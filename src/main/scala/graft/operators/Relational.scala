@@ -959,8 +959,42 @@ object Relational {
       |GROUP BY s_suppkey, s_name
       |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q34
+  /** Explicit GROUPING SETS — the generalization q25's ROLLUP and q29's
+    * CUBE are shorthands for, exercising a set mix NEITHER can express:
+    * ((rf, ls), (linenumber), ()) — two different dimension branches plus
+    * the grand total, skipping every other combination. Same one-pass
+    * scale shape (map-side set expansion, single shuffle) and the same
+    * 'ALL' sentinel for cross-engine NULL ordering.
+    */
+  def q34(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linenumber")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        coalesce(col("l_linenumber").cast("long"), lit(-1L)).as("ln"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"), col("ln"))
+
+  val q34Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COALESCE(CAST(l_linenumber AS BIGINT), -1) AS ln,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_linenumber), ())
+      |ORDER BY rf, ls, ln""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_grouping_sets" -> (q34 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_topn" -> (q03 _),
@@ -1020,6 +1054,7 @@ object Relational {
     "q22_union" -> q22Sql,
     "q23_orderby_multi" -> q23Sql,
     "q24_date_funcs" -> q24Sql,
+    "q34_grouping_sets" -> q34Sql,
     "q25_rollup" -> q25Sql,
     "q26_set_ops" -> q26Sql,
     "q27_pivot" -> q27Sql,

@@ -9,6 +9,53 @@ import org.apache.spark.sql.functions._
   */
 class NewOpsSpec extends SparkSpec {
 
+  test("p14: the curriculum stages partition the corpus, agree with " +
+      "p11's model and t16's blocklist, and all three are populated") {
+    val df = SparkEntry.queries("p14_anneal_split")(spark, sfDir).cache()
+    // stage algebra re-derived from the emitted integer columns
+    val expected = when(col("n_bad") > 0L || col("score_milli") <= 0L,
+        "dropped")
+      .when(col("score_milli") * 20 >= col("n_tokens") * 1000, "anneal")
+      .otherwise("pretrain")
+    assert(df.filter(col("stage") =!= expected).count() == 0)
+    val byStage = df.groupBy("stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Seq("dropped", "anneal", "pretrain").forall(
+      byStage.getOrElse(_, 0L) > 0L), byStage.toString)
+    assert(byStage.values.sum ==
+      Tables(spark, sfDir, "documents").count())
+    // one model: scores equal p11's, bad counts equal t16's
+    val p11 = SparkEntry.queries("p11_quality_classifier")(spark, sfDir)
+      .select(col("doc_id"), col("score_milli").as("s11"))
+    assert(df.join(p11, "doc_id").filter(col("score_milli") =!= col("s11"))
+      .count() == 0)
+    val t16 = SparkEntry.queries("t16_blocklist_filter")(spark, sfDir)
+      .select(col("doc_id"), col("n_bad").as("b16"))
+    assert(df.join(t16, "doc_id").filter(col("n_bad") =!= col("b16"))
+      .count() == 0)
+    df.unpersist()
+  }
+
+  test("q34: grouping sets reconcile — each branch totals the table, " +
+      "and no cross-branch combination leaks") {
+    val df = SparkEntry.queries("q34_grouping_sets")(spark, sfDir).cache()
+    val total = Tables(spark, sfDir, "lineitem").count()
+    val grand = df.filter(col("rf") === "ALL" && col("ls") === "ALL" &&
+      col("ln") === -1L)
+    assert(grand.count() == 1)
+    assert(grand.head.getAs[Long]("n") == total)
+    // branch 1: (rf, ls) rows tile the table
+    assert(df.filter(col("rf") =!= "ALL" && col("ln") === -1L)
+      .agg(sum("n")).head.getLong(0) == total)
+    // branch 2: (linenumber) rows tile the table
+    assert(df.filter(col("ln") =!= -1L)
+      .agg(sum("n")).head.getLong(0) == total)
+    // no row mixes the two dimension branches
+    assert(df.filter(col("rf") =!= "ALL" && col("ln") =!= -1L).count() == 0)
+    assert(df.filter(col("rf") === "ALL" && col("ls") =!= "ALL").count() == 0)
+    df.unpersist()
+  }
+
   test("t20: each Gopher plant trips exactly its rule; the bullet " +
       "plant sits ON the integer 80% alpha boundary; base docs are " +
       "symbol-free single-liners") {

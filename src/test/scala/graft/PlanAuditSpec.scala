@@ -712,5 +712,15 @@ class PlanAuditSpec extends SparkSpec {
       !st16.contains("CartesianProduct") && !st16.contains("SortMergeJoin"),
       st16)
     assert(st16.contains("windowspecdefinition"), st16)
+    // p14: map-only policy over shipped literals (the m10/t20 class)
+    val p14 = finalPlan("p14_anneal_split")
+    assert(!p14.contains("Join") && !p14.contains("windowspecdefinition") &&
+      !p14.contains("HashAggregate"), p14)
+    // q34: grouping sets expand map-side into ONE aggregation pass —
+    // an Expand + partial agg, no join, no second shuffle
+    val q34 = finalPlan("q34_grouping_sets")
+    assert(q34.contains("Expand"), q34)
+    assert(!q34.contains("Join"), q34)
+    assert(q34.contains("partial_count"), q34)
   }
 }
