@@ -636,34 +636,26 @@ object KernelOracleSql {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
-  /** p14 oracle: the p11 scoring chain (identical CTEs) + the t16
-    * blocklist count + the stage CASE in integer algebra. */
-  def p14Sql(weights: Seq[Long]): String = {
-    val wl = weights.mkString("[", ", ", "]")
-    val bl = graft.operators.TextAnalysis.blocklistInSql
-    s"""WITH toks AS (
-       |  SELECT doc_id, source, text, $toksExpr AS ts FROM documents),
-       |bs AS (
+  /** p14 oracle: COMPOSES the p11 scoring chain (the p12 pattern — one
+    * definition of the bit-critical CTEs, no drift) with a blocklist
+    * count over the SAME kernel-exact tokenizer, then the stage CASE in
+    * integer algebra. The blocklist arrives as a parameter like the
+    * weights — this module stays a standalone oracle library. */
+  def p14Sql(weights: Seq[Long], blocklist: Seq[String]): String = {
+    val bl = blocklist.map(w => s"'$w'").mkString(", ")
+    s"""WITH p11 AS (
+       |  SELECT doc_id, n_tokens, score_milli FROM (${p11Sql(weights)})),
+       |bad AS (
        |  SELECT doc_id, source,
-       |    CAST(len(list_filter(ts, x -> x IN ($bl))) AS BIGINT) AS n_bad,
-       |    CASE WHEN len(ts) < 1 THEN [(${fnv1a("text")}) % 64::HUGEINT]
-       |         ELSE list_transform(ts, t ->
-       |           (((xor(${fnv1a("t")}, 31::HUGEINT))
-       |             * 1099511628211::HUGEINT) % $P64) % 64::HUGEINT)
-       |    END AS bks
-       |  FROM toks),
-       |sc AS (
-       |  SELECT doc_id, source, n_bad,
-       |    CAST(len(bks) AS BIGINT) AS n_tokens,
-       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(bks, bk -> ($wl)[CAST(bk AS INT) + 1])),
-       |      (a, x) -> a + x) AS BIGINT) AS score_milli
-       |  FROM bs)
-       |SELECT doc_id, source, n_tokens, n_bad, score_milli,
-       |  CASE WHEN n_bad > 0 OR score_milli <= 0 THEN 'dropped'
-       |       WHEN score_milli * 20 >= n_tokens * 1000 THEN 'anneal'
+       |    CAST(len(list_filter($toksExpr, x -> x IN ($bl)))
+       |      AS BIGINT) AS n_bad
+       |  FROM documents)
+       |SELECT b.doc_id, b.source, p.n_tokens, b.n_bad, p.score_milli,
+       |  CASE WHEN b.n_bad > 0 OR p.score_milli <= 0 THEN 'dropped'
+       |       WHEN p.score_milli * 20 >= p.n_tokens * 1000 THEN 'anneal'
        |       ELSE 'pretrain' END AS stage
-       |FROM sc ORDER BY doc_id""".stripMargin
+       |FROM bad b JOIN p11 p ON p.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
   }
 
   /** t04 oracle: Rabin-Karp base-257 over raw text bytes finalized with

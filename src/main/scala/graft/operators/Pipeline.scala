@@ -746,7 +746,14 @@ object Pipeline {
     * pins one scan, no join/window/aggregate.
     */
   def p14AnnealSplit(spark: SparkSession, dir: String): DataFrame = {
-    val ts = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    // KERNEL-exact tokenizer (the dd14 form, = the oracle's toksExpr and
+    // the shingle kernel feeding n_tokens/score): Java \s+ would also
+    // split on \f/\x0B and could disagree with both on degenerate
+    // whitespace (review r10c) — n_bad and n_tokens must count over ONE
+    // token stream. t16 keeps Java \s+; the spec's doc-for-doc equality
+    // with t16 holds on this corpus (space/\t/\n only), not on \f.
+    val ts = filter(split(lower(col("text")), "[ \\t\\n\\r]+"),
+      x => x =!= "")
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         graft.functions.text.shingle_hashes(col("text"), 1).as("hs"),
@@ -764,7 +771,9 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  val p14Sql: String = graft.functions.KernelOracleSql.p14Sql(p11Weights)
+  val p14Sql: String =
+    graft.functions.KernelOracleSql.p14Sql(p11Weights,
+      TextAnalysis.blocklist)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p14_anneal_split" -> (p14AnnealSplit _),
