@@ -358,6 +358,25 @@ object Multimodal {
     * emission, shared-count shuffle ∝ candidate pairs; frame text never
     * shuffles, only 64-bit hashes and ids.
     */
+  /** Shared 64-byte stub-codec frame pipeline (m06/m11 — ONE definition
+    * of the frame geometry and hash seam, the scd2VersionsOf pattern):
+    * the video third of a corpus exploded into per-frame DCT-sign
+    * hashes (doc_id, fi, ph). 64-byte frames at stride 1: the geometry
+    * is a stub-codec parameter, sized to THIS corpus (median video 267
+    * bytes — m03's 256-byte blocks would leave every video a single
+    * frame and any frame-level measure vacuous). */
+  private def framePhashes(corpus: DataFrame): DataFrame =
+    corpus.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) / lit(64)).cast("int").as("nf"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), col("text"),
+        explode_outer(sequence(lit(0), col("nf") - 1)).as("fi"))
+      .select(col("doc_id"), col("fi").cast(LongType).as("fi"),
+        graft.functions.text
+          .dct_sign_hash(expr("substring(text, fi * 64 + 1, 64)"))
+          .as("ph"))
+
   def m06(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
@@ -366,24 +385,13 @@ object Multimodal {
         .select((col("doc_id") + 999999L).as("doc_id"),
           expr("substring(text, 1, greatest(length(text) - 80, 0))")
             .as("text")))
-    // 64-byte frames at stride 1: the frame geometry is a stub-codec
-    // parameter, sized to THIS corpus (median video 267 bytes — m03's
-    // 256-byte blocks would leave every video a single frame and the
-    // containment measure vacuous)
-    val vids = corpus.filter(col("doc_id") % 3 === 2)
-      .select(col("doc_id"), col("text"),
-        (length(col("text")) / lit(64)).cast("int").as("nf"))
-      .filter(col("nf") > 0)
     // per-video frame-hash SET (containment is over sets); checkpointed
     // because TWO aggregations (per-video counts, per-hash buckets)
     // shuffle it on different keys — exchange reuse can't unify them,
     // and without the pin each consumer re-scans and re-hashes every
     // frame (the dd11 multi-consumer discipline)
-    val ph = vids
-      .select(col("doc_id"), col("text"),
-        explode_outer(sequence(lit(0), col("nf") - 1)).as("fi"))
-      .select(col("doc_id"), graft.functions.text
-        .dct_sign_hash(expr("substring(text, fi * 64 + 1, 64)")).as("ph"))
+    val ph = framePhashes(corpus)
+      .select(col("doc_id"), col("ph"))
       .distinct()
       .localCheckpoint(false)
     val counts = ph.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -872,17 +880,7 @@ object Multimodal {
           expr("repeat(substring(text, 1, 64), 4)"),
           expr("repeat(substring(text, 65, 64), 3)"),
           expr("repeat(substring(text, 129, 64), 5)")).as("text"))
-    val vids = docs.unionAll(edited)
-      .filter(col("doc_id") % 3 === 2)
-      .select(col("doc_id"), col("text"),
-        (length(col("text")) / lit(64)).cast("int").as("nf"))
-      .filter(col("nf") > 0)
-    val ph = vids
-      .select(col("doc_id"), col("text"),
-        explode_outer(sequence(lit(0), col("nf") - 1)).as("fi"))
-      .select(col("doc_id"), col("fi").cast(LongType).as("fi"),
-        graft.functions.text
-          .dct_sign_hash(expr("substring(text, fi * 64 + 1, 64)")).as("ph"))
+    val ph = framePhashes(docs.unionAll(edited))
     val byVid = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
     ph
       .withColumn("prev", lag(col("ph"), 1).over(byVid))

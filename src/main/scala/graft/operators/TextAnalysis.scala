@@ -1231,23 +1231,33 @@ object TextAnalysis {
     * size; the presentation sort is the only exchange (dropped at
     * 100 TB, kept for oracle determinism).
     */
+  // ONE definition of every t20 plant body and the function-word list,
+  // interpolated into BOTH engines (the dd17 literal-inlining rule made
+  // true — review r10c: the oracle previously re-built private copies)
+  private[graft] val t20BulletBody: String =
+    Seq.fill(12)("- the alpha and beta").mkString("\n")
+  private[graft] val t20EllBody: String = {
+    val line = "the alpha beta gamma a delta epsilon zeta eta theta"
+    (1 to 10).map(i => if (i % 3 == 0 || i == 10) line + "..." else line)
+      .mkString("\n")
+  }
+  private[graft] val t20SymBody: String =
+    (("the" +: "a" +: Seq.fill(50)("alpha")) ++ Seq.fill(8)("###"))
+      .mkString(" ")
+  private[graft] val t20ShortBody: String = "the a"
+  private[graft] val t20StopWords: Seq[String] =
+    Seq("the", "a", "and", "of", "to")
+
   def t20GopherQuality(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val bulletBody = Seq.fill(12)("- the alpha and beta").mkString("\n")
-    val ellLine = "the alpha beta gamma a delta epsilon zeta eta theta"
-    val ellBody = (1 to 10)
-      .map(i => if (i % 3 == 0 || i == 10) ellLine + "..." else ellLine)
-      .mkString("\n")
-    val symBody = ("the" +: "a" +: Seq.fill(50)("alpha")) ++ Seq.fill(8)("###")
-    val shortBody = "the a"
     def plant(m: Int, off: Long, body: String): DataFrame =
       base.filter(col("doc_id") % 29 === m)
         .select((col("doc_id") + off).as("doc_id"), lit(body).as("text"))
     val src = Tables.spread(base
-      .unionAll(plant(3, 9300000L, bulletBody))
-      .unionAll(plant(7, 9400000L, ellBody))
-      .unionAll(plant(11, 9500000L, symBody.mkString(" ")))
-      .unionAll(plant(15, 9600000L, shortBody)))
+      .unionAll(plant(3, 9300000L, t20BulletBody))
+      .unionAll(plant(7, 9400000L, t20EllBody))
+      .unionAll(plant(11, 9500000L, t20SymBody))
+      .unionAll(plant(15, 9600000L, t20ShortBody)))
     val stats = src.select(col("doc_id"), toks(col("text")).as("ts"),
         split(col("text"), "\n").as("ls"), col("text"))
       .select(col("doc_id"),
@@ -1264,7 +1274,7 @@ object TextAnalysis {
         expr("CAST((length(text) - length(replace(text, '#', ''))) + " +
           "(length(text) - length(replace(text, '...', ''))) div 3 " +
           "AS BIGINT)").as("n_symbols"),
-        Seq("the", "a", "and", "of", "to")
+        t20StopWords
           .map(w => array_contains(col("ts"), w).cast("int"))
           .reduce(_ + _).cast(LongType).as("stop_hits"))
     stats
@@ -1288,14 +1298,11 @@ object TextAnalysis {
     * (one definition, interpolated — the dd17 literal-inlining rule).
     */
   val t20Sql: String = {
-    val bulletBody = Seq.fill(12)("- the alpha and beta").mkString("\\n")
-    val ellLine = "the alpha beta gamma a delta epsilon zeta eta theta"
-    val ellBody = (1 to 10)
-      .map(i => if (i % 3 == 0 || i == 10) ellLine + "..." else ellLine)
-      .mkString("\\n")
-    val symBody =
-      (("the" +: "a" +: Seq.fill(50)("alpha")) ++ Seq.fill(8)("###"))
-        .mkString(" ")
+    // the SHARED plant bodies, newline-escaped for the SQL literal
+    val bulletBody = t20BulletBody.replace("\n", "\\n")
+    val ellBody = t20EllBody.replace("\n", "\\n")
+    val stopSum = t20StopWords
+      .map(w => s"list_contains(ts, '$w')::INT").mkString(" + ")
     s"""WITH base AS (SELECT doc_id, text FROM documents),
       |src AS (
       |  SELECT doc_id, text FROM base
@@ -1303,9 +1310,9 @@ object TextAnalysis {
       |    replace('$bulletBody', '\\n', chr(10)) FROM base WHERE doc_id % 29 = 3
       |  UNION ALL SELECT doc_id + 9400000,
       |    replace('$ellBody', '\\n', chr(10)) FROM base WHERE doc_id % 29 = 7
-      |  UNION ALL SELECT doc_id + 9500000, '$symBody'
+      |  UNION ALL SELECT doc_id + 9500000, '$t20SymBody'
       |    FROM base WHERE doc_id % 29 = 11
-      |  UNION ALL SELECT doc_id + 9600000, 'the a'
+      |  UNION ALL SELECT doc_id + 9600000, '$t20ShortBody'
       |    FROM base WHERE doc_id % 29 = 15),
       |f AS (
       |  SELECT doc_id,
@@ -1316,7 +1323,7 @@ object TextAnalysis {
       |stats AS (
       |  SELECT doc_id,
       |    CAST(len(ts) AS BIGINT) AS n_words,
-      |    CAST(COALESCE(list_sum(list_transform(ts, x -> strlen(x))), 0)
+      |    CAST(COALESCE(list_sum(list_transform(ts, x -> length(x))), 0)
       |      AS BIGINT) AS sum_len,
       |    CAST(len(ls) AS BIGINT) AS n_lines,
       |    CAST(len(list_filter(ls, l -> starts_with(l, '- ')))
@@ -1325,12 +1332,10 @@ object TextAnalysis {
       |      AS BIGINT) AS ellipsis_lines,
       |    CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))
       |      AS BIGINT) AS alpha_words,
-      |    CAST((strlen(text) - strlen(replace(text, '#', ''))) +
-      |      (strlen(text) - strlen(replace(text, '...', ''))) // 3
+      |    CAST((length(text) - length(replace(text, '#', ''))) +
+      |      (length(text) - length(replace(text, '...', ''))) // 3
       |      AS BIGINT) AS n_symbols,
-      |    CAST(list_contains(ts, 'the')::INT + list_contains(ts, 'a')::INT +
-      |      list_contains(ts, 'and')::INT + list_contains(ts, 'of')::INT +
-      |      list_contains(ts, 'to')::INT AS BIGINT) AS stop_hits
+      |    CAST($stopSum AS BIGINT) AS stop_hits
       |  FROM f)
       |SELECT *,
       |  n_words >= 50 AND n_words <= 100000 AS r_wc,

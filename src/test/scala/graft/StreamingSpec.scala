@@ -686,15 +686,28 @@ class StreamingSpec extends SparkSpec {
     val nPl = raw.filter(col("event_id") % 97 === 13).count()
     // the join is total: one output row per fact (raw + planted)
     assert(df.count() == nRaw + nPl)
-    // grain effect: ONLY the same-second partners of a plant carry an
-    // attr differing from their own event_type, and that attr is
-    // exactly the plant's "_chg" value (the second's final state)
+    // grain effect: EXACTLY the raw events sharing a (user, second)
+    // with a plant carry an attr differing from their own event_type —
+    // derived from the data, not assumed (a raw co-event in a plant's
+    // second also inherits the "_chg" state; review r10c)
+    val rawSec = raw.select(col("user_id"),
+      org.apache.spark.sql.functions.unix_timestamp(col("ts")).as("sec"),
+      col("event_id"))
+    val plantLoc = rawSec.filter(col("event_id") % 97 === 13)
+      .select("user_id", "sec").distinct()
+    val expectedMism = rawSec.join(plantLoc, Seq("user_id", "sec"))
+      .select("event_id").distinct().count()
     val mism = df.filter(col("attr") =!= col("event_type")).cache()
-    assert(mism.count() == nPl, s"${mism.count()} vs $nPl")
+    assert(mism.count() == expectedMism,
+      s"${mism.count()} vs $expectedMism")
+    assert(expectedMism >= nPl) // each plant's own source co-locates
     assert(mism.filter(col("attr") =!=
       concat(col("event_type"), lit("_chg"))).count() == 0)
-    assert(mism.filter(col("event_id") % 97 =!= 13 ||
-      col("event_id") >= 5000000L).count() == 0)
+    // every mismatched fact sits in a planted second
+    val pl2 = plantLoc.withColumnRenamed("user_id", "u2")
+      .withColumnRenamed("sec", "s2")
+    assert(mism.join(pl2, mism("user_id") === pl2("u2") &&
+      mism("sec") === pl2("s2"), "left_anti").count() == 0)
     mism.unpersist(); df.unpersist()
   }
 
