@@ -22,8 +22,12 @@ object Similarity {
 
   private val K = 10
 
+  /** ONE definition of the query-set predicate — s13's labeled variant
+    * must stay in lockstep with the family's (review r10c). */
+  private val queryPred: Column = col("vec_id") < 5
+
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings").filter(col("vec_id") < 5)
+    Tables(spark, dir, "embeddings").filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
 
   /** Map-only nearest-centroid assignment (shared by s02's IVF build and
@@ -1013,9 +1017,11 @@ object Similarity {
     * post-filter recall hole (with a ~10 % selective filter, a global
     * top-50 holds ~5 same-label rows — the classic production incident).
     *
-    * Scale: predicate + cosine both ride the one corpus scan (the
-    * filter reaches the parquet scan when the predicate is on a stored
-    * column); the two rank paths share that scan, each through
+    * Scale: ONE corpus scan + cosine pass — the scored frame is
+    * localCheckpoint-pinned (the dd11/m06 multi-consumer discipline)
+    * because the two rank paths diverge BEFORE any exchange, so
+    * ReuseExchange could not unify them and each would otherwise
+    * re-scan and re-score the corpus; both paths then rank through
     * [[topKPerQuery]]'s bounded cells; the comparison join is
     * query-sized (Q×10 vs Q×50) and broadcast.
     *
@@ -1024,13 +1030,14 @@ object Similarity {
     */
   def s13FilteredSearch(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables(spark, dir, "embeddings")
-    val q = Tables(spark, dir, "embeddings").filter(col("vec_id") < 5)
+    val q = Tables(spark, dir, "embeddings").filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("label").as("q_label"))
     val scored = corpus.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
         V.cosine_sim(col("q_vec"), col("embedding")).as("cos"))
+      .localCheckpoint(false) // one scan + score pass feeds BOTH ranks
     val pre = topKPerQuery(
       scored.filter(col("label") === col("q_label")), K, Seq("label"))
     val global50 = topKPerQuery(scored, 50, Seq.empty)

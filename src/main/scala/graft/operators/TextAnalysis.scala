@@ -1226,7 +1226,7 @@ object TextAnalysis {
     * ON the 80 % boundary (48·5 = 60·4) — integer algebra keeps the
     * boundary bit-stable cross-engine where a float ratio would not be.
     *
-    * Scale: one scan + three filter-reuses of it for the plants, zero
+    * Scale: one scan + four filter-reuses of it for the plants, zero
     * joins/windows/aggregates — scan-bandwidth bound at any corpus
     * size; the presentation sort is the only exchange (dropped at
     * 100 TB, kept for oracle determinism).
@@ -1345,13 +1345,8 @@ object TextAnalysis {
       |  ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis,
       |  alpha_words * 5 >= n_words * 4 AS r_alpha,
       |  stop_hits >= 2 AS r_stop,
-      |  (n_words >= 50 AND n_words <= 100000) AND
-      |  (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AND
-      |  (n_symbols * 10 <= n_words) AND
-      |  (bullet_lines * 10 <= n_lines * 9) AND
-      |  (ellipsis_lines * 10 <= n_lines * 3) AND
-      |  (alpha_words * 5 >= n_words * 4) AND
-      |  (stop_hits >= 2) AS keep
+      |  r_wc AND r_wlen AND r_sym AND r_bullet AND r_ellipsis AND
+      |  r_alpha AND r_stop AS keep
       |FROM stats ORDER BY doc_id""".stripMargin
   }
 

@@ -1294,14 +1294,19 @@ object Streaming {
   def st16PitJoin(spark: SparkSession, dir: String): DataFrame = {
     val raw = rawEvents(spark, dir)
     // Planted same-SECOND attribute changes: every `event_id % 97 == 13`
-    // event re-enters (+5M — sorts after every raw id in its second)
-    // with a "_chg" type at the SAME sec. The natural corpus has zero
-    // same-second type flips, which would leave both the empty-interval
-    // rule and the dimension-grain effect (attr ≠ own event_type)
-    // untested by the oracle; the plants make both live: the original
-    // fact at that second must pick up the plant's version.
+    // event re-enters with a "_chg" type at the SAME sec. The natural
+    // corpus has zero same-second type flips, which would leave both the
+    // empty-interval rule and the dimension-grain effect (attr ≠ own
+    // event_type) untested by the oracle; the plants make both live: the
+    // original fact at that second must pick up the plant's version.
+    // Plant ids offset by max(event_id)+1 — provably past every raw id
+    // at ANY scale factor (a fixed +5M would collide once events outgrow
+    // it and silently corrupt the within-second order all three
+    // formulations share — review r10c); the one-row agg broadcasts.
+    val mx = raw.agg((max(col("event_id")) + 1L).as("__mx"))
     val planted = raw.filter(col("event_id") % 97 === 13)
-      .select(col("user_id"), (col("event_id") + 5000000L).as("event_id"),
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"), (col("event_id") + col("__mx")).as("event_id"),
         concat(col("event_type"), lit("_chg")).as("event_type"),
         col("sec"))
     val ev = raw.unionByName(planted)
@@ -1340,7 +1345,9 @@ object Streaming {
       |ev AS (
       |  SELECT * FROM raw
       |  UNION ALL
-      |  SELECT user_id, event_id + 5000000, event_type || '_chg', sec
+      |  SELECT user_id,
+      |    event_id + (SELECT MAX(event_id) + 1 FROM raw),
+      |    event_type || '_chg', sec
       |  FROM raw WHERE event_id % 97 = 13),
       |ch AS (
       |  SELECT * FROM (

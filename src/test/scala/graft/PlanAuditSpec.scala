@@ -705,12 +705,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(m11.contains("partial_count") || m11.contains("partial_min"),
       m11)
     // st16: the AS-OF shape — NO range join anywhere (an interval theta
-    // join would surface as BroadcastNestedLoop/CartesianProduct); the
-    // timeline union resolves through per-user windows only
+    // join would explode row counts; the timeline union resolves through
+    // per-user windows only). The permitted BroadcastNestedLoops are the
+    // plant offset's 1-row max(event_id) scalar attach — bounded by
+    // construction, not a join of data-sized sides — which appears once
+    // per planted-union consumer (markers chain + facts = 2; re-scanning
+    // events twice beats checkpointing a fact-table-sized frame).
     val st16 = finalPlan("st16_pit_join")
-    assert(!st16.contains("BroadcastNestedLoop") &&
-      !st16.contains("CartesianProduct") && !st16.contains("SortMergeJoin"),
-      st16)
+    assert(st16.split("== Initial Plan ==").head.linesIterator
+      .count(_.contains("BroadcastNestedLoop")) <= 2, st16)
+    assert(!st16.contains("CartesianProduct") &&
+      !st16.contains("SortMergeJoin"), st16)
     assert(st16.contains("windowspecdefinition"), st16)
     // p14: map-only policy over shipped literals (the m10/t20 class)
     val p14 = finalPlan("p14_anneal_split")

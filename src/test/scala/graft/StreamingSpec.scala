@@ -719,8 +719,9 @@ class StreamingSpec extends SparkSpec {
     val raw = Tables(spark, sfDir, "events")
       .selectExpr("user_id", "CAST(unix_timestamp(ts) AS BIGINT) AS sec",
         "event_id", "event_type").as[FunnelEv].collect().toSeq
+    val mx = raw.map(_.event_id).max + 1
     val evs = raw ++ raw.filter(_.event_id % 97 == 13)
-      .map(e => FunnelEv(e.user_id, e.sec, e.event_id + 5000000L,
+      .map(e => FunnelEv(e.user_id, e.sec, e.event_id + mx,
         e.event_type + "_chg"))
     val want = SparkEntry.queries("st16_pit_join")(spark, sfDir).collect()
       .map(r => r.getLong(0) ->
