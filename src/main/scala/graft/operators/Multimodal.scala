@@ -880,9 +880,17 @@ object Multimodal {
           expr("repeat(substring(text, 1, 64), 4)"),
           expr("repeat(substring(text, 65, 64), 3)"),
           expr("repeat(substring(text, 129, 64), 5)")).as("text"))
-    val ph = framePhashes(docs.unionAll(edited))
+    sceneSegments(docs.unionAll(edited))
+      .orderBy(col("doc_id"), col("scene_id"))
+  }
+
+  /** The scene-segmentation core over any (doc_id, text) corpus —
+    * factored so the degenerate-corpus scale audit (ScaleAuditSpec)
+    * can prove the 1-scene / frame-per-scene extremes on synthetic
+    * videos through the exact production algebra. */
+  private[graft] def sceneSegments(corpus: DataFrame): DataFrame = {
     val byVid = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
-    ph
+    framePhashes(corpus)
       .withColumn("prev", lag(col("ph"), 1).over(byVid))
       .withColumn("cut",
         when(col("prev").isNull || col("prev") =!= col("ph"), 1L)
@@ -892,7 +900,6 @@ object Multimodal {
       .groupBy(col("doc_id"), col("scene_id"))
       .agg(min(col("fi")).as("start_fi"), max(col("fi")).as("end_fi"),
         count(lit(1)).as("n_frames"), min(col("ph")).as("ph"))
-      .orderBy(col("doc_id"), col("scene_id"))
   }
 
   /** Oracle: the edited-plant arithmetic + m06's frame/DCT chain, then

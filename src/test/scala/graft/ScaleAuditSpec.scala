@@ -140,4 +140,41 @@ class ScaleAuditSpec extends SparkSpec {
     assert(lmB.queryExecution.toRdd.count() == 0)
     assert(collectAggOutputRows(lmB) == 0L)
   }
+
+  test("m11 scene extremes: a held-shot corpus collapses to ONE scene " +
+      "per video, a max-motion corpus emits frame-per-scene — output " +
+      "∝ scenes at both ends") {
+    import org.apache.spark.sql.functions.{concat_ws, lit => l}
+    // 50 stub videos (ids ≡ 2 mod 3 keeps the video class) of 8 frames
+    // each. Held-shot: one 64-char block repeated 8× → every adjacent
+    // pHash equal → exactly one scene of 8 frames. Max-motion: eight
+    // blocks of single repeated letters — maximally separated 64-bin
+    // histograms, so adjacent pHashes differ (premise asserted through
+    // the kernel, the m09 assume() discipline) → 8 one-frame scenes.
+    val held = spark.range(50).select((col("id") * 3 + 2).as("doc_id"),
+      l("a" * 512).as("text"))
+    val hs = graft.operators.Multimodal.sceneSegments(held).cache()
+    assert(hs.groupBy("doc_id").count().filter(col("count") =!= 1L)
+      .count() == 0, "a held shot split into multiple scenes")
+    assert(hs.filter(col("n_frames") =!= 8L || col("start_fi") =!= 0L ||
+      col("end_fi") =!= 7L).count() == 0)
+    hs.unpersist()
+    // letters 4 codepoints apart: the stub histogram bins on ord/4, so
+    // adjacent letters share a bin and hash identically ('a'..'h' all
+    // collided) — these eight each own a distinct bin
+    val letters = Seq('a', 'e', 'i', 'm', 'q', 'u', 'y', '1')
+    val motionText = letters.map(c => c.toString * 64).mkString
+    val motion = spark.range(50).select((col("id") * 3 + 2).as("doc_id"),
+      l(motionText).as("text"))
+    // premise: the eight single-letter blocks hash pairwise distinct
+    val hashes = letters.map(c => graft.functions.TextHashes
+      .dctSignHash(org.apache.spark.unsafe.types.UTF8String
+        .fromString(c.toString * 64)))
+    assume(hashes.distinct.size == 8, "single-letter blocks collide")
+    val ms = graft.operators.Multimodal.sceneSegments(motion).cache()
+    assert(ms.groupBy("doc_id").count().filter(col("count") =!= 8L)
+      .count() == 0, "max-motion video did not cut at every frame")
+    assert(ms.filter(col("n_frames") =!= 1L).count() == 0)
+    ms.unpersist()
+  }
 }
