@@ -987,6 +987,13 @@ class StreamingSpec extends SparkSpec {
         yield FunnelEv(u, h * 3600L, u * 100 + h, "click")): _*)
     }
 
+    val in16 = MemoryStream[FunnelEv]
+    val (s16Rows, s16To) = run("st16", Streaming.st16Stream(in16.toDS).toDF,
+      "append") { () =>
+      in16.addData((for { u <- users; h <- hours }
+        yield FunnelEv(u, h * 3600L, u * 100 + h, "click")): _*)
+    }
+
     // -- entity-keyed twin whose state VALUE is time-bounded internally:
     // one state row per event_type; the value holds open windows (purged
     // on watermark closure inside the function) + a trailing-3 ring
@@ -1022,6 +1029,10 @@ class StreamingSpec extends SparkSpec {
         "user_id — lateness event buffer + the open SCD2 version per " +
           "user; timeout only ripens the buffer (the current version " +
           "is open-ended by design)"),
+      ("st16", s16To, s16Rows, users.size.toLong, "EventTimeTimeout",
+        "user_id — st14's exact state shape (lateness buffer + open " +
+          "version); facts emit once their SECOND ripens, the version " +
+          "rides in state"),
       ("st12", s12To, s12Rows, 2L, "EventTimeTimeout",
         "event_type — entity-keyed ROWS; the VALUE is horizon-bounded by " +
           "timeout-driven closure: sealed windows leave the open map " +
