@@ -104,4 +104,24 @@ class TablesLayoutSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("normalizeEmbedding"))
   }
+
+  test("corpus contract: document text stays in printable ASCII + " +
+      "{tab, newline, CR} — the premise the tokenizer/length debt " +
+      "rests on") {
+    // SURVEY §5 (round 10c): the t-family's `\s+`-both-sides oracle
+    // pairs and any byte-vs-character length pairing are latent ONLY
+    // while no document contains \f, \x0B, or a multibyte codepoint.
+    // This pins the premise: if the testdata generator ever emits such
+    // a character, the round fails HERE with the contract named,
+    // instead of as an unexplained oracle hash mismatch on a dozen
+    // text keys. (Spark regex: printable ASCII \x20-\x7E plus the
+    // three blessed whitespace chars; rlike is codepoint-based.)
+    val offenders = Tables(spark, sfDir, "documents")
+      .filter(!col("text").rlike("\\A[\\x20-\\x7E\\t\\n\\r]*\\z"))
+    assert(offenders.count() == 0,
+      "document text violates the ASCII+{\\t,\\n,\\r} corpus contract " +
+        "that SURVEY §5's tokenizer/length debt rests on — fix the " +
+        "affected oracles (kernel-exact charset + character length) " +
+        "before trusting text-key parity")
+  }
 }
