@@ -658,6 +658,47 @@ object KernelOracleSql {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  /** p15 oracle: the p11 bucket chain → per-doc bucket counts → the two
+    * add-one-smoothed bucket LMs → DSIR log-ratio weights (every ln of
+    * an INTEGER, 6dp-rounded, exact-decimal algebra — the t14
+    * discipline) → per-doc decimal Σ k·w. */
+  def p15Sql(targets: Seq[String]): String = {
+    val tl = targets.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, text, $toksExpr AS ts FROM documents),
+       |bs AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN len(ts) < 1 THEN [(${fnv1a("text")}) % 64::HUGEINT]
+       |         ELSE list_transform(ts, t ->
+       |           (((xor(${fnv1a("t")}, 31::HUGEINT))
+       |             * 1099511628211::HUGEINT) % $P64) % 64::HUGEINT)
+       |    END AS bks
+       |  FROM toks),
+       |db AS (
+       |  SELECT doc_id, source, CAST(b AS BIGINT) AS b, COUNT(*) AS k
+       |  FROM (SELECT doc_id, source, unnest(bks) AS b FROM bs)
+       |  GROUP BY 1, 2, 3),
+       |rc AS (SELECT b, SUM(k) AS cr FROM db GROUP BY 1),
+       |tc AS (SELECT b, SUM(k) AS ct FROM db
+       |       WHERE source IN ($tl) GROUP BY 1),
+       |tot AS (SELECT SUM(k) AS nr,
+       |  SUM(CASE WHEN source IN ($tl) THEN k ELSE 0 END) AS nt FROM db),
+       |w AS (
+       |  SELECT rc.b,
+       |    CAST(round(ln(COALESCE(tc.ct, 0) + 1), 6) AS DECIMAL(18,6))
+       |    - CAST(round(ln(nt + 64), 6) AS DECIMAL(18,6))
+       |    - CAST(round(ln(cr + 1), 6) AS DECIMAL(18,6))
+       |    + CAST(round(ln(nr + 64), 6) AS DECIMAL(18,6)) AS w
+       |  FROM rc LEFT JOIN tc USING (b), tot),
+       |sc AS (
+       |  SELECT db.doc_id, db.source, CAST(SUM(k) AS BIGINT) AS n_tokens,
+       |    SUM(CAST(k AS DECIMAL(18,0)) * w.w) AS s
+       |  FROM db JOIN w ON w.b = db.b GROUP BY 1, 2)
+       |SELECT doc_id, source, n_tokens, CAST(s AS DOUBLE) AS score,
+       |  s > 0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** t04 oracle: Rabin-Karp base-257 over raw text bytes finalized with
     * mix64, plus the SimHash — both as signed BIGINT.
     */

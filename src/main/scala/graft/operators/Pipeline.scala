@@ -775,7 +775,69 @@ object Pipeline {
     graft.functions.KernelOracleSql.p14Sql(p11Weights,
       TextAnalysis.blocklist)
 
+  // ---------------------------------------------------------------- p15
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling") — the hashed-n-gram importance
+    * scorer behind DoReMi-era corpus targeting: score every document by
+    * how much more likely its tokens are under a TARGET domain's
+    * hashed-unigram LM than under the raw-corpus LM,
+    * Σ_tokens [ln p_target(b) − ln p_raw(b)], add-one smoothed over the
+    * 64 hash buckets (p11's feature space). Target here = the curated
+    * sources src0–src3; keep = score > 0 (the doc reads more
+    * target-like than corpus-average). Both LMs derive from the SAME
+    * one kernel pass — DSIR's defining trait is that no model forward
+    * pass is needed, only n-gram counts.
+    *
+    * Cross-engine (§5): the t14 discipline verbatim — every ln is of an
+    * INTEGER (irrational ⇒ no half-way case), rounded 6dp and cast to
+    * exact decimal; the per-doc score is a decimal Σ k·w (exact in any
+    * summation order); keep compares the EXACT decimal to 0; the double
+    * cast is presentation-only.
+    *
+    * Scale (round-10b lesson 7): bucket space is BOUNDED (64), so
+    * occurrences never shuffle on a data-sized key — per-doc bucket
+    * counts aggregate map-side on ≤ 64 keys/doc, the two 64-row LM
+    * count frames + totals derive from that checkpointed frame, the
+    * weight table broadcasts back, and the per-doc score is one
+    * map-side-combined sum. Nothing occurrence-sized ever shuffles.
+    */
+  def p15DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val targets = Seq("src0", "src1", "src2", "src3")
+    def ln6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(log(c.cast(DoubleType)), 6).cast("decimal(18,6)")
+    val db = Tables.spread(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.text.shingle_hashes(col("text"), 1).as("hs"))
+      .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+      .groupBy(col("doc_id"), col("source"), pmod(col("h"), lit(64L)).as("b"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(false) // one kernel pass: both LMs + the scoring
+    val rCnt = db.groupBy(col("b")).agg(sum(col("k")).as("cr"))
+    val tCnt = db.filter(col("source").isin(targets.map(lit): _*))
+      .groupBy(col("b")).agg(sum(col("k")).as("ct"))
+    val tot = db.agg(sum(col("k")).as("nr"),
+      sum(when(col("source").isin(targets.map(lit): _*), col("k"))
+        .otherwise(0L)).as("nt"))
+    val weights = rCnt.join(tCnt, Seq("b"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (ln6(coalesce(col("ct"), lit(0L)) + 1) - ln6(col("nt") + 64) -
+          ln6(col("cr") + 1) + ln6(col("nr") + 64)).as("w"))
+    db.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k").cast("decimal(18,0)") * col("w")).as("s"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("s").cast(DoubleType).as("score"),
+        (col("s") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p15Sql: String = graft.functions.KernelOracleSql.p15Sql(
+    Seq("src0", "src1", "src2", "src3"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_dsir_select" -> (p15DsirSelect _),
     "p14_anneal_split" -> (p14AnnealSplit _),
     "p12_dataset_card" -> (p12DatasetCard _),
     "p11_quality_classifier" -> (p11QualityClassifier _),
@@ -793,6 +855,7 @@ object Pipeline {
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
+    "p15_dsir_select" -> p15Sql,
     "p14_anneal_split" -> p14Sql,
     "p12_dataset_card" -> p12Sql,
     "p11_quality_classifier" -> p11Sql,

@@ -9,6 +9,22 @@ import org.apache.spark.sql.functions._
   */
 class NewOpsSpec extends SparkSpec {
 
+  test("p15: DSIR scores cover the corpus, keep tracks the exact sign, " +
+      "and the selector prefers its own target domain") {
+    val df = SparkEntry.queries("p15_dsir_select")(spark, sfDir).cache()
+    assert(df.count() == Tables(spark, sfDir, "documents").count())
+    // keep ⇔ score > 0 (sign survives the presentation double cast)
+    assert(df.filter(col("keep") =!= (col("score") > 0d)).count() == 0)
+    // directional sanity: target-domain docs must average HIGHER under
+    // their own importance model than the rest of the corpus — the
+    // defining property of an importance scorer
+    val tgt = col("source").isin("src0", "src1", "src2", "src3")
+    val avgs = df.groupBy(tgt.as("t")).agg(avg(col("score")).as("a"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(avgs(true) > avgs(false), avgs.toString)
+    df.unpersist()
+  }
+
   test("p14: the curriculum stages partition the corpus, agree with " +
       "p11's model and t16's blocklist, and all three are populated") {
     val df = SparkEntry.queries("p14_anneal_split")(spark, sfDir).cache()

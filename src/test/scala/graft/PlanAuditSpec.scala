@@ -727,5 +727,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(q34.contains("Expand"), q34)
     assert(!q34.contains("Join"), q34)
     assert(q34.contains("partial_count"), q34)
+    // p15: the bounded-key DSIR shape — occurrences never shuffle on a
+    // data-sized key (per-doc bucket counts live behind the checkpoint,
+    // the 64-row weight frame broadcasts back); no window, no sort-merge,
+    // the only BroadcastNestedLoop is the 1-row totals attach, and the
+    // per-doc score agg is partial (map-side combined)
+    val p15 = finalPlan("p15_dsir_select")
+    val p15fin = p15.split("== Initial Plan ==").head
+    assert(!p15fin.contains("SortMergeJoin") &&
+      !p15.contains("windowspecdefinition") &&
+      !p15.contains("CartesianProduct"), p15fin)
+    assert(p15fin.linesIterator
+      .count(_.contains("BroadcastNestedLoop")) <= 1, p15fin)
+    assert(p15.contains("partial_sum"), p15)
   }
 }
