@@ -614,18 +614,26 @@ object KernelOracleSql {
     * inlines; the score is an exact BIGINT sum (§5: no float enters the
     * decision).
     */
-  def p11Sql(weights: Seq[Long]): String = {
-    val wl = weights.mkString("[", ", ", "]")
-    s"""WITH toks AS (
-       |  SELECT doc_id, text, $toksExpr AS ts FROM documents),
+  /** The ONE definition of the hashed-unigram bucket chain (toks + bs
+    * CTEs) shared by p11Sql and p15Sql — `carry` columns ride along
+    * (doc_id for p11, doc_id+source for p15). */
+  private def bucketChainCtes(carry: Seq[String]): String = {
+    val cs = carry.mkString(", ")
+    s"""toks AS (
+       |  SELECT $cs, text, $toksExpr AS ts FROM documents),
        |bs AS (
-       |  SELECT doc_id,
+       |  SELECT $cs,
        |    CASE WHEN len(ts) < 1 THEN [(${fnv1a("text")}) % 64::HUGEINT]
        |         ELSE list_transform(ts, t ->
        |           (((xor(${fnv1a("t")}, 31::HUGEINT))
        |             * 1099511628211::HUGEINT) % $P64) % 64::HUGEINT)
        |    END AS bks
-       |  FROM toks),
+       |  FROM toks)""".stripMargin
+  }
+
+  def p11Sql(weights: Seq[Long]): String = {
+    val wl = weights.mkString("[", ", ", "]")
+    s"""WITH ${bucketChainCtes(Seq("doc_id"))},
        |sc AS (
        |  SELECT doc_id, CAST(len(bks) AS BIGINT) AS n_tokens,
        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -664,32 +672,23 @@ object KernelOracleSql {
     * discipline) → per-doc decimal Σ k·w. */
   def p15Sql(targets: Seq[String]): String = {
     val tl = targets.map(t => s"'$t'").mkString(", ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, source, text, $toksExpr AS ts FROM documents),
-       |bs AS (
-       |  SELECT doc_id, source,
-       |    CASE WHEN len(ts) < 1 THEN [(${fnv1a("text")}) % 64::HUGEINT]
-       |         ELSE list_transform(ts, t ->
-       |           (((xor(${fnv1a("t")}, 31::HUGEINT))
-       |             * 1099511628211::HUGEINT) % $P64) % 64::HUGEINT)
-       |    END AS bks
-       |  FROM toks),
+    s"""WITH ${bucketChainCtes(Seq("doc_id", "source"))},
        |db AS (
        |  SELECT doc_id, source, CAST(b AS BIGINT) AS b, COUNT(*) AS k
        |  FROM (SELECT doc_id, source, unnest(bks) AS b FROM bs)
        |  GROUP BY 1, 2, 3),
-       |rc AS (SELECT b, SUM(k) AS cr FROM db GROUP BY 1),
-       |tc AS (SELECT b, SUM(k) AS ct FROM db
-       |       WHERE source IN ($tl) GROUP BY 1),
-       |tot AS (SELECT SUM(k) AS nr,
-       |  SUM(CASE WHEN source IN ($tl) THEN k ELSE 0 END) AS nt FROM db),
+       |lm AS (
+       |  SELECT b, SUM(k) AS cr,
+       |    SUM(CASE WHEN source IN ($tl) THEN k ELSE 0 END) AS ct
+       |  FROM db GROUP BY 1),
+       |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM lm),
        |w AS (
-       |  SELECT rc.b,
-       |    CAST(round(ln(COALESCE(tc.ct, 0) + 1), 6) AS DECIMAL(18,6))
+       |  SELECT lm.b,
+       |    CAST(round(ln(ct + 1), 6) AS DECIMAL(18,6))
        |    - CAST(round(ln(nt + 64), 6) AS DECIMAL(18,6))
        |    - CAST(round(ln(cr + 1), 6) AS DECIMAL(18,6))
        |    + CAST(round(ln(nr + 64), 6) AS DECIMAL(18,6)) AS w
-       |  FROM rc LEFT JOIN tc USING (b), tot),
+       |  FROM lm, tot),
        |sc AS (
        |  SELECT db.doc_id, db.source, CAST(SUM(k) AS BIGINT) AS n_tokens,
        |    SUM(CAST(k AS DECIMAL(18,0)) * w.w) AS s

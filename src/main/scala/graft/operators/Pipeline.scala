@@ -812,16 +812,15 @@ object Pipeline {
       .groupBy(col("doc_id"), col("source"), pmod(col("h"), lit(64L)).as("b"))
       .agg(count(lit(1)).as("k"))
       .localCheckpoint(false) // one kernel pass: both LMs + the scoring
-    val rCnt = db.groupBy(col("b")).agg(sum(col("k")).as("cr"))
-    val tCnt = db.filter(col("source").isin(targets.map(lit): _*))
-      .groupBy(col("b")).agg(sum(col("k")).as("ct"))
-    val tot = db.agg(sum(col("k")).as("nr"),
+    // BOTH bucket LMs in one conditional aggregation over the pinned
+    // frame; totals derive from the 64-row LM frame, not a third pass
+    val lm = db.groupBy(col("b")).agg(sum(col("k")).as("cr"),
       sum(when(col("source").isin(targets.map(lit): _*), col("k"))
-        .otherwise(0L)).as("nt"))
-    val weights = rCnt.join(tCnt, Seq("b"), "left_outer")
-      .crossJoin(broadcast(tot))
+        .otherwise(0L)).as("ct"))
+    val tot = lm.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val weights = lm.crossJoin(broadcast(tot))
       .select(col("b"),
-        (ln6(coalesce(col("ct"), lit(0L)) + 1) - ln6(col("nt") + 64) -
+        (ln6(col("ct") + 1) - ln6(col("nt") + 64) -
           ln6(col("cr") + 1) + ln6(col("nr") + 64)).as("w"))
     db.join(broadcast(weights), Seq("b"))
       .groupBy(col("doc_id"), col("source"))
