@@ -12,8 +12,10 @@ outdir, sfdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sfdir}/{t}.parquet')")
+    p = f"{sfdir}/{t}.parquet"
+    # driver testdata = flat files; ScaleUp-synthesized dirs = part files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
