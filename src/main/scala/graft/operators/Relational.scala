@@ -992,8 +992,57 @@ object Relational {
       |  (l_linenumber), ())
       |ORDER BY rf, ls, ln""".stripMargin
 
+  // --------------------------------------------------------------- q35
+  /** WITH RECURSIVE — Spark 4's native recursion (SPARK-24497), the SQL
+    * face of the reference's $graphLookup BFS (d13 hand-rolls the same
+    * loop in DataFrame code; dd06's CC loop is its corpus-scale
+    * sibling): minimum-hop reachability from nation 0 over a graph with
+    * same-region cluster edges plus consecutive-key bridge edges, depth
+    * ≤ 4. The engine runs the iterate-union-dedup loop the d13/dd06
+    * implementations spell out manually.
+    *
+    * Scale: recursion over the bounded DIMENSION graph (|nation| rows
+    * per level, joins broadcast); a corpus-sized graph stays on the
+    * explicit-loop form (dd06) where per-iteration checkpointing is
+    * under our control. Cross-engine: hop counts are integers, MIN is
+    * exact, identical SQL runs on DuckDB.
+    */
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "nation").createOrReplaceTempView("q35_nation")
+    spark.sql(
+      """WITH RECURSIVE hops(n_nationkey, h) AS (
+        |  SELECT n_nationkey, 0 FROM q35_nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT m.n_nationkey, hops.h + 1
+        |  FROM hops
+        |  JOIN q35_nation s ON s.n_nationkey = hops.n_nationkey
+        |  JOIN q35_nation m ON (m.n_regionkey = s.n_regionkey
+        |    OR m.n_nationkey = s.n_nationkey + 1
+        |    OR m.n_nationkey = s.n_nationkey - 1)
+        |  WHERE hops.h < 4
+        |)
+        |SELECT n_nationkey, CAST(MIN(h) AS BIGINT) AS hops
+        |FROM hops GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin)
+  }
+
+  val q35Sql: String =
+    """WITH RECURSIVE hops(n_nationkey, h) AS (
+      |  SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 0
+      |  UNION ALL
+      |  SELECT m.n_nationkey, hops.h + 1
+      |  FROM hops
+      |  JOIN nation s ON s.n_nationkey = hops.n_nationkey
+      |  JOIN nation m ON (m.n_regionkey = s.n_regionkey
+      |    OR m.n_nationkey = s.n_nationkey + 1
+      |    OR m.n_nationkey = s.n_nationkey - 1)
+      |  WHERE hops.h < 4
+      |)
+      |SELECT n_nationkey, CAST(MIN(h) AS BIGINT) AS hops
+      |FROM hops GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_recursive_cte" -> (q35 _),
     "q34_grouping_sets" -> (q34 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -1054,6 +1103,7 @@ object Relational {
     "q22_union" -> q22Sql,
     "q23_orderby_multi" -> q23Sql,
     "q24_date_funcs" -> q24Sql,
+    "q35_recursive_cte" -> q35Sql,
     "q34_grouping_sets" -> q34Sql,
     "q25_rollup" -> q25Sql,
     "q26_set_ops" -> q26Sql,

@@ -9,6 +9,34 @@ import org.apache.spark.sql.functions._
   */
 class NewOpsSpec extends SparkSpec {
 
+  test("q35: recursive-CTE BFS emits a valid minimum-hop frontier — " +
+      "unique origin, every level adjacent to the previous, no shortcut " +
+      "missed") {
+    val hops = SparkEntry.queries("q35_recursive_cte")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue)
+      .toMap
+    val dim = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue)
+      .toMap
+    def adjacent(a: Long, b: Long): Boolean =
+      a != b && (dim(a) == dim(b) || math.abs(a - b) == 1)
+    assert(hops(0L) == 0L)
+    assert(hops.count(_._2 == 0L) == 1)
+    hops.foreach { case (n, h) =>
+      if (h > 0)
+        // reached: some node one level closer is adjacent...
+        assert(dim.keys.exists(m =>
+          adjacent(m, n) && hops.get(m).contains(h - 1)), s"node $n")
+      // ...and minimal: no adjacent node sits MORE than one level closer
+      assert(!dim.keys.exists(m =>
+        adjacent(m, n) && hops.getOrElse(m, Long.MaxValue) < h - 1),
+        s"node $n missed a shortcut")
+    }
+  }
+
   test("p15: DSIR scores cover the corpus, keep tracks the exact sign, " +
       "and the selector prefers its own target domain") {
     val df = SparkEntry.queries("p15_dsir_select")(spark, sfDir).cache()
