@@ -233,7 +233,13 @@ object KernelOracleSql {
 
   /** dd16 oracle: incremental batch-vs-corpus dedup. Base docs and the
     * planted batch (recrawled trims at +5M, suffixed-disjoint pages at
-    * +6M) ride ONE signature chain; banding replicates Spark's probe
+    * +6M) ride ONE signature chain. The corpus/plant split here (and
+    * in dd18/st15/t17) is a FIXED id threshold while the Spark side
+    * splits structurally by frame — sound only under the base
+    * doc_id < 4000000 premise, pinned by TablesLayoutSpec's
+    * plant-offset corpus contract (ADVICE r10); ScaleUp-synthesized
+    * dirs violate it, so these keys are excluded from synthesized-SF
+    * parity checks. Banding replicates Spark's probe
     * with the 4-raw-value bucket key (dd15's collision argument) and
     * the one-sided ≤ 50 corpus-bucket cap; the per-new-doc verdict
     * aggregates matches at est ≥ 0.5 with the (est desc, cid asc)

@@ -1171,8 +1171,11 @@ object Streaming {
     * of the checkpointed batch signatures through the count-gated
     * 2..50 buckets). The streaming twin appends each micro-batch's
     * signatures to a cumulative store and probes it like a second
-    * corpus — per micro-batch cost stays batch-bounded, the store
-    * grows only by accepted-wave signatures (512 B/doc).
+    * corpus — per micro-batch cost stays batch-bounded; the store
+    * grows by EVERY arrived doc's signature (512 B/doc), kept or
+    * not — matching is against earlier-ARRIVED, not earlier-kept
+    * (the non-recursive rule that makes verdicts micro-batch-split
+    * invariant), so size the store to the arrival stream.
     */
   def st15IngestDedup(spark: SparkSession, dir: String): DataFrame = {
     val D = graft.operators.Dedup

@@ -124,4 +124,70 @@ class TablesLayoutSpec extends SparkSpec {
         "affected oracles (kernel-exact charset + character length) " +
         "before trusting text-key parity")
   }
+
+  // Every testdata SF the verify gate or the specs scan. The driver
+  // regenerates all of them with one generator, so a contract that
+  // holds at both ends pins the generator's output envelope.
+  private val contractDirs =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .filter(d => new java.io.File(d).isDirectory)
+
+  test("corpus contract: base doc_ids stay below the smallest plant " +
+      "offset (4000000) — the premise the fixed-offset oracles split on") {
+    // ADVICE r10: dd16/st15 oracles split one signature chain at
+    // doc_id < 5000000, t17 at < 7000000, dd18 at < 4000000, while the
+    // Spark side splits structurally by frame. Those splits classify
+    // identically ONLY while every base doc_id sits below the smallest
+    // offset. A ScaleUp-synthesized dir (ids offset by i·10⁷) violates
+    // this by construction — plant-offset keys are excluded from
+    // synthesized-SF parity checks (SURVEY §5) — but the driver's real
+    // testdata must hold it, or those oracles break silently. Fail
+    // HERE with the premise named instead.
+    contractDirs.foreach { dir =>
+      val maxId = Tables(spark, dir, "documents")
+        .agg(max(col("doc_id"))).head.getLong(0)
+      assert(maxId < 4000000L,
+        s"$dir: max(doc_id)=$maxId breaches the 4000000 plant-offset " +
+          "premise — dd16/dd18/st15/t17 oracles split corpus vs plant " +
+          "by fixed id thresholds and now misclassify rows; derive the " +
+          "offsets from max(doc_id)+1 (st16's pattern) before trusting " +
+          "those keys")
+    }
+  }
+
+  test("corpus contract: no embedding cosine lands within 1e-9 of a " +
+      "raw-double keep threshold (m10 τ=0.1, s12 τ=0.2)") {
+    // ADVICE r10: m10's keep and s12's ball membership compare a RAW
+    // double cosine — computed independently by the graft kernel and
+    // DuckDB list_cosine_similarity — against a threshold. The two
+    // implementations agree to a few ulps (~1e-16 relative), so parity
+    // is safe iff no corpus value sits inside that band around τ. This
+    // pins that premise with a 1e-9 margin (seven orders of magnitude
+    // of slack): a regenerated corpus that lands a row near a
+    // threshold fails HERE with the culprit named, not as a one-row
+    // verify hash flake.
+    import graft.functions.{vectors => V}
+    contractDirs.foreach { dir =>
+      val emb = Tables(spark, dir, "embeddings")
+      // m10: cosine of the row's own halves vs τ=0.1
+      val m10Gap = emb.select(
+          abs(V.cosine_sim(slice(col("embedding"), 1, 32),
+            slice(col("embedding"), 33, 32)) - lit(0.1d)).as("gap"))
+        .agg(min(col("gap"))).head.getDouble(0)
+      assert(m10Gap > 1e-9,
+        s"$dir: an embedding's half-vs-half cosine sits $m10Gap from " +
+          "m10's τ=0.1 — cross-engine ulp drift can flip its keep bit")
+      // s12: query (vec_id<5) × corpus cosines vs τ=0.2
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val s12Gap = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(abs(V.cosine_sim(col("q_vec"), col("embedding"))
+          - lit(0.2d)).as("gap"))
+        .agg(min(col("gap"))).head.getDouble(0)
+      assert(s12Gap > 1e-9,
+        s"$dir: a query-corpus cosine sits $s12Gap from s12's τ=0.2 — " +
+          "cross-engine ulp drift can flip its ball membership")
+    }
+  }
 }
