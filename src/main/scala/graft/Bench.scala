@@ -28,14 +28,32 @@ object Bench {
     // query time. A full pass at the smallest SF warms every kernel's JIT
     // and codegen cache (steady-state benchmarking); queries then run in
     // sorted key order so per-query timings are stable run-to-run.
+    // Official execution mode (VERDICT r10 #1): a noop-format WRITE —
+    // full materialization of every output column. count()'s Aggregate
+    // wrapper lets Catalyst prune columns and ELIMINATE unique-key
+    // joins whose output isn't projected: the round-10b A/B measured
+    // 1.28× of the suite's work (including t14's entire final join)
+    // invisible under count. Legacy count mode stays behind
+    // SPARK_GRAFT_BENCH_MODE=count for history archaeology only.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "noop")
+    def exec(df: org.apache.spark.sql.DataFrame, m: String): Unit =
+      if (m == "count") df.count()
+      else df.write.format("noop").mode("overwrite").save()
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.all.foreach(n => Tables(spark, sfDir, n).count())
     operators.DocstoreOps.ensureEventDocs(spark, sfDir)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       operators.DocstoreOps.ensureEventDocs(spark, warmDir)
+      // warm in the OFFICIAL mode: the noop-write plan differs from the
+      // count plan (no column pruning / join elimination), so warming
+      // the wrong shape leaves first-round codegen compile in the min
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try exec(fn(spark, warmDir), mode) catch { case _: Throwable => () }
       }
     }
     // min AND p50 over 5 INTERLEAVED rounds per query: steady-state
@@ -79,6 +97,7 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    val loadBefore = loadavg()
     for (r <- 1 to 5; (name, fn) <- keys) {
       drainListeners()
       val t0 = System.nanoTime()
@@ -87,7 +106,7 @@ object Bench {
       // and contributes NO sample: its near-zero elapsed time would
       // otherwise publish as a bogus fast min (the MiniBench rule)
       try {
-        fn(spark, sfDir).count()
+        exec(fn(spark, sfDir), mode)
         samples(name) =
           (System.nanoTime() - t0) / 1e9 :: samples.getOrElse(name, Nil)
         drainListeners()
@@ -101,6 +120,29 @@ object Bench {
         cpuSamples.getOrElseUpdate(name, Nil)
       }
     }
+    // One-time series bridge (round 11): the official metric switched
+    // from count-mode to noop full materialization, so publish a
+    // count-mode total from the SAME run (3 interleaved rounds, same
+    // warm JVM, same data) — round-over-round deltas against the r≤10
+    // history read the bridge, new history reads the headline.
+    // SPARK_GRAFT_BENCH_BRIDGE=off drops it once the series re-bases.
+    val bridgeSamples =
+      scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val bridge = mode == "noop" &&
+      !sys.env.get("SPARK_GRAFT_BENCH_BRIDGE").contains("off")
+    if (bridge) for (r <- 1 to 3; (name, fn) <- keys) {
+      val t0 = System.nanoTime()
+      try {
+        exec(fn(spark, sfDir), "count")
+        bridgeSamples(name) =
+          (System.nanoTime() - t0) / 1e9 :: bridgeSamples.getOrElse(name, Nil)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name bridge round $r FAILED: " +
+          e.getClass.getSimpleName)
+        bridgeSamples.getOrElseUpdate(name, Nil)
+      }
+    }
+    val loadAfter = loadavg()
     // a key with zero successful rounds publishes -1.0 — an impossible
     // timing, unmistakably a failure flag rather than a fast min
     val results = keys.map { case (name, _) =>
@@ -120,6 +162,15 @@ object Bench {
       if (anyFailed || medians.isEmpty) -1.0 else medians.map(_._2).sum
     val totalCpu =
       if (anyFailed || cpuMins.isEmpty) -1.0 else cpuMins.map(_._2).sum
+    val bridgeMins = keys.map { case (name, _) =>
+      name -> bridgeSamples.getOrElse(name, Nil).minOption.getOrElse(-1.0) }
+    val totalBridge =
+      if (!bridge || bridgeMins.exists(_._2 < 0)) -1.0
+      else bridgeMins.map(_._2).sum
+    // Host-load stamp (VERDICT r10 #3/#7): a loud co-tenant window is
+    // machine-detectable from the loadavg bracket and the p50/min
+    // spread instead of inferred from an implausible delta.
+    val spread = if (total > 0) totalP50 / total else -1.0
     // Full per-query timings → file: the driver's stdout tail capture is
     // ~2000 chars, so a 90+-query JSON line gets front-truncated and fails
     // its parse. The file holds everything; stdout gets a line that FITS.
@@ -132,9 +183,13 @@ object Bench {
     val dataFp = Tables.testdataFingerprint(sfDir)
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","rounds":5,""" +
-        s""""queries":${qjson(results)},"total_p50":$totalP50,""" +
+        s""""mode":"$mode","queries":${qjson(results)},"total_p50":$totalP50,""" +
         s""""queries_p50":${qjson(medians)},"total_cpu":$totalCpu,""" +
-        s""""queries_cpu":${qjson(cpuMins)},"sf":"$sfDir",""" +
+        s""""queries_cpu":${qjson(cpuMins)},""" +
+        s""""total_count_bridge":$totalBridge,""" +
+        s""""queries_count_bridge":${qjson(bridgeMins)},""" +
+        s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+        s""""spread_p50_min":$spread,"sf":"$sfDir",""" +
         s""""testdata_fingerprint":"$dataFp"}"""
     // On write failure, advertise null instead of the path — otherwise a
     // consumer silently reads a STALE file from a previous run.
@@ -158,7 +213,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val dataFpShort = graft.Tables.shortFp(dataFp)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_p50":${r3(totalP50)},"total_cpu":${r3(totalCpu)},"queries":$hqs,"full_per_query":$fullRef,"data_fp":"$dataFpShort","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"$mode","n_queries":${results.size},"total_p50":${r3(totalP50)},"total_cpu":${r3(totalCpu)},"total_count_bridge":${r3(totalBridge)},"load_before":"$loadBefore","load_after":"$loadAfter","queries":$hqs,"full_per_query":$fullRef,"data_fp":"$dataFpShort","sf":"$sfDir"}""")
     spark.stop()
   }
 }

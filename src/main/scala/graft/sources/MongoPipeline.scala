@@ -97,7 +97,77 @@ object MongoPipeline {
     // $vectorSearch's score rides a hidden column so later stages can
     // project it via {$meta: "vectorSearchScore"}; strip it when the
     // pipeline never did (Mongo drops the score unless projected)
-    stripVs(stages.foldLeft(df)((acc, st) => applyStage(acc, st, resolver)))
+    stripVs(rewriteSizeOfAddToSet(stages)
+      .foldLeft(df)((acc, st) => applyStage(acc, st, resolver)))
+  }
+
+  /** Peephole (round 11, found by PlanSweep's ungated-collect gate): a
+    * `$group` `$addToSet` field consumed by the NEXT `$project` ONLY as
+    * `{"$size": "$f"}` compiles to `count_distinct` instead of
+    * materializing the set. The literal compile is the scale bug the
+    * repo bans everywhere else — collect_set keyed on a LOW-cardinality
+    * group key holds every distinct member of a data-sized domain (all
+    * user_ids of an event_type) in ONE aggregation buffer, the exact
+    * single-task-OOM class gatedBuckets closes for the LSH indexes —
+    * while the user-visible semantics need only the cardinality.
+    * count_distinct is Spark's partial-aggregated distinct count: the
+    * same answer, map-side combined, no membership array anywhere.
+    * (Cast to INT: Mongo's `$size` returns Int32.) Conservative: fires
+    * only when the projection mentions the field exactly once, as that
+    * `$size` call, with no other reference anywhere in the stage. */
+  private[sources] def rewriteSizeOfAddToSet(stages: Seq[DDoc]): Seq[DDoc] = {
+    def mentions(v: DocValue, f: String): Int = v match {
+      case DString(s) => if (s == s"$$$f" || s.startsWith(s"$$$f.")) 1 else 0
+      case DArray(items) => items.map(mentions(_, f)).sum
+      case d: DDoc => d.fields.map { case (_, fv) => mentions(fv, f) }.sum
+      case _ => 0
+    }
+    stages match {
+      case g +: p +: rest =>
+        (g.fields, p.fields) match {
+          case (Seq(("$group", gspec: DDoc)), Seq(("$project", pspec: DDoc))) =>
+            val setFields = gspec.fields.collect {
+              case (f, DDoc(Seq(("$addToSet", _)))) if f != "_id" => f }
+            // inclusion-mode only: an exclusion-mode $project (all
+            // non-_id entries 0/false) passes unmentioned fields
+            // THROUGH, so the set field survives without appearing
+            val inclusionMode = pspec.fields.exists { case (k, v) =>
+              k != "_id" && v != DLong(0) && v != DBool(false) }
+            val rewritable = if (!inclusionMode) Set.empty[String]
+              else setFields.filter { f =>
+                pspec.fields.map { case (_, v) => mentions(v, f) }.sum == 1 &&
+                  pspec.fields.exists {
+                    case (_, DDoc(Seq(("$size", DString(s))))) => s == s"$$$f"
+                    case _ => false
+                  } &&
+                  // `"f": 1` / `"f.x": 1` inclusion references the
+                  // field by KEY, not by `$f` — a pass-through keeps
+                  // the array
+                  !pspec.fields.exists { case (k, _) =>
+                    k == f || k.startsWith(s"$f.") }
+              }.toSet
+            if (rewritable.isEmpty)
+              g +: rewriteSizeOfAddToSet(p +: rest)
+            else {
+              val g2 = DDoc(gspec.fields.map {
+                case (f, DDoc(Seq(("$addToSet", operand))))
+                    if rewritable(f) =>
+                  f -> DDoc(Seq("$__countDistinct" -> operand))
+                case kv => kv
+              })
+              val p2 = DDoc(pspec.fields.map {
+                case (a, DDoc(Seq(("$size", DString(s)))))
+                    if s.startsWith("$") && rewritable(s.drop(1)) =>
+                  a -> DString(s)
+                case kv => kv
+              })
+              DDoc(Seq("$group" -> g2)) +: DDoc(Seq("$project" -> p2)) +:
+                rewriteSizeOfAddToSet(rest)
+            }
+          case _ => g +: rewriteSizeOfAddToSet(p +: rest)
+        }
+      case s => s
+    }
   }
 
   /** Hidden column carrying `$vectorSearch`'s similarity score between
@@ -1483,6 +1553,10 @@ object MongoPipeline {
       case "$push"     => collect_list(valueExpr(operand))
       // sorted for determinism — Mongo leaves set order undefined
       case "$addToSet" => array_sort(collect_set(valueExpr(operand)))
+      // internal rewrite product (rewriteSizeOfAddToSet) — never in
+      // user pipelines; Int32 because it replaces a $size
+      case "$__countDistinct" =>
+        count_distinct(valueExpr(operand)).cast("int")
       case "$count"    => operand match {
         case DDoc(Seq()) => count(lit(1))
         case other       => throw bad(s"$$count takes {}, got $other")

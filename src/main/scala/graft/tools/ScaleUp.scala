@@ -137,14 +137,14 @@ object MiniBench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.Tables.all.foreach(n => graft.Tables(spark, sfDir, n).count())
     graft.operators.DocstoreOps.ensureEventDocs(spark, sfDir)
-    // SPARK_GRAFT_BENCH_MODE=noop executes a noop-format WRITE instead
-    // of count(): count's Aggregate wrapper lets the optimizer prune
-    // columns and ELIMINATE joins whose non-projected side is unique —
-    // t14's whole bigram chain vanished under count (SCALING round-10b
-    // lesson). The noop sink keeps every output column, so the plan
-    // materializes fully. Default stays count() for round-over-round
-    // comparability with the Bench history.
-    val noop = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("noop")
+    // Official mode (round 11, matching Bench): a noop-format WRITE —
+    // count's Aggregate wrapper lets the optimizer prune columns and
+    // ELIMINATE joins whose non-projected side is unique; t14's whole
+    // bigram chain vanished under count (SCALING round-10b lesson).
+    // The noop sink keeps every output column, so the plan
+    // materializes fully. SPARK_GRAFT_BENCH_MODE=count restores the
+    // legacy metric for comparisons against r≤10 SCALING rows.
+    val noop = !sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("count")
     def run(k: String): Unit = {
       val df = graft.SparkEntry.queries(k)(spark, sfDir)
       if (noop) df.write.format("noop").mode("overwrite").save()
@@ -225,6 +225,114 @@ object PlanSweep {
     case _ => p +: p.children.flatMap(allNodes)
   }
 
+  /** Split a bracketed list body on depth-0 commas. */
+  private def splitArgs(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    val sb = new StringBuilder
+    var depth = 0
+    body.foreach {
+      case c @ ('(' | '[') => depth += 1; sb += c
+      case c @ (')' | ']') => depth -= 1; sb += c
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq.map(_.trim)
+  }
+
+  /** Collect-aggregate inventory of one aggregate node's simpleString:
+    * (groupKeyNames, collectInputName) per collect_list/collect_set,
+    * attribute ids stripped. Parsed from `keys=[...]` and the first
+    * argument of each collect call — final plans pre-project grouping
+    * expressions, so keys are plain attributes. */
+  private[graft] def collectAggs(nodeStr: String): Seq[(Seq[String], String)] = {
+    if (!nodeStr.contains("collect_list(") && !nodeStr.contains("collect_set("))
+      return Nil
+    val keys = {
+      val i = nodeStr.indexOf("keys=[")
+      if (i < 0) Nil
+      else {
+        var depth = 0; var j = i + 6; var end = -1
+        while (end < 0 && j < nodeStr.length) {
+          nodeStr.charAt(j) match {
+            case '[' | '(' => depth += 1
+            case ')' => depth -= 1
+            case ']' if depth == 0 => end = j
+            case ']' => depth -= 1
+            case _ => ()
+          }
+          j += 1
+        }
+        if (end < 0) Nil
+        else splitArgs(nodeStr.substring(i + 6, end))
+          .filter(_.nonEmpty).map(_.replaceAll("#\\d+L?", ""))
+      }
+    }
+    Seq("collect_list(", "collect_set(").flatMap { marker =>
+      Iterator.iterate(nodeStr.indexOf(marker))(i =>
+          nodeStr.indexOf(marker, i + 1)).takeWhile(_ >= 0).toSeq.map { s =>
+        val from = s + marker.length
+        val cut = nodeStr.indexWhere(c => c == ',' || c == ')', from)
+        val arg = nodeStr.substring(from, if (cut < 0) nodeStr.length else cut)
+        keys -> arg.trim.replaceAll("#\\d+L?", "")
+      }
+    }
+  }
+
+  /** Bounded collect group keys: per-entity ids whose membership is
+    * bounded by that entity's own row count (a doc's chunks, a query's
+    * post-gate candidates), never by corpus cardinality. A collect
+    * keyed on a HASH-VALUE key (band, bh, gram…) is only allowed
+    * through the gatedBuckets `__gv` path — its per-key membership is
+    * corpus-skew-sized (the round-9/10 OOM class). */
+  private[graft] val boundedCollectKeys: Set[String] = Set(
+    "doc_id", "q_id", "vec_id", "user_id", "video_id", "o_orderkey",
+    "l_orderkey", "event_id", "id_a", "id_b", "cid", "nid", "new_id",
+    "session_id", "session_seq", "pair_id", "img_id",
+    // $lookup/$graphLookup per-result-row ids: the collected array IS
+    // the operator's defined output for that row (Mongo materializes
+    // the same array per doc) — its size is the row's own match/
+    // traversal set, not corpus cardinality
+    "__graft_lkp_rid", "__graft_gl_rid")
+
+  /** Fact tables: data-sized at any deployment (dims nation/region are
+    * the only fixed-size tables). */
+  private[graft] val factTables = Seq("lineitem", "orders", "customer",
+    "part", "supplier", "events", "documents", "embeddings")
+
+  /** Fact tables scanned inside a recursion loop's anchor or recursion
+    * term (VERDICT r10 #8). UnionLoopExec is a LEAF physical node
+    * holding the two LOGICAL plans it re-plans per iteration — plan
+    * text shows neither, so the sweep descends into them explicitly.
+    * A fact-table scan there means a corpus-sized subplan re-executes
+    * every iteration with NO per-iteration checkpoint control — the
+    * reason d13/dd06 keep their explicit driver loops (each hop
+    * localCheckpoints); recursive CTEs are for bounded dimension
+    * graphs only (q35's contract, SCALING.md round 11). */
+  private[graft] def recursionFactAnchors(nodes: Seq[SparkPlan]): Seq[String] =
+    nodes.flatMap {
+      case u: org.apache.spark.sql.execution.UnionLoopExec =>
+        Seq(u.anchor, u.recursion).flatMap { lp =>
+          val paths = lp.collect {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                case _ => Nil
+              }
+            // DSv2 (docstore) scans: the table's own name carries the
+            // backing path
+            case dv: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+              Seq(dv.table.name)
+          }.flatten
+          // word-boundary match: bare `part` must not catch shard
+          // file names (`part-00000`) or unrelated dirs
+          factTables.filter(t => paths.exists(p =>
+            p.contains(s"$t.parquet") || p.contains(s"${t}_docs")))
+        }
+      case _ => Nil
+    }.distinct
+
   /** Partition-key name lists of every windowspecdefinition in a plan
     * string: the leading depth-0 arguments before the first ordering
     * spec (` ASC`/` DESC`), attribute ids stripped. An empty list is a
@@ -268,6 +376,9 @@ object PlanSweep {
     val globalWins = scala.collection.mutable.ListBuffer[String]()
     val bigBcasts = scala.collection.mutable.ListBuffer[String]()
     val winParts = scala.collection.mutable.LinkedHashMap[String, Seq[Seq[String]]]()
+    val ungatedCollects = scala.collection.mutable.ListBuffer[String]()
+    val globalCollects = scala.collection.mutable.ListBuffer[String]()
+    val recursiveBig = scala.collection.mutable.ListBuffer[String]()
     val errs = scala.collection.mutable.ListBuffer[String]()
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, fn) =>
       try {
@@ -294,6 +405,28 @@ object PlanSweep {
           .flatMap(_.metrics.get("numOutputRows").map(_.value))
         if (hintedBcast && maxBcast.exists(_ > 10000L))
           bigBcasts += s"$k:${maxBcast.max}"
+        // ungated collect gate (VERDICT r10 #6): a collect_list/set
+        // keyed on anything but a per-entity bounded key must ride
+        // gatedBuckets (input `__gv` — count-gated to 2..cap BEFORE
+        // membership materializes). Hard failure like cartesians: the
+        // class OOMs a single task on a degenerate corpus at scale.
+        // Keyless collects are a REVIEW inventory (global_collects) —
+        // each must have a documented driver-sized bound (centroid/
+        // codebook pulls), which plan text cannot prove.
+        allNodes(exec).filter(_.nodeName.contains("Aggregate"))
+          .flatMap(n => collectAggs(n.simpleString(10000)))
+          .distinct.foreach { case (ks, input) =>
+            // merge-phase rows print `collect_list(merge buf#…)` — the
+            // real input name rides the partial phase of the same agg
+            if (input == "__gv" || input.startsWith("buf") ||
+              input.startsWith("merge")) ()
+            else if (ks.isEmpty) globalCollects += s"$k:$input"
+            else if (!ks.forall(boundedCollectKeys.contains))
+              ungatedCollects += s"$k:[${ks.mkString(" ")}]:$input"
+          }
+        // recursion guard (VERDICT r10 #8): see recursionFactAnchors
+        recursionFactAnchors(allNodes(exec))
+          .foreach(t => recursiveBig += s"$k:$t")
       } catch { case e: Throwable => errs += s"$k:${e.getClass.getSimpleName}" }
     }
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -307,8 +440,12 @@ object PlanSweep {
       s""""global_windows":${arr(globalWins.toSeq)},""" +
       s""""big_broadcasts":${arr(bigBcasts.toSeq)},""" +
       s""""window_partitions":$wp,""" +
+      s""""ungated_collects":${arr(ungatedCollects.distinct.toSeq)},""" +
+      s""""global_collects":${arr(globalCollects.distinct.toSeq)},""" +
+      s""""recursive_big_anchor":${arr(recursiveBig.distinct.toSeq)},""" +
       s""""errors":${arr(errs.toSeq)},"sf":"$sfDir"}""")
     spark.stop()
-    if (carts.nonEmpty || errs.nonEmpty) sys.exit(1)
+    if (carts.nonEmpty || errs.nonEmpty || ungatedCollects.nonEmpty ||
+      recursiveBig.nonEmpty) sys.exit(1)
   }
 }

@@ -45,6 +45,48 @@ class MongoPipelineSpec extends SparkSpec {
     assert(glob.getLong(0) == 5L)
   }
 
+  test("$size of an $addToSet consumed only by the next $project " +
+      "compiles to count_distinct — no membership array anywhere") {
+    // the d12 shape PlanSweep's ungated-collect gate flagged (r11): a
+    // collect_set keyed on a low-cardinality group key holds every
+    // distinct member of a data-sized domain in ONE aggregation buffer
+    val out = Graft.aggregate(sales, """[
+      {"$group": {"_id": "$grp", "n": {"$sum": 1},
+                  "users": {"$addToSet": "$id"}}},
+      {"$project": {"_id": 1, "n": 1, "n_users": {"$size": "$users"}}},
+      {"$sort": {"_id": 1}}
+    ]""")
+    val rows = out.collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(2))).toSeq ==
+      Seq(("a", 2), ("b", 2), ("c", 1)))
+    // Int32 like Mongo's $size, and the plan carries NO collect
+    assert(out.schema("n_users").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_set") && !plan.contains("collect_list"),
+      "rewrite did not fire — the membership array materializes")
+  }
+
+  test("the $size-of-$addToSet rewrite is conservative: a projected-" +
+      "through set keeps the array and both outputs stay correct") {
+    val out = Graft.aggregate(sales, """[
+      {"$group": {"_id": "$grp", "users": {"$addToSet": "$id"}}},
+      {"$project": {"_id": 1, "users": 1, "n_users": {"$size": "$users"}}},
+      {"$sort": {"_id": 1}}
+    ]""")
+    val rows = out.collect()
+    assert(rows.map(_.getSeq[Long](1)).toSeq ==
+      Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L)))
+    assert(rows.map(_.getInt(2)).toSeq == Seq(2, 2, 1))
+    // and a $group NOT followed by $project is untouched
+    val direct = Graft.aggregate(sales, """[
+      {"$group": {"_id": "$grp", "users": {"$addToSet": "$id"}}},
+      {"$sort": {"_id": 1}}
+    ]""").collect()
+    assert(direct.map(_.getSeq[Long](1)).toSeq ==
+      Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L)))
+  }
+
   test("$unwind replaces the array field; preserveNullAndEmptyArrays") {
     val inner = Graft.aggregate(sales,
       """[{"$unwind": "$items"}]""")

@@ -741,4 +741,37 @@ class PlanAuditSpec extends SparkSpec {
       .count(_.contains("BroadcastNestedLoop")) <= 1, p15fin)
     assert(p15.contains("partial_sum"), p15)
   }
+
+  test("round-11: PlanSweep's ungated-collect gate — parser extracts " +
+      "(keys, input) pairs and classifies gatedBuckets as the allowed path") {
+    import graft.tools.PlanSweep
+    // parser unit: keys + first-arg extraction, ids stripped, merge
+    // phase carried through
+    val node = "ObjectHashAggregate(keys=[band#12, bh#34L], " +
+      "functions=[collect_list(__gv#56L, 0, 0)])"
+    assert(PlanSweep.collectAggs(node) ==
+      Seq((Seq("band", "bh"), "__gv")))
+    val ungated = "ObjectHashAggregate(keys=[gram_hash#7L], " +
+      "functions=[collect_list(doc_id#9L, 0, 0), " +
+      "collect_set(user#3, 0, 0)])"
+    assert(PlanSweep.collectAggs(ungated).map(_._2).sorted ==
+      Seq("doc_id", "user"))
+    assert(PlanSweep.collectAggs(
+      "HashAggregate(keys=[], functions=[sum(x#1)])").isEmpty)
+    // live gated key: dd02's executed plan contains collect aggregates,
+    // and every one rides the __gv gated path or a bounded entity key —
+    // the invariant PLANSWEEP_r11's empty ungated_collects column gates
+    val df = SparkEntry.queries("dd02_dedup_minhash")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val aggs = PlanSweep.allNodes(df.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Aggregate"))
+      .flatMap(n => PlanSweep.collectAggs(n.simpleString(10000)))
+    assert(aggs.nonEmpty, "dd02 lost its collect aggregate?")
+    aggs.foreach { case (ks, input) =>
+      assert(input == "__gv" || input.startsWith("merge") ||
+        input.startsWith("buf") ||
+        (ks.nonEmpty && ks.forall(PlanSweep.boundedCollectKeys.contains)),
+        s"ungated collect in dd02: keys=$ks input=$input")
+    }
+  }
 }
