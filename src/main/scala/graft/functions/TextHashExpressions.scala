@@ -130,6 +130,22 @@ case class BandHashExpr(child: Expression, from: Int, until: Int)
   override def prettyName: String = "band_hash"
 }
 
+/** BPE token ids of a whole document (split on the kernel charset,
+  * per-word merge loop, flattened in doc order) — see [[Bpe]]. A
+  * static call like its siblings, so t21's scan→encode→aggregate
+  * chain stays one WholeStageCodegen span. */
+case class BpeTokenIdsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Bpe.tokenizeIds(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.tokenizeIds($c)")
+  override protected def withNewChildInternal(c: Expression): BpeTokenIdsExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_token_ids"
+}
+
 /** Column-API façade (the library's user-facing function surface). */
 object text {
   def minhash_sig(c: Column, numHashes: Int = 64, shingleK: Int = 3): Column =
@@ -147,6 +163,8 @@ object text {
     toColumn(NibbleQuantExpr(expression(c)))
   def dct_sign_hash(c: Column): Column =
     toColumn(DctSignHashExpr(expression(c)))
+  def bpe_token_ids(c: Column): Column =
+    toColumn(BpeTokenIdsExpr(expression(c)))
 
   private[graft] def expression(c: Column): Expression = toExpression(c)
 }

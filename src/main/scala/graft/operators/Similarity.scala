@@ -144,22 +144,54 @@ object Similarity {
       |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- s02
-  /** IVF-style ANN: coarse quantizer = 8 seeded centroids (deterministic
-    * corpus picks), corpus assigned to nearest cell, queries probe the 2
-    * nearest cells and brute-force only those.
-    */
-  def s02Ivf(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables(spark, dir, "embeddings")
-    // seeded coarse quantizer: 8 fixed corpus vectors as centroids
-    // (ORDER BY before LIMIT so the pick is deterministic cross-engine)
-    val centroids = corpus.filter(col("vec_id") % 61 === 3)
+  /** Seeded coarse quantizer shared by the s02/s07 index builds and
+    * their probes: 8 fixed corpus vectors as centroids (ORDER BY before
+    * LIMIT so the pick is deterministic cross-engine). */
+  private def ivfCentroids(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") % 61 === 3)
       .orderBy(col("vec_id")).limit(8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
 
-    // build: assign each corpus vector to its nearest centroid (cell) —
-    // map-only fold, no window, no exchange (assignCells)
-    val assigned = assignCells(corpus, centroids, col("embedding"))
-      .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+  /** s02's INVERTED FILE — (vec_id, label, cell, vector) — materialized
+    * ONCE per embeddings generation (VERDICT r10 #3: production vector
+    * stacks build once, probe many; dd16's artifact discipline). The
+    * corpus-sized assignCells encode runs only inside the builder;
+    * every query consumes a docstore scan. Vectors ride along as
+    * array<double> (docstore's numeric type) — float→double→float
+    * round-trips EXACTLY, so the consumer's cosine kernel sees the
+    * same floats the live path saw and the oracle replica still
+    * hash-matches. */
+  def ensureIvfCellsArtifact(spark: SparkSession, dir: String): String =
+    graft.Graft.ensureArtifact(DocstoreOps.docsRoot(dir), "s02_ivf_cells_v1",
+        graft.Tables.tableFingerprint(dir, "embeddings")) { path =>
+      val corpus = Tables(spark, dir, "embeddings")
+      // spread: the corpus-sized encode pass (dd02's rule — a narrow
+      // scan would assign the whole corpus on one core)
+      assignCells(Tables.spread(corpus), ivfCentroids(corpus),
+          col("embedding"))
+        .select(col("vec_id"), col("label"), col("cell"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .write.format("docstore").mode("overwrite").save(path)
+    }
+
+  /** IVF-style ANN: coarse quantizer = 8 seeded centroids, corpus
+    * assigned to nearest cell ONCE into the inverted-file artifact
+    * ([[ensureIvfCellsArtifact]]); queries probe the 2 nearest cells
+    * and brute-force only those from the artifact scan.
+    */
+  def s02Ivf(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val centroids = ivfCentroids(corpus)
+
+    // the inverted file: a docstore scan, NO encode kernel here — the
+    // plan audit pins the consumer plan free of the assign fold
+    val assigned = spark.read.format("docstore")
+      .option("path", ensureIvfCellsArtifact(spark, dir)).load()
+      // label: docstore's numeric type is int64 — restore the table's
+      // int32 so the output schema matches the oracle's
+      .select(col("vec_id"), col("label").cast(IntegerType).as("label"),
+        col("cell"),
+        expr("transform(emb, x -> CAST(x AS FLOAT))").as("embedding"))
 
     // probe: each query picks its 2 nearest cells — per-query rows are
     // bounded by the centroid count, so a window-free sort/slice agg
@@ -490,15 +522,11 @@ object Similarity {
     * ties so both engines rank identically (raw cross-subspace sums
     * differ in low bits by association order).
     */
-  def s07IvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val m = 8; val sub = 8; val kCb = 4; val nprobe = 2
-    val corpus = Tables(spark, dir, "embeddings")
-    val ivfCent = corpus.filter(col("vec_id") % 61 === 3)
-      .orderBy(col("vec_id")).limit(8)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    // PQ codebooks: s04's seeded picks — 4 rows of model parameters,
-    // the same bounded driver-side collect s04 documents
-    val cb: Array[Array[Double]] = corpus.filter(col("vec_id") % 97 === 11)
+  /** PQ codebooks: s04's seeded picks — 4 rows of model parameters, the
+    * same bounded driver-side collect s04 documents. Shared by the
+    * codes-artifact build and the ADC probe. */
+  private def pqCodebook(corpus: DataFrame, kCb: Int): Array[Array[Double]] = {
+    val cb = corpus.filter(col("vec_id") % 97 === 11)
       .orderBy(col("vec_id")).limit(kCb)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -507,23 +535,56 @@ object Similarity {
     require(cb.length == kCb,
       s"s07: expected $kCb PQ codebook vectors (vec_id % 97 == 11), got " +
         s"${cb.length} — did the embeddings testdata shrink?")
+    cb
+  }
+
+  private def pqDist(cb: Array[Array[Double]], vecCol: Column,
+      c: Int, s: Int, sub: Int): Column =
+    (0 until sub).map { i =>
+      val d = try_element_at(vecCol, lit(s * sub + i + 1)) -
+        lit(cb(c)(s * sub + i))
+      d * d
+    }.reduce(_ + _)
+
+  /** s07's PQ CODES TABLE — (vec_id, cell, code0..code7) — built ONCE
+    * per embeddings generation (VERDICT r10 #3). This is the state
+    * shape that makes billion-vector ANN fit (8 small codes + a cell id
+    * per vector); the corpus-sized assign+encode kernels run only in
+    * the builder, and the ADC probe consumes a docstore scan that
+    * never touches the original vectors. */
+  def ensurePqCodesArtifact(spark: SparkSession, dir: String): String =
+    graft.Graft.ensureArtifact(DocstoreOps.docsRoot(dir), "s07_pq_codes_v1",
+        graft.Tables.tableFingerprint(dir, "embeddings")) { path =>
+      val m = 8; val sub = 8; val kCb = 4
+      val corpus = Tables(spark, dir, "embeddings")
+      val cb = pqCodebook(corpus, kCb)
+      // hoist the float→double view into ONE projected column so the 32
+      // per-(subspace, centroid) distance expressions share it instead
+      // of each re-materializing the transform
+      def bestCode(s: Int): Column = array_min(array(
+        (0 until kCb).map(c => struct(pqDist(cb, col("__v"), c, s, sub)
+          .as("d"), lit(c).as("c"))): _*)).getField("c")
+      assignCells(
+          Tables.spread(corpus.select(col("vec_id"), col("embedding"))),
+          ivfCentroids(corpus), col("embedding"))
+        .withColumn("__v",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .select(col("vec_id") +: col("cell") +:
+          (0 until m).map(s => bestCode(s).as(s"code$s")): _*)
+        .write.format("docstore").mode("overwrite").save(path)
+    }
+
+  def s07IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val m = 8; val sub = 8; val kCb = 4; val nprobe = 2
+    val corpus = Tables(spark, dir, "embeddings")
+    val ivfCent = ivfCentroids(corpus)
+    val cb = pqCodebook(corpus, kCb)
     def cdist(vecCol: Column, c: Int, s: Int): Column =
-      (0 until sub).map { i =>
-        val d = try_element_at(vecCol, lit(s * sub + i + 1)) -
-          lit(cb(c)(s * sub + i))
-        d * d
-      }.reduce(_ + _)
-    // hoist the float→double view into ONE projected column so the 32
-    // per-(subspace, centroid) distance expressions share it instead of
-    // each re-materializing the transform
-    def bestCode(s: Int): Column = array_min(array(
-      (0 until kCb).map(c => struct(cdist(col("__v"), c, s).as("d"),
-        lit(c).as("c"))): _*)).getField("c")
-    val encoded = assignCells(corpus.select(col("vec_id"), col("embedding")),
-        ivfCent, col("embedding"))
-      .withColumn("__v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .select(col("vec_id") +: col("cell") +:
-        (0 until m).map(s => bestCode(s).as(s"code$s")): _*)
+      pqDist(cb, vecCol, c, s, sub)
+    // the codes table: a docstore scan — no assign fold, no encode
+    // kernel in the consumer plan (plan-audited)
+    val encoded = spark.read.format("docstore")
+      .option("path", ensurePqCodesArtifact(spark, dir)).load()
     // probes: nprobe nearest cells per query (bounded sort/slice agg,
     // same as s02) + the 8×4 ADC lookup table as 32 plain columns
     // (tiny frame — ≤ queries × nprobe rows — so the repeated q_vec

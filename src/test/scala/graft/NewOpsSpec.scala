@@ -1365,6 +1365,51 @@ class NewOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     df.unpersist()
   }
+
+  test("t21: multi-merge words tokenize through the full cascade — " +
+      "expected sequences verified against the DuckDB replica") {
+    import graft.functions.Bpe
+    // DuckDB-verified fixtures (the oracle's recursive CTE produced
+    // EXACTLY these id sequences for these words, 2026-08-15):
+    // 'customer' runs a 3-level cascade (cu+st, cust+o, custo+mer,
+    // where mer itself = m+er), 'merge' a 2-level one.
+    assert(Bpe.encodeWord("customer").toSeq == Seq(123))
+    assert(Bpe.encodeWord("merge").toSeq == Seq(99, 132))
+    assert(Bpe.encodeWord("data").toSeq == Seq(67, 100, 64))
+    assert(Bpe.encodeWord("window").toSeq == Seq(86, 95, 67, 96))
+    // OOV generalization: suffixes fall back to chars, learned stems
+    // still merge ('fastest' → f a st e st; ScaleUp's '~i' salt words
+    // tokenize — ids for '~' (93) and digits)
+    assert(Bpe.encodeWord("fastest").toSeq == Seq(69, 64, 98, 68, 98))
+    assert(Bpe.encodeWord("table~3").toSeq ==
+      Seq(83, 64, 65, 75, 68, 93, 18))
+    assert(Bpe.encodeWord("zzz").toSeq == Seq(89, 89, 89))
+    // leftmost-min-rank: every single-char id is codepoint−33 and ids
+    // reconstruct the word (merge results concatenate losslessly)
+    val toks = Seq("customer", "merge", "sparkly", "fastest")
+    toks.foreach { w =>
+      val ids = Bpe.encodeWord(w)
+      assert(ids.forall(i => i >= 0 && i < 94 + Bpe.merges.length), w)
+    }
+    // memo determinism: cached call equals fresh compute
+    assert(Bpe.encodeWordCached("customer").toSeq ==
+      Bpe.encodeWord("customer").toSeq)
+    // whole-doc encode: doc-order flattening across whitespace runs
+    val ids = Bpe.tokenizeIds(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "merge\t\tcustomer\n data")).toIntArray().toSeq
+    assert(ids == Seq(99, 132, 123, 67, 100, 64))
+    // t21 operator: n_tokens consistent with ids16 prefix, map-only
+    // plan (no join, no window — the scale contract: ONE kernel scan)
+    val df = SparkEntry.queries("t21_bpe_tokenize")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("windowspecdefinition"),
+      plan)
+    val r = df.filter(col("n_tokens") > 16).limit(5).collect()
+    r.foreach { row =>
+      assert(row.getString(2).split(" ").length == 16)
+    }
+  }
 }
 
 /** Row shape for the s08 short-candidate spec (top-level for the

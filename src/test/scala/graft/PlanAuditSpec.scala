@@ -742,6 +742,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p15.contains("partial_sum"), p15)
   }
 
+  test("round-11: s02/s07 consume the PERSISTED ANN index — docstore " +
+      "scan, no assign/encode kernel in the consumer plan (dd13 precedent)") {
+    graft.operators.Similarity.ensureIvfCellsArtifact(spark, sfDir)
+    graft.operators.Similarity.ensurePqCodesArtifact(spark, sfDir)
+    // s02: the inverted file is a docstore scan; the corpus-sized
+    // assignCells fold (its collected `cents` array) ran once into the
+    // artifact and must not appear in any query plan
+    val s02 = finalPlan("s02_ann_ivf")
+    assert(s02.contains("docstore"), s02)
+    assert(!s02.contains("cents"), s02)
+    // s07: codes come from the artifact — no assign fold, no hoisted
+    // `__v` encode view; the probe's LUT arithmetic (q_vec-sized) is
+    // the only distance computation left
+    val s07 = finalPlan("s07_ivfpq")
+    assert(s07.contains("docstore"), s07)
+    assert(!s07.contains("cents") && !s07.contains("__v"), s07)
+    // s09 rides s01+s02 and is artifact-backed through s02 — but its
+    // top-k frames are localCheckpointed, which HIDES everything
+    // upstream from the executed plan (the m07 sweep-blindness lesson),
+    // so the s02 assertions above are the authoritative audit; here we
+    // only pin that nothing corpus-shaped leaked past the checkpoints
+    val s09 = finalPlan("s09_ann_recall")
+    assert(!s09.contains("cents") && !s09.contains("FileScan"), s09)
+  }
+
   test("round-11: PlanSweep's ungated-collect gate — parser extracts " +
       "(keys, input) pairs and classifies gatedBuckets as the allowed path") {
     import graft.tools.PlanSweep
