@@ -55,7 +55,7 @@ object KernelOracleSql {
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + $plantOffset, regexp_replace(text, '\\s+\\S+$$', '')
+       |  SELECT doc_id + $plantOffset, regexp_replace(text, '[ \\t\\n\\r]+[^ \\t\\n\\r]+$$', '')
        |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
   /** Whitespace tokens of lower(text), empties dropped (= TextHashes.tokens
@@ -248,7 +248,7 @@ object KernelOracleSql {
     s"""WITH base AS (SELECT doc_id, text FROM documents),
        |b3 AS (
        |  SELECT doc_id + 5000000 AS doc_id,
-       |    regexp_replace(text, '\\s+\\S+$$', '') AS text
+       |    regexp_replace(text, '[ \\t\\n\\r]+[^ \\t\\n\\r]+$$', '') AS text
        |  FROM base WHERE doc_id % 7 = 3),
        |b5t AS (
        |  SELECT doc_id,
@@ -311,7 +311,7 @@ object KernelOracleSql {
        |  FROM base WHERE doc_id % 7 = 2
        |  UNION ALL
        |  SELECT doc_id + 5000000,
-       |    regexp_replace(text, '\\s+\\S+$$', '')
+       |    regexp_replace(text, '[ \\t\\n\\r]+[^ \\t\\n\\r]+$$', '')
        |  FROM base WHERE doc_id % 7 = 3
        |  UNION ALL
        |  SELECT doc_id + 6000000,
@@ -378,7 +378,7 @@ object KernelOracleSql {
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 29000000,
-       |    regexp_replace(text, '\\s+\\S+$$', '')
+       |    regexp_replace(text, '[ \\t\\n\\r]+[^ \\t\\n\\r]+$$', '')
        |  FROM documents WHERE doc_id % 10 = 0
        |$ladder),
        |ttoks AS (
@@ -430,7 +430,7 @@ object KernelOracleSql {
     s"""WITH base AS (SELECT doc_id, text FROM documents),
        |b3 AS (
        |  SELECT doc_id + 5000000 AS doc_id,
-       |    regexp_replace(text, '\\s+\\S+$$', '') AS text
+       |    regexp_replace(text, '[ \\t\\n\\r]+[^ \\t\\n\\r]+$$', '') AS text
        |  FROM base WHERE doc_id % 7 = 3),
        |b5t AS (
        |  SELECT doc_id,

@@ -40,7 +40,7 @@ object Dedup {
       .select(col("doc_id"), col("text"), col("source"))
     val planted = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + PlantOffset).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text"),
+        regexp_replace(col("text"), "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "").as("text"),
         col("source"))
     docs.unionAll(planted)
   }
@@ -378,7 +378,7 @@ object Dedup {
     s"""corpus AS (
        |  SELECT doc_id, text, source FROM documents
        |  UNION ALL
-       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '\\s+\\S+$$', ''),
+       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '[ \\t\\n\\r]+[^ \\t\\n\\r]+$$', ''),
        |    source FROM documents WHERE doc_id % 10 = 0),
        |toks AS (
        |  SELECT doc_id, source, text,
@@ -647,7 +647,7 @@ object Dedup {
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '\\s+\\S+$$', '')
+       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '[ \\t\\n\\r]+[^ \\t\\n\\r]+$$', '')
        |  FROM documents WHERE doc_id % 10 = 0),
        |toks AS (
        |  SELECT doc_id, text,
@@ -855,7 +855,7 @@ object Dedup {
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '\\s+\\S+$$', '')
+       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '[ \\t\\n\\r]+[^ \\t\\n\\r]+$$', '')
        |  FROM documents WHERE doc_id % 10 = 0),
        |toks AS (
        |  SELECT doc_id,
@@ -926,7 +926,7 @@ object Dedup {
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '\\s+\\S+$$', '')
+       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '[ \\t\\n\\r]+[^ \\t\\n\\r]+$$', '')
        |  FROM documents WHERE doc_id % 10 = 0),
        |toks AS (
        |  SELECT doc_id,
@@ -1118,7 +1118,7 @@ object Dedup {
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '\\s+\\S+$$', '')
+       |  SELECT doc_id + $PlantOffset, regexp_replace(text, '[ \\t\\n\\r]+[^ \\t\\n\\r]+$$', '')
        |  FROM documents WHERE doc_id % 10 = 0),
        |toks AS (
        |  SELECT doc_id,
@@ -1288,7 +1288,7 @@ object Dedup {
     val ws = filter(split(col("text"), "[ \\t\\n\\r]+"), w => w =!= "")
     val batch = base.filter(col("doc_id") % 7 === 3)
         .select((col("doc_id") + 5000000L).as("doc_id"),
-          regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text"))
+          regexp_replace(col("text"), "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "").as("text"))
       .unionAll(base.filter(col("doc_id") % 7 === 5)
         .select((col("doc_id") + 6000000L).as("doc_id"),
           array_join(transform(ws, w => concat(w, lit("~new"))), " ")
@@ -1377,7 +1377,7 @@ object Dedup {
     val ws = filter(split(col("text"), "[ \\t\\n\\r]+"), w => w =!= "")
     val trims = base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 29000000L).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text"))
+        regexp_replace(col("text"), "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "").as("text"))
     dd17Levels.foldLeft(base.unionAll(trims)) { case (acc, (m, r)) =>
       acc.unionAll(base.filter(col("doc_id") % 31 === r)
         .select((col("doc_id") + (20L + r) * 1000000L).as("doc_id"),
@@ -1448,7 +1448,7 @@ object Dedup {
         .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
       .unionAll(base.filter(col("doc_id") % 7 === 3)
         .select((col("doc_id") + 5000000L).as("doc_id"),
-          regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text")))
+          regexp_replace(col("text"), "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "").as("text")))
       .unionAll(base.filter(col("doc_id") % 7 === 5)
         .select((col("doc_id") + 6000000L).as("doc_id"),
           array_join(transform(ws, w => concat(w, lit("~new"))), " ")

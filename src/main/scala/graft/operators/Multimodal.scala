@@ -270,7 +270,7 @@ object Multimodal {
     val corpus = docs.unionAll(
       docs.filter(col("doc_id") % 9 === 0)
         .select((col("doc_id") + 999999L).as("doc_id"),
-          regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text")))
+          regexp_replace(col("text"), "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "").as("text")))
     corpus.select(col("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
@@ -284,7 +284,7 @@ object Multimodal {
     s"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 999999, regexp_replace(text, '\\s+\\S+$$', '')
+      |  SELECT doc_id + 999999, regexp_replace(text, '[ \\t\\n\\r]+[^ \\t\\n\\r]+$$', '')
       |  FROM documents WHERE doc_id % 9 = 0),
       |med AS (
       |  SELECT doc_id,
@@ -736,7 +736,7 @@ object Multimodal {
       cap12.as("caption"))
     val reenc = docs.filter(col("doc_id") % 11 === 1)
       .select((col("doc_id") + 7000000L).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+\\z", "").as("img_txt"),
+        regexp_replace(col("text"), "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "").as("img_txt"),
         array_join(transform(slice(ws, 1, 12), w => concat(w, lit("~re"))),
           " ").as("caption"))
     val rehost = docs.filter(col("doc_id") % 11 === 2)
@@ -789,7 +789,7 @@ object Multimodal {
       |    array_to_string(ws[1:12], ' ') AS caption FROM ptoks
       |  UNION ALL
       |  SELECT doc_id + 7000000,
-      |    regexp_replace(text, '\\s+\\S+$$', ''),
+      |    regexp_replace(text, '[ \\t\\n\\r]+[^ \\t\\n\\r]+$$', ''),
       |    array_to_string(list_transform(ws[1:12], w -> w || '~re'), ' ')
       |  FROM ptoks WHERE doc_id % 11 = 1
       |  UNION ALL

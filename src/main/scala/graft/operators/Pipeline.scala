@@ -107,7 +107,7 @@ object Pipeline {
       .filter(substring(md5(col("doc_id").cast(StringType)), 1, 2)
         <= threshold)
       .withColumn("tokens",
-        size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        size(filter(split(lower(col("text")), "[ \\t\\n\\r]+"), x => x =!= ""))
           .cast(LongType))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs_kept"), sum(col("tokens")).as("token_budget"))
@@ -116,7 +116,7 @@ object Pipeline {
 
   val p03Sql: String =
     """SELECT source, COUNT(*) AS docs_kept,
-      |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
       |    t -> t <> ''))) AS BIGINT) AS token_budget
       |FROM documents
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
@@ -348,7 +348,7 @@ object Pipeline {
     val budget = 20000L
     val toks = Tables(spark, dir, "documents")
       .withColumn("tokens",
-        size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        size(filter(split(lower(col("text")), "[ \\t\\n\\r]+"), x => x =!= ""))
           .cast(LongType))
       .select(col("doc_id"), col("source"), col("tokens"))
     val bounds = toks.agg(min(col("doc_id")).as("__lo"),
@@ -371,7 +371,7 @@ object Pipeline {
   val p05Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, source,
-      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
       |      t -> t <> '')) AS BIGINT) AS tokens
       |  FROM documents),
       |packed AS (
@@ -458,7 +458,7 @@ object Pipeline {
     * shuffle of document data at all; cost = scan bandwidth.
     */
   def p09QualityFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val t = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val t = filter(split(lower(col("text")), "[ \\t\\n\\r]+"), x => x =!= "")
     val nTok = size(t).cast(LongType)
     val nStop = size(filter(t, x => x.isin(Seq("the", "a", "of", "to",
       "and", "is", "in", "that", "it").map(lit): _*))).cast(LongType)
@@ -500,13 +500,13 @@ object Pipeline {
   val p09Sql: String =
     s"""WITH base AS (
       |  SELECT doc_id,
-      |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-      |    CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'), x -> x <> ''),
       |      x -> x IN ('the','a','of','to','and','is','in','that','it'))) AS BIGINT) AS n_stop,
-      |    CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+      |    CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'), x -> x <> ''),
       |      x -> length(x))) AS BIGINT) AS word_chars,
-      |    CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS BIGINT) AS n_uniq,
-      |    CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+      |    CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'), x -> x <> ''))) AS BIGINT) AS n_uniq,
+      |    CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'), x -> x <> ''),
       |      x -> x IN (${TextAnalysis.blocklistInSql}))) AS BIGINT) AS n_bad
       |  FROM documents),
       |flags AS (
@@ -566,7 +566,7 @@ object Pipeline {
   def p10PackSequences(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
       .withColumn("tokens",
-        size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        size(filter(split(lower(col("text")), "[ \\t\\n\\r]+"), x => x =!= ""))
           .cast(LongType))
       .select(col("doc_id"), col("source"), col("tokens"))
     packSpans(toks, 512L)
@@ -601,7 +601,7 @@ object Pipeline {
   val p10Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, source,
-      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
       |      t -> t <> '')) AS BIGINT) AS tokens
       |  FROM documents),
       |c AS (

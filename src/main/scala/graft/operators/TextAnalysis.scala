@@ -28,7 +28,7 @@ object TextAnalysis {
     * portable form.
     */
   private def toks(c: Column): Column =
-    filter(split(lower(c), "\\s+"), x => x =!= "")
+    filter(split(lower(c), "[ \\t\\n\\r]+"), x => x =!= "")
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
@@ -64,7 +64,7 @@ object TextAnalysis {
   val t01Sql: String = {
     def hits(ws: Seq[String]): String = {
       val inList = ws.map(w => s"'$w'").mkString(", ")
-      s"CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), x -> x IN ($inList))) AS BIGINT)"
+      s"CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'), x -> x <> ''), x -> x IN ($inList))) AS BIGINT)"
     }
     val cols = langMarkers.map { case (l, ws) => s"  ${hits(ws)} AS s_$l" }
       .mkString(",\n")
@@ -90,7 +90,7 @@ object TextAnalysis {
     val t = toks(col("text"))
     val nTok = size(t).cast(LongType)
     val nChar = length(col("text")).cast(LongType)
-    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
+    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9 \\t\\n\\r]"))
       .cast(LongType)
     val stopHits = markerHits(t,
       Seq("the", "a", "of", "to", "and", "is", "in", "that", "it"))
@@ -115,12 +115,12 @@ object TextAnalysis {
   val t02Sql: String =
     """WITH base AS (
       |  SELECT doc_id,
-      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
       |    CAST(length(text) AS BIGINT) AS n_chars,
-      |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_punct,
-      |    CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+      |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \t\n\r]')) AS BIGINT) AS n_punct,
+      |    CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'), x -> x <> ''),
       |      x -> x IN ('the','a','of','to','and','is','in','that','it'))) AS BIGINT) AS n_stop,
-      |    CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+      |    CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'), x -> x <> ''),
       |      x -> length(x))) AS BIGINT) AS word_chars
       |  FROM documents),
       |ratios AS (
@@ -144,7 +144,7 @@ object TextAnalysis {
     val docs = Tables(spark, dir, "documents")
     docs.select(col("doc_id"), col("source"),
         size(toks(col("text"))).cast(LongType).as("ws_tokens"),
-        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r]"))
           .cast(LongType).as("bpe_tokens"),
         length(col("text")).cast(LongType).as("chars"))
       .withColumn("chars_per_token",
@@ -154,11 +154,11 @@ object TextAnalysis {
 
   val t03Sql: String =
     """SELECT doc_id, source,
-      |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
-      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]')) AS BIGINT) AS bpe_tokens,
       |  CAST(length(text) AS BIGINT) AS chars,
       |  CAST(length(text) AS DOUBLE) /
-      |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS chars_per_token
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]')) AS BIGINT) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t04
@@ -205,7 +205,7 @@ object TextAnalysis {
   val t06Sql: String =
     """WITH base AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\r]+'), x -> x <> '') AS ts
       |  FROM documents),
       |big AS (
       |  SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n_tokens,
@@ -315,7 +315,7 @@ object TextAnalysis {
   val t07Sql: String =
     """WITH toks AS (
       |  SELECT doc_id,
-      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
       |      x -> x <> '')) AS term
       |  FROM documents),
       |tf AS (
@@ -395,7 +395,7 @@ object TextAnalysis {
     docs.select(col("doc_id"),
         regexp_replace(
           graft.functions.text.strip_accents(lower(col("text2"))),
-          "\\s+", " ").as("norm"))
+          "[ \\t\\n\\r]+", " ").as("norm"))
       .select(col("doc_id"), md5(col("norm")).as("norm_key"),
         length(col("norm")).cast(LongType).as("norm_len"))
       .orderBy(col("doc_id"))
@@ -411,7 +411,7 @@ object TextAnalysis {
       |  FROM documents),
       |normed AS (
       |  SELECT doc_id,
-      |    regexp_replace(strip_accents(lower(text2)), '\s+', ' ', 'g') AS norm
+      |    regexp_replace(strip_accents(lower(text2)), '[ \t\n\r]+', ' ', 'g') AS norm
       |  FROM planted)
       |SELECT doc_id, md5(norm) AS norm_key,
       |  CAST(length(norm) AS BIGINT) AS norm_len
@@ -434,7 +434,7 @@ object TextAnalysis {
     val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val evalDocs = base.filter(col("doc_id") % 97 === 0)
     val leaked = evalDocs.select((col("doc_id") + 3000000L).as("doc_id"),
-      regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text"))
+      regexp_replace(col("text"), "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "").as("text"))
     val corpus = base.filter(col("doc_id") % 97 =!= 0).unionAll(leaked)
 
     // distinct 8-word grams per doc; short docs contribute their full text
@@ -475,7 +475,7 @@ object TextAnalysis {
       |corpus AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 3000000, regexp_replace(text, '\s+\S+$', '')
+      |  SELECT doc_id + 3000000, regexp_replace(text, '[ \t\n\r]+[^ \t\n\r]+$', '')
       |  FROM evaldocs),
       |cg AS (
       |  SELECT doc_id, unnest(gs) AS gram
@@ -484,14 +484,14 @@ object TextAnalysis {
       |      ELSE list_distinct(list_transform(range(1, len(ws) - 6),
       |        i -> array_to_string(ws[i:(i+7)], ' '))) END AS gs
       |    FROM (SELECT doc_id,
-      |        list_filter(string_split_regex(lower(text), '\s+'),
+      |        list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
       |          x -> x <> '') AS ws FROM corpus))),
       |eg AS (
       |  SELECT DISTINCT unnest(gs) AS eg
       |  FROM (SELECT CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
       |      ELSE list_distinct(list_transform(range(1, len(ws) - 6),
       |        i -> array_to_string(ws[i:(i+7)], ' '))) END AS gs
-      |    FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |    FROM (SELECT list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
       |        x -> x <> '') AS ws FROM evaldocs)))
       |SELECT doc_id, COUNT(*) AS n_grams, COUNT(eg.eg) AS n_overlap,
       |  ROUND(CAST(COUNT(eg.eg) AS DOUBLE) / COUNT(*), 4) AS overlap_frac,
@@ -526,7 +526,7 @@ object TextAnalysis {
     docs.select(col("doc_id"),
         size(expr("regexp_extract_all(text2, '<[^>]+>', 0)")).cast(LongType)
           .as("n_tags"),
-        trim(regexp_replace(decoded, "\\s+", " ")).as("clean"))
+        trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " ")).as("clean"))
       .select(col("doc_id"), col("n_tags"), md5(col("clean")).as("clean_key"),
         length(col("clean")).cast(LongType).as("clean_len"))
       .orderBy(col("doc_id"))
@@ -553,7 +553,7 @@ object TextAnalysis {
       |          '<[^>]+>', ' ', 'g'),
       |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
       |        '&quot;', '"'), '&nbsp;', ' '),
-      |      '\s+', ' ', 'g')) AS clean
+      |      '[ \t\n\r]+', ' ', 'g')) AS clean
       |  FROM planted)
       |SELECT doc_id, n_tags, md5(clean) AS clean_key,
       |  CAST(len(clean) AS BIGINT) AS clean_len
@@ -607,7 +607,7 @@ object TextAnalysis {
   val t12Sql: String =
     """WITH toks AS (
       |  SELECT doc_id,
-      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
       |      x -> x <> '')) AS term
       |  FROM documents),
       |tfdt AS (SELECT doc_id, term, COUNT(*) AS k FROM toks GROUP BY 1, 2),
@@ -708,7 +708,7 @@ object TextAnalysis {
   val t14Sql: String =
     """WITH d AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
       |      x -> x <> '') AS ts
       |  FROM documents),
       |vocab AS (
@@ -896,7 +896,7 @@ object TextAnalysis {
 
   val t15Sql: String =
     """WITH toks AS (
-      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
       |    x -> x <> '')) AS term
       |  FROM documents),
       |freq AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1),
@@ -962,7 +962,7 @@ object TextAnalysis {
   val t13Sql: String =
     """WITH d AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
       |      t -> t <> '') AS ts
       |  FROM documents),
       |starts AS (
@@ -1021,7 +1021,7 @@ object TextAnalysis {
        |  len(list_filter(ts, x -> x IN ($blocklistInSql))) = 0 AS keep
        |FROM (
        |  SELECT doc_id, source,
-       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'),
        |      x -> x <> '') AS ts
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
@@ -1158,7 +1158,7 @@ object TextAnalysis {
     """WITH docs AS (SELECT doc_id, text FROM documents),
       |ptoks AS (
       |  SELECT doc_id, text,
-      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
       |      x -> x <> '') AS ws
       |  FROM docs),
       |planted AS (
@@ -1171,7 +1171,7 @@ object TextAnalysis {
       |  UNION ALL SELECT doc_id, text FROM planted),
       |tk AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
       |      x -> x <> '') AS ts
       |  FROM src),
       |g2 AS (
@@ -1316,7 +1316,7 @@ object TextAnalysis {
       |    FROM base WHERE doc_id % 29 = 15),
       |f AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\\s+'),
+      |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'),
       |      x -> x <> '') AS ts,
       |    string_split(text, chr(10)) AS ls, text
       |  FROM src),

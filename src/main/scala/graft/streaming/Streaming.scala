@@ -1198,7 +1198,7 @@ object Streaming {
       array_join(transform(a, w => concat(w, lit("~new"))), " ")
     base.filter(col("doc_id") % 7 === 3)
       .select((col("doc_id") + 5000000L).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text"))
+        regexp_replace(col("text"), "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "").as("text"))
       .unionAll(base.filter(col("doc_id") % 7 === 5)
         .select((col("doc_id") + 6000000L).as("doc_id"),
           suffixed(ws).as("text")))

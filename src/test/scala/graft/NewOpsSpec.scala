@@ -333,7 +333,7 @@ class NewOpsSpec extends SparkSpec {
         max(col("doc_off") + col("seg_tok")).as("dEnd"))
     val want = Tables(spark, sfDir, "documents")
       .withColumn("tokens",
-        size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        size(filter(split(lower(col("text")), "[ \\t\\n\\r]+"), x => x =!= ""))
           .cast("long"))
       .filter(col("tokens") > 0L).select(col("doc_id"), col("tokens"))
     val broken = perDoc.join(want, "doc_id")
@@ -699,7 +699,7 @@ class NewOpsSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val corpus = texts ++ texts.filter(_._1 % 9 == 0).map { case (id, t) =>
-      (id + 999999L, t.replaceAll("\\s+\\S+\\z", "")) }
+      (id + 999999L, t.replaceAll("[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "")) }
     val ph = corpus.map { case (id, t) =>
       id -> graft.functions.TextHashes.dctSignHash(UTF8String.fromString(t))
     }.toMap
@@ -737,7 +737,7 @@ class NewOpsSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     def shingles(t: String): Set[Seq[String]] = {
-      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val ws = t.toLowerCase.split("[ \\t\\n\\r]+").filter(_.nonEmpty).toSeq
       if (ws.length < 3) Set(ws) else ws.sliding(3).toSet
     }
     rows.foreach { case (d, e, j) =>
@@ -785,7 +785,7 @@ class NewOpsSpec extends SparkSpec {
       "and p09's stage 5 reports the same rule") {
     val df = SparkEntry.queries("t16_blocklist_filter")(spark, sfDir).cache()
     val want = Tables(spark, sfDir, "documents")
-      .filter(exists(split(lower(col("text")), "\\s+"),
+      .filter(exists(split(lower(col("text")), "[ \\t\\n\\r]+"),
         x => x.isin(graft.operators.TextAnalysis.blocklist.map(lit): _*)))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(want.nonEmpty, "corpus has no blocklisted docs — vacuous gate")
@@ -992,7 +992,7 @@ class NewOpsSpec extends SparkSpec {
       .unionAll(Tables(spark, sfDir, "documents")
         .filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
-          regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text")))
+          regexp_replace(col("text"), "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "").as("text")))
     val chunks = corpus
       .select(col("doc_id"),
         filter(split(col("text"), "[ \\t\\n\\r]+"), t => t =!= "").as("ws"))
@@ -1234,7 +1234,7 @@ class NewOpsSpec extends SparkSpec {
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.unionAll(docs.filter(col("doc_id") % 9 === 0)
       .select((col("doc_id") + 999999L).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+\\z", "").as("text")))
+        regexp_replace(col("text"), "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "").as("text")))
     val rows = corpus.count()
     // partition property: clusters cover the corpus exactly once
     assert(df.agg(sum(col("n_copies"))).head.getLong(0) == rows)
@@ -1275,7 +1275,7 @@ class NewOpsSpec extends SparkSpec {
   test("t13: chunk windows tile every document with exact 48-stride offsets") {
     val df = SparkEntry.queries("t13_chunk_windows")(spark, sfDir).cache()
     val totals = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), size(filter(split(lower(col("text")), "\\s+"),
+      .select(col("doc_id"), size(filter(split(lower(col("text")), "[ \\t\\n\\r]+"),
         x => x =!= "")).cast("long").as("total"))
     val joined = df.join(totals, "doc_id")
     // every chunk is the window the spec says: start = 48·chunk_id,
@@ -1364,6 +1364,47 @@ class NewOpsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     df.unpersist()
+  }
+
+  test("charset migration (r11): vertical-tab/form-feed are TOKEN " +
+      "characters in every tokenizer — Spark split, hash kernel, and " +
+      "the SQL charset agree by construction") {
+    import spark.implicits._
+    // the r10c hazard retired: Java \s ⊇ {\x0B,\f} but RE2 \s ∋ \f ∌ \x0B
+    // and the kernel splits on neither — one adversarial regeneration
+    // of testdata would have flipped integer decisions cross-engine.
+    // All tokenizers now share the ONE literal class [ \t\n\r]+, so the
+    // three answers below must agree on a \x0B/\f-bearing text.
+    val adversarial = "alpha\u000bbeta gamma\fdelta the\ta of\nto"
+    // 1. Spark-side t-family split (the migrated toks charset)
+    val sparkToks = Seq(adversarial).toDF("text")
+      .select(org.apache.spark.sql.functions.filter(
+        split(lower(col("text")), "[ \\t\\n\\r]+"), x => x =!= ""))
+      .head.getSeq[String](0)
+    assert(sparkToks ==
+      Seq("alpha\u000bbeta", "gamma\fdelta", "the", "a", "of", "to"),
+      sparkToks)
+    // 2. the hash kernel's tokens() (always was the explicit charset)
+    val kernelToks = graft.functions.TextHashes.tokens(
+      org.apache.spark.unsafe.types.UTF8String.fromString(adversarial))
+      .map(b => new String(b, "UTF-8")).toSeq
+    assert(kernelToks == sparkToks, kernelToks)
+    // 3. an integer decision riding the tokens (t20's stop_hits ≥ 2
+    //    keep input): identical token stream → identical decision; the
+    //    pre-migration Java \s split would have returned 8 tokens here
+    //    and flipped word-count rules at the boundary
+    assert(sparkToks.count(Set("the", "a", "and", "of", "to")) == 4)
+    // the SQL side shares the same literal class by construction: every
+    // oracle now interpolates '[ \t\n\r]+' (grep-pinned — no '\s+'
+    // tokenizer remains in any operator oracle)
+    val srcs = Seq("operators/TextAnalysis.scala", "operators/Pipeline.scala",
+      "operators/Dedup.scala", "operators/Multimodal.scala")
+    srcs.foreach { f =>
+      val body = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"src/main/scala/graft/$f")), "UTF-8")
+      assert(!body.contains("string_split_regex(lower(text), '\\s+')"),
+        s"$f regressed to the \\s tokenizer")
+    }
   }
 
   test("t21: multi-merge words tokenize through the full cascade — " +
