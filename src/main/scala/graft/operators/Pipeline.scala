@@ -835,7 +835,281 @@ object Pipeline {
   val p15Sql: String = graft.functions.KernelOracleSql.p15Sql(
     Seq("src0", "src1", "src2", "src3"))
 
+  // ---------------------------------------------------------------- p16
+  /** The END-TO-END composed corpus build (VERDICT r10 #4) — every
+    * shipped curation stage chained the way a production pretraining
+    * pipeline runs them, with p09's per-stage attrition funnel as the
+    * output and stage counts reconciling EXACTLY to the input:
+    *
+    *   1 markup strip (t11's chain)   2 lang-id (t01's CASE)
+    *   3 C4 blocklist (t16)           4 Gopher repetition (t18)
+    *   5 Gopher structural (t20)      6 exact dedup (md5 token key)
+    *   7 fuzzy dedup (dd06 cluster ARTIFACT — min surviving doc per
+    *     cluster)                     8 8-gram decontamination (t10)
+    *   9 leak-safe split (p08's cluster-hash rule, same artifact)
+    *  10 temperature mix (p13's α=0.5 Hamilton apportionment)
+    *  11 pack to 512-BPE-token sequences (p10's budget on t21's REAL
+    *     tokenizer — n_out is SEQUENCES, the one unit change, with
+    *     n_dropped pinned 0)
+    *
+    * Input = the dedup family's canonical crawl (base + recrawled
+    * trims) plus verbatim re-fetches (doc_id%20==7 at +8M) so the
+    * exact-dedup stage has real work. Built as ONE scan via a
+    * per-row explode (the 3-way union form re-scans the parquet per
+    * plant class — measured 3 text-bearing scans vs 1 here).
+    *
+    * Scale contract (the point of the key): the text column is
+    * touched by exactly ONE FileScan — the first projection computes
+    * clean text, the single tokenization, the BPE count, and the
+    * line stats, then localCheckpoints; every later stage (gram
+    * gates, grams-vs-eval join, dedup groupings, cluster join, split,
+    * mix ladder, packing) rides the checkpointed token frame or the
+    * compact flag frame. Dedup keep-mins are SHRINKING groupBys
+    * joined back by shuffle-hash (never a window over a content key —
+    * the p01/dd07 rule); the mix selection rides Ladders.globalRank
+    * (no group-sized window); the funnel collapses to one aggregate
+    * row unpivoted (p09's shape). PlanAudit counts the text scans and
+    * pins the artifact consumption.
+    */
+  /** p16's pre-checkpoint token frame — factored out so PlanAudit can
+    * count text-bearing FileScans in its plan (exactly ONE: the input
+    * explode, the strip chain, the single tokenization, the BPE count,
+    * and the raw-text line stats all ride one projection). */
+  private[graft] def p16TokenFrame(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.functions.{text => T}
+    // input corpus: ONE scan emits 1–3 rows per base doc (base copy;
+    // dd02's trimmed recrawl for doc_id%10==0 — plantedDocs' exact
+    // rule, ids +1M, already in the cluster artifact; a verbatim
+    // re-fetch for doc_id%20==7 at +8M, NOT in the artifact — it can
+    // never reach stage 7 because stage 6 drops it by construction)
+    val trimmed = regexp_replace(col("text"),
+      "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "")
+    val input = Tables(spark, dir, "documents")
+      .select(explode(array(
+        struct(col("doc_id"), col("text"), col("source")),
+        when(col("doc_id") % 10 === 0,
+          struct((col("doc_id") + Dedup.PlantOffset).as("doc_id"),
+            trimmed.as("text"), col("source"))),
+        when(col("doc_id") % 20 === 7,
+          struct((col("doc_id") + 8000000L).as("doc_id"),
+            col("text"), col("source"))))).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("r.source").as("source"))
+
+    // THE text-bearing scan: strip chain (t11's, verbatim), the ONE
+    // tokenization, the BPE count, and the raw-text line stats
+    val noBlocks = regexp_replace(col("text"),
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ").foldLeft(noTags) {
+      case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val clean = trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+    Tables.spread(input)
+      .withColumn("__clean", clean)
+      .select(col("doc_id"), col("source"),
+        filter(split(lower(col("__clean")), "[ \\t\\n\\r]+"),
+          x => x =!= "").as("ts"),
+        size(T.bpe_token_ids(col("__clean"))).cast(LongType).as("n_bpe"),
+        size(split(col("text"), "\n")).cast(LongType).as("n_lines"),
+        size(filter(split(col("text"), "\n"), l => l.startsWith("- ")))
+          .cast(LongType).as("bullet_lines"),
+        size(filter(split(col("text"), "\n"), l => l.endsWith("...")))
+          .cast(LongType).as("ellipsis_lines"),
+        expr("CAST((length(text) - length(replace(text, '#', ''))) + " +
+          "(length(text) - length(replace(text, '...', ''))) div 3 " +
+          "AS BIGINT)").as("n_symbols"))
+  }
+
+  def p16CurationDag(spark: SparkSession, dir: String): DataFrame = {
+    val labels = spark.read.format("docstore")
+      .option("path", Dedup.ensureClusterArtifact(spark, dir)).load()
+      .select(col("doc_id"), col("cluster_id"))
+    val pd = p16TokenFrame(spark, dir).localCheckpoint(false)
+
+    // per-doc map-side stats off the token frame (no text anywhere)
+    val langPred = {
+      val s = TextAnalysis.langMarkers.map { case (l, ws) =>
+        l -> size(filter(col("ts"), x => x.isin(ws.map(lit): _*)))
+          .cast(LongType) }.toMap
+      when(s("en") >= s("es") && s("en") >= s("de") && s("en") >= s("fr") &&
+        s("en") >= s("zh"), "en")
+        .when(s("es") >= s("de") && s("es") >= s("fr") &&
+          s("es") >= s("zh"), "es")
+        .when(s("de") >= s("fr") && s("de") >= s("zh"), "de")
+        .when(s("fr") >= s("zh"), "fr")
+        .otherwise("zh")
+    }
+    val stats = pd.select(col("doc_id"), col("source"), col("ts"),
+      col("n_bpe"), col("n_lines"), col("bullet_lines"),
+      col("ellipsis_lines"), col("n_symbols"),
+      size(col("ts")).cast(LongType).as("n_words"),
+      aggregate(transform(col("ts"), x => length(x).cast(LongType)),
+        lit(0L), (a, x) => a + x).as("sum_len"),
+      size(filter(col("ts"), x => x.rlike("[a-z]")))
+        .cast(LongType).as("alpha_words"),
+      TextAnalysis.t20StopWords
+        .map(w => array_contains(col("ts"), w).cast("int"))
+        .reduce(_ + _).cast(LongType).as("stop_hits"),
+      (langPred === "en").as("k2x"),
+      (size(filter(col("ts"),
+        x => x.isin(TextAnalysis.blocklist.map(lit): _*))) === 0).as("k3x"),
+      md5(concat_ws(" ", col("ts"))).as("key"))
+
+    // t18's gram gates off the checkpointed token frame
+    def gramCounts(n: Int): DataFrame = {
+      val g = (0 until n).map(j => s"ts[i + $j]").mkString(" || ' ' || ")
+      pd.filter(size(col("ts")) >= n)
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, size(ts) - $n), i -> $g)"))
+            .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    }
+    val t2 = gramCounts(2).groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
+    val d5 = gramCounts(5).filter(col("c") >= 2)
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup5"))
+
+    // t10's decontamination grams, both sides off the SAME token frame
+    val grams = pd.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(ts) < 8 THEN array(array_join(ts, ' '))
+        |ELSE array_distinct(transform(sequence(1, size(ts) - 7),
+        |  i -> array_join(slice(ts, i, 8), ' '))) END""".stripMargin))
+      .as("gram"))
+    val evalG = grams
+      .filter(col("doc_id") % 97 === 0 && col("doc_id") < Dedup.PlantOffset)
+      .select(col("gram").as("eg")).distinct()
+    val ov = grams.join(broadcast(evalG), col("gram") === col("eg"),
+        "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("eg")).as("n_overlap"))
+
+    // compact flag frame: cumulative keeps through stage 5 + the keys
+    // later stages group on; cluster labels default to self (the
+    // verbatim plants are absent from the artifact by design)
+    val fl = stats
+      .join(t2, Seq("doc_id"), "left_outer")
+      .join(d5, Seq("doc_id"), "left_outer")
+      .join(ov, Seq("doc_id"), "left_outer")
+      .join(labels.hint("shuffle_hash"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"), col("key"), col("n_bpe"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (col("n_words") > 0).as("k1"),
+        (col("n_words") > 0 && col("k2x")).as("k2"),
+        (col("n_words") > 0 && col("k2x") && col("k3x")).as("k3"),
+        (col("n_words") > 0 && col("k2x") && col("k3x") &&
+          coalesce(col("top2"), lit(0L)) * 10 <= col("n_words") &&
+          coalesce(col("dup5"), lit(0L)) * 100 <=
+            greatest(col("n_words") - 4, lit(0L)) * 15).as("k4"),
+        (col("n_words") > 0 && col("k2x") && col("k3x") &&
+          coalesce(col("top2"), lit(0L)) * 10 <= col("n_words") &&
+          coalesce(col("dup5"), lit(0L)) * 100 <=
+            greatest(col("n_words") - 4, lit(0L)) * 15 &&
+          col("n_words") >= 50 && col("n_words") <= 100000 &&
+          lit(3) * col("n_words") <= col("sum_len") &&
+          col("sum_len") <= lit(10) * col("n_words") &&
+          col("n_symbols") * 10 <= col("n_words") &&
+          col("bullet_lines") * 10 <= col("n_lines") * 9 &&
+          col("ellipsis_lines") * 10 <= col("n_lines") * 3 &&
+          col("alpha_words") * 5 >= col("n_words") * 4 &&
+          col("stop_hits") >= 2).as("k5"))
+      .localCheckpoint(false)
+
+    // stages 6/7: SHRINKING keep-min groupBys joined back shuffle-hash
+    // (the p01/dd07 rule — a window over a content key colocates a
+    // pathological duplicate group on one task)
+    val mk = fl.filter(col("k5")).groupBy(col("key"))
+      .agg(min(col("doc_id")).as("mk"))
+    val f6 = fl.join(mk.hint("shuffle_hash"), Seq("key"), "left_outer")
+      .withColumn("k6", col("k5") && col("doc_id") === col("mk"))
+    val mc = f6.filter(col("k6")).groupBy(col("cluster"))
+      .agg(min(col("doc_id")).as("mc"))
+    val f9 = f6.join(mc.hint("shuffle_hash"), Seq("cluster"), "left_outer")
+      .withColumn("k7", col("k6") && col("doc_id") === col("mc"))
+      .withColumn("k8",
+        col("k7") && col("n_overlap") * 5 < col("n_grams"))
+      .withColumn("k9", col("k8") &&
+        substring(md5(concat(col("cluster").cast(StringType),
+          lit("#split"))), 1, 2) > "19")
+      .withColumn("grp", {
+        val srcNum = substring(col("source"), 4, 10).cast(LongType)
+        when(srcNum < 10, "head").when(srcNum < 16, "mid")
+          .otherwise(concat(lit("tail"), substring(col("source"), 4, 10)))
+      })
+      .localCheckpoint(false)
+
+    // stage 10: p13's capped Hamilton over the k9 survivors
+    val counts = f9.filter(col("k9")).groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("w", round(sqrt(col("n_s")) * 1e6).cast(LongType))
+    val tot = counts.agg(sum(col("n_s")).as("__N"), sum(col("w")).as("__W"))
+    val wTiny = Window.orderBy(col("rem").desc, col("grp"))
+    val alloc = counts.crossJoin(broadcast(tot))
+      .withColumn("b", expr("__N DIV 3"))
+      .withColumn("base", expr("(b * w) DIV __W"))
+      .withColumn("rem", expr("(b * w) % __W"))
+      .withColumn("rr", row_number().over(wTiny))
+      .withColumn("base_sum", sum(col("base")).over(wTiny.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("alloc", least(
+        col("base") + when(col("rr") <= col("b") - col("base_sum"), 1L)
+          .otherwise(0L), col("n_s")))
+      .select(col("grp"), col("alloc"))
+    val picked = Ladders.globalRank(
+        f9.filter(col("k9"))
+          .withColumn("__h",
+            md5(concat(col("doc_id").cast(StringType), lit("#temp"))))
+          .withColumn("__b", substring(col("__h"), 1, 2)),
+        Seq("grp"), "__b", Seq(col("__h"), col("doc_id")), "rn", None)
+      .join(broadcast(alloc), "grp")
+      .filter(col("rn") <= col("alloc"))
+
+    // stage 11: per-grp concat-and-chunk budget on the REAL tokenizer
+    val n10df = picked.agg(count(lit(1)).as("n10"))
+    val seqs = picked.groupBy(col("grp"))
+      .agg(sum(col("n_bpe")).as("s"))
+      .agg(coalesce(sum(expr("(s + 511) DIV 512")), lit(0L)).as("nseq"))
+
+    // the funnel: ONE aggregate row over the flag frame, unpivoted
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    val one = f9.agg(count(lit(1)).as("n0"),
+        cnt(col("k1")).as("n1"), cnt(col("k2")).as("n2"),
+        cnt(col("k3")).as("n3"), cnt(col("k4")).as("n4"),
+        cnt(col("k5")).as("n5"), cnt(col("k6")).as("n6"),
+        cnt(col("k7")).as("n7"), cnt(col("k8")).as("n8"),
+        cnt(col("k9")).as("n9"))
+      .crossJoin(broadcast(n10df)).crossJoin(broadcast(seqs))
+    def stage(i: Int, rule: String, in: String, out: String) =
+      struct(lit(i.toLong).as("stage"), lit(rule).as("rule"),
+        col(in).as("n_in"), (col(in) - col(out)).as("n_dropped"),
+        col(out).as("n_out"))
+    one.select(explode(array(
+        stage(1, "markup_strip_nonempty", "n0", "n1"),
+        stage(2, "lang_id_en", "n1", "n2"),
+        stage(3, "blocklist_c4", "n2", "n3"),
+        stage(4, "gopher_repetition", "n3", "n4"),
+        stage(5, "gopher_structural", "n4", "n5"),
+        stage(6, "exact_dedup", "n5", "n6"),
+        stage(7, "fuzzy_dedup_clusters", "n6", "n7"),
+        stage(8, "decontaminate_8gram", "n7", "n8"),
+        stage(9, "leak_safe_train_split", "n8", "n9"),
+        stage(10, "temperature_mix_a05", "n9", "n10"),
+        struct(lit(11L).as("stage"), lit("pack_512_bpe_seqs").as("rule"),
+          col("n10").as("n_in"), lit(0L).as("n_dropped"),
+          col("nseq").as("n_out")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.rule").as("rule"),
+        col("r.n_in").as("n_in"), col("r.n_dropped").as("n_dropped"),
+        col("r.n_out").as("n_out"))
+      .orderBy(col("stage"))
+  }
+
+  val p16Sql: String = Dedup.p16Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_curation_dag" -> (p16CurationDag _),
     "p15_dsir_select" -> (p15DsirSelect _),
     "p14_anneal_split" -> (p14AnnealSplit _),
     "p12_dataset_card" -> (p12DatasetCard _),
@@ -854,6 +1128,7 @@ object Pipeline {
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
+    "p16_curation_dag" -> p16Sql,
     "p15_dsir_select" -> p15Sql,
     "p14_anneal_split" -> p14Sql,
     "p12_dataset_card" -> p12Sql,

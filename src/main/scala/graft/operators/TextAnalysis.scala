@@ -30,7 +30,7 @@ object TextAnalysis {
   private def toks(c: Column): Column =
     filter(split(lower(c), "[ \\t\\n\\r]+"), x => x =!= "")
 
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  private[operators] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
     "es" -> Seq("el", "la", "de", "que", "y", "los"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von"),

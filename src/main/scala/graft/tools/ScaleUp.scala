@@ -337,7 +337,7 @@ object PlanSweep {
     * string: the leading depth-0 arguments before the first ordering
     * spec (` ASC`/` DESC`), attribute ids stripped. An empty list is a
     * GLOBAL window. */
-  private[tools] def windowPartitionSpecs(plan: String): Seq[Seq[String]] = {
+  private[graft] def windowPartitionSpecs(plan: String): Seq[Seq[String]] = {
     val marker = "windowspecdefinition("
     Iterator.iterate(plan.indexOf(marker))(i =>
         plan.indexOf(marker, i + 1)).takeWhile(_ >= 0).toSeq.map { start =>

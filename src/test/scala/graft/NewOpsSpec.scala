@@ -1366,6 +1366,41 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p16: the curation funnel reconciles exactly — every stage's " +
+      "n_in is the previous stage's n_out, drops are consistent, and " +
+      "the dedup/plant geometry is live") {
+    val rows = SparkEntry.queries("p16_curation_dag")(spark, sfDir)
+      .collect()
+    assert(rows.length == 11)
+    val byStage = rows.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // chain: n_in(i+1) == n_out(i) for every consecutive stage pair
+    (1L to 10L).foreach { i =>
+      assert(byStage(i + 1)._2 == byStage(i)._4,
+        s"stage ${i + 1} n_in != stage $i n_out")
+    }
+    // drops reconcile within every doc-unit stage (11 changes unit to
+    // sequences with n_dropped pinned 0 — packing drops nothing)
+    (1L to 10L).foreach { i =>
+      val (_, in, dropped, out) = byStage(i)
+      assert(in - dropped == out && dropped >= 0, s"stage $i")
+    }
+    assert(byStage(11L)._3 == 0L)
+    // live geometry at this SF: the verbatim re-fetch plants make
+    // exact dedup drop (each surviving pair loses its copy), the
+    // trimmed recrawls make fuzzy dedup drop, eval members leave at
+    // decontamination, and the split/mix stages cut real shares
+    assert(byStage(6L)._3 > 0, "exact dedup dropped nothing")
+    assert(byStage(7L)._3 > 0, "fuzzy dedup dropped nothing")
+    assert(byStage(8L)._3 > 0, "decontamination dropped nothing")
+    assert(byStage(9L)._3 > 0, "split dropped nothing")
+    assert(byStage(10L)._3 > 0, "mix dropped nothing")
+    // packing emits at least one sequence and respects the budget:
+    // sequences never exceed selected docs (each doc has >= 1 token
+    // post min-word gates, and 512-token sequences pack many docs)
+    assert(byStage(11L)._4 > 0 && byStage(11L)._4 <= byStage(11L)._2)
+  }
+
   test("charset migration (r11): vertical-tab/form-feed are TOKEN " +
       "characters in every tokenizer — Spark split, hash kernel, and " +
       "the SQL charset agree by construction") {

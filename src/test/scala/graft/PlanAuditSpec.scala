@@ -767,6 +767,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s09.contains("cents") && !s09.contains("FileScan"), s09)
   }
 
+  test("round-11: p16's curation DAG touches text in exactly ONE " +
+      "FileScan; the composed stages ride checkpoints + the cluster " +
+      "artifact") {
+    // the pre-checkpoint token frame: input explode + strip + the one
+    // tokenization + BPE + line stats = one text-bearing parquet scan
+    val tf = graft.operators.Pipeline.p16TokenFrame(spark, sfDir)
+    val tfPlan = tf.queryExecution.executedPlan.toString
+    val nScans = tfPlan.linesIterator.count(_.contains("FileScan"))
+    assert(nScans == 1, s"$nScans text scans:\n$tfPlan")
+    assert(tfPlan.contains("bpe_token_ids"), tfPlan)
+    // the full key: every post-tokenization stage consumes the
+    // checkpointed frames or the docstore cluster artifact — NO
+    // parquet scan (and so no re-tokenization) anywhere in the final
+    // plan; dedup keep-mins are aggregates, never content-key windows
+    val df = SparkEntry.queries("p16_curation_dag")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("FileScan"), plan)
+    assert(!plan.contains("bpe_token_ids"), plan)
+    val winKeys = graft.tools.PlanSweep.windowPartitionSpecs(plan).distinct
+    assert(winKeys.forall(ks => ks.isEmpty || ks == Seq("grp") ||
+      ks.exists(_.startsWith("__b"))),
+      s"unexpected window partition keys: $winKeys")
+  }
+
   test("round-11: PlanSweep's ungated-collect gate — parser extracts " +
       "(keys, input) pairs and classifies gatedBuckets as the allowed path") {
     import graft.tools.PlanSweep
