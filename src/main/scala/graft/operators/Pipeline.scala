@@ -912,7 +912,12 @@ object Pipeline {
       .select(col("doc_id"), col("source"),
         filter(split(lower(col("__clean")), "[ \\t\\n\\r]+"),
           x => x =!= "").as("ts"),
-        size(T.bpe_token_ids(col("__clean"))).cast(LongType).as("n_bpe"),
+        // lower() BEFORE the kernel: the oracle's BPE word frame
+        // derives from the lowered token stream, and the merge table
+        // has no uppercase pairs — raw-case input would diverge on
+        // the first corpus with an A-Z byte (review r11)
+        size(T.bpe_token_ids(lower(col("__clean"))))
+          .cast(LongType).as("n_bpe"),
         size(split(col("text"), "\n")).cast(LongType).as("n_lines"),
         size(filter(split(col("text"), "\n"), l => l.startsWith("- ")))
           .cast(LongType).as("bullet_lines"),
@@ -959,12 +964,17 @@ object Pipeline {
       md5(concat_ws(" ", col("ts"))).as("key"))
 
     // t18's gram gates off the checkpointed token frame
+    // explode_outer over a PROJECTED gram column, never an inner
+    // explode of the construction expression: the inner form lets
+    // InferFiltersFromGenerate + projection-collapse inline full
+    // copies of the gram-array build into an interpreted Filter — the
+    // measured 8× t10 hazard (its in-code comment), tripled here
     def gramCounts(n: Int): DataFrame = {
       val g = (0 until n).map(j => s"ts[i + $j]").mkString(" || ' ' || ")
       pd.filter(size(col("ts")) >= n)
         .select(col("doc_id"),
-          explode(expr(s"transform(sequence(0, size(ts) - $n), i -> $g)"))
-            .as("g"))
+          expr(s"transform(sequence(0, size(ts) - $n), i -> $g)").as("gs"))
+        .select(col("doc_id"), explode_outer(col("gs")).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     }
     val t2 = gramCounts(2).groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
@@ -972,11 +982,12 @@ object Pipeline {
       .groupBy(col("doc_id")).agg(sum(col("c")).as("dup5"))
 
     // t10's decontamination grams, both sides off the SAME token frame
-    val grams = pd.select(col("doc_id"), explode(expr(
-      """CASE WHEN size(ts) < 8 THEN array(array_join(ts, ' '))
-        |ELSE array_distinct(transform(sequence(1, size(ts) - 7),
-        |  i -> array_join(slice(ts, i, 8), ' '))) END""".stripMargin))
-      .as("gram"))
+    val grams = pd.select(col("doc_id"), expr(
+        """CASE WHEN size(ts) < 8 THEN array(array_join(ts, ' '))
+          |ELSE array_distinct(transform(sequence(1, size(ts) - 7),
+          |  i -> array_join(slice(ts, i, 8), ' '))) END""".stripMargin)
+        .as("gs"))
+      .select(col("doc_id"), explode_outer(col("gs")).as("gram"))
     val evalG = grams
       .filter(col("doc_id") % 97 === 0 && col("doc_id") < Dedup.PlantOffset)
       .select(col("gram").as("eg")).distinct()

@@ -416,10 +416,15 @@ object PlanSweep {
         allNodes(exec).filter(_.nodeName.contains("Aggregate"))
           .flatMap(n => collectAggs(n.simpleString(10000)))
           .distinct.foreach { case (ks, input) =>
-            // merge-phase rows print `collect_list(merge buf#…)` — the
-            // real input name rides the partial phase of the same agg
-            if (input == "__gv" || input.startsWith("buf") ||
-              input.startsWith("merge")) ()
+            // gated path matched by CONTAINS: a cast/struct-wrapped
+            // gated input (`cast(__gv as …)`) must not trip the gate
+            // (review r11). Merge-phase rows print exactly
+            // `collect_list(merge buf#…)` — match them EXACTLY, not
+            // by prefix, so a real column named e.g. `buffer_id` is
+            // never silently exempted; the real input name rides the
+            // partial phase of the same agg.
+            if (input.contains("__gv") || input == "buf" ||
+              input == "merge buf") ()
             else if (ks.isEmpty) globalCollects += s"$k:$input"
             else if (!ks.forall(boundedCollectKeys.contains))
               ungatedCollects += s"$k:[${ks.mkString(" ")}]:$input"

@@ -1395,10 +1395,10 @@ class NewOpsSpec extends SparkSpec {
     assert(byStage(8L)._3 > 0, "decontamination dropped nothing")
     assert(byStage(9L)._3 > 0, "split dropped nothing")
     assert(byStage(10L)._3 > 0, "mix dropped nothing")
-    // packing emits at least one sequence and respects the budget:
-    // sequences never exceed selected docs (each doc has >= 1 token
-    // post min-word gates, and 512-token sequences pack many docs)
-    assert(byStage(11L)._4 > 0 && byStage(11L)._4 <= byStage(11L)._2)
+    // packing emits at least one sequence (n_out is SEQUENCES — no
+    // doc-count bound: a corpus of >512-token docs legitimately packs
+    // more sequences than docs, review r11)
+    assert(byStage(11L)._4 > 0)
   }
 
   test("charset migration (r11): vertical-tab/form-feed are TOKEN " +

@@ -819,8 +819,8 @@ class PlanAuditSpec extends SparkSpec {
       .flatMap(n => PlanSweep.collectAggs(n.simpleString(10000)))
     assert(aggs.nonEmpty, "dd02 lost its collect aggregate?")
     aggs.foreach { case (ks, input) =>
-      assert(input == "__gv" || input.startsWith("merge") ||
-        input.startsWith("buf") ||
+      assert(input.contains("__gv") || input == "buf" ||
+        input == "merge buf" ||
         (ks.nonEmpty && ks.forall(PlanSweep.boundedCollectKeys.contains)),
         s"ungated collect in dd02: keys=$ks input=$input")
     }
