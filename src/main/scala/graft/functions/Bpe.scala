@@ -81,10 +81,22 @@ object Bpe {
     m
   }
 
-  /** Token string → id (single char: codepoint − 33; else merge id). */
+  /** Token string → id (single char: codepoint − 33; else merge id).
+    * The base range is ENFORCED, not assumed: a codepoint outside
+    * 33..126 would alias into the merge-id space (94 + rank) —
+    * silently, and identically in the oracle, so verify could never
+    * catch it (review r11). The corpus contract (TablesLayoutSpec)
+    * pins text to printable ASCII + whitespace; drift fails loudly
+    * here with the byte named. */
   def tokenIdOf(tok: String): Int =
-    if (tok.length == 1) tok.charAt(0) - 33
-    else mergedTokenId.get(tok).intValue()
+    if (tok.length == 1) {
+      val c = tok.charAt(0)
+      require(c >= 33 && c <= 126,
+        s"Bpe: codepoint ${c.toInt} outside the printable-ASCII base " +
+          "token range 33..126 — its id would alias a merge token; the " +
+          "corpus charset contract is broken")
+      c - 33
+    } else mergedTokenId.get(tok).intValue()
 
   /** The merge loop on one word — leftmost occurrence of the
     * minimum-rank adjacent pair, one merge per step. */

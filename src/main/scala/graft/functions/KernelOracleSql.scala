@@ -64,6 +64,59 @@ object KernelOracleSql {
   private val toksExpr =
     "list_filter(string_split_regex(lower(text), '[ \\t\\n\\r]+'), t -> t <> '')"
 
+  /** BPE merge-loop CTE chain — the ONE replica of [[Bpe]]'s
+    * leftmost-min-rank recursion, shared by t21 and p16 (review r11:
+    * two verbatim copies would let the id scheme drift apart
+    * silently). From `wordsCte` (one column `w`, distinct words) to
+    * `${p}fin`(w, arr) — the terminal symbol lists. Callers derive
+    * counts (`len(arr)`) or ids ([[bpeIdsExpr]]). Requires the
+    * enclosing WITH to be RECURSIVE. */
+  def bpeCtes(wordsCte: String, p: String): String = {
+    val merges = Bpe.merges
+    val keys = merges.map { case (a, b) =>
+      s"'$a' || chr(31) || '$b'" }.mkString(", ")
+    val ranks = merges.indices.mkString(", ")
+    s"""${p}seed AS (
+       |  SELECT w, list_transform(range(length(w)), i -> w[i+1:i+1]) AS arr
+       |  FROM $wordsCte),
+       |${p}bpe AS (
+       |  SELECT w, arr FROM ${p}seed
+       |  UNION ALL
+       |  SELECT w,
+       |    arr[1:pos-1] || [arr[pos] || arr[pos+1]] || arr[pos+2:] AS arr
+       |  FROM (
+       |    SELECT w, arr,
+       |      list_position(rk, list_min(list_filter(rk, x -> x IS NOT NULL)))
+       |        AS pos
+       |    FROM (
+       |      SELECT w, arr,
+       |        list_transform(range(len(arr)-1),
+       |          i -> map_extract(MAP([$keys], [$ranks]),
+       |            arr[i+1] || chr(31) || arr[i+2])[1]) AS rk
+       |      FROM ${p}bpe) s
+       |    WHERE len(list_filter(rk, x -> x IS NOT NULL)) > 0) t),
+       |${p}fin AS (
+       |  SELECT w, arr FROM (
+       |    SELECT w, arr,
+       |      list_transform(range(len(arr)-1),
+       |        i -> map_extract(MAP([$keys], [$ranks]),
+       |          arr[i+1] || chr(31) || arr[i+2])[1]) AS rk
+       |    FROM ${p}bpe) s
+       |  WHERE len(list_filter(rk, x -> x IS NOT NULL)) = 0)""".stripMargin
+  }
+
+  /** Token-id list expression over a `${p}fin.arr` column — the
+    * [[Bpe.tokenIdOf]] scheme (single char: codepoint − 33; merge
+    * token of rank r: 94 + r). */
+  def bpeIdsExpr(arrCol: String): String = {
+    val merges = Bpe.merges
+    val toks = merges.map { case (a, b) => s"'$a$b'" }.mkString(", ")
+    val tids = merges.indices.map(_ + 94).mkString(", ")
+    s"""list_transform($arrCol,
+       |    t -> CASE WHEN length(t) = 1 THEN ascii(t) - 33
+       |      ELSE map_extract(MAP([$toks], [$tids]), t)[1] END)""".stripMargin
+  }
+
   /** dd02 oracle: full MinHash+LSH replica — 64-seed signatures
     * (min over shingles of mix64(fnv1a(shingle) ⊕ mix64(0x5eed+i)), min
     * taken over SIGNED values like the JVM Long min), candidate = any of

@@ -628,10 +628,6 @@ object Dedup {
       .map { case (l, ws) => s"    ${hits(ws)} AS s_$l" }.mkString(",\n")
     val stopSum = TextAnalysis.t20StopWords
       .map(w => s"list_contains(ts, '$w')::INT").mkString(" + ")
-    val merges = graft.functions.Bpe.merges
-    val keys = merges.map { case (a, b) =>
-      s"'$a' || chr(31) || '$b'" }.mkString(", ")
-    val ranks = merges.indices.mkString(", ")
     s"""WITH RECURSIVE $pairCtes,
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM jp
@@ -703,33 +699,9 @@ object Dedup {
        |  FROM cg16 LEFT JOIN eg16 e ON cg16.gram = e.gram
        |  GROUP BY 1),
        |w016 AS (SELECT DISTINCT unnest(ts) AS w FROM f16),
-       |seed16 AS (
-       |  SELECT w, list_transform(range(length(w)), i -> w[i+1:i+1]) AS arr
-       |  FROM w016),
-       |bpe16 AS (
-       |  SELECT w, arr FROM seed16
-       |  UNION ALL
-       |  SELECT w,
-       |    arr[1:pos-1] || [arr[pos] || arr[pos+1]] || arr[pos+2:] AS arr
-       |  FROM (
-       |    SELECT w, arr,
-       |      list_position(rk, list_min(list_filter(rk, x -> x IS NOT NULL)))
-       |        AS pos
-       |    FROM (
-       |      SELECT w, arr,
-       |        list_transform(range(len(arr)-1),
-       |          i -> map_extract(MAP([$keys], [$ranks]),
-       |            arr[i+1] || chr(31) || arr[i+2])[1]) AS rk
-       |      FROM bpe16) s
-       |    WHERE len(list_filter(rk, x -> x IS NOT NULL)) > 0) t),
+       |${graft.functions.KernelOracleSql.bpeCtes("w016", "x16")},
        |wlen16 AS (
-       |  SELECT w, CAST(len(arr) AS BIGINT) AS n FROM (
-       |    SELECT w, arr,
-       |      list_transform(range(len(arr)-1),
-       |        i -> map_extract(MAP([$keys], [$ranks]),
-       |          arr[i+1] || chr(31) || arr[i+2])[1]) AS rk
-       |    FROM bpe16) s
-       |  WHERE len(list_filter(rk, x -> x IS NOT NULL)) = 0),
+       |  SELECT w, CAST(len(arr) AS BIGINT) AS n FROM x16fin),
        |bl16 AS (
        |  SELECT u.doc_id, CAST(SUM(wl.n) AS BIGINT) AS n_bpe
        |  FROM (SELECT doc_id, unnest(ts) AS w FROM f16) u

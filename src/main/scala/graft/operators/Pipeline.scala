@@ -1008,25 +1008,27 @@ object Pipeline {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        (col("n_words") > 0).as("k1"),
-        (col("n_words") > 0 && col("k2x")).as("k2"),
-        (col("n_words") > 0 && col("k2x") && col("k3x")).as("k3"),
-        (col("n_words") > 0 && col("k2x") && col("k3x") &&
-          coalesce(col("top2"), lit(0L)) * 10 <= col("n_words") &&
+        (col("n_words") > 0).as("k1"), col("k2x"), col("k3x"),
+        (coalesce(col("top2"), lit(0L)) * 10 <= col("n_words") &&
           coalesce(col("dup5"), lit(0L)) * 100 <=
-            greatest(col("n_words") - 4, lit(0L)) * 15).as("k4"),
-        (col("n_words") > 0 && col("k2x") && col("k3x") &&
-          coalesce(col("top2"), lit(0L)) * 10 <= col("n_words") &&
-          coalesce(col("dup5"), lit(0L)) * 100 <=
-            greatest(col("n_words") - 4, lit(0L)) * 15 &&
-          col("n_words") >= 50 && col("n_words") <= 100000 &&
+            greatest(col("n_words") - 4, lit(0L)) * 15).as("k4x"),
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
           lit(3) * col("n_words") <= col("sum_len") &&
           col("sum_len") <= lit(10) * col("n_words") &&
           col("n_symbols") * 10 <= col("n_words") &&
           col("bullet_lines") * 10 <= col("n_lines") * 9 &&
           col("ellipsis_lines") * 10 <= col("n_lines") * 3 &&
           col("alpha_words") * 5 >= col("n_words") * 4 &&
-          col("stop_hits") >= 2).as("k5"))
+          col("stop_hits") >= 2).as("k5x"))
+      // cumulative flags DERIVED, never re-expanded (review r11: a
+      // re-expanded conjunction is a drift surface where a threshold
+      // edit in one copy breaks funnel monotonicity) — the oracle's
+      // fk CTE shape
+      .withColumn("k2", col("k1") && col("k2x"))
+      .withColumn("k3", col("k2") && col("k3x"))
+      .withColumn("k4", col("k3") && col("k4x"))
+      .withColumn("k5", col("k4") && col("k5x"))
+      .drop("k2x", "k3x", "k4x", "k5x")
       .localCheckpoint(false)
 
     // stages 6/7: SHRINKING keep-min groupBys joined back shuffle-hash

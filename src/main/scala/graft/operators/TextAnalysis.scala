@@ -1379,14 +1379,9 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   val t21Sql: String = {
-    val merges = graft.functions.Bpe.merges
-    val keys = merges.map { case (a, b) =>
-      s"'$a' || chr(31) || '$b'" }.mkString(", ")
-    val ranks = merges.indices.mkString(", ")
-    val toks = merges.map { case (a, b) => s"'$a$b'" }.mkString(", ")
-    val tids = merges.indices.map(_ + 94).mkString(", ")
-    // the merge loop as a recursive CTE: state = (word, symbol list);
-    // each step merges the leftmost occurrence of the min-rank pair
+    // the merge loop as a recursive CTE (the ONE shared replica,
+    // KernelOracleSql.bpeCtes): state = (word, symbol list); each step
+    // merges the leftmost occurrence of the min-rank pair
     // (list_position finds the FIRST index of the min); terminal rows
     // (no pair in the table) map symbols to ids. LEFT JOIN keeps
     // empty-text docs at n_tokens 0 / ids16 ''.
@@ -1397,38 +1392,10 @@ object TextAnalysis {
        |      t -> t <> '') AS ws
        |  FROM documents),
        |w0 AS (SELECT DISTINCT unnest(ws) AS w FROM docw),
-       |seed AS (
-       |  SELECT w, list_transform(range(length(w)),
-       |    i -> w[i+1:i+1]) AS arr
-       |  FROM w0),
-       |bpe AS (
-       |  SELECT w, arr FROM seed
-       |  UNION ALL
-       |  SELECT w,
-       |    arr[1:pos-1] || [arr[pos] || arr[pos+1]] || arr[pos+2:] AS arr
-       |  FROM (
-       |    SELECT w, arr,
-       |      list_position(rk,
-       |        list_min(list_filter(rk, x -> x IS NOT NULL))) AS pos
-       |    FROM (
-       |      SELECT w, arr,
-       |        list_transform(range(len(arr)-1),
-       |          i -> map_extract(MAP([$keys], [$ranks]),
-       |            arr[i+1] || chr(31) || arr[i+2])[1]) AS rk
-       |      FROM bpe) s
-       |    WHERE len(list_filter(rk, x -> x IS NOT NULL)) > 0) t),
-       |fin AS (
-       |  SELECT w, arr FROM (
-       |    SELECT w, arr,
-       |      list_transform(range(len(arr)-1),
-       |        i -> map_extract(MAP([$keys], [$ranks]),
-       |          arr[i+1] || chr(31) || arr[i+2])[1]) AS rk
-       |    FROM bpe) s
-       |  WHERE len(list_filter(rk, x -> x IS NOT NULL)) = 0),
+       |${graft.functions.KernelOracleSql.bpeCtes("w0", "")},
        |wid AS (
-       |  SELECT w, list_transform(arr,
-       |    t -> CASE WHEN length(t) = 1 THEN ascii(t) - 33
-       |      ELSE map_extract(MAP([$toks], [$tids]), t)[1] END) AS ids
+       |  SELECT w, ${graft.functions.KernelOracleSql.bpeIdsExpr("arr")}
+       |    AS ids
        |  FROM fin),
        |perword AS (
        |  SELECT u.doc_id, u.ord, wid.ids

@@ -272,7 +272,21 @@ object PlanSweep {
       Iterator.iterate(nodeStr.indexOf(marker))(i =>
           nodeStr.indexOf(marker, i + 1)).takeWhile(_ >= 0).toSeq.map { s =>
         val from = s + marker.length
-        val cut = nodeStr.indexWhere(c => c == ',' || c == ')', from)
+        // depth-tracked first argument: a nested-expression input
+        // (struct(a, __gv), if(c, x, y)) must survive to the gated
+        // `__gv` containment check intact — a flat cut at the first
+        // ',' truncates it before the marker is visible (review r11)
+        var depth = 0; var i = from; var cut = -1
+        while (cut < 0 && i < nodeStr.length) {
+          nodeStr.charAt(i) match {
+            case '(' | '[' => depth += 1
+            case ')' | ']' if depth > 0 => depth -= 1
+            case ')' => cut = i
+            case ',' if depth == 0 => cut = i
+            case _ => ()
+          }
+          i += 1
+        }
         val arg = nodeStr.substring(from, if (cut < 0) nodeStr.length else cut)
         keys -> arg.trim.replaceAll("#\\d+L?", "")
       }
@@ -419,12 +433,11 @@ object PlanSweep {
             // gated path matched by CONTAINS: a cast/struct-wrapped
             // gated input (`cast(__gv as …)`) must not trip the gate
             // (review r11). Merge-phase rows print exactly
-            // `collect_list(merge buf#…)` — match them EXACTLY, not
-            // by prefix, so a real column named e.g. `buffer_id` is
-            // never silently exempted; the real input name rides the
-            // partial phase of the same agg.
-            if (input.contains("__gv") || input == "buf" ||
-              input == "merge buf") ()
+            // `collect_list(merge buf#…)` — match them EXACTLY, so a
+            // real column named `buf`/`buffer_id` is never silently
+            // exempted; the real input name rides the partial phase
+            // of the same agg.
+            if (input.contains("__gv") || input == "merge buf") ()
             else if (ks.isEmpty) globalCollects += s"$k:$input"
             else if (!ks.forall(boundedCollectKeys.contains))
               ungatedCollects += s"$k:[${ks.mkString(" ")}]:$input"

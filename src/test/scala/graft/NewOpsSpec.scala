@@ -1431,14 +1431,20 @@ class NewOpsSpec extends SparkSpec {
     assert(sparkToks.count(Set("the", "a", "and", "of", "to")) == 4)
     // the SQL side shares the same literal class by construction: every
     // oracle now interpolates '[ \t\n\r]+' (grep-pinned — no '\s+'
-    // tokenizer remains in any operator oracle)
+    // tokenizer remains in any operator oracle, in EITHER source
+    // spelling: raw triple-quoted '\s+' or s-interpolated '\\s+')
+    val root = new java.io.File("src/main/scala/graft")
+    assume(root.isDirectory,
+      "charset grep-pin needs the repo root as cwd — cancel, not fail")
     val srcs = Seq("operators/TextAnalysis.scala", "operators/Pipeline.scala",
       "operators/Dedup.scala", "operators/Multimodal.scala")
     srcs.foreach { f =>
       val body = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"src/main/scala/graft/$f")), "UTF-8")
-      assert(!body.contains("string_split_regex(lower(text), '\\s+')"),
-        s"$f regressed to the \\s tokenizer")
+      Seq("'\\s+'", "'\\\\s+'").foreach { spelling =>
+        assert(!body.contains(s"string_split_regex(lower(text), $spelling)"),
+          s"$f regressed to the \\s tokenizer (spelling $spelling)")
+      }
     }
   }
 

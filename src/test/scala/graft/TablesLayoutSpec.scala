@@ -133,25 +133,31 @@ class TablesLayoutSpec extends SparkSpec {
       .filter(d => new java.io.File(d).isDirectory)
 
   test("corpus contract: base doc_ids stay below the smallest plant " +
-      "offset (4000000) — the premise the fixed-offset oracles split on") {
-    // ADVICE r10: dd16/st15 oracles split one signature chain at
-    // doc_id < 5000000, t17 at < 7000000, dd18 at < 4000000, while the
-    // Spark side splits structurally by frame. Those splits classify
-    // identically ONLY while every base doc_id sits below the smallest
-    // offset. A ScaleUp-synthesized dir (ids offset by i·10⁷) violates
-    // this by construction — plant-offset keys are excluded from
-    // synthesized-SF parity checks (SURVEY §5) — but the driver's real
-    // testdata must hold it, or those oracles break silently. Fail
-    // HERE with the premise named instead.
+      "offset (999999, m05's) — the premise every fixed-offset plant " +
+      "and id-threshold oracle split rests on") {
+    // ADVICE r10 + review r11: dd16/st15 oracles split one signature
+    // chain at doc_id < 5000000, t17 at < 7000000, dd18 at < 4000000,
+    // p16/t10's eval predicate at < 1000000, the dedup family plants
+    // at +1000000 (Dedup.PlantOffset) and m05/m07 at +999999 — the
+    // SMALLEST offset in the repo, so THAT is the binding premise: a
+    // base id at or above it collides with a plant id (two docs merge
+    // in every groupBy) or misclassifies an id-threshold split,
+    // deterministically in BOTH engines, so verify stays green while
+    // the keys silently corrupt. A ScaleUp-synthesized dir (ids offset
+    // i·10⁷) violates it by construction — plant-offset keys are
+    // excluded from synthesized-SF parity checks (SURVEY §5) — but the
+    // driver's real testdata must hold it. Fail HERE with the premise
+    // named instead.
     contractDirs.foreach { dir =>
       val maxId = Tables(spark, dir, "documents")
         .agg(max(col("doc_id"))).head.getLong(0)
-      assert(maxId < 4000000L,
-        s"$dir: max(doc_id)=$maxId breaches the 4000000 plant-offset " +
-          "premise — dd16/dd18/st15/t17 oracles split corpus vs plant " +
-          "by fixed id thresholds and now misclassify rows; derive the " +
-          "offsets from max(doc_id)+1 (st16's pattern) before trusting " +
-          "those keys")
+      assert(maxId < 999999L,
+        s"$dir: max(doc_id)=$maxId breaches the 999999 plant-offset " +
+          "premise (m05's, the repo's smallest) — planted corpora now " +
+          "collide ids and id-threshold oracle splits misclassify, " +
+          "identically in both engines; re-derive every plant offset " +
+          "from max(doc_id)+1 (st16's pattern) before trusting any " +
+          "plant-bearing key")
     }
   }
 
