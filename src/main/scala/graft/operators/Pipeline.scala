@@ -1121,7 +1121,72 @@ object Pipeline {
 
   val p16Sql: String = Dedup.p16Sql
 
+  // ---------------------------------------------------------------- p17
+  /** p05's contiguous token-budget sharding re-based on the REAL
+    * tokenizer (VERDICT r10 #2's aspiration made a key): shard
+    * boundaries cut where the cumulative t21-BPE token count crosses
+    * the budget, so a shard is an actual training-compute quantum, not
+    * a whitespace proxy (the two disagree by the fertility factor,
+    * which varies per source — t22 measures it). p05 stays the
+    * whitespace-budget key; this is the production variant.
+    *
+    * Scale: identical shape to p05 — one kernel scan, the bucketed
+    * [[Ladders.globalCumsum]] ladder (no source-sized window task),
+    * shard = integer div of the exclusive prefix sum. The BPE kernel
+    * adds map-side CPU only.
+    */
+  def p17BpeTokenShards(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 25000L
+    val toks = Tables(spark, dir, "documents")
+      .withColumn("tokens",
+        size(graft.functions.text.bpe_token_ids(col("text")))
+          .cast(LongType))
+      .select(col("doc_id"), col("source"), col("tokens"))
+    val bounds = toks.agg(min(col("doc_id")).as("__lo"),
+      max(col("doc_id")).as("__hi"))
+    val bucketed = toks.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        expr("(doc_id - __lo) div (((__hi - __lo) div 256) + 1)"))
+      .drop("__lo", "__hi")
+    Ladders.globalCumsum(bucketed, Seq("source"), "__b",
+        Seq(col("doc_id")), col("tokens"), "cum_tokens")
+      .withColumn("shard",
+        ((col("cum_tokens") - col("tokens")) / budget).cast(LongType))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard"))
+  }
+
+  val p17Sql: String =
+    s"""WITH RECURSIVE
+       |docw AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ws
+       |  FROM documents),
+       |w0 AS (SELECT DISTINCT unnest(ws) AS w FROM docw),
+       |${graft.functions.KernelOracleSql.bpeCtes("w0", "")},
+       |wlen AS (SELECT w, CAST(len(arr) AS BIGINT) AS n FROM fin),
+       |pw AS (
+       |  SELECT u.doc_id, CAST(SUM(wl.n) AS BIGINT) AS b
+       |  FROM (SELECT doc_id, unnest(ws) AS w FROM docw) u
+       |  JOIN wlen wl ON wl.w = u.w GROUP BY 1),
+       |toks AS (
+       |  SELECT d.doc_id, d.source, COALESCE(pw.b, 0) AS tokens
+       |  FROM docw d LEFT JOIN pw ON pw.doc_id = d.doc_id),
+       |packed AS (
+       |  SELECT doc_id, source, tokens,
+       |    SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM toks)
+       |SELECT source, CAST((cum_tokens - tokens) // 25000 AS BIGINT) AS shard,
+       |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM packed GROUP BY 1, 2 ORDER BY source, shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_bpe_token_shards" -> (p17BpeTokenShards _),
     "p16_curation_dag" -> (p16CurationDag _),
     "p15_dsir_select" -> (p15DsirSelect _),
     "p14_anneal_split" -> (p14AnnealSplit _),
@@ -1141,6 +1206,7 @@ object Pipeline {
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
+    "p17_bpe_token_shards" -> p17Sql,
     "p16_curation_dag" -> p16Sql,
     "p15_dsir_select" -> p15Sql,
     "p14_anneal_split" -> p14Sql,

@@ -1416,7 +1416,74 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t22
+  /** Tokenizer fertility per source — THE standard tokenizer-quality
+    * evaluation (fertility = subword tokens per word; chars per token
+    * is its dual): run after any vocab/merge-table change to catch a
+    * tokenizer that fragments a domain (high fertility = wasted
+    * context window and compute for that source). Counts are exact
+    * BIGINT sums; the two ratios are SINGLE IEEE divisions of exact
+    * integers — identical in both engines by the §5 unrounded-quotient
+    * rule (one correctly-rounded op, no summation-order exposure).
+    *
+    * Scale: one map-only kernel scan (whitespace split + BPE encode in
+    * the same projection) into a per-source partial agg — scan
+    * bandwidth at any corpus size, the t01/m10 plan class.
+    */
+  def t22BpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        size(t).cast(LongType).as("w"),
+        aggregate(transform(t, x => length(x).cast(LongType)),
+          lit(0L), (a, x) => a + x).as("wc"),
+        size(graft.functions.text.bpe_token_ids(col("text")))
+          .cast(LongType).as("b"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("wc")).as("word_chars"),
+        sum(col("b")).as("n_bpe"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("word_chars"), col("n_bpe"),
+        (col("n_bpe").cast(DoubleType) / col("n_words")).as("fertility"),
+        (col("word_chars").cast(DoubleType) / col("n_bpe"))
+          .as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
+  val t22Sql: String =
+    s"""WITH RECURSIVE
+       |docw AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ws
+       |  FROM documents),
+       |w0 AS (SELECT DISTINCT unnest(ws) AS w FROM docw),
+       |${graft.functions.KernelOracleSql.bpeCtes("w0", "")},
+       |wlen AS (SELECT w, CAST(len(arr) AS BIGINT) AS n FROM fin),
+       |pw AS (
+       |  SELECT u.doc_id, CAST(SUM(wl.n) AS BIGINT) AS b
+       |  FROM (SELECT doc_id, unnest(ws) AS w FROM docw) u
+       |  JOIN wlen wl ON wl.w = u.w GROUP BY 1),
+       |per AS (
+       |  SELECT d.source,
+       |    CAST(len(d.ws) AS BIGINT) AS w,
+       |    CAST(COALESCE(list_sum(list_transform(d.ws, x -> length(x))), 0)
+       |      AS BIGINT) AS wc,
+       |    COALESCE(pw.b, 0) AS b
+       |  FROM docw d LEFT JOIN pw ON pw.doc_id = d.doc_id)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(w) AS BIGINT) AS n_words,
+       |  CAST(SUM(wc) AS BIGINT) AS word_chars,
+       |  CAST(SUM(b) AS BIGINT) AS n_bpe,
+       |  CAST(SUM(b) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS fertility,
+       |  CAST(SUM(wc) AS DOUBLE) / CAST(SUM(b) AS DOUBLE)
+       |    AS chars_per_token
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_bpe_fertility" -> (t22BpeFertility _),
     "t21_bpe_tokenize" -> (t21BpeTokenize _),
     "t20_gopher_quality" -> (t20GopherQuality _),
     "t19_ccnet_buckets" -> (t19CcnetBuckets _),
@@ -1440,6 +1507,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t22_bpe_fertility" -> t22Sql,
     "t21_bpe_tokenize" -> t21Sql,
     "t20_gopher_quality" -> t20Sql,
     "t19_ccnet_buckets" -> t19Sql,

@@ -1366,6 +1366,47 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t22/p17: fertility and real-token shards are consistent with " +
+      "t21's per-doc counts") {
+    import graft.functions.Bpe
+    // t22: every word encodes to >= 1 token, so per-source n_bpe >=
+    // n_words and fertility >= 1; totals reconcile with t21 exactly
+    val fert = SparkEntry.queries("t22_bpe_fertility")(spark, sfDir)
+      .collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      val (nw, nb) = (r.getLong(2), r.getLong(4))
+      assert(nb >= nw, s"${r.getString(0)}: n_bpe $nb < n_words $nw")
+      assert(r.getDouble(5) >= 1.0)
+    }
+    val t21Total = SparkEntry.queries("t21_bpe_tokenize")(spark, sfDir)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(fert.map(_.getLong(4)).sum == t21Total,
+      "t22 per-source BPE totals != t21 per-doc totals")
+    // p17: the shard assignment equals the exclusive-cumsum DIV budget
+    // replica computed directly from the kernel, per source
+    val shards = SparkEntry.queries("p17_bpe_token_shards")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0),
+        Bpe.tokenizeIds(org.apache.spark.unsafe.types.UTF8String
+          .fromString(r.getString(2))).numElements().toLong))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, id, n) =>
+        val shard = cum / 25000L
+        cum += n
+        (src, shard, n)
+      }.groupBy(_._2).map { case (shard, xs) =>
+        (src, shard, xs.size.toLong, xs.map(_._3).sum) }
+    }.toSet
+    assert(shards.toSet == expected,
+      s"p17 shards diverge from the driver replica")
+  }
+
   test("p16: the curation funnel reconciles exactly — every stage's " +
       "n_in is the previous stage's n_out, drops are consistent, and " +
       "the dedup/plant geometry is live") {
