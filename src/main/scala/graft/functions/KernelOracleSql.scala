@@ -105,6 +105,21 @@ object KernelOracleSql {
        |  WHERE len(list_filter(rk, x -> x IS NOT NULL)) = 0)""".stripMargin
   }
 
+  /** Per-doc BPE token counts from a docs CTE carrying `(doc_id,
+    * `wsCol` token list)` — the distinct-word frame, the merge loop,
+    * per-word lengths, and the multiplicity join back, ending in
+    * `${p}pw`(doc_id, b). The ONE copy shared by t22/p17/p16 (review
+    * r11: three verbatim chains would drift apart). */
+  def bpeDocLenCtes(docwCte: String, p: String,
+      wsCol: String = "ws"): String =
+    s"""${p}w0 AS (SELECT DISTINCT unnest($wsCol) AS w FROM $docwCte),
+       |${bpeCtes(s"${p}w0", p)},
+       |${p}wlen AS (SELECT w, CAST(len(arr) AS BIGINT) AS n FROM ${p}fin),
+       |${p}pw AS (
+       |  SELECT u.doc_id, CAST(SUM(wl.n) AS BIGINT) AS b
+       |  FROM (SELECT doc_id, unnest($wsCol) AS w FROM $docwCte) u
+       |  JOIN ${p}wlen wl ON wl.w = u.w GROUP BY 1)""".stripMargin
+
   /** Token-id list expression over a `${p}fin.arr` column — the
     * [[Bpe.tokenIdOf]] scheme (single char: codepoint − 33; merge
     * token of rank r: 94 + r). */

@@ -698,19 +698,11 @@ object Dedup {
        |  SELECT cg16.doc_id, COUNT(*) AS n_grams, COUNT(e.gram) AS n_overlap
        |  FROM cg16 LEFT JOIN eg16 e ON cg16.gram = e.gram
        |  GROUP BY 1),
-       |w016 AS (SELECT DISTINCT unnest(ts) AS w FROM f16),
-       |${graft.functions.KernelOracleSql.bpeCtes("w016", "x16")},
-       |wlen16 AS (
-       |  SELECT w, CAST(len(arr) AS BIGINT) AS n FROM x16fin),
-       |bl16 AS (
-       |  SELECT u.doc_id, CAST(SUM(wl.n) AS BIGINT) AS n_bpe
-       |  FROM (SELECT doc_id, unnest(ts) AS w FROM f16) u
-       |  JOIN wlen16 wl ON wl.w = u.w
-       |  GROUP BY 1),
+       |${graft.functions.KernelOracleSql.bpeDocLenCtes("f16", "x16", "ts")},
        |fl16 AS (
        |  SELECT s.doc_id, s.source, s.key,
        |    COALESCE(l.cluster_id, s.doc_id) AS cluster,
-       |    COALESCE(b.n_bpe, 0) AS n_bpe,
+       |    COALESCE(b.b, 0) AS n_bpe,
        |    COALESCE(o.n_grams, 0) AS n_grams,
        |    COALESCE(o.n_overlap, 0) AS n_overlap,
        |    s.n_words > 0 AS k1,
@@ -734,7 +726,7 @@ object Dedup {
        |  FROM st16 s
        |  LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
        |  LEFT JOIN ov16 o USING (doc_id) LEFT JOIN labels l USING (doc_id)
-       |  LEFT JOIN bl16 b USING (doc_id)),
+       |  LEFT JOIN x16pw b USING (doc_id)),
        |fk AS (
        |  SELECT *, k1 AND k2x AS k2, k1 AND k2x AND k3x AS k3,
        |    k1 AND k2x AND k3x AND k4x AS k4,

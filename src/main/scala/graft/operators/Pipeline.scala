@@ -344,29 +344,35 @@ object Pipeline {
     * the tiny broadcast per-cell token-total prefix-sum — exact, same
     * output as the single-window form.
     */
-  def p05TokenShards(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 20000L
-    val toks = Tables(spark, dir, "documents")
-      .withColumn("tokens",
-        size(filter(split(lower(col("text")), "[ \\t\\n\\r]+"), x => x =!= ""))
-          .cast(LongType))
-      .select(col("doc_id"), col("source"), col("tokens"))
+  /** The contiguous-shard machinery shared by p05 (whitespace budget)
+    * and p17 (BPE budget): exclusive prefix sum of `tokens` in doc
+    * order per source through the bucketed ladder, shard = INTEGRAL
+    * div by `budget` (a Double round-trip of a cumsum past 2^53 could
+    * land the truncated quotient one shard off the oracle's exact
+    * floor — review r11; the bucket expression keeps `div` for the
+    * same reason, exact at any id magnitude). */
+  private def tokenShards(toks: DataFrame, budget: Long): DataFrame = {
     val bounds = toks.agg(min(col("doc_id")).as("__lo"),
       max(col("doc_id")).as("__hi"))
     val bucketed = toks.crossJoin(broadcast(bounds))
-      // integral `div` keeps the bucket exact at any id magnitude
       .withColumn("__b",
         expr("(doc_id - __lo) div (((__hi - __lo) div 256) + 1)"))
       .drop("__lo", "__hi")
     Ladders.globalCumsum(bucketed, Seq("source"), "__b",
         Seq(col("doc_id")), col("tokens"), "cum_tokens")
-      .withColumn("shard",
-        ((col("cum_tokens") - col("tokens")) / budget).cast(LongType))
+      .withColumn("shard", expr(s"(cum_tokens - tokens) div $budget"))
       .groupBy(col("source"), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("shard_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy(col("source"), col("shard"))
   }
+
+  def p05TokenShards(spark: SparkSession, dir: String): DataFrame =
+    tokenShards(Tables(spark, dir, "documents")
+      .withColumn("tokens",
+        size(filter(split(lower(col("text")), "[ \\t\\n\\r]+"), x => x =!= ""))
+          .cast(LongType))
+      .select(col("doc_id"), col("source"), col("tokens")), 20000L)
 
   val p05Sql: String =
     """WITH toks AS (
@@ -1135,28 +1141,12 @@ object Pipeline {
     * shard = integer div of the exclusive prefix sum. The BPE kernel
     * adds map-side CPU only.
     */
-  def p17BpeTokenShards(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 25000L
-    val toks = Tables(spark, dir, "documents")
+  def p17BpeTokenShards(spark: SparkSession, dir: String): DataFrame =
+    tokenShards(Tables(spark, dir, "documents")
       .withColumn("tokens",
         size(graft.functions.text.bpe_token_ids(col("text")))
           .cast(LongType))
-      .select(col("doc_id"), col("source"), col("tokens"))
-    val bounds = toks.agg(min(col("doc_id")).as("__lo"),
-      max(col("doc_id")).as("__hi"))
-    val bucketed = toks.crossJoin(broadcast(bounds))
-      .withColumn("__b",
-        expr("(doc_id - __lo) div (((__hi - __lo) div 256) + 1)"))
-      .drop("__lo", "__hi")
-    Ladders.globalCumsum(bucketed, Seq("source"), "__b",
-        Seq(col("doc_id")), col("tokens"), "cum_tokens")
-      .withColumn("shard",
-        ((col("cum_tokens") - col("tokens")) / budget).cast(LongType))
-      .groupBy(col("source"), col("shard"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("shard_tokens"),
-        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-      .orderBy(col("source"), col("shard"))
-  }
+      .select(col("doc_id"), col("source"), col("tokens")), 25000L)
 
   val p17Sql: String =
     s"""WITH RECURSIVE
@@ -1165,13 +1155,7 @@ object Pipeline {
        |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
        |      t -> t <> '') AS ws
        |  FROM documents),
-       |w0 AS (SELECT DISTINCT unnest(ws) AS w FROM docw),
-       |${graft.functions.KernelOracleSql.bpeCtes("w0", "")},
-       |wlen AS (SELECT w, CAST(len(arr) AS BIGINT) AS n FROM fin),
-       |pw AS (
-       |  SELECT u.doc_id, CAST(SUM(wl.n) AS BIGINT) AS b
-       |  FROM (SELECT doc_id, unnest(ws) AS w FROM docw) u
-       |  JOIN wlen wl ON wl.w = u.w GROUP BY 1),
+       |${graft.functions.KernelOracleSql.bpeDocLenCtes("docw", "")},
        |toks AS (
        |  SELECT d.doc_id, d.source, COALESCE(pw.b, 0) AS tokens
        |  FROM docw d LEFT JOIN pw ON pw.doc_id = d.doc_id),

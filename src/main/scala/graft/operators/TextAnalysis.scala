@@ -1459,13 +1459,7 @@ object TextAnalysis {
        |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
        |      t -> t <> '') AS ws
        |  FROM documents),
-       |w0 AS (SELECT DISTINCT unnest(ws) AS w FROM docw),
-       |${graft.functions.KernelOracleSql.bpeCtes("w0", "")},
-       |wlen AS (SELECT w, CAST(len(arr) AS BIGINT) AS n FROM fin),
-       |pw AS (
-       |  SELECT u.doc_id, CAST(SUM(wl.n) AS BIGINT) AS b
-       |  FROM (SELECT doc_id, unnest(ws) AS w FROM docw) u
-       |  JOIN wlen wl ON wl.w = u.w GROUP BY 1),
+       |${graft.functions.KernelOracleSql.bpeDocLenCtes("docw", "")},
        |per AS (
        |  SELECT d.source,
        |    CAST(len(d.ws) AS BIGINT) AS w,

@@ -1482,9 +1482,12 @@ class NewOpsSpec extends SparkSpec {
     srcs.foreach { f =>
       val body = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"src/main/scala/graft/$f")), "UTF-8")
-      Seq("'\\s+'", "'\\\\s+'").foreach { spelling =>
-        assert(!body.contains(s"string_split_regex(lower(text), $spelling)"),
-          s"$f regressed to the \\s tokenizer (spelling $spelling)")
+      // both lowered AND raw-text splits (t21/t22/p17's docw form),
+      // in both source spellings
+      for (spelling <- Seq("'\\s+'", "'\\\\s+'");
+           input <- Seq("lower(text)", "text")) {
+        assert(!body.contains(s"string_split_regex($input, $spelling)"),
+          s"$f regressed to the \\s tokenizer ($input, $spelling)")
       }
     }
   }

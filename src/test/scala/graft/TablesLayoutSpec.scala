@@ -116,6 +116,15 @@ class TablesLayoutSpec extends SparkSpec {
     // instead of as an unexplained oracle hash mismatch on a dozen
     // text keys. (Spark regex: printable ASCII \x20-\x7E plus the
     // three blessed whitespace chars; rlike is codepoint-based.)
+    // NULL text first, explicitly: rlike(NULL) is NULL and would slip
+    // the filter silently, while Spark size(split(NULL)) = -1 poisons
+    // every count where DuckDB's SUM skips the NULL — a one-row NULL
+    // would surface as unexplained hash mismatches across the whole
+    // t-family (review r11)
+    assert(Tables(spark, sfDir, "documents")
+      .filter(col("text").isNull).count() == 0,
+      "documents.text contains NULLs — every text-key count diverges " +
+        "cross-engine (Spark size()=-1 vs DuckDB SUM-skips-NULL)")
     val offenders = Tables(spark, sfDir, "documents")
       .filter(!col("text").rlike("\\A[\\x20-\\x7E\\t\\n\\r]*\\z"))
     assert(offenders.count() == 0,
