@@ -328,22 +328,6 @@ object Pipeline {
       |WHERE rn <= ceil(n_src * 0.2) ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- p05
-  /** Token-budget shard packing: assign docs to fixed-budget shards
-    * (the sequence-packing prelude of a training run) by a running token
-    * cumsum per source — shard k holds the docs whose cumulative count
-    * crosses [k·B, (k+1)·B). Deterministic doc order (doc_id) makes the
-    * packing reproducible across engines and runs.
-    *
-    * Scale: the running sum is a two-level [[Ladders.globalCumsum]]
-    * ladder, not a window over `source` (which would stream a whole
-    * stratum through ONE task). The order key (doc_id) is a natural key,
-    * so the monotone bucketer is a RANGE bucket: doc_id bounds come from
-    * a one-row agg that enters the plan by broadcast (no driver action),
-    * and 256 equal-width id ranges bound every local cumsum cell
-    * (bucket count is the scale knob). Local running sums are offset by
-    * the tiny broadcast per-cell token-total prefix-sum — exact, same
-    * output as the single-window form.
-    */
   /** The contiguous-shard machinery shared by p05 (whitespace budget)
     * and p17 (BPE budget): exclusive prefix sum of `tokens` in doc
     * order per source through the bucketed ladder, shard = INTEGRAL
@@ -367,6 +351,22 @@ object Pipeline {
       .orderBy(col("source"), col("shard"))
   }
 
+  /** Token-budget shard packing: assign docs to fixed-budget shards
+    * (the sequence-packing prelude of a training run) by a running token
+    * cumsum per source — shard k holds the docs whose cumulative count
+    * crosses [k·B, (k+1)·B). Deterministic doc order (doc_id) makes the
+    * packing reproducible across engines and runs.
+    *
+    * Scale: the running sum is a two-level [[Ladders.globalCumsum]]
+    * ladder, not a window over `source` (which would stream a whole
+    * stratum through ONE task). The order key (doc_id) is a natural key,
+    * so the monotone bucketer is a RANGE bucket: doc_id bounds come from
+    * a one-row agg that enters the plan by broadcast (no driver action),
+    * and 256 equal-width id ranges bound every local cumsum cell
+    * (bucket count is the scale knob). Local running sums are offset by
+    * the tiny broadcast per-cell token-total prefix-sum — exact, same
+    * output as the single-window form ([[tokenShards]]).
+    */
   def p05TokenShards(spark: SparkSession, dir: String): DataFrame =
     tokenShards(Tables(spark, dir, "documents")
       .withColumn("tokens",

@@ -1478,7 +1478,8 @@ class NewOpsSpec extends SparkSpec {
     assume(root.isDirectory,
       "charset grep-pin needs the repo root as cwd — cancel, not fail")
     val srcs = Seq("operators/TextAnalysis.scala", "operators/Pipeline.scala",
-      "operators/Dedup.scala", "operators/Multimodal.scala")
+      "operators/Dedup.scala", "operators/Multimodal.scala",
+      "functions/KernelOracleSql.scala")
     srcs.foreach { f =>
       val body = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"src/main/scala/graft/$f")), "UTF-8")
