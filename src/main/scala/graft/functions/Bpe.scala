@@ -63,7 +63,14 @@ object Bpe {
     val m = new java.util.HashMap[String, Integer](merges.length * 2)
     var i = 0
     while (i < merges.length) {
-      m.put(merges(i)._1 + Sep + merges(i)._2, Integer.valueOf(i))
+      val key = merges(i)._1 + Sep + merges(i)._2
+      // mirror mergedTokenId's uniqueness check: a duplicate PAIR would
+      // silently keep the last rank here while the oracle's
+      // MAP([keys],[ranks]) errors on duplicate keys — the table edit
+      // must fail identically loudly in both engines (ADVICE r11)
+      require(!m.containsKey(key),
+        s"duplicate merge pair '${merges(i)._1}'+'${merges(i)._2}'")
+      m.put(key, Integer.valueOf(i))
       i += 1
     }
     m

@@ -1446,8 +1446,15 @@ object TextAnalysis {
         sum(col("b")).as("n_bpe"))
       .select(col("source"), col("n_docs"), col("n_words"),
         col("word_chars"), col("n_bpe"),
-        (col("n_bpe").cast(DoubleType) / col("n_words")).as("fertility"),
-        (col("word_chars").cast(DoubleType) / col("n_bpe"))
+        // NULLIF-guarded denominators (ADVICE r11): a source whose docs
+        // are all empty has SUM(n_words)=0 — Spark's x/0.0 yields IEEE
+        // Inf/NaN while DuckDB's depends on ieee_floating_point_ops, a
+        // latent cross-engine hash mismatch. NULL is the one value both
+        // engines define identically for "no tokens to average over".
+        (col("n_bpe").cast(DoubleType) /
+          nullif(col("n_words"), lit(0L)).cast(DoubleType)).as("fertility"),
+        (col("word_chars").cast(DoubleType) /
+          nullif(col("n_bpe"), lit(0L)).cast(DoubleType))
           .as("chars_per_token"))
       .orderBy(col("source"))
   }
@@ -1471,8 +1478,9 @@ object TextAnalysis {
        |  CAST(SUM(w) AS BIGINT) AS n_words,
        |  CAST(SUM(wc) AS BIGINT) AS word_chars,
        |  CAST(SUM(b) AS BIGINT) AS n_bpe,
-       |  CAST(SUM(b) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS fertility,
-       |  CAST(SUM(wc) AS DOUBLE) / CAST(SUM(b) AS DOUBLE)
+       |  CAST(SUM(b) AS DOUBLE) / NULLIF(CAST(SUM(w) AS DOUBLE), 0)
+       |    AS fertility,
+       |  CAST(SUM(wc) AS DOUBLE) / NULLIF(CAST(SUM(b) AS DOUBLE), 0)
        |    AS chars_per_token
        |FROM per GROUP BY source ORDER BY source""".stripMargin
 

@@ -82,6 +82,27 @@ import org.apache.spark.sql.graftshim.{toColumn, toExpression}
 object MongoPipeline {
   import DocValue._
 
+  /** Mongo `$project` value classification, centralized (ADVICE r11):
+    * Mongo treats ANY numeric zero (`0`, `0.0`, `NumberLong(0)`) or
+    * `false` as an exclusion marker and any non-zero number or `true`
+    * as inclusion. One predicate feeds both the `$size`-of-`$addToSet`
+    * peephole's inclusion-mode check and `applyStage`'s `$project`
+    * handling, so the two can never drift apart. */
+  private[sources] def isExclusionValue(v: DocValue): Boolean = v match {
+    case DLong(x)   => x == 0L
+    case DDouble(x) => x == 0.0
+    case DBool(b)   => !b
+    case _          => false
+  }
+
+  /** `{"f": <truthy number|true>}` — include field `f` by key. */
+  private[sources] def isInclusionFlag(v: DocValue): Boolean = v match {
+    case DLong(x)   => x != 0L
+    case DDouble(x) => x != 0.0
+    case DBool(b)   => b
+    case _          => false
+  }
+
   /** Run a pipeline (extended-JSON array of stage documents) against a
     * DataFrame. `resolver` maps `$lookup.from` collection names to
     * DataFrames (pass the catalog/Tables accessor of your deployment).
@@ -132,7 +153,7 @@ object MongoPipeline {
             // non-_id entries 0/false) passes unmentioned fields
             // THROUGH, so the set field survives without appearing
             val inclusionMode = pspec.fields.exists { case (k, v) =>
-              k != "_id" && v != DLong(0) && v != DBool(false) }
+              k != "_id" && !isExclusionValue(v) }
             val rewritable = if (!inclusionMode) Set.empty[String]
               else setFields.filter { f =>
                 pspec.fields.map { case (_, v) => mentions(v, f) }.sum == 1 &&
@@ -208,14 +229,14 @@ object MongoPipeline {
       case "$project" => spec match {
         case d: DDoc =>
           val (excl, rest) = d.fields.partition { case (_, v) =>
-            v == DLong(0) || v == DBool(false) }
+            isExclusionValue(v) }
           if (excl.nonEmpty && rest.isEmpty)
             df.drop(excl.map(_._1): _*) // pure exclusion form
           else if (excl.exists(_._1 != "_id"))
             throw bad("$project cannot mix inclusion and exclusion")
           else {
             val picked = rest.map {
-              case (f, v) if v == DLong(1) || v == DBool(true) => col(f)
+              case (f, v) if isInclusionFlag(v) => col(f)
               case (f, v) => valueExpr(v, rootEnv).as(f) // rename / computed
             }
             // Mongo includes _id by default in inclusion projections
@@ -1843,13 +1864,13 @@ object MongoPipeline {
         }
         case ("$project", pd: DDoc) :: Nil =>
           val (excl, incl) = pd.fields.partition { case (_, v) =>
-            v == DLong(0) || v == DBool(false) }
+            isExclusionValue(v) }
           if (incl.isEmpty) cur = cur.drop(excl.map(_._1): _*)
           else if (excl.exists(_._1 != "_id"))
             throw bad("$project cannot mix inclusion and exclusion")
           else {
             val picked = incl.map {
-              case (f, v) if v == DLong(1) || v == DBool(true) => col(f)
+              case (f, v) if isInclusionFlag(v) => col(f)
               case (f, v) => valueExpr(v, env).as(f)
             }
             val withId =

@@ -263,7 +263,13 @@ object PlanSweep {
           }
           j += 1
         }
-        if (end < 0) Nil
+        if (end < 0)
+          // `keys=[` present but never closed: the render truncated
+          // mid-list. Returning Nil would silently classify this
+          // collect as KEYLESS (review column) instead of gating it —
+          // fail the parse loudly so the caller re-renders (ADVICE r11)
+          throw new IllegalStateException(
+            "truncated aggregate render: unterminated keys=[ list")
         else splitArgs(nodeStr.substring(i + 6, end))
           .filter(_.nonEmpty).map(_.replaceAll("#\\d+L?", ""))
       }
@@ -287,9 +293,32 @@ object PlanSweep {
           }
           i += 1
         }
-        val arg = nodeStr.substring(from, if (cut < 0) nodeStr.length else cut)
+        if (cut < 0)
+          // the first argument ran off the end of the render: a very
+          // wide aggregate truncated mid-expression, which could clip
+          // a gated input's `__gv` marker out of sight (ADVICE r11)
+          throw new IllegalStateException(
+            "truncated aggregate render: unterminated collect argument")
+        val arg = nodeStr.substring(from, cut)
         keys -> arg.trim.replaceAll("#\\d+L?", "")
       }
+    }
+  }
+
+  /** Render an aggregate node for `collectAggs`, truncation-proof
+    * (ADVICE r11): `simpleString(maxFields)` elides whole FIELDS past
+    * the cap (`... N more fields`), which can hide a collect call or
+    * its keys list entirely, and a single very wide expression can
+    * still leave an unbalanced tail that `collectAggs` now rejects.
+    * Start at 10k fields; on the truncation marker or a parse failure,
+    * re-render effectively untruncated. A failure AFTER that
+    * propagates to the sweep's per-key catch → errs → exit 1, loudly
+    * named, never a silently missed collect. */
+  private[graft] def collectAggsOf(n: SparkPlan): Seq[(Seq[String], String)] = {
+    val first = n.simpleString(10000)
+    if (first.contains("more fields")) collectAggs(n.simpleString(Int.MaxValue))
+    else try collectAggs(first) catch {
+      case _: IllegalStateException => collectAggs(n.simpleString(Int.MaxValue))
     }
   }
 
@@ -392,6 +421,7 @@ object PlanSweep {
     val winParts = scala.collection.mutable.LinkedHashMap[String, Seq[Seq[String]]]()
     val ungatedCollects = scala.collection.mutable.ListBuffer[String]()
     val globalCollects = scala.collection.mutable.ListBuffer[String]()
+    val boundedCollects = scala.collection.mutable.ListBuffer[String]()
     val recursiveBig = scala.collection.mutable.ListBuffer[String]()
     val errs = scala.collection.mutable.ListBuffer[String]()
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, fn) =>
@@ -428,7 +458,7 @@ object PlanSweep {
         // each must have a documented driver-sized bound (centroid/
         // codebook pulls), which plan text cannot prove.
         allNodes(exec).filter(_.nodeName.contains("Aggregate"))
-          .flatMap(n => collectAggs(n.simpleString(10000)))
+          .flatMap(collectAggsOf)
           .distinct.foreach { case (ks, input) =>
             // gated path matched by CONTAINS: a cast/struct-wrapped
             // gated input (`cast(__gv as …)`) must not trip the gate
@@ -441,6 +471,14 @@ object PlanSweep {
             else if (ks.isEmpty) globalCollects += s"$k:$input"
             else if (!ks.forall(boundedCollectKeys.contains))
               ungatedCollects += s"$k:[${ks.mkString(" ")}]:$input"
+            else
+              // NAME-based exemption made reviewable (ADVICE r11): the
+              // bounded-key allowlist is per COLUMN NAME, so a future
+              // query collecting on a corpus-cardinality column that
+              // reuses one of these names would slip the gate — every
+              // exempted (query, keys, input) triple rides the sweep
+              // JSON for human review instead of vanishing
+              boundedCollects += s"$k:[${ks.mkString(" ")}]:$input"
           }
         // recursion guard (VERDICT r10 #8): see recursionFactAnchors
         recursionFactAnchors(allNodes(exec))
@@ -460,6 +498,7 @@ object PlanSweep {
       s""""window_partitions":$wp,""" +
       s""""ungated_collects":${arr(ungatedCollects.distinct.toSeq)},""" +
       s""""global_collects":${arr(globalCollects.distinct.toSeq)},""" +
+      s""""bounded_collect_uses":${arr(boundedCollects.distinct.toSeq)},""" +
       s""""recursive_big_anchor":${arr(recursiveBig.distinct.toSeq)},""" +
       s""""errors":${arr(errs.toSeq)},"sf":"$sfDir"}""")
     spark.stop()

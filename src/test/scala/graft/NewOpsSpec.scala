@@ -1537,6 +1537,27 @@ class NewOpsSpec extends SparkSpec {
       assert(row.getString(2).split(" ").length == 16)
     }
   }
+
+  test("t22: an all-empty-text source yields NULL fertility and " +
+      "chars_per_token, never IEEE Inf/NaN (ADVICE r11 zero guard)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t22zero").toString
+    Seq(
+      (1L, "", "en", "empty", 0L),
+      (2L, "", "en", "empty", 0L),
+      (3L, "row filter batch", "en", "real", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t22_bpe_fertility")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val e = rows("empty")
+    assert(e.getAs[Long]("n_words") == 0L && e.getAs[Long]("n_bpe") == 0L)
+    assert(e.isNullAt(e.fieldIndex("fertility")), e.toString)
+    assert(e.isNullAt(e.fieldIndex("chars_per_token")), e.toString)
+    val real = rows("real")
+    assert(!real.isNullAt(real.fieldIndex("fertility")) &&
+      !java.lang.Double.isNaN(real.getAs[Double]("fertility")))
+  }
 }
 
 /** Row shape for the s08 short-candidate spec (top-level for the

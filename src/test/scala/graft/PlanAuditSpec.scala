@@ -809,6 +809,18 @@ class PlanAuditSpec extends SparkSpec {
       Seq("doc_id", "user"))
     assert(PlanSweep.collectAggs(
       "HashAggregate(keys=[], functions=[sum(x#1)])").isEmpty)
+    // truncated renders fail LOUDLY instead of mis-classifying
+    // (ADVICE r11): an unterminated keys list or collect argument
+    // means the node string was clipped mid-expression
+    intercept[IllegalStateException] {
+      PlanSweep.collectAggs(
+        "ObjectHashAggregate(keys=[band#12, bh#3, functions=[collect_list(")
+    }
+    intercept[IllegalStateException] {
+      PlanSweep.collectAggs(
+        "ObjectHashAggregate(keys=[band#12], " +
+        "functions=[collect_list(struct(a#1, __gv#2")
+    }
     // live gated key: dd02's executed plan contains collect aggregates,
     // and every one rides the __gv gated path or a bounded entity key —
     // the invariant PLANSWEEP_r11's empty ungated_collects column gates
@@ -816,7 +828,7 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.toRdd.count()
     val aggs = PlanSweep.allNodes(df.queryExecution.executedPlan)
       .filter(_.nodeName.contains("Aggregate"))
-      .flatMap(n => PlanSweep.collectAggs(n.simpleString(10000)))
+      .flatMap(PlanSweep.collectAggsOf)
     assert(aggs.nonEmpty, "dd02 lost its collect aggregate?")
     aggs.foreach { case (ks, input) =>
       assert(input.contains("__gv") || input == "buf" ||
