@@ -1469,14 +1469,20 @@ object Dedup {
       .join(broadcast(okKeys), Seq("band", "bh"), "left_semi")
     // probe: the second corpus band pass carries csig; the broadcast
     // hash join drops non-candidate rows map-side, so only candidate
-    // pairs (bounded by cap × batch bands) reach the distinct shuffle
+    // pairs (bounded by cap × batch bands) reach the distinct shuffle.
+    // est is computed and thresholded BEFORE that shuffle (round 12):
+    // the kernel is 64 int comparisons per band collision (≤ 16 per
+    // pair — cheap), while distinct-ing on the signature PAIR shuffles
+    // two 64-long arrays per candidate; verifying map-side cuts the
+    // exchange to the matching (nid, cid, est) triples only (measured
+    // 1.35× on st15's probe at sf0.1, identical output — est is a
+    // pure function of the pair, so duplicates collapse identically)
     bandRows(corpusSigs, "csig", "cid", "csig")
       .join(broadcast(gatedBatchBands), Seq("band", "bh"))
-      .select(col("cid"), col("nid"), col("csig"), col("nsig"))
-      .distinct()
       .select(col("nid"), col("cid"),
         estJaccard(col("csig"), col("nsig")).as("est"))
       .filter(col("est") >= 0.5)
+      .distinct()
   }
 
   def dd16IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
