@@ -1169,7 +1169,104 @@ object Pipeline {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM packed GROUP BY 1, 2 ORDER BY source, shard""".stripMargin
 
+  // ---------------------------------------------------------------- p18
+  /** Data-constrained epoch plan (Muennighoff 2023, "Scaling
+    * Data-Constrained Language Models"): when the token budget exceeds
+    * the unique corpus, schedule REPEATS — but a repeated epoch is worth
+    * less than fresh data, so allocation is a greedy knapsack over
+    * (source, epoch) candidates by marginal value, here value(s, k) =
+    * w_s · ½^(k−1) per token with up to 6 epochs (the paper's regime:
+    * value decays per repeat and is ~exhausted after a handful). The
+    * per-source weight is INVERSE BPE FERTILITY in milli-words-per-token
+    * (t22's frame: text that tokenizes efficiently is cleaner text) —
+    * floor-div exact, and the ½-decay makes every candidate value
+    * comparable as the scaled BIGINT w_s·2^(6−k), so the whole schedule
+    * is integer algebra (§5: no float enters a decision). The budget is
+    * ⌊2.5 × unique tokens⌋; the waterline candidate contributes a
+    * partial epoch, so scheduled tokens reconcile EXACTLY to the budget
+    * (specced).
+    *
+    * Scale: the only corpus-sized work is [[TextAnalysis.bpeSourceAgg]]'s
+    * map-only kernel scan into a per-source partial agg; everything after
+    * lives on the bounded sources×6 candidate frame — its global cumsum
+    * window is the p13 class (frame ∝ source cardinality, never data).
+    */
+  def p18EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val src = TextAnalysis.bpeSourceAgg(spark, dir)
+      .select(col("source"), col("n_bpe").as("n_unique_tokens"),
+        when(col("n_bpe") === 0L, lit(0L))
+          .otherwise(expr("n_words * 1000 div n_bpe")).as("weight"))
+    val budget = src.agg(
+      expr("(5 * sum(n_unique_tokens)) div 2").as("b"))
+    val cand = src.crossJoin(broadcast(budget))
+      .select(col("source"), col("n_unique_tokens"), col("weight"),
+        col("b"), explode(sequence(lit(1L), lit(6L))).as("epoch"))
+      .withColumn("value_scaled",
+        expr("weight * shiftleft(CAST(1 AS BIGINT), CAST(6 - epoch AS INT))"))
+    val w = Window
+      .orderBy(col("value_scaled").desc, col("source"), col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val alloc = cand
+      .withColumn("cum", sum(col("n_unique_tokens")).over(w))
+      .withColumn("tok", greatest(lit(0L), least(col("n_unique_tokens"),
+        col("b") - col("cum") + col("n_unique_tokens"))))
+    alloc.groupBy(col("source"))
+      .agg(max(col("n_unique_tokens")).as("n_unique_tokens"),
+        max(col("weight")).as("weight"),
+        sum(when(col("tok") === col("n_unique_tokens") &&
+          col("n_unique_tokens") > 0L, 1L).otherwise(0L))
+          .as("n_full_epochs"),
+        sum(col("tok")).as("tokens_scheduled"))
+      .select(col("source"), col("n_unique_tokens"), col("weight"),
+        col("n_full_epochs"), col("tokens_scheduled"),
+        (col("tokens_scheduled").cast(DoubleType) /
+          nullif(col("n_unique_tokens"), lit(0L)).cast(DoubleType))
+          .as("epochs_effective"))
+      .orderBy(col("source"))
+  }
+
+  /** The t22 per-source frame + the schedule re-derived verbatim. */
+  val p18Sql: String =
+    s"""WITH RECURSIVE
+       |${TextAnalysis.bpeSourcePerCtes},
+       |srcagg AS (
+       |  SELECT source, CAST(SUM(w) AS BIGINT) AS n_words,
+       |    CAST(SUM(b) AS BIGINT) AS n_unique_tokens
+       |  FROM per GROUP BY source),
+       |wsrc AS (
+       |  SELECT source, n_unique_tokens,
+       |    CASE WHEN n_unique_tokens = 0 THEN 0
+       |         ELSE (n_words * 1000) // n_unique_tokens END AS weight
+       |  FROM srcagg),
+       |budget AS (SELECT (5 * SUM(n_unique_tokens)) // 2 AS b FROM wsrc),
+       |cand AS (
+       |  SELECT w.source, w.n_unique_tokens, w.weight,
+       |    CAST(k AS BIGINT) AS epoch,
+       |    w.weight * (1 << (6 - CAST(k AS INT))) AS value_scaled
+       |  FROM wsrc w, (SELECT unnest(range(1, 7)) AS k)),
+       |sched AS (
+       |  SELECT *, SUM(n_unique_tokens)
+       |      OVER (ORDER BY value_scaled DESC, source, epoch
+       |            ROWS UNBOUNDED PRECEDING) AS cum,
+       |    (SELECT b FROM budget) AS b
+       |  FROM cand),
+       |alloc AS (
+       |  SELECT source, n_unique_tokens, weight, epoch,
+       |    GREATEST(0, LEAST(n_unique_tokens, b - cum + n_unique_tokens))
+       |      AS tok
+       |  FROM sched)
+       |SELECT source, MAX(n_unique_tokens) AS n_unique_tokens,
+       |  MAX(weight) AS weight,
+       |  CAST(COUNT(*) FILTER (tok = n_unique_tokens AND n_unique_tokens > 0)
+       |    AS BIGINT) AS n_full_epochs,
+       |  CAST(SUM(tok) AS BIGINT) AS tokens_scheduled,
+       |  CAST(SUM(tok) AS DOUBLE)
+       |    / NULLIF(CAST(MAX(n_unique_tokens) AS DOUBLE), 0)
+       |    AS epochs_effective
+       |FROM alloc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_epoch_plan" -> (p18EpochPlan _),
     "p17_bpe_token_shards" -> (p17BpeTokenShards _),
     "p16_curation_dag" -> (p16CurationDag _),
     "p15_dsir_select" -> (p15DsirSelect _),
@@ -1190,6 +1287,7 @@ object Pipeline {
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
+    "p18_epoch_plan" -> p18Sql,
     "p17_bpe_token_shards" -> p17Sql,
     "p16_curation_dag" -> p16Sql,
     "p15_dsir_select" -> p15Sql,

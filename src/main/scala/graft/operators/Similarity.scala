@@ -1135,7 +1135,93 @@ object Similarity {
       |FROM fr f JOIN g ON f.q_id = g.q_id AND f.vec_id = g.vec_id
       |WHERE f.rank <= 10 ORDER BY f.q_id, f.rank""".stripMargin
 
+  // ---------------------------------------------------------------- s14
+  /** Binary (sign-bit) quantization search — the 32×-compression mode
+    * every production vector stack ships (FAISS `IndexBinaryFlat`,
+    * pgvector `bit(n)`, Qdrant/Weaviate "binary quantization"): each
+    * 64-dim float vector compresses to ONE 64-bit word (bit i = sign of
+    * dim i), candidate generation is Hamming distance over the words
+    * (`bit_count(xor)` — a handful of cycles vs 64 FMAs), and the
+    * shortlist reranks with the exact float cosine. Emits per query the
+    * top-10 of the R=40 Hamming shortlist with both distances.
+    *
+    * Scale shape: the code computation is map-only (one fold per row —
+    * at 100 TB the codes would persist as an artifact column like
+    * s02/s07's index, 8 bytes/vector); the Hamming stage shuffles only
+    * NARROW (q_id, vec_id, label, hamming) rows into [[topKPerQuery]]'s
+    * bounded cells — the 256-byte embeddings do NOT ride the candidate
+    * shuffle; the rerank re-fetches vectors for the ≤ R·|Q| shortlist
+    * via a broadcast join against a pruned (vec_id, embedding) scan —
+    * point-lookup-by-id, exactly how a deployed BQ index serves rerank.
+    * The final rank windows per-query cells of ≤ R rows (bounded by
+    * construction, the s08 altitude rule).
+    *
+    * Cross-engine (§5): the bit rule is a SIGN test (x > 0) — exact
+    * under float→double widening, so the oracle needs no bit algebra:
+    * Hamming = count of positions whose sign tests disagree (list_zip),
+    * sidestepping DuckDB's BIGINT sign-bit shift hazard entirely. Both
+    * ranks integer/exact; rerank ranks on the raw cosine (s01's rule).
+    */
+  def s14BinaryQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val R = 40
+    def code(vec: String) = expr(
+      s"""aggregate(transform($vec, (x, i) ->
+         |  IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin)
+    val qcodes = queriesDf(spark, dir)
+      .select(col("q_id"), code("q_vec").as("q_code"))
+    val scored = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), code("embedding").as("code"))
+      .crossJoin(broadcast(qcodes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        expr("CAST(bit_count(code ^ q_code) AS BIGINT)").as("hamming"))
+    // Hamming shortlist through the family's bounded-cell top-k (sort
+    // key -hamming: integer-exact, vec_id tie-break matches the oracle)
+    val short = topKPerQuery(
+        scored.withColumn("cos", -col("hamming").cast(DoubleType)),
+        R, Seq("label", "hamming"))
+      .select(col("q_id"), col("vec_id"), col("label"), col("hamming"))
+    val rerank = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(queriesDf(spark, dir)), Seq("q_id"))
+      .withColumn("c", V.cosine_sim(col("q_vec"), col("embedding")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy((col("c") * -1).asc, col("vec_id"))
+    rerank.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("label"), col("hamming"),
+        round(col("c"), 4).as("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Hamming as sign-disagreement count over the zipped pair — no
+    * 64-bit shift (DuckDB's `1::BIGINT << 63` hazard); rerank = s01. */
+  val s14Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+      |  FROM embeddings WHERE vec_id < 5),
+      |ham AS (
+      |  SELECT q.q_id, e.vec_id, e.label, e.embedding::DOUBLE[] AS v,
+      |    q.q_vec,
+      |    CAST(len(list_filter(list_zip(q.q_vec, e.embedding::DOUBLE[]),
+      |      z -> (z[1] > 0) <> (z[2] > 0))) AS BIGINT) AS hamming
+      |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      |short AS (
+      |  SELECT *, row_number()
+      |    OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hr
+      |  FROM ham),
+      |rer AS (
+      |  SELECT q_id, vec_id, label, hamming,
+      |    list_cosine_similarity(q_vec, v) AS c
+      |  FROM short WHERE hr <= 40)
+      |SELECT q_id, vec_id, label, hamming, ROUND(c, 4) AS cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id)
+      |    AS rank
+      |FROM rer QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_binary_quantize" -> (s14BinaryQuantize _),
     "s13_filtered_search" -> (s13FilteredSearch _),
     "s12_range_search" -> (s12RangeSearch _),
     "s11_mrl_rerank" -> (s11MrlRerank _),
@@ -1151,6 +1237,7 @@ object Similarity {
     "s06_hybrid_search" -> (s06HybridSearch _))
 
   val oracle: Map[String, String] = Map(
+    "s14_binary_quantize" -> s14Sql,
     "s13_filtered_search" -> s13Sql,
     "s12_range_search" -> s12Sql,
     "s11_mrl_rerank" -> s11Sql,

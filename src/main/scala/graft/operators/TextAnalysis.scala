@@ -1430,20 +1430,8 @@ object TextAnalysis {
     * the same projection) into a per-source partial agg — scan
     * bandwidth at any corpus size, the t01/m10 plan class.
     */
-  def t22BpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
-    Tables(spark, dir, "documents")
-      .select(col("source"),
-        size(t).cast(LongType).as("w"),
-        aggregate(transform(t, x => length(x).cast(LongType)),
-          lit(0L), (a, x) => a + x).as("wc"),
-        size(graft.functions.text.bpe_token_ids(col("text")))
-          .cast(LongType).as("b"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("w")).as("n_words"),
-        sum(col("wc")).as("word_chars"),
-        sum(col("b")).as("n_bpe"))
+  def t22BpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeSourceAgg(spark, dir)
       .select(col("source"), col("n_docs"), col("n_words"),
         col("word_chars"), col("n_bpe"),
         // NULLIF-guarded denominators (ADVICE r11): a source whose docs
@@ -1457,11 +1445,33 @@ object TextAnalysis {
           nullif(col("n_bpe"), lit(0L)).cast(DoubleType))
           .as("chars_per_token"))
       .orderBy(col("source"))
+
+  /** The per-source exact-count frame under t22 (and p18's scheduler):
+    * one map-only kernel scan (whitespace split + BPE encode in the
+    * same projection) into a per-source partial agg — `(source, n_docs,
+    * n_words, word_chars, n_bpe)`, all BIGINT. Factored so the two
+    * consumers cannot drift apart (the bpeDocLenCtes rule, Scala side). */
+  private[operators] def bpeSourceAgg(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        size(t).cast(LongType).as("w"),
+        aggregate(transform(t, x => length(x).cast(LongType)),
+          lit(0L), (a, x) => a + x).as("wc"),
+        size(graft.functions.text.bpe_token_ids(col("text")))
+          .cast(LongType).as("b"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("wc")).as("word_chars"),
+        sum(col("b")).as("n_bpe"))
   }
 
-  val t22Sql: String =
-    s"""WITH RECURSIVE
-       |docw AS (
+  /** CTE chain to `per`(source, w, wc, b) — the oracle twin of
+    * [[bpeSourceAgg]], shared with p18's scheduler oracle. */
+  private[operators] val bpeSourcePerCtes: String =
+    s"""docw AS (
        |  SELECT doc_id, source,
        |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
        |      t -> t <> '') AS ws
@@ -1473,7 +1483,11 @@ object TextAnalysis {
        |    CAST(COALESCE(list_sum(list_transform(d.ws, x -> length(x))), 0)
        |      AS BIGINT) AS wc,
        |    COALESCE(pw.b, 0) AS b
-       |  FROM docw d LEFT JOIN pw ON pw.doc_id = d.doc_id)
+       |  FROM docw d LEFT JOIN pw ON pw.doc_id = d.doc_id)""".stripMargin
+
+  val t22Sql: String =
+    s"""WITH RECURSIVE
+       |$bpeSourcePerCtes
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(w) AS BIGINT) AS n_words,
        |  CAST(SUM(wc) AS BIGINT) AS word_chars,

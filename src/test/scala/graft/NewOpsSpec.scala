@@ -1538,6 +1538,62 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("s14: binary-quantize search — 10 rows per query ranked by exact " +
+      "cosine, hamming consistent with the sign codes, and the " +
+      "candidate shuffle never carries embeddings") {
+    val df = SparkEntry.queries("s14_binary_quantize")(spark, sfDir)
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getAs[Number]("q_id").longValue)
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 10))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Number]("rank").longValue)
+      // rank order == cos desc (rounded display can tie; raw rank came
+      // from the raw cosine, so rounded values must be non-increasing)
+      assert(sorted.map(_.getAs[Double]("cos")).sliding(2)
+        .forall(p => p.head >= p.last - 1e-9))
+    }
+    // hamming re-derived from the raw embeddings for every output pair
+    val emb = Tables(spark, sfDir, "embeddings").collect()
+      .map(r => r.getAs[Number]("vec_id").longValue ->
+        r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    rows.foreach { r =>
+      val q = emb(r.getAs[Number]("q_id").longValue)
+      val v = emb(r.getAs[Number]("vec_id").longValue)
+      val h = q.zip(v).count { case (a, b) => (a > 0) != (b > 0) }
+      assert(r.getAs[Number]("hamming").longValue == h, r.toString)
+    }
+    // scale contract: the top-k candidate stages shuffle narrow rows —
+    // no exchange in the plan carries the embedding column
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("embedding")), plan)
+  }
+
+  test("p18: the epoch plan reconciles exactly to the budget, is " +
+      "monotone in weight, and has at most one partial epoch") {
+    val df = SparkEntry.queries("p18_epoch_plan")(spark, sfDir).cache()
+    val rows = df.collect()
+    val u = rows.map(_.getAs[Long]("n_unique_tokens")).sum
+    val budget = 5L * u / 2L
+    assert(rows.map(_.getAs[Long]("tokens_scheduled")).sum == budget)
+    // greedy waterline: a strictly higher-weight source never gets
+    // fewer full epochs
+    for (a <- rows; b <- rows
+         if a.getAs[Long]("weight") > b.getAs[Long]("weight"))
+      assert(a.getAs[Long]("n_full_epochs") >= b.getAs[Long]("n_full_epochs"),
+        s"$a vs $b")
+    val partials = rows.count(r =>
+      r.getAs[Long]("tokens_scheduled") %
+        math.max(r.getAs[Long]("n_unique_tokens"), 1L) != 0L)
+    assert(partials <= 1, s"$partials partial epochs")
+    rows.foreach { r =>
+      val eff = r.getAs[Double]("epochs_effective")
+      assert(eff >= 0.0 && eff <= 6.0, r.toString)
+    }
+    df.unpersist()
+  }
+
   test("t22: an all-empty-text source yields NULL fertility and " +
       "chars_per_token, never IEEE Inf/NaN (ADVICE r11 zero guard)") {
     import spark.implicits._
