@@ -1498,7 +1498,135 @@ object TextAnalysis {
        |    AS chars_per_token
        |FROM per GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t23
+  /** BPE tokenizer TRAINING — the other half of t21's encoder (HF
+    * `BpeTrainer` / SentencePiece `--model_type=bpe`): learn the next
+    * 10 merges from the corpus itself. Policy (deterministic, both
+    * engines): per round, count adjacent token pairs position-wise over
+    * the word-frequency frame (overlaps counted, the HF rule), take the
+    * max with (lhs, rhs) lexicographic tie-break, apply it left-to-right
+    * non-overlapping, repeat. Applying a merge can never create a new
+    * occurrence of itself or of any earlier merge (the merged token is
+    * strictly longer than either operand), so left-to-right single-pass
+    * application ≡ the oracle's leftmost-repeated recursion — and the
+    * sequential training states equal t21's min-rank encode states, the
+    * classic GPT-2 equivalence. Trained on raw-case tokens (t21's
+    * kernel convention, NOT [[toks]]' lowered form). At sf0.01 the 10
+    * learned merges reproduce `Bpe.merges`' first 10 exactly — the
+    * shipped encoder table IS this trainer's output (specced via an
+    * independent in-memory replica).
+    *
+    * Scale: the classic two-phase trainer shape — ONE corpus pass
+    * builds the (word, freq) frame (map-side combined, vocab-sized
+    * forever after); each of the 10 rounds is a distributed pair-count
+    * aggregate on that frame (bounded key space: distinct adjacent
+    * pairs), ONE driver row per round (the argmax — model-parameter-
+    * sized, the s02/s04 class), and a map-only re-tokenize fold.
+    * localCheckpoint per round cuts the growing lineage (d13/dd06
+    * discipline). Corpus text is scanned exactly once.
+    */
+  def t23BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val raw = filter(split(col("text"), "[ \\t\\n\\r]+"), x => x =!= "")
+    var state = Tables(spark, dir, "documents")
+      .select(explode(raw).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(col("w"), col("f"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("arr"))
+      .localCheckpoint(false)
+    val learned =
+      scala.collection.mutable.ListBuffer[(Long, String, String, String, Long)]()
+    var exhausted = false
+    for (i <- 1 to 10 if !exhausted) {
+      val best = state.filter(size(col("arr")) > 1)
+        .select(col("f"), explode(expr(
+          """transform(sequence(1, size(arr) - 1),
+            |  j -> struct(element_at(arr, j) AS l,
+            |              element_at(arr, j + 1) AS r))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((i.toLong, l, r, l + r, c))
+        // left-to-right non-overlapping application as a fold: merge
+        // when the accumulator's last token is lhs and the next is rhs
+        val applied = aggregate(col("arr"),
+          array().cast(ArrayType(StringType)),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(element_at(acc, -1), x))))
+            .otherwise(concat(acc, array(x))))
+        state = state.select(col("w"), col("f"), applied.as("arr"))
+          .localCheckpoint(false)
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The trainer unrolled: 10 (pairs → best → recursive leftmost-apply
+    * → state) rounds. Non-recursive CTEs are MATERIALIZED — DuckDB
+    * inlines CTEs per reference, and each round references the previous
+    * state ~3×, so un-materialized the chain re-expands 3^10 ways. */
+  val t23Sql: String = {
+    def round(i: Int): String = {
+      val prev = s"state${i - 1}"
+      s""",
+         |pairs$i AS MATERIALIZED (
+         |  SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(f) AS BIGINT) AS c
+         |  FROM (SELECT f, unnest(list_transform(range(len(arr)-1),
+         |      j -> [arr[j+1], arr[j+2]])) AS pr FROM $prev) u
+         |  GROUP BY 1, 2),
+         |best$i AS MATERIALIZED (
+         |  SELECT l, r, c FROM pairs$i ORDER BY c DESC, l, r LIMIT 1),
+         |ap$i AS (
+         |  SELECT w, f, arr FROM $prev
+         |  UNION ALL
+         |  SELECT w, f,
+         |    arr[1:pos-1] || [arr[pos] || arr[pos+1]] || arr[pos+2:] AS arr
+         |  FROM (
+         |    SELECT w, f, arr, list_position(
+         |      list_transform(range(len(arr)-1),
+         |        j -> arr[j+1] = b.l AND arr[j+2] = b.r), true) AS pos
+         |    FROM ap$i, best$i b) s
+         |  WHERE pos IS NOT NULL AND pos > 0),
+         |state$i AS MATERIALIZED (
+         |  SELECT s.w, s.f, s.arr FROM (
+         |    SELECT w, f, arr, list_position(
+         |      list_transform(range(len(arr)-1),
+         |        j -> arr[j+1] = b.l AND arr[j+2] = b.r), true) AS pos
+         |    FROM ap$i, best$i b) s
+         |  WHERE s.pos IS NULL OR s.pos = 0)""".stripMargin
+    }
+    s"""WITH RECURSIVE
+       |docw AS MATERIALIZED (
+       |  SELECT list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |    t -> t <> '') AS ws
+       |  FROM documents),
+       |wf AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(ws) AS w FROM docw) GROUP BY 1),
+       |state0 AS MATERIALIZED (
+       |  SELECT w, f,
+       |    list_transform(range(length(w)), i -> w[i+1:i+1]) AS arr
+       |  FROM wf)""".stripMargin +
+      (1 to 10).map(round).mkString +
+      "\n" + (1 to 10).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
+          s"l || r AS merged, c AS pair_count FROM best$i")
+        .mkString(" UNION ALL ") +
+      " ORDER BY merge_rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_bpe_train" -> (t23BpeTrain _),
     "t22_bpe_fertility" -> (t22BpeFertility _),
     "t21_bpe_tokenize" -> (t21BpeTokenize _),
     "t20_gopher_quality" -> (t20GopherQuality _),
@@ -1523,6 +1651,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t23_bpe_train" -> t23Sql,
     "t22_bpe_fertility" -> t22Sql,
     "t21_bpe_tokenize" -> t21Sql,
     "t20_gopher_quality" -> t20Sql,

@@ -1594,6 +1594,48 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t23: the distributed BPE trainer matches an independent " +
+      "in-memory replica, and at sf0.01 reproduces Bpe.merges' prefix") {
+    // pure-Scala replica: word freqs -> 10 greedy merge rounds
+    def replica(dir: String): Seq[(String, String, Long)] = {
+      val freqs = Tables(spark, dir, "documents").select(col("text"))
+        .collect().iterator
+        .flatMap(_.getString(0).split("[ \t\n\r]+")).filter(_.nonEmpty)
+        .toSeq.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      var state: Map[Vector[String], Long] = freqs
+        .groupBy { case (w, _) => w.map(_.toString).toVector }
+        .map { case (arr, m) => arr -> m.values.sum }
+      (1 to 10).map { _ =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        state.foreach { case (arr, f) =>
+          arr.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f }
+        }
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        state = state.groupBy { case (arr, _) =>
+          arr.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r)
+              acc.init :+ (acc.last + x)
+            else acc :+ x
+          }
+        }.map { case (arr, m) => arr -> m.values.sum }
+        (l, r, c)
+      }
+    }
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("t23_bpe_train")(spark, dir)
+        .collect().map(r => (r.getString(1), r.getString(2),
+          r.getAs[Long]("pair_count")))
+      assert(got.toSeq == replica(dir), s"mismatch at $dir")
+    }
+    // closure: the shipped encoder table IS this trainer's output on
+    // the sf0.01 corpus — the first 10 seeded merges, in order
+    val at01 = SparkEntry.queries("t23_bpe_train")(spark,
+      "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(at01.toSeq == graft.functions.Bpe.merges.take(10).toSeq)
+  }
+
   test("t22: an all-empty-text source yields NULL fertility and " +
       "chars_per_token, never IEEE Inf/NaN (ADVICE r11 zero guard)") {
     import spark.implicits._
