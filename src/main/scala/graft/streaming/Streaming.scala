@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 import graft.Tables
 
@@ -876,6 +876,161 @@ object Streaming {
       }
   }
 
+  // ---------------------------------------------------------------- st17
+  /** Distribution drift monitor — the data-quality alarm every ingest
+    * pipeline runs (Evidently/TFX-style categorical drift): per UTC day,
+    * each event_type's share vs the PREVIOUS calendar day, flagged by a
+    * pooled two-proportion z-test (z > 2). A fixed total-variation
+    * threshold would be statistically wrong — TV of a stable stream
+    * shrinks ∝ 1/√N, so one τ is dead at one volume and all-fire at
+    * another (measured: tv max 0.41 at sf0.001 vs 0.034 at sf0.1); the
+    * z-test compares the shift against its own sampling noise and fires
+    * at the same ~5 % tail rate at every SF. The test is EXACT INTEGER
+    * algebra (§5, the st12 rule): with c/N the current share and p/M the
+    * previous, z² > 4 ⟺ (cM−pN)²·(N+M) > 4·(c+p)·(N+M−c−p)·N·M — both
+    * engines compare the same integers, Spark in DECIMAL(38,0), DuckDB
+    * in HUGEINT (the cubed magnitudes pass BIGINT at ~2M events/day;
+    * decimal keeps the flag exact to 10^38). z itself is display-only:
+    * exact integer products cast once, one division, one IEEE sqrt, one
+    * division, round 4 — identical in both engines; NULL when the
+    * pooled variance is 0. A vanished type (c=0) and a brand-new type
+    * (p=0) both produce rows — exactly the drifts worth flagging.
+    *
+    * Scale: one windowed-count shuffle (streaming-state shaped); the
+    * self-comparison is a full-outer join of the (days × types)
+    * AGGREGATE frame against itself shifted one day, and the totals
+    * window partitions on the day key — cells hold ≤ |types| aggregate
+    * rows, never events.
+    */
+  def st17DistributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val counts = Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("d"), col("event_type"), col("n"))
+    val prev = counts.select(
+      (col("d") + expr("INTERVAL 1 DAY")).as("d"),
+      col("event_type"), col("n").as("pn"))
+    val pairs = counts.join(prev, Seq("d", "event_type"), "full_outer")
+      .select(col("d"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("c"),
+        coalesce(col("pn"), lit(0L)).as("p"))
+    val wD = Window.partitionBy(col("d"))
+    val tot = pairs
+      .withColumn("nn", sum(col("c")).over(wD))
+      .withColumn("mm", sum(col("p")).over(wD))
+      .filter(col("nn") > 0 && col("mm") > 0)
+      .withColumn("dev", col("c") * col("mm") - col("p") * col("nn"))
+      .withColumn("vp", (col("c") + col("p")).cast(dec) *
+        (col("nn") + col("mm") - col("c") - col("p")).cast(dec) *
+        col("nn").cast(dec) * col("mm").cast(dec))
+    tot.select(
+        date_format(col("d"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("c").as("n"), col("p").as("prev_n"),
+        col("nn").as("n_events"), col("mm").as("prev_events"),
+        when(col("vp") > lit(0).cast(dec),
+          round(col("dev").cast(DoubleType) /
+            sqrt(col("vp").cast(DoubleType) /
+              (col("nn") + col("mm")).cast(DoubleType)), 4)).as("z"),
+        (col("dev").cast(dec) * col("dev").cast(dec) *
+          (col("nn") + col("mm")).cast(dec) >
+          col("vp") * lit(4).cast(dec)).as("drifted"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** HUGEINT is the oracle's exact-integer lane (DuckDB `^` is float
+    * pow — the squares are spelled x*x). */
+  val st17Sql: String =
+    """WITH counts AS (
+      |  SELECT time_bucket(INTERVAL 1 DAY, ts) AS d, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT COALESCE(c.d, p.d + INTERVAL 1 DAY) AS d,
+      |    COALESCE(c.event_type, p.event_type) AS event_type,
+      |    COALESCE(c.n, 0) AS c, COALESCE(p.n, 0) AS p
+      |  FROM counts c FULL OUTER JOIN counts p
+      |    ON c.d = p.d + INTERVAL 1 DAY AND c.event_type = p.event_type),
+      |tot AS (
+      |  SELECT d, event_type, c, p,
+      |    SUM(c) OVER (PARTITION BY d) AS nn,
+      |    SUM(p) OVER (PARTITION BY d) AS mm
+      |  FROM pairs)
+      |SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+      |  CAST(c AS BIGINT) AS n, CAST(p AS BIGINT) AS prev_n,
+      |  CAST(nn AS BIGINT) AS n_events, CAST(mm AS BIGINT) AS prev_events,
+      |  CASE WHEN (c+p)::HUGEINT * (nn+mm-c-p) * nn * mm > 0 THEN
+      |    round((c*mm - p*nn)::DOUBLE
+      |      / sqrt(((c+p)::HUGEINT * (nn+mm-c-p) * nn * mm)::DOUBLE
+      |             / (nn+mm)::DOUBLE), 4)
+      |  END AS z,
+      |  (c*mm - p*nn)::HUGEINT * (c*mm - p*nn) * (nn+mm)
+      |    > 4::HUGEINT * (c+p) * (nn+mm-c-p) * nn * mm AS drifted
+      |FROM tot WHERE nn > 0 AND mm > 0
+      |ORDER BY window_start, event_type""".stripMargin
+
+  final case class DrEv(ts: java.sql.Timestamp, event_type: String)
+  final case class DrSide(day: Long, cur: Boolean, event_type: String,
+      ts: java.sql.Timestamp)
+  final case class DrOut(window_start: Long, event_type: String, n: Long,
+      prev_n: Long, n_events: Long, prev_events: Long, drifted: Boolean)
+  final case class DrState(counts: Map[String, (Long, Long)])
+
+  /** st17's streaming twin: each event contributes to TWO comparison
+    * days — its own (current side) and the next (previous side) — so
+    * the whole drift computation for one day lives in ONE keyed group
+    * and needs no cross-group join. Groups are keyed by comparison day
+    * (time-bounded state rows, the st11/st12 taxonomy): counts
+    * accumulate per (type, side), `EventTimeTimeout` is armed at
+    * day_end + lateness (every contributing event's time is < day_end,
+    * so the seal is legal and complete), and the sealed group emits the
+    * batch twin's integer flag rows exactly once — BigInt products, the
+    * same exact algebra as the DECIMAL(38,0) plan. Expansion happens
+    * BEFORE the watermark so lateness is judged on the event's real
+    * time on both sides.
+    */
+  def st17Stream(events: Dataset[DrEv],
+      latenessSec: Long = 7200L): Dataset[DrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .flatMap { e =>
+        val day = Math.floorDiv(e.ts.getTime, 86400000L) * 86400L
+        Seq(DrSide(day, cur = true, e.event_type, e.ts),
+          DrSide(day + 86400L, cur = false, e.event_type, e.ts))
+      }
+      .withWatermark("ts", s"$latenessSec seconds")
+      .groupByKey(_.day)
+      .flatMapGroupsWithState[DrState, DrOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (day: Long, evs: Iterator[DrSide], state: GroupState[DrState]) =>
+          val st0 = state.getOption.getOrElse(DrState(Map.empty))
+          var m = st0.counts
+          evs.foreach { s =>
+            val (c0, p0) = m.getOrElse(s.event_type, (0L, 0L))
+            m = m.updated(s.event_type,
+              if (s.cur) (c0 + 1L, p0) else (c0, p0 + 1L))
+          }
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          if (day + 86400L + latenessSec <= wm) {
+            state.remove() // sealed: every in-lateness event has arrived
+            val nn = m.valuesIterator.map(_._1).sum
+            val mm = m.valuesIterator.map(_._2).sum
+            if (nn > 0 && mm > 0)
+              m.toSeq.sortBy(_._1).iterator.map { case (t, (c, p)) =>
+                val dev = BigInt(c) * mm - BigInt(p) * nn
+                val vp = BigInt(c + p) * (nn + mm - c - p) * nn * mm
+                DrOut(day, t, c, p, nn, mm,
+                  dev * dev * (nn + mm) > vp * 4)
+              }
+            else Iterator.empty
+          } else {
+            state.update(DrState(m))
+            state.setTimeoutTimestamp((day + 86400L + latenessSec) * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
   // ---------------------------------------------------------------- st13
   /** Session conversion funnel — the product-analytics staple on top of
     * sessionization: within each st02 session (same gap rule, same
@@ -1429,6 +1584,7 @@ object Streaming {
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st17_distribution_drift" -> (st17DistributionDrift _),
     "st16_pit_join" -> (st16PitJoin _),
     "st15_ingest_dedup" -> (st15IngestDedup _),
     "st14_scd2" -> (st14Scd2 _),
@@ -1447,6 +1603,7 @@ object Streaming {
     "st13_session_funnel" -> (st13SessionFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "st17_distribution_drift" -> st17Sql,
     "st16_pit_join" -> st16Sql,
     "st15_ingest_dedup" -> graft.functions.KernelOracleSql.st15Sql,
     "st14_scd2" -> st14Sql,

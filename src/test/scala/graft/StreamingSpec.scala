@@ -496,6 +496,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st17 streaming drift flags equal the batch twin on sealed days") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.DrEv
+    val batch = Streaming.st17DistributionDrift(spark, sfDir)
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("prev_n"), col("n_events"), col("prev_events"), col("drifted"))
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"))
+      .collect().map(r => DrEv(r.getTimestamp(0), r.getString(1)))
+    val input = MemoryStream[DrEv]
+    val q = Streaming.st17Stream(input.toDS())
+      .writeStream.format("memory").queryName("st17_sink")
+      .outputMode("update").start()
+    try {
+      input.addData(evs.toSeq: _*)
+      q.processAllAvailable()
+      // far-future sentinel seals every real comparison day; its own
+      // day has no previous-day events (mm = 0) so it emits nothing
+      val maxTs = evs.map(_.ts.getTime).max
+      input.addData(DrEv(new Timestamp(maxTs + 2592000000L), "__probe"))
+      q.processAllAvailable()
+      val stream = spark.table("st17_sink")
+        .select(date_format(col("window_start").cast("timestamp"),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("prev_n"),
+          col("n_events"), col("prev_events"), col("drifted"))
+      assert(stream.count() > 0)
+      assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+    } finally q.stop()
+  }
+
+  test("st17 a planted share shift drifts; a stable stream does not") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.DrEv
+    def at(day: Int, n: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-0$day 0${n % 6}:0${n % 10}:00")
+    val input = MemoryStream[DrEv]
+    val q = Streaming.st17Stream(input.toDS())
+      .writeStream.format("memory").queryName("st17_plant_sink")
+      .outputMode("update").start()
+    try {
+      // day 1: 90 click / 10 view; day 2: 50/50 — a 40-point share swing
+      val d1 = (1 to 90).map(i => DrEv(at(1, i), "click")) ++
+        (1 to 10).map(i => DrEv(at(1, i), "view"))
+      val d2 = (1 to 50).map(i => DrEv(at(2, i), "click")) ++
+        (1 to 50).map(i => DrEv(at(2, i), "view"))
+      // day 3: same as day 2 (stable) — plus a sealer
+      val d3 = (1 to 50).map(i => DrEv(at(3, i), "click")) ++
+        (1 to 50).map(i => DrEv(at(3, i), "view"))
+      input.addData((d1 ++ d2 ++ d3): _*)
+      q.processAllAvailable()
+      input.addData(DrEv(Timestamp.valueOf("2024-01-09 00:00:00"), "seal"))
+      q.processAllAvailable()
+      val rows = spark.table("st17_plant_sink")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getBoolean(r.fieldIndex("drifted")))).toSet
+      val day2 = Timestamp.valueOf("2024-01-02 00:00:00").getTime / 1000L
+      val day3 = day2 + 86400L
+      assert(rows((day2, "click", true)) && rows((day2, "view", true)),
+        rows.toString) // the swing fires both sides
+      assert(rows((day3, "click", false)) && rows((day3, "view", false)),
+        rows.toString) // identical distributions never fire
+    } finally q.stop()
+  }
+
   test("st13 funnel order matters: stages advance only click→view→purchase") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.Streaming.{FunnelEv, FunnelOut}
