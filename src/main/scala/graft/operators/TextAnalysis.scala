@@ -184,7 +184,10 @@ object TextAnalysis {
     * functions (no explode shuffle).
     */
   def t06Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    // spread BEFORE the kernel (dd02's rule): the per-doc bigram fold is
+    // the dominant cost and the raw scan's split count serialized it —
+    // measured wall ≈ CPU (2.8 s ≈ 2.7 s) at sf0.1 before the spread
+    val docs = Tables.spread(Tables(spark, dir, "documents"))
     val base = docs.select(col("doc_id"), toks(col("text")).as("ts"))
       .withColumn("n_tokens", size(col("ts")).cast(LongType))
       .withColumn("bigrams", zip_with(
