@@ -179,7 +179,9 @@ object TextAnalysis {
   // ---------------------------------------------------------------- t06
   /** Repetition signals (Gopher-style quality filters): duplicate-token
     * fraction and most-frequent-bigram fraction — high values flag
-    * boilerplate/spam for removal before training. Map-only except the
+    * boilerplate/spam for removal before training. One spread exchange
+    * to parallelize the per-doc bigram fold (the dominant cost — wall
+    * equalled CPU on the raw scan's single split), then map-only to the
     * presentation sort; bigram stats stay inside per-row higher-order
     * functions (no explode shuffle).
     */

@@ -920,7 +920,12 @@ object Streaming {
       .withColumn("nn", sum(col("c")).over(wD))
       .withColumn("mm", sum(col("p")).over(wD))
       .filter(col("nn") > 0 && col("mm") > 0)
-      .withColumn("dev", col("c") * col("mm") - col("p") * col("nn"))
+      // dev in DECIMAL too (review r12): at ~4e9 events/day c·M tops
+      // BIGINT and ANSI mode would throw where the HUGEINT oracle and
+      // the BigInt stream twin keep going — the whole statistic rides
+      // the 10^38 lane
+      .withColumn("dev", col("c").cast(dec) * col("mm").cast(dec) -
+        col("p").cast(dec) * col("nn").cast(dec))
       .withColumn("vp", (col("c") + col("p")).cast(dec) *
         (col("nn") + col("mm") - col("c") - col("p")).cast(dec) *
         col("nn").cast(dec) * col("mm").cast(dec))

@@ -1563,11 +1563,22 @@ class NewOpsSpec extends SparkSpec {
       assert(r.getAs[Number]("hamming").longValue == h, r.toString)
     }
     // scale contract: the top-k candidate stages shuffle narrow rows —
-    // no exchange in the plan carries the embedding column
-    val plan = df.queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator.filter(_.contains("Exchange"))
+    // no exchange OUTPUT carries an embedding-typed column (plan-line
+    // matching is vacuous here: Exchange lines print partitioning
+    // expressions, never payload columns — review r12)
+    val exchanges = graft.tools.PlanSweep
+      .allNodes(df.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Exchange"))
     assert(exchanges.nonEmpty)
-    assert(!exchanges.exists(_.contains("embedding")), plan)
+    // corpus vectors ride NO exchange; the bounded 5-row query set may
+    // broadcast its q_vec (the family design) but never shuffle it
+    val carrying = exchanges.filter(e =>
+      e.output.exists(_.name == "embedding") ||
+        (e.nodeName.contains("ShuffleExchange") &&
+          e.output.exists(_.name == "q_vec")))
+    assert(carrying.isEmpty,
+      carrying.map(e => e.nodeName + ":" + e.output.map(_.name).mkString(","))
+        .mkString("; "))
   }
 
   test("p18: the epoch plan reconciles exactly to the budget, is " +
@@ -1622,18 +1633,18 @@ class NewOpsSpec extends SparkSpec {
         (l, r, c)
       }
     }
+    var at01: Seq[(String, String)] = Nil
     for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
       val got = SparkEntry.queries("t23_bpe_train")(spark, dir)
         .collect().map(r => (r.getString(1), r.getString(2),
           r.getAs[Long]("pair_count")))
       assert(got.toSeq == replica(dir), s"mismatch at $dir")
+      if (dir.endsWith("sf0.01"))
+        at01 = got.map(g => (g._1, g._2)).toSeq
     }
     // closure: the shipped encoder table IS this trainer's output on
     // the sf0.01 corpus — the first 10 seeded merges, in order
-    val at01 = SparkEntry.queries("t23_bpe_train")(spark,
-      "/root/testdata/sf0.01").collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    assert(at01.toSeq == graft.functions.Bpe.merges.take(10).toSeq)
+    assert(at01 == graft.functions.Bpe.merges.take(10).toSeq)
   }
 
   test("t22: an all-empty-text source yields NULL fertility and " +
