@@ -1160,7 +1160,10 @@ object Similarity {
     * under float→double widening, so the oracle needs no bit algebra:
     * Hamming = count of positions whose sign tests disagree (list_zip),
     * sidestepping DuckDB's BIGINT sign-bit shift hazard entirely. Both
-    * ranks integer/exact; rerank ranks on the raw cosine (s01's rule).
+    * ranks integer/exact; rerank ranks on the raw cosine, ordered as
+    * `-c ASC` in BOTH engines so a NaN cosine (zero-norm vector) sorts
+    * last/excluded on both sides — `c DESC` would rank NaN first in
+    * DuckDB, the topKPerQuery NaN rule (review r12).
     */
   def s14BinaryQuantize(spark: SparkSession, dir: String): DataFrame = {
     val R = 40
@@ -1216,7 +1219,7 @@ object Similarity {
       |    list_cosine_similarity(q_vec, v) AS c
       |  FROM short WHERE hr <= 40)
       |SELECT q_id, vec_id, label, hamming, ROUND(c, 4) AS cos,
-      |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id)
+      |  row_number() OVER (PARTITION BY q_id ORDER BY -c, vec_id)
       |    AS rank
       |FROM rer QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin
 

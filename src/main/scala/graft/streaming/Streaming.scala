@@ -902,6 +902,13 @@ object Streaming {
     * window partitions on the day key — cells hold ≤ |types| aggregate
     * rows, never events.
     */
+  /** One comparison's volume bound for exact-integer drift (N+M):
+    * worst-case dev²·(N+M) at 1.5e7+1.5e7 is ~1.5e36, safely inside
+    * DECIMAL(38,0)/HUGEINT. Beyond it every lane raises this message. */
+  private[streaming] val St17MaxDay = 30000000L
+  private[streaming] val St17GuardMsg =
+    "st17: day volume exceeds the exact-integer envelope; shard the monitor"
+
   def st17DistributionDrift(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val counts = Tables(spark, dir, "events")
@@ -920,10 +927,16 @@ object Streaming {
       .withColumn("nn", sum(col("c")).over(wD))
       .withColumn("mm", sum(col("p")).over(wD))
       .filter(col("nn") > 0 && col("mm") > 0)
-      // dev in DECIMAL too (review r12): at ~4e9 events/day c·M tops
-      // BIGINT and ANSI mode would throw where the HUGEINT oracle and
-      // the BigInt stream twin keep going — the whole statistic rides
-      // the 10^38 lane
+      // Exactness envelope (review r12, pass 2): the cubic statistic
+      // dev²·(N+M) tops 10^38 from ~3.6e7 events/day worst-case — the
+      // DECIMAL lane would ANSI-throw and the HUGEINT oracle overflow
+      // while the BigInt stream twin kept going. All three lanes now
+      // fail LOUDLY and identically at one documented bound instead:
+      // a drift monitor at higher volume shards by segment (what
+      // production monitors do), it does not need a wider integer.
+      .withColumn("nn", when(col("nn") + col("mm") <= lit(St17MaxDay),
+        col("nn")).otherwise(raise_error(lit(St17GuardMsg))))
+      // dev in DECIMAL too (review r12): at high volume c·M tops BIGINT
       .withColumn("dev", col("c").cast(dec) * col("mm").cast(dec) -
         col("p").cast(dec) * col("nn").cast(dec))
       .withColumn("vp", (col("c") + col("p")).cast(dec) *
@@ -963,7 +976,10 @@ object Streaming {
       |  FROM pairs)
       |SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
       |  CAST(c AS BIGINT) AS n, CAST(p AS BIGINT) AS prev_n,
-      |  CAST(nn AS BIGINT) AS n_events, CAST(mm AS BIGINT) AS prev_events,
+      |  CAST(CASE WHEN nn + mm > 30000000 THEN error(
+      |    'st17: day volume exceeds the exact-integer envelope; shard the monitor')
+      |    ELSE nn END AS BIGINT) AS n_events,
+      |  CAST(mm AS BIGINT) AS prev_events,
       |  CASE WHEN (c+p)::HUGEINT * (nn+mm-c-p) * nn * mm > 0 THEN
       |    round((c*mm - p*nn)::DOUBLE
       |      / sqrt(((c+p)::HUGEINT * (nn+mm-c-p) * nn * mm)::DOUBLE
@@ -1020,6 +1036,9 @@ object Streaming {
             state.remove() // sealed: every in-lateness event has arrived
             val nn = m.valuesIterator.map(_._1).sum
             val mm = m.valuesIterator.map(_._2).sum
+            // same loud envelope as the batch plan and the oracle —
+            // BigInt would silently keep going past where they throw
+            require(nn + mm <= St17MaxDay, St17GuardMsg)
             if (nn > 0 && mm > 0)
               m.toSeq.sortBy(_._1).iterator.map { case (t, (c, p)) =>
                 val dev = BigInt(c) * mm - BigInt(p) * nn

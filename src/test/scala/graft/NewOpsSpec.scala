@@ -1611,7 +1611,10 @@ class NewOpsSpec extends SparkSpec {
     def replica(dir: String): Seq[(String, String, Long)] = {
       val freqs = Tables(spark, dir, "documents").select(col("text"))
         .collect().iterator
-        .flatMap(_.getString(0).split("[ \t\n\r]+")).filter(_.nonEmpty)
+        // NULL-text contract: the operator and oracle both null-skip
+        .flatMap(r => Option(r.getString(0)).iterator
+          .flatMap(_.split("[ \t\n\r]+")))
+        .filter(_.nonEmpty)
         .toSeq.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
       var state: Map[Vector[String], Long] = freqs
         .groupBy { case (w, _) => w.map(_.toString).toVector }
