@@ -1156,8 +1156,11 @@ object Similarity {
     * The final rank windows per-query cells of ≤ R rows (bounded by
     * construction, the s08 altitude rule).
     *
-    * Cross-engine (§5): the bit rule is a SIGN test (x > 0) — exact
-    * under float→double widening, so the oracle needs no bit algebra:
+    * Cross-engine (§5): the bit rule is a SIGN test (x > 0), with a NaN
+    * dimension coding as 0 on BOTH sides (Spark comparisons are false
+    * on NaN; DuckDB orders NaN above all reals, so its test is pinned
+    * with NOT isnan) — exact under float→double widening, so the
+    * oracle needs no bit algebra:
     * Hamming = count of positions whose sign tests disagree (list_zip),
     * sidestepping DuckDB's BIGINT sign-bit shift hazard entirely. Both
     * ranks integer/exact; rerank ranks on the raw cosine, ordered as
@@ -1208,7 +1211,8 @@ object Similarity {
       |  SELECT q.q_id, e.vec_id, e.label, e.embedding::DOUBLE[] AS v,
       |    q.q_vec,
       |    CAST(len(list_filter(list_zip(q.q_vec, e.embedding::DOUBLE[]),
-      |      z -> (z[1] > 0) <> (z[2] > 0))) AS BIGINT) AS hamming
+      |      z -> (z[1] > 0 AND NOT isnan(z[1]))
+      |        <> (z[2] > 0 AND NOT isnan(z[2])))) AS BIGINT) AS hamming
       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
       |short AS (
       |  SELECT *, row_number()

@@ -1535,6 +1535,15 @@ object TextAnalysis {
     var state = Tables(spark, dir, "documents")
       .select(explode(raw).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      // the per-char seed below splits by codepoint, the oracle by
+      // grapheme-aware slice and the spec replica by UTF-16 unit — they
+      // agree ONLY on printable ASCII. t21/t22 get this enforcement
+      // from Bpe.tokenIdOf's require; the trainer never touches Bpe, so
+      // drift fails loudly HERE with the word named (review r12 pass 3)
+      .select(when(col("w").rlike("^[\\x21-\\x7e]+$"), col("w"))
+        .otherwise(raise_error(concat(
+          lit("t23: word outside printable ASCII: "), col("w")))).as("w"),
+        col("f"))
       .select(col("w"), col("f"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("arr"))

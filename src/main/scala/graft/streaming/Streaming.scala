@@ -1036,9 +1036,12 @@ object Streaming {
             state.remove() // sealed: every in-lateness event has arrived
             val nn = m.valuesIterator.map(_._1).sum
             val mm = m.valuesIterator.map(_._2).sum
-            // same loud envelope as the batch plan and the oracle —
-            // BigInt would silently keep going past where they throw
-            require(nn + mm <= St17MaxDay, St17GuardMsg)
+            // same loud envelope as the batch plan and the oracle, and
+            // in the same place: only COMPARED days are guarded — the
+            // batch lane filters one-sided days (nn=0 or mm=0) before
+            // its raise_error projection, so an isolated backfill spike
+            // must pass quietly here too (review r12 pass 3)
+            if (nn > 0 && mm > 0) require(nn + mm <= St17MaxDay, St17GuardMsg)
             if (nn > 0 && mm > 0)
               m.toSeq.sortBy(_._1).iterator.map { case (t, (c, p)) =>
                 val dev = BigInt(c) * mm - BigInt(p) * nn
