@@ -1265,7 +1265,115 @@ object Pipeline {
        |    AS epochs_effective
        |FROM alloc GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p19
+  /** UniMax language/source sampling (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): allocate a token budget UNIFORMLY
+    * across sources, except no source may exceed its epoch cap — here
+    * C = 1 epoch (no repeats) with budget B = ⌊0.9 × unique tokens⌋,
+    * the regime where UniMax downsamples head sources while tail
+    * sources are used in full. This is p13/p18's missing sibling: p13
+    * rebalances by a temperature POWER of the natural shares, p18
+    * schedules REPEATS by marginal value when the budget exceeds the
+    * corpus; UniMax waterfills a SUB-corpus budget toward uniformity.
+    *
+    * Exact waterfill, no iteration (§5: pure integer algebra): order
+    * sources by (n_s asc, source asc) with rank j of k and running sum
+    * cum_j. The statistic f(j) = n_j·(k−j) + cum_j is provably
+    * non-decreasing (f(j+1) − f(j) = (k−j)(n_{j+1} − n_j) ≥ 0), so
+    * "capped" — f(j) ≤ B, i.e. the uniform share over the remaining
+    * sources still exceeds n_j — selects a PREFIX in one per-row
+    * cross-multiplication. With m capped sources, the k−m uncapped
+    * each get share = (B − cum_m) div (k−m) and the first
+    * rem = (B − cum_m) mod (k−m) of them (ascending order) one extra
+    * token, so Σ alloc = B EXACTLY (specced); share < n_{m+1} follows
+    * from f(m+1) > B, so no uncapped source is pushed past its cap.
+    *
+    * Scale: the corpus-sized work is [[TextAnalysis.bpeSourceAgg]]'s
+    * map-only kernel scan into a per-source partial agg; the waterfill
+    * lives on the bounded source frame — its global window is the p13
+    * class (frame ∝ source cardinality, never data), inventoried in
+    * PlanSweep's global_windows review list.
+    */
+  def p19UnimaxMix(spark: SparkSession, dir: String): DataFrame = {
+    val src = TextAnalysis.bpeSourceAgg(spark, dir)
+      .select(col("source"), col("n_bpe").as("n_tokens"))
+    val ord = Window.orderBy(col("n_tokens"), col("source"))
+    val ranked = src
+      .withColumn("j", row_number().over(ord).cast(LongType))
+      .withColumn("cum", sum(col("n_tokens"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = src.agg(count(lit(1)).as("k"),
+      expr("(9 * SUM(n_tokens)) div 10").as("b"))
+    val flagged = ranked.crossJoin(broadcast(tot))
+      .withColumn("is_capped",
+        when(col("n_tokens") * (col("k") - col("j")) + col("cum")
+          <= col("b"), 1L).otherwise(0L))
+    val water = flagged.agg(
+      sum(col("is_capped")).as("m"),
+      coalesce(sum(when(col("is_capped") === 1L, col("n_tokens"))),
+        lit(0L)).as("cum_m"),
+      max(col("b")).as("wb"), max(col("k")).as("wk"))
+      .select(col("m"),
+        expr("(wb - cum_m) div (wk - m)").as("share"),
+        expr("(wb - cum_m) % (wk - m)").as("rem"))
+    flagged.crossJoin(broadcast(water))
+      .select(col("source"), col("n_tokens"), col("is_capped"),
+        when(col("is_capped") === 1L, col("n_tokens"))
+          .otherwise(col("share") +
+            when(col("j") - col("m") <= col("rem"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .withColumn("epochs_effective",
+        col("alloc_tokens").cast(DoubleType) /
+          nullif(col("n_tokens"), lit(0L)).cast(DoubleType))
+      .orderBy(col("source"))
+  }
+
+  /** The t22/p18 per-source frame + the waterfill re-derived verbatim
+    * (DuckDB integer SUMs come back HUGEINT — every aggregate is cast
+    * to BIGINT before the div/mod algebra). */
+  val p19Sql: String =
+    s"""WITH RECURSIVE
+       |${TextAnalysis.bpeSourcePerCtes},
+       |srcagg AS (
+       |  SELECT source, CAST(SUM(b) AS BIGINT) AS n_tokens
+       |  FROM per GROUP BY source),
+       |ranked AS (
+       |  SELECT source, n_tokens,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT)
+       |      AS j,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM srcagg),
+       |tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |    CAST((9 * SUM(n_tokens)) // 10 AS BIGINT) AS b
+       |  FROM srcagg),
+       |flagged AS (
+       |  SELECT r.source, r.n_tokens, r.j, t.k, t.b,
+       |    CASE WHEN r.n_tokens * (t.k - r.j) + r.cum <= t.b
+       |         THEN 1 ELSE 0 END AS is_capped
+       |  FROM ranked r, tot t),
+       |water AS (
+       |  SELECT CAST(SUM(is_capped) AS BIGINT) AS m,
+       |    CAST(COALESCE(SUM(n_tokens) FILTER (is_capped = 1), 0)
+       |      AS BIGINT) AS cum_m,
+       |    MAX(b) AS b, MAX(k) AS k
+       |  FROM flagged)
+       |SELECT f.source, f.n_tokens, CAST(f.is_capped AS BIGINT) AS is_capped,
+       |  CASE WHEN f.is_capped = 1 THEN f.n_tokens
+       |       ELSE (w.b - w.cum_m) // (w.k - w.m)
+       |         + CASE WHEN f.j - w.m <= (w.b - w.cum_m) % (w.k - w.m)
+       |                THEN 1 ELSE 0 END END AS alloc_tokens,
+       |  CAST(CASE WHEN f.is_capped = 1 THEN f.n_tokens
+       |       ELSE (w.b - w.cum_m) // (w.k - w.m)
+       |         + CASE WHEN f.j - w.m <= (w.b - w.cum_m) % (w.k - w.m)
+       |                THEN 1 ELSE 0 END END AS DOUBLE)
+       |    / NULLIF(CAST(f.n_tokens AS DOUBLE), 0) AS epochs_effective
+       |FROM flagged f, water w ORDER BY f.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_unimax_mix" -> (p19UnimaxMix _),
     "p18_epoch_plan" -> (p18EpochPlan _),
     "p17_bpe_token_shards" -> (p17BpeTokenShards _),
     "p16_curation_dag" -> (p16CurationDag _),
@@ -1287,6 +1395,7 @@ object Pipeline {
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
+    "p19_unimax_mix" -> p19Sql,
     "p18_epoch_plan" -> p18Sql,
     "p17_bpe_token_shards" -> p17Sql,
     "p16_curation_dag" -> p16Sql,

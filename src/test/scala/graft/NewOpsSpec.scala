@@ -1605,6 +1605,35 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p19: the UniMax waterfill reconciles exactly to the budget, " +
+      "caps a prefix, and allocates the uncapped uniformly within one " +
+      "token") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("p19_unimax_mix")(spark, dir).collect()
+      val n = rows.map(_.getAs[Long]("n_tokens"))
+      val budget = 9L * n.sum / 10L
+      assert(rows.map(_.getAs[Long]("alloc_tokens")).sum == budget,
+        s"budget not reconciled at $dir")
+      val (capped, uncapped) =
+        rows.partition(_.getAs[Long]("is_capped") == 1L)
+      assert(capped.nonEmpty && uncapped.nonEmpty,
+        s"degenerate waterfill at $dir")
+      // C = 1 epoch cap: nobody exceeds its corpus; capped = used fully
+      rows.foreach { r =>
+        assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("n_tokens"))
+      }
+      capped.foreach { r =>
+        assert(r.getAs[Long]("alloc_tokens") == r.getAs[Long]("n_tokens"))
+      }
+      // uniformity: uncapped allocations differ by at most one token,
+      // and sit at/above the waterline (every capped source's corpus)
+      val allocs = uncapped.map(_.getAs[Long]("alloc_tokens"))
+      assert(allocs.max - allocs.min <= 1L, s"non-uniform at $dir")
+      val line = capped.map(_.getAs[Long]("n_tokens")).max
+      assert(allocs.min >= line, s"waterline violated at $dir")
+    }
+  }
+
   test("t23: the distributed BPE trainer matches an independent " +
       "in-memory replica, and at sf0.01 reproduces Bpe.merges' prefix") {
     // pure-Scala replica: word freqs -> 10 greedy merge rounds
