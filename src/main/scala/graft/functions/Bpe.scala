@@ -105,6 +105,15 @@ object Bpe {
       c - 33
     } else mergedTokenId.get(tok).intValue()
 
+  /** Id → token string, the decoder's vocab table (t24's spec replica;
+    * the query-side decode rides the same table as a literal array).
+    * Total id space: 94 base chars + merges.length merge results. */
+  def tokenStringOf(id: Int): String = {
+    require(id >= 0 && id < 94 + merges.length, s"Bpe: id $id out of vocab")
+    if (id < 94) String.valueOf((id + 33).toChar)
+    else merges(id - 94)._1 + merges(id - 94)._2
+  }
+
   /** The merge loop on one word — leftmost occurrence of the
     * minimum-rank adjacent pair, one merge per step. */
   def encodeWord(w: String): Array[Int] = {

@@ -1639,7 +1639,88 @@ object TextAnalysis {
       " ORDER BY merge_rank"
   }
 
+  // ---------------------------------------------------------------- t24
+  /** BPE DECODE — the tokenizer's inverse, every tokenizer's other
+    * required half (HF `decode`, tiktoken `decode`): token ids back to
+    * text, plus the per-doc lossless-roundtrip audit a pipeline runs
+    * before trusting packed sequences (ids are what training consumes;
+    * an id the decoder can't invert is silent corpus corruption).
+    * Both engines decode through the SAME vocab literal — id < 94 is
+    * `chr(id + 33)`, id ≥ 94 indexes the merge-result string table —
+    * NOT through word identity, so a kernel that dropped, reordered,
+    * or mis-mapped ids would fail the cross-engine hash even though
+    * "decode(encode(w)) = w" is algebraically trivial per word.
+    * Roundtrip compares against whitespace-squashed text (word
+    * boundaries are not encoded — this toy table has no GPT-2 Ġ space
+    * marker), the standard normalization-modulo roundtrip contract.
+    *
+    * Scale: encode + decode are ONE map-side codegen'd projection per
+    * row (the t21 shape) — no join, no shuffle; the oracle re-runs the
+    * recursive-CTE encoder on the distinct-word frame and then the
+    * same literal-table decode.
+    */
+  def t24BpeDecode(spark: SparkSession, dir: String): DataFrame = {
+    val mergeArr = graft.functions.Bpe.merges
+      .map { case (a, b) => s"'${a + b}'" }.mkString("array(", ",", ")")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.functions.text.bpe_token_ids(col("text")).as("ids"))
+      .withColumn("decoded", expr(
+        "array_join(transform(ids, i -> CASE WHEN i < 94 " +
+          "THEN chr(i + 33) " +
+          s"ELSE element_at($mergeArr, CAST(i AS INT) - 93) END), '')"))
+      .select(col("doc_id"),
+        size(col("ids")).cast(LongType).as("n_tokens"),
+        length(col("decoded")).cast(LongType).as("decoded_len"),
+        when(col("decoded") ===
+          regexp_replace(col("text"), "[ \\t\\n\\r]+", ""), 1L)
+          .otherwise(0L).as("roundtrip_ok"),
+        substring(col("decoded"), 1, 24).as("decoded_prefix"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The t21 recursive encoder + the literal-table decode verbatim. */
+  val t24Sql: String = {
+    val mergeArr = graft.functions.Bpe.merges
+      .map { case (a, b) => s"'${a + b}'" }.mkString("[", ",", "]")
+    s"""WITH RECURSIVE
+       |docw AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ws
+       |  FROM documents),
+       |w0 AS (SELECT DISTINCT unnest(ws) AS w FROM docw),
+       |${graft.functions.KernelOracleSql.bpeCtes("w0", "")},
+       |wid AS (
+       |  SELECT w, ${graft.functions.KernelOracleSql.bpeIdsExpr("arr")}
+       |    AS ids
+       |  FROM fin),
+       |perword AS (
+       |  SELECT u.doc_id, u.ord, wid.ids
+       |  FROM (SELECT doc_id, unnest(ws) AS w,
+       |          unnest(range(1, len(ws)+1)) AS ord
+       |        FROM docw) u
+       |  JOIN wid ON wid.w = u.w),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(len(ids)) AS BIGINT) AS n_tokens,
+       |    array_to_string(list_transform(flatten(list(ids ORDER BY ord)),
+       |      i -> CASE WHEN i < 94 THEN chr(i + 33)
+       |           ELSE $mergeArr[i - 93] END), '') AS decoded
+       |  FROM perword GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_tokens, 0) AS n_tokens,
+       |  CAST(length(COALESCE(p.decoded, '')) AS BIGINT) AS decoded_len,
+       |  CAST(CASE WHEN COALESCE(p.decoded, '') =
+       |    regexp_replace(d.text, '[ \\t\\n\\r]+', '', 'g')
+       |    THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok,
+       |  COALESCE(p.decoded, '')[1:24] AS decoded_prefix
+       |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_bpe_decode" -> (t24BpeDecode _),
     "t23_bpe_train" -> (t23BpeTrain _),
     "t22_bpe_fertility" -> (t22BpeFertility _),
     "t21_bpe_tokenize" -> (t21BpeTokenize _),
@@ -1665,6 +1746,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t24_bpe_decode" -> t24Sql,
     "t23_bpe_train" -> t23Sql,
     "t22_bpe_fertility" -> t22Sql,
     "t21_bpe_tokenize" -> t21Sql,

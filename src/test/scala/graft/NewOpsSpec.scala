@@ -1605,6 +1605,33 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t24: the decoder's vocab is a bijection, every corpus doc " +
+      "roundtrips losslessly, and a mutated id sequence is DETECTED") {
+    import graft.functions.Bpe
+    // bijection: all 134 token strings pairwise distinct (a collision
+    // would make two ids decode identically — an undetectable swap)
+    val vocab = (0 until 94 + Bpe.merges.length).map(Bpe.tokenStringOf)
+    assert(vocab.distinct.size == vocab.size)
+    // multi-merge cascade words decode back exactly
+    for (w <- Seq("customer", "column", "filter", "smallrow", "batch!"))
+      assert(Bpe.encodeWord(w).map(Bpe.tokenStringOf).mkString == w)
+    // corpus audit: every doc roundtrips at both SFs
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("t24_bpe_decode")(spark, dir).collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getAs[Long]("roundtrip_ok") == 1L), dir)
+    }
+    // sensitivity: the roundtrip flag is live — dropping, swapping, or
+    // substituting one id in a real encoding no longer decodes to the
+    // word (so a kernel bug of that class cannot roundtrip-pass)
+    val ids = Bpe.encodeWord("customers")
+    assert(ids.length >= 2)
+    def dec(a: Array[Int]) = a.map(Bpe.tokenStringOf).mkString
+    assert(dec(ids.drop(1)) != "customers")
+    assert(dec(ids.reverse) != "customers")
+    assert(dec(ids.updated(0, (ids(0) + 1) % 134)) != "customers")
+  }
+
   test("p19: the UniMax waterfill reconciles exactly to the budget, " +
       "caps a prefix, and allocates the uncapped uniformly within one " +
       "token") {
