@@ -1227,7 +1227,134 @@ object Similarity {
       |    AS rank
       |FROM rer QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s15
+  /** nprobe tuning sweep — the recall-vs-probe-budget curve every IVF
+    * deployment measures before pinning nprobe (FAISS's standard
+    * autotune axis; s09 grades ONE operating point, this grades the
+    * knob): recall@10 per query per nprobe ∈ {1,2,4,8} against the
+    * exhaustive tier (nprobe = 8 probes all 8 cells = exact search, so
+    * its recall is 1.0 by construction — specced closure).
+    *
+    * Scale: ONE corpus scan, not one per operating point — each scored
+    * (query, vector) row computes its 64-dim cosine ONCE, then
+    * replicates to only the tiers whose probe budget covers its cell's
+    * probe rank (≤ 4 copies of a NARROW scalar row; the wide embedding
+    * never survives the explode). Per-(query, tier) top-k rides the
+    * audited [[topKPerQuery]] bounded-cell shape on a composite
+    * q_id·16+np key, so no window partition ever holds a corpus-sized
+    * slice. The inverted file comes from [[ensureIvfCellsArtifact]] —
+    * no encode kernel in this plan (dd13/s02 precedent).
+    */
+  def s15NprobeRecall(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val centroids = ivfCentroids(corpus)
+    val assigned = spark.read.format("docstore")
+      .option("path", ensureIvfCellsArtifact(spark, dir)).load()
+      .select(col("vec_id"), col("cell"),
+        expr("transform(emb, x -> CAST(x AS FLOAT))").as("embedding"))
+    // probe rank of each (query, cell): bounded 8-cell frame per query,
+    // the s02 sort/slice probe shape generalized to ALL ranks 1..8
+    val prank = queriesDf(spark, dir).crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_vec"), col("c_id").as("cell"),
+        V.cosine_sim(col("q_vec"), col("c_vec")).as("q_cos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_vec")).as("q_vec"),
+        array_sort(collect_list(
+          struct((col("q_cos") * -1).as("__n"), col("cell")))).as("__o"))
+      .select(col("q_id"), col("q_vec"), posexplode(col("__o")))
+      .select(col("q_id"), col("q_vec"), col("col.cell").as("cell"),
+        (col("pos") + 1).cast(LongType).as("pr"))
+    val scored = assigned.join(broadcast(prank), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("pr"), col("vec_id"),
+        V.cosine_sim(col("q_vec"), col("embedding")).as("cos"))
+    // tier replication AFTER the cosine: nprobe=np sees exactly the
+    // vectors whose cell probe-rank ≤ np
+    val tiers = scored
+      .select(col("q_id"), col("vec_id"), col("cos"),
+        explode(filter(array(lit(1L), lit(2L), lit(4L), lit(8L)),
+          np => np >= col("pr"))).as("np"))
+      .select((col("q_id") * 16 + col("np")).as("q_id"),
+        col("vec_id"), col("cos"))
+    val top = topKPerQuery(tiers, K, Seq.empty)
+      .select(expr("q_id div 16").as("q_id"),
+        expr("q_id % 16").as("nprobe"), col("vec_id"))
+      .localCheckpoint() // Q×4×10 rows — query-sized (s09 discipline)
+    val exact = top.filter(col("nprobe") === 8L)
+      .select(col("q_id"), col("vec_id"))
+    val ne = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    val hits = top.join(broadcast(exact), Seq("q_id", "vec_id"))
+      .groupBy(col("q_id"), col("nprobe")).agg(count(lit(1)).as("hits"))
+    top.groupBy(col("q_id"), col("nprobe"))
+      .agg(count(lit(1)).as("n_returned"))
+      .join(broadcast(ne), Seq("q_id"))
+      .join(broadcast(hits), Seq("q_id", "nprobe"), "left_outer")
+      .select(col("q_id"), col("nprobe"), col("n_returned"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast(DoubleType)
+          / col("n_exact"), 4).as("recall"))
+      .orderBy(col("q_id"), col("nprobe"))
+  }
+
+  /** Build + probe-rank + tiered search replicated declaratively (the
+    * s02/s09 discipline: same centroid picks, same tie-breaks, so the
+    * whole tuning curve is deterministic and oracle-checkable). */
+  val s15Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+      |  FROM embeddings WHERE vec_id < 5),
+      |cent AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
+      |  FROM embeddings WHERE vec_id % 61 = 3 ORDER BY vec_id LIMIT 8),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT e.vec_id, e.embedding, c.c_id AS cell,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+      |               c.c_vec) DESC, c.c_id) AS rn
+      |    FROM embeddings e, cent c) WHERE rn = 1),
+      |prank AS (
+      |  SELECT q_id, q_vec, cell, pr FROM (
+      |    SELECT q.q_id, q.q_vec, c.c_id AS cell,
+      |           row_number() OVER (PARTITION BY q.q_id
+      |             ORDER BY list_cosine_similarity(q.q_vec, c.c_vec)
+      |               DESC, c.c_id) AS pr
+      |    FROM q, cent c)),
+      |scored AS (
+      |  SELECT p.q_id, p.pr, a.vec_id,
+      |         list_cosine_similarity(p.q_vec, a.embedding::DOUBLE[]) AS c
+      |  FROM assigned a JOIN prank p ON p.cell = a.cell
+      |  WHERE a.vec_id <> p.q_id),
+      |tiers AS (
+      |  SELECT s.q_id, t.np, s.vec_id, s.c
+      |  FROM scored s
+      |  JOIN (SELECT CAST(unnest([1,2,4,8]) AS BIGINT) AS np) t
+      |    ON t.np >= s.pr),
+      |ranked AS (
+      |  SELECT q_id, np, vec_id,
+      |         row_number() OVER (PARTITION BY q_id, np
+      |           ORDER BY c DESC, vec_id) AS rank
+      |  FROM tiers),
+      |top AS (SELECT q_id, np, vec_id FROM ranked WHERE rank <= 10),
+      |exact AS (SELECT q_id, vec_id FROM top WHERE np = 8),
+      |ne AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+      |h AS (
+      |  SELECT t.q_id, t.np, COUNT(*) AS hits
+      |  FROM top t JOIN exact e
+      |    ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+      |  GROUP BY 1, 2),
+      |nr AS (SELECT q_id, np, COUNT(*) AS n_returned
+      |  FROM top GROUP BY 1, 2)
+      |SELECT nr.q_id, nr.np AS nprobe,
+      |  CAST(nr.n_returned AS BIGINT) AS n_returned,
+      |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+      |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / ne.n_exact, 4)
+      |    AS recall
+      |FROM nr
+      |JOIN ne ON ne.q_id = nr.q_id
+      |LEFT JOIN h ON h.q_id = nr.q_id AND h.np = nr.np
+      |ORDER BY nr.q_id, nprobe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_nprobe_recall" -> (s15NprobeRecall _),
     "s14_binary_quantize" -> (s14BinaryQuantize _),
     "s13_filtered_search" -> (s13FilteredSearch _),
     "s12_range_search" -> (s12RangeSearch _),
@@ -1244,6 +1371,7 @@ object Similarity {
     "s06_hybrid_search" -> (s06HybridSearch _))
 
   val oracle: Map[String, String] = Map(
+    "s15_nprobe_recall" -> s15Sql,
     "s14_binary_quantize" -> s14Sql,
     "s13_filtered_search" -> s13Sql,
     "s12_range_search" -> s12Sql,

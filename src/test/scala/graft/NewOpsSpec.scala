@@ -1605,6 +1605,33 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("s15: the nprobe curve is monotone per query, exhaustive at " +
+      "nprobe=8, and agrees EXACTLY with s09 at the shared operating " +
+      "point") {
+    val rows = SparkEntry.queries("s15_nprobe_recall")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nprobe")) ->
+        (r.getAs[Long]("hits"), r.getAs[Double]("recall"))).toMap
+    val qs = rows.keys.map(_._1).toSeq.distinct
+    assert(qs.nonEmpty && rows.size == qs.size * 4)
+    for (q <- qs) {
+      // more probes never lose a true neighbor the smaller budget found
+      // (tiers are nested supersets and top-k is deterministic... of the
+      // HIT COUNT this holds because exact members found at np stay
+      // found: a superset candidate pool can only push IN more of the
+      // exact set or keep it)
+      val h = Seq(1L, 2L, 4L, 8L).map(np => rows((q, np))._1)
+      assert(h == h.sorted, s"non-monotone hits for q=$q: $h")
+      assert(rows((q, 8L))._2 == 1.0, s"nprobe=8 not exhaustive, q=$q")
+    }
+    // cross-operator closure: s09 IS the nprobe=2 point of this curve
+    val s09 = SparkEntry.queries("s09_ann_recall")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("hits"), r.getAs[Double]("recall"))).toMap
+    for (q <- qs)
+      assert(rows((q, 2L)) == s09(q), s"s15@2 != s09 for q=$q")
+  }
+
   test("t24: the decoder's vocab is a bijection, every corpus doc " +
       "roundtrips losslessly, and a mutated id sequence is DETECTED") {
     import graft.functions.Bpe
