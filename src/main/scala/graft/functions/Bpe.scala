@@ -114,6 +114,18 @@ object Bpe {
     else merges(id - 94)._1 + merges(id - 94)._2
   }
 
+  /** Decode a flattened id sequence back to text (whitespace is not
+    * encoded, so this is the squashed form — t24's roundtrip contract).
+    * Same table as [[tokenStringOf]]; static entry point for the
+    * codegen'd expression. */
+  def decodeIds(ids: ArrayData): UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder(n * 3)
+    var i = 0
+    while (i < n) { sb.append(tokenStringOf(ids.getInt(i))); i += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** The merge loop on one word — leftmost occurrence of the
     * minimum-rank adjacent pair, one merge per step. */
   def encodeWord(w: String): Array[Int] = {

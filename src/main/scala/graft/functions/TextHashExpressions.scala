@@ -146,6 +146,21 @@ case class BpeTokenIdsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "bpe_token_ids"
 }
 
+/** BPE token ids → text (the decoder half, t24): a single static call
+  * so decode stays inside the same WholeStageCodegen span as the
+  * encode — the interpreted higher-order `transform` form fell out of
+  * codegen and cost 3.4× at the corpus decade. */
+case class BpeDecodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Bpe.decodeIds(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.decodeIds($c)")
+  override protected def withNewChildInternal(c: Expression): BpeDecodeExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_decode"
+}
+
 /** Column-API façade (the library's user-facing function surface). */
 object text {
   def minhash_sig(c: Column, numHashes: Int = 64, shingleK: Int = 3): Column =
@@ -165,6 +180,8 @@ object text {
     toColumn(DctSignHashExpr(expression(c)))
   def bpe_token_ids(c: Column): Column =
     toColumn(BpeTokenIdsExpr(expression(c)))
+  def bpe_decode(c: Column): Column =
+    toColumn(BpeDecodeExpr(expression(c)))
 
   private[graft] def expression(c: Column): Expression = toExpression(c)
 }

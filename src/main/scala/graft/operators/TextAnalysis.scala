@@ -1645,10 +1645,12 @@ object TextAnalysis {
     * text, plus the per-doc lossless-roundtrip audit a pipeline runs
     * before trusting packed sequences (ids are what training consumes;
     * an id the decoder can't invert is silent corpus corruption).
-    * Both engines decode through the SAME vocab literal — id < 94 is
-    * `chr(id + 33)`, id ≥ 94 indexes the merge-result string table —
-    * NOT through word identity, so a kernel that dropped, reordered,
-    * or mis-mapped ids would fail the cross-engine hash even though
+    * Both engines decode through the SAME vocab table — id < 94 is
+    * `chr(id + 33)`, id ≥ 94 indexes the merge-result strings — the
+    * Spark side as the codegen'd [[graft.functions.Bpe.decodeIds]]
+    * kernel, the oracle as an inline SQL literal. NOT through word
+    * identity, so a kernel that dropped, reordered, or mis-mapped ids
+    * would fail the cross-engine hash even though
     * "decode(encode(w)) = w" is algebraically trivial per word.
     * Roundtrip compares against whitespace-squashed text (word
     * boundaries are not encoded — this toy table has no GPT-2 Ġ space
@@ -1659,25 +1661,22 @@ object TextAnalysis {
     * recursive-CTE encoder on the distinct-word frame and then the
     * same literal-table decode.
     */
-  def t24BpeDecode(spark: SparkSession, dir: String): DataFrame = {
-    val mergeArr = graft.functions.Bpe.merges
-      .map { case (a, b) => s"'${a + b}'" }.mkString("array(", ",", ")")
+  def t24BpeDecode(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
         graft.functions.text.bpe_token_ids(col("text")).as("ids"))
-      .withColumn("decoded", expr(
-        "array_join(transform(ids, i -> CASE WHEN i < 94 " +
-          "THEN chr(i + 33) " +
-          s"ELSE element_at($mergeArr, CAST(i AS INT) - 93) END), '')"))
+      .withColumn("decoded",
+        graft.functions.text.bpe_decode(col("ids")))
       .select(col("doc_id"),
         size(col("ids")).cast(LongType).as("n_tokens"),
         length(col("decoded")).cast(LongType).as("decoded_len"),
-        when(col("decoded") ===
-          regexp_replace(col("text"), "[ \\t\\n\\r]+", ""), 1L)
+        // squash = char-DELETE of the kernel whitespace set; translate
+        // (not regexp) keeps the comparison inside codegen and is
+        // charset-exact by construction on both engines
+        when(col("decoded") === translate(col("text"), " \t\n\r", ""), 1L)
           .otherwise(0L).as("roundtrip_ok"),
         substring(col("decoded"), 1, 24).as("decoded_prefix"))
       .orderBy(col("doc_id"))
-  }
 
   /** The t21 recursive encoder + the literal-table decode verbatim. */
   val t24Sql: String = {
@@ -1712,7 +1711,7 @@ object TextAnalysis {
        |  COALESCE(p.n_tokens, 0) AS n_tokens,
        |  CAST(length(COALESCE(p.decoded, '')) AS BIGINT) AS decoded_len,
        |  CAST(CASE WHEN COALESCE(p.decoded, '') =
-       |    regexp_replace(d.text, '[ \\t\\n\\r]+', '', 'g')
+       |    translate(d.text, ' ' || chr(9) || chr(10) || chr(13), '')
        |    THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok,
        |  COALESCE(p.decoded, '')[1:24] AS decoded_prefix
        |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
