@@ -1314,9 +1314,12 @@ object Pipeline {
       coalesce(sum(when(col("is_capped") === 1L, col("n_tokens"))),
         lit(0L)).as("cum_m"),
       max(col("b")).as("wb"), max(col("k")).as("wk"))
+      // nullif: an all-empty corpus caps every source (u = 0) — share
+      // is then unused, but DuckDB's // raises on zero eagerly while
+      // Spark's div returns NULL; pin both to the NULL lane (t22 rule)
       .select(col("m"),
-        expr("(wb - cum_m) div (wk - m)").as("share"),
-        expr("(wb - cum_m) % (wk - m)").as("rem"))
+        expr("(wb - cum_m) div nullif(wk - m, 0)").as("share"),
+        expr("(wb - cum_m) % nullif(wk - m, 0)").as("rem"))
     flagged.crossJoin(broadcast(water))
       .select(col("source"), col("n_tokens"), col("is_capped"),
         when(col("is_capped") === 1L, col("n_tokens"))
@@ -1362,12 +1365,14 @@ object Pipeline {
        |  FROM flagged)
        |SELECT f.source, f.n_tokens, CAST(f.is_capped AS BIGINT) AS is_capped,
        |  CASE WHEN f.is_capped = 1 THEN f.n_tokens
-       |       ELSE (w.b - w.cum_m) // (w.k - w.m)
-       |         + CASE WHEN f.j - w.m <= (w.b - w.cum_m) % (w.k - w.m)
+       |       ELSE (w.b - w.cum_m) // NULLIF(w.k - w.m, 0)
+       |         + CASE WHEN f.j - w.m <=
+       |                  (w.b - w.cum_m) % NULLIF(w.k - w.m, 0)
        |                THEN 1 ELSE 0 END END AS alloc_tokens,
        |  CAST(CASE WHEN f.is_capped = 1 THEN f.n_tokens
-       |       ELSE (w.b - w.cum_m) // (w.k - w.m)
-       |         + CASE WHEN f.j - w.m <= (w.b - w.cum_m) % (w.k - w.m)
+       |       ELSE (w.b - w.cum_m) // NULLIF(w.k - w.m, 0)
+       |         + CASE WHEN f.j - w.m <=
+       |                  (w.b - w.cum_m) % NULLIF(w.k - w.m, 0)
        |                THEN 1 ELSE 0 END END AS DOUBLE)
        |    / NULLIF(CAST(f.n_tokens AS DOUBLE), 0) AS epochs_effective
        |FROM flagged f, water w ORDER BY f.source""".stripMargin

@@ -1718,7 +1718,86 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t25
+  /** Character-entropy gate — the low-entropy/"gibberish" filter in the
+    * standard curation battery (Dolma's repetition heuristics,
+    * RefinedWeb's line-quality pass family): a doc whose squashed-text
+    * character distribution is too concentrated (generation loops,
+    * padding runs, key-mash) scores H = ln n − Σ cᵢ·ln cᵢ / n below a
+    * natural-text floor. Threshold 2.75 nats sits under the corpus's
+    * 5th percentile region (measured 2.536..2.989 at sf0.01), so the
+    * gate is LIVE on natural data — no plants, sf1-safe.
+    *
+    * §5 decision algebra: per-char-count logs are round6(ln k) as
+    * DECIMAL(18,6) (the t12 pattern — order-independent decimal sums),
+    * and the keep decision is the EXACT decimal cross-multiplication
+    * n·round6(ln n) − Σ cᵢ·round6(ln cᵢ) ≥ 2.75·n — no float quotient
+    * ever enters the comparison; the displayed entropy is a single
+    * IEEE expression rounded at the end (unrounded-quotient rule).
+    *
+    * Scale: the char explode is occurrence-level but the (doc, char)
+    * key space is ≤ 94 per doc, so map-side combine collapses each
+    * partition's occurrences before the exchange (t12's postings
+    * discipline) — the shuffle carries ≤ 94·docs narrow rows, and
+    * everything stays whole-stage codegen (log is a builtin; no
+    * higher-order functions after the t24 lesson).
+    */
+  def t25EntropyGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val cnt = Tables.spread(docs)
+      .select(col("doc_id"),
+        explode(split(translate(col("text"), " \t\n\r", ""), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).as("k"))
+    val ent = cnt.groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n"),
+        sum(round(log(col("k").cast(DoubleType)), 6)
+          .cast("decimal(18,6)") * col("k")).as("s"))
+      .select(col("doc_id"), col("n"),
+        round(log(col("n").cast(DoubleType)) -
+          col("s").cast(DoubleType) / col("n"), 4).as("h_entropy"),
+        when(col("n").cast("decimal(18,6)") *
+            round(log(col("n").cast(DoubleType)), 6).cast("decimal(18,6)")
+            - col("s") >= lit("2.75").cast("decimal(18,6)") * col("n"), 1L)
+          .otherwise(0L).as("keep"))
+    docs.select(col("doc_id")).join(ent, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_chars_sq"),
+        col("h_entropy"),
+        coalesce(col("keep"), lit(0L)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same counts, same round6 decimal logs, same cross-multiplication. */
+  val t25Sql: String =
+    """WITH sq AS (
+      |  SELECT doc_id,
+      |    translate(text, ' ' || chr(9) || chr(10) || chr(13), '') AS t
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, t[i+1:i+1] AS c, COUNT(*) AS k
+      |  FROM (SELECT doc_id, t, unnest(range(length(t))) AS i FROM sq)
+      |  GROUP BY 1, 2),
+      |ent AS (
+      |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+      |    SUM(CAST(ROUND(ln(CAST(k AS DOUBLE)), 6) AS DECIMAL(18,6)) * k)
+      |      AS s
+      |  FROM cnt GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(e.n, 0) AS n_chars_sq,
+      |  ROUND(ln(CAST(e.n AS DOUBLE)) - CAST(e.s AS DOUBLE) / e.n, 4)
+      |    AS h_entropy,
+      |  CAST(COALESCE(
+      |    CAST(e.n AS DECIMAL(18,6)) *
+      |      CAST(ROUND(ln(CAST(e.n AS DOUBLE)), 6) AS DECIMAL(18,6))
+      |      - e.s >= CAST(2.75 AS DECIMAL(18,6)) * e.n, false)
+      |    AS BIGINT) AS keep
+      |FROM documents d LEFT JOIN ent e ON e.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_entropy_gate" -> (t25EntropyGate _),
     "t24_bpe_decode" -> (t24BpeDecode _),
     "t23_bpe_train" -> (t23BpeTrain _),
     "t22_bpe_fertility" -> (t22BpeFertility _),
@@ -1745,6 +1824,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t25_entropy_gate" -> t25Sql,
     "t24_bpe_decode" -> t24Sql,
     "t23_bpe_train" -> t23Sql,
     "t22_bpe_fertility" -> t22Sql,

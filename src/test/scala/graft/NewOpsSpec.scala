@@ -1605,6 +1605,43 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t25: the entropy gate matches an exact in-memory decimal " +
+      "replica on every doc, and both keeps and drops are nonempty") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def l6(k: Long): JBD =
+      JBD.valueOf(math.log(k.toDouble)).setScale(6, RoundingMode.HALF_UP)
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("t25_entropy_gate")(spark, dir)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_chars_sq"), r.getAs[Long]("keep"))).toMap
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(docs.length == got.size)
+      var keeps = 0; var drops = 0
+      docs.foreach { case (id, text) =>
+        val sq = text.filterNot(" \t\n\r".contains(_))
+        val counts = sq.groupBy(identity).map(_._2.length.toLong)
+        val n = counts.sum
+        // exact decision algebra: n·round6(ln n) − Σ k·round6(ln k)
+        // >= 2.75·n, all in BigDecimal — no float comparison
+        val keep =
+          if (n == 0L) 0L
+          else {
+            val s = counts.map(k => l6(k).multiply(JBD.valueOf(k)))
+              .reduce(_.add(_))
+            val lhs = l6(n).multiply(JBD.valueOf(n)).subtract(s)
+            val rhs = new JBD("2.75").multiply(JBD.valueOf(n))
+            if (lhs.compareTo(rhs) >= 0) 1L else 0L
+          }
+        assert(got(id) == ((n, keep)), s"doc $id at $dir")
+        if (keep == 1L) keeps += 1 else drops += 1
+      }
+      assert(keeps > 0 && drops > 0, s"degenerate gate at $dir")
+    }
+  }
+
   test("s15: the nprobe curve is monotone per query, exhaustive at " +
       "nprobe=8, and agrees EXACTLY with s09 at the shared operating " +
       "point") {
