@@ -1040,8 +1040,53 @@ object Relational {
       |SELECT n_nationkey, CAST(MIN(h) AS BIGINT) AS hops
       |FROM hops GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** Correlated LATERAL subquery — DuckDB's lateral-join surface
+    * (reference engine feature; the classic top-N-per-group spelled the
+    * way an interactive user writes it): for each nation, the top-2
+    * customers by account balance, the subquery correlated on
+    * n_nationkey with ORDER BY + LIMIT inside. Spark 4 decorrelates
+    * this to a ranked window join (plan-checked: Window +
+    * BroadcastHashJoin, no nested loop) — the same physical shape as
+    * the manual rewrite, so the declarative form costs nothing here.
+    * Scale note: the decorrelated window partitions by the correlation
+    * key, a DIMENSION key (25 nations), so each cell holds
+    * |customers|/|nations| — fine for dimension-correlated laterals; a
+    * lateral correlated on a fact-sized key keeps this shape
+    * (per-entity cells), and an extreme-skew top-N belongs on the
+    * [[Similarity.topKPerQuery]] local-topk pre-agg instead.
+    */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "nation").createOrReplaceTempView("q36_nation")
+    Tables(spark, dir, "customer").createOrReplaceTempView("q36_customer")
+    spark.sql(
+      """SELECT n.n_name, c.c_name,
+        |  CAST(c.c_acctbal AS DOUBLE) AS acctbal
+        |FROM q36_nation n,
+        |LATERAL (
+        |  SELECT c_name, c_acctbal FROM q36_customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name
+        |  LIMIT 2
+        |) c
+        |ORDER BY n.n_name, acctbal DESC, c.c_name""".stripMargin)
+  }
+
+  val q36Sql: String =
+    """SELECT n.n_name, c.c_name,
+      |  CAST(c.c_acctbal AS DOUBLE) AS acctbal
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name
+      |  LIMIT 2
+      |) c
+      |ORDER BY n.n_name, acctbal DESC, c.c_name""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_lateral" -> (q36 _),
     "q35_recursive_cte" -> (q35 _),
     "q34_grouping_sets" -> (q34 _),
     "q01_pricing_summary" -> (q01 _),
@@ -1103,6 +1148,7 @@ object Relational {
     "q22_union" -> q22Sql,
     "q23_orderby_multi" -> q23Sql,
     "q24_date_funcs" -> q24Sql,
+    "q36_lateral" -> q36Sql,
     "q35_recursive_cte" -> q35Sql,
     "q34_grouping_sets" -> q34Sql,
     "q25_rollup" -> q25Sql,

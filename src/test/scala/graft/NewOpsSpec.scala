@@ -1605,6 +1605,26 @@ class NewOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q36: the lateral top-2-per-nation matches a direct replica " +
+      "and decorrelates without a nested loop") {
+    val df = SparkEntry.queries("q36_lateral")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), "lateral did not decorrelate")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val cust = Tables(spark, sfDir, "customer")
+      .join(Tables(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_name"),
+        col("c_acctbal").cast("double").as("a")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val expected = cust.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(2)
+    }.sortBy(r => (r._1, -r._3, r._2))
+    assert(got.toSeq == expected)
+  }
+
   test("t25: the entropy gate matches an exact in-memory decimal " +
       "replica on every doc, and both keeps and drops are nonempty") {
     import java.math.{BigDecimal => JBD, RoundingMode}
