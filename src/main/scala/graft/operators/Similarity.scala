@@ -1245,7 +1245,10 @@ object Similarity {
     * slice. The inverted file comes from [[ensureIvfCellsArtifact]] —
     * no encode kernel in this plan (dd13/s02 precedent).
     */
-  def s15NprobeRecall(spark: SparkSession, dir: String): DataFrame = {
+  /** s15's pre-checkpoint tier frame, exposed for the plan audit (the
+    * p16TokenFrame precedent — localCheckpoint hides everything
+    * upstream from the executed plan). */
+  private[graft] def s15Tiers(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables(spark, dir, "embeddings")
     val centroids = ivfCentroids(corpus)
     val assigned = spark.read.format("docstore")
@@ -1270,13 +1273,16 @@ object Similarity {
         V.cosine_sim(col("q_vec"), col("embedding")).as("cos"))
     // tier replication AFTER the cosine: nprobe=np sees exactly the
     // vectors whose cell probe-rank ≤ np
-    val tiers = scored
+    scored
       .select(col("q_id"), col("vec_id"), col("cos"),
         explode(filter(array(lit(1L), lit(2L), lit(4L), lit(8L)),
           np => np >= col("pr"))).as("np"))
       .select((col("q_id") * 16 + col("np")).as("q_id"),
         col("vec_id"), col("cos"))
-    val top = topKPerQuery(tiers, K, Seq.empty)
+  }
+
+  def s15NprobeRecall(spark: SparkSession, dir: String): DataFrame = {
+    val top = topKPerQuery(s15Tiers(spark, dir), K, Seq.empty)
       .select(expr("q_id div 16").as("q_id"),
         expr("q_id % 16").as("nprobe"), col("vec_id"))
       .localCheckpoint() // Q×4×10 rows — query-sized (s09 discipline)

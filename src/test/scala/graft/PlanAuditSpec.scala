@@ -837,4 +837,40 @@ class PlanAuditSpec extends SparkSpec {
         s"ungated collect in dd02: keys=$ks input=$input")
     }
   }
+
+  test("round-12: p19 waterfills off ONE kernel scan (AQE stage reuse), " +
+      "s15's tier explode never carries a vector, t24/t25 keep their " +
+      "kernels inside whole-stage codegen") {
+    // p19: src feeds the window rank AND the budget scalar, flagged
+    // feeds the waterline agg AND the final select — four logical
+    // references that MUST collapse to one corpus kernel scan
+    val p19 = finalPlan("p19_unimax_mix").split("== Initial Plan ==").head
+    assert(p19.linesIterator.count(_.contains("bpe_token_ids")) == 1, p19)
+    assert(p19.linesIterator.count(_.contains("FileScan")) == 1, p19)
+    // s15: cosines are computed BEFORE tier replication, so no Generate
+    // (explode) row ever carries a 64-float vector — the replicated row
+    // is the narrow (q_id, vec_id, cos) scalar triple. (The bounded
+    // prank explode carries q_vec deliberately: ≤ queries×8 rows.)
+    graft.operators.Similarity.ensureIvfCellsArtifact(spark, sfDir)
+    val tiers = graft.operators.Similarity.s15Tiers(spark, sfDir)
+    tiers.queryExecution.toRdd.count()
+    // per-NODE strings (toString renders the whole subtree)
+    val gens = graft.tools.PlanSweep.allNodes(
+        tiers.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Generate"))
+      .map(_.simpleString(10000))
+    assert(gens.nonEmpty, "s15 lost its tier explode?")
+    val tierGens = gens.filterNot(_.contains("q_vec"))
+    assert(tierGens.nonEmpty, s"only the prank explode found: $gens")
+    tierGens.foreach(g =>
+      assert(!g.contains("embedding") && !g.contains("emb"), g))
+    // t24/t25: the kernel projections stay starred (one codegen span —
+    // the interpreted-transform regression t24 already paid once)
+    val t24 = finalPlan("t24_bpe_decode").split("== Initial Plan ==").head
+    assert(t24.linesIterator.exists(l =>
+      l.contains("bpe_decode") && l.trim.startsWith("+- *(")), t24)
+    val t25 = finalPlan("t25_entropy_gate").split("== Initial Plan ==").head
+    assert(t25.contains("partial_count") || t25.contains("partial_sum"),
+      t25) // char occurrences collapse map-side before the exchange
+  }
 }
