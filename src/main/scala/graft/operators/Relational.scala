@@ -1084,8 +1084,143 @@ object Relational {
       |) c
       |ORDER BY n.n_name, acctbal DESC, c.c_name""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** QUALIFY — DuckDB's window-predicate clause (reference engine
+    * surface; the sugar users reach for before they learn the subquery
+    * spelling): latest order per customer, the window predicate written
+    * directly in the oracle's QUALIFY. Spark has no QUALIFY, so the
+    * library form IS the desugaring — row_number over the per-entity
+    * window, filtered.
+    *
+    * Scale: the window partitions by o_custkey — a per-entity key, so
+    * cells hold orders-per-customer (bounded by user behavior, not
+    * corpus size); one hash exchange, no global sort. Scale note: the
+    * rn=1 special case could drop the sort entirely via
+    * groupBy(custkey).agg(max(struct(date, -key))) (map-side combine);
+    * kept on the window form because that is the general QUALIFY
+    * translation (rank ≤ k, arbitrary predicates) and the per-entity
+    * cells already bound the sort. Determinism: date ties break on
+    * o_orderkey, which is unique.
+    */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        asDouble(col("o_totalprice")).as("totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q37Sql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate DESC, o_orderkey) = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** ASOF JOIN — DuckDB's native temporal-join surface (the batch face
+    * of st16's point-in-time join): each click matched to the user's
+    * most recent view at-or-before it. The oracle uses the literal
+    * `ASOF JOIN` keyword; Spark lacks the operator, so the library form
+    * is the union + running last_value sweep — the SAME shape st16
+    * proved out (Streaming.scala st16PitJoin): ONE exchange on user_id,
+    * no interval BroadcastNestedLoop, no per-click window over an
+    * unbounded match set.
+    *
+    * Determinism: views pre-aggregate to one row per (user_id, ts)
+    * (max event_id), so the as-of match is unique even under timestamp
+    * collisions — DuckDB's ASOF tie choice never gets a vote. The
+    * inclusive bound (c.ts >= v.ts) is carried by the sort key
+    * (ts, tag) with views tagged 0 before clicks tagged 1.
+    *
+    * Scale: per-entity window cells hold one user's events; the swept
+    * union carries three narrow columns beyond the keys. At 100 TB this
+    * is the join shape that works — the naive inequality join is
+    * O(clicks × views) per user and plans as a nested loop.
+    */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        struct(col("view_id"), col("ts").as("view_ts")).as("v"),
+        lit(null).cast(LongType).as("click_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast(StructType(Seq(
+          StructField("view_id", LongType),
+          StructField("view_ts", TimestampType)))).as("v"),
+        col("event_id").as("click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("m", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("m").isNotNull)
+      .select(col("user_id"), col("click_id"), col("m.view_id").as("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("m.view_ts")))
+          .as("lag_us"))
+      .orderBy(col("click_id"))
+  }
+
+  val q38Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, event_id AS click_id FROM events
+      |  WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT user_id, ts, MAX(event_id) AS view_id FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id, ts)
+      |SELECT c.user_id, c.click_id, v.view_id,
+      |  date_diff('microsecond', v.ts, c.ts) AS lag_us
+      |FROM clicks c ASOF JOIN views v
+      |  ON c.user_id = v.user_id AND c.ts >= v.ts
+      |ORDER BY c.click_id""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** UNPIVOT — DuckDB's wide→long surface (q27's inverse): the
+    * per-returnflag measure columns melted into (measure, value) rows.
+    * Spark's Dataset.unpivot is the native operator (plans as a single
+    * Expand — map-only, no shuffle beyond the tiny pre-aggregate);
+    * the oracle uses DuckDB's UNPIVOT ... INTO NAME/VALUE form.
+    *
+    * §5 exactness: measures are exact DECIMAL(18,2) sums cast to DOUBLE
+    * at the very end on both engines — partition order can never show.
+    */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    val d182 = (c: Column) => c.cast(DecimalType(18, 2))
+    val a = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(asDouble(sum(d182(col("l_quantity")))).as("sum_qty"),
+        asDouble(sum(d182(col("l_extendedprice")))).as("sum_base"),
+        asDouble(sum(d182(col("l_discount")))).as("sum_disc"))
+    a.unpivot(Array(col("rf")),
+        Array(col("sum_qty"), col("sum_base"), col("sum_disc")),
+        "measure", "value")
+      .orderBy(col("rf"), col("measure"))
+  }
+
+  val q39Sql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS sum_base,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT rf, measure, value
+      |FROM (UNPIVOT a ON sum_qty, sum_base, sum_disc
+      |      INTO NAME measure VALUE value)
+      |ORDER BY rf, measure""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_unpivot" -> (q39 _),
+    "q38_asof_join" -> (q38 _),
+    "q37_qualify" -> (q37 _),
     "q36_lateral" -> (q36 _),
     "q35_recursive_cte" -> (q35 _),
     "q34_grouping_sets" -> (q34 _),
@@ -1148,6 +1283,9 @@ object Relational {
     "q22_union" -> q22Sql,
     "q23_orderby_multi" -> q23Sql,
     "q24_date_funcs" -> q24Sql,
+    "q39_unpivot" -> q39Sql,
+    "q38_asof_join" -> q38Sql,
+    "q37_qualify" -> q37Sql,
     "q36_lateral" -> q36Sql,
     "q35_recursive_cte" -> q35Sql,
     "q34_grouping_sets" -> q34Sql,

@@ -1796,7 +1796,79 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN ent e ON e.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t26
+  /** Flesch reading-ease banding — the classic readability feature of
+    * quality-classifier stacks (the FineWeb-Edu/"textbook quality"
+    * family scores the same surface signals): per doc, words W (kernel
+    * charset), syllables SYL (vowel-group count with the ≥1-per-word
+    * floor), sentences S ([.!?]+ runs, floor 1), banded at FRE ≥ 60
+    * ("plain English") and ≥ 30.
+    *
+    * §5 decision algebra: FRE = 206.835 − 1.015·W/S − 84.6·SYL/W never
+    * materializes as a float — each band test is the EXACT integer
+    * cross-multiplication 206835·S·W − 1015·W² − 84600·SYL·S ≥
+    * 1000·T·S·W (BIGINT-safe to ~3e6-char docs; corpus max is 5e2).
+    * Syllable trick: vowel runs never cross word boundaries, so
+    * Σ per-word groups = groups over the WHOLE text, and the per-word
+    * ≥1 floor is just + count(zero-vowel words) — no per-word explode,
+    * no exchange until the bounded (source × 3-band) aggregate.
+    *
+    * Liveness: on this corpus S=1 everywhere (no punctuation — the
+    * corpus-contract charset), but the W and SYL terms spread bands
+    * 0/1/2 across every source at sf0.01; the sentence term is
+    * exercised cross-engine by the punctuated-plant spec.
+    *
+    * Scale: map-only scan (text, source), partial aggregation to ≤
+    * |sources|·3 rows — the t19 quantile-free shape; nothing in the
+    * plan grows with corpus size except the scan.
+    */
+  def t26Readability(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables(spark, dir, "documents"))
+      .filter(col("text").isNotNull)
+    val wds = filter(split(lower(col("text")), "[ \\t\\n\\r]+"),
+      x => x =!= "")
+    val w = size(wds).cast(LongType)
+    val syl = (size(regexp_extract_all(lower(col("text")),
+        lit("[aeiouy]+"), lit(0))) +
+      size(filter(wds, x => !x.rlike("[aeiouy]")))).cast(LongType)
+    val s = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast(LongType), lit(1L))
+    val score = lit(206835L) * s * w - lit(1015L) * w * w -
+      lit(84600L) * syl * s
+    val band = when(score >= lit(60000L) * s * w, 2L)
+      .when(score >= lit(30000L) * s * w, 1L).otherwise(0L)
+    docs.select(col("source"), band.as("band"), w.as("w"), syl.as("syl"))
+      .groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sum_words"),
+        sum(col("syl")).as("sum_syllables"))
+      .orderBy(col("source"), col("band"))
+  }
+
+  /** Same counts, same cross-multiplied band tests. */
+  val t26Sql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    len(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
+      |      x -> x <> '')) AS w,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      + len(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
+      |          x -> x <> '' AND NOT regexp_matches(x, '[aeiouy]'))) AS syl,
+      |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT source,
+      |  CAST(CASE
+      |    WHEN 206835*s*w - 1015*w*w - 84600*syl*s >= 60000*s*w THEN 2
+      |    WHEN 206835*s*w - 1015*w*w - 84600*syl*s >= 30000*s*w THEN 1
+      |    ELSE 0 END AS BIGINT) AS band,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(w) AS BIGINT) AS sum_words,
+      |  CAST(SUM(syl) AS BIGINT) AS sum_syllables
+      |FROM f GROUP BY source, band
+      |ORDER BY source, band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_readability" -> (t26Readability _),
     "t25_entropy_gate" -> (t25EntropyGate _),
     "t24_bpe_decode" -> (t24BpeDecode _),
     "t23_bpe_train" -> (t23BpeTrain _),
@@ -1824,6 +1896,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t26_readability" -> t26Sql,
     "t25_entropy_gate" -> t25Sql,
     "t24_bpe_decode" -> t24Sql,
     "t23_bpe_train" -> t23Sql,

@@ -1810,6 +1810,160 @@ class NewOpsSpec extends SparkSpec {
     assert(!real.isNullAt(real.fieldIndex("fertility")) &&
       !java.lang.Double.isNaN(real.getAs[Double]("fertility")))
   }
+
+  test("q37: QUALIFY desugaring picks exactly one latest order per " +
+      "customer, date ties broken on the unique orderkey") {
+    val got = SparkEntry.queries("q37_qualify")(spark, sfDir).collect()
+      .map(r => r.getAs[Number]("o_custkey").longValue ->
+        r.getAs[Number]("o_orderkey").longValue)
+    val best = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Long](2)))
+      .groupBy(_._1)
+      .map { case (c, os) => c -> os.maxBy(o => (o._3, -o._2))._2 }
+    assert(got.length == best.size)
+    assert(got.count(_._2 >= 0) == got.map(_._1).distinct.length,
+      "one row per customer")
+    got.foreach { case (c, k) => assert(best(c) == k, s"cust $c") }
+  }
+
+  test("q38: as-of semantics — every click matches the LATEST view " +
+      "at-or-before it and unmatched clicks are absent (brute-force " +
+      "inequality-join replica)") {
+    val got = SparkEntry.queries("q38_asof_join")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("view_id"),
+        r.getAs[Long]("lag_us"))).sortBy(_._1).toSeq
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Long](1), r.getString(2),
+        r.getAs[Long](3)))
+    val viewsByUser = ev.filter(_._3 == "view").groupBy(_._2)
+    val expected = ev.filter(_._3 == "click").flatMap { c =>
+      val prior = viewsByUser.getOrElse(c._2, Array.empty)
+        .filter(_._4 <= c._4)
+      if (prior.isEmpty) None
+      else {
+        // latest ts; same-ts collision resolved to max event_id (the
+        // pre-aggregate both engines share)
+        val m = prior.maxBy(v => (v._4, v._1))
+        Some((c._1, m._1, c._4 - m._4))
+      }
+    }.sortBy(_._1).toSeq
+    assert(got == expected, s"got ${got.size} expected ${expected.size}")
+    assert(got.forall(_._3 >= 0L), "inclusive lower bound")
+  }
+
+  test("q39: unpivot is the exact inverse of the wide aggregate and " +
+      "plans as a map-side Expand (no extra exchange)") {
+    val df = SparkEntry.queries("q39_unpivot")(spark, sfDir)
+    assert(explainText(df).contains("Expand"), "unpivot plans as Expand")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val rfs = got.keys.map(_._1).toSeq.distinct
+    assert(got.size == rfs.size * 3, "three measures per returnflag")
+    // independent wide aggregate, same exact-decimal algebra
+    val wide = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_base"),
+        sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+          .as("sum_disc"))
+      .collect()
+    wide.foreach { r =>
+      val rf = r.getString(0)
+      assert(got((rf, "sum_qty")) == r.getDouble(1), s"$rf qty")
+      assert(got((rf, "sum_base")) == r.getDouble(2), s"$rf base")
+      assert(got((rf, "sum_disc")) == r.getDouble(3), s"$rf disc")
+    }
+  }
+
+  /** Independent character-level reference for t26's per-doc algebra. */
+  private def t26Ref(text: String): (Long, Long, Long) = {
+    val words = text.toLowerCase.split("[ \t\n\r]+").filter(_.nonEmpty)
+    val vg = java.util.regex.Pattern.compile("[aeiouy]+")
+    def groups(w: String): Int = {
+      val m = vg.matcher(w); var n = 0; while (m.find()) n += 1; n
+    }
+    val w = words.length.toLong
+    val syl = words.map(x => math.max(groups(x), 1)).sum.toLong
+    val sm = java.util.regex.Pattern.compile("[.!?]+").matcher(text)
+    var s = 0L; while (sm.find()) s += 1
+    (w, syl, math.max(s, 1L))
+  }
+
+  private def t26Band(w: Long, syl: Long, s: Long): Long = {
+    val score = BigInt(206835) * s * w - BigInt(1015) * w * w -
+      BigInt(84600) * syl * s
+    if (score >= BigInt(60000) * s * w) 2L
+    else if (score >= BigInt(30000) * s * w) 1L else 0L
+  }
+
+  test("t26: band counts replicate an independent per-doc reference on " +
+      "EVERY corpus doc, and all three bands are live") {
+    val got = SparkEntry.queries("t26_readability")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("band")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_words"),
+          r.getAs[Long]("sum_syllables"))).toMap
+    val exp = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .filter(!_.isNullAt(1))
+      .map { r =>
+        val (w, syl, s) = t26Ref(r.getString(1))
+        ((r.getString(0), t26Band(w, syl, s)), (w, syl))
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        k -> ((vs.length.toLong, vs.map(_._2._1).sum, vs.map(_._2._2).sum))
+      }
+    assert(got == exp)
+    assert(got.keys.map(_._2).toSet == Set(0L, 1L, 2L),
+      "all three bands live on natural data")
+  }
+
+  test("t26: the sentence term and the zero-vowel syllable floor are " +
+      "live cross-checked on punctuated / vowel-less plants") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t26plant").toString
+    val docs = Seq(
+      // multi-sentence: S=4 lifts FRE vs the same text unpunctuated
+      (1L, "the fox runs. it jumps! does it stop? no it does not.",
+        "en", "punct", 0L),
+      (2L, "the fox runs it jumps does it stop no it does not",
+        "en", "plain", 0L),
+      // zero-vowel words: syllable floor 1 per word must apply
+      (3L, "zzz xx qqq grr", "en", "novowel", 0L),
+      // kernel charset: tab/newline are separators, runs collapse
+      (4L, "a\t\tb\n\nc  d", "en", "charset", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t26_readability")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("band"),
+        r.getAs[Long]("n"), r.getAs[Long]("sum_words"),
+        r.getAs[Long]("sum_syllables")))).toMap
+    docs.foreach { case (_, text, _, src, _) =>
+      val (w, syl, s) = t26Ref(text)
+      assert(got(src) == ((t26Band(w, syl, s), 1L, w, syl)), s"src $src")
+    }
+    // the sentence term itself: same words, 4 sentences vs 1 → punct
+    // doc scores strictly higher (shorter sentences read easier)
+    val (wp, sp, ssp) = t26Ref(docs(0)._2)
+    val (wn, sn, ssn) = t26Ref(docs(1)._2)
+    assert(wp == wn && sp == sn && ssp == 4L && ssn == 1L)
+    assert(t26Band(wp, sp, ssp) >= t26Band(wn, sn, ssn))
+    // vowel-less floor: 4 words, zero vowel groups → exactly 4 syllables
+    assert(got("novowel")._4 == 4L)
+    // charset: 4 words despite tab/newline/double-space separators
+    assert(got("charset")._3 == 4L)
+  }
 }
 
 /** Row shape for the s08 short-candidate spec (top-level for the
