@@ -940,7 +940,87 @@ object Multimodal {
       |FROM scened GROUP BY doc_id, scene_id
       |ORDER BY doc_id, scene_id""".stripMargin
 
+  // ---------------------------------------------------------------- m12
+  /** Modality token budgeting — the compute-accounting bridge between
+    * the media tables and the p-family token budgets: every multimodal
+    * training stack converts each modality into SEQUENCE TOKENS before
+    * mixing (ViT-style images: one token per 14×14 patch, ceil on both
+    * axes; audio: one token per fixed-stride frame, stride 320 payload
+    * bytes ≈ 20 ms at the stub rate; video: sampled frames × per-frame
+    * patches, frames per m01's sampler), and the caption text rides the
+    * REAL t21 BPE kernel — so image/audio/video and text land in the
+    * same unit and the packer can budget 2048-token sequences across
+    * modalities.
+    *
+    * §5: every conversion is a ceil-div in integer algebra
+    * ((x + k − 1) div k spelled as SQL div) — no float enters any
+    * count; seqs is the exact ceil-div of the per-modality total.
+    *
+    * Scale: one map-only kernel scan (modality math + BPE encode in the
+    * same projection) into a 3-key partial agg — the bpeSourceAgg shape;
+    * nothing grows with the corpus but the scan.
+    */
+  def m12(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.spread(graft.Tables(spark, dir, "documents"))
+    val mt = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val patches = expr(
+      "((doc_id % 64 + 16 + 13) div 14) * ((doc_id % 48 + 16 + 13) div 14)")
+    val frames = expr("CASE WHEN octet_length(text) div 256 = 0 THEN 0 " +
+      "ELSE (octet_length(text) div 256 + 1) div 2 END")
+    val mediaTokens = when(mt === "image", patches)
+      .when(mt === "audio", expr("(octet_length(text) + 319) div 320"))
+      .otherwise(frames * patches)
+    d.select(mt.as("media_type"),
+        size(graft.functions.text.bpe_token_ids(col("text")))
+          .cast(LongType).as("tt"),
+        mediaTokens.cast(LongType).as("mt_tok"))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tt")).as("text_tokens"),
+        sum(col("mt_tok")).as("media_tokens"))
+      .select(col("media_type"), col("n_docs"), col("text_tokens"),
+        col("media_tokens"),
+        (col("text_tokens") + col("media_tokens")).as("total_tokens"),
+        expr("(text_tokens + media_tokens + 2047) div 2048").as("n_seqs"))
+      .orderBy(col("media_type"))
+  }
+
+  /** Oracle: modality math off doc_id/strlen; text tokens via the
+    * shared bpeDocLenCtes merge-loop replica. */
+  val m12Sql: String =
+    s"""WITH RECURSIVE
+      |docw AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+      |      t -> t <> '') AS ws
+      |  FROM documents),
+      |${graft.functions.KernelOracleSql.bpeDocLenCtes("docw", "")},
+      |med AS (
+      |  SELECT
+      |    ['image','audio','video'][CAST(d.doc_id % 3 + 1 AS INT)] AS mtp,
+      |    COALESCE(pw.b, 0) AS tt,
+      |    CASE
+      |      WHEN d.doc_id % 3 + 1 = 1 THEN
+      |        ((d.doc_id % 64 + 16 + 13) // 14) *
+      |          ((d.doc_id % 48 + 16 + 13) // 14)
+      |      WHEN d.doc_id % 3 + 1 = 2 THEN (strlen(d.text) + 319) // 320
+      |      ELSE (CASE WHEN strlen(d.text) // 256 = 0 THEN 0
+      |              ELSE (strlen(d.text) // 256 + 1) // 2 END) *
+      |        ((d.doc_id % 64 + 16 + 13) // 14) *
+      |          ((d.doc_id % 48 + 16 + 13) // 14)
+      |    END AS mt_tok
+      |  FROM documents d LEFT JOIN pw ON pw.doc_id = d.doc_id)
+      |SELECT mtp AS media_type, COUNT(*) AS n_docs,
+      |  CAST(SUM(tt) AS BIGINT) AS text_tokens,
+      |  CAST(SUM(mt_tok) AS BIGINT) AS media_tokens,
+      |  CAST(SUM(tt) + SUM(mt_tok) AS BIGINT) AS total_tokens,
+      |  CAST((SUM(tt) + SUM(mt_tok) + 2047) // 2048 AS BIGINT) AS n_seqs
+      |FROM med GROUP BY mtp
+      |ORDER BY media_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_token_budget" -> (m12 _),
     "m11_scene_detect" -> (m11 _),
     "m10_clip_filter" -> (m10 _),
     "m09_pair_dedup" -> (m09 _),
@@ -953,6 +1033,7 @@ object Multimodal {
     "m04_media_dedup" -> (m04 _),
     "m05_perceptual_dedup" -> (m05 _))
   val oracle: Map[String, String] = Map(
+    "m12_token_budget" -> m12Sql,
     "m11_scene_detect" -> m11Sql,
     "m10_clip_filter" -> m10Sql,
     "m09_pair_dedup" -> m09Sql,

@@ -1377,7 +1377,93 @@ object Pipeline {
        |    / NULLIF(CAST(f.n_tokens AS DOUBLE), 0) AS epochs_effective
        |FROM flagged f, water w ORDER BY f.source""".stripMargin
 
+  // ---------------------------------------------------------------- p20
+  /** Data-loader resume — the checkpoint-restart bookkeeping every
+    * long training run needs: given the p17 BPE-token shard plan and a
+    * consumed-token watermark C (here 60 % of the corpus, the exact
+    * integer (3·T) div 5), classify each shard done / partial /
+    * pending in the global (source, shard) consumption order and emit
+    * the exact token offset inside the partial shard — so a restarted
+    * job seeks to a shard + offset instead of re-reading data it
+    * already trained on (and never double-trains a token: consumed +
+    * remaining reconciles to shard_tokens per shard and to T and C
+    * globally, specced).
+    *
+    * Scale: the cumsum runs on the SHARD frame (corpus_tokens /
+    * 25000 rows — still data-sized at 100 TB), so it rides
+    * [[Ladders.globalCumsum]] with a constant stratum and a
+    * (source, shard div 64) struct bucket — a monotone coarsening of
+    * the (source, shard) total order; no task ever sees more than a
+    * 64-shard cell or the tiny offsets frame. The one-row total enters
+    * by broadcast (no driver action).
+    */
+  def p20ResumeOffset(spark: SparkSession, dir: String): DataFrame = {
+    val shards = p17BpeTokenShards(spark, dir)
+      .select(col("source"), col("shard"), col("shard_tokens"))
+      .withColumn("__all", lit(0))
+      .withColumn("__blk", struct(col("source"),
+        expr("shard div 64").as("blk")))
+    val cum = Ladders.globalCumsum(shards, Seq("__all"), "__blk",
+      Seq(col("source"), col("shard")), col("shard_tokens"), "cum_end")
+    val tot = shards.agg(sum(col("shard_tokens")).as("__tot"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__c", expr("(3 * __tot) div 5"))
+      .withColumn("consumed_tokens",
+        greatest(lit(0L), least(col("shard_tokens"),
+          col("__c") - (col("cum_end") - col("shard_tokens")))))
+      .select(col("source"), col("shard"), col("shard_tokens"),
+        when(col("cum_end") <= col("__c"), "done")
+          .when(col("cum_end") - col("shard_tokens") >= col("__c"),
+            "pending")
+          .otherwise("partial").as("status"),
+        col("consumed_tokens"),
+        (col("shard_tokens") - col("consumed_tokens"))
+          .as("remaining_tokens"))
+      .orderBy(col("source"), col("shard"))
+  }
+
+  /** Oracle: p17's shard CTE chain + a plain window cumsum (the frame
+    * is small in DuckDB) + the same exact watermark algebra. */
+  val p20Sql: String =
+    s"""WITH RECURSIVE
+       |docw AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ws
+       |  FROM documents),
+       |${graft.functions.KernelOracleSql.bpeDocLenCtes("docw", "")},
+       |toks AS (
+       |  SELECT d.doc_id, d.source, COALESCE(pw.b, 0) AS tokens
+       |  FROM docw d LEFT JOIN pw ON pw.doc_id = d.doc_id),
+       |packed AS (
+       |  SELECT doc_id, source, tokens,
+       |    SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM toks),
+       |shards AS (
+       |  SELECT source, CAST((cum_tokens - tokens) // 25000 AS BIGINT)
+       |      AS shard,
+       |    CAST(SUM(tokens) AS BIGINT) AS shard_tokens
+       |  FROM packed GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, shard, shard_tokens,
+       |    CAST(SUM(shard_tokens) OVER (ORDER BY source, shard
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end,
+       |    CAST((3 * SUM(shard_tokens) OVER ()) // 5 AS BIGINT) AS c
+       |  FROM shards)
+       |SELECT source, shard, shard_tokens,
+       |  CASE WHEN cum_end <= c THEN 'done'
+       |       WHEN cum_end - shard_tokens >= c THEN 'pending'
+       |       ELSE 'partial' END AS status,
+       |  GREATEST(0, LEAST(shard_tokens, c - (cum_end - shard_tokens)))
+       |    AS consumed_tokens,
+       |  shard_tokens -
+       |    GREATEST(0, LEAST(shard_tokens, c - (cum_end - shard_tokens)))
+       |    AS remaining_tokens
+       |FROM cum ORDER BY source, shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_resume_offset" -> (p20ResumeOffset _),
     "p19_unimax_mix" -> (p19UnimaxMix _),
     "p18_epoch_plan" -> (p18EpochPlan _),
     "p17_bpe_token_shards" -> (p17BpeTokenShards _),
@@ -1400,6 +1486,7 @@ object Pipeline {
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
+    "p20_resume_offset" -> p20Sql,
     "p19_unimax_mix" -> p19Sql,
     "p18_epoch_plan" -> p18Sql,
     "p17_bpe_token_shards" -> p17Sql,

@@ -1964,6 +1964,75 @@ class NewOpsSpec extends SparkSpec {
     // charset: 4 words despite tab/newline/double-space separators
     assert(got("charset")._3 == 4L)
   }
+
+  test("m12: modality token conversions replicate an independent " +
+      "per-doc reference (patches / audio frames / sampled frames × " +
+      "patches + BPE captions), and seqs is the exact ceil-div") {
+    val got = SparkEntry.queries("m12_token_budget")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("text_tokens"), r.getAs[Long]("media_tokens"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("n_seqs")))).toMap
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long](0), r.getString(1)))
+    def ceilDiv(a: Long, k: Long): Long = (a + k - 1) / k
+    val exp = docs.map { case (id, text) =>
+      val mt = Seq("image", "audio", "video")((id % 3).toInt)
+      val bytes = text.getBytes("UTF-8").length.toLong
+      val patches = ceilDiv(id % 64 + 16, 14) * ceilDiv(id % 48 + 16, 14)
+      val frames = { val b = bytes / 256; if (b == 0) 0L else (b + 1) / 2 }
+      val media = mt match {
+        case "image" => patches
+        case "audio" => ceilDiv(bytes, 320)
+        case _       => frames * patches
+      }
+      val textTok = text.toLowerCase.split("[ \t\n\r]+").filter(_.nonEmpty)
+        .map(w => graft.functions.Bpe.encodeWord(w).length.toLong).sum
+      (mt, textTok, media)
+    }.groupBy(_._1).map { case (mt, xs) =>
+      val tt = xs.map(_._2).sum; val mtk = xs.map(_._3).sum
+      mt -> ((xs.length.toLong, tt, mtk, tt + mtk, ceilDiv(tt + mtk, 2048L)))
+    }
+    assert(got == exp)
+    assert(got.values.map(_._1).sum == docs.length.toLong,
+      "every doc lands in exactly one modality")
+  }
+
+  test("p20: resume bookkeeping reconciles exactly — consumed sums to " +
+      "the watermark, at most one partial shard, statuses monotone in " +
+      "the global consumption order, and the frame matches p17") {
+    val rows = SparkEntry.queries("p20_resume_offset")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("shard"),
+        r.getAs[Long]("shard_tokens"), r.getString(3),
+        r.getAs[Long]("consumed_tokens"), r.getAs[Long]("remaining_tokens")))
+      .sortBy(t => (t._1, t._2))
+    val total = rows.map(_._3).sum
+    val c = 3 * total / 5
+    assert(rows.map(_._5).sum == c, "sum(consumed) == (3T) div 5")
+    assert(rows.map(_._6).sum == total - c)
+    rows.foreach { r =>
+      assert(r._5 + r._6 == r._3, s"per-shard reconciliation ${r}")
+      r._4 match {
+        case "done"    => assert(r._5 == r._3 && r._6 == 0L)
+        case "pending" => assert(r._5 == 0L)
+        case "partial" => assert(r._5 > 0L && r._5 < r._3)
+      }
+    }
+    assert(rows.count(_._4 == "partial") <= 1)
+    // statuses partition the order: done* partial? pending*
+    val sig = rows.map(_._4).foldLeft("") { (acc, s) =>
+      if (acc.endsWith(s)) acc else acc + s }
+    assert(Seq("donepartialpending", "donepending", "done", "")
+      .contains(sig), sig)
+    // same shard frame as p17 (shared builder — but assert anyway)
+    val p17 = SparkEntry.queries("p17_bpe_token_shards")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("shard")) ->
+        r.getAs[Long]("shard_tokens")).toMap
+    rows.foreach(r => assert(p17((r._1, r._2)) == r._3))
+  }
 }
 
 /** Row shape for the s08 short-candidate spec (top-level for the
