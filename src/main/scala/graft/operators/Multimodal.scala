@@ -1019,7 +1019,80 @@ object Multimodal {
       |FROM med GROUP BY mtp
       |ORDER BY media_type""".stripMargin
 
+  // ---------------------------------------------------------------- m13
+  /** Aspect-ratio bucketing — the SDXL/NovelAI training-batch staple:
+    * variable-shape images are grouped into a fixed ladder of target
+    * aspect-ratio buckets so each training batch holds one shape (no
+    * per-image padding waste, no cross-shape collation). Dims ride the
+    * m12 metadata convention (w = doc_id%64+16, h = doc_id%48+16, the
+    * image third of the corpus), bucket ladder idx 1..5 =
+    * (16,64)/(24,48)/(32,32)/(48,24)/(64,16) — ratios ¼..4, all five
+    * live on the natural dim spread at every SF.
+    *
+    * §5 decision algebra: nearest-ratio assignment never computes a
+    * ratio — |w/h − bw_i/bh_i| ordering is the EXACT integer ordering
+    * of score_i = |w·bh_i − h·bw_i| · (192 div bh_i) (common
+    * denominator h·192 cancels), and the argmin over the 5-bucket
+    * ladder is ONE scalar `least` of the encoded keys score_i·8+i
+    * (score ≤ 79·64·12 < 2^17, so the ·8 shift is collision-free;
+    * +i breaks exact-tie toward the narrower bucket — deterministic).
+    * Batch math is exact ceil-div: n_batches = (n+31) div 32.
+    *
+    * Scale: map-only scan (the m10/t20 plan class — dims and argmin in
+    * one codegen'd projection, no explode, no join, no window) into a
+    * 5-key partial agg; nothing grows with the corpus but the scan.
+    */
+  def m13(spark: SparkSession, dir: String): DataFrame = {
+    val imgs = graft.Tables.spread(graft.Tables(spark, dir, "documents"))
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        (col("doc_id") % 64 + 16).as("w"), (col("doc_id") % 48 + 16).as("h"))
+    val bw = Seq(16L, 24L, 32L, 48L, 64L)
+    val bh = Seq(64L, 48L, 32L, 24L, 16L)
+    val keys = (0 until 5).map { i =>
+      (abs(col("w") * bh(i) - col("h") * bw(i)) * (192L / bh(i))) * 8 +
+        (i + 1)
+    }
+    imgs.withColumn("bidx", least(keys: _*) % 8)
+      .groupBy(col("bidx"))
+      .agg(count(lit(1)).as("n_images"),
+        min(expr("(w * 1000) div h")).as("min_ar_milli"),
+        max(expr("(w * 1000) div h")).as("max_ar_milli"))
+      .select(col("bidx"),
+        element_at(array(bw.map(lit): _*), col("bidx").cast("int"))
+          .as("bucket_w"),
+        element_at(array(bh.map(lit): _*), col("bidx").cast("int"))
+          .as("bucket_h"),
+        col("n_images"),
+        expr("(n_images + 31) div 32").as("n_batches"),
+        col("min_ar_milli"), col("max_ar_milli"))
+      .orderBy(col("bidx"))
+  }
+
+  /** Same encoded-least argmin, same integer batch math. */
+  val m13Sql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id, doc_id % 64 + 16 AS w, doc_id % 48 + 16 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |assigned AS (
+      |  SELECT doc_id, w, h,
+      |    LEAST(abs(w * 64 - h * 16) * 3 * 8 + 1,
+      |          abs(w * 48 - h * 24) * 4 * 8 + 2,
+      |          abs(w * 32 - h * 32) * 6 * 8 + 3,
+      |          abs(w * 24 - h * 48) * 8 * 8 + 4,
+      |          abs(w * 16 - h * 64) * 12 * 8 + 5) % 8 AS bidx
+      |  FROM imgs)
+      |SELECT bidx,
+      |  CAST([16, 24, 32, 48, 64][CAST(bidx AS INT)] AS BIGINT) AS bucket_w,
+      |  CAST([64, 48, 32, 24, 16][CAST(bidx AS INT)] AS BIGINT) AS bucket_h,
+      |  COUNT(*) AS n_images,
+      |  CAST((COUNT(*) + 31) // 32 AS BIGINT) AS n_batches,
+      |  MIN((w * 1000) // h) AS min_ar_milli,
+      |  MAX((w * 1000) // h) AS max_ar_milli
+      |FROM assigned GROUP BY bidx ORDER BY bidx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_ar_bucket" -> (m13 _),
     "m12_token_budget" -> (m12 _),
     "m11_scene_detect" -> (m11 _),
     "m10_clip_filter" -> (m10 _),
@@ -1033,6 +1106,7 @@ object Multimodal {
     "m04_media_dedup" -> (m04 _),
     "m05_perceptual_dedup" -> (m05 _))
   val oracle: Map[String, String] = Map(
+    "m13_ar_bucket" -> m13Sql,
     "m12_token_budget" -> m12Sql,
     "m11_scene_detect" -> m11Sql,
     "m10_clip_filter" -> m10Sql,

@@ -1216,8 +1216,82 @@ object Relational {
       |      INTO NAME measure VALUE value)
       |ORDER BY rf, measure""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** RANGE window frame over event time — the rolling-interval surface
+    * (DuckDB `RANGE BETWEEN INTERVAL .. PRECEDING`, reference engine
+    * feature; the shape behind every "activity in the trailing hour"
+    * feature column): per event, the count and exact-decimal value sum
+    * of the SAME USER's events in the trailing hour, frame bounds
+    * inclusive on both ends. Spark 4 supports the identical surface —
+    * named WINDOW clause, interval RANGE frame — so the SAME SQL text
+    * runs on both engines (the q36 discipline: declarative surface
+    * parity, no desugaring needed).
+    *
+    * §5 exactness: the frame sum is DECIMAL(12,2) (exact in any
+    * accumulation order) cast to DOUBLE at the end; ties in `ts` are
+    * RANGE-peers, included in the frame together on both engines, so
+    * tie order can never show in any row's aggregate.
+    *
+    * Scale: ONE hash exchange on user_id (a per-entity key — cells
+    * hold one user's events, bounded by user behavior not corpus
+    * size); the running frame is a sliding two-pointer over each
+    * cell's sort, no per-row rescan. The q37/q38 per-entity-window
+    * argument verbatim; nothing global anywhere.
+    */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events").createOrReplaceTempView("q40_events")
+    spark.sql(q40Text("q40_events"))
+  }
+
+  private def q40Text(tbl: String): String =
+    s"""SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS c_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS v_1h
+      |FROM $tbl
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  val q40Sql: String = q40Text("events")
+
+  // ---------------------------------------------------------------- q41
+  /** GROUP BY ALL / ORDER BY ALL — DuckDB's friendly-SQL aggregation
+    * sugar (reference engine surface; the spelling its docs lead
+    * with): every non-aggregate SELECT expression becomes a group key,
+    * and ORDER BY ALL sorts by all output columns left-to-right. Spark
+    * 3.4+ ships the identical surface, so the SAME SQL text runs on
+    * both engines (q36/q40 discipline) — including a COMPUTED group
+    * expression (`year(o_orderdate)`), the case where the sugar saves
+    * real duplication.
+    *
+    * §5: money in exact DECIMAL(18,2), DOUBLE only at the edge; the
+    * group keys make every output row unique, so ORDER BY ALL is a
+    * total deterministic order.
+    *
+    * Scale: plain declarative groupBy — Catalyst plans map-side
+    * partial aggregation before the one hash exchange on the (yr,
+    * status) key (bounded: years × statuses); identical to the q08
+    * class at any corpus size.
+    */
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("q41_orders")
+    spark.sql(q41Text("q41_orders"))
+  }
+
+  private def q41Text(tbl: String): String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM $tbl
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
+  val q41Sql: String = q41Text("orders")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_group_by_all" -> (q41 _),
+    "q40_range_frame" -> (q40 _),
     "q39_unpivot" -> (q39 _),
     "q38_asof_join" -> (q38 _),
     "q37_qualify" -> (q37 _),
@@ -1259,6 +1333,8 @@ object Relational {
     "q33_multi_exists" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q41_group_by_all" -> q41Sql,
+    "q40_range_frame" -> q40Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_topn" -> q03Sql,

@@ -1867,7 +1867,77 @@ object TextAnalysis {
       |FROM f GROUP BY source, band
       |ORDER BY source, band""".stripMargin
 
+  // ---------------------------------------------------------------- t27
+  /** Lexical-diversity banding — the type-token-ratio feature of the
+    * quality-classifier stacks (MTLD/vocd's cheap ancestor; Gopher's
+    * "fraction of unique words" cousin): repetitive or template text
+    * scores low, varied prose scores high. Raw TTR = U/W decays with
+    * length, so the banded statistic is Guiraud's length-corrected
+    * R = U/√W (Guiraud 1954), banded at R ≥ 3.5 (high) / ≥ 3 (mid) —
+    * the corpus spread is 1.9..4.2 with median ≈ 3.28 at every SF, so
+    * all three bands are LIVE on natural data, no plants.
+    *
+    * §5 decision algebra: R ≥ τ never computes a square root —
+    * U ≥ 0 and W ≥ 0 make it the EXACT integer test U²·4 ≥ 49·W
+    * (τ = 3.5) resp. U² ≥ 9·W (τ = 3); W = 0 (empty/NULL text) is
+    * pinned to band 0 explicitly rather than letting 0 ≥ 0 classify
+    * an empty doc as maximally diverse.
+    *
+    * Scale: the token explode is occurrence-level but the (doc, term)
+    * key collapses map-side (per-doc vocab-bounded — the t12 postings
+    * discipline); per-doc (U, W) is a shrinking agg, and the output
+    * aggregate is bounded by sources × 3 bands. No window, no join
+    * beyond the per-doc left join that keeps tokenless docs counted.
+    */
+  def t27TtrDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pd = Tables.spread(docs)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("k"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("u"), sum(col("k")).as("w"))
+    val band = when(col("w") === 0L, 0L)
+      .when(col("u") * col("u") * 4 >= lit(49L) * col("w"), 2L)
+      .when(col("u") * col("u") >= lit(9L) * col("w"), 1L)
+      .otherwise(0L)
+    docs.select(col("doc_id"), col("source"))
+      .join(pd, Seq("doc_id"), "left_outer")
+      .select(col("source"),
+        coalesce(col("u"), lit(0L)).as("u"),
+        coalesce(col("w"), lit(0L)).as("w"))
+      .withColumn("band", band)
+      .groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("u")).as("sum_types"),
+        sum(col("w")).as("sum_tokens"))
+      .orderBy(col("source"), col("band"))
+  }
+
+  /** Same per-doc (U, W), same cross-multiplied band tests. */
+  val t27Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
+      |      x -> x <> '')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, t, COUNT(*) AS k FROM toks GROUP BY 1, 2),
+      |pd AS (SELECT doc_id, COUNT(*) AS u, SUM(k) AS w FROM cnt GROUP BY 1),
+      |f AS (
+      |  SELECT d.source,
+      |    COALESCE(pd.u, 0) AS u, COALESCE(pd.w, 0) AS w
+      |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+      |SELECT source,
+      |  CAST(CASE WHEN w = 0 THEN 0
+      |    WHEN u*u*4 >= 49*w THEN 2
+      |    WHEN u*u >= 9*w THEN 1
+      |    ELSE 0 END AS BIGINT) AS band,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(u) AS BIGINT) AS sum_types,
+      |  CAST(SUM(w) AS BIGINT) AS sum_tokens
+      |FROM f GROUP BY source, band
+      |ORDER BY source, band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_ttr_diversity" -> (t27TtrDiversity _),
     "t26_readability" -> (t26Readability _),
     "t25_entropy_gate" -> (t25EntropyGate _),
     "t24_bpe_decode" -> (t24BpeDecode _),
@@ -1896,6 +1966,7 @@ object TextAnalysis {
     "t09_normalize" -> (t09Normalize _))
 
   val oracle: Map[String, String] = Map(
+    "t27_ttr_diversity" -> t27Sql,
     "t26_readability" -> t26Sql,
     "t25_entropy_gate" -> t25Sql,
     "t24_bpe_decode" -> t24Sql,

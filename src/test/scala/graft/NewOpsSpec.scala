@@ -2033,6 +2033,121 @@ class NewOpsSpec extends SparkSpec {
         r.getAs[Long]("shard_tokens")).toMap
     rows.foreach(r => assert(p17((r._1, r._2)) == r._3))
   }
+
+  test("q40: the trailing-1h RANGE frame replicates a brute-force " +
+      "per-user interval count/sum, ties included as peers") {
+    val got = SparkEntry.queries("q40_range_frame")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("c_1h"), r.getAs[Double]("v_1h")))).toMap
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("value"))
+      .collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Long](1), r.getAs[Long](2),
+        BigDecimal(r.getAs[Double](3)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val byUser = ev.groupBy(_._2)
+    assert(got.size == ev.length)
+    ev.foreach { e =>
+      val frame = byUser(e._2)
+        .filter(o => o._3 >= e._3 - 3600000000L && o._3 <= e._3)
+      val exp = (frame.length.toLong, frame.map(_._4).sum.toDouble)
+      assert(got(e._1) == exp, s"event ${e._1}")
+    }
+    // the frame is RANGE (key-based), not ROWS: at least one event has
+    // more than itself in frame, so the interval bound is live
+    assert(got.values.exists(_._1 > 1L), "trailing window live")
+  }
+
+  test("q41: GROUP BY ALL groups by exactly the non-aggregate select " +
+      "expressions (yr, status) with exact-decimal totals") {
+    val got = SparkEntry.queries("q41_group_by_all")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("yr"), r.getString(1)) ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Double]("total"))))
+    val exp = Tables(spark, sfDir, "orders")
+      .select(year(col("o_orderdate")).cast("long"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getAs[Long](0), r.getString(1),
+        BigDecimal(r.getAs[Double](2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, vs) =>
+        k -> ((vs.length.toLong, vs.map(_._3).sum.toDouble))
+      }
+    assert(got.toMap == exp)
+    assert(got.length == exp.size, "one row per (yr, status)")
+    // ORDER BY ALL: rows sorted by all columns left-to-right
+    assert(got.map(_._1).sameElements(got.map(_._1).sorted))
+  }
+
+  test("m13: every image lands in the ratio-nearest bucket (exact " +
+      "integer replica), all five buckets live, batch math is ceil-div") {
+    val got = SparkEntry.queries("m13_ar_bucket")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("bidx") ->
+        ((r.getAs[Long]("bucket_w"), r.getAs[Long]("bucket_h"),
+          r.getAs[Long]("n_images"), r.getAs[Long]("n_batches"),
+          r.getAs[Long]("min_ar_milli"), r.getAs[Long]("max_ar_milli"))))
+      .toMap
+    val bw = Seq(16L, 24L, 32L, 48L, 64L)
+    val bh = Seq(64L, 48L, 32L, 24L, 16L)
+    val imgs = Tables(spark, sfDir, "documents").select(col("doc_id"))
+      .collect().map(_.getAs[Long](0)).filter(_ % 3 == 0)
+      .map(id => (id % 64 + 16, id % 48 + 16))
+    val exp = imgs.groupBy { case (w, h) =>
+      (0 until 5).minBy(i =>
+        (math.abs(w * bh(i) - h * bw(i)) * (192 / bh(i)), i)) + 1
+    }
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), "all five buckets live")
+    got.foreach { case (b, (gw, gh, n, nb, lo, hi)) =>
+      val members = exp(b.toInt - 1 + 1)
+      assert((gw, gh) == ((bw(b.toInt - 1), bh(b.toInt - 1))))
+      assert(n == members.length.toLong, s"bucket $b count")
+      assert(nb == (n + 31) / 32, s"bucket $b batches")
+      val ars = members.map { case (w, h) => w * 1000 / h }
+      assert(lo == ars.min && hi == ars.max, s"bucket $b AR range")
+    }
+    // the argmin really minimizes the RATIO distance: cross-check one
+    // member of each bucket against the float |log-free| criterion
+    exp.foreach { case (b, members) =>
+      val (w, h) = members.head
+      val dists = (0 until 5).map(i =>
+        math.abs(w.toDouble / h - bw(i).toDouble / bh(i)))
+      assert(dists(b - 1) == dists.min, s"bucket $b not nearest")
+    }
+  }
+
+  test("t27: per-source band counts replicate an exact per-doc (U, W) " +
+      "replica on every doc, and all three bands are live") {
+    val got = SparkEntry.queries("t27_ttr_diversity")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("band")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_types"),
+          r.getAs[Long]("sum_tokens")))).toMap
+    val exp = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map { r =>
+        val ws =
+          if (r.isNullAt(1)) Array.empty[String]
+          else r.getString(1).toLowerCase.split("[ \t\n\r]+")
+            .filter(_.nonEmpty)
+        val (u, w) = (ws.distinct.length.toLong, ws.length.toLong)
+        val band =
+          if (w == 0) 0L
+          else if (u * u * 4 >= 49 * w) 2L
+          else if (u * u >= 9 * w) 1L
+          else 0L
+        ((r.getString(0), band), (u, w))
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        k -> ((vs.length.toLong, vs.map(_._2._1).sum, vs.map(_._2._2).sum))
+      }
+    assert(got == exp)
+    assert(got.keys.map(_._2).toSet == Set(0L, 1L, 2L),
+      "all three bands live on natural data")
+  }
 }
 
 /** Row shape for the s08 short-candidate spec (top-level for the
