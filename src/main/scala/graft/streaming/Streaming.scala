@@ -1058,6 +1058,180 @@ object Streaming {
       }
   }
 
+  // ---------------------------------------------------------------- st18
+  /** Oplog $set/delete replay — the CDC materialization at the heart of
+    * the reference's domain (a MongoDB oplog tailed into a warehouse;
+    * Debezium's MongoDB connector ships exactly this fold): each event
+    * is an upsert-$set or a delete on the user's document, applied in
+    * event-time order, and the materialized view is the final document
+    * per live user. Unlike st05 (whole-row last-writer-wins), $set is
+    * a PER-FIELD merge — each field keeps its own last write — and a
+    * delete is a tombstone that resets the document: only ops after the
+    * LAST delete contribute, and a user whose final op is a delete is
+    * absent from the view.
+    *
+    * Op mapping (the corpus's event_types as an oplog): signup →
+    * $set {plan:'free'}, click → $set {last_click}, view →
+    * $set {last_view}, purchase → $set {last_purchase, plan:'paid'},
+    * error → delete. All writes upsert (the Debezium materialize
+    * default).
+    *
+    * §5: field values are SELECTED (never summed) — DECIMAL(12,2) in
+    * flight, DOUBLE at the edge is the identity roundtrip; op order is
+    * the (sec, event_id) total order both twins declare (second
+    * resolution, the st02/st05 convention).
+    *
+    * Scale: ONE hash exchange on user_id; the tombstone segmentation
+    * (running delete count), the per-field last(ignoreNulls) carries,
+    * and the final-row pick all share the same per-entity sort — cells
+    * hold one user's ops, state ∝ |users| in the streaming twin.
+    */
+  def st18OplogMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("event_type"),
+        col("value").cast(DecimalType(12, 2)).as("v"),
+        (col("event_type") === "error").cast("long").as("is_del"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val ord = byUser.orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val live = ev
+      .withColumn("seg", sum(col("is_del")).over(ord))
+      .withColumn("seg_max", sum(col("is_del")).over(byUser))
+      .filter(col("is_del") === 0 && col("seg") === col("seg_max"))
+    val folded = live
+      .withColumn("plan", last(when(col("event_type") === "signup", "free")
+        .when(col("event_type") === "purchase", "paid"),
+        ignoreNulls = true).over(ord))
+      .withColumn("last_click",
+        last(when(col("event_type") === "click", col("v")),
+          ignoreNulls = true).over(ord))
+      .withColumn("last_view",
+        last(when(col("event_type") === "view", col("v")),
+          ignoreNulls = true).over(ord))
+      .withColumn("last_purchase",
+        last(when(col("event_type") === "purchase", col("v")),
+          ignoreNulls = true).over(ord))
+      .withColumn("rn", row_number().over(
+        byUser.orderBy(col("sec"), col("event_id"))))
+      .withColumn("n_live", count(lit(1)).over(byUser))
+    folded.filter(col("rn") === col("n_live"))
+      .select(col("user_id"), col("plan"),
+        col("last_click").cast(DoubleType).as("last_click"),
+        col("last_view").cast(DoubleType).as("last_view"),
+        col("last_purchase").cast(DoubleType).as("last_purchase"),
+        col("rn").cast(LongType).as("n_ops"), col("sec").as("last_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Same tombstone segmentation, same per-field IGNORE NULLS carries. */
+  val st18Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id,
+      |    event_type, CAST(value AS DECIMAL(12,2)) AS v,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del
+      |  FROM events),
+      |seg AS (
+      |  SELECT *,
+      |    SUM(is_del) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS seg,
+      |    SUM(is_del) OVER (PARTITION BY user_id) AS seg_max
+      |  FROM ev),
+      |live AS (SELECT * FROM seg WHERE is_del = 0 AND seg = seg_max),
+      |folded AS (
+      |  SELECT user_id, sec, event_id,
+      |    last_value(CASE WHEN event_type = 'signup' THEN 'free'
+      |      WHEN event_type = 'purchase' THEN 'paid' END IGNORE NULLS)
+      |      OVER w AS plan,
+      |    CAST(last_value(CASE WHEN event_type = 'click' THEN v END
+      |      IGNORE NULLS) OVER w AS DOUBLE) AS last_click,
+      |    CAST(last_value(CASE WHEN event_type = 'view' THEN v END
+      |      IGNORE NULLS) OVER w AS DOUBLE) AS last_view,
+      |    CAST(last_value(CASE WHEN event_type = 'purchase' THEN v END
+      |      IGNORE NULLS) OVER w AS DOUBLE) AS last_purchase,
+      |    row_number() OVER w AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_live
+      |  FROM live
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, plan, last_click, last_view, last_purchase,
+      |  CAST(rn AS BIGINT) AS n_ops, sec AS last_sec
+      |FROM folded WHERE rn = n_live ORDER BY user_id""".stripMargin
+
+  final case class OpEv(user_id: Long, sec: Long, event_id: Long,
+      event_type: String, value: Double,
+      ts: java.sql.Timestamp)
+  final case class OpLite(sec: Long, event_id: Long, event_type: String,
+      value: Double)
+  final case class DocState(pend: List[OpLite], exists: Boolean,
+      plan: Option[String], lastClick: Option[Double],
+      lastView: Option[Double], lastPurchase: Option[Double],
+      nOps: Long, lastSec: Long, foldSeq: Long)
+  final case class DocOut(user_id: Long, exists: Boolean,
+      plan: Option[String], last_click: Option[Double],
+      last_view: Option[Double], last_purchase: Option[Double],
+      n_ops: Long, last_sec: Long, fold_seq: Long)
+
+  /** Streaming twin: the change-stream consumer — per-user document
+    * state via flatMapGroupsWithState (Update mode), watermark-buffered
+    * so ops fold in the (sec, event_id) order the batch twin declares
+    * under ANY admissible arrival order (the st14 lateness discipline):
+    * ops ripen when the watermark passes their second, fold through the
+    * same $set/tombstone transition, and each fold emits the user's new
+    * document row (exists=false = the tombstone the view consumer
+    * deletes on). State per user = open document + in-horizon buffer.
+    */
+  def st18Stream(events: Dataset[OpEv],
+      latenessSec: Long = 7200L): Dataset[DocOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$latenessSec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DocState, DocOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[OpEv], state: GroupState[DocState]) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val st0 = state.getOption.getOrElse(
+            DocState(Nil, exists = false, None, None, None, None, 0L, 0L,
+              0L))
+          val buf = st0.pend ++ evs.map(e =>
+            OpLite(e.sec, e.event_id, e.event_type, e.value))
+          val (ripe, pend) = buf.partition(_.sec < wm)
+          var s = st0
+          ripe.sortBy(o => (o.sec, o.event_id)).foreach { o =>
+            s = s.copy(foldSeq = s.foldSeq + 1)
+            s = o.event_type match {
+              case "error" => s.copy(exists = false, plan = None,
+                lastClick = None, lastView = None, lastPurchase = None,
+                nOps = 0L, lastSec = 0L)
+              case "signup" => s.copy(exists = true,
+                plan = Some("free"), nOps = s.nOps + 1, lastSec = o.sec)
+              case "click" => s.copy(exists = true,
+                lastClick = Some(o.value), nOps = s.nOps + 1,
+                lastSec = o.sec)
+              case "view" => s.copy(exists = true,
+                lastView = Some(o.value), nOps = s.nOps + 1,
+                lastSec = o.sec)
+              case _ => s.copy(exists = true, plan = Some("paid"),
+                lastPurchase = Some(o.value), nOps = s.nOps + 1,
+                lastSec = o.sec)
+            }
+          }
+          state.update(s.copy(pend = pend))
+          // wake when the earliest buffered op can ripen (strictly
+          // above the current watermark: pending sec ≥ wm)
+          pend.map(_.sec + 1L).minOption
+            .foreach(t => state.setTimeoutTimestamp(t * 1000L))
+          if (ripe.nonEmpty)
+            // fold_seq is MONOTONE (total ops ever folded, deletes
+            // included, never reset) — the emission order key a
+            // change-stream consumer needs to apply updates idempotently
+            Iterator.single(DocOut(user, s.exists, s.plan, s.lastClick,
+              s.lastView, s.lastPurchase, s.nOps, s.lastSec, s.foldSeq))
+          else Iterator.empty
+      }
+  }
+
   // ---------------------------------------------------------------- st13
   /** Session conversion funnel — the product-analytics staple on top of
     * sessionization: within each st02 session (same gap rule, same
@@ -1611,6 +1785,7 @@ object Streaming {
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st18_oplog_merge" -> (st18OplogMerge _),
     "st17_distribution_drift" -> (st17DistributionDrift _),
     "st16_pit_join" -> (st16PitJoin _),
     "st15_ingest_dedup" -> (st15IngestDedup _),
@@ -1630,6 +1805,7 @@ object Streaming {
     "st13_session_funnel" -> (st13SessionFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "st18_oplog_merge" -> st18Sql,
     "st17_distribution_drift" -> st17Sql,
     "st16_pit_join" -> st16Sql,
     "st15_ingest_dedup" -> graft.functions.KernelOracleSql.st15Sql,

@@ -1131,4 +1131,113 @@ class StreamingSpec extends SparkSpec {
       assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
     } finally q.stop()
   }
+
+  // st18 shared in-memory reference: fold ops per user in (sec, eid)
+  // order through the $set/tombstone transition
+  private def st18Ref(evs: Seq[(Long, Long, Long, String, Double)])
+      : Map[Long, (Option[String], Option[Double], Option[Double],
+        Option[Double], Long, Long)] = {
+    evs.groupBy(_._1).flatMap { case (u, ops) =>
+      var doc: Option[(Option[String], Option[Double], Option[Double],
+        Option[Double], Long, Long)] = None
+      ops.sortBy(o => (o._2, o._3)).foreach { case (_, sec, _, t, v) =>
+        t match {
+          case "error" => doc = None
+          case "signup" =>
+            val d = doc.getOrElse((None, None, None, None, 0L, 0L))
+            doc = Some((Some("free"), d._2, d._3, d._4, d._5 + 1, sec))
+          case "click" =>
+            val d = doc.getOrElse((None, None, None, None, 0L, 0L))
+            doc = Some((d._1, Some(v), d._3, d._4, d._5 + 1, sec))
+          case "view" =>
+            val d = doc.getOrElse((None, None, None, None, 0L, 0L))
+            doc = Some((d._1, d._2, Some(v), d._4, d._5 + 1, sec))
+          case _ =>
+            val d = doc.getOrElse((None, None, None, None, 0L, 0L))
+            doc = Some((Some("paid"), d._2, d._3, Some(v), d._5 + 1, sec))
+        }
+      }
+      doc.map(u -> _)
+    }
+  }
+
+  private def st18Events: Seq[(Long, Long, Long, String, Double)] =
+    Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "CAST(unix_timestamp(ts) AS BIGINT)",
+        "event_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4))).toSeq
+
+  test("st18: the batch oplog merge replicates an in-memory per-user " +
+      "fold — per-field $set, tombstone reset, deleted users absent") {
+    val got = Streaming.st18OplogMerge(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getLong(5), r.getLong(6)))).toMap
+    val evs = st18Events
+    val want = st18Ref(evs)
+    assert(got == want, s"${got.size} live docs vs ${want.size}")
+    // tombstone semantics are LIVE: some user ends deleted, and some
+    // live doc has ops both before and after a delete (reset observed)
+    val deleted = evs.map(_._1).distinct.filterNot(want.contains)
+    assert(deleted.nonEmpty, "no user ends deleted — tombstone path dead")
+    val resetUser = evs.groupBy(_._1).find { case (u, ops) =>
+      want.contains(u) && ops.exists(_._4 == "error")
+    }
+    assert(resetUser.nonEmpty, "no live doc behind a delete — reset dead")
+    // the reset is REAL: that user's n_ops counts only post-delete ops
+    resetUser.foreach { case (u, ops) =>
+      val sorted = ops.sortBy(o => (o._2, o._3))
+      val lastDel = sorted.lastIndexWhere(_._4 == "error")
+      assert(got(u)._5 == (sorted.length - lastDel - 1).toLong, s"user $u")
+    }
+  }
+
+  test("st18 twin: the materialized document view equals the batch " +
+      "merge under RANDOM admissible arrival permutations (deletes as " +
+      "tombstone rows)") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.{DocOut, OpEv}
+    val evs = st18Events
+    val want = st18Ref(evs)
+    val rnd = new scala.util.Random(20260816L)
+    val lateness = 7200L
+    // st14's admissibility construction: pseudo-arrival key
+    // sec + U[0, lateness/2) keeps every event ahead of the watermark
+    val arrival = evs.map(e =>
+      (e, e._2 + rnd.nextLong(lateness / 2))).sortBy(_._2).map(_._1)
+    val input = MemoryStream[OpEv]
+    val q = Streaming.st18Stream(input.toDS()).writeStream
+      .format("memory").queryName("st18_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      arrival.grouped(977).foreach { chunk =>
+        input.addData(chunk.map(e => OpEv(e._1, e._2, e._3, e._4, e._5,
+          new Timestamp(e._2 * 1000L))): _*)
+        q.processAllAvailable()
+      }
+      input.addData(OpEv(-1L, evs.map(_._2).max + 1000000L, -1L,
+        "click", 0.0, new Timestamp((evs.map(_._2).max + 1000000L) * 1000L)))
+      q.processAllAvailable()
+      val byUser = spark.table("st18_sink").as[DocOut].collect()
+        .filter(_.user_id >= 0).groupBy(_.user_id)
+      // final emission per user = max fold_seq (monotone by design)
+      val got = byUser.view.mapValues(_.maxBy(_.fold_seq)).toMap
+      // every op folded exactly once
+      evs.groupBy(_._1).foreach { case (u, ops) =>
+        assert(got(u).fold_seq == ops.length.toLong, s"user $u folds")
+      }
+      val gotLive = got.filter(_._2.exists).map { case (u, d) =>
+        u -> ((d.plan, d.last_click, d.last_view, d.last_purchase,
+          d.n_ops, d.last_sec))
+      }
+      assert(gotLive == want,
+        s"${gotLive.size} live stream docs vs ${want.size} batch")
+      // deleted users surface as tombstones, not silence
+      assert(got.exists(!_._2.exists), "no tombstone emission")
+    } finally q.stop()
+  }
 }
