@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1462,7 +1462,152 @@ object Pipeline {
        |    AS remaining_tokens
        |FROM cum ORDER BY source, shard""".stripMargin
 
+  // ---------------------------------------------------------------- p21
+  /** DoReMi domain reweighting (Xie 2023) — the excess-loss mixture
+    * method behind DoReMi-era corpus targeting, in its one-step closed
+    * form: each domain's weight ∝ its clamped per-token EXCESS LOSS —
+    * how much worse the weak proxy model does than the strong reference
+    * model on that domain — and the token budget B = 10⁶ is apportioned
+    * across domains by those weights. High-excess domains are where the
+    * reference "knows something the proxy doesn't": DoReMi upsamples
+    * them. The two models are the library's own shipped LMs evaluated
+    * on the SAME positions (every bigram position's target token):
+    * proxy = t12's corpus unigram LM, reference = t14's add-one bigram
+    * LM — so the excess is a per-position difference of the two
+    * established round6-decimal neglogp kernels.
+    *
+    * §5 decision algebra, end to end: per-position neglogp terms are
+    * round6(ln integer) DECIMAL(18,6) (the t12/t14 discipline; sums
+    * order-independent), the clamp is a decimal comparison, and the
+    * per-token average NEVER becomes a float — w_d = (E6_d · 10⁶) DIV
+    * N_d in the DECIMAL(38,0) lane (DuckDB: HUGEINT — its `//` on
+    * DECIMAL is true division, the st17 two-lane rule), an exact floor
+    * of the average excess in pico-nats/position. Hamilton
+    * apportionment then runs in the same integer lane (B·w DIV W, rem
+    * as B·w − base·W — no modulo, pure products), ties on source name;
+    * Σalloc = B exactly whenever W > 0 (specced), all-zero weights
+    * yield all-zero allocs rather than a phantom spread.
+    *
+    * Scale: ONE tokenization scan (checkpointed — the t14 shape); all
+    * model counts are vocab/vocab²-bounded shrinking aggs; per-position
+    * weights broadcast back onto the occurrence stream in ONE join
+    * (both models' terms ride the same (w1,w2) key); the per-source
+    * aggregate is map-side combined to |sources| rows, and every
+    * apportionment window runs on that bounded frame (the p13/p18
+    * class). Nothing occurrence-sized ever shuffles on a data key.
+    */
+  def p21DoremiMix(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val toksDf = Tables.spread(Tables(spark, dir, "documents"))
+      .select(col("source"), TextAnalysis.toks(col("text")).as("ts"))
+      .localCheckpoint() // one tokenization: unigram counts + bigrams
+    val ntot = toksDf.agg(sum(size(col("ts"))).as("n"))
+    val vocab = toksDf.select(explode(col("ts")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val cu = toksDf.select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val occ = toksDf.filter(size(col("ts")) >= 2)
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(ts) - 2),
+          |  i -> struct(ts[i] AS w1, ts[i + 1] AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cl = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
+    def r6ln(c: Column): Column =
+      round(log(c.cast(DoubleType)), 6).cast("decimal(18,6)")
+    // one broadcast payload carries BOTH models' per-position terms
+    val weights = cb.join(cl, Seq("w1"))
+      .join(cu.withColumnRenamed("t", "w2"), Seq("w2"))
+      .crossJoin(broadcast(ntot)).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        (r6ln(col("n")) - r6ln(col("cnt"))).as("wu"),
+        (r6ln(col("cl") + col("v")) - r6ln(col("cb") + 1)).as("wb"))
+      .localCheckpoint(false)
+    val perSrc = occ.join(broadcast(weights), Seq("w1", "w2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(col("wu")).as("s_uni"), sum(col("wb")).as("s_big"))
+    // exact per-token average excess in pico-nats: (E6 · 1e6) DIV n_pos
+    val wts = perSrc
+      .withColumn("e6", when(col("s_uni") > col("s_big"),
+        ((col("s_uni") - col("s_big")) * lit(1000000)).cast(dec38))
+        .otherwise(lit(0).cast(dec38)))
+      .withColumn("w", expr("(e6 * 1000000) DIV n_pos"))
+    val tot = wts.agg(sum(col("w")).cast(dec38).as("__W"))
+    val wTiny = Window.orderBy(col("rem").desc, col("source"))
+    wts.crossJoin(broadcast(tot))
+      .withColumn("base", when(col("__W") > 0,
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * w) DIV __W"))
+        .otherwise(lit(0).cast(dec38)))
+      .withColumn("rem",
+        lit(1000000).cast(dec38) * col("w") - col("base") * col("__W"))
+      .withColumn("rr", row_number().over(wTiny))
+      .withColumn("base_sum", sum(col("base")).over(wTiny.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("source"), col("n_pos"),
+        col("s_uni").cast(DoubleType).as("sum_uni"),
+        col("s_big").cast(DoubleType).as("sum_big"),
+        col("w").cast(LongType).as("excess_pnat"),
+        (col("base") + when(col("__W") > 0 &&
+            col("rr") <= lit(1000000).cast(dec38) - col("base_sum"), 1L)
+          .otherwise(0L)).cast(LongType).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  /** Same round6 kernels, same integer lanes (HUGEINT for the DIVs). */
+  val p21Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
+      |      x -> x <> '') AS ts
+      |  FROM documents),
+      |uni AS (SELECT t, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(ts) AS t FROM d) GROUP BY 1),
+      |ntot AS (SELECT SUM(cnt) AS n FROM uni),
+      |vocab AS (SELECT COUNT(*) AS v FROM uni),
+      |bg AS (SELECT source, ts[i] AS w1, ts[i + 1] AS w2, COUNT(*) AS k
+      |  FROM (SELECT source, ts, unnest(range(1, len(ts))) AS i
+      |        FROM d WHERE len(ts) >= 2)
+      |  GROUP BY 1, 2, 3),
+      |cb AS (SELECT w1, w2, SUM(k) AS cb FROM bg GROUP BY 1, 2),
+      |cl AS (SELECT w1, SUM(cb) AS cl FROM cb GROUP BY 1),
+      |per_src AS (
+      |  SELECT source, SUM(k) AS n_pos,
+      |    SUM((CAST(ROUND(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6))
+      |       - CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)))
+      |      * k) AS s_uni,
+      |    SUM((CAST(ROUND(ln(CAST(cl + v AS DOUBLE)), 6) AS DECIMAL(18,6))
+      |       - CAST(ROUND(ln(CAST(cb + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)))
+      |      * k) AS s_big
+      |  FROM bg JOIN cb USING (w1, w2) JOIN cl USING (w1)
+      |    JOIN uni ON uni.t = bg.w2, ntot, vocab
+      |  GROUP BY source),
+      |wts AS (
+      |  SELECT source, n_pos, s_uni, s_big,
+      |    (CASE WHEN s_uni > s_big
+      |      THEN CAST((s_uni - s_big) * 1000000 AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END * 1000000) // n_pos AS w
+      |  FROM per_src),
+      |tot AS (SELECT CAST(SUM(w) AS HUGEINT) AS wsum FROM wts),
+      |a0 AS (SELECT *, CASE WHEN wsum > 0
+      |    THEN (CAST(1000000 AS HUGEINT) * w) // wsum
+      |    ELSE CAST(0 AS HUGEINT) END AS base
+      |  FROM wts, tot),
+      |a1 AS (SELECT *,
+      |    CAST(1000000 AS HUGEINT) * w - base * wsum AS rem FROM a0),
+      |a2 AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+      |    SUM(base) OVER () AS base_sum FROM a1)
+      |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(s_uni AS DOUBLE) AS sum_uni,
+      |  CAST(s_big AS DOUBLE) AS sum_big,
+      |  CAST(w AS BIGINT) AS excess_pnat,
+      |  CAST(base + CASE WHEN wsum > 0 AND rr <= 1000000 - base_sum
+      |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM a2 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_doremi_mix" -> (p21DoremiMix _),
     "p20_resume_offset" -> (p20ResumeOffset _),
     "p19_unimax_mix" -> (p19UnimaxMix _),
     "p18_epoch_plan" -> (p18EpochPlan _),
@@ -1486,6 +1631,7 @@ object Pipeline {
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
+    "p21_doremi_mix" -> p21Sql,
     "p20_resume_offset" -> p20Sql,
     "p19_unimax_mix" -> p19Sql,
     "p18_epoch_plan" -> p18Sql,

@@ -27,7 +27,7 @@ object TextAnalysis {
     * `string_split_regex` disagree on trailing empties, filtering is the
     * portable form.
     */
-  private def toks(c: Column): Column =
+  private[operators] def toks(c: Column): Column =
     filter(split(lower(c), "[ \\t\\n\\r]+"), x => x =!= "")
 
   private[operators] val langMarkers: Seq[(String, Seq[String])] = Seq(

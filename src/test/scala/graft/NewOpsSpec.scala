@@ -2034,6 +2034,104 @@ class NewOpsSpec extends SparkSpec {
     rows.foreach(r => assert(p17((r._1, r._2)) == r._3))
   }
 
+  // p21 in-memory replica: round6-decimal LM kernels, exact BigInt
+  // average-excess weights, Hamilton apportionment
+  private def p21Ref(docs: Seq[(String, String)])
+      : Map[String, (Long, BigDecimal, BigDecimal, BigInt, BigInt)] = {
+    def r6ln(x: Long): BigDecimal =
+      BigDecimal(math.log(x.toDouble)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)
+    val ts = docs.map { case (s, t) =>
+      s -> t.toLowerCase.split("[ \t\n\r]+").filter(_.nonEmpty).toSeq }
+    val all = ts.flatMap(_._2)
+    val n = all.size.toLong
+    val cnt = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = cnt.size.toLong
+    val bgs = ts.flatMap { case (s, w) =>
+      w.sliding(2).filter(_.size == 2).map(p => (s, p(0), p(1))) }
+    val cb = bgs.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong)
+      .toMap
+    val cl = bgs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val perSrc = bgs.groupBy(_._1).map { case (s, ps) =>
+      val sUni = ps.map(p => r6ln(n) - r6ln(cnt(p._3))).sum
+      val sBig = ps.map(p =>
+        r6ln(cl(p._2) + v) - r6ln(cb((p._2, p._3)) + 1)).sum
+      val nPos = ps.size.toLong
+      val w =
+        if (sUni > sBig)
+          ((sUni - sBig) * 1000000).toBigIntExact.get * 1000000 / nPos
+        else BigInt(0)
+      s -> ((nPos, sUni, sBig, w))
+    }
+    val bigW = perSrc.values.map(_._4).sum
+    val b = BigInt(1000000)
+    val bases = perSrc.view.mapValues { case (_, _, _, w) =>
+      if (bigW > 0) b * w / bigW else BigInt(0) }.toMap
+    val rems = perSrc.map { case (s, (_, _, _, w)) =>
+      s -> (b * w - bases(s) * bigW) }
+    val plusOnes =
+      if (bigW > 0)
+        rems.toSeq.sortBy { case (s, r) => (-r, s) }
+          .take((b - bases.values.sum).toInt).map(_._1).toSet
+      else Set.empty[String]
+    perSrc.map { case (s, (nPos, sUni, sBig, w)) =>
+      s -> ((nPos, sUni, sBig, w,
+        bases(s) + (if (plusOnes(s)) BigInt(1) else BigInt(0))))
+    }
+  }
+
+  test("p21: DoReMi weights and the Hamilton token apportionment " +
+      "replicate an exact in-memory reference on the whole corpus, " +
+      "and the allocs sum to the budget exactly") {
+    val got = SparkEntry.queries("p21_doremi_mix")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_pos"),
+        r.getAs[Double]("sum_uni"), r.getAs[Double]("sum_big"),
+        r.getAs[Long]("excess_pnat"), r.getAs[Long]("alloc")))).toMap
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    val want = p21Ref(docs)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (s, (nPos, sUni, sBig, w, alloc)) =>
+      val g = got(s)
+      assert(g._1 == nPos && g._4 == w.toLong && g._5 == alloc.toLong,
+        s"source $s: $g vs ($nPos, $w, $alloc)")
+      assert(g._2 == sUni.toDouble && g._3 == sBig.toDouble, s"source $s")
+    }
+    assert(got.values.map(_._5).sum == 1000000L, "budget exact")
+    assert(got.values.map(_._4).min > 0,
+      "corpus excess is positive everywhere (measured property)")
+    assert(got.values.map(_._4).max > 2 * got.values.map(_._4).min,
+      "weights spread — the mix is not uniform")
+  }
+
+  test("p21: the excess clamp is live — a bigram-unpredictable plant " +
+      "source gets weight 0 and alloc 0, the budget goes to the rest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("p21plant").toString
+    // rep: bigram-predictable (the reference LM crushes the unigram);
+    // rnd: bigrams UNSEEN elsewhere built from otherwise-frequent
+    // tokens — the unigram model prices the targets cheaply (they are
+    // common) while the add-one bigram model pays ln(cl+V) − ln 2 for
+    // the novel pair → negative excess, clamped to weight 0
+    val docs =
+      (1 to 20).map(i =>
+        (i.toLong, ("t0 t1 " * 10).trim, "en", "rep", 0L)) ++
+      Seq((100L, "t0 t0", "en", "rnd", 0L),
+        (101L, "t1 t1", "en", "rnd", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p21_doremi_mix")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("excess_pnat"), r.getAs[Long]("alloc")))).toMap
+    val want = p21Ref(docs.map(d => (d._4, d._2)))
+    assert(got == want.view.mapValues(t =>
+      (t._4.toLong, t._5.toLong)).toMap)
+    assert(got("rnd")._1 == 0L && got("rnd")._2 == 0L, s"clamp: $got")
+    assert(got("rep")._1 > 0L && got("rep")._2 == 1000000L, s"rep: $got")
+  }
+
   test("q40: the trailing-1h RANGE frame replicates a brute-force " +
       "per-user interval count/sum, ties included as peers") {
     val got = SparkEntry.queries("q40_range_frame")(spark, sfDir).collect()
