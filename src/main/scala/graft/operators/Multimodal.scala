@@ -960,17 +960,27 @@ object Multimodal {
     * same projection) into a 3-key partial agg — the bpeSourceAgg shape;
     * nothing grows with the corpus but the scan.
     */
-  def m12(spark: SparkSession, dir: String): DataFrame = {
-    val d = graft.Tables.spread(graft.Tables(spark, dir, "documents"))
-    val mt = element_at(array(lit("image"), lit("audio"), lit("video")),
-      (col("doc_id") % 3 + 1).cast("int"))
+  /** m12's modality convention, shared with m14: media type by
+    * doc_id mod 3, and the exact integer token conversions (ViT ceil-div
+    * patches / 320-byte audio frames / sampled frames × patches). */
+  private def mediaTypeCol = element_at(
+    array(lit("image"), lit("audio"), lit("video")),
+    (col("doc_id") % 3 + 1).cast("int"))
+  private def mediaTokensCol: org.apache.spark.sql.Column = {
     val patches = expr(
       "((doc_id % 64 + 16 + 13) div 14) * ((doc_id % 48 + 16 + 13) div 14)")
     val frames = expr("CASE WHEN octet_length(text) div 256 = 0 THEN 0 " +
       "ELSE (octet_length(text) div 256 + 1) div 2 END")
-    val mediaTokens = when(mt === "image", patches)
-      .when(mt === "audio", expr("(octet_length(text) + 319) div 320"))
+    when(mediaTypeCol === "image", patches)
+      .when(mediaTypeCol === "audio",
+        expr("(octet_length(text) + 319) div 320"))
       .otherwise(frames * patches)
+  }
+
+  def m12(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.spread(graft.Tables(spark, dir, "documents"))
+    val mt = mediaTypeCol
+    val mediaTokens = mediaTokensCol
     d.select(mt.as("media_type"),
         size(graft.functions.text.bpe_token_ids(col("text")))
           .cast(LongType).as("tt"),
@@ -1091,7 +1101,115 @@ object Multimodal {
       |  MAX((w * 1000) // h) AS max_ar_milli
       |FROM assigned GROUP BY bidx ORDER BY bidx""".stripMargin
 
+  // ---------------------------------------------------------------- m14
+  /** Interleaved multimodal sequence packing — the MMC4/OBELICS layout
+    * step: each (media, caption) document becomes `media tokens first,
+    * then caption BPE tokens` (m12's exact conversions + the real t21
+    * kernel), and documents pack CONTIGUOUSLY into 2048-token training
+    * sequences per source (p10's GPT-style packing, spans split at
+    * sequence boundaries). The per-sequence deliverable is the modality
+    * BUDGET — how many of each sequence's tokens are media vs text —
+    * because a VLM trainer batches by that mix (vision-encoder FLOPs
+    * scale with media tokens, LM FLOPs with total).
+    *
+    * §5: the media/text split inside a span never re-tokenizes — the
+    * doc's first `mt` tokens are media by layout, so a span
+    * [gstart, gend) holds max(0, min(gend, cstart+mt) − gstart) media
+    * tokens. Pure integer interval algebra on exact cumsums.
+    *
+    * Scale: ONE kernel scan (modality math + BPE in the same
+    * projection); the per-source consumption-order cumsum rides
+    * [[Ladders.globalCumsum]] over 256 doc_id buckets (no source-sized
+    * window partition — the p05/p10 shard discipline); the explode
+    * emits ≤ spans rows and the final aggregate shrinks to sequences
+    * (∝ corpus tokens / 2048).
+    */
+  def m14(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Tables.spread(graft.Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        mediaTokensCol.cast(LongType).as("mt"),
+        size(graft.functions.text.bpe_token_ids(col("text")))
+          .cast(LongType).as("tt"))
+      .withColumn("tokens", col("mt") + col("tt"))
+      .filter(col("tokens") > 0L)
+    val bounds = toks.agg(min(col("doc_id")).as("__lo"),
+      max(col("doc_id")).as("__hi"))
+    val bucketed = toks.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        expr("(doc_id - __lo) div (((__hi - __lo) div 256) + 1)"))
+      .drop("__lo", "__hi")
+    Ladders.globalCumsum(bucketed, Seq("source"), "__b",
+        Seq(col("doc_id")), col("tokens"), "cend")
+      .withColumn("cstart", col("cend") - col("tokens"))
+      .withColumn("seq_id", explode(sequence(
+        expr("cstart div 2048"), expr("(cend - 1) div 2048"))))
+      .withColumn("gstart", greatest(col("cstart"), col("seq_id") * 2048L))
+      .withColumn("gend",
+        least(col("cend"), (col("seq_id") + lit(1L)) * 2048L))
+      .withColumn("media_seg", greatest(lit(0L),
+        least(col("gend"), col("cstart") + col("mt")) - col("gstart")))
+      .withColumn("seg", col("gend") - col("gstart"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("media_seg")).as("media_tokens"),
+        sum(col("seg") - col("media_seg")).as("text_tokens"),
+        sum(col("seg")).as("fill_tokens"))
+      .withColumn("is_full", (col("fill_tokens") === 2048L).cast(LongType))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** Same conversions (bpeDocLenCtes for the caption lengths), same
+    * plain per-source cumsum, same interval algebra. */
+  val m14Sql: String =
+    s"""WITH RECURSIVE
+      |docw AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+      |      t -> t <> '') AS ws
+      |  FROM documents),
+      |${graft.functions.KernelOracleSql.bpeDocLenCtes("docw", "")},
+      |toks AS (
+      |  SELECT d.doc_id, d.source,
+      |    CASE
+      |      WHEN d.doc_id % 3 + 1 = 1 THEN
+      |        ((d.doc_id % 64 + 16 + 13) // 14) *
+      |          ((d.doc_id % 48 + 16 + 13) // 14)
+      |      WHEN d.doc_id % 3 + 1 = 2 THEN (strlen(d.text) + 319) // 320
+      |      ELSE (CASE WHEN strlen(d.text) // 256 = 0 THEN 0
+      |              ELSE (strlen(d.text) // 256 + 1) // 2 END) *
+      |        ((d.doc_id % 64 + 16 + 13) // 14) *
+      |          ((d.doc_id % 48 + 16 + 13) // 14)
+      |    END AS mt,
+      |    COALESCE(pw.b, 0) AS tt
+      |  FROM documents d LEFT JOIN pw ON pw.doc_id = d.doc_id),
+      |c AS (
+      |  SELECT doc_id, source, mt, mt + tt AS tokens,
+      |    SUM(mt + tt) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+      |  FROM toks WHERE mt + tt > 0),
+      |segs AS (
+      |  SELECT source, mt, CAST(cend - tokens AS BIGINT) AS cstart,
+      |    CAST(cend AS BIGINT) AS cend,
+      |    unnest(generate_series(CAST((cend - tokens) // 2048 AS BIGINT),
+      |      CAST((cend - 1) // 2048 AS BIGINT))) AS seq_id
+      |  FROM c),
+      |spans AS (
+      |  SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+      |    greatest(cstart, seq_id * 2048) AS gstart,
+      |    least(cend, (seq_id + 1) * 2048) AS gend,
+      |    greatest(0, least(least(cend, (seq_id + 1) * 2048),
+      |      cstart + mt) - greatest(cstart, seq_id * 2048)) AS media_seg
+      |  FROM segs)
+      |SELECT source, seq_id, COUNT(*) AS n_segs,
+      |  CAST(SUM(media_seg) AS BIGINT) AS media_tokens,
+      |  CAST(SUM(gend - gstart - media_seg) AS BIGINT) AS text_tokens,
+      |  CAST(SUM(gend - gstart) AS BIGINT) AS fill_tokens,
+      |  CAST(SUM(gend - gstart) = 2048 AS BIGINT) AS is_full
+      |FROM spans GROUP BY source, seq_id
+      |ORDER BY source, seq_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_interleave_pack" -> (m14 _),
     "m13_ar_bucket" -> (m13 _),
     "m12_token_budget" -> (m12 _),
     "m11_scene_detect" -> (m11 _),
@@ -1106,6 +1224,7 @@ object Multimodal {
     "m04_media_dedup" -> (m04 _),
     "m05_perceptual_dedup" -> (m05 _))
   val oracle: Map[String, String] = Map(
+    "m14_interleave_pack" -> m14Sql,
     "m13_ar_bucket" -> m13Sql,
     "m12_token_budget" -> m12Sql,
     "m11_scene_detect" -> m11Sql,

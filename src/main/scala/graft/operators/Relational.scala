@@ -1288,8 +1288,44 @@ object Relational {
 
   val q41Sql: String = q41Text("orders")
 
+  // ---------------------------------------------------------------- q42
+  /** DISTINCT ON — DuckDB's Postgres-inherited first-row-per-key surface
+    * (reference engine feature): the top event per (user_id, event_type)
+    * by (value DESC, event_id DESC), spelled in the oracle as the
+    * literal `DISTINCT ON (...) ... ORDER BY ...`. The Spark side is
+    * NOT q37's window desugaring — it is the rn=1 special case done the
+    * scale-preferred way q37's scaladoc records: ONE map-side-combinable
+    * `max_by(struct(outputs), struct(order keys))` aggregate — partial
+    * argmax per partition, no per-key sort, no window exchange beyond
+    * the hash agg.
+    *
+    * §5: the order key is (value, event_id) — value is COMPARED, never
+    * summed (double comparison is exact), and event_id makes the pick
+    * total; the selected value passes through unchanged (identity, no
+    * float arithmetic).
+    */
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(
+        struct(col("event_id"), col("value")),
+        struct(col("value"), col("event_id"))).as("best"))
+      .select(col("user_id"), col("event_type"),
+        col("best.event_id").as("best_event_id"),
+        col("best.value").as("best_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q42Sql: String =
+    """SELECT DISTINCT ON (user_id, event_type)
+      |  user_id, event_type,
+      |  event_id AS best_event_id, value AS best_value
+      |FROM events
+      |ORDER BY user_id, event_type, value DESC, event_id DESC""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_distinct_on" -> (q42 _),
     "q41_group_by_all" -> (q41 _),
     "q40_range_frame" -> (q40 _),
     "q39_unpivot" -> (q39 _),
@@ -1333,6 +1369,7 @@ object Relational {
     "q33_multi_exists" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q42_distinct_on" -> q42Sql,
     "q41_group_by_all" -> q41Sql,
     "q40_range_frame" -> q40Sql,
     "q01_pricing_summary" -> q01Sql,

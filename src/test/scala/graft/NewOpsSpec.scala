@@ -2132,6 +2132,97 @@ class NewOpsSpec extends SparkSpec {
     assert(got("rep")._1 > 0L && got("rep")._2 == 1000000L, s"rep: $got")
   }
 
+  test("q42: DISTINCT ON picks exactly the (value DESC, event_id DESC) " +
+      "top row per (user, type) — map-side argmax replica") {
+    val got = SparkEntry.queries("q42_distinct_on")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getAs[Long]("best_event_id"), r.getAs[Double]("best_value"))))
+      .toMap
+    val exp = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, vs) =>
+        val best = vs.maxBy(v => (v._4, v._3))
+        k -> ((best._3, best._4))
+      }
+    assert(got == exp)
+  }
+
+  test("m14: interleaved packing replicates an in-memory per-source " +
+      "cumsum + interval-split reference; sequences are full except " +
+      "per-source tails, and media+text reconcile to fill exactly") {
+    val got = SparkEntry.queries("m14_interleave_pack")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("seq_id")) ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("media_tokens"),
+          r.getAs[Long]("text_tokens"), r.getAs[Long]("fill_tokens"),
+          r.getAs[Long]("is_full")))).toMap
+    // per-doc (mt, tt) through the SAME kernels (t21's BPE is itself
+    // specced; this spec owns the packing algebra)
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("""((doc_id % 64 + 16 + 13) div 14) *
+                ((doc_id % 48 + 16 + 13) div 14)""").as("patches"),
+        expr("octet_length(text)").cast("long").as("len"),
+        size(graft.functions.text.bpe_token_ids(col("text"))).cast("long")
+          .as("tt"))
+      .collect()
+      .map { r =>
+        val (id, p, len) = (r.getLong(0), r.getLong(2), r.getLong(3))
+        val mt = (id % 3) match {
+          case 0 => p
+          case 1 => (len + 319) / 320
+          case _ =>
+            val f = if (len / 256 == 0) 0L else (len / 256 + 1) / 2
+            f * p
+        }
+        (r.getString(1), id, mt, r.getLong(4))
+      }
+    val exp = scala.collection.mutable.Map[(String, Long),
+      (Long, Long, Long, Long)]()
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).foreach { case (_, _, mt, tt) =>
+        val (cs, ce) = (cum, cum + mt + tt)
+        cum = ce
+        if (ce > cs) (cs / 2048 to (ce - 1) / 2048).foreach { q =>
+          val (gs, ge) = (math.max(cs, q * 2048),
+            math.min(ce, (q + 1) * 2048))
+          val m = math.max(0L, math.min(ge, cs + mt) - gs)
+          val prev = exp.getOrElse((src, q), (0L, 0L, 0L, 0L))
+          exp((src, q)) = (prev._1 + 1, prev._2 + m,
+            prev._3 + (ge - gs - m), prev._4 + (ge - gs))
+        }
+      }
+    }
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, (n, m, t, f, full)) =>
+      val e = exp(k)
+      assert((n, m, t, f) == e, s"seq $k")
+      assert(m + t == f, s"seq $k modality reconcile")
+      assert(full == (if (f == 2048L) 1L else 0L), s"seq $k full flag")
+    }
+    // contiguous packing: within each source every sequence except the
+    // last is exactly full
+    got.keys.groupBy(_._1).foreach { case (src, ks) =>
+      val last = ks.map(_._2).max
+      ks.filter(_._2 != last).foreach(k =>
+        assert(got(k)._5 == 1L, s"non-tail seq $k not full"))
+    }
+    // the split is live: some sequence holds a PARTIAL doc (media
+    // interval cut mid-doc → a sequence whose media_tokens is not a
+    // sum of whole-doc media counts is guaranteed when any doc spans
+    // a boundary; assert the cheaper structural fact directly)
+    assert(got.values.exists(_._1 > 1L), "no multi-segment sequence")
+    assert(docs.exists { case (_, _, mt, tt) => mt + tt > 2048 } ||
+      got.values.exists(v => v._2 > 0L && v._3 > 0L),
+      "mixed media/text sequences live")
+  }
+
   test("q40: the trailing-1h RANGE frame replicates a brute-force " +
       "per-user interval count/sum, ties included as peers") {
     val got = SparkEntry.queries("q40_range_frame")(spark, sfDir).collect()
