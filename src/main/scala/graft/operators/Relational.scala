@@ -1323,8 +1323,76 @@ object Relational {
       |FROM events
       |ORDER BY user_id, event_type, value DESC, event_id DESC""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** Window frame EXCLUDE — DuckDB's frame-exclusion surface (the SQL
+    * standard's EXCLUDE CURRENT ROW, the leave-one-out peer baseline
+    * every anomaly heuristic wants): per event, the count and exact
+    * value sum of the user's ±3 neighboring events EXCLUDING the row
+    * itself. The oracle uses the literal `EXCLUDE CURRENT ROW`; Spark
+    * has no frame exclusion, so the library form is the identity
+    * desugaring — full ±3 frame minus the current row's own
+    * contribution (exact: the sum is DECIMAL, subtraction is exact;
+    * the count is integers).
+    *
+    * Scale: per-entity user_id window, one exchange; the ±3 ROWS frame
+    * is a constant-width slide. Order key (ts, event_id) is total.
+    */
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 3)
+    Tables(spark, dir, "events")
+      .withColumn("v", col("value").cast(DecimalType(12, 2)))
+      .select(col("event_id"), col("user_id"),
+        (count(lit(1)).over(w) - 1L).as("n_peers"),
+        (sum(col("v")).over(w) - col("v")).cast(DoubleType).as("peer_sum"))
+      .orderBy(col("event_id"))
+  }
+
+  val q43Sql: String =
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_peers,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+      |    AS peer_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  /** Distribution window functions — ntile / percent_rank / cume_dist,
+    * the quartile-bucketing and empirical-CDF surface (DuckDB window
+    * function set; the features a ranking pipeline exports). IDENTICAL
+    * SQL runs on both engines (q36/q40 discipline).
+    *
+    * §5 note: percent_rank = (rank−1)/(n−1) and cume_dist = peers/n are
+    * single IEEE divisions of identical integers — correctly-rounded in
+    * any engine, hence bit-identical (probed); no decision rides them.
+    * ntile is pure integer bucketing. Order key (value, event_id) is
+    * total, so every rank is deterministic.
+    *
+    * Scale: one per-entity user_id exchange; all three functions ride
+    * the same sorted cell pass.
+    */
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events").createOrReplaceTempView("q44_events")
+    spark.sql(q44Text("q44_events"))
+  }
+
+  private def q44Text(tbl: String): String =
+    s"""SELECT event_id, user_id,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM $tbl
+      |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  val q44Sql: String = q44Text("events")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_window_dist" -> (q44 _),
+    "q43_frame_exclude" -> (q43 _),
     "q42_distinct_on" -> (q42 _),
     "q41_group_by_all" -> (q41 _),
     "q40_range_frame" -> (q40 _),
@@ -1369,6 +1437,8 @@ object Relational {
     "q33_multi_exists" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q44_window_dist" -> q44Sql,
+    "q43_frame_exclude" -> q43Sql,
     "q42_distinct_on" -> q42Sql,
     "q41_group_by_all" -> q41Sql,
     "q40_range_frame" -> q40Sql,

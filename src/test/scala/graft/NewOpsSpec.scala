@@ -2132,6 +2132,60 @@ class NewOpsSpec extends SparkSpec {
     assert(got("rep")._1 > 0L && got("rep")._2 == 1000000L, s"rep: $got")
   }
 
+  test("q43: the EXCLUDE CURRENT ROW desugaring equals a brute-force " +
+      "leave-one-out ±3 neighborhood per user") {
+    val got = SparkEntry.queries("q43_frame_exclude")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_peers"), r.getAs[Double]("peer_sum")))).toMap
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val frame = sorted.slice(math.max(0, i - 3),
+          math.min(sorted.length, i + 4)).filter(_._1 != r._1)
+        val exp = (frame.length.toLong, frame.map(_._4).sum.toDouble)
+        assert(got(r._1) == exp, s"event ${r._1}")
+      }
+    }
+    assert(got.values.exists(_._1 == 6L), "full ±3 frames live")
+  }
+
+  test("q44: ntile/percent_rank/cume_dist replicate their standard " +
+      "definitions bit-exactly (single IEEE division of identical " +
+      "integers)") {
+    val got = SparkEntry.queries("q44_window_dist")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("quartile"),
+        r.getAs[Double]("pr"), r.getAs[Double]("cd")))).toMap
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val n = sorted.length
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        // ntile: first n%4 buckets hold ceil(n/4) rows
+        val (big, sz) = (n % 4, n / 4)
+        val q =
+          if (i < big * (sz + 1)) i / (sz + 1) + 1
+          else big + (i - big * (sz + 1)) / sz + 1
+        val pr = if (n == 1) 0.0 else i.toDouble / (n - 1).toDouble
+        // the order key (value, event_id) is total, so every row is its
+        // own only peer: cume_dist = position / n
+        val cd = (i + 1).toDouble / n.toDouble
+        assert(got(r._1) == ((q.toLong, pr, cd)), s"event ${r._1}")
+      }
+    }
+  }
+
   test("q42: DISTINCT ON picks exactly the (value DESC, event_id DESC) " +
       "top row per (user, type) — map-side argmax replica") {
     val got = SparkEntry.queries("q42_distinct_on")(spark, sfDir).collect()
