@@ -1132,6 +1132,11 @@ object Multimodal {
           .cast(LongType).as("tt"))
       .withColumn("tokens", col("mt") + col("tt"))
       .filter(col("tokens") > 0L)
+      // ONE kernel pass: bounds, ladder cell totals and the span stage
+      // are all separate consumers — without the barrier each re-runs
+      // the BPE kernel against its own parquet scan (9 text scans in
+      // the executed plan; caught by PlanAuditSpec round-12)
+      .localCheckpoint(false)
     val bounds = toks.agg(min(col("doc_id")).as("__lo"),
       max(col("doc_id")).as("__hi"))
     val bucketed = toks.crossJoin(broadcast(bounds))

@@ -335,7 +335,12 @@ object Pipeline {
     * land the truncated quotient one shard off the oracle's exact
     * floor — review r11; the bucket expression keeps `div` for the
     * same reason, exact at any id magnitude). */
-  private def tokenShards(toks: DataFrame, budget: Long): DataFrame = {
+  private def tokenShards(toks0: DataFrame, budget: Long): DataFrame = {
+    // ONE kernel pass: the bounds aggregate is a second consumer of the
+    // token frame — without the barrier it re-runs the tokenizer against
+    // its own parquet scan (the m14 audit class; for p17 that doubles
+    // the BPE kernel cost)
+    val toks = toks0.localCheckpoint(false)
     val bounds = toks.agg(min(col("doc_id")).as("__lo"),
       max(col("doc_id")).as("__hi"))
     val bucketed = toks.crossJoin(broadcast(bounds))
@@ -581,7 +586,8 @@ object Pipeline {
   /** The packing core over a `(doc_id, source, tokens)` frame — factored
     * so unit specs can feed adversarial shapes (a doc larger than many
     * sequences, zero/one-token docs) through the exact algebra. */
-  private[graft] def packSpans(toks: DataFrame, seqLen: Long): DataFrame = {
+  private[graft] def packSpans(toks0: DataFrame, seqLen: Long): DataFrame = {
+    val toks = toks0.localCheckpoint(false) // same one-pass barrier
     val bounds = toks.agg(min(col("doc_id")).as("__lo"),
       max(col("doc_id")).as("__hi"))
     val bucketed = toks.crossJoin(broadcast(bounds))

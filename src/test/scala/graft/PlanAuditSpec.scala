@@ -873,4 +873,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(t25.contains("partial_count") || t25.contains("partial_sum"),
       t25) // char occurrences collapse map-side before the exchange
   }
+
+  test("round-12: p21 inherits t14's discipline — text scanned only " +
+      "into the checkpoint, weights broadcast onto the occurrence " +
+      "stream, no window over any model key") {
+    val p = finalPlan("p21_doremi_mix")
+    assert(p.contains("Scan ExistingRDD"), p) // checkpointed tokenization
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("text")) == 0, p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // (w1,w2) weights broadcast
+    // the only window is the tiny apportionment frame (post-aggregate);
+    // no windowspec mentions a token/bigram column
+    assert(!p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") &&
+        (l.contains("w1") || l.contains("w2"))), p)
+  }
+
+  test("round-12: m14 packs off ONE kernel scan (modality math + BPE " +
+      "in the same projection), windows only on the ladder cells") {
+    val p = finalPlan("m14_interleave_pack")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("text")) <= 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p)
+    // every window partitions by the bucket column (never source alone —
+    // a source-sized window would sort a whole stratum in one task)
+    p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("__b"), l))
+  }
+
+  test("round-12: q42's DISTINCT ON is a partial-agg argmax — no " +
+      "window, no sort before the exchange") {
+    val p = finalPlan("q42_distinct_on")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      p.contains("max_by"), p)
+  }
 }
