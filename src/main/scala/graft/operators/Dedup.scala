@@ -82,13 +82,16 @@ object Dedup {
     // is the identity
     val corpus = Tables.spread(plantedDocs(spark, dir))
     // The signature table feeds THREE consumers (banding + both sides of
-    // the verify join). The explicit repartition is a materialization
-    // barrier: every consumer hangs off the same exchange, so Spark
-    // ReusedExchange computes the minhash kernel ONCE — shuffling 512 B
-    // signatures is far cheaper than re-hashing KB-scale texts 3×.
+    // the verify join). localCheckpoint is the materialization barrier:
+    // every consumer reads the ONE computed signature frame — 512 B
+    // rows — instead of re-hashing KB-scale texts per consumer. (The
+    // previous repartition-based barrier relied on ReusedExchange,
+    // which the executed plans show no longer fires under AQE here —
+    // the kernel ran once PER CONSUMER; caught by PlanSweep
+    // multi_text_scans, round-12.)
     val sigs = corpus.select(col("doc_id"),
       T.minhash_sig(col("text"), 64, 3).as("sig"))
-      .repartition(col("doc_id"))
+      .localCheckpoint(false)
 
     verifiedPairs(minhashCandidates(sigs), sigs, 0.5, "est_jaccard")
       .orderBy(col("id_a"), col("id_b"))
@@ -209,8 +212,10 @@ object Dedup {
     */
   def dd03SimHash(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.spread(plantedDocs(spark, dir)) // parallel kernel
-    // barrier for the same reason as dd02: both sides of the band
-    // self-join reuse one simhash computation via ReusedExchange
+    // barrier for the same reason as dd02's original: both sides of the
+    // band self-join reuse one simhash computation (exchange reuse DOES
+    // fire here — the sweep showed 2 text scans = the corpus union's two
+    // branches, one kernel build; contrast dd02, where it did not)
     val sigs = corpus.select(col("doc_id"), T.simhash64(col("text")).as("sig"))
       .repartition(col("doc_id"))
     simhashBandPairs(sigs).orderBy(col("id_a"), col("id_b"))
@@ -270,6 +275,13 @@ object Dedup {
     val corpus = Tables.spread(corpus0) // parallel shingling
       .select(col("doc_id"), col("source"),
         array_distinct(T.shingle_hashes(col("text"), 3)).as("sh"))
+      // ONE shingling pass: gatedBuckets consumes the posting stream
+      // twice (df gate + surviving-bucket collect), and without the
+      // barrier each consumer re-ran the shingle kernel against its own
+      // text scan (4 scans in dd04/dd10's executed plans — PlanSweep
+      // multi_text_scans, round-12). The checkpoint stores one shingled
+      // row per doc; the explode stays downstream of it.
+      .localCheckpoint(false)
     // explode_OUTER: sh is never empty (the shingle kernel falls back to
     // the whole text below 3 tokens), so outer ≡ inner — and the inner
     // form lets InferFiltersFromGenerate add size(sh)>0 / isnotnull(sh)
@@ -1388,7 +1400,7 @@ object Dedup {
     val sigs = chunks.select(
         (col("doc_id") * 100000 + col("pos")).as("doc_id"),
         T.minhash_sig(col("chunk"), 64, 3).as("sig"))
-      .repartition(col("doc_id")) // one kernel pass feeds banding + verify
+      .localCheckpoint(false) // one kernel pass feeds banding + verify
     verifiedPairs(minhashCandidates(sigs), sigs, 0.5, "est_jaccard")
       .select(expr("id_a DIV 100000").as("doc_a"),
         pmod(col("id_a"), lit(100000L)).as("pos_a"),
@@ -1594,16 +1606,22 @@ object Dedup {
   }
 
   def dd17LshCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val planted = dd17Corpus(spark, dir)
+    // build the planted corpus ONCE: the union has one base branch per
+    // dilution level, and both consumers (truth side, signature side)
+    // re-expanded every branch against its own parquet scan — 30 text
+    // scans in the executed plan (PlanSweep multi_text_scans, round-12)
+    val planted = dd17Corpus(spark, dir).localCheckpoint(false)
     val truth = commonCounts(planted.withColumn("source", lit("all")))
       .withColumn("jaccard", col("common").cast(DoubleType) /
         (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= 0.1)
       .select(col("id_a"), col("id_b"),
         least(floor(col("jaccard") * 10), lit(9L)).as("bucket"))
+    // no barrier on sigs here: it has ONE consumer (the banding), so a
+    // checkpoint would be pure materialization overhead — the planted
+    // corpus checkpoint above is what both sides share
     val sigs = Tables.spread(planted)
       .select(col("doc_id"), T.minhash_sig(col("text"), 64, 3).as("sig"))
-      .repartition(col("doc_id"))
     val cand = minhashCandidates(sigs).withColumn("caught", lit(1L))
     val theory = lshTheory.foldLeft(lit(0.0d)) { case (acc, (b, p)) =>
       when(col("bucket") === b, lit(p)).otherwise(acc)

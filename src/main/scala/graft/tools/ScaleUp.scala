@@ -423,6 +423,7 @@ object PlanSweep {
     val globalCollects = scala.collection.mutable.ListBuffer[String]()
     val boundedCollects = scala.collection.mutable.ListBuffer[String]()
     val recursiveBig = scala.collection.mutable.ListBuffer[String]()
+    val multiTextScans = scala.collection.mutable.ListBuffer[String]()
     val errs = scala.collection.mutable.ListBuffer[String]()
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, fn) =>
       try {
@@ -483,6 +484,21 @@ object PlanSweep {
         // recursion guard (VERDICT r10 #8): see recursionFactAnchors
         recursionFactAnchors(allNodes(exec))
           .foreach(t => recursiveBig += s"$k:$t")
+        // bounds-rescan cue (round-12 perf pass): more than one
+        // text-bearing parquet scan in one executed plan means a
+        // tokenizer/kernel ran more than once against raw text — the
+        // class the tokenShards/packSpans localCheckpoint barrier
+        // closed (m14 first cut: NINE scans). Review cue, not a
+        // verdict, in BOTH directions: a second scan can be a
+        // deliberate subset read (pushdown-filtered query sides,
+        // union branches — dd01/dd18/m08/t10), and AQE stage reuse can
+        // print a scan that never re-executes (p18 measured flat) —
+        // confirm with a timing A/B before patching.
+        val textScans = allNodes(exec).count(n =>
+          n.nodeName.contains("Scan") &&
+            n.toString.linesIterator.next().contains("parquet") &&
+            n.output.exists(_.name == "text"))
+        if (textScans > 1) multiTextScans += s"$k:$textScans"
       } catch { case e: Throwable => errs += s"$k:${e.getClass.getSimpleName}" }
     }
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -500,6 +516,7 @@ object PlanSweep {
       s""""global_collects":${arr(globalCollects.distinct.toSeq)},""" +
       s""""bounded_collect_uses":${arr(boundedCollects.distinct.toSeq)},""" +
       s""""recursive_big_anchor":${arr(recursiveBig.distinct.toSeq)},""" +
+      s""""multi_text_scans":${arr(multiTextScans.distinct.toSeq)},""" +
       s""""errors":${arr(errs.toSeq)},"sf":"$sfDir"}""")
     spark.stop()
     if (carts.nonEmpty || errs.nonEmpty || ungatedCollects.nonEmpty ||

@@ -45,13 +45,21 @@ class PlanAuditSpec extends SparkSpec {
 
   test("multi-consumer subplans reuse one exchange (no recompute)") {
     // q15: the max branch must reuse the per-suppkey agg shuffle (one
-    // lineitem scan); dd02/dd03/dd05: every consumer of the signature
+    // lineitem scan); dd03/dd05: every consumer of the signature
     // table must reuse the one kernel computation behind its barrier
-    for (k <- Seq("q15_max_subquery", "dd02_dedup_minhash",
-        "dd03_dedup_simhash", "dd05_dedup_embedding")) {
+    for (k <- Seq("q15_max_subquery", "dd03_dedup_simhash",
+        "dd05_dedup_embedding")) {
       val p = finalPlan(k)
       assert(p.contains("ReusedExchange"), s"$k lost exchange reuse:\n$p")
     }
+    // dd02's exchange reuse silently BROKE (round-12 sweep: the minhash
+    // kernel built twice, 4 text scans); its barrier is now a
+    // localCheckpoint — every consumer reads the one computed signature
+    // frame, and raw text never reaches the candidate/verify stages
+    val p = finalPlan("dd02_dedup_minhash")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("text")) == 0, p)
   }
 
   test("dd06: planted dups land in one cluster labeled by the original id") {
