@@ -1609,7 +1609,11 @@ object Dedup {
     // build the planted corpus ONCE: the union has one base branch per
     // dilution level, and both consumers (truth side, signature side)
     // re-expanded every branch against its own parquet scan — 30 text
-    // scans in the executed plan (PlanSweep multi_text_scans, round-12)
+    // scans in the executed plan (PlanSweep multi_text_scans, round-12).
+    // Footprint note (review r12): this caches ~1.6× the corpus TEXT on
+    // executor-local storage — accepted for a calibration AUDIT that
+    // runs per parameter choice, not per corpus build; the per-corpus
+    // production keys cache only narrow frames (sigs/shingle arrays).
     val planted = dd17Corpus(spark, dir).localCheckpoint(false)
     val truth = commonCounts(planted.withColumn("source", lit("all")))
       .withColumn("jaccard", col("common").cast(DoubleType) /

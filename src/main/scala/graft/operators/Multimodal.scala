@@ -1118,11 +1118,12 @@ object Multimodal {
     * tokens. Pure integer interval algebra on exact cumsums.
     *
     * Scale: ONE kernel scan (modality math + BPE in the same
-    * projection); the per-source consumption-order cumsum rides
-    * [[Ladders.globalCumsum]] over 256 doc_id buckets (no source-sized
-    * window partition — the p05/p10 shard discipline); the explode
-    * emits ≤ spans rows and the final aggregate shrinks to sequences
-    * (∝ corpus tokens / 2048).
+    * projection) into [[Pipeline.packSpans]] — the SAME ladder p05/p10/
+    * p17/p20 ride (one shared copy, review r12; the checkpoint barrier
+    * and the 256-bucket cumsum live there), with the per-doc media
+    * count carried through so the modality split is pure interval
+    * algebra on the span offsets; the final aggregate shrinks to
+    * sequences (∝ corpus tokens / 2048).
     */
   def m14(spark: SparkSession, dir: String): DataFrame = {
     val toks = graft.Tables.spread(graft.Tables(spark, dir, "documents"))
@@ -1131,34 +1132,17 @@ object Multimodal {
         size(graft.functions.text.bpe_token_ids(col("text")))
           .cast(LongType).as("tt"))
       .withColumn("tokens", col("mt") + col("tt"))
-      .filter(col("tokens") > 0L)
-      // ONE kernel pass: bounds, ladder cell totals and the span stage
-      // are all separate consumers — without the barrier each re-runs
-      // the BPE kernel against its own parquet scan (9 text scans in
-      // the executed plan; caught by PlanAuditSpec round-12)
-      .localCheckpoint(false)
-    val bounds = toks.agg(min(col("doc_id")).as("__lo"),
-      max(col("doc_id")).as("__hi"))
-    val bucketed = toks.crossJoin(broadcast(bounds))
-      .withColumn("__b",
-        expr("(doc_id - __lo) div (((__hi - __lo) div 256) + 1)"))
-      .drop("__lo", "__hi")
-    Ladders.globalCumsum(bucketed, Seq("source"), "__b",
-        Seq(col("doc_id")), col("tokens"), "cend")
-      .withColumn("cstart", col("cend") - col("tokens"))
-      .withColumn("seq_id", explode(sequence(
-        expr("cstart div 2048"), expr("(cend - 1) div 2048"))))
-      .withColumn("gstart", greatest(col("cstart"), col("seq_id") * 2048L))
-      .withColumn("gend",
-        least(col("cend"), (col("seq_id") + lit(1L)) * 2048L))
+    Pipeline.packSpans(toks, 2048L, carry = Seq("mt"))
+      // the doc's first mt tokens are media ⇒ a span holding doc
+      // positions [doc_off, doc_off + seg_tok) carries
+      // max(0, min(mt − doc_off, seg_tok)) media tokens
       .withColumn("media_seg", greatest(lit(0L),
-        least(col("gend"), col("cstart") + col("mt")) - col("gstart")))
-      .withColumn("seg", col("gend") - col("gstart"))
+        least(col("mt") - col("doc_off"), col("seg_tok"))))
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n_segs"),
         sum(col("media_seg")).as("media_tokens"),
-        sum(col("seg") - col("media_seg")).as("text_tokens"),
-        sum(col("seg")).as("fill_tokens"))
+        sum(col("seg_tok") - col("media_seg")).as("text_tokens"),
+        sum(col("seg_tok")).as("fill_tokens"))
       .withColumn("is_full", (col("fill_tokens") === 2048L).cast(LongType))
       .orderBy(col("source"), col("seq_id"))
   }

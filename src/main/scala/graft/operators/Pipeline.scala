@@ -586,7 +586,8 @@ object Pipeline {
   /** The packing core over a `(doc_id, source, tokens)` frame — factored
     * so unit specs can feed adversarial shapes (a doc larger than many
     * sequences, zero/one-token docs) through the exact algebra. */
-  private[graft] def packSpans(toks0: DataFrame, seqLen: Long): DataFrame = {
+  private[graft] def packSpans(toks0: DataFrame, seqLen: Long,
+      carry: Seq[String] = Nil): DataFrame = {
     val toks = toks0.localCheckpoint(false) // same one-pass barrier
     val bounds = toks.agg(min(col("doc_id")).as("__lo"),
       max(col("doc_id")).as("__hi"))
@@ -603,10 +604,11 @@ object Pipeline {
       .withColumn("gstart", greatest(col("cstart"), col("seq_id") * seqLen))
       .withColumn("gend",
         least(col("cend"), (col("seq_id") + lit(1L)) * seqLen))
-      .select(col("source"), col("seq_id"), col("doc_id"),
+      .select(Seq(col("source"), col("seq_id"), col("doc_id"),
         (col("gstart") - col("cstart")).as("doc_off"),
         (col("gstart") - col("seq_id") * seqLen).as("seq_off"),
-        (col("gend") - col("gstart")).as("seg_tok"))
+        (col("gend") - col("gstart")).as("seg_tok")) ++
+        carry.map(col): _*)
       .orderBy(col("source"), col("seq_id"), col("seq_off"))
   }
 
@@ -1507,11 +1509,15 @@ object Pipeline {
     val toksDf = Tables.spread(Tables(spark, dir, "documents"))
       .select(col("source"), TextAnalysis.toks(col("text")).as("ts"))
       .localCheckpoint() // one tokenization: unigram counts + bigrams
-    val ntot = toksDf.agg(sum(size(col("ts"))).as("n"))
-    val vocab = toksDf.select(explode(col("ts")).as("t"))
-      .agg(countDistinct(col("t")).as("v"))
+    // ONE occurrence pass: the unigram table already carries everything
+    // the scalars need — ntot = Σcnt, V = |cu| — exactly how the oracle
+    // derives them (review r12: the separate explode+countDistinct and
+    // sum(size) jobs were two extra occurrence-sized passes)
     val cu = toksDf.select(explode(col("ts")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // vocab-bounded; feeds weights + 2 scalars
+    val ntot = cu.agg(sum(col("cnt")).as("n"))
+    val vocab = cu.agg(count(lit(1)).as("v"))
     val occ = toksDf.filter(size(col("ts")) >= 2)
       .select(col("source"), explode(expr(
         """transform(sequence(0, size(ts) - 2),

@@ -1334,17 +1334,33 @@ object Relational {
     * contribution (exact: the sum is DECIMAL, subtraction is exact;
     * the count is integers).
     *
+    * The identity must hold at the SQL-semantics edges, not just the
+    * common path (review r12): SUM over an EMPTY excluded frame is
+    * NULL (a lone-event user), and SUM skips NULL values — so the
+    * subtraction form guards on the count of NON-NULL values among
+    * the peers (full-frame non-null count minus the row's own
+    * non-nullness) and subtracts coalesce(v, 0) so a NULL current row
+    * cannot poison its peers' sum. The shipped corpus never exercises
+    * either edge (≥45 events/user, no NULL values); the plant spec
+    * does.
+    *
     * Scale: per-entity user_id window, one exchange; the ±3 ROWS frame
     * is a constant-width slide. Order key (ts, event_id) is total.
     */
   def q43(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 3)
+    val peerVals = count(col("v")).over(w) -
+      when(col("v").isNotNull, 1L).otherwise(0L)
     Tables(spark, dir, "events")
       .withColumn("v", col("value").cast(DecimalType(12, 2)))
       .select(col("event_id"), col("user_id"),
         (count(lit(1)).over(w) - 1L).as("n_peers"),
-        (sum(col("v")).over(w) - col("v")).cast(DoubleType).as("peer_sum"))
+        when(peerVals === 0L, lit(null).cast(DoubleType))
+          .otherwise((sum(col("v")).over(w) -
+            coalesce(col("v"), lit(0).cast(DecimalType(12, 2))))
+            .cast(DoubleType))
+          .as("peer_sum"))
       .orderBy(col("event_id"))
   }
 

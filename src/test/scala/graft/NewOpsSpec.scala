@@ -2157,6 +2157,37 @@ class NewOpsSpec extends SparkSpec {
     assert(got.values.exists(_._1 == 6L), "full ±3 frames live")
   }
 
+  test("q43: the EXCLUDE edge semantics — empty exclusion frame is " +
+      "NULL (lone event), NULL values neither poison nor count " +
+      "(expectations confirmed against DuckDB's literal EXCLUDE)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q43plant").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) =
+      new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // user 1: lone event; user 2: a NULL value among peers; user 3:
+    // every value NULL (peers exist but their sum is empty)
+    Seq(
+      (1L, at(0), 1L, "click", Some(5.0), "{}"),
+      (10L, at(0), 2L, "click", Some(1.0), "{}"),
+      (11L, at(1), 2L, "view", None: Option[Double], "{}"),
+      (12L, at(2), 2L, "click", Some(2.0), "{}"),
+      (20L, at(0), 3L, "view", None: Option[Double], "{}"),
+      (21L, at(1), 3L, "view", None: Option[Double], "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q43_frame_exclude")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_peers"),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // DuckDB (v1.0, literal EXCLUDE CURRENT ROW) on this exact frame:
+    assert(got == Map(
+      1L -> ((0L, None)),
+      10L -> ((2L, Some(2.0))), 11L -> ((2L, Some(3.0))),
+      12L -> ((2L, Some(1.0))),
+      20L -> ((1L, None)), 21L -> ((1L, None))), got)
+  }
+
   test("q44: ntile/percent_rank/cume_dist replicate their standard " +
       "definitions bit-exactly (single IEEE division of identical " +
       "integers)") {
