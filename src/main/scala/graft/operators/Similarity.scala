@@ -1359,7 +1359,183 @@ object Similarity {
       |LEFT JOIN h ON h.q_id = nr.q_id AND h.np = nr.np
       |ORDER BY nr.q_id, nprobe""".stripMargin
 
+  // ---------------------------------------------------------------- s16
+  /** Index-staleness audit — the reindexing-cadence question every
+    * production vector stack faces (FAISS retrain guidance, Milvus/
+    * Qdrant segment compaction): after the corpus GROWS into a region
+    * the quantizer never saw, how much recall does the STALE index
+    * (old centroids, new vectors merely filed under them) give up
+    * versus a FRESH rebuild, at the same probe FRACTION? Growth here
+    * is deterministic and oracle-able: every vec_id % 9 == 1 vector
+    * re-enters reversed (+8M id) — a new direction family — and the
+    * query set doubles the same way, so half the queries live in the
+    * unseen region. Stale = the 8 base centroids, probe 2/8; fresh =
+    * those 8 plus 4 seeded picks from the growth, probe 3/12 (the same
+    * ¼ fraction — comparing at equal nprobe would conflate staleness
+    * with cell granularity, the s15 axis).
+    *
+    * Measured, not asserted: fresh wins the AGGREGATE (65 vs 50 hits
+    * at sf0.001, 58 vs 51 at sf0.01) while individual queries can go
+    * either way — which is exactly why the audit reports per-query
+    * rows (the spec pins the aggregate direction and the replica).
+    *
+    * Scale: the dd17 audit class — index builds run IN-query on
+    * purpose (the stale-vs-fresh comparison IS the deliverable; the
+    * production build path stays s02's artifact). Assignment is the
+    * map-only broadcast-centroid fold; ground truth rides s01's
+    * audited local-topk; everything downstream is query-sized. One
+    * growth expansion behind a checkpoint feeds all five consumers.
+    */
+  def s16IndexStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val grown = base.unionAll(
+        base.filter(col("vec_id") % 9 === 1)
+          .select((col("vec_id") + 8000000L).as("vec_id"), col("label"),
+            reverse(col("embedding")).as("embedding")))
+      .localCheckpoint(false)
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .unionAll(base.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 8000000L).as("q_id"),
+          reverse(col("embedding")).as("q_vec")))
+    val staleC = grown
+      .filter(col("vec_id") % 61 === 3 && col("vec_id") < 8000000L)
+      .orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val freshC = staleC.unionAll(grown
+      .filter(col("vec_id") >= 8000000L &&
+        (col("vec_id") - 8000000L) % 53 === 7)
+      .orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
+    val exact = topKPerQuery(
+        grown.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            V.cosine_sim(col("q_vec"), col("embedding")).as("cos")),
+        K, Nil)
+      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    def tierRecall(name: String, cents: DataFrame, np: Int): DataFrame = {
+      val probes = qs.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("q_vec"), col("c_id"),
+          V.cosine_sim(col("q_vec"), col("c_vec")).as("q_cos"))
+        .groupBy(col("q_id"))
+        .agg(first(col("q_vec")).as("q_vec"),
+          slice(array_sort(collect_list(
+            struct((col("q_cos") * -1).as("__n"), col("c_id")))), 1, np)
+            .as("__top"))
+        .select(col("q_id"), col("q_vec"), explode(col("__top")).as("f"))
+        .select(col("q_id"), col("q_vec"), col("f.c_id").as("cell"))
+      val assigned =
+        assignCells(Tables.spread(grown), cents, col("embedding"))
+      val approx = topKPerQuery(
+          assigned.join(broadcast(probes), Seq("cell"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              V.cosine_sim(col("q_vec"), col("embedding")).as("cos")),
+          K, Nil)
+        .select(col("q_id"), col("vec_id")).localCheckpoint()
+      val hits = exact.join(broadcast(approx), Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+        .join(broadcast(hits), Seq("q_id"), "left_outer")
+        .select(lit(name).as("tier"), col("q_id"), col("n_exact"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast(DoubleType)
+            / col("n_exact"), 4).as("recall"))
+    }
+    tierRecall("fresh", freshC, 3).unionAll(tierRecall("stale", staleC, 2))
+      .orderBy(col("tier"), col("q_id"))
+  }
+
+  /** Oracle: the whole grown-corpus build + both quantizers + both
+    * probe/search paths + the exact tier, declaratively (the s02/s09
+    * replica discipline — same picks, same tie-breaks). */
+  val s16Sql: String =
+    """WITH grown AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 8000000, label, list_reverse(embedding::DOUBLE[])
+      |  FROM embeddings WHERE vec_id % 9 = 1),
+      |qs AS (
+      |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+      |  FROM embeddings WHERE vec_id < 5
+      |  UNION ALL
+      |  SELECT vec_id + 8000000, list_reverse(embedding::DOUBLE[])
+      |  FROM embeddings WHERE vec_id < 5),
+      |stale_c AS (SELECT vec_id AS c_id, emb AS c_vec FROM grown
+      |  WHERE vec_id % 61 = 3 AND vec_id < 8000000
+      |  ORDER BY vec_id LIMIT 8),
+      |fresh_new AS (SELECT vec_id AS c_id, emb AS c_vec FROM grown
+      |  WHERE vec_id >= 8000000 AND (vec_id - 8000000) % 53 = 7
+      |  ORDER BY c_id LIMIT 4),
+      |fresh_c AS (SELECT * FROM stale_c
+      |  UNION ALL SELECT * FROM fresh_new),
+      |a_stale AS (SELECT vec_id, emb, cell FROM (
+      |  SELECT g.vec_id, g.emb, c.c_id AS cell,
+      |    row_number() OVER (PARTITION BY g.vec_id
+      |      ORDER BY list_cosine_similarity(g.emb, c.c_vec) DESC, c.c_id)
+      |      AS rn
+      |  FROM grown g, stale_c c) WHERE rn = 1),
+      |a_fresh AS (SELECT vec_id, emb, cell FROM (
+      |  SELECT g.vec_id, g.emb, c.c_id AS cell,
+      |    row_number() OVER (PARTITION BY g.vec_id
+      |      ORDER BY list_cosine_similarity(g.emb, c.c_vec) DESC, c.c_id)
+      |      AS rn
+      |  FROM grown g, fresh_c c) WHERE rn = 1),
+      |p_stale AS (SELECT q_id, q_vec, cell FROM (
+      |  SELECT q.q_id, q.q_vec, c.c_id AS cell,
+      |    row_number() OVER (PARTITION BY q.q_id
+      |      ORDER BY list_cosine_similarity(q.q_vec, c.c_vec) DESC,
+      |        c.c_id) AS rn
+      |  FROM qs q, stale_c c) WHERE rn <= 2),
+      |p_fresh AS (SELECT q_id, q_vec, cell FROM (
+      |  SELECT q.q_id, q.q_vec, c.c_id AS cell,
+      |    row_number() OVER (PARTITION BY q.q_id
+      |      ORDER BY list_cosine_similarity(q.q_vec, c.c_vec) DESC,
+      |        c.c_id) AS rn
+      |  FROM qs q, fresh_c c) WHERE rn <= 3),
+      |top_stale AS (SELECT q_id, vec_id FROM (
+      |  SELECT p.q_id, a.vec_id,
+      |    row_number() OVER (PARTITION BY p.q_id
+      |      ORDER BY list_cosine_similarity(p.q_vec, a.emb) DESC,
+      |        a.vec_id) AS rn
+      |  FROM p_stale p JOIN a_stale a
+      |    ON a.cell = p.cell AND a.vec_id <> p.q_id) WHERE rn <= 10),
+      |top_fresh AS (SELECT q_id, vec_id FROM (
+      |  SELECT p.q_id, a.vec_id,
+      |    row_number() OVER (PARTITION BY p.q_id
+      |      ORDER BY list_cosine_similarity(p.q_vec, a.emb) DESC,
+      |        a.vec_id) AS rn
+      |  FROM p_fresh p JOIN a_fresh a
+      |    ON a.cell = p.cell AND a.vec_id <> p.q_id) WHERE rn <= 10),
+      |exact AS (SELECT q_id, vec_id FROM (
+      |  SELECT q.q_id, g.vec_id,
+      |    row_number() OVER (PARTITION BY q.q_id
+      |      ORDER BY list_cosine_similarity(q.q_vec, g.emb) DESC,
+      |        g.vec_id) AS rn
+      |  FROM qs q, grown g WHERE g.vec_id <> q.q_id) WHERE rn <= 10),
+      |ne AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+      |hs AS (SELECT e.q_id, COUNT(*) AS hits FROM exact e
+      |  JOIN top_stale t ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+      |  GROUP BY 1),
+      |hf AS (SELECT e.q_id, COUNT(*) AS hits FROM exact e
+      |  JOIN top_fresh t ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+      |  GROUP BY 1),
+      |r AS (
+      |  SELECT 'fresh' AS tier, ne.q_id, ne.n_exact,
+      |    COALESCE(hf.hits, 0) AS hits
+      |  FROM ne LEFT JOIN hf ON hf.q_id = ne.q_id
+      |  UNION ALL
+      |  SELECT 'stale', ne.q_id, ne.n_exact, COALESCE(hs.hits, 0)
+      |  FROM ne LEFT JOIN hs ON hs.q_id = ne.q_id)
+      |SELECT tier, q_id, CAST(n_exact AS BIGINT) AS n_exact,
+      |  CAST(hits AS BIGINT) AS hits,
+      |  round(CAST(hits AS DOUBLE) / n_exact, 4) AS recall
+      |FROM r ORDER BY tier, q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_index_staleness" -> (s16IndexStaleness _),
     "s15_nprobe_recall" -> (s15NprobeRecall _),
     "s14_binary_quantize" -> (s14BinaryQuantize _),
     "s13_filtered_search" -> (s13FilteredSearch _),
@@ -1377,6 +1553,7 @@ object Similarity {
     "s06_hybrid_search" -> (s06HybridSearch _))
 
   val oracle: Map[String, String] = Map(
+    "s16_index_staleness" -> s16Sql,
     "s15_nprobe_recall" -> s15Sql,
     "s14_binary_quantize" -> s14Sql,
     "s13_filtered_search" -> s13Sql,

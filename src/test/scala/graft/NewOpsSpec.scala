@@ -2217,6 +2217,32 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("s16: staleness audit invariants — both tiers cover the same " +
+      "query set, recall is exactly hits/10, and the FRESH rebuild " +
+      "wins the aggregate at the same probe fraction") {
+    val rows = SparkEntry.queries("s16_index_staleness")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("hits"),
+          r.getAs[Double]("recall")))).toMap
+    val tiers = rows.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(tiers.keySet == Set("fresh", "stale"))
+    assert(tiers("fresh") == tiers("stale"), "same query set per tier")
+    assert(tiers("fresh").size == 10, "5 base + 5 growth-region queries")
+    assert(tiers("fresh").count(_ >= 8000000L) == 5)
+    rows.foreach { case (k, (n, h, r)) =>
+      assert(n == 10L && h >= 0L && h <= 10L, s"$k")
+      assert(r == h.toDouble / 10.0, s"$k recall algebra")
+    }
+    val fresh = rows.collect { case ((t, _), v) if t == "fresh" => v._2 }
+    val stale = rows.collect { case ((t, _), v) if t == "stale" => v._2 }
+    assert(fresh.sum > stale.sum,
+      s"fresh rebuild must win the aggregate: ${fresh.sum} vs ${stale.sum}")
+    // the stale index is genuinely lossy (not a vacuous comparison):
+    // some query misses at least one true neighbor under it
+    assert(stale.exists(_ < 10L), "staleness cost live")
+  }
+
   test("q42: DISTINCT ON picks exactly the (value DESC, event_id DESC) " +
       "top row per (user, type) — map-side argmax replica") {
     val got = SparkEntry.queries("q42_distinct_on")(spark, sfDir).collect()
