@@ -1257,16 +1257,8 @@ object Similarity {
         expr("transform(emb, x -> CAST(x AS FLOAT))").as("embedding"))
     // probe rank of each (query, cell): bounded 8-cell frame per query,
     // the s02 sort/slice probe shape generalized to ALL ranks 1..8
-    val prank = queriesDf(spark, dir).crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("q_vec"), col("c_id").as("cell"),
-        V.cosine_sim(col("q_vec"), col("c_vec")).as("q_cos"))
-      .groupBy(col("q_id"))
-      .agg(first(col("q_vec")).as("q_vec"),
-        array_sort(collect_list(
-          struct((col("q_cos") * -1).as("__n"), col("cell")))).as("__o"))
-      .select(col("q_id"), col("q_vec"), posexplode(col("__o")))
-      .select(col("q_id"), col("q_vec"), col("col.cell").as("cell"),
-        (col("pos") + 1).cast(LongType).as("pr"))
+    // (shared with s16's fraction-matched probes)
+    val prank = probeRanks(queriesDf(spark, dir), centroids)
     val scored = assigned.join(broadcast(prank), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("pr"), col("vec_id"),
@@ -1359,54 +1351,80 @@ object Similarity {
       |LEFT JOIN h ON h.q_id = nr.q_id AND h.np = nr.np
       |ORDER BY nr.q_id, nprobe""".stripMargin
 
+  /** Probe ranks — every (query, cell) with its 1-based rank by
+    * (cosine DESC, c_id): the s02 sort/slice probe shape generalized to
+    * all ranks, defined ONCE (s15's tier replication keeps every rank;
+    * s16 filters pr ≤ nprobe per tier). Window-free: the per-query
+    * frame is bounded by the centroid count. */
+  private def probeRanks(queries: DataFrame,
+      centroids: DataFrame): DataFrame =
+    queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_vec"), col("c_id").as("cell"),
+        V.cosine_sim(col("q_vec"), col("c_vec")).as("q_cos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_vec")).as("q_vec"),
+        array_sort(collect_list(
+          struct((col("q_cos") * -1).as("__n"), col("cell")))).as("__o"))
+      .select(col("q_id"), col("q_vec"), posexplode(col("__o")))
+      .select(col("q_id"), col("q_vec"), col("col.cell").as("cell"),
+        (col("pos") + 1).cast(LongType).as("pr"))
+
   // ---------------------------------------------------------------- s16
   /** Index-staleness audit — the reindexing-cadence question every
     * production vector stack faces (FAISS retrain guidance, Milvus/
     * Qdrant segment compaction): after the corpus GROWS into a region
     * the quantizer never saw, how much recall does the STALE index
     * (old centroids, new vectors merely filed under them) give up
-    * versus a FRESH rebuild, at the same probe FRACTION? Growth here
-    * is deterministic and oracle-able: every vec_id % 9 == 1 vector
-    * re-enters reversed (+8M id) — a new direction family — and the
-    * query set doubles the same way, so half the queries live in the
-    * unseen region. Stale = the 8 base centroids, probe 2/8; fresh =
-    * those 8 plus 4 seeded picks from the growth, probe 3/12 (the same
-    * ¼ fraction — comparing at equal nprobe would conflate staleness
-    * with cell granularity, the s15 axis).
+    * versus a FRESH rebuild, at the same probe FRACTION? Growth must
+    * be genuinely out-of-distribution to exercise the phenomenon
+    * (review r12: a reversed copy of an isotropic corpus is just as
+    * isotropic — the gap it "showed" was a quantizer-size artifact):
+    * every vec_id % 9 == 1 vector re-enters with |x| per dimension —
+    * the positive orthant, a tight new direction family — and the
+    * query set doubles the same way. Growth membership rides an
+    * explicit is_new tag, NEVER an id-range test (the +8M display
+    * offset sits below ScaleUp's 10M replica stride, so `vec_id >= 8M`
+    * would misclassify replica bases at synthesized SFs). Stale = the
+    * family quantizer [[ivfCentroids]] (8 cells, probe 2); fresh =
+    * those 8 plus 4 seeded growth picks (ORDER BY vec_id % 7, vec_id —
+    * ≥ 4 growth rows at every SF, so the 12-cell fresh quantizer never
+    * silently shrinks), probe 3/12 — the same ¼ fraction (equal-nprobe
+    * would conflate staleness with cell granularity, the s15 axis).
     *
-    * Measured, not asserted: fresh wins the AGGREGATE (65 vs 50 hits
-    * at sf0.001, 58 vs 51 at sf0.01) while individual queries can go
-    * either way — which is exactly why the audit reports per-query
-    * rows (the spec pins the aggregate direction and the replica).
+    * Measured, not asserted: fresh wins the aggregate at every SF
+    * (75 vs 47 hits at sf0.001, 69 vs 57 at sf0.01), with the gap
+    * concentrated in the growth-region queries (45 vs 20, 44 vs 30) —
+    * exactly the staleness mechanism. Individual base queries can
+    * flip either way, which is why the audit reports per-query rows.
     *
     * Scale: the dd17 audit class — index builds run IN-query on
     * purpose (the stale-vs-fresh comparison IS the deliverable; the
-    * production build path stays s02's artifact). Assignment is the
-    * map-only broadcast-centroid fold; ground truth rides s01's
-    * audited local-topk; everything downstream is query-sized. One
-    * growth expansion behind a checkpoint feeds all five consumers.
+    * production build path stays s02's artifact). The growth union is
+    * spread BEFORE its checkpoint (a checkpointed RDD has no
+    * inputFiles, so spread() after the fact is a no-op — review r12);
+    * assignment is the map-only broadcast-centroid fold, ground truth
+    * rides s01's audited local-topk, everything downstream is
+    * query-sized.
     */
+  private val S16Off = 8000000L // display ids only; membership = is_new
+
   def s16IndexStaleness(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
-    val grown = base.unionAll(
-        base.filter(col("vec_id") % 9 === 1)
-          .select((col("vec_id") + 8000000L).as("vec_id"), col("label"),
-            reverse(col("embedding")).as("embedding")))
+    val grown = Tables.spread(
+        base.select(col("vec_id"), col("label"), col("embedding"),
+            lit(0L).as("is_new"))
+          .unionAll(base.filter(col("vec_id") % 9 === 1)
+            .select((col("vec_id") + S16Off).as("vec_id"), col("label"),
+              transform(col("embedding"), x => abs(x)).as("embedding"),
+              lit(1L).as("is_new"))))
       .localCheckpoint(false)
-    val qs = base.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      .unionAll(base.filter(col("vec_id") < 5)
-        .select((col("vec_id") + 8000000L).as("q_id"),
-          reverse(col("embedding")).as("q_vec")))
-    val staleC = grown
-      .filter(col("vec_id") % 61 === 3 && col("vec_id") < 8000000L)
-      .orderBy(col("vec_id")).limit(8)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    val freshC = staleC.unionAll(grown
-      .filter(col("vec_id") >= 8000000L &&
-        (col("vec_id") - 8000000L) % 53 === 7)
-      .orderBy(col("vec_id")).limit(4)
+    val qb = queriesDf(spark, dir)
+    val qs = qb.unionAll(qb.select((col("q_id") + S16Off).as("q_id"),
+      transform(col("q_vec"), x => abs(x)).as("q_vec")))
+    val staleC = ivfCentroids(base)
+    val freshC = staleC.unionAll(grown.filter(col("is_new") === 1L)
+      .orderBy(col("vec_id") % 7, col("vec_id")).limit(4)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
     val exact = topKPerQuery(
         grown.crossJoin(broadcast(qs))
@@ -1416,18 +1434,9 @@ object Similarity {
         K, Nil)
       .select(col("q_id"), col("vec_id")).localCheckpoint()
     def tierRecall(name: String, cents: DataFrame, np: Int): DataFrame = {
-      val probes = qs.crossJoin(broadcast(cents))
-        .select(col("q_id"), col("q_vec"), col("c_id"),
-          V.cosine_sim(col("q_vec"), col("c_vec")).as("q_cos"))
-        .groupBy(col("q_id"))
-        .agg(first(col("q_vec")).as("q_vec"),
-          slice(array_sort(collect_list(
-            struct((col("q_cos") * -1).as("__n"), col("c_id")))), 1, np)
-            .as("__top"))
-        .select(col("q_id"), col("q_vec"), explode(col("__top")).as("f"))
-        .select(col("q_id"), col("q_vec"), col("f.c_id").as("cell"))
-      val assigned =
-        assignCells(Tables.spread(grown), cents, col("embedding"))
+      val probes = probeRanks(qs, cents)
+        .filter(col("pr") <= np).drop("pr")
+      val assigned = assignCells(grown, cents, col("embedding"))
       val approx = topKPerQuery(
           assigned.join(broadcast(probes), Seq("cell"))
             .filter(col("vec_id") =!= col("q_id"))
@@ -1453,22 +1462,24 @@ object Similarity {
     * replica discipline — same picks, same tie-breaks). */
   val s16Sql: String =
     """WITH grown AS (
-      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb, 0 AS is_new
+      |  FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 8000000, label, list_reverse(embedding::DOUBLE[])
+      |  SELECT vec_id + 8000000, label,
+      |    list_transform(embedding::DOUBLE[], x -> abs(x)), 1
       |  FROM embeddings WHERE vec_id % 9 = 1),
       |qs AS (
       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
       |  FROM embeddings WHERE vec_id < 5
       |  UNION ALL
-      |  SELECT vec_id + 8000000, list_reverse(embedding::DOUBLE[])
+      |  SELECT vec_id + 8000000,
+      |    list_transform(embedding::DOUBLE[], x -> abs(x))
       |  FROM embeddings WHERE vec_id < 5),
       |stale_c AS (SELECT vec_id AS c_id, emb AS c_vec FROM grown
-      |  WHERE vec_id % 61 = 3 AND vec_id < 8000000
+      |  WHERE is_new = 0 AND vec_id % 61 = 3
       |  ORDER BY vec_id LIMIT 8),
       |fresh_new AS (SELECT vec_id AS c_id, emb AS c_vec FROM grown
-      |  WHERE vec_id >= 8000000 AND (vec_id - 8000000) % 53 = 7
-      |  ORDER BY c_id LIMIT 4),
+      |  WHERE is_new = 1 ORDER BY vec_id % 7, vec_id LIMIT 4),
       |fresh_c AS (SELECT * FROM stale_c
       |  UNION ALL SELECT * FROM fresh_new),
       |a_stale AS (SELECT vec_id, emb, cell FROM (

@@ -2238,6 +2238,14 @@ class NewOpsSpec extends SparkSpec {
     val stale = rows.collect { case ((t, _), v) if t == "stale" => v._2 }
     assert(fresh.sum > stale.sum,
       s"fresh rebuild must win the aggregate: ${fresh.sum} vs ${stale.sum}")
+    // the gap is the STALENESS mechanism, not noise: it concentrates in
+    // the growth-region queries the old quantizer never saw
+    val freshNew = rows.collect {
+      case ((t, q), v) if t == "fresh" && q >= 8000000L => v._2 }
+    val staleNew = rows.collect {
+      case ((t, q), v) if t == "stale" && q >= 8000000L => v._2 }
+    assert(freshNew.sum > staleNew.sum + 5,
+      s"growth-query gap: ${freshNew.sum} vs ${staleNew.sum}")
     // the stale index is genuinely lossy (not a vacuous comparison):
     // some query misses at least one true neighbor under it
     assert(stale.exists(_ < 10L), "staleness cost live")
