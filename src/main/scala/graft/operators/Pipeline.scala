@@ -1497,14 +1497,21 @@ object Pipeline {
     * yield all-zero allocs rather than a phantom spread.
     *
     * Scale: ONE tokenization scan (checkpointed — the t14 shape); all
-    * model counts are vocab/vocab²-bounded shrinking aggs; per-position
-    * weights broadcast back onto the occurrence stream in ONE join
-    * (both models' terms ride the same (w1,w2) key); the per-source
+    * model counts are map-side-combined shrinking aggs off the
+    * occurrence stream. The weight table is TIERED (round 13, t14's
+    * design): the full frame is never force-broadcast — distinct
+    * bigram types on open-vocab web text run O(1e9–1e10) at 100 TB
+    * (Heaps' law; Web 1T ships 3.1e9), past Spark's 8 GB broadcast
+    * ceiling — instead the top-K=65536 pairs by corpus count
+    * (limit-bounded by construction, ~5 MB at any corpus size)
+    * broadcast and score occurrences map-side, and only the Zipf-tail
+    * residue shuffle-joins the data-sized weight frame. The per-source
     * aggregate is map-side combined to |sources| rows, and every
     * apportionment window runs on that bounded frame (the p13/p18
-    * class). Nothing occurrence-sized ever shuffles on a data key.
+    * class).
     */
-  def p21DoremiMix(spark: SparkSession, dir: String): DataFrame = {
+  def p21DoremiMix(spark: SparkSession, dir: String,
+      headK: Int = 65536): DataFrame = {
     val dec38 = DecimalType(38, 0)
     val toksDf = Tables.spread(Tables(spark, dir, "documents"))
       .select(col("source"), TextAnalysis.toks(col("text")).as("ts"))
@@ -1518,6 +1525,13 @@ object Pipeline {
       .localCheckpoint(false) // vocab-bounded; feeds weights + 2 scalars
     val ntot = cu.agg(sum(col("cnt")).as("n"))
     val vocab = cu.agg(count(lit(1)).as("v"))
+    // Round-13 TIERED scoring (the t14 shape): the top-K=65536 pairs by
+    // corpus count broadcast (K-bounded by construction) and score the
+    // occurrence stream map-side with a source-local combine; only the
+    // Zipf-tail occurrences aggregate to per-(source, w1, w2) counts
+    // and shuffle-join the data-sized weight frame. Both tiers union
+    // into ONE per-source decimal sum — the split is invisible to the
+    // result (Σ k·w ≡ Σ_occ w in decimals).
     val occ = toksDf.filter(size(col("ts")) >= 2)
       .select(col("source"), explode(expr(
         """transform(sequence(0, size(ts) - 2),
@@ -1528,18 +1542,41 @@ object Pipeline {
     val cl = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
     def r6ln(c: Column): Column =
       round(log(c.cast(DoubleType)), 6).cast("decimal(18,6)")
-    // one broadcast payload carries BOTH models' per-position terms
+    // one weight frame carries BOTH models' per-position terms; never
+    // force-broadcast whole (Heaps-unbounded at 100 TB — Scale note)
     val weights = cb.join(cl, Seq("w1"))
       .join(cu.withColumnRenamed("t", "w2"), Seq("w2"))
       .crossJoin(broadcast(ntot)).crossJoin(broadcast(vocab))
-      .select(col("w1"), col("w2"),
+      .select(col("w1"), col("w2"), col("cb"),
         (r6ln(col("n")) - r6ln(col("cnt"))).as("wu"),
         (r6ln(col("cl") + col("v")) - r6ln(col("cb") + 1)).as("wb"))
+      .localCheckpoint(false) // two consumers: head build + tail join
+    val headW = weights
+      .orderBy(col("cb").desc, col("w1"), col("w2")).limit(headK)
+      .select(col("w1"), col("w2"), col("wu"), col("wb"))
+    // ONE occurrence pass scores both tiers (the t14 shape): head rows
+    // collapse source-locally, tail rows keep (w1, w2) for the
+    // residual join; pre is Θ(sources + tail triples)
+    val pre = occ.join(broadcast(headW), Seq("w1", "w2"), "left_outer")
+      .groupBy(col("source"),
+        when(col("wu").isNull, col("w1")).as("t1"),
+        when(col("wu").isNull, col("w2")).as("t2"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("wu")).as("shu"), sum(col("wb")).as("shb"))
       .localCheckpoint(false)
-    val perSrc = occ.join(broadcast(weights), Seq("w1", "w2"))
+    val headPart = pre.filter(col("t1").isNull)
+      .select(col("source"), col("k"),
+        col("shu").as("swu"), col("shb").as("swb"))
+    val tailPart = pre.filter(col("t1").isNotNull)
+      .join(weights.select(col("w1").as("t1"), col("w2").as("t2"),
+        col("wu"), col("wb")), Seq("t1", "t2"))
+      .select(col("source"), col("k"),
+        (col("wu") * col("k")).as("swu"), (col("wb") * col("k")).as("swb"))
+    val perSrc = headPart.unionByName(tailPart)
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_pos"),
-        sum(col("wu")).as("s_uni"), sum(col("wb")).as("s_big"))
+      .agg(sum(col("k")).as("n_pos"),
+        sum(col("swu")).cast("decimal(28,6)").as("s_uni"),
+        sum(col("swb")).cast("decimal(28,6)").as("s_big"))
     // exact per-token average excess in pico-nats: (E6 · 1e6) DIV n_pos
     val wts = perSrc
       .withColumn("e6", when(col("s_uni") > col("s_big"),
@@ -1619,7 +1656,7 @@ object Pipeline {
       |FROM a2 ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p21_doremi_mix" -> (p21DoremiMix _),
+    "p21_doremi_mix" -> ((s: SparkSession, d: String) => p21DoremiMix(s, d)),
     "p20_resume_offset" -> (p20ResumeOffset _),
     "p19_unimax_mix" -> (p19UnimaxMix _),
     "p18_epoch_plan" -> (p18EpochPlan _),

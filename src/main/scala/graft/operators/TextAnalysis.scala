@@ -652,6 +652,20 @@ object TextAnalysis {
     * from the checkpointed (doc, w₁, w₂, k) frame (shrinking hash aggs,
     * never a window over a term key); V is one exact distinct-count
     * (shuffle ∝ vocab — and V must stay exact: it enters every score).
+    * The weight table is TIERED (round 13) — the full frame is never
+    * force-broadcast: on open-vocabulary web text the distinct-bigram
+    * count follows Heaps' law (Web 1T: 3.1e9 bigram types from 1e12
+    * tokens), past Spark's 8 GB broadcast ceiling and any executor
+    * heap at the 100 TB target. Instead the top-K=65536 pairs by
+    * corpus count (bounded BY CONSTRUCTION via limit, a distributed
+    * TakeOrdered — ~5 MB at any corpus size) broadcast onto the
+    * occurrence stream and score map-side with a doc-local combine
+    * (Zipf: the head covers almost all positions — 100 % of this
+    * corpus, ≥90 % of web text); the residual tail is aggregated to
+    * per-doc counts and SHUFFLE-joined to the (data-sized, never
+    * pinned) weight frame. Both tiers union into ONE per-doc sum, so
+    * exactness is untouched: every position is scored by the same
+    * weight whichever tier it rides (Σ k·w ≡ Σ_occ w in decimals).
     */
   def t14BigramScore(spark: SparkSession, dir: String): DataFrame =
     t14Scored(spark, dir)
@@ -664,23 +678,24 @@ object TextAnalysis {
     * split orders by this decimal in both engines — ordering by the
     * cast double instead could tie two 6dp-distinct scores and let the
     * doc_id tiebreak order them differently per engine (§5). */
-  private[graft] def t14Scored(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def t14Scored(spark: SparkSession, dir: String,
+      headK: Int = 65536): DataFrame = {
     val toksDf = Tables.spread(Tables(spark, dir, "documents"))
       .select(col("doc_id"), col("source"), toks(col("text")).as("ts"))
       .localCheckpoint() // one tokenization: vocab + bigram postings
     val vocab = toksDf.select(explode(col("ts")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    // bigram OCCURRENCES, never shuffled on their own key: the
-    // round-10b shape. The previous chain grouped (doc_id, w1, w2)
-    // first — a Θ(occurrences) wide-key shuffle (300M rows at the
-    // synthesized sf1, ~17 s hidden from the bench by count()'s
-    // left-outer join elimination). Now the corpus count cb shuffles
-    // map-side-combined on the vocab²-BOUNDED (w1, w2) key, the
-    // per-pair weights broadcast back onto the occurrence stream, and
-    // the per-doc score is ONE map-side-combined groupBy(doc_id) —
-    // nothing occurrence-sized ever shuffles. Exactness is unchanged:
-    // the score is a DECIMAL sum over occurrences, and decimal
-    // addition is exact in any order (Σ k·w ≡ Σ_occ w).
+    // Round-13 TIERED scoring. Round 10b's all-broadcast weight table
+    // rested on a false premise ("vocab²-bounded" — Heaps' law breaks
+    // it at 100 TB); a plain shuffle-join of per-doc counts measured 3×
+    // at the synthesized sf1 (two extra occurrence-scale exchanges).
+    // The tier keeps both properties: the HEAD (top-K pairs by corpus
+    // count — K-bounded by construction, so the broadcast can never
+    // outgrow an executor) scores occurrences map-side with a
+    // doc-local combine (Θ(docs) exchange); only tail occurrences —
+    // the Zipf residue — aggregate to per-doc counts and shuffle-join
+    // the data-sized weight frame. Both tiers union into ONE per-doc
+    // decimal sum, so the split is invisible to the result.
     val occ = toksDf.filter(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(ts) - 2),
@@ -690,15 +705,39 @@ object TextAnalysis {
     val cb = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val cl = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
     val weights = cb.join(cl, Seq("w1")).crossJoin(broadcast(vocab))
-      .select(col("w1"), col("w2"),
+      .select(col("w1"), col("w2"), col("cb"),
         (round(log((col("cl") + col("v")).cast(DoubleType)), 6)
             .cast("decimal(18,6)") -
           round(log((col("cb") + 1).cast(DoubleType)), 6)
             .cast("decimal(18,6)")).as("w"))
-      .localCheckpoint(false) // vocab²-bounded; broadcast payload
-    val scored = occ.join(broadcast(weights), Seq("w1", "w2"))
+      .localCheckpoint(false) // two consumers: head build + tail join
+    // bounded head: distributed TakeOrdered, ties cut deterministically
+    val headW = weights
+      .orderBy(col("cb").desc, col("w1"), col("w2")).limit(headK)
+      .select(col("w1"), col("w2"), col("w"))
+    // ONE occurrence pass scores both tiers: left_outer against the
+    // broadcast head, then head rows (w hit — w is round(ln int), never
+    // null on a match) collapse doc-locally to one partial per doc
+    // while tail rows keep their (w1, w2) for the residual join; the
+    // pre frame is Θ(docs + tail triples), checkpointed for its two
+    // consumers. Tail rows never share a shuffle key with head rows
+    // (head keys are nulled), so the residual join sees no skew pile.
+    val pre = occ.join(broadcast(headW), Seq("w1", "w2"), "left_outer")
+      .groupBy(col("doc_id"),
+        when(col("w").isNull, col("w1")).as("t1"),
+        when(col("w").isNull, col("w2")).as("t2"))
+      .agg(count(lit(1)).as("k"), sum(col("w")).as("sh"))
+      .localCheckpoint(false)
+    val headPart = pre.filter(col("t1").isNull)
+      .select(col("doc_id"), col("k"), col("sh").as("sw"))
+    val tailPart = pre.filter(col("t1").isNotNull)
+      .join(weights.select(col("w1").as("t1"), col("w2").as("t2"),
+        col("w")), Seq("t1", "t2"))
+      .select(col("doc_id"), col("k"), (col("w") * col("k")).as("sw"))
+    val scored = headPart.unionByName(tailPart)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("s"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("sw")).cast("decimal(28,6)").as("s"))
     // < 2-token docs have no bigram rows — keep them at sum 0;
     // `source` rides the checkpointed frame so t19 needs no extra
     // corpus join to attribute scores

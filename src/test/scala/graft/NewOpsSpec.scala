@@ -2456,6 +2456,30 @@ class NewOpsSpec extends SparkSpec {
     assert(got.keys.map(_._2).toSet == Set(0L, 1L, 2L),
       "all three bands live on natural data")
   }
+
+  test("round-13: t14/p21's head/tail weight tier is invisible — a " +
+      "headK that forces most bigram types onto the shuffle-joined " +
+      "tail path reproduces the all-head result bit-for-bit") {
+    // at this SF every bigram type fits the K=65536 head, so the
+    // default run never exercises the tail join; headK=3 pushes all
+    // but the 3 most frequent pairs through the residual path on the
+    // SAME natural data, proving Σ k·w ≡ Σ_occ w across the split
+    val allHead = operators.TextAnalysis.t14Scored(spark, sfDir)
+      .select("doc_id", "n_tokens", "n_bigrams", "s").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDecimal(3).stripTrailingZeros))).toMap
+    val tiered = operators.TextAnalysis.t14Scored(spark, sfDir, headK = 3)
+      .select("doc_id", "n_tokens", "n_bigrams", "s").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDecimal(3).stripTrailingZeros))).toMap
+    assert(allHead == tiered)
+    assert(allHead.values.exists(_._2 > 0), "bigrams exist at this SF")
+    val p21All = SparkEntry.queries("p21_doremi_mix")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val p21Tier = operators.Pipeline.p21DoremiMix(spark, sfDir, headK = 3)
+      .collect().map(_.toSeq).toSet
+    assert(p21All == p21Tier)
+  }
 }
 
 /** Row shape for the s08 short-candidate spec (top-level for the

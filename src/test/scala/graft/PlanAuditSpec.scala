@@ -341,13 +341,25 @@ class PlanAuditSpec extends SparkSpec {
     // checkpoint; the vocab branch explodes checkpointed token arrays,
     // not text), no window over a bigram key, the vocab scalar arrives
     // by broadcast (t12's discipline)
-    val p = finalPlan("t14_bigram_logprob")
+    val df = SparkEntry.queries("t14_bigram_logprob")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("Scan ExistingRDD"), p)
     assert(p.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains("text")) == 0, p)
     assert(!p.contains("windowspecdefinition"), p)
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p)
+    // round-13: no plan-forced broadcast of the Heaps-unbounded bigram
+    // weight frame — every broadcast hint's child must be STATICALLY
+    // row-bounded (Catalyst maxRows: a grouping-free aggregate is 1, a
+    // limit is K; a data-sized frame has none)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.forall(_.child.maxRows.nonEmpty),
+      hints.map(h => h.child.output.map(_.name).mkString(",") +
+        " maxRows=" + h.child.maxRows).mkString("; "))
   }
 
   test("round-9: p11 classifier scoring is map-only — one scan, no " +
@@ -882,16 +894,26 @@ class PlanAuditSpec extends SparkSpec {
       t25) // char occurrences collapse map-side before the exchange
   }
 
-  test("round-12: p21 inherits t14's discipline — text scanned only " +
-      "into the checkpoint, weights broadcast onto the occurrence " +
-      "stream, no window over any model key") {
-    val p = finalPlan("p21_doremi_mix")
+  test("round-12/13: p21 inherits t14's discipline — text scanned only " +
+      "into the checkpoint, weights SHUFFLE-joined (no forced broadcast " +
+      "of the unbounded bigram-type frame), no window over any model key") {
+    val df = SparkEntry.queries("p21_doremi_mix")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("Scan ExistingRDD"), p) // checkpointed tokenization
     assert(p.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains("text")) == 0, p)
-    assert(p.contains("BroadcastHashJoin") ||
-      p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p) // (w1,w2) weights broadcast
+    // round-13: the (w1,w2) weights frame must NOT be force-broadcast
+    // whole — bigram types are Heaps-unbounded at the 100 TB target.
+    // Every broadcast hint's child must be STATICALLY row-bounded
+    // (Catalyst maxRows: the ntot/vocab/apportionment scalars are 1,
+    // the tiered head is limit-K; the full weight frame has none).
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.forall(_.child.maxRows.nonEmpty),
+      hints.map(h => h.child.output.map(_.name).mkString(",") +
+        " maxRows=" + h.child.maxRows).mkString("; "))
     // the only window is the tiny apportionment frame (post-aggregate);
     // no windowspec mentions a token/bigram column
     assert(!p.linesIterator.exists(l =>
