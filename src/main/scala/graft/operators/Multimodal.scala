@@ -981,9 +981,14 @@ object Multimodal {
     val d = graft.Tables.spread(graft.Tables(spark, dir, "documents"))
     val mt = mediaTypeCol
     val mediaTokens = mediaTokensCol
+    // NULL text = zero text tokens (ADVICE r12): the oracle COALESCEs
+    // the BPE length to 0, so the Spark side must not let a NULL tt
+    // null-out a group sum — the twins stay aligned on any corpus,
+    // not just one with no NULL text
     d.select(mt.as("media_type"),
-        size(graft.functions.text.bpe_token_ids(col("text")))
-          .cast(LongType).as("tt"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(graft.functions.text.bpe_token_ids(col("text")))
+            .cast(LongType)).as("tt"),
         mediaTokens.cast(LongType).as("mt_tok"))
       .groupBy(col("media_type"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1126,11 +1131,17 @@ object Multimodal {
     * sequences (∝ corpus tokens / 2048).
     */
   def m14(spark: SparkSession, dir: String): DataFrame = {
+    // NULL text = zero text tokens (ADVICE r12): without the guard a
+    // NULL-text image doc gets tokens NULL and silently vanishes at
+    // packSpans' tokens>0 filter while the oracle (COALESCE(b, 0) with
+    // patches > 0) keeps it — shifting every downstream cumsum
+    // boundary. The packing algebra is now corpus-independent.
     val toks = graft.Tables.spread(graft.Tables(spark, dir, "documents"))
       .select(col("doc_id"), col("source"),
         mediaTokensCol.cast(LongType).as("mt"),
-        size(graft.functions.text.bpe_token_ids(col("text")))
-          .cast(LongType).as("tt"))
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(graft.functions.text.bpe_token_ids(col("text")))
+            .cast(LongType)).as("tt"))
       .withColumn("tokens", col("mt") + col("tt"))
     Pipeline.packSpans(toks, 2048L, carry = Seq("mt"))
       // the doc's first mt tokens are media ⇒ a span holding doc

@@ -1409,8 +1409,21 @@ object Similarity {
   private val S16Off = 8000000L // display ids only; membership = is_new
 
   def s16IndexStaleness(spark: SparkSession, dir: String): DataFrame = {
+    // Loud aliasing guard (ADVICE r12): the +8M display offset is safe
+    // only while every base vec_id sits below 2M inside its ScaleUp
+    // 10M replica band — past that, a grown id (v + 8M) can equal a
+    // real base id and silently conflate exact/approx hits through the
+    // vec_id-keyed joins and the =!= self-exclusion. A corpus that
+    // outgrows the band now fails with the culprit id instead of
+    // aliasing (codegen'd branch per row, no extra action).
+    val guardedId = when(col("vec_id") % 10000000L < 2000000L,
+        col("vec_id"))
+      .otherwise(raise_error(format_string(
+        "s16: base vec_id %d has in-band component >= 2M — the +8M " +
+          "display offset would alias grown ids; regenerate with a " +
+          "larger id stride", col("vec_id"))).cast(LongType))
     val base = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"))
+      .select(guardedId.as("vec_id"), col("label"), col("embedding"))
     val grown = Tables.spread(
         base.select(col("vec_id"), col("label"), col("embedding"),
             lit(0L).as("is_new"))

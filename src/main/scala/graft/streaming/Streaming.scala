@@ -1166,11 +1166,12 @@ object Streaming {
   final case class DocState(pend: List[OpLite], exists: Boolean,
       plan: Option[String], lastClick: Option[Double],
       lastView: Option[Double], lastPurchase: Option[Double],
-      nOps: Long, lastSec: Long, foldSeq: Long)
+      nOps: Long, lastSec: Long)
   final case class DocOut(user_id: Long, exists: Boolean,
       plan: Option[String], last_click: Option[Double],
       last_view: Option[Double], last_purchase: Option[Double],
-      n_ops: Long, last_sec: Long, fold_seq: Long)
+      n_ops: Long, last_sec: Long, fold_sec: Long, fold_eid: Long,
+      n_folded: Long)
 
   /** Streaming twin: the change-stream consumer — per-user document
     * state via flatMapGroupsWithState (Update mode), watermark-buffered
@@ -1192,14 +1193,12 @@ object Streaming {
         (user: Long, evs: Iterator[OpEv], state: GroupState[DocState]) =>
           val wm = state.getCurrentWatermarkMs() / 1000L
           val st0 = state.getOption.getOrElse(
-            DocState(Nil, exists = false, None, None, None, None, 0L, 0L,
-              0L))
+            DocState(Nil, exists = false, None, None, None, None, 0L, 0L))
           val buf = st0.pend ++ evs.map(e =>
             OpLite(e.sec, e.event_id, e.event_type, e.value))
           val (ripe, pend) = buf.partition(_.sec < wm)
           var s = st0
           ripe.sortBy(o => (o.sec, o.event_id)).foreach { o =>
-            s = s.copy(foldSeq = s.foldSeq + 1)
             s = o.event_type match {
               case "error" => s.copy(exists = false, plan = None,
                 lastClick = None, lastView = None, lastPurchase = None,
@@ -1217,18 +1216,36 @@ object Streaming {
                 lastSec = o.sec)
             }
           }
-          state.update(s.copy(pend = pend))
-          // wake when the earliest buffered op can ripen (strictly
-          // above the current watermark: pending sec ≥ wm)
-          pend.map(_.sec + 1L).minOption
-            .foreach(t => state.setTimeoutTimestamp(t * 1000L))
-          if (ripe.nonEmpty)
-            // fold_seq is MONOTONE (total ops ever folded, deletes
-            // included, never reset) — the emission order key a
-            // change-stream consumer needs to apply updates idempotently
+          // state hygiene (ADVICE r12): a tombstoned document with
+          // nothing buffered IS the initial state — post-error the fold
+          // resets every field, so removing the entry is
+          // semantics-free (a reappearing user reconstructs bit-equal
+          // state) and caps the store at |live + in-flight users|, not
+          // |users ever seen|. Removal also disarms any previously-set
+          // event-time timeout; otherwise timeouts re-arm only while
+          // something is actually pending (a fired timeout clears
+          // itself, so a drained buffer leaves nothing armed).
+          if (pend.isEmpty && !s.exists) state.remove()
+          else {
+            state.update(s.copy(pend = pend))
+            // wake when the earliest buffered op can ripen (strictly
+            // above the current watermark: pending sec ≥ wm)
+            pend.map(_.sec + 1L).minOption
+              .foreach(t => state.setTimeoutTimestamp(t * 1000L))
+          }
+          if (ripe.nonEmpty) {
+            // the emission order key is the LAST FOLDED op's
+            // (sec, event_id) — strictly monotone per user across
+            // emissions by watermark admissibility (every later-folded
+            // op has sec ≥ the wm that ripened the earlier ones), and
+            // unlike a per-key counter it needs no state, so it
+            // survives tombstone removal; n_folded receipts
+            // exactly-once folding (Σ over emissions = ops ever seen)
+            val lastKey = ripe.map(o => (o.sec, o.event_id)).max
             Iterator.single(DocOut(user, s.exists, s.plan, s.lastClick,
-              s.lastView, s.lastPurchase, s.nOps, s.lastSec, s.foldSeq))
-          else Iterator.empty
+              s.lastView, s.lastPurchase, s.nOps, s.lastSec,
+              lastKey._1, lastKey._2, ripe.length.toLong))
+          } else Iterator.empty
       }
   }
 

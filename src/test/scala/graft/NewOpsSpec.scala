@@ -2480,6 +2480,27 @@ class NewOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(p21All == p21Tier)
   }
+
+  test("round-13 (ADVICE r12): a NULL-text image doc survives m14's " +
+      "packing with zero text tokens instead of silently vanishing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m14null").toString
+    // doc_id % 3 == 0 → image; patches = ((3%64+16+13) div 14) *
+    // ((3%48+16+13) div 14) = 2*2 = 4; text NULL so tt must coalesce
+    // to 0, giving one 4-token media-only span — the pre-fix plan
+    // dropped the doc at the tokens>0 filter (tokens = 4 + NULL)
+    Seq((3L, Option.empty[String], "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("m14_interleave_pack")(spark, dir)
+      .collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    val r = rows.head
+    assert(r.getAs[Long]("media_tokens") == 4L &&
+      r.getAs[Long]("text_tokens") == 0L &&
+      r.getAs[Long]("fill_tokens") == 4L &&
+      r.getAs[Long]("is_full") == 0L, r.toString)
+  }
 }
 
 /** Row shape for the s08 short-candidate spec (top-level for the

@@ -1224,11 +1224,22 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val byUser = spark.table("st18_sink").as[DocOut].collect()
         .filter(_.user_id >= 0).groupBy(_.user_id)
-      // final emission per user = max fold_seq (monotone by design)
-      val got = byUser.view.mapValues(_.maxBy(_.fold_seq)).toMap
-      // every op folded exactly once
+      // final emission per user = max (fold_sec, fold_eid) — the
+      // last-folded-op key is strictly monotone per user by watermark
+      // admissibility (round 13: it replaced the stateful fold_seq
+      // counter so tombstoned state can be REMOVED without breaking
+      // the order key); distinctness is the monotonicity receipt
+      byUser.foreach { case (u, ds) =>
+        val keys = ds.map(d => (d.fold_sec, d.fold_eid))
+        assert(keys.distinct.length == keys.length, s"user $u emission keys")
+      }
+      val got = byUser.view
+        .mapValues(_.maxBy(d => (d.fold_sec, d.fold_eid))).toMap
+      // every op folded exactly once: per-emission n_folded sums to
+      // the ops ever sent for the user
       evs.groupBy(_._1).foreach { case (u, ops) =>
-        assert(got(u).fold_seq == ops.length.toLong, s"user $u folds")
+        assert(byUser(u).map(_.n_folded).sum == ops.length.toLong,
+          s"user $u folds")
       }
       val gotLive = got.filter(_._2.exists).map { case (u, d) =>
         u -> ((d.plan, d.last_click, d.last_view, d.last_purchase,
@@ -1238,6 +1249,13 @@ class StreamingSpec extends SparkSpec {
         s"${gotLive.size} live stream docs vs ${want.size} batch")
       // deleted users surface as tombstones, not silence
       assert(got.exists(!_._2.exists), "no tombstone emission")
+      // state hygiene (ADVICE r12): after the flush event ripens every
+      // op, ended-tombstoned users are REMOVED — the store holds
+      // exactly the live documents plus the flush user
+      val stateRows = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(stateRows == want.size.toLong + 1L,
+        s"state rows $stateRows vs ${want.size} live docs + flush user")
     } finally q.stop()
   }
 }
