@@ -368,12 +368,20 @@ object KernelOracleSql {
   /** dd18 oracle: Bloom exact-dup prefilter. One fingerprint chain
     * (t04's Rabin-Karp-257 + mix64 replica) over corpus ∪ wave; the
     * k=4 probe positions derive by Kirsch-Mitzenhauer double hashing
-    * (h1 = low 16 bits, h2 = next 16 | 1, p_i = (h1 + i·h2) mod 2¹⁶ —
-    * pure integer algebra both engines); membership replicates the
-    * bitmap EXACTLY because a bit is set iff its position is in the
-    * corpus's distinct position set. true_dup = verbatim text match. */
+    * off the fingerprint's unsigned 32-bit halves
+    * (h1 = lo32 mod m, h2 = (hi32 mod m) | 1, p_i = (h1 + i·h2) mod m
+    * — pure integer algebra both engines), with m sized FROM THE
+    * CORPUS exactly as the Spark side computes it:
+    * m = max(2¹⁶, ⌈16n/2¹⁶⌉·2¹⁶) (round 13 — fill stays ~0.22 at any
+    * n); membership replicates the bitmap EXACTLY because a bit is
+    * set iff its position is in the corpus's distinct position set.
+    * true_dup = verbatim text match. */
   def dd18Sql: String =
     s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |mm AS (
+       |  SELECT GREATEST(65536,
+       |    ((16 * COUNT(*) + 65535) // 65536) * 65536) AS m
+       |  FROM documents),
        |wv AS (
        |  SELECT doc_id + 4000000 AS doc_id, text
        |  FROM base WHERE doc_id % 7 = 2
@@ -387,29 +395,30 @@ object KernelOracleSql {
        |      list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
        |        t -> t <> ''), w -> w || '~new'), ' ')
        |  FROM base WHERE doc_id % 7 = 5),
-       |src AS (SELECT * FROM base UNION ALL SELECT * FROM wv),
+       |src AS (SELECT doc_id, text, 0 AS is_wave FROM base
+       |  UNION ALL SELECT doc_id, text, 1 FROM wv),
        |roll AS (
-       |  SELECT doc_id, list_reduce(
+       |  SELECT doc_id, is_wave, list_reduce(
        |    list_prepend(0::HUGEINT,
        |      list_transform(range(1, strlen(text)+1),
        |        i -> ord(text[i])::HUGEINT)),
        |    (h, b) -> (h * 257::HUGEINT + b) % $P64) AS h0
        |  FROM src),
-       |${mix64Ctes("roll", "h0", "fp_u", "fp", Seq("doc_id"))},
+       |${mix64Ctes("roll", "h0", "fp_u", "fp", Seq("doc_id", "is_wave"))},
        |hh AS (
-       |  SELECT doc_id,
-       |    CAST(fp_u % 65536 AS BIGINT) AS h1,
-       |    CAST((fp_u // 65536) % 65536 AS BIGINT) | 1 AS h2
-       |  FROM fpd),
+       |  SELECT doc_id, is_wave,
+       |    CAST((fp_u % 4294967296) % m AS BIGINT) AS h1,
+       |    CAST((fp_u // 4294967296) % m AS BIGINT) | 1 AS h2
+       |  FROM fpd, mm),
        |pos AS (
-       |  SELECT doc_id, i.i AS i, (h1 + i.i * h2) % 65536 AS p
-       |  FROM hh, (SELECT unnest(range(4)) AS i) i),
+       |  SELECT doc_id, is_wave, i.i AS i, (h1 + i.i * h2) % m AS p
+       |  FROM hh, mm, (SELECT unnest(range(4)) AS i) i),
        |cpos AS (
-       |  SELECT DISTINCT p FROM pos WHERE doc_id < 4000000),
+       |  SELECT DISTINCT p FROM pos WHERE is_wave = 0),
        |whit AS (
        |  SELECT w.doc_id
        |  FROM pos w JOIN cpos c ON c.p = w.p
-       |  WHERE w.doc_id >= 4000000
+       |  WHERE w.is_wave = 1
        |  GROUP BY w.doc_id HAVING COUNT(DISTINCT w.i) = 4),
        |ctext AS (SELECT DISTINCT text FROM base)
        |SELECT w.doc_id AS new_id,

@@ -1663,12 +1663,32 @@ object Dedup {
     * membership set-theoretically — no bit-layout dependence; all
     * position algebra is exact integers off the bit-exact t04 chain.
     *
+    * Sizing (round 13, VERDICT r12 #4): m is a FUNCTION OF THE CORPUS —
+    * 16 bits per document rounded up to a 2¹⁶-bit granule
+    * (m = max(2¹⁶, ⌈16n/2¹⁶⌉·2¹⁶), one scalar count() to learn n), so
+    * fill stays ≈ 1−e^(−k/16) ≈ 0.22 and fp ≈ fill⁴ ≈ 2.4e-3 at ANY
+    * corpus size instead of saturating at 100×. h1/h2 draw from the
+    * fingerprint's unsigned 32-bit halves (mod m — m ≤ 2³² required,
+    * loudly), which keeps every value reproducible in DuckDB's
+    * unsigned lane. The bitmap words are built BY AGGREGATE
+    * (per-word bit_or, ≤ m/64 rows) and only then collected — the
+    * driver sketch is word-count-bounded, and past
+    * `driverBitmapMaxBits` the probe switches to the distributed form:
+    * wave positions join the distinct corpus-position frame directly
+    * (set-identical to the bitmap test — AQE broadcasts the set while
+    * it is small, shuffles when it is not). Saturation degrades to a
+    * pass-everything no-op, NEVER a wrong answer (no false negatives
+    * by construction at any fill — specced at forceM = 64).
+    *
     * Scale: corpus pays one map-only fingerprint pass into a
     * shrinking distinct (≤ m rows shuffle); the wave probe is
-    * map-only (the 8 KB bitmap rides the plan); true_dup is a
-    * hash-only (md5) broadcast-able join for the audit column.
+    * map-only while the bitmap literal fits the plan, and a
+    * data-sized position join beyond; true_dup is a hash-only (md5)
+    * broadcast-able join for the audit column.
     */
-  def dd18BloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+  def dd18BloomPrefilter(spark: SparkSession, dir: String,
+      forceM: Option[Long] = None,
+      driverBitmapMaxBits: Long = 1L << 20): DataFrame = {
     val base = Tables.spread(Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")))
     val ws = filter(split(col("text"), "[ \\t\\n\\r]+"), w => w =!= "")
@@ -1681,33 +1701,61 @@ object Dedup {
         .select((col("doc_id") + 6000000L).as("doc_id"),
           array_join(transform(ws, w => concat(w, lit("~new"))), " ")
             .as("text")))
+    // n is a scalar model parameter (the s04 precedent): ONE count()
+    // action sizes the filter before the plan is built
+    val n = base.count()
+    val m = forceM.getOrElse(
+      math.max(65536L, ((16L * n + 65535L) / 65536L) * 65536L))
+    require(m <= (1L << 32),
+      s"dd18: bitmap of $m bits for n=$n docs exceeds the 32-bit " +
+        "position space — widen the fingerprint-derived hashes first")
     def h1h2(fp: Column): (Column, Column) = (
-      fp.bitwiseAND(lit(65535L)),
-      shiftrightunsigned(fp, 16).bitwiseAND(lit(65535L)).bitwiseOR(lit(1L)))
+      pmod(fp.bitwiseAND(lit(4294967295L)), lit(m)),
+      pmod(shiftrightunsigned(fp, 32), lit(m)).bitwiseOR(lit(1L)))
     def positions(fp: Column): Seq[Column] = {
       val (h1, h2) = h1h2(fp)
-      (0 until 4).map(i => pmod(h1 + lit(i.toLong) * h2, lit(65536L)))
+      (0 until 4).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m)))
     }
-    // one corpus pass → ≤ 2¹⁶ distinct positions → the 1024-word bitmap
-    val posSet = base
+    val corpusPos = base
       .select(explode(array(
         positions(T.rolling_fingerprint(col("text"))): _*)).as("p"))
-      .distinct().collect().map(_.getLong(0))
-    val bitmap = new Array[Long](1024)
-    posSet.foreach(p => bitmap(p.toInt / 64) |= (1L << (p.toInt % 64)))
-    val bm = lit(bitmap)
+      .distinct()
     val ctext = base.select(md5(col("text")).as("h")).distinct()
       .withColumn("td", lit(true))
     val (h1, h2) = h1h2(T.rolling_fingerprint(col("text")))
-    wave.select(col("doc_id").as("new_id"), h1.as("h1"), h2.as("h2"),
-        md5(col("text")).as("h"))
-      .withColumn("bm", bm)
-      .withColumn("bloom_hit", expr(
-        """aggregate(sequence(0, 3), true, (acc, i) ->
-          |  acc AND ((shiftright(element_at(bm,
-          |      cast(((h1 + i * h2) % 65536) DIV 64 as int) + 1),
-          |    cast(((h1 + i * h2) % 65536) % 64 as int)) & 1) = 1))"""
-          .stripMargin))
+    val probe =
+      if (m <= driverBitmapMaxBits) {
+        // bitmap words by AGGREGATE, then a word-count-bounded collect
+        val words = corpusPos
+          .groupBy((col("p") / 64).cast(LongType).as("w"))
+          .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("bits"))
+          .collect()
+        val bitmap = new Array[Long]((m / 64).toInt)
+        words.foreach(r => bitmap(r.getLong(0).toInt) = r.getLong(1))
+        wave.select(col("doc_id").as("new_id"), h1.as("h1"), h2.as("h2"),
+            md5(col("text")).as("h"))
+          .withColumn("bm", lit(bitmap))
+          .withColumn("bloom_hit", expr(
+            s"""aggregate(sequence(0, 3), true, (acc, i) ->
+               |  acc AND ((shiftright(element_at(bm,
+               |      cast(((h1 + i * h2) % $m) DIV 64 as int) + 1),
+               |    cast(((h1 + i * h2) % $m) % 64 as int)) & 1) = 1))"""
+              .stripMargin))
+      } else {
+        // distributed probe: the wave's 4 positions against the corpus
+        // position frame — the same set-membership test, data-sized
+        val wp = wave.select(col("doc_id").as("new_id"),
+            md5(col("text")).as("h"),
+            posexplode(array(positions(
+              T.rolling_fingerprint(col("text"))): _*)))
+          .withColumnRenamed("pos", "i").withColumnRenamed("col", "p")
+        wp.join(corpusPos.withColumn("in_set", lit(1L)), Seq("p"),
+            "left_outer")
+          .groupBy(col("new_id"), col("h"))
+          .agg((sum(when(col("in_set").isNotNull, 1L).otherwise(0L))
+            === 4L).as("bloom_hit"))
+      }
+    probe
       .join(ctext, Seq("h"), "left_outer")
       .select(col("new_id"), col("bloom_hit"),
         coalesce(col("td"), lit(false)).as("true_dup"))
@@ -1873,7 +1921,8 @@ object Dedup {
        |ORDER BY a.vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dd18_bloom_prefilter" -> (dd18BloomPrefilter _),
+    "dd18_bloom_prefilter" ->
+      ((s: SparkSession, d: String) => dd18BloomPrefilter(s, d)),
     "dd17_lsh_calibration" -> (dd17LshCalibration _),
     "dd16_incremental_dedup" -> (dd16IncrementalDedup _),
     "dd15_para_minhash" -> (dd15ParaMinhash _),

@@ -638,6 +638,30 @@ class NewOpsSpec extends SparkSpec {
     assert(news.nonEmpty && news.forall(r => !r._2))
   }
 
+  test("round-13: dd18's distributed position-join probe is " +
+      "set-identical to the bitmap literal, and saturation (forceM=64) " +
+      "degrades to pass-everything — never a false negative") {
+    val lit = SparkEntry.queries("dd18_bloom_prefilter")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    // driverBitmapMaxBits = 0 forces the scale path (wave positions
+    // joined to the distinct corpus-position frame)
+    val joined = operators.Dedup
+      .dd18BloomPrefilter(spark, sfDir, driverBitmapMaxBits = 0L)
+      .collect().map(_.toSeq).toSet
+    assert(lit == joined)
+    // a 64-bit bitmap at this corpus is ~fully saturated: the filter
+    // must degrade to a no-op (nearly everything bloom-hits), and the
+    // structural no-FN contract must hold AT fill → 1
+    val sat = operators.Dedup
+      .dd18BloomPrefilter(spark, sfDir, forceM = Some(64L))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    sat.foreach { case (id, hit, td) =>
+      if (td) assert(hit, s"saturated false negative at $id") }
+    assert(sat.count(_._2) * 10 >= sat.length * 9,
+      s"64-bit bitmap should pass ~everything, passed ${sat.count(_._2)}" +
+        s"/${sat.length}")
+  }
+
   test("dd17: LSH S-curve — the banding misses the low-J ladder floor " +
       "and catches the high-J end completely; theory literals exact") {
     val rows = SparkEntry.queries("dd17_lsh_calibration")(spark, sfDir)
