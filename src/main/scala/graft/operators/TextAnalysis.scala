@@ -1560,16 +1560,45 @@ object TextAnalysis {
     * shipped encoder table IS this trainer's output (specced via an
     * independent in-memory replica).
     *
+    * ROUND BATCHING (round 13, VERDICT r12 #3): one driver round-trip
+    * per merge cannot reach a production vocabulary (50k merges =
+    * 50k driver latencies). The trainer now runs a TIERED schedule —
+    * rounds 1–10 are exact sequential argmax rounds (cap 1, so the
+    * first 10 merges ARE canonical GPT-2 BPE and the Bpe.merges
+    * closure proof survives untouched), and every later round accepts
+    * up to 16 merges from its top-64 snapshot in (count desc, l, r)
+    * order, SKIPPING any candidate that interacts with an already-
+    * accepted one (shares an edge token or collides with a freshly
+    * merged string: r_i = l_j, l_i = r_j, or a token equal to l_i+r_i).
+    * Accepted merges apply sequentially in rank order, so within a
+    * round the application algebra is unchanged. This is the
+    * distributed-trainer variant (the frequency-gap family): it can
+    * reorder merges relative to strictly-sequential BPE when a pair
+    * born inside a batch would have out-ranked a later batch member —
+    * the documented price of 10× fewer driver rounds (a provably
+    * sequential-exact batch rule was measured at 55 rounds for this
+    * corpus's 89 merges vs 17 tiered; the spec pins the tiered policy
+    * against an independent replica AND the sequential prefix).
+    * 100 merges (or corpus exhaustion — this corpus fully merges at
+    * 89) complete in ≤ 20 driver rounds, spec-asserted.
+    *
     * Scale: the classic two-phase trainer shape — ONE corpus pass
     * builds the (word, freq) frame (map-side combined, vocab-sized
-    * forever after); each of the 10 rounds is a distributed pair-count
-    * aggregate on that frame (bounded key space: distinct adjacent
-    * pairs), ONE driver row per round (the argmax — model-parameter-
-    * sized, the s02/s04 class), and a map-only re-tokenize fold.
-    * localCheckpoint per round cuts the growing lineage (d13/dd06
-    * discipline). Corpus text is scanned exactly once.
+    * forever after); each round is a distributed pair-count aggregate
+    * on that frame (bounded key space: distinct adjacent pairs), one
+    * bounded top-64 driver row-set per round (model-parameter-sized,
+    * the s02/s04 class), and a map-only re-tokenize fold (≤ 16 chained
+    * projections, one stage). localCheckpoint per round cuts the
+    * growing lineage (d13/dd06 discipline). Corpus text is scanned
+    * exactly once.
     */
-  def t23BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def t23BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    t23BpeTrainRounds(spark, dir, 100)._1
+
+  /** t23 with the driver-round count exposed (the latency envelope the
+    * spec asserts: ≤ 20 rounds for the 100-merge target). */
+  private[graft] def t23BpeTrainRounds(spark: SparkSession, dir: String,
+      nMerges: Int): (DataFrame, Int) = {
     val raw = filter(split(col("text"), "[ \\t\\n\\r]+"), x => x =!= "")
     var state = Tables(spark, dir, "documents")
       .select(explode(raw).as("w"))
@@ -1590,8 +1619,12 @@ object TextAnalysis {
     val learned =
       scala.collection.mutable.ListBuffer[(Long, String, String, String, Long)]()
     var exhausted = false
-    for (i <- 1 to 10 if !exhausted) {
-      val best = state.filter(size(col("arr")) > 1)
+    var rounds = 0
+    while (learned.size < nMerges && !exhausted && rounds < 64) {
+      rounds += 1
+      val cap = math.min(if (rounds <= 10) 1 else 16,
+        nMerges - learned.size)
+      val top = state.filter(size(col("arr")) > 1)
         .select(col("f"), explode(expr(
           """transform(sequence(1, size(arr) - 1),
             |  j -> struct(element_at(arr, j) AS l,
@@ -1600,35 +1633,66 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("f")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(64).collect()
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        learned += ((i.toLong, l, r, l + r, c))
-        // left-to-right non-overlapping application as a fold: merge
-        // when the accumulator's last token is lhs and the next is rhs
-        val applied = aggregate(col("arr"),
-          array().cast(ArrayType(StringType)),
-          (acc, x) => when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(element_at(acc, -1), x))))
-            .otherwise(concat(acc, array(x))))
-        state = state.select(col("w"), col("f"), applied.as("arr"))
-          .localCheckpoint(false)
+        // skip-acceptance over the bounded snapshot: rank order, skip
+        // candidates that interact with an accepted merge
+        val acc =
+          scala.collection.mutable.ListBuffer[(String, String, Long)]()
+        top.foreach { row =>
+          if (acc.size < cap) {
+            val (l, r, c) =
+              (row.getString(0), row.getString(1), row.getLong(2))
+            val ok = acc.forall { case (li, ri, _) =>
+              ri != l && li != r && l != li + ri && r != li + ri }
+            if (ok) acc += ((l, r, c))
+          }
+        }
+        // apply accepted merges sequentially in rank order — chained
+        // map-only folds, ONE stage; left-to-right non-overlapping
+        // application: merge when the accumulator's last token is lhs
+        // and the next is rhs
+        var st = state
+        acc.foreach { case (l, r, _) =>
+          val applied = aggregate(col("arr"),
+            array().cast(ArrayType(StringType)),
+            (a, x) => when(size(a) > 0 &&
+                element_at(a, -1) === lit(l) && x === lit(r),
+              concat(slice(a, lit(1), size(a) - 1),
+                array(concat(element_at(a, -1), x))))
+              .otherwise(concat(a, array(x))))
+          st = st.select(col("w"), col("f"), applied.as("arr"))
+        }
+        state = st.localCheckpoint(false)
+        acc.foreach { case (l, r, c) =>
+          learned += ((learned.size + 1L, l, r, l + r, c)) }
       }
     }
     import spark.implicits._
-    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
-      .orderBy(col("merge_rank"))
+    (learned.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("merge_rank")), rounds)
   }
 
-  /** The trainer unrolled: 10 (pairs → best → recursive leftmost-apply
-    * → state) rounds. Non-recursive CTEs are MATERIALIZED — DuckDB
-    * inlines CTEs per reference, and each round references the previous
-    * state ~3×, so un-materialized the chain re-expands 3^10 ways. */
+  /** The tiered trainer unrolled to 20 rounds (rounds past exhaustion
+    * accept nothing and pass the state through): per round, pair
+    * counts → the ranked top-64 `cand` → a RECURSIVE skip-acceptance
+    * scan (`accr`: walk the ranks carrying the accepted list, append
+    * iff non-interacting and under the round's tier/remaining-budget
+    * cap) → a recursive variable-batch leftmost-apply (`ap`: apply
+    * accepted merge `mi` repeatedly, advance `mi` when its occurrences
+    * are gone). Non-recursive CTEs are MATERIALIZED — DuckDB inlines
+    * CTEs per reference and each round references the previous state
+    * several times, so un-materialized the chain re-expands
+    * exponentially. */
   val t23Sql: String = {
+    val nTarget = 100
+    val nRounds = 20
+    def capOf(i: Int): Int = if (i <= 10) 1 else 16
+    def remExpr(i: Int): String =
+      if (i == 1) nTarget.toString
+      else s"$nTarget - (${(1 until i)
+        .map(j => s"(SELECT len(acc) FROM final$j)").mkString(" + ")})"
     def round(i: Int): String = {
       val prev = s"state${i - 1}"
       s""",
@@ -1637,26 +1701,52 @@ object TextAnalysis {
          |  FROM (SELECT f, unnest(list_transform(range(len(arr)-1),
          |      j -> [arr[j+1], arr[j+2]])) AS pr FROM $prev) u
          |  GROUP BY 1, 2),
-         |best$i AS MATERIALIZED (
-         |  SELECT l, r, c FROM pairs$i ORDER BY c DESC, l, r LIMIT 1),
-         |ap$i AS (
-         |  SELECT w, f, arr FROM $prev
+         |cand$i AS MATERIALIZED (
+         |  SELECT l, r, c, rk FROM (
+         |    SELECT l, r, c,
+         |      row_number() OVER (ORDER BY c DESC, l, r) AS rk
+         |    FROM pairs$i) WHERE rk <= 64),
+         |accr$i AS (
+         |  SELECT 0 AS rk, []::STRUCT(l VARCHAR, r VARCHAR)[] AS acc
          |  UNION ALL
-         |  SELECT w, f,
-         |    arr[1:pos-1] || [arr[pos] || arr[pos+1]] || arr[pos+2:] AS arr
+         |  SELECT g.rk + 1,
+         |    CASE WHEN len(g.acc) < LEAST(${capOf(i)}, ${remExpr(i)})
+         |        AND len(list_filter(g.acc, a -> a.r = c.l OR a.l = c.r
+         |          OR c.l = a.l || a.r OR c.r = a.l || a.r)) = 0
+         |      THEN list_append(g.acc, {'l': c.l, 'r': c.r})
+         |      ELSE g.acc END
+         |  FROM accr$i g JOIN cand$i c ON c.rk = g.rk + 1),
+         |final$i AS MATERIALIZED (
+         |  SELECT acc FROM accr$i ORDER BY rk DESC LIMIT 1),
+         |ap$i AS (
+         |  SELECT w, f, arr, 1 AS mi FROM $prev
+         |  UNION ALL
+         |  SELECT s.w, s.f,
+         |    CASE WHEN s.pos IS NOT NULL AND s.pos > 0
+         |      THEN s.arr[1:s.pos-1] || [s.arr[s.pos] || s.arr[s.pos+1]]
+         |        || s.arr[s.pos+2:]
+         |      ELSE s.arr END AS arr,
+         |    CASE WHEN s.pos IS NOT NULL AND s.pos > 0 THEN s.mi
+         |      ELSE s.mi + 1 END AS mi
          |  FROM (
-         |    SELECT w, f, arr, list_position(
-         |      list_transform(range(len(arr)-1),
-         |        j -> arr[j+1] = b.l AND arr[j+2] = b.r), true) AS pos
-         |    FROM ap$i, best$i b) s
-         |  WHERE pos IS NOT NULL AND pos > 0),
+         |    SELECT p.w, p.f, p.arr, p.mi, list_position(
+         |      list_transform(range(len(p.arr)-1),
+         |        j -> p.arr[j+1] = a.acc[p.mi].l
+         |          AND p.arr[j+2] = a.acc[p.mi].r), true) AS pos
+         |    FROM ap$i p, final$i a
+         |    WHERE p.mi <= len(a.acc)) s),
          |state$i AS MATERIALIZED (
-         |  SELECT s.w, s.f, s.arr FROM (
-         |    SELECT w, f, arr, list_position(
-         |      list_transform(range(len(arr)-1),
-         |        j -> arr[j+1] = b.l AND arr[j+2] = b.r), true) AS pos
-         |    FROM ap$i, best$i b) s
-         |  WHERE s.pos IS NULL OR s.pos = 0)""".stripMargin
+         |  SELECT p.w, p.f, p.arr FROM ap$i p, final$i a
+         |  WHERE p.mi = len(a.acc) + 1),
+         |sel$i AS (
+         |  SELECT $i AS rnd, unnest(range(1, len(acc)+1)) AS idx, acc
+         |  FROM final$i),
+         |row$i AS (
+         |  SELECT s.rnd, s.idx, s.acc[s.idx].l AS l, s.acc[s.idx].r AS r,
+         |    c.c
+         |  FROM sel$i s JOIN cand$i c
+         |    ON c.l = s.acc[s.idx].l AND c.r = s.acc[s.idx].r)"""
+        .stripMargin
     }
     s"""WITH RECURSIVE
        |docw AS MATERIALIZED (
@@ -1670,12 +1760,15 @@ object TextAnalysis {
        |  SELECT w, f,
        |    list_transform(range(length(w)), i -> w[i+1:i+1]) AS arr
        |  FROM wf)""".stripMargin +
-      (1 to 10).map(round).mkString +
-      "\n" + (1 to 10).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
-          s"l || r AS merged, c AS pair_count FROM best$i")
-        .mkString(" UNION ALL ") +
-      " ORDER BY merge_rank"
+      (1 to nRounds).map(round).mkString +
+      s""",
+         |allm AS (
+         |  ${(1 to nRounds).map(i => s"SELECT * FROM row$i")
+            .mkString("\n  UNION ALL\n  ")})
+         |SELECT CAST(row_number() OVER (ORDER BY rnd, idx) AS BIGINT)
+         |    AS merge_rank,
+         |  l AS lhs, r AS rhs, l || r AS merged, c AS pair_count
+         |FROM allm ORDER BY merge_rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- t24

@@ -1769,13 +1769,15 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
-  test("t23: the distributed BPE trainer matches an independent " +
-      "in-memory replica, and at sf0.01 reproduces Bpe.merges' prefix") {
-    // pure-Scala replica: word freqs -> 10 greedy merge rounds
-    def replica(dir: String): Seq[(String, String, Long)] = {
+  test("t23: the tiered distributed BPE trainer matches an independent " +
+      "in-memory replica for all 100 merges, finishes in <= 20 driver " +
+      "rounds, and at sf0.01 reproduces Bpe.merges' prefix") {
+    // pure-Scala replica of the round-13 tiered policy: rounds 1-10
+    // sequential argmax (cap 1), later rounds accept <= 16 of the
+    // top-64 in (count desc, l, r) order skipping interacting pairs
+    def replica(dir: String, n: Int): Seq[(String, String, Long)] = {
       val freqs = Tables(spark, dir, "documents").select(col("text"))
         .collect().iterator
-        // NULL-text contract: the operator and oracle both null-skip
         .flatMap(r => Option(r.getString(0)).iterator
           .flatMap(_.split("[ \t\n\r]+")))
         .filter(_.nonEmpty)
@@ -1783,35 +1785,58 @@ class NewOpsSpec extends SparkSpec {
       var state: Map[Vector[String], Long] = freqs
         .groupBy { case (w, _) => w.map(_.toString).toVector }
         .map { case (arr, m) => arr -> m.values.sum }
-      (1 to 10).map { _ =>
+      val merges = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+      var rounds = 0
+      var exhausted = false
+      while (merges.size < n && !exhausted && rounds < 64) {
+        rounds += 1
+        val cap = math.min(if (rounds <= 10) 1 else 16, n - merges.size)
         val counts = scala.collection.mutable.Map[(String, String), Long]()
         state.foreach { case (arr, f) =>
           arr.sliding(2).filter(_.size == 2).foreach { p =>
             counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f }
         }
-        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
-        state = state.groupBy { case (arr, _) =>
-          arr.foldLeft(Vector.empty[String]) { (acc, x) =>
-            if (acc.nonEmpty && acc.last == l && x == r)
-              acc.init :+ (acc.last + x)
-            else acc :+ x
+        if (counts.isEmpty) exhausted = true
+        else {
+          val ranked = counts.toSeq
+            .sortBy { case ((l, r), c) => (-c, l, r) }.take(64)
+          val acc = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+          ranked.foreach { case ((l, r), c) =>
+            if (acc.size < cap && acc.forall { case (li, ri, _) =>
+                ri != l && li != r && l != li + ri && r != li + ri })
+              acc += ((l, r, c))
           }
-        }.map { case (arr, m) => arr -> m.values.sum }
-        (l, r, c)
+          acc.foreach { case (l, r, c) =>
+            merges += ((l, r, c))
+            state = state.groupBy { case (arr, _) =>
+              arr.foldLeft(Vector.empty[String]) { (a, x) =>
+                if (a.nonEmpty && a.last == l && x == r)
+                  a.init :+ (a.last + x)
+                else a :+ x
+              }
+            }.map { case (arr, m) => arr -> m.values.sum }
+          }
+        }
       }
+      merges.toSeq
     }
     var at01: Seq[(String, String)] = Nil
     for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
-      val got = SparkEntry.queries("t23_bpe_train")(spark, dir)
-        .collect().map(r => (r.getString(1), r.getString(2),
-          r.getAs[Long]("pair_count")))
-      assert(got.toSeq == replica(dir), s"mismatch at $dir")
+      val (df, rounds) = graft.operators.TextAnalysis
+        .t23BpeTrainRounds(spark, dir, 100)
+      val got = df.collect().map(r => (r.getString(1), r.getString(2),
+        r.getAs[Long]("pair_count")))
+      assert(got.toSeq == replica(dir, 100), s"mismatch at $dir")
+      assert(got.length >= 80, s"only ${got.length} merges at $dir " +
+        "(corpus exhausts at 89 — anything less means a dead round)")
+      assert(rounds <= 20, s"$rounds driver rounds at $dir — the " +
+        "latency envelope is <= 20 for the 100-merge target")
       if (dir.endsWith("sf0.01"))
         at01 = got.map(g => (g._1, g._2)).toSeq
     }
-    // closure: the shipped encoder table IS this trainer's output on
-    // the sf0.01 corpus — the first 10 seeded merges, in order
-    assert(at01 == graft.functions.Bpe.merges.take(10).toSeq)
+    // closure: rounds 1-10 are cap-1 sequential argmax, so the shipped
+    // encoder table still IS this trainer's output prefix on sf0.01
+    assert(at01.take(10) == graft.functions.Bpe.merges.take(10).toSeq)
   }
 
   test("t22: an all-empty-text source yields NULL fertility and " +
