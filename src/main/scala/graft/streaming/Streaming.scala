@@ -1249,6 +1249,190 @@ object Streaming {
       }
   }
 
+  // ---------------------------------------------------------------- st19
+  /** CDC VIEW CONSUMER (round 13, VERDICT r12 #8) — the other half of
+    * st18's producer: the materialized table a downstream reader
+    * actually queries. The update LOG is every per-op document version
+    * (st18's fold emitted at every step, tombstones included), and the
+    * consumer must materialize the view under the delivery contract
+    * real CDC consumers face: AT-LEAST-ONCE (duplicates) and
+    * REORDERING. Deterministic duplicates (every log row with
+    * event_id % 3 = 0 delivered twice) ride the same plan; the apply
+    * is last-write-wins by the per-user order key
+    * okey = sec·2²⁸ + event_id — a MAX-fold, so duplicated and
+    * permuted deliveries land on the identical view (idempotent +
+    * commutative by construction, which is why the streaming twin
+    * needs NO watermark at all, unlike st18's fold-order buffering).
+    * A user whose max-okey version is a tombstone is absent from the
+    * view; n_log_rows / n_versions audit that duplicates were really
+    * absorbed (n_log_rows > n_versions wherever a dup landed).
+    *
+    * Version fields reset across tombstones WITHOUT a per-segment
+    * window: the error op writes a SENTINEL into each carry column
+    * (plan: '⟂'; values: {d:1} structs; n_ops: the error row's rn) so
+    * one user_id-partitioned window computes every segment's carries —
+    * ONE exchange, the st18 discipline.
+    *
+    * Scale: one user_id exchange for the log windows, the view agg is
+    * a map-side-combined max_by/count per user (no second sort), and
+    * the at-least-once union is map-only. Output ∝ live users.
+    */
+  def st19OplogView(spark: SparkSession, dir: String): DataFrame =
+    st19Log(spark, dir).groupBy(col("user_id"))
+      .agg(max_by(col("doc"), col("okey")).as("cur"),
+        count(lit(1)).as("n_log_rows"),
+        countDistinct(col("okey")).as("n_versions"))
+      .filter(col("cur.ex"))
+      .select(col("user_id"), col("cur.plan").as("plan"),
+        col("cur.last_click").as("last_click"),
+        col("cur.last_view").as("last_view"),
+        col("cur.last_purchase").as("last_purchase"),
+        col("cur.n_ops").as("n_ops"), col("cur.last_sec").as("last_sec"),
+        col("n_log_rows"), col("n_versions"))
+      .orderBy(col("user_id"))
+
+  /** st19's duplicated update log: every per-op document version with
+    * its okey, each event_id % 3 == 0 row delivered twice (the
+    * deterministic at-least-once layer). */
+  private[graft] def st19Log(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("event_type"),
+        col("value").cast(DecimalType(12, 2)).as("v"),
+        (col("event_type") === "error").cast("long").as("is_del"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dv(cond: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(col("is_del") === 1,
+        struct(lit(1L).as("d"),
+          lit(null).cast(DecimalType(12, 2)).as("v")))
+      .when(cond, struct(lit(0L).as("d"), col("v").as("v")))
+    val rn = ev.withColumn("rn", row_number().over(ord))
+    val lg = rn
+      .withColumn("planc", last(when(col("is_del") === 1, "⟂")
+        .when(col("event_type") === "signup", "free")
+        .when(col("event_type") === "purchase", "paid"),
+        ignoreNulls = true).over(w))
+      .withColumn("ck", last(dv(col("event_type") === "click"),
+        ignoreNulls = true).over(w))
+      .withColumn("vw", last(dv(col("event_type") === "view"),
+        ignoreNulls = true).over(w))
+      .withColumn("pr", last(dv(col("event_type") === "purchase"),
+        ignoreNulls = true).over(w))
+      .withColumn("ldrn", last(when(col("is_del") === 1, col("rn")),
+        ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        (col("sec") * lit(268435456L) + col("event_id")).as("okey"),
+        col("event_id"),
+        struct(
+          (col("is_del") === 0).as("ex"),
+          when(col("planc") =!= "⟂", col("planc")).as("plan"),
+          when(col("ck.d") === 0, col("ck.v").cast(DoubleType))
+            .as("last_click"),
+          when(col("vw.d") === 0, col("vw.v").cast(DoubleType))
+            .as("last_view"),
+          when(col("pr.d") === 0, col("pr.v").cast(DoubleType))
+            .as("last_purchase"),
+          when(col("is_del") === 1, 0L)
+            .otherwise(col("rn") - coalesce(col("ldrn"), lit(0L)))
+            .as("n_ops"),
+          col("sec").as("last_sec")).as("doc"))
+    // deterministic at-least-once delivery: a third of the log twice
+    lg.unionByName(lg.filter(col("event_id") % 3 === 0))
+  }
+
+  /** Same sentinel-reset carries, same max-okey apply. */
+  val st19Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id,
+      |    event_type, CAST(value AS DECIMAL(12,2)) AS v,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del
+      |  FROM events),
+      |rn AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY sec, event_id) AS rn
+      |  FROM ev),
+      |lg AS (
+      |  SELECT user_id, sec * 268435456 + event_id AS okey, event_id,
+      |    {'ex': is_del = 0,
+      |     'plan': CASE WHEN planc <> '⟂' THEN planc END,
+      |     'last_click': CASE WHEN ck.d = 0
+      |       THEN CAST(ck.v AS DOUBLE) END,
+      |     'last_view': CASE WHEN vw.d = 0 THEN CAST(vw.v AS DOUBLE) END,
+      |     'last_purchase': CASE WHEN pr.d = 0
+      |       THEN CAST(pr.v AS DOUBLE) END,
+      |     'n_ops': CASE WHEN is_del = 1 THEN 0
+      |       ELSE rn - COALESCE(ldrn, 0) END,
+      |     'last_sec': sec} AS doc
+      |  FROM (
+      |    SELECT *,
+      |      last_value(CASE WHEN is_del = 1 THEN '⟂'
+      |        WHEN event_type = 'signup' THEN 'free'
+      |        WHEN event_type = 'purchase' THEN 'paid' END IGNORE NULLS)
+      |        OVER w AS planc,
+      |      last_value(CASE WHEN is_del = 1
+      |          THEN {'d': 1, 'v': NULL::DECIMAL(12,2)}
+      |        WHEN event_type = 'click' THEN {'d': 0, 'v': v} END
+      |        IGNORE NULLS) OVER w AS ck,
+      |      last_value(CASE WHEN is_del = 1
+      |          THEN {'d': 1, 'v': NULL::DECIMAL(12,2)}
+      |        WHEN event_type = 'view' THEN {'d': 0, 'v': v} END
+      |        IGNORE NULLS) OVER w AS vw,
+      |      last_value(CASE WHEN is_del = 1
+      |          THEN {'d': 1, 'v': NULL::DECIMAL(12,2)}
+      |        WHEN event_type = 'purchase' THEN {'d': 0, 'v': v} END
+      |        IGNORE NULLS) OVER w AS pr,
+      |      last_value(CASE WHEN is_del = 1 THEN rn END IGNORE NULLS)
+      |        OVER w AS ldrn
+      |    FROM rn
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))),
+      |alo AS (
+      |  SELECT * FROM lg
+      |  UNION ALL SELECT * FROM lg WHERE event_id % 3 = 0),
+      |viewt AS (
+      |  SELECT user_id, arg_max(doc, okey) AS cur,
+      |    CAST(COUNT(*) AS BIGINT) AS n_log_rows,
+      |    CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_versions
+      |  FROM alo GROUP BY user_id)
+      |SELECT user_id, cur.plan AS plan, cur.last_click AS last_click,
+      |  cur.last_view AS last_view, cur.last_purchase AS last_purchase,
+      |  CAST(cur.n_ops AS BIGINT) AS n_ops, cur.last_sec AS last_sec,
+      |  n_log_rows, n_versions
+      |FROM viewt WHERE cur.ex ORDER BY user_id""".stripMargin
+
+  /** Streaming twin: the view consumer as a stateful MAX-fold — state
+    * per user is the best-okey version seen; every batch emits the
+    * user's current view row (Update mode). At-least-once duplicates
+    * and arbitrary reordering collapse by construction (max is
+    * idempotent + commutative), so NO watermark or buffering is
+    * needed — the spec feeds a duplicated, randomly permuted log and
+    * gets the batch view bit-for-bit. */
+  def st19Stream(updates: Dataset[ViewUpd]): Dataset[ViewOut] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ViewUpd, ViewOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[ViewUpd], state: GroupState[ViewUpd]) =>
+          val best = (state.getOption.iterator ++ it)
+            .maxBy(u => u.okey)
+          state.update(best)
+          Iterator.single(ViewOut(user, best.okey, best.ex, best.plan,
+            best.last_click, best.last_view, best.last_purchase,
+            best.n_ops, best.last_sec))
+      }
+  }
+
+  final case class ViewUpd(user_id: Long, okey: Long, ex: Boolean,
+      plan: Option[String], last_click: Option[Double],
+      last_view: Option[Double], last_purchase: Option[Double],
+      n_ops: Long, last_sec: Long)
+  final case class ViewOut(user_id: Long, okey: Long, ex: Boolean,
+      plan: Option[String], last_click: Option[Double],
+      last_view: Option[Double], last_purchase: Option[Double],
+      n_ops: Long, last_sec: Long)
+
   // ---------------------------------------------------------------- st13
   /** Session conversion funnel — the product-analytics staple on top of
     * sessionization: within each st02 session (same gap rule, same
@@ -1803,6 +1987,7 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st18_oplog_merge" -> (st18OplogMerge _),
+    "st19_oplog_view" -> (st19OplogView _),
     "st17_distribution_drift" -> (st17DistributionDrift _),
     "st16_pit_join" -> (st16PitJoin _),
     "st15_ingest_dedup" -> (st15IngestDedup _),
@@ -1823,6 +2008,7 @@ object Streaming {
 
   val oracle: Map[String, String] = Map(
     "st18_oplog_merge" -> st18Sql,
+    "st19_oplog_view" -> st19Sql,
     "st17_distribution_drift" -> st17Sql,
     "st16_pit_join" -> st16Sql,
     "st15_ingest_dedup" -> graft.functions.KernelOracleSql.st15Sql,

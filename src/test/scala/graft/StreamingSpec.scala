@@ -1258,4 +1258,77 @@ class StreamingSpec extends SparkSpec {
         s"state rows $stateRows vs ${want.size} live docs + flush user")
     } finally q.stop()
   }
+
+  test("st19: the CDC view equals st18's live documents, and the " +
+      "at-least-once duplicates are really absorbed") {
+    val view = Streaming.st19OplogView(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val st18 = Streaming.st18OplogMerge(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getLong(5), r.getLong(6)))).toMap
+    assert(view.keySet == st18.keySet,
+      s"${view.size} view rows vs ${st18.size} st18 docs")
+    view.foreach { case (u, r) =>
+      val d = (Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getAs[Long]("n_ops"), r.getAs[Long]("last_sec"))
+      assert(d == st18(u), s"user $u view/producer drift")
+      assert(r.getAs[Long]("n_versions") <= r.getAs[Long]("n_log_rows"))
+    }
+    // duplicates are live in the fixture AND absorbed: some user has
+    // more deliveries than versions, and no user double-counts
+    assert(view.values.exists(r =>
+      r.getAs[Long]("n_log_rows") > r.getAs[Long]("n_versions")),
+      "no duplicate delivery exercised — the at-least-once layer is dead")
+  }
+
+  test("st19 twin: the stateful max-fold consumer materializes the " +
+      "same view from a RANDOMLY PERMUTED duplicated log — no " +
+      "watermark, no admissibility constraint at all") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.{ViewOut, ViewUpd}
+    val log = Streaming.st19Log(spark, sfDir).collect().map { r =>
+      val d = r.getStruct(r.fieldIndex("doc"))
+      ViewUpd(r.getLong(0), r.getLong(r.fieldIndex("okey")),
+        d.getBoolean(0), Option(d.getString(1)),
+        if (d.isNullAt(2)) None else Some(d.getDouble(2)),
+        if (d.isNullAt(3)) None else Some(d.getDouble(3)),
+        if (d.isNullAt(4)) None else Some(d.getDouble(4)),
+        d.getLong(5), d.getLong(6))
+    }
+    // ARBITRARY order — st18's twin needs watermark admissibility, the
+    // view consumer must not (max-fold): full uniform shuffle
+    val rnd = new scala.util.Random(20260816L)
+    val arrival = rnd.shuffle(log.toSeq)
+    val input = MemoryStream[ViewUpd]
+    val q = Streaming.st19Stream(input.toDS()).writeStream
+      .format("memory").queryName("st19_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      arrival.grouped(977).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("st19_sink").as[ViewOut].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.okey)).toMap
+      val want = Streaming.st19OplogView(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> ((Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getAs[Long]("n_ops"), r.getAs[Long]("last_sec")))).toMap
+      val gotLive = got.filter(_._2.ex).map { case (u, d) =>
+        u -> ((d.plan, d.last_click, d.last_view, d.last_purchase,
+          d.n_ops, d.last_sec))
+      }
+      assert(gotLive == want,
+        s"${gotLive.size} live view rows vs ${want.size} batch")
+      assert(got.exists(!_._2.ex), "no tombstoned user reached the view")
+    } finally q.stop()
+  }
 }
