@@ -343,6 +343,55 @@ object PlanSweep {
   private[graft] val factTables = Seq("lineitem", "orders", "customer",
     "part", "supplier", "events", "documents", "embeddings")
 
+  /** Round-13 broadcast-premise gate (VERDICT r12 #6): every FORCED
+    * broadcast hint whose child has no static Catalyst row bound
+    * (`maxRows.isEmpty` — grouping-free aggregates are 1, limits are K)
+    * must carry a reviewed bound here, keyed by query, or the sweep
+    * hard-fails. The documented bound is the human claim the plan text
+    * cannot prove — exactly the collect-exemption pattern (ADVICE r11).
+    * t14/p21's weight broadcast is NOT here: round 13 removed it (the
+    * tiered head is limit-bounded, so its hint HAS maxRows). Checkpoint
+    * caveat: hints inside localCheckpoint subtrees are invisible to the
+    * outer analyzed plan — those two carry dedicated maxRows plan-audit
+    * specs instead (PlanAuditSpec round-13 gates). */
+  private[graft] val reviewedBroadcastBounds: Map[String, String] = {
+    val dims = "fixed dimension tables (nation 25 / region 5 rows at any SF)"
+    val queryFrame = "query-workload frame: |queries| is a " +
+      "corpus-independent eval set (s-family contract); per-query " +
+      "aggregates are <= |queries| * k rows"
+    val evalSet = "held-out eval benchmark: a fixed artifact, never " +
+      "corpus-derived (t10/t17 contract)"
+    val batchFrame = "batch-derived probe frames: bounded by the incoming " +
+      "micro-batch by the operator's own contract (dd16/st15 scaladoc); " +
+      "the corpus side is never broadcast"
+    val ladderCells = "Ladders bucketed-cumsum cell frames: <= 256 " +
+      "buckets x |groups| boundary rows (p05 family), plus per-source " +
+      "allocation frames (|sources| is a dataset-count, not a row count)"
+    Map(
+      "q05_multi_join" -> dims, "q21_cte" -> dims,
+      "st07_stream_enrich" -> dims,
+      "s01_ann_bruteforce" -> queryFrame, "s02_ann_ivf" -> queryFrame,
+      "s07_ivfpq" -> queryFrame, "s08_mmr_rerank" -> queryFrame,
+      "s09_ann_recall" -> queryFrame, "s10_mrl_recall" -> queryFrame,
+      "s11_mrl_rerank" -> queryFrame, "s12_range_search" ->
+        (queryFrame + "; plus the ladder cell frame on q_id groups"),
+      "s13_filtered_search" -> queryFrame,
+      "s14_binary_quantize" -> queryFrame, "s15_nprobe_recall" -> queryFrame,
+      "s16_index_staleness" -> queryFrame, "m08_phash_search" -> queryFrame,
+      "t10_contamination" -> evalSet, "t17_fuzzy_contamination" -> evalSet,
+      "dd16_incremental_dedup" -> batchFrame, "st15_ingest_dedup" -> batchFrame,
+      "m14_interleave_pack" -> ladderCells, "p04_stratified" -> ladderCells,
+      "p05_token_shards" -> ladderCells, "p10_pack_sequences" -> ladderCells,
+      "p13_temperature_mix" -> ladderCells, "p16_curation_dag" -> ladderCells,
+      "p17_bpe_token_shards" -> ladderCells, "p20_resume_offset" -> ladderCells,
+      "t19_ccnet_buckets" -> ("per-source quantile CUT-KEY frames: <= 2 " +
+        "boundary cells per source plus the (source, score-unit) cell " +
+        "counts (t19 scaladoc)"),
+      "p15_dsir_select" -> ("DSIR hashed-bucket weight frame: 2^B bucket " +
+        "space bounded BY CONSTRUCTION — hashing n-grams into a fixed " +
+        "bucket count is DSIR's own discipline"))
+  }
+
   /** Fact tables scanned inside a recursion loop's anchor or recursion
     * term (VERDICT r10 #8). UnionLoopExec is a LEAF physical node
     * holding the two LOGICAL plans it re-plans per iteration — plan
@@ -420,6 +469,8 @@ object PlanSweep {
     val bigBcasts = scala.collection.mutable.ListBuffer[String]()
     val winParts = scala.collection.mutable.LinkedHashMap[String, Seq[Seq[String]]]()
     val ungatedCollects = scala.collection.mutable.ListBuffer[String]()
+    val unboundedBcastHints = scala.collection.mutable.ListBuffer[String]()
+    val reviewedBcasts = scala.collection.mutable.ListBuffer[String]()
     val globalCollects = scala.collection.mutable.ListBuffer[String]()
     val boundedCollects = scala.collection.mutable.ListBuffer[String]()
     val recursiveBig = scala.collection.mutable.ListBuffer[String]()
@@ -450,6 +501,24 @@ object PlanSweep {
           .flatMap(_.metrics.get("numOutputRows").map(_.value))
         if (hintedBcast && maxBcast.exists(_ > 10000L))
           bigBcasts += s"$k:${maxBcast.max}"
+        // round-13 (VERDICT r12 #6): a FORCED broadcast hint whose
+        // child Catalyst cannot statically row-bound (maxRows empty —
+        // scalar aggregates are Some(1), limits Some(K)) is the
+        // t14/p21 premise class: invisible to the measured gate above
+        // at bench SF, fatal at 100×. Each needs a reviewed bound or
+        // the sweep fails. (Hints inside localCheckpoint subtrees are
+        // invisible here — t14/p21 carry dedicated plan-audit specs.)
+        df.queryExecution.analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+              if h.hints.strategy.contains(
+                org.apache.spark.sql.catalyst.plans.logical.BROADCAST) &&
+                h.child.maxRows.isEmpty => h
+        }.foreach { h =>
+          val cols = h.child.output.map(_.name).take(4).mkString("+")
+          if (reviewedBroadcastBounds.contains(k))
+            reviewedBcasts += s"$k:$cols"
+          else unboundedBcastHints += s"$k:$cols"
+        }
         // ungated collect gate (VERDICT r10 #6): a collect_list/set
         // keyed on anything but a per-entity bounded key must ride
         // gatedBuckets (input `__gv` — count-gated to 2..cap BEFORE
@@ -513,6 +582,8 @@ object PlanSweep {
       s""""big_broadcasts":${arr(bigBcasts.toSeq)},""" +
       s""""window_partitions":$wp,""" +
       s""""ungated_collects":${arr(ungatedCollects.distinct.toSeq)},""" +
+      s""""unbounded_broadcast_hints":${arr(unboundedBcastHints.distinct.toSeq)},""" +
+      s""""reviewed_broadcast_uses":${arr(reviewedBcasts.distinct.toSeq)},""" +
       s""""global_collects":${arr(globalCollects.distinct.toSeq)},""" +
       s""""bounded_collect_uses":${arr(boundedCollects.distinct.toSeq)},""" +
       s""""recursive_big_anchor":${arr(recursiveBig.distinct.toSeq)},""" +
@@ -520,6 +591,6 @@ object PlanSweep {
       s""""errors":${arr(errs.toSeq)},"sf":"$sfDir"}""")
     spark.stop()
     if (carts.nonEmpty || errs.nonEmpty || ungatedCollects.nonEmpty ||
-      recursiveBig.nonEmpty) sys.exit(1)
+      recursiveBig.nonEmpty || unboundedBcastHints.nonEmpty) sys.exit(1)
   }
 }
