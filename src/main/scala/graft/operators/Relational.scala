@@ -1405,8 +1405,79 @@ object Relational {
 
   val q44Sql: String = q44Text("events")
 
+  // ---------------------------------------------------------------- q45
+  /** GROUPS window frames (SQL:2011 GROUPS mode — NEITHER engine
+    * implements it: Spark 4 can't parse `GROUPS BETWEEN`, DuckDB
+    * parses and rejects it as unimplemented, so the operator supplies
+    * semantics both engines lack) — the frame
+    * counts PEER GROUPS (ties in the order key) rather than rows or
+    * values: here each event sees its own sec-group plus one group
+    * either side. Spark side is the exact desugaring: dense_rank gives
+    * each peer group an integer index g, per-(user, g) partials
+    * aggregate once (map-side combined), a RANGE frame of ±1 over the
+    * INTEGER g reproduces the group frame on the group-level rows, and
+    * the per-row answer joins back on (user, g) — the row never sees a
+    * window wider than the bounded group frame. DECIMAL sums, double
+    * only at the edge (§5).
+    *
+    * Scale: ONE user_id exchange feeds dense_rank; the group-level
+    * frame runs on the per-(user, g) aggregate (≤ rows, typically ≪);
+    * the join back is user_id-co-partitioned.
+    */
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+    val g = ev.withColumn("g", dense_rank().over(byUser))
+    val grp = g.groupBy(col("user_id"), col("g"))
+      .agg(sum(col("v")).as("gs"), count(lit(1)).as("gc"))
+    val frame = Window.partitionBy(col("user_id")).orderBy(col("g"))
+      .rangeBetween(-1, 1)
+    val framed = grp
+      .withColumn("grp_sum", sum(col("gs")).over(frame))
+      .withColumn("grp_peers", sum(col("gc")).over(frame))
+    g.join(framed.select(col("user_id"), col("g"), col("grp_sum"),
+        col("grp_peers")), Seq("user_id", "g"))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        col("grp_sum").cast(DoubleType).as("grp_sum"),
+        col("grp_peers").cast(LongType).as("grp_peers"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Oracle is a CROSS-FORMULATION (stronger than a mirrored
+    * desugaring): peer groups materialize once, and the ±1-group frame
+    * is an interval SELF-JOIN over group indices rather than a range
+    * window. */
+  val q45Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |g AS (
+      |  SELECT *, dense_rank() OVER (PARTITION BY user_id ORDER BY sec)
+      |    AS g
+      |  FROM ev),
+      |grp AS (
+      |  SELECT user_id, g, SUM(v) AS gs, COUNT(*) AS gc
+      |  FROM g GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT a.user_id, a.g, SUM(b.gs) AS grp_sum,
+      |    SUM(b.gc) AS grp_peers
+      |  FROM grp a JOIN grp b ON b.user_id = a.user_id
+      |    AND b.g BETWEEN a.g - 1 AND a.g + 1
+      |  GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.sec,
+      |  CAST(f.grp_sum AS DOUBLE) AS grp_sum,
+      |  CAST(f.grp_peers AS BIGINT) AS grp_peers
+      |FROM g e JOIN fr f USING (user_id, g)
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_groups_frame" -> (q45 _),
     "q44_window_dist" -> (q44 _),
     "q43_frame_exclude" -> (q43 _),
     "q42_distinct_on" -> (q42 _),
@@ -1453,6 +1524,7 @@ object Relational {
     "q33_multi_exists" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q45_groups_frame" -> q45Sql,
     "q44_window_dist" -> q44Sql,
     "q43_frame_exclude" -> q43Sql,
     "q42_distinct_on" -> q42Sql,

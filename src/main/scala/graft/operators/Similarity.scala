@@ -1558,8 +1558,224 @@ object Similarity {
       |  round(CAST(hits AS DOUBLE) / n_exact, 4) AS recall
       |FROM r ORDER BY tier, q_id""".stripMargin
 
+  // ---------------------------------------------------------------- s17
+  /** Quantization trade-off audit (round 13) — the "which index do I
+    * ship?" table every embedding deployment derives before committing
+    * memory: recall@10 of the three standard compression tiers against
+    * the fp32 exact search, at their real bytes/vector — int8 absmax
+    * (s03's kernel, 64 B: integer dot × stored scales), 8×8 product
+    * quantization (s04's codebooks, 8 B: ADC against a per-query
+    * 8×4 LUT), and sign-bit binary (s14's code, 8 B: Hamming). The
+    * FAISS/SBERT compression-evaluation recipe as one relation.
+    *
+    * §5 rank keys: int8 = exact-integer dot × one IEEE multiply by the
+    * corpus scale (bit-identical cross-engine); PQ = 4dp-rounded ADC
+    * distance (s07's discipline); binary = exact integer Hamming; all
+    * tie-break on vec_id.
+    *
+    * Scale: ONE corpus scan — every quantized form (int8 vector +
+    * scale, 8 PQ codes, 64-bit sign word) computes map-only in the
+    * same projection off broadcast model literals; each scored
+    * (query, vector) pair replicates to the four tiers as a NARROW
+    * (composite q_id, vec_id, key) row (the s15 shape — the embedding
+    * never survives the explode), and ONE [[topKPerQuery]] on the
+    * composite key ranks all tiers with no corpus-sized window
+    * anywhere. The per-query LUT is 8×4 doubles riding the broadcast
+    * query frame.
+    */
+  def s17QuantTradeoff(spark: SparkSession, dir: String): DataFrame = {
+    val m = 8; val sub = 8; val kc = 4
+    val centroids: Array[Array[Double]] = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 97 === 11).orderBy(col("vec_id")).limit(kc)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def stagedQuant(df: DataFrame, vecCol: String): DataFrame = {
+      val v = s"transform($vecCol, x -> CAST(x AS DOUBLE))"
+      def dist(c: Int, s: Int): Column =
+        (0 until sub).map { i =>
+          val d = try_element_at(col("__v"), lit(s * sub + i + 1)) -
+            lit(centroids(c)(s * sub + i))
+          d * d
+        }.reduce(_ + _)
+      def best(s: Int): Column = array_min(array(
+        (0 until kc).map(c => struct(dist(c, s).as("d"), lit(c).as("c"))): _*))
+      val base = df.withColumn("__v", expr(v))
+        .withColumn("__amax", expr(
+          "aggregate(__v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+        .withColumn("__i8", expr(
+          """IF(__amax = 0, transform(__v, x -> CAST(0 AS BIGINT)),
+            |  transform(__v, x -> CAST(round(x * 127.0 / __amax)
+            |    AS BIGINT)))""".stripMargin))
+        .withColumn("__bc", expr(
+          """aggregate(transform(__v, (x, i) ->
+            |  IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+            |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin))
+      (0 until m).foldLeft(base)((acc, s) =>
+        acc.withColumn(s"__pq$s", best(s)))
+    }
+    // queries carry their int8 form, sign word, and the 8×4 ADC LUT
+    // (d(q_s, cent_c) per subspace/centroid — 32 doubles per query)
+    val qs0 = stagedQuant(queriesDf(spark, dir), "q_vec")
+    val qlut = (0 until m).foldLeft(qs0) { (acc, s) =>
+      (0 until kc).foldLeft(acc) { (a, c) =>
+        a.withColumn(s"__l${s}_$c",
+          (0 until sub).map { i =>
+            val d = try_element_at(col("__v"), lit(s * sub + i + 1)) -
+              lit(centroids(c)(s * sub + i))
+            d * d
+          }.reduce(_ + _))
+      }
+    }.select(Seq(col("q_id"), col("q_vec"), col("__i8").as("__qi8"),
+      col("__bc").as("__qbc")) ++
+      (0 until m).flatMap(s => (0 until kc).map(c => col(s"__l${s}_$c"))): _*)
+    val corpus = stagedQuant(
+      Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding")
+    val paired = corpus.crossJoin(broadcast(qlut))
+      .filter(col("vec_id") =!= col("q_id"))
+    // per-subspace ADC terms rounded to 6dp DECIMAL before the sum —
+    // order-independent and exact, so the oracle may aggregate the
+    // (subspace, code) joins in any order (§5)
+    def pqDist: Column = (0 until m).map { s =>
+      val term = (1 until kc).foldLeft(
+        when(col(s"__pq$s").getField("c") === 0, col(s"__l${s}_0"))) {
+        (w, c) =>
+          w.when(col(s"__pq$s").getField("c") === c, col(s"__l${s}_$c"))
+      }
+      round(term, 6).cast("decimal(18,6)")
+    }.reduce(_ + _)
+    val keys = paired.select(col("q_id"), col("vec_id"),
+      V.cosine_sim(col("q_vec"), col("embedding")).as("__kx"),
+      (expr(
+        """aggregate(zip_with(__i8, __qi8, (a, b) -> a * b),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+        .cast(DoubleType) * col("__amax")).as("__ki"),
+      (pqDist.cast(DoubleType) * -1).as("__kp"),
+      (expr("CAST(bit_count(__bc ^ __qbc) AS BIGINT)")
+        .cast(DoubleType) * -1).as("__kb"))
+    val tiers = keys.select(col("q_id"), col("vec_id"), explode(array(
+        struct(lit(1L).as("t"), col("__kx").as("key")),
+        struct(lit(2L).as("t"), col("__ki").as("key")),
+        struct(lit(3L).as("t"), col("__kp").as("key")),
+        struct(lit(4L).as("t"), col("__kb").as("key")))).as("tk"))
+      .select((col("q_id") * 8 + col("tk.t")).as("q_id"),
+        col("vec_id"), col("tk.key").as("cos"))
+    val top = topKPerQuery(tiers, K, Seq.empty)
+      .select(expr("q_id div 8").as("q_id"), expr("q_id % 8").as("t"),
+        col("vec_id"))
+      .localCheckpoint() // Q×4×10 rows — query-sized (s09/s15 discipline)
+    val exact = top.filter(col("t") === 1L).drop("t")
+    val names = map(lit(2L), lit("int8"), lit(3L), lit("pq"),
+      lit(4L), lit("binary"))
+    val bytes = map(lit(2L), lit(64L), lit(3L), lit(8L), lit(4L), lit(8L))
+    top.filter(col("t") =!= 1L)
+      .join(exact.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
+        "left_outer")
+      .groupBy(col("t"), col("q_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(element_at(names, col("t")).as("tier"), col("q_id"),
+        element_at(bytes, col("t")).as("bytes_per_vec"),
+        col("hits"), round(col("hits").cast(DoubleType) / K, 4).as("recall"))
+      .orderBy(col("tier"), col("q_id"))
+  }
+
+  /** Oracle: same model literals derived in SQL (s04's seeded centroid
+    * pick), same int8/sign/code kernels in list algebra, the ADC sum
+    * as the order-free 6dp-decimal aggregate, per-tier ranks as plain
+    * windows. */
+  val s17Sql: String =
+    """WITH cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id,
+      |    embedding::DOUBLE[] AS c_vec
+      |  FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 11
+      |        ORDER BY vec_id LIMIT 4)),
+      |qq AS (
+      |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv,
+      |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+      |      AS qamax
+      |  FROM embeddings WHERE vec_id < 5),
+      |qi AS (
+      |  SELECT q_id, qv,
+      |    CASE WHEN qamax = 0
+      |      THEN list_transform(qv, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(qv,
+      |        x -> CAST(round(x * 127.0 / qamax) AS BIGINT)) END AS qi8
+      |  FROM qq),
+      |cc AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+      |      AS amax
+      |  FROM embeddings),
+      |ci AS (
+      |  SELECT vec_id, v, amax,
+      |    CASE WHEN amax = 0
+      |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(v,
+      |        x -> CAST(round(x * 127.0 / amax) AS BIGINT)) END AS c8
+      |  FROM cc),
+      |subs AS (SELECT unnest(range(0, 8)) AS s),
+      |cdist AS (
+      |  SELECT e.vec_id, s.s, c.c_id,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> pow(e.v[s.s * 8 + i] - c.c_vec[s.s * 8 + i], 2))) AS d
+      |  FROM cc e CROSS JOIN subs s CROSS JOIN cent c),
+      |codes AS (
+      |  SELECT vec_id, s, MIN(ROW(d, c_id)) AS b
+      |  FROM cdist GROUP BY 1, 2),
+      |qlut AS (
+      |  SELECT q.q_id, s.s, c.c_id,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> pow(q.qv[s.s * 8 + i] - c.c_vec[s.s * 8 + i], 2))) AS d
+      |  FROM qq q CROSS JOIN subs s CROSS JOIN cent c),
+      |rx AS (
+      |  SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id
+      |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id)
+      |      AS rk
+      |  FROM cc e, qq q WHERE e.vec_id <> q.q_id),
+      |ri AS (
+      |  SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id
+      |      ORDER BY CAST(list_sum(list_transform(range(1, 65),
+      |          i -> e.c8[i] * q.qi8[i])) AS DOUBLE) * e.amax DESC,
+      |        e.vec_id) AS rk
+      |  FROM ci e, qi q WHERE e.vec_id <> q.q_id),
+      |pqd AS (
+      |  SELECT l.q_id, k.vec_id,
+      |    SUM(CAST(ROUND(l.d, 6) AS DECIMAL(18,6))) AS dist
+      |  FROM codes k JOIN qlut l ON l.s = k.s AND l.c_id = k.b[2]
+      |  WHERE k.vec_id <> l.q_id
+      |  GROUP BY 1, 2),
+      |rp AS (
+      |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY CAST(dist AS DOUBLE), vec_id) AS rk
+      |  FROM pqd),
+      |rb AS (
+      |  SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id
+      |      ORDER BY len(list_filter(list_zip(q.qv, e.v),
+      |        z -> (z[1] > 0 AND NOT isnan(z[1]))
+      |          <> (z[2] > 0 AND NOT isnan(z[2])))), e.vec_id) AS rk
+      |  FROM cc e, qq q WHERE e.vec_id <> q.q_id),
+      |ex AS (SELECT q_id, vec_id FROM rx WHERE rk <= 10),
+      |tiers AS (
+      |  SELECT 'int8' AS tier, CAST(64 AS BIGINT) AS bytes_per_vec,
+      |    q_id, vec_id FROM ri WHERE rk <= 10
+      |  UNION ALL
+      |  SELECT 'pq', 8, q_id, vec_id FROM rp WHERE rk <= 10
+      |  UNION ALL
+      |  SELECT 'binary', 8, q_id, vec_id FROM rb WHERE rk <= 10),
+      |hits AS (
+      |  SELECT t.tier, t.bytes_per_vec, t.q_id,
+      |    CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS hits
+      |  FROM tiers t LEFT JOIN ex e
+      |    ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+      |  GROUP BY 1, 2, 3)
+      |SELECT tier, q_id, bytes_per_vec, hits,
+      |  round(CAST(hits AS DOUBLE) / 10, 4) AS recall
+      |FROM hits ORDER BY tier, q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s16_index_staleness" -> (s16IndexStaleness _),
+    "s17_quant_tradeoff" -> (s17QuantTradeoff _),
     "s15_nprobe_recall" -> (s15NprobeRecall _),
     "s14_binary_quantize" -> (s14BinaryQuantize _),
     "s13_filtered_search" -> (s13FilteredSearch _),
@@ -1578,6 +1794,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s16_index_staleness" -> s16Sql,
+    "s17_quant_tradeoff" -> s17Sql,
     "s15_nprobe_recall" -> s15Sql,
     "s14_binary_quantize" -> s14Sql,
     "s13_filtered_search" -> s13Sql,

@@ -2530,6 +2530,73 @@ class NewOpsSpec extends SparkSpec {
     assert(p21All == p21Tier)
   }
 
+  test("round-13: q45's GROUPS-frame desugaring equals a brute-force " +
+      "peer-group replica") {
+    val got = SparkEntry.queries("q45_groups_frame")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getLong(4)))).toMap
+    val ev = Tables(spark, sfDir, "events")
+      .selectExpr("event_id", "user_id",
+        "CAST(unix_timestamp(ts) AS BIGINT) AS sec",
+        "CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = ev.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      val secs = rows.map(_._3).distinct.sorted
+      val idx = secs.zipWithIndex.toMap
+      rows.iterator.map { case (eid, _, sec, _) =>
+        val g = idx(sec)
+        val frame = rows.filter(r => math.abs(idx(r._3) - g) <= 1)
+        // decimal(12,2) doubles sum exactly at these magnitudes
+        eid -> ((frame.map(r => BigDecimal(r._4)).sum.toDouble,
+          frame.length.toLong))
+      }
+    }.toMap
+    assert(got == want)
+    // GROUPS ≠ ROWS must be exercised: this corpus has no tied seconds
+    // (every peer group is a singleton), so plant ties — two events in
+    // one second make their NEIGHBOR's ±1-group frame span 4 EVENTS
+    // across 3 groups, which a ROWS ±1 frame can never produce
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q45plant").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    Seq(
+      (1L, at(0), 7L, "click", 1.0, "{}"),
+      (2L, at(10), 7L, "click", 2.0, "{}"),   // tied second
+      (3L, at(10), 7L, "view", 3.0, "{}"),    // tied second
+      (4L, at(20), 7L, "click", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = SparkEntry.queries("q45_groups_frame")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(planted == Map(
+      1L -> ((6.0, 3L)),   // own group + the tied pair
+      2L -> ((10.0, 4L)),  // all three groups = all four events
+      3L -> ((10.0, 4L)),
+      4L -> ((9.0, 3L))), planted.toString)
+  }
+
+  test("round-13: s17's quantization trade-off is structurally sound — " +
+      "3 tiers x |queries| rows, hits consistent, and the 64-byte tier " +
+      "is never beaten by an 8-byte tier on average") {
+    val rows = SparkEntry.queries("s17_quant_tradeoff")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val byTier = rows.groupBy(_._1)
+    assert(byTier.keySet == Set("int8", "pq", "binary"))
+    assert(byTier.values.forall(_.length == 5), "5 queries per tier")
+    rows.foreach { case (tier, _, b, hits, recall) =>
+      assert(hits >= 0 && hits <= 10 && recall == hits / 10.0,
+        s"$tier hits/recall incoherent")
+      assert(if (tier == "int8") b == 64L else b == 8L)
+    }
+    def avg(t: String): Double = byTier(t).map(_._5).sum / 5
+    assert(avg("int8") >= avg("pq") && avg("int8") >= avg("binary"),
+      s"int8 ${avg("int8")} pq ${avg("pq")} binary ${avg("binary")}")
+  }
+
   test("round-13 (ADVICE r12): a NULL-text image doc survives m14's " +
       "packing with zero text tokens instead of silently vanishing") {
     import spark.implicits._
