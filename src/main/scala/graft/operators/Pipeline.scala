@@ -1655,7 +1655,122 @@ object Pipeline {
       |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
       |FROM a2 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p22
+  /** Batch-composition padding audit (round 13) — the table every
+    * training team derives BEFORE committing to a packing strategy
+    * (the motivating measurement of Graphcore's sequence-packing work;
+    * LLM batches are 20–60 % padding under naive composition): per
+    * source, at L = 512 (p10's sequence length) and naive batch B = 8
+    * in doc_id order, the padding cost of the three standard batch
+    * compositions over the SAME real BPE token counts —
+    *   fixed:  every doc padded to L (over-length docs truncated;
+    *           trunc_tokens reports the loss),
+    *   batch:  pad to the max doc in each B-doc batch (the dynamic-
+    *           padding collator),
+    *   packed: p10's concat-and-chunk (no truncation, waste only in
+    *           the final partial sequence per source).
+    * All decisions integer; the efficiency ratios are single IEEE
+    * divisions with NULLIF zero guards (§5, the t22 rule).
+    *
+    * Scale: ONE kernel scan; the only per-doc order structure is a
+    * [[Ladders.globalRank]] ladder (range-bucketed doc_id — never a
+    * plain per-source window, which would sort a whole stratum on one
+    * task); batch and source aggregates are map-side combined.
+    */
+  def p22PaddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val L = 512L
+    val toks = Tables.spread(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        coalesce(size(graft.functions.text.bpe_token_ids(col("text")))
+          .cast(LongType), lit(0L)).as("t"))
+    val bounds = toks.agg(min(col("doc_id")).as("__lo"),
+      max(col("doc_id")).as("__hi"))
+    val bucketed = toks.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        expr("(doc_id - __lo) div (((__hi - __lo) div 256) + 1)"))
+      .drop("__lo", "__hi")
+    val ranked = Ladders.globalRank(bucketed, Seq("source"), "__b",
+        Seq(col("doc_id")), "rn", None)
+      .withColumn("u", least(col("t"), lit(L)))
+      .withColumn("x", greatest(col("t") - L, lit(0L)))
+      .localCheckpoint(false) // one kernel pass: batch + source aggs
+    val bpad = ranked
+      .groupBy(col("source"), expr("(rn - 1) div 8").as("bid"))
+      .agg(count(lit(1)).as("nb"), max(col("u")).as("mx"),
+        sum(col("u")).as("su"))
+      .groupBy(col("source"))
+      .agg(sum(col("nb") * col("mx") - col("su")).as("batch_pad"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        sum(col("x")).as("trunc_tokens"),
+        sum(lit(L) - col("u")).as("fixed_pad"),
+        sum(col("u")).as("useful"))
+      .join(bpad, Seq("source"))
+      .withColumn("packed_pad",
+        expr(s"((n_tokens + ${L - 1}) div $L) * $L - n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("trunc_tokens"), col("fixed_pad"), col("batch_pad"),
+        col("packed_pad"),
+        (col("useful").cast(DoubleType) /
+          nullif((col("useful") + col("fixed_pad")).cast(DoubleType),
+            lit(0.0d))).as("eff_fixed"),
+        (col("useful").cast(DoubleType) /
+          nullif((col("useful") + col("batch_pad")).cast(DoubleType),
+            lit(0.0d))).as("eff_batch"),
+        (col("n_tokens").cast(DoubleType) /
+          nullif((col("n_tokens") + col("packed_pad")).cast(DoubleType),
+            lit(0.0d))).as("eff_packed"))
+      .orderBy(col("source"))
+  }
+
+  /** Shared bpeDocLenCtes token counts, same integer padding algebra,
+    * same NULLIF-guarded single divisions. */
+  val p22Sql: String =
+    s"""WITH RECURSIVE
+       |docw AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |      t -> t <> '') AS ws
+       |  FROM documents),
+       |${graft.functions.KernelOracleSql.bpeDocLenCtes("docw", "")},
+       |tt AS (
+       |  SELECT d.doc_id, d.source, COALESCE(pw.b, 0) AS t
+       |  FROM docw d LEFT JOIN pw ON pw.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+       |    LEAST(t, 512) AS u, GREATEST(t - 512, 0) AS x
+       |  FROM tt),
+       |b AS (
+       |  SELECT source, (rn - 1) // 8 AS bid, COUNT(*) AS nb,
+       |    MAX(u) AS mx, SUM(u) AS su
+       |  FROM r GROUP BY 1, 2),
+       |bp AS (
+       |  SELECT source, SUM(nb * mx - su) AS batch_pad FROM b GROUP BY 1),
+       |a AS (
+       |  SELECT source, COUNT(*) AS n_docs, SUM(t) AS n_tokens,
+       |    SUM(x) AS trunc_tokens, SUM(512 - u) AS fixed_pad,
+       |    SUM(u) AS useful
+       |  FROM r GROUP BY 1)
+       |SELECT a.source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(trunc_tokens AS BIGINT) AS trunc_tokens,
+       |  CAST(fixed_pad AS BIGINT) AS fixed_pad,
+       |  CAST(bp.batch_pad AS BIGINT) AS batch_pad,
+       |  CAST(((n_tokens + 511) // 512) * 512 - n_tokens AS BIGINT)
+       |    AS packed_pad,
+       |  CAST(useful AS DOUBLE)
+       |    / NULLIF(CAST(useful + fixed_pad AS DOUBLE), 0) AS eff_fixed,
+       |  CAST(useful AS DOUBLE)
+       |    / NULLIF(CAST(useful + bp.batch_pad AS DOUBLE), 0) AS eff_batch,
+       |  CAST(n_tokens AS DOUBLE)
+       |    / NULLIF(CAST(n_tokens
+       |        + (((n_tokens + 511) // 512) * 512 - n_tokens) AS DOUBLE), 0)
+       |    AS eff_packed
+       |FROM a JOIN bp USING (source) ORDER BY a.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_padding_audit" -> (p22PaddingAudit _),
     "p21_doremi_mix" -> ((s: SparkSession, d: String) => p21DoremiMix(s, d)),
     "p20_resume_offset" -> (p20ResumeOffset _),
     "p19_unimax_mix" -> (p19UnimaxMix _),
@@ -1680,6 +1795,7 @@ object Pipeline {
     "d11_variant" -> (d11Variant _))
 
   val oracle: Map[String, String] = Map(
+    "p22_padding_audit" -> p22Sql,
     "p21_doremi_mix" -> p21Sql,
     "p20_resume_offset" -> p20Sql,
     "p19_unimax_mix" -> p19Sql,

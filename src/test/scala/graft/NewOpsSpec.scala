@@ -2597,6 +2597,37 @@ class NewOpsSpec extends SparkSpec {
       s"int8 ${avg("int8")} pq ${avg("pq")} binary ${avg("binary")}")
   }
 
+  test("round-13: p22's padding algebra is internally exact and the " +
+      "strategy dominance holds (dynamic batching never beats packing " +
+      "here, never loses to fixed padding anywhere)") {
+    val rows = SparkEntry.queries("p22_padding_audit")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, nt, tr, fp, bp, pp) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("trunc_tokens"),
+        r.getAs[Long]("fixed_pad"), r.getAs[Long]("batch_pad"),
+        r.getAs[Long]("packed_pad"))
+      val useful = nt - tr
+      // identities: fixed cost is exactly n_docs sequences; packed
+      // waste is sub-sequence-sized; batch never pads more than fixed
+      // (per batch the pad-to target is <= L) — a THEOREM, not data
+      assert(fp == 512L * nd - useful, r.toString)
+      assert(pp >= 0L && pp < 512L, r.toString)
+      assert(bp <= fp, r.toString)
+      assert(r.getAs[Double]("eff_fixed") ==
+        useful.toDouble / (useful + fp), r.toString)
+      assert(r.getAs[Double]("eff_batch") ==
+        useful.toDouble / (useful + bp), r.toString)
+      assert(r.getAs[Double]("eff_packed") ==
+        nt.toDouble / (nt + pp), r.toString)
+      // measured on this corpus: the published waste ladder
+      assert(r.getAs[Double]("eff_packed") > r.getAs[Double]("eff_batch") &&
+        r.getAs[Double]("eff_batch") > r.getAs[Double]("eff_fixed"),
+        r.toString)
+    }
+  }
+
   test("round-13 (ADVICE r12): a NULL-text image doc survives m14's " +
       "packing with zero text tokens instead of silently vanishing") {
     import spark.implicits._

@@ -941,4 +941,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
       p.contains("max_by"), p)
   }
+
+  test("round-13: st19's log windows share ONE user_id exchange (the " +
+      "st18 discipline), and the view agg is partial") {
+    val p = finalPlan("st19_oplog_view").split("== Initial Plan ==").head
+    // the duplicated-log union's second branch must REUSE the window
+    // exchange, not re-shuffle the events (a ReusedExchange line quotes
+    // its referent's text, so count only originating nodes)
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("ReusedExchange")) == 1, p)
+    assert(p.contains("ReusedExchange"), p)
+    assert(p.contains("partial_max_by") || p.contains("max_by"), p)
+  }
+
+  test("round-13: q45's GROUPS desugaring — group partials and frame " +
+      "ride user_id exchanges (≤2), the row join never re-sorts a " +
+      "corpus window") {
+    val p = finalPlan("q45_groups_frame").split("== Initial Plan ==").head
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("ReusedExchange")) <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // every window partitions by user_id — no global window anywhere
+    p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("user_id"), l))
+  }
 }
