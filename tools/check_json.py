@@ -3,11 +3,13 @@
 per key {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
 err}. Usage: python3 tools/check_json.py <outDir> <sfDir> <outJson>
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 
 outdir, sfdir, outjson = sys.argv[1], sys.argv[2], sys.argv[3]
+only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 con = duckdb.connect()
+con.execute("SET threads=8")
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     p = f"{sfdir}/{t}.parquet"
@@ -15,8 +17,11 @@ for t in ("region nation customer supplier part orders lineitem events "
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 result = {}
 for name, sql in sorted(oracle.items()):
+    t0 = time.time()
     ent = {"rows_match": False, "schema_match": False, "hash_match": False,
            "spark_rows": None, "oracle_rows": None, "err": None}
     result[name] = ent
@@ -47,6 +52,10 @@ for name, sql in sorted(oracle.items()):
             ent["hash_match"] = ok
     except Exception as e:
         ent["err"] = str(e)[:300]
+    ok = (ent["rows_match"] and ent["schema_match"] and ent["hash_match"]
+          and not ent["err"])
+    print(f"{'OK ' if ok else 'BAD'} {name} {time.time()-t0:.1f}s",
+          flush=True)
 
 n_ok = sum(1 for e in result.values()
            if e["rows_match"] and e["schema_match"] and e["hash_match"]
