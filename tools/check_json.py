@@ -19,9 +19,18 @@ for t in ("region nation customer supplier part orders lineitem events "
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 if only is not None:
     oracle = {k: v for k, v in oracle.items() if k in only}
+# per-key oracle budget: DuckDB replicas of the heavy dedup/BPE chains
+# can be arbitrarily slow at large SF — interrupt and record, so one
+# heavy oracle cannot starve the rest of the gate
+budget = float(os.environ.get("ORACLE_BUDGET_SEC", "0") or 0)
+import threading
 result = {}
 for name, sql in sorted(oracle.items()):
     t0 = time.time()
+    timer = None
+    if budget > 0:
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
     ent = {"rows_match": False, "schema_match": False, "hash_match": False,
            "spark_rows": None, "oracle_rows": None, "err": None}
     result[name] = ent
@@ -51,11 +60,18 @@ for name, sql in sorted(oracle.items()):
                     ok = False
             ent["hash_match"] = ok
     except Exception as e:
-        ent["err"] = str(e)[:300]
+        msg = str(e)[:300]
+        if "INTERRUPT" in msg.upper():
+            msg = f"oracle_budget_exceeded({int(budget)}s)"
+        ent["err"] = msg
+    finally:
+        if timer is not None:
+            timer.cancel()
     ok = (ent["rows_match"] and ent["schema_match"] and ent["hash_match"]
           and not ent["err"])
-    print(f"{'OK ' if ok else 'BAD'} {name} {time.time()-t0:.1f}s",
-          flush=True)
+    print(f"{'OK ' if ok else 'BAD'} {name} {time.time()-t0:.1f}s"
+          + ("" if ok else f" err={ent['err']}"), flush=True)
+    json.dump(result, open(outjson, "w"), indent=2)
 
 n_ok = sum(1 for e in result.values()
            if e["rows_match"] and e["schema_match"] and e["hash_match"]
