@@ -55,10 +55,19 @@ object Relational {
       .agg(
         asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
         asDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        // money sums ROUND TO 2dp before the one double cast, and the
+        // charge factors compress to (18,4) × (4,2) — Tpch.h01's
+        // round-13 full-sf1 findings apply identically here (precision
+        // 40 per-row rounding + adjacent-double casts past 15.95 sig
+        // digits)
+        asDouble(round(
+          sum(discPrice(col("l_extendedprice"), col("l_discount"))), 2))
           .as("sum_disc_price"),
-        asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount")) *
-          (lit(1).cast(DecimalType(3, 2)) + dec(col("l_tax"))))).as("sum_charge"),
+        asDouble(round(sum(
+          discPrice(col("l_extendedprice"), col("l_discount"))
+            .cast(DecimalType(18, 4)) *
+          (lit(1).cast(DecimalType(3, 2)) +
+            col("l_tax").cast(DecimalType(3, 2)))), 2)).as("sum_charge"),
         (asDouble(sum(dec(col("l_quantity")))) / count(col("l_quantity")))
           .as("avg_qty"),
         (asDouble(sum(dec(col("l_extendedprice")))) / count(col("l_extendedprice")))
@@ -73,8 +82,8 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,

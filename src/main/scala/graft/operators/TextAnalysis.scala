@@ -960,9 +960,13 @@ object TextAnalysis {
       |  FROM xy),
       |s AS (
       |  SELECT n, CAST(n AS DECIMAL(4,0)) AS nd,
-      |    CAST(sx AS DECIMAL(12,6)) AS sx, CAST(sy AS DECIMAL(12,6)) AS sy,
-      |    CAST(sxy AS DECIMAL(20,12)) AS sxy,
-      |    CAST(sxx AS DECIMAL(20,12)) AS sxx
+      |    -- (20,6) not (12,6): at sf1 magnitudes DuckDB's (12,6)×(12,6)
+      |    -- takes an int64 multiply path that overflows on the scaled
+      |    -- integers (round-13 full-sf1 gate finding); the wider casts
+      |    -- are lossless and force the int128 lane
+      |    CAST(sx AS DECIMAL(20,6)) AS sx, CAST(sy AS DECIMAL(20,6)) AS sy,
+      |    CAST(sxy AS DECIMAL(22,12)) AS sxy,
+      |    CAST(sxx AS DECIMAL(22,12)) AS sxx
       |  FROM s0)
       |SELECT CAST(n AS BIGINT) AS n_terms,
       |  CAST(nd * sxy - sx * sy AS DOUBLE)

@@ -117,10 +117,27 @@ object Tpch {
       .agg(
         asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
         asDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        // round-13 full-sf1 gate finding, two layers deep:
+        // (a) the charge product must stay WITHIN decimal(38) — naively
+        //     (26,4) × (13,2) needs precision 40, which Spark silently
+        //     rounds per row while DuckDB fits exactly; compressed
+        //     factors ((18,4) × (4,2) → (23,6)) keep every row exact
+        //     in BOTH engines;
+        // (b) the EXACT decimal sums then exceed double's ~15.95
+        //     significant digits at sf1 magnitudes (5e10 at 4–6dp), and
+        //     the engines pick ADJACENT doubles in the final cast
+        //     (Spark: correctly-rounded BigDecimal.doubleValue; DuckDB:
+        //     int128/10^k arithmetic) — so money sums ROUND TO 2dp, the
+        //     TPC-H answer precision, before the one double cast
+        //     (13–15 sig digits: exactly representable at any decade)
+        asDouble(round(
+          sum(discPrice(col("l_extendedprice"), col("l_discount"))), 2))
           .as("sum_disc_price"),
-        asDouble(sum(discPrice(col("l_extendedprice"), col("l_discount")) *
-          (lit(1).cast(DecimalType(3, 2)) + dec(col("l_tax"))))).as("sum_charge"),
+        asDouble(round(sum(
+          discPrice(col("l_extendedprice"), col("l_discount"))
+            .cast(DecimalType(18, 4)) *
+          (lit(1).cast(DecimalType(3, 2)) +
+            col("l_tax").cast(DecimalType(3, 2)))), 2)).as("sum_charge"),
         (asDouble(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
         (asDouble(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
         (asDouble(sum(dec(col("l_discount")))) / count(lit(1))).as("avg_disc"),
@@ -131,8 +148,10 @@ object Tpch {
     s"""SELECT l_returnflag, l_linestatus,
        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       |  CAST(SUM($discSql) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM($discSql * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       |  CAST(ROUND(SUM($discSql), 2) AS DOUBLE) AS sum_disc_price,
+       |  CAST(ROUND(SUM(CAST($discSql AS DECIMAL(18,4))
+       |    * (1 + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE)
+       |    AS sum_charge,
        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
        |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
