@@ -1157,9 +1157,13 @@ object Similarity {
     * construction, the s08 altitude rule).
     *
     * Cross-engine (§5): the bit rule is a SIGN test (x > 0), with a NaN
-    * dimension coding as 0 on BOTH sides (Spark comparisons are false
-    * on NaN; DuckDB orders NaN above all reals, so its test is pinned
-    * with NOT isnan) — exact under float→double widening, so the
+    * dimension coding as 0 on BOTH sides — and both sides need an
+    * EXPLICIT `NOT isnan` mask, because both engines' total orderings
+    * put NaN above all reals (`NaN > 0` is true in Spark too; the fold
+    * masking only on the DuckDB side was ADVICE r13's drift — the
+    * testdata generator never emits NaN, so parity held, but the
+    * invariant is now enforced in the kernel, not assumed). Exact under
+    * float→double widening, so the
     * oracle needs no bit algebra:
     * Hamming = count of positions whose sign tests disagree (list_zip),
     * sidestepping DuckDB's BIGINT sign-bit shift hazard entirely. Both
@@ -1172,7 +1176,7 @@ object Similarity {
     val R = 40
     def code(vec: String) = expr(
       s"""aggregate(transform($vec, (x, i) ->
-         |  IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+         |  IF(x > 0 AND NOT isnan(x), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
          |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin)
     val qcodes = queriesDf(spark, dir)
       .select(col("q_id"), code("q_vec").as("q_code"))
@@ -1608,7 +1612,7 @@ object Similarity {
             |    AS BIGINT)))""".stripMargin))
         .withColumn("__bc", expr(
           """aggregate(transform(__v, (x, i) ->
-            |  IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+            |  IF(x > 0 AND NOT isnan(x), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
             |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin))
       (0 until m).foldLeft(base)((acc, s) =>
         acc.withColumn(s"__pq$s", best(s)))

@@ -1249,6 +1249,15 @@ object Streaming {
       }
   }
 
+  /** Loud okey-component range guard (ADVICE r13): values outside
+    * [0, bound) raise with the component named instead of silently
+    * corrupting the packed order key. Object-level so the spec can
+    * exercise it directly. */
+  private[graft] def st19Guard(c: org.apache.spark.sql.Column, bound: Long,
+      what: String): org.apache.spark.sql.Column =
+    when(c >= 0 && c < bound, c).otherwise(raise_error(concat(
+      lit(s"st19: $what outside [0, $bound): "), c.cast("string"))))
+
   // ---------------------------------------------------------------- st19
   /** CDC VIEW CONSUMER (round 13, VERDICT r12 #8) — the other half of
     * st18's producer: the materialized table a downstream reader
@@ -1259,7 +1268,7 @@ object Streaming {
     * REORDERING. Deterministic duplicates (every log row with
     * event_id % 3 = 0 delivered twice) ride the same plan; the apply
     * is last-write-wins by the per-user order key
-    * okey = sec·2²⁸ + event_id — a MAX-fold, so duplicated and
+    * okey = sec·2³¹ + event_id — a MAX-fold, so duplicated and
     * permuted deliveries land on the identical view (idempotent +
     * commutative by construction, which is why the streaming twin
     * needs NO watermark at all, unlike st18's fold-order buffering).
@@ -1293,11 +1302,24 @@ object Streaming {
 
   /** st19's duplicated update log: every per-op document version with
     * its okey, each event_id % 3 == 0 row delivered twice (the
-    * deterministic at-least-once layer). */
+    * deterministic at-least-once layer).
+    *
+    * okey packs (sec, event_id) into one BIGINT so the LWW fold is a
+    * plain MAX. The packing is only an order iff event_id < the shift
+    * width — a silent violation would let a large event_id bleed into
+    * the sec component and an older-second version win (ADVICE r13),
+    * and BOTH engines share the formula so oracle parity cannot catch
+    * it. Shift = 2³¹ (headroom past ScaleUp's i·10⁷ offsets to factor
+    * ~214), and out-of-range ids fail LOUDLY here (the s16/dd18
+    * discipline); sec < 2³² keeps sec·2³¹ + event_id inside BIGINT
+    * (epoch 2106 — generator invariant, guarded all the same). */
   private[graft] def st19Log(spark: SparkSession, dir: String): DataFrame = {
+    val okShift = 2147483648L // 2³¹
     val ev = Tables(spark, dir, "events")
-      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
-        col("event_id"), col("event_type"),
+      .select(col("user_id"),
+        st19Guard(unix_timestamp(col("ts")), 4294967296L, "sec").as("sec"),
+        st19Guard(col("event_id"), okShift, "event_id").as("event_id"),
+        col("event_type"),
         col("value").cast(DecimalType(12, 2)).as("v"),
         (col("event_type") === "error").cast("long").as("is_del"))
     val ord = Window.partitionBy(col("user_id"))
@@ -1323,7 +1345,7 @@ object Streaming {
       .withColumn("ldrn", last(when(col("is_del") === 1, col("rn")),
         ignoreNulls = true).over(w))
       .select(col("user_id"),
-        (col("sec") * lit(268435456L) + col("event_id")).as("okey"),
+        (col("sec") * lit(2147483648L) + col("event_id")).as("okey"),
         col("event_id"),
         struct(
           (col("is_del") === 0).as("ex"),
@@ -1354,7 +1376,7 @@ object Streaming {
       |    ORDER BY sec, event_id) AS rn
       |  FROM ev),
       |lg AS (
-      |  SELECT user_id, sec * 268435456 + event_id AS okey, event_id,
+      |  SELECT user_id, sec * 2147483648 + event_id AS okey, event_id,
       |    {'ex': is_del = 0,
       |     'plan': CASE WHEN planc <> '⟂' THEN planc END,
       |     'last_click': CASE WHEN ck.d = 0

@@ -1839,6 +1839,26 @@ class NewOpsSpec extends SparkSpec {
     assert(at01.take(10) == graft.functions.Bpe.merges.take(10).toSeq)
   }
 
+  test("t23 round budget: a merge target that cannot fit its round " +
+      "budget fails LOUDLY naming the budget (ADVICE r13 — the old " +
+      "rounds<64 backstop silently returned fewer merges), and the " +
+      "rounds-vs-merges envelope is the documented formula") {
+    // envelope formula: 10 sequential rounds + 2x ceil((M-10)/16)
+    // batched rounds of skip-acceptance slack; registry bound = oracle
+    // unroll, pinned >= the measured 17-19 rounds for 100 merges
+    val T = graft.operators.TextAnalysis
+    assert(T.t23RoundBudget(10) == 10 && T.t23RoundBudget(100) == 22 &&
+      T.t23RoundBudget(1000) == 134)
+    assert((11 to 200).forall(m =>
+      T.t23RoundBudget(m) <= T.t23RoundBudget(m + 1)), "budget not monotone")
+    assert(T.T23OracleRounds == 20)
+    val e = intercept[IllegalArgumentException] {
+      T.t23BpeTrainRounds(spark, sfDir, 100, 3)
+    }
+    assert(e.getMessage.contains("round budget 3 exhausted"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("t22: an all-empty-text source yields NULL fertility and " +
       "chars_per_token, never IEEE Inf/NaN (ADVICE r11 zero guard)") {
     import spark.implicits._

@@ -1331,4 +1331,27 @@ class StreamingSpec extends SparkSpec {
       assert(got.exists(!_._2.ex), "no tombstoned user reached the view")
     } finally q.stop()
   }
+
+  test("st19 okey guard: the packing is an order for in-range components " +
+      "and raises LOUDLY past 2^31 — a large event_id must never bleed " +
+      "into the sec component (ADVICE r13)") {
+    val shift = 2147483648L
+    // in-range: packing preserves (sec, event_id) lexicographic order
+    val ok = Seq((1L, shift - 1), (2L, 0L), (2L, 7L))
+      .toDF("sec", "eid")
+      .select((Streaming.st19Guard(col("sec"), 4294967296L, "sec") * shift +
+        Streaming.st19Guard(col("eid"), shift, "event_id")).as("okey"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ok == ok.sorted && ok.distinct == ok,
+      s"packed keys not strictly ordered: $ok")
+    // out-of-range event_id: loud failure naming the component, never a
+    // silently corrupted key (the ScaleUp x27+ directory of ADVICE r13)
+    val e = intercept[Exception] {
+      Seq((1L, shift)).toDF("sec", "eid")
+        .select(Streaming.st19Guard(col("eid"), shift, "event_id"))
+        .collect()
+    }
+    assert(e.getMessage.contains("event_id outside"),
+      s"guard did not name the component: ${e.getMessage}")
+  }
 }
