@@ -19,13 +19,21 @@ package graft.functions
 object KernelOracleSql {
 
   private val P64 = "18446744073709551616::HUGEINT" // 2^64
+  private val M64 = "18446744073709551615::HUGEINT" // 2^64 - 1
+  private val M32 = "4294967295::HUGEINT" // 2^32 - 1
   private val Sign = "9223372036854775808::HUGEINT" // 2^63
 
-  /** (a * c) mod 2^64 via 32/32 split — a, c < 2^64 as HUGEINT. */
+  /** (a * c) mod 2^64 via 32/32 split — a, c < 2^64 as HUGEINT.
+    * All reductions are MASK/SHIFT (& 2ⁿ−1, >> 32), not %/−//: HUGEINT
+    * division is a 128-bit long-division library call and the %-based
+    * r13 form cost ~12 µs/row — 35× the masked form, measured
+    * value-identical over full-range inputs; it alone put the 64-seed
+    * chain at ~2200 s for sf1 (VERDICT r13 wrong #1). Algebra:
+    * a·c ≡ lo(a)·c + ((hi(a)·c) mod 2³²)·2³² (mod 2⁶⁴); every
+    * intermediate stays < 2²⁷ + 2⁹⁶ < 2¹²⁷, inside signed int128. */
   private def mulmod(a: String, c: String): String =
-    s"(((($a) % 4294967296::HUGEINT) * $c::HUGEINT + " +
-      s"(((($a) // 4294967296::HUGEINT) * $c::HUGEINT) % 4294967296::HUGEINT)" +
-      s" * 4294967296::HUGEINT) % $P64)"
+    s"((((($a) & $M32) * $c::HUGEINT) + " +
+      s"((((($a) >> 32) * $c::HUGEINT) & $M32) << 32)) & $M64)"
 
   /** CTE chain computing `outCol` = splitmix64(`inCol`) from `srcCte`,
     * carrying `cols` through; appends 4 CTEs named `<prefix>a..d`.
@@ -33,18 +41,19 @@ object KernelOracleSql {
   private def mix64Ctes(srcCte: String, inCol: String, outCol: String,
       prefix: String, cols: Seq[String]): String = {
     val cs = cols.mkString(", ")
-    s"""${prefix}a AS (SELECT $cs, (($inCol) + 11400714819323198485::HUGEINT) % $P64 AS z1 FROM $srcCte),
+    s"""${prefix}a AS (SELECT $cs, (($inCol) + 11400714819323198485::HUGEINT) & $M64 AS z1 FROM $srcCte),
        |${prefix}b AS (SELECT $cs, ${mulmod("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2 FROM ${prefix}a),
        |${prefix}c AS (SELECT $cs, ${mulmod("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3 FROM ${prefix}b),
        |${prefix}d AS (SELECT $cs, xor(z3, z3 >> 31) AS $outCol FROM ${prefix}c)""".stripMargin
   }
 
-  /** FNV-1a over the bytes of string expression `s` (ASCII = codepoints). */
+  /** FNV-1a over the bytes of string expression `s` (ASCII = codepoints).
+    * xor(h,b)·prime < 2⁶⁴·2⁴¹ < 2¹²⁷ fits int128, so one & suffices. */
   private def fnv1a(s: String): String =
     s"""list_reduce(
        |    list_prepend(14695981039346656037::HUGEINT,
        |      list_transform(range(1, strlen($s)+1), i -> ord(($s)[i])::HUGEINT)),
-       |    (h, b) -> ((xor(h, b)) * 1099511628211::HUGEINT) % $P64)""".stripMargin
+       |    (h, b) -> ((xor(h, b)) * 1099511628211::HUGEINT) & $M64)""".stripMargin
 
   /** Unsigned HUGEINT (< 2^64) → signed BIGINT (two's complement). */
   private def toSigned(u: String): String =
@@ -132,16 +141,17 @@ object KernelOracleSql {
        |      ELSE map_extract(MAP([$toks], [$tids]), t)[1] END)""".stripMargin
   }
 
-  /** dd02 oracle: full MinHash+LSH replica — 64-seed signatures
-    * (min over shingles of mix64(fnv1a(shingle) ⊕ mix64(0x5eed+i)), min
-    * taken over SIGNED values like the JVM Long min), candidate = any of
-    * 16 bands of 4 consecutive positions identical, est Jaccard =
-    * matching positions / 64.
-    */
   /** CTE chain from `srcCte`(doc_id, text) to `sig`(doc_id, sig) — the
     * bit-exact 64-seed MinHash signature replica (fnv1a shingle hashes ⊕
     * mix64 seeds, min over SIGNED values like the JVM Long min). Shared
     * by dd02 (documents) and dd15 (10-word chunks as pseudo-docs).
+    *
+    * `sig` is MATERIALIZED: DuckDB inlines CTEs per reference (the t23
+    * rule), and every consumer references sig 2–3× (both pair sides +
+    * the band explode) — un-materialized, the 64-seed mix64 chain (the
+    * gate's single most expensive computation at sf1) re-runs per
+    * reference, which is most of why the dedup family blew the r13 sf1
+    * oracle budget (VERDICT r13 wrong #1).
     */
   private def minhashSigCtes(srcCte: String): String =
     s"""toks AS (
@@ -165,7 +175,7 @@ object KernelOracleSql {
        |${mix64Ctes("crossed", "hx", "v_u", "mx", Seq("doc_id", "i"))},
        |vals AS (SELECT doc_id, i, ${toSigned("v_u")} AS v FROM mxd),
        |sigpos AS (SELECT doc_id, i, min(v) AS m FROM vals GROUP BY doc_id, i),
-       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigpos GROUP BY doc_id)"""
+       |sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigpos GROUP BY doc_id)"""
       .stripMargin
 
   /** One CTE named `name`: explode `srcCte`(idCol, sig) into its 16
@@ -175,7 +185,7 @@ object KernelOracleSql {
     * Shared by every capped-band oracle (dd15, dd16 both sides, m09).
     */
   private def bandsCte(name: String, srcCte: String, idCol: String): String =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT $idCol, bb.bb AS bb,
        |    CAST(sig[bb.bb*4+1] AS VARCHAR) || ',' ||
        |    CAST(sig[bb.bb*4+2] AS VARCHAR) || ',' ||
@@ -194,7 +204,7 @@ object KernelOracleSql {
   private def cappedPairCtes(estCol: String): String =
     s"""${bandsCte("bands", "sig", "doc_id")},
        |bsz AS (SELECT bb, bkey, COUNT(*) AS c FROM bands GROUP BY 1, 2),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a
        |  JOIN bands b ON a.bb = b.bb AND a.bkey = b.bkey
@@ -209,19 +219,30 @@ object KernelOracleSql {
        |  JOIN sig sa ON sa.doc_id = cand.id_a
        |  JOIN sig sb ON sb.doc_id = cand.id_b)""".stripMargin
 
+  /** dd02 oracle: full MinHash+LSH replica. Candidates come from the
+    * band-bucket EQUI-JOIN, not the r13 all-pairs filter — a pair is a
+    * candidate iff ≥ 1 of its 16 bands matches, and "band matches" ⟺
+    * the 4-value comma-joined bkey strings are equal (BIGINTs cannot
+    * contain the separator), so the DISTINCT of the bucket join IS the
+    * old `len(matching bands) > 0` set while costing Σ bucket² instead
+    * of N²·16 — the r13 form was 1.25·10⁹ pair evaluations at sf1
+    * (VERDICT r13 wrong #1). */
   def dd02Sql(plantOffset: Long): String =
     s"""WITH ${corpusCte(plantOffset)},
        |${minhashSigCtes("corpus")},
-       |pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+       |${bandsCte("bands", "sig", "doc_id")},
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a
+       |  JOIN bands b ON a.bb = b.bb AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id),
        |banded AS (
        |  SELECT id_a, id_b,
-       |    len(list_filter(range(64), p -> sa[p+1] = sb[p+1])) / 64.0 AS est_jaccard
-       |  FROM pairs
-       |  WHERE len(list_filter(range(16), bb ->
-       |    sa[bb*4+1]=sb[bb*4+1] AND sa[bb*4+2]=sb[bb*4+2] AND
-       |    sa[bb*4+3]=sb[bb*4+3] AND sa[bb*4+4]=sb[bb*4+4])) > 0)
+       |    len(list_filter(range(64), p -> sa.sig[p+1] = sb.sig[p+1]))
+       |      / 64.0 AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.id_a
+       |  JOIN sig sb ON sb.doc_id = cand.id_b)
        |SELECT id_a, id_b, est_jaccard FROM banded
        |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
@@ -305,9 +326,10 @@ object KernelOracleSql {
     * in dd18/st15/t17) is a FIXED id threshold while the Spark side
     * splits structurally by frame — sound only under the base
     * doc_id < 4000000 premise, pinned by TablesLayoutSpec's
-    * plant-offset corpus contract (ADVICE r10); ScaleUp-synthesized
-    * dirs violate it, so these keys are excluded from synthesized-SF
-    * parity checks. Banding replicates Spark's probe
+    * plant-offset corpus contract (ADVICE r10); since round 14 ScaleUp
+    * strides document ids compactly, so synthesized dirs satisfy the
+    * premise too and these keys ARE in the synthesized-SF parity gate.
+    * Banding replicates Spark's probe
     * with the 4-raw-value bucket key (dd15's collision argument) and
     * the one-sided ≤ 50 corpus-bucket cap; the per-new-doc verdict
     * aggregates matches at est ≥ 0.5 with the (est desc, cid asc)
@@ -402,13 +424,13 @@ object KernelOracleSql {
        |    list_prepend(0::HUGEINT,
        |      list_transform(range(1, strlen(text)+1),
        |        i -> ord(text[i])::HUGEINT)),
-       |    (h, b) -> (h * 257::HUGEINT + b) % $P64) AS h0
+       |    (h, b) -> (h * 257::HUGEINT + b) & $M64) AS h0
        |  FROM src),
        |${mix64Ctes("roll", "h0", "fp_u", "fp", Seq("doc_id", "is_wave"))},
        |hh AS (
        |  SELECT doc_id, is_wave,
-       |    CAST((fp_u % 4294967296) % m AS BIGINT) AS h1,
-       |    CAST((fp_u // 4294967296) % m AS BIGINT) | 1 AS h2
+       |    CAST((fp_u & $M32) % m AS BIGINT) AS h1,
+       |    CAST((fp_u >> 32) % m AS BIGINT) | 1 AS h2
        |  FROM fpd, mm),
        |pos AS (
        |  SELECT doc_id, is_wave, i.i AS i, (h1 + i.i * h2) % m AS p
@@ -451,7 +473,7 @@ object KernelOracleSql {
          |      (w, i) -> CASE WHEN i % $m = 0 THEN 'xq' ELSE w END), ' ')
          |  FROM documents WHERE doc_id % 31 = $r""".stripMargin
     }.mkString("\n")
-    s"""WITH corpus AS (
+    s"""WITH corpus AS MATERIALIZED (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 29000000,
@@ -471,7 +493,7 @@ object KernelOracleSql {
        |                chr(31)))
        |    END AS sh
        |  FROM ttoks),
-       |tpost AS (
+       |tpost AS MATERIALIZED (
        |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM tsets),
        |tbsz AS (SELECT shingle, count(*) AS df FROM tpost GROUP BY 1),
        |tcp AS (
@@ -628,21 +650,36 @@ object KernelOracleSql {
        |sig AS (
        |  SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::HUGEINT << CAST(bit AS INT)) ELSE 0::HUGEINT END) AS sig_u
        |  FROM bits GROUP BY doc_id),
-       |allsig AS (
+       |allsig AS MATERIALIZED (
        |  SELECT c.doc_id, COALESCE(s.sig_u, 0::HUGEINT) AS sig_u
        |  FROM $srcCte c LEFT JOIN sig s ON c.doc_id = s.doc_id)""".stripMargin
 
-  /** dd03 oracle: SimHash pairs with hamming ≤ 3, exhaustive — the 4×16
-    * banding loses nothing by pigeonhole (hamming ≤ 3 ⇒ one band equal),
-    * so the exhaustive set IS the LSH set.
+  /** dd03 oracle: SimHash pairs with hamming ≤ 3. Candidates come from
+    * the 4×16-bit block EQUI-JOIN (pigeonhole: hamming ≤ 3 over 64 bits
+    * ⇒ at least one of the 4 disjoint 16-bit blocks is identical), so
+    * the block-bucket join followed by the exact hamming filter yields
+    * EXACTLY the exhaustive all-pairs set the r13 form computed — at
+    * Σ bucket² cost instead of the N²/2 pair scans that blew the sf1
+    * budget (VERDICT r13 wrong #1).
     */
   def dd03Sql(plantOffset: Long): String =
     s"""WITH ${corpusCte(plantOffset)},
        |${simhashCtes("corpus")},
+       |blocks AS MATERIALIZED (
+       |  SELECT doc_id, b.b AS b,
+       |    CAST((sig_u >> CAST(b.b * 16 AS INT)) % 65536 AS BIGINT) AS bv
+       |  FROM allsig, (SELECT unnest(range(4)) AS b) b),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM blocks a
+       |  JOIN blocks b ON a.b = b.b AND a.bv = b.bv
+       |    AND a.doc_id < b.doc_id),
        |hpairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    CAST(len(list_filter(range(64), p -> (xor(a.sig_u, b.sig_u) >> p) % 2 = 1)) AS BIGINT) AS hamming
-       |  FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id)
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_filter(range(64), p -> (xor(x.sig_u, y.sig_u) >> p) % 2 = 1)) AS BIGINT) AS hamming
+       |  FROM cand
+       |  JOIN allsig x ON x.doc_id = cand.id_a
+       |  JOIN allsig y ON y.doc_id = cand.id_b)
        |SELECT id_a, id_b, hamming FROM hpairs
        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
@@ -664,7 +701,7 @@ object KernelOracleSql {
        |    list_prepend(0::HUGEINT,
        |      list_transform(range(1, strlen(text)+1, 4),
        |        i -> ord(text[i])::HUGEINT)),
-       |    (h, b) -> (h * 31::HUGEINT + b) % $P64) AS cs_u
+       |    (h, b) -> (h * 31::HUGEINT + b) & $M64) AS cs_u
        |  FROM base),
        |nibs AS (
        |  SELECT doc_id, n,
@@ -709,7 +746,7 @@ object KernelOracleSql {
        |    CASE WHEN len(ts) < 1 THEN [(${fnv1a("text")}) % 64::HUGEINT]
        |         ELSE list_transform(ts, t ->
        |           (((xor(${fnv1a("t")}, 31::HUGEINT))
-       |             * 1099511628211::HUGEINT) % $P64) % 64::HUGEINT)
+       |             * 1099511628211::HUGEINT) & $M64) % 64::HUGEINT)
        |    END AS bks
        |  FROM toks)""".stripMargin
   }
@@ -790,7 +827,7 @@ object KernelOracleSql {
        |  SELECT doc_id, list_reduce(
        |    list_prepend(0::HUGEINT,
        |      list_transform(range(1, strlen(text)+1), i -> ord(text[i])::HUGEINT)),
-       |    (h, b) -> (h * 257::HUGEINT + b) % $P64) AS h0
+       |    (h, b) -> (h * 257::HUGEINT + b) & $M64) AS h0
        |  FROM docs),
        |${mix64Ctes("roll", "h0", "fp_u", "fp", Seq("doc_id"))},
        |fps AS (SELECT doc_id, ${toSigned("fp_u")} AS fingerprint FROM fpd),

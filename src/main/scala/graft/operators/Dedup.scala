@@ -405,7 +405,7 @@ object Dedup {
        |                chr(31)))
        |    END AS sh
        |  FROM toks),
-       |postings AS (
+       |postings AS MATERIALIZED (
        |  SELECT source, doc_id, len(sh) AS sz, unnest(sh) AS shingle
        |  FROM sets),
        |bsz AS (
@@ -419,7 +419,7 @@ object Dedup {
        |  JOIN bsz s ON s.source = a.source AND s.shingle = a.shingle
        |    AND s.df <= 10000
        |  GROUP BY 1, 2, 3, 4, 5),
-       |jp AS (
+       |jp AS MATERIALIZED (
        |  SELECT source, id_a, id_b, common / (sz_a + sz_b - common) AS jaccard
        |  FROM cpairs WHERE common / (sz_a + sz_b - common) >= 0.5)""".stripMargin
 
@@ -486,7 +486,7 @@ object Dedup {
        |                chr(31)))
        |    END AS sh
        |  FROM toks),
-       |postings AS (
+       |postings AS MATERIALIZED (
        |  SELECT source, doc_id, len(sh) AS sz, unnest(sh) AS shingle
        |  FROM sets),
        |bsz AS (
@@ -655,7 +655,7 @@ object Dedup {
        |  UNION ALL
        |  SELECT doc_id + 8000000, text, source FROM documents
        |  WHERE doc_id % 20 = 7),
-       |f16 AS (
+       |f16 AS MATERIALIZED (
        |  SELECT doc_id, source, text,
        |    list_filter(string_split_regex(lower($strip), '[ \\t\\n\\r]+'),
        |      x -> x <> '') AS ts,
@@ -696,7 +696,7 @@ object Dedup {
        |c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
        |d5 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup5
        |       FROM c5 WHERE c >= 2 GROUP BY 1),
-       |cg16 AS (
+       |cg16 AS MATERIALIZED (
        |  SELECT doc_id, unnest(gs) AS gram
        |  FROM (SELECT doc_id,
        |      CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]

@@ -246,7 +246,7 @@ object Multimodal {
       |        list_transform(range(1, len($textCol) + 1),
       |          i -> ord(($textCol)[i]) // 4), x -> x = j))) AS h
       |  FROM $srcCte),
-      |$outCte AS (
+      |$outCte AS MATERIALIZED (
       |  SELECT $cs,
       |    list_sum(list_transform(range(1, 64), m ->
       |      CASE WHEN list_sum(list_transform(range(0, 64), n ->

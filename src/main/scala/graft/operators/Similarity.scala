@@ -1777,7 +1777,278 @@ object Similarity {
       |  round(CAST(hits AS DOUBLE) / 10, 4) AS recall
       |FROM hits ORDER BY tier, q_id""".stripMargin
 
+  // ---------------------------------------------------------------- s18
+  /** Shared s18 parameters: within-cell out-degree, beam width, hop
+    * count — mirrored literally into [[s18Sql]]. */
+  private val S18R = 6
+  private val S18B = 6
+  private val S18T = 3
+
+  /** s18's coarse cells: like s02's quantizer but with a CORPUS-SIZED
+    * centroid count (max(8, ⌈N/256⌉) — cells stay ~256 vectors at any
+    * SF, so the within-cell kNN build is N·256 cosines, never N²).
+    * The count is ONE scalar off the corpus (dd18's model-parameter
+    * class). */
+  private def graphCentroids(corpus: DataFrame): (DataFrame, Long) = {
+    val n = corpus.count()
+    val ncent = math.max(8L, (n + 255L) / 256L)
+    (corpus.filter(col("vec_id") % 61 === 3)
+      .orderBy(col("vec_id")).limit(ncent.toInt)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+      ncent)
+  }
+
+  /** s18's NEIGHBOR GRAPH, persisted once per embeddings generation
+    * (the s02/s07 artifact discipline): per vector its top-[[S18R]]
+    * same-cell neighbors by (cos DESC, vec_id), PLUS a hub layer — every
+    * cell's entry node (min vec_id) linked to every other entry — so the
+    * beam can leave its probed cells (an HNSW level-1 in miniature; at
+    * 100 TB the hub layer itself would recurse into levels, noted, and
+    * the within-cell kNN would run NN-descent rounds instead of the
+    * exact cell-bounded self-join). Neighbor vectors ride the edge rows
+    * DiskANN-style (nbr_emb inline), so each search hop is ONE artifact
+    * scan — no second corpus join. */
+  def ensureGraphAnnArtifact(spark: SparkSession, dir: String): String =
+    graft.Graft.ensureArtifact(DocstoreOps.docsRoot(dir), "s18_graph_v1",
+        graft.Tables.tableFingerprint(dir, "embeddings")) { path =>
+      val corpus = Tables(spark, dir, "embeddings")
+      val (cents, _) = graphCentroids(corpus)
+      val assigned = assignCells(Tables.spread(corpus), cents,
+          col("embedding"))
+        .select(col("vec_id"), col("cell"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .localCheckpoint(false)
+      // within-cell kNN: the self-join keys on cell (≤ ~256 rows per
+      // side by construction), and the per-src top-R is the family's
+      // window-free sort/slice agg — no window ever sees a data-sized
+      // partition
+      val pairs = assigned.as("a")
+        .join(assigned.select(col("vec_id").as("nbr"), col("cell"),
+          col("emb").as("nbr_emb")).as("b"), Seq("cell"))
+        .filter(col("vec_id") =!= col("nbr"))
+        .select(col("vec_id").as("src"), col("nbr"), col("nbr_emb"),
+          V.cosine_sim(col("emb"), col("nbr_emb")).as("cos"))
+      val inCell = pairs
+        .groupBy(col("src"))
+        .agg(slice(array_sort(collect_list(struct(
+          (col("cos") * -1).as("__n"), col("nbr"), col("nbr_emb")))),
+          1, S18R).as("__top"))
+        .select(col("src"), explode(col("__top")).as("f"))
+        .select(col("src"), col("f.nbr").as("nbr"),
+          col("f.nbr_emb").as("nbr_emb"))
+      val entries = assigned.groupBy(col("cell"))
+        .agg(min(col("vec_id")).as("entry"))
+        .join(assigned.select(col("vec_id").as("entry"), col("emb")),
+          Seq("entry"))
+        .select(col("cell"), col("entry"), col("emb"))
+        .localCheckpoint(false)
+      val hub = entries.select(col("entry").as("src"))
+        .crossJoin(entries.select(col("entry").as("nbr"),
+          col("emb").as("nbr_emb")))
+        .filter(col("src") =!= col("nbr"))
+      inCell.unionByName(hub)
+        .withColumn("kind", lit("edge"))
+        .select(col("src"), col("nbr"), col("nbr_emb"), col("kind"),
+          lit(-1L).as("cell"))
+        .unionByName(entries.select(col("entry").as("src"),
+          lit(-1L).as("nbr"), col("emb").as("nbr_emb"),
+          lit("entry").as("kind"), col("cell")))
+        .write.format("docstore").mode("overwrite").save(path)
+    }
+
+  /** Graph-based ANN (the HNSW/DiskANN family — Atlas `$vectorSearch`'s
+    * real engine, the one modern index class the s-battery lacked:
+    * VERDICT r13 #3): beam search over the persisted bounded-degree
+    * neighbor graph. Per query: probe the 2 nearest cells (s02's rule),
+    * seed the beam with their entry nodes, then [[S18T]] fixed hops —
+    * each hop expands the current top-[[S18B]] beam through the edge
+    * list, scores ONLY never-visited candidates, and re-beams. Emits
+    * per query the visited count and recall@10 vs the s01 exact set
+    * (the s09 evaluation shape).
+    *
+    * Scale shape: every hop is one artifact scan joined against a
+    * broadcast frontier of ≤ |Q|·B ids (the d13/$graphLookup bounded-
+    * frontier discipline — at deployment scale the artifact scan
+    * becomes point lookups in a vector store, and hop count stays the
+    * latency bound); the visited set is ≤ |Q|·(2 + T·B·maxdeg) NARROW
+    * rows, beam-bounded by construction — no stage ever holds a
+    * corpus-sized candidate set per query, and no window sees more
+    * than one query's visited rows. Deterministic end to end (seeded
+    * centroids, vec_id tie-breaks), so the full build+probe replicates
+    * declaratively in the oracle.
+    */
+  def s18GraphAnn(spark: SparkSession, dir: String): DataFrame = {
+    val art = spark.read.format("docstore")
+      .option("path", ensureGraphAnnArtifact(spark, dir)).load()
+      .select(col("src"), col("nbr"), col("kind"), col("cell"),
+        expr("transform(nbr_emb, x -> CAST(x AS FLOAT))").as("nbr_emb"))
+      .localCheckpoint(false)
+    val edges = art.filter(col("kind") === "edge")
+      .select(col("src"), col("nbr"), col("nbr_emb"))
+    val entries = art.filter(col("kind") === "entry")
+      .select(col("cell"), col("src").as("entry"),
+        col("nbr_emb").as("emb"))
+    val corpus = Tables(spark, dir, "embeddings")
+    val (cents, _) = graphCentroids(corpus)
+    val qs = queriesDf(spark, dir)
+    // probe: top-2 cells per query, the s02 window-free slice shape
+    val probes = qs.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_vec"), col("c_id"),
+        V.cosine_sim(col("q_vec"), col("c_vec")).as("q_cos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_vec")).as("q_vec"),
+        slice(array_sort(collect_list(
+          struct((col("q_cos") * -1).as("__n"), col("c_id")))), 1, 2)
+          .as("__top"))
+      .select(col("q_id"), col("q_vec"), explode(col("__top")).as("f"))
+      .select(col("q_id"), col("q_vec"), col("f.c_id").as("cell"))
+    var visited = probes.join(broadcast(entries), Seq("cell"))
+      .filter(col("entry") =!= col("q_id"))
+      .select(col("q_id"), col("entry").as("vec_id"),
+        V.cosine_sim(col("q_vec"), col("emb")).as("cos"))
+      .distinct() // two probed cells can share an entry only never; keep shape-stable
+      .localCheckpoint(false)
+    val qvecs = qs // (q_id, q_vec), broadcast at every scoring join
+    for (_ <- 1 to S18T) {
+      val beam = visited
+        .groupBy(col("q_id"))
+        .agg(slice(array_sort(collect_list(struct(
+          (col("cos") * -1).as("__n"), col("vec_id")))), 1, S18B)
+          .as("__top"))
+        .select(col("q_id"), explode(col("__top")).as("f"))
+        .select(col("q_id"), col("f.vec_id").as("src"))
+      val cand = edges.join(broadcast(beam), Seq("src"))
+        .filter(col("nbr") =!= col("q_id"))
+        .select(col("q_id"), col("nbr").as("vec_id"), col("nbr_emb"))
+        // a candidate reachable from several beam nodes scores once
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(first(col("nbr_emb")).as("nbr_emb"))
+        .join(visited.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+        .join(broadcast(qvecs), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          V.cosine_sim(col("q_vec"), col("nbr_emb")).as("cos"))
+      visited = visited.unionByName(cand).localCheckpoint(false)
+    }
+    val top = topKPerQuery(visited.withColumn("__x", lit(0)), K, Seq("__x"))
+      .select(col("q_id"), col("vec_id"))
+    val exact = s01BruteForce(spark, dir)
+      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    val hits = exact.join(broadcast(top), Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    visited.groupBy(col("q_id")).agg(count(lit(1)).as("n_visited"))
+      .join(broadcast(hits), Seq("q_id"), "left_outer")
+      .select(col("q_id"), col("n_visited"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4)
+          .as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  /** The full graph build + beam probe replicated declaratively —
+    * centroid count from the corpus count, within-cell kNN, hub layer,
+    * 2-cell entry seeding, and T unrolled hops each scoring only the
+    * round's never-visited candidates. Multi-referenced CTEs are
+    * MATERIALIZED (the t23/dd02 rule). */
+  val s18Sql: String = {
+    def hop(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""f$i AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rn FROM $prev) WHERE rn <= $S18B),
+         |c$i AS (
+         |  SELECT DISTINCT f.q_id, e.nbr AS vec_id
+         |  FROM f$i f JOIN edges e ON e.src = f.vec_id
+         |  WHERE e.nbr <> f.q_id),
+         |n$i AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    list_cosine_similarity(q.q_vec, m.v) AS cos
+         |  FROM c$i c
+         |  JOIN q ON q.q_id = c.q_id
+         |  JOIN emb m ON m.vec_id = c.vec_id
+         |  LEFT JOIN $prev p ON p.q_id = c.q_id AND p.vec_id = c.vec_id
+         |  WHERE p.vec_id IS NULL),
+         |v$i AS MATERIALIZED (
+         |  SELECT * FROM $prev UNION ALL SELECT * FROM n$i)""".stripMargin
+    }
+    s"""WITH cnt AS (
+       |  SELECT GREATEST(8, CAST(ceil(COUNT(*) / 256.0) AS BIGINT)) AS nc
+       |  FROM embeddings),
+       |cent AS MATERIALIZED (
+       |  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
+       |  FROM embeddings WHERE vec_id % 61 = 3
+       |  ORDER BY vec_id LIMIT (SELECT nc FROM cnt)),
+       |emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.c_vec) DESC, c.c_id)
+       |        AS rn
+       |    FROM emb e, cent c) WHERE rn = 1),
+       |edges_in AS (
+       |  SELECT src, nbr FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS nbr,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+       |        AS rn
+       |    FROM assigned a JOIN assigned b
+       |      ON a.cell = b.cell AND a.vec_id <> b.vec_id) WHERE rn <= $S18R),
+       |entries AS MATERIALIZED (
+       |  SELECT cell, MIN(vec_id) AS entry FROM assigned GROUP BY cell),
+       |edges AS MATERIALIZED (
+       |  SELECT src, nbr FROM edges_in
+       |  UNION ALL
+       |  SELECT a.entry, b.entry FROM entries a JOIN entries b
+       |    ON a.entry <> b.entry),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+       |  FROM embeddings WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_cosine_similarity(q.q_vec, c.c_vec) DESC,
+       |          c.c_id) AS rn
+       |    FROM q, cent c) WHERE rn <= 2),
+       |v0 AS MATERIALIZED (
+       |  SELECT p.q_id, en.entry AS vec_id,
+       |    list_cosine_similarity(q.q_vec, m.v) AS cos
+       |  FROM probes p
+       |  JOIN entries en ON en.cell = p.cell
+       |  JOIN q ON q.q_id = p.q_id
+       |  JOIN emb m ON m.vec_id = en.entry
+       |  WHERE en.entry <> p.q_id),
+       |${(1 to S18T).map(hop).mkString(",\n")},
+       |top AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, vec_id) AS rn FROM v$S18T) WHERE rn <= 10),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_cosine_similarity(q.q_vec,
+       |          e.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+       |    FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+       |  WHERE rank <= 10),
+       |h AS (
+       |  SELECT t.q_id, COUNT(*) AS hits
+       |  FROM top t JOIN exact x
+       |    ON x.q_id = t.q_id AND x.vec_id = t.vec_id
+       |  GROUP BY 1)
+       |SELECT v.q_id, CAST(COUNT(*) AS BIGINT) AS n_visited,
+       |  CAST(COALESCE(ANY_VALUE(h.hits), 0) AS BIGINT) AS hits,
+       |  round(CAST(COALESCE(ANY_VALUE(h.hits), 0) AS DOUBLE) / 10, 4)
+       |    AS recall
+       |FROM v$S18T v LEFT JOIN h ON h.q_id = v.q_id
+       |GROUP BY v.q_id ORDER BY v.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_graph_ann" -> (s18GraphAnn _),
     "s16_index_staleness" -> (s16IndexStaleness _),
     "s17_quant_tradeoff" -> (s17QuantTradeoff _),
     "s15_nprobe_recall" -> (s15NprobeRecall _),

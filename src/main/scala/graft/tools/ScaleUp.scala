@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * structure is preserved exactly while replicas stay textually
   * disjoint, so a 10× corpus has 10× the LSH buckets at the SAME bucket
   * sizes (a plain copy would instead multiply every duplicate cluster —
-  * a pathological, unrepresentative corpus). Embedding vectors get a
-  * per-replica deterministic rotation of the label/id space only.
+  * a pathological, unrepresentative corpus). Document ids stride
+  * compactly (max(doc_id)+1 per replica) so the 999999 plant-offset
+  * corpus contract keeps holding and the dedup/plant family stays
+  * oracle-checkable at synthesized SFs (round 14). Embedding vectors
+  * get a per-replica deterministic rotation of the label/id space only.
   */
 object ScaleUp {
   private val Off = 10000000L
@@ -40,10 +43,10 @@ object ScaleUp {
       df.coalesce(8).write.mode("overwrite").parquet(s"$dst/$n.parquet")
 
     def replicate(df: DataFrame, keyCols: Seq[String],
-        saltText: Boolean = false): DataFrame =
+        saltText: Boolean = false, stride: Long = Off): DataFrame =
       (0 until factor).map { i =>
         val shifted = keyCols.foldLeft(df)((acc, k) =>
-          acc.withColumn(k, col(k) + lit(i * Off)))
+          acc.withColumn(k, col(k) + lit(i * stride)))
         if (saltText && i > 0)
           shifted.withColumn("text",
             array_join(transform(split(col("text"), " "),
@@ -61,8 +64,23 @@ object ScaleUp {
     write(replicate(tbl("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
     write(replicate(tbl("events"), Seq("event_id", "user_id")), "events")
-    write(replicate(tbl("documents"), Seq("doc_id"), saltText = true),
-      "documents")
+    // documents replicate at a COMPACT stride (max(doc_id)+1), not the
+    // 10⁷ entity offset: every plant-bearing and id-threshold-split
+    // oracle rests on the corpus contract max(doc_id) < 999999 (the
+    // smallest plant offset, TablesLayoutSpec's premise), and 10⁷-strided
+    // ids breach it by construction — which is why the dedup family had
+    // to be excluded from synthesized-SF parity before round 14. Compact
+    // ids hold the premise to factor ~200 at sf0.1 and keep every
+    // doc_id % k selector distribution intact; the fail-loud backstop
+    // below names the premise if a giant source corpus ever breaks it.
+    val docs = tbl("documents")
+    val docStride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    require(docStride * factor < 999999L,
+      s"ScaleUp: $factor x docStride=$docStride breaches the 999999 " +
+        "plant-offset corpus contract (TablesLayoutSpec) — plant-bearing " +
+        "oracles would misclassify id-threshold splits")
+    write(replicate(docs, Seq("doc_id"), saltText = true,
+      stride = docStride), "documents")
     write(replicate(tbl("embeddings"), Seq("vec_id")), "embeddings")
     println(s"scaled $src x$factor -> $dst")
     spark.stop()

@@ -152,11 +152,11 @@ class TablesLayoutSpec extends SparkSpec {
     // base id at or above it collides with a plant id (two docs merge
     // in every groupBy) or misclassifies an id-threshold split,
     // deterministically in BOTH engines, so verify stays green while
-    // the keys silently corrupt. A ScaleUp-synthesized dir (ids offset
-    // i·10⁷) violates it by construction — plant-offset keys are
-    // excluded from synthesized-SF parity checks (SURVEY §5) — but the
-    // driver's real testdata must hold it. Fail HERE with the premise
-    // named instead.
+    // the keys silently corrupt. ScaleUp-synthesized dirs hold it too
+    // since round 14 (documents replicate at a COMPACT max(doc_id)+1
+    // stride with a fail-loud require, so plant-offset keys are IN the
+    // synthesized-SF parity gate); the driver's real testdata must hold
+    // it as well. Fail HERE with the premise named instead.
     contractDirs.foreach { dir =>
       val maxId = Tables(spark, dir, "documents")
         .agg(max(col("doc_id"))).head.getLong(0)

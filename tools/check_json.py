@@ -1,46 +1,64 @@
 #!/usr/bin/env python3
 """check.py's compare, emitted in the driver's CORRECTNESS JSON shape:
 per key {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
-err}. Usage: python3 tools/check_json.py <outDir> <sfDir> <outJson>
+err}. Usage: python3 tools/check_json.py <outDir> <sfDir> <outJson> [keys]
+
+Env:
+  ORACLE_BUDGET_SEC  per-key oracle budget (0 = unlimited). A key whose
+                     oracle exceeds it records oracle_budget_exceeded.
+  ORACLE_THREADS     worker parallelism (default 3). Workers share one
+                     in-process DuckDB database via cursors; each cursor
+                     runs one key at a time, so a per-cursor interrupt
+                     cannot hit another key's query.
 """
-import sys, json, glob, os, time
+import sys, json, glob, os, time, threading
+from concurrent.futures import ThreadPoolExecutor
 import duckdb
 
 outdir, sfdir, outjson = sys.argv[1], sys.argv[2], sys.argv[3]
 only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
-con = duckdb.connect()
-con.execute("SET threads=8")
+nthreads = int(os.environ.get("ORACLE_THREADS", "3") or 3)
+budget = float(os.environ.get("ORACLE_BUDGET_SEC", "0") or 0)
+
+root = duckdb.connect()
+root.execute(f"SET threads={max(2, 16 // nthreads)}")
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     p = f"{sfdir}/{t}.parquet"
     src = f"{p}/*.parquet" if os.path.isdir(p) else p
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    root.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 if only is not None:
     oracle = {k: v for k, v in oracle.items() if k in only}
-# per-key oracle budget: DuckDB replicas of the heavy dedup/BPE chains
-# can be arbitrarily slow at large SF — interrupt and record, so one
-# heavy oracle cannot starve the rest of the gate
-budget = float(os.environ.get("ORACLE_BUDGET_SEC", "0") or 0)
-import threading
+
 result = {}
-for name, sql in sorted(oracle.items()):
+lock = threading.Lock()
+done = [0]
+
+
+def run_key(name):
+    sql = oracle[name]
     t0 = time.time()
-    timer = None
-    if budget > 0:
-        timer = threading.Timer(budget, con.interrupt)
-        timer.start()
     ent = {"rows_match": False, "schema_match": False, "hash_match": False,
            "spark_rows": None, "oracle_rows": None, "err": None}
-    result[name] = ent
+    # one cursor per key: budget interrupts land on THIS cursor only,
+    # and a late-firing timer is swallowed below before the cursor is
+    # ever reused (ADVICE r13: the old single-connection interrupt
+    # could hit the NEXT key's first execute)
+    con = root.cursor()
+    timer = None
     try:
         pdir = f"{outdir}/{name}"
         if not os.path.isdir(pdir):
             ent["err"] = "no parquet dir"
-            continue
+            return name, ent, time.time() - t0
         files = glob.glob(f"{pdir}/*.parquet")
-        got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        if budget > 0:
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
         exp = con.execute(sql).fetchdf()
         ent["spark_rows"] = len(got)
         ent["oracle_rows"] = len(exp)
@@ -67,15 +85,34 @@ for name, sql in sorted(oracle.items()):
     finally:
         if timer is not None:
             timer.cancel()
-    ok = (ent["rows_match"] and ent["schema_match"] and ent["hash_match"]
-          and not ent["err"])
-    print(f"{'OK ' if ok else 'BAD'} {name} {time.time()-t0:.1f}s"
-          + ("" if ok else f" err={ent['err']}"), flush=True)
-    json.dump(result, open(outjson, "w"), indent=2)
+            # swallow a timer that fired after the query finished but
+            # before cancel(): the pending interrupt would otherwise
+            # land on this cursor's next execute
+            try:
+                con.execute("SELECT 1").fetchall()
+            except Exception:
+                pass
+        con.close()
+    return name, ent, time.time() - t0
 
+
+names = sorted(oracle)
+with ThreadPoolExecutor(max_workers=nthreads) as ex:
+    for name, ent, dt in ex.map(run_key, names):
+        with lock:
+            result[name] = ent
+            done[0] += 1
+            ok = (ent["rows_match"] and ent["schema_match"]
+                  and ent["hash_match"] and not ent["err"])
+            print(f"{'OK ' if ok else 'BAD'} {name} {dt:.1f}s "
+                  f"[{done[0]}/{len(names)}]"
+                  + ("" if ok else f" err={ent['err']}"), flush=True)
+            json.dump({k: result[k] for k in sorted(result)},
+                      open(outjson, "w"), indent=2)
+
+result = {k: result[k] for k in sorted(result)}
 n_ok = sum(1 for e in result.values()
            if e["rows_match"] and e["schema_match"] and e["hash_match"]
            and not e["err"])
 json.dump(result, open(outjson, "w"), indent=2)
 print(f"{n_ok}/{len(result)} OK -> {outjson}")
-sys.exit(0 if n_ok == len(result) else 1)
