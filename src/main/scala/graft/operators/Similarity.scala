@@ -1780,9 +1780,9 @@ object Similarity {
   // ---------------------------------------------------------------- s18
   /** Shared s18 parameters: within-cell out-degree, beam width, hop
     * count — mirrored literally into [[s18Sql]]. */
-  private val S18R = 6
-  private val S18B = 6
-  private val S18T = 3
+  private val S18R = 16
+  private val S18B = 24
+  private val S18T = 6
 
   /** s18's coarse cells: like s02's quantizer but with a CORPUS-SIZED
     * centroid count (max(8, ⌈N/256⌉) — cells stay ~256 vectors at any
@@ -1813,10 +1813,13 @@ object Similarity {
         graft.Tables.tableFingerprint(dir, "embeddings")) { path =>
       val corpus = Tables(spark, dir, "embeddings")
       val (cents, _) = graphCentroids(corpus)
+      // the cosine kernel reads FLOAT arrays (VectorMath.cosineF) — the
+      // build scores on the original float column and only the WRITE
+      // widens to double (docstore's numeric type; float→double→float
+      // round-trips exactly, the s02 artifact rule)
       val assigned = assignCells(Tables.spread(corpus), cents,
           col("embedding"))
-        .select(col("vec_id"), col("cell"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .select(col("vec_id"), col("cell"), col("embedding"))
         .localCheckpoint(false)
       // within-cell kNN: the self-join keys on cell (≤ ~256 rows per
       // side by construction), and the per-src top-R is the family's
@@ -1824,34 +1827,36 @@ object Similarity {
       // partition
       val pairs = assigned.as("a")
         .join(assigned.select(col("vec_id").as("nbr"), col("cell"),
-          col("emb").as("nbr_emb")).as("b"), Seq("cell"))
+          col("embedding").as("nbr_vec")).as("b"), Seq("cell"))
         .filter(col("vec_id") =!= col("nbr"))
-        .select(col("vec_id").as("src"), col("nbr"), col("nbr_emb"),
-          V.cosine_sim(col("emb"), col("nbr_emb")).as("cos"))
+        .select(col("vec_id").as("src"), col("nbr"), col("nbr_vec"),
+          V.cosine_sim(col("embedding"), col("nbr_vec")).as("cos"))
       val inCell = pairs
         .groupBy(col("src"))
         .agg(slice(array_sort(collect_list(struct(
-          (col("cos") * -1).as("__n"), col("nbr"), col("nbr_emb")))),
+          (col("cos") * -1).as("__n"), col("nbr"), col("nbr_vec")))),
           1, S18R).as("__top"))
         .select(col("src"), explode(col("__top")).as("f"))
         .select(col("src"), col("f.nbr").as("nbr"),
-          col("f.nbr_emb").as("nbr_emb"))
+          col("f.nbr_vec").as("nbr_vec"))
       val entries = assigned.groupBy(col("cell"))
         .agg(min(col("vec_id")).as("entry"))
-        .join(assigned.select(col("vec_id").as("entry"), col("emb")),
-          Seq("entry"))
-        .select(col("cell"), col("entry"), col("emb"))
+        .join(assigned.select(col("vec_id").as("entry"),
+          col("embedding").as("entry_vec")), Seq("entry"))
+        .select(col("cell"), col("entry"), col("entry_vec"))
         .localCheckpoint(false)
       val hub = entries.select(col("entry").as("src"))
         .crossJoin(entries.select(col("entry").as("nbr"),
-          col("emb").as("nbr_emb")))
+          col("entry_vec").as("nbr_vec")))
         .filter(col("src") =!= col("nbr"))
+      def asDouble(c: Column): Column =
+        transform(c, x => x.cast(DoubleType))
       inCell.unionByName(hub)
         .withColumn("kind", lit("edge"))
-        .select(col("src"), col("nbr"), col("nbr_emb"), col("kind"),
-          lit(-1L).as("cell"))
+        .select(col("src"), col("nbr"), asDouble(col("nbr_vec")).as("nbr_emb"),
+          col("kind"), lit(-1L).as("cell"))
         .unionByName(entries.select(col("entry").as("src"),
-          lit(-1L).as("nbr"), col("emb").as("nbr_emb"),
+          lit(-1L).as("nbr"), asDouble(col("entry_vec")).as("nbr_emb"),
           lit("entry").as("kind"), col("cell")))
         .write.format("docstore").mode("overwrite").save(path)
     }
@@ -1902,11 +1907,13 @@ object Similarity {
           .as("__top"))
       .select(col("q_id"), col("q_vec"), explode(col("__top")).as("f"))
       .select(col("q_id"), col("q_vec"), col("f.c_id").as("cell"))
+    // the query NODE stays in the beam (it is a corpus member here, and
+    // its own cell's entry is often itself — filtering it out of the
+    // walk would make exactly the best cell unreachable); self is
+    // excluded only from the FINAL top-k, like every ANN evaluation
     var visited = probes.join(broadcast(entries), Seq("cell"))
-      .filter(col("entry") =!= col("q_id"))
       .select(col("q_id"), col("entry").as("vec_id"),
         V.cosine_sim(col("q_vec"), col("emb")).as("cos"))
-      .distinct() // two probed cells can share an entry only never; keep shape-stable
       .localCheckpoint(false)
     val qvecs = qs // (q_id, q_vec), broadcast at every scoring join
     for (_ <- 1 to S18T) {
@@ -1918,7 +1925,6 @@ object Similarity {
         .select(col("q_id"), explode(col("__top")).as("f"))
         .select(col("q_id"), col("f.vec_id").as("src"))
       val cand = edges.join(broadcast(beam), Seq("src"))
-        .filter(col("nbr") =!= col("q_id"))
         .select(col("q_id"), col("nbr").as("vec_id"), col("nbr_emb"))
         // a candidate reachable from several beam nodes scores once
         .groupBy(col("q_id"), col("vec_id"))
@@ -1930,7 +1936,8 @@ object Similarity {
           V.cosine_sim(col("q_vec"), col("nbr_emb")).as("cos"))
       visited = visited.unionByName(cand).localCheckpoint(false)
     }
-    val top = topKPerQuery(visited.withColumn("__x", lit(0)), K, Seq("__x"))
+    val top = topKPerQuery(visited.filter(col("vec_id") =!= col("q_id"))
+        .withColumn("__x", lit(0)), K, Seq("__x"))
       .select(col("q_id"), col("vec_id"))
     val exact = s01BruteForce(spark, dir)
       .select(col("q_id"), col("vec_id")).localCheckpoint()
@@ -1959,8 +1966,7 @@ object Similarity {
          |      ORDER BY cos DESC, vec_id) AS rn FROM $prev) WHERE rn <= $S18B),
          |c$i AS (
          |  SELECT DISTINCT f.q_id, e.nbr AS vec_id
-         |  FROM f$i f JOIN edges e ON e.src = f.vec_id
-         |  WHERE e.nbr <> f.q_id),
+         |  FROM f$i f JOIN edges e ON e.src = f.vec_id),
          |n$i AS (
          |  SELECT c.q_id, c.vec_id,
          |    list_cosine_similarity(q.q_vec, m.v) AS cos
@@ -2019,13 +2025,13 @@ object Similarity {
        |  FROM probes p
        |  JOIN entries en ON en.cell = p.cell
        |  JOIN q ON q.q_id = p.q_id
-       |  JOIN emb m ON m.vec_id = en.entry
-       |  WHERE en.entry <> p.q_id),
+       |  JOIN emb m ON m.vec_id = en.entry),
        |${(1 to S18T).map(hop).mkString(",\n")},
        |top AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-       |      ORDER BY cos DESC, vec_id) AS rn FROM v$S18T) WHERE rn <= 10),
+       |      ORDER BY cos DESC, vec_id) AS rn FROM v$S18T
+       |    WHERE vec_id <> q_id) WHERE rn <= 10),
        |exact AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q.q_id, e.vec_id,
@@ -2068,6 +2074,7 @@ object Similarity {
     "s06_hybrid_search" -> (s06HybridSearch _))
 
   val oracle: Map[String, String] = Map(
+    "s18_graph_ann" -> s18Sql,
     "s16_index_staleness" -> s16Sql,
     "s17_quant_tradeoff" -> s17Sql,
     "s15_nprobe_recall" -> s15Sql,

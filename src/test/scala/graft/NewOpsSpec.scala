@@ -2668,6 +2668,39 @@ class NewOpsSpec extends SparkSpec {
       r.getAs[Long]("fill_tokens") == 4L &&
       r.getAs[Long]("is_full") == 0L, r.toString)
   }
+
+  test("round-14: s18's graph-ANN beam search — recall@10 >= the s02 " +
+      "2-probe IVF tier PER QUERY on the same corpus, visited set " +
+      "beam-bounded, and the hop joins broadcast the frontier (never " +
+      "the edge list)") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val g = SparkEntry.queries("s18_graph_ann")(spark, dir)
+      val ivf = SparkEntry.queries("s09_ann_recall")(spark, dir)
+        .collect().map(r => r.getAs[Long]("q_id") ->
+          r.getAs[Double]("recall")).toMap
+      val rows = g.collect()
+      assert(rows.length == 5, s"$dir: expected 5 query rows")
+      rows.foreach { r =>
+        val (q, nv, hits, rec) = (r.getAs[Long]("q_id"),
+          r.getAs[Long]("n_visited"), r.getAs[Long]("hits"),
+          r.getAs[Double]("recall"))
+        assert(rec == hits / 10.0, s"$dir q$q recall algebra")
+        // beam-bounded visited: entries(<=2) + T hops x B beam x max
+        // out-degree (R in-cell + ncent-1 hub) — the structural bound
+        // that makes the operator a GRAPH search, not a scan
+        assert(nv <= 2 + 6 * 24 * (16 + 255),
+          s"$dir q$q visited $nv above the beam bound")
+        assert(rec >= ivf(q),
+          s"$dir q$q: graph recall $rec < IVF 2-probe ${ivf(q)} — the " +
+            "graph index must not lose to the coarse-only tier")
+      }
+      // the hop join must broadcast the bounded frontier, never build a
+      // cartesian or shuffle the corpus-sized edge list per hop
+      val plan = g.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        "cartesian in the s18 plan")
+    }
+  }
 }
 
 /** Row shape for the s08 short-candidate spec (top-level for the
