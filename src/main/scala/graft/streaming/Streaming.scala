@@ -1455,6 +1455,67 @@ object Streaming {
       last_view: Option[Double], last_purchase: Option[Double],
       n_ops: Long, last_sec: Long)
 
+  // ---------------------------------------------------------------- st20
+  /** One micro-batch of view rows merged into the docstore collection at
+    * `path` — the `$merge` upsert (d15's machinery) keyed on user_id,
+    * whenMatched replace / whenNotMatched insert. This is THE sink
+    * st20 and its streaming twin share: replace-by-key makes a re-run
+    * of the SAME batch a no-op, which is exactly the foreachBatch
+    * exactly-once contract (Spark re-delivers the last batch after a
+    * failure — never an arbitrary old one). */
+  private[graft] def st20Merge(batch: DataFrame, path: String): Unit =
+    graft.Graft.aggregate(batch,
+      s"""[{"$$merge": {"into": "$path", "on": "user_id",
+            "whenMatched": "replace", "whenNotMatched": "insert"}}]""")
+
+  /** CDC EXACTLY-ONCE VIEW SINK (round 14, VERDICT r13 #5) — the last
+    * leg of the st18 → st19 CDC chain: st18 produces the oplog, st19
+    * materializes the consumer view, st20 WRITES that view to the
+    * serving store idempotently. The write path is exercised under the
+    * delivery fault it must absorb: the view lands in two half-batches
+    * (`$out` seed of even user_ids, `$merge` of odd), and the second
+    * batch is REPLAYED — the duplicate `$merge` must leave the
+    * collection byte-identical (replace-by-key idempotence, the
+    * foreachBatch re-delivery contract). The key's RESULT is the
+    * READ-BACK of the written collection, not the computed view — so
+    * the oracle (st19's SQL, the view definition) gates the whole
+    * write → re-deliver → read round trip, exactly how d15 gates
+    * `$merge` itself.
+    *
+    * Scale: the view is output-sized (∝ live users); `$out`/`$merge`
+    * write through the docstore sink partition-parallel, and the merge
+    * joins batch-vs-collection on the `on` key — at deployment scale
+    * this is the idempotent bulk-upsert every CDC serving store runs.
+    * The streaming twin (spec) drives the SAME [[st20Merge]] from
+    * foreachBatch over [[st19Stream]]'s Update-mode output and replays
+    * a batch to prove state equality. */
+  def st20ViewSink(spark: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_docstore/st20_view_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val view = st19OplogView(spark, dir).localCheckpoint(false)
+    val odd = view.filter(col("user_id") % 2 === 1)
+    graft.Graft.aggregate(view.filter(col("user_id") % 2 === 0),
+      s"""[{"$$out": "$path"}]""")
+    st20Merge(odd, path) // batch 2
+    st20Merge(odd, path) // batch 2 REPLAYED — must be absorbed
+    spark.read.format("docstore").option("path", path).load()
+      .select(col("user_id").cast(LongType).as("user_id"),
+        col("plan").cast(StringType).as("plan"),
+        col("last_click").cast(DoubleType).as("last_click"),
+        col("last_view").cast(DoubleType).as("last_view"),
+        col("last_purchase").cast(DoubleType).as("last_purchase"),
+        col("n_ops").cast(LongType).as("n_ops"),
+        col("last_sec").cast(LongType).as("last_sec"),
+        col("n_log_rows").cast(LongType).as("n_log_rows"),
+        col("n_versions").cast(LongType).as("n_versions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The sink's oracle IS the view definition: if the
+    * write → replay → read round trip is exactly-once, the collection
+    * equals st19's view. */
+  val st20Sql: String = st19Sql
+
   // ---------------------------------------------------------------- st13
   /** Session conversion funnel — the product-analytics staple on top of
     * sessionization: within each st02 session (same gap rule, same
@@ -2037,6 +2098,7 @@ object Streaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st18_oplog_merge" -> (st18OplogMerge _),
     "st19_oplog_view" -> (st19OplogView _),
+    "st20_view_sink" -> (st20ViewSink _),
     "st17_distribution_drift" -> (st17DistributionDrift _),
     "st16_pit_join" -> (st16PitJoin _),
     "st15_ingest_dedup" -> (st15IngestDedup _),
@@ -2058,6 +2120,7 @@ object Streaming {
   val oracle: Map[String, String] = Map(
     "st18_oplog_merge" -> st18Sql,
     "st19_oplog_view" -> st19Sql,
+    "st20_view_sink" -> st20Sql,
     "st17_distribution_drift" -> st17Sql,
     "st16_pit_join" -> st16Sql,
     "st15_ingest_dedup" -> graft.functions.KernelOracleSql.st15Sql,

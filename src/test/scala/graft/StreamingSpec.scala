@@ -1332,6 +1332,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st20 twin: foreachBatch merges st19Stream's Update output into " +
+      "the docstore sink; REPLAYING the last batch leaves the " +
+      "collection byte-identical and the live rows equal the batch " +
+      "view (the exactly-once receipt)") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streaming.ViewUpd
+    val log = Streaming.st19Log(spark, sfDir).collect().map { r =>
+      val d = r.getStruct(r.fieldIndex("doc"))
+      ViewUpd(r.getLong(0), r.getLong(r.fieldIndex("okey")),
+        d.getBoolean(0), Option(d.getString(1)),
+        if (d.isNullAt(2)) None else Some(d.getDouble(2)),
+        if (d.isNullAt(3)) None else Some(d.getDouble(3)),
+        if (d.isNullAt(4)) None else Some(d.getDouble(4)),
+        d.getLong(5), d.getLong(6))
+    }
+    val rnd = new scala.util.Random(20260814L)
+    val arrival = rnd.shuffle(log.toSeq)
+    val path = java.nio.file.Files
+      .createTempDirectory("st20_twin").toString + "/view"
+    val batches = scala.collection.mutable.ArrayBuffer[Array[org.apache.spark.sql.Row]]()
+    val input = MemoryStream[ViewUpd]
+    val q = Streaming.st19Stream(input.toDS()).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          graft.streaming.Streaming.ViewOut], _: Long) =>
+        val rows = b.toDF.collect()
+        batches += rows
+        Streaming.st20Merge(
+          spark.createDataFrame(spark.sparkContext.parallelize(
+            rows.toSeq), b.toDF.schema), path)
+        ()
+      }.start()
+    def readState(): Map[Long, String] =
+      spark.read.format("docstore").option("path", path).load()
+        .collect().map { r =>
+          r.getAs[Long]("user_id") ->
+            r.getValuesMap[Any](r.schema.fieldNames.sorted).toString
+        }.toMap
+    try {
+      arrival.grouped(1499).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state1 = readState()
+    assert(batches.nonEmpty && batches.last.nonEmpty)
+    // the foreachBatch failure contract: the LAST batch re-delivers
+    val voutSchema = spark.emptyDataset[graft.streaming.Streaming
+      .ViewOut](org.apache.spark.sql.Encoders.product).toDF.schema
+    Streaming.st20Merge(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        batches.last.toSeq), voutSchema), path)
+    val state2 = readState()
+    assert(state1 == state2,
+      "replaying the last batch changed the collection — the sink is " +
+        "not exactly-once under foreachBatch re-delivery")
+    // live rows equal the batch view on the shared columns
+    val live = spark.read.format("docstore").option("path", path).load()
+      .filter(col("ex"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.getAs[String]("plan")),
+          Option(r.getAs[Any]("last_click")).map(_.toString.toDouble),
+          r.getAs[Long]("n_ops"), r.getAs[Long]("last_sec")))).toMap
+    val want = Streaming.st19OplogView(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getAs[Long]("n_ops"), r.getAs[Long]("last_sec")))).toMap
+    assert(live == want, s"${live.size} live rows vs ${want.size} batch")
+  }
+
   test("st19 okey guard: the packing is an order for in-range components " +
       "and raises LOUDLY past 2^31 — a large event_id must never bleed " +
       "into the sec component (ADVICE r13)") {
