@@ -396,6 +396,10 @@ object PlanSweep {
       "s13_filtered_search" -> queryFrame,
       "s14_binary_quantize" -> queryFrame, "s15_nprobe_recall" -> queryFrame,
       "s16_index_staleness" -> queryFrame, "m08_phash_search" -> queryFrame,
+      "s18_graph_ann" -> (queryFrame + "; the beam/top/hits frames are " +
+        "<= |queries| * beam-width rows by the s18 beam bound " +
+        "(spec-pinned), and the broadcast frontier is the operator's " +
+        "whole scale contract"),
       "t10_contamination" -> evalSet, "t17_fuzzy_contamination" -> evalSet,
       "dd16_incremental_dedup" -> batchFrame, "st15_ingest_dedup" -> batchFrame,
       "m14_interleave_pack" -> ladderCells, "p04_stratified" -> ladderCells,

@@ -22,6 +22,14 @@ budget = float(os.environ.get("ORACLE_BUDGET_SEC", "0") or 0)
 
 root = duckdb.connect()
 root.execute(f"SET threads={max(2, 16 // nthreads)}")
+# Cap the database well under host RAM and give it a spill directory:
+# at synthesized sf1 the materialized signature chains are tens of GB
+# and N parallel keys multiply that — the uncapped default OOM'd the
+# whole process (round 14). DuckDB spills capped operators to disk.
+os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+root.execute("SET temp_directory='/tmp/duckdb_spill'")
+root.execute(
+    f"SET memory_limit='{os.environ.get('ORACLE_MEM', '20GB')}'")
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     p = f"{sfdir}/{t}.parquet"
