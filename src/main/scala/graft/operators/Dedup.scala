@@ -711,7 +711,7 @@ object Dedup {
        |  FROM cg16 LEFT JOIN eg16 e ON cg16.gram = e.gram
        |  GROUP BY 1),
        |${graft.functions.KernelOracleSql.bpeDocLenCtes("f16", "x16", "ts")},
-       |fl16 AS (
+       |fl16 AS MATERIALIZED (
        |  SELECT s.doc_id, s.source, s.key,
        |    COALESCE(l.cluster_id, s.doc_id) AS cluster,
        |    COALESCE(b.b, 0) AS n_bpe,
@@ -739,18 +739,18 @@ object Dedup {
        |  LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
        |  LEFT JOIN ov16 o USING (doc_id) LEFT JOIN labels l USING (doc_id)
        |  LEFT JOIN x16pw b USING (doc_id)),
-       |fk AS (
+       |fk AS MATERIALIZED (
        |  SELECT *, k1 AND k2x AS k2, k1 AND k2x AND k3x AS k3,
        |    k1 AND k2x AND k3x AND k4x AS k4,
        |    k1 AND k2x AND k3x AND k4x AND k5x AS k5
        |  FROM fl16),
        |mk16 AS (SELECT key, min(doc_id) AS mk FROM fk WHERE k5 GROUP BY key),
-       |f6 AS (SELECT fk.*, (k5 AND doc_id = mk) AS k6
+       |f6 AS MATERIALIZED (SELECT fk.*, (k5 AND doc_id = mk) AS k6
        |       FROM fk LEFT JOIN mk16 USING (key)),
        |mc16 AS (SELECT cluster, min(doc_id) AS mc FROM f6 WHERE k6 GROUP BY 1),
-       |f7 AS (SELECT f6.*, (k6 AND doc_id = mc) AS k7
+       |f7 AS MATERIALIZED (SELECT f6.*, (k6 AND doc_id = mc) AS k7
        |       FROM f6 LEFT JOIN mc16 USING (cluster)),
-       |f9 AS (
+       |f9 AS MATERIALIZED (
        |  SELECT *, (k7 AND n_overlap * 5 < n_grams) AS k8,
        |    (k7 AND n_overlap * 5 < n_grams AND
        |     substr(md5(CAST(cluster AS VARCHAR) || '#split'), 1, 2) > '19')
@@ -775,13 +775,13 @@ object Dedup {
        |    PARTITION BY grp
        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#temp'), doc_id) AS rn
        |  FROM f9 WHERE k9),
-       |pick16 AS (SELECT s.grp, s.n_bpe FROM sel16 s JOIN alloc16 a USING (grp)
+       |pick16 AS MATERIALIZED (SELECT s.grp, s.n_bpe FROM sel16 s JOIN alloc16 a USING (grp)
        |  WHERE s.rn <= a.alloc),
        |n1016 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n10 FROM pick16),
        |seq16 AS (SELECT CAST(COALESCE(SUM((s + 511) // 512), 0) AS BIGINT)
        |    AS nseq
        |  FROM (SELECT grp, SUM(n_bpe) AS s FROM pick16 GROUP BY grp)),
-       |cnt16 AS (
+       |cnt16 AS MATERIALIZED (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
        |    CAST(SUM(k1::INT) AS BIGINT) AS n1,
        |    CAST(SUM(k2::INT) AS BIGINT) AS n2,
