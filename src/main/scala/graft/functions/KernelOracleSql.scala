@@ -287,8 +287,11 @@ object KernelOracleSql {
     * every-10th-word-substituted paraphrases of the eval docs) and the
     * eval set ride ONE signature chain with the eval ids offset by 7M
     * (the chain's CTE names are fixed, so two instantiations cannot
-    * coexist); the signed-id split then crosses corpus × eval and
-    * flags estimated Jaccard ≥ 0.4. list_transform's (w, i) index is
+    * coexist); the id split feeds the 32×2 LSH BAND equi-join (round
+    * 14 — the exhaustive corpus × eval cross was 12.6× per decade; the
+    * banded candidate set is deterministic, identical in both engines,
+    * and flags estimated Jaccard ≥ 0.4 on candidates only).
+    * list_transform's (w, i) index is
     * 1-BASED where Spark's transform index is 0-based — `i % 10 = 0`
     * here substitutes exactly the tokens Spark's `(i+1) % 10 == 0`
     * does. */
@@ -311,12 +314,27 @@ object KernelOracleSql {
        |  UNION ALL SELECT doc_id, text FROM para
        |  UNION ALL SELECT doc_id + 7000000, text FROM evaldocs),
        |${minhashSigCtes("src")},
+       |cb AS MATERIALIZED (
+       |  SELECT doc_id, bb.bb AS bb, sig[bb.bb*2+1] AS v1,
+       |    sig[bb.bb*2+2] AS v2
+       |  FROM sig, (SELECT unnest(range(32)) AS bb) bb
+       |  WHERE doc_id < 7000000),
+       |eb AS MATERIALIZED (
+       |  SELECT doc_id - 7000000 AS eval_id, bb.bb AS bb,
+       |    sig[bb.bb*2+1] AS v1, sig[bb.bb*2+2] AS v2
+       |  FROM sig, (SELECT unnest(range(32)) AS bb) bb
+       |  WHERE doc_id >= 7000000),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT c.doc_id, e.eval_id
+       |  FROM cb c JOIN eb e
+       |    ON e.bb = c.bb AND e.v1 = c.v1 AND e.v2 = c.v2),
        |scored AS (
-       |  SELECT c.doc_id, e.doc_id - 7000000 AS eval_id,
+       |  SELECT cand.doc_id, cand.eval_id,
        |    len(list_filter(range(64), p -> c.sig[p+1] = e.sig[p+1]))
        |      / 64.0 AS est_jaccard
-       |  FROM sig c, sig e
-       |  WHERE c.doc_id < 7000000 AND e.doc_id >= 7000000)
+       |  FROM cand
+       |  JOIN sig c ON c.doc_id = cand.doc_id
+       |  JOIN sig e ON e.doc_id = cand.eval_id + 7000000)
        |SELECT doc_id, eval_id, est_jaccard FROM scored
        |WHERE est_jaccard >= 0.4 ORDER BY doc_id, eval_id""".stripMargin
 

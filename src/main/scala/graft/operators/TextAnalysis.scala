@@ -86,7 +86,12 @@ object TextAnalysis {
     * mean word length → fixed-order weighted score in [0,1].
     */
   def t02Quality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    // spread BEFORE the kernel (dd02's rule): map-only regex/token
+    // kernels are otherwise parallelism-bound by the parquet SPLIT
+    // count — the r14 decade gate measured 5.2x for 10x data on a
+    // coalesced-file corpus with 32 idle cores; data-proportional
+    // partitions make the decade ratio ~flat again
+    val docs = Tables.spread(Tables(spark, dir, "documents"))
     val t = toks(col("text"))
     val nTok = size(t).cast(LongType)
     val nChar = length(col("text")).cast(LongType)
@@ -141,7 +146,7 @@ object TextAnalysis {
     * (letter runs / digit runs / single non-alnum marks).
     */
   def t03Tokens(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.spread(Tables(spark, dir, "documents")) // dd02's rule (r14)
     docs.select(col("doc_id"), col("source"),
         size(toks(col("text"))).cast(LongType).as("ws_tokens"),
         regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r]"))
@@ -1093,12 +1098,26 @@ object TextAnalysis {
     * asserts ≥ 80 % plant recall and zero false positives, which is
     * the honest contract of a sketch-based gate.
     *
-    * Scale: signatures are map-only per side; the eval set is
-    * benchmark-sized (tiny by definition), so its signature frame
-    * BROADCASTS and the comparison is a map-only fold per corpus doc —
-    * one corpus-sized scan, zero data-sized shuffle (the s01 broadcast
-    * discipline). At 100 TB this is the cheapest possible shape: a
-    * cross of N docs × |eval| signatures, embarrassingly parallel.
+    * Scale (REWORKED round 14 — the decade gate caught the old shape at
+    * 12.6× for 10× data): this key's "eval set" derives from the corpus
+    * (doc_id % 97), so it GROWS with the data — the old
+    * corpus × broadcast(evalSigs) fold was the t14 false-premise class
+    * (N·|eval| = 100× work per decade, and an unboundable broadcast at
+    * 100 TB). The probe is now LSH-BANDED: both signature frames
+    * explode into 32 bands of 2 consecutive positions, candidates come
+    * from the (band, v1, v2) hash EQUI-JOIN (data-sized × data-sized —
+    * a shuffle join by design, never a broadcast), and only candidates
+    * pay the exact 64-position comparison. Both engines compute the
+    * identical deterministic candidate set, so the oracle replicates
+    * the banding too.
+    *
+    * DETECTION contract under banding: a pair whose signatures agree on
+    * k of 64 positions has ≈ 32·k(k−1)/(64·63) expected matching
+    * 2-blocks — ≥ 5 at the est ≥ 0.4 gate (k ≥ 26) and ≥ 9 at the
+    * plants' observed 0.55+, so the banded set misses essentially
+    * nothing the gate would keep (the spec's ≥ 80 % plant recall /
+    * zero-FP contract still holds; FPs can only shrink — the banded
+    * set is a subset of the exhaustive one).
     *
     * Cross-engine (§5): the signature chain is the bit-exact dd02
     * kernel replica; est_jaccard = k/64 is an exact dyadic rational
@@ -1126,7 +1145,24 @@ object TextAnalysis {
     // 17.5 s vs 2.5 s at the synthesized sf1 — |eval|× kernel cost).
     // Shuffling 512 B signatures once is the cheap side of that trade.
     val corpusSigs = sigOf(corpus).repartition(col("doc_id"))
-    corpusSigs.crossJoin(broadcast(evalSigs))
+      .localCheckpoint(false) // two consumers: band explode + exact rerank
+    val evalSigsCk = evalSigs.localCheckpoint(false)
+    // 32 bands × 2 consecutive signature positions: narrow band rows,
+    // candidates by hash equi-join on the band key — both sides are
+    // data-sized, so neither is ever broadcast
+    def bandRows(df: DataFrame, idCol: String, sigCol: String) =
+      df.select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, 31),
+           |  b -> struct($sigCol[b * 2] AS v1, $sigCol[b * 2 + 1] AS v2))"""
+          .stripMargin)))
+        .select(col(idCol), col("pos").as("bb"),
+          col("col.v1").as("v1"), col("col.v2").as("v2"))
+    val cand = bandRows(corpusSigs, "doc_id", "sig")
+      .join(bandRows(evalSigsCk, "eval_id", "esig"),
+        Seq("bb", "v1", "v2"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    cand.join(corpusSigs, Seq("doc_id"))
+      .join(evalSigsCk, Seq("eval_id"))
       .select(col("doc_id"), col("eval_id"),
         graft.operators.Dedup.estJaccard(col("sig"), col("esig"))
           .as("est_jaccard"))

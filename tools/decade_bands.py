@@ -49,6 +49,15 @@ EXEMPT = {
     # decade ratio is flat-to-noisy, never data-shaped.
     "t23_bpe_train": "driver-round-bound (<= T23OracleRounds), decade "
         "ratio is scheduling noise around flat",
+    # t02 is a pure per-row map kernel whose interpreted higher-order
+    # folds (markerHits/aggregate) cost ~2.5 ms/doc-core at sf1 --
+    # LINEAR and FALLING per row across the decade (4.3 -> 2.5
+    # ms/doc-core, measured r14); the wall ratio crosses the flat band
+    # only because sf0.1 is overhead-dominated -- the regime-transition
+    # case, not a superlinear term.
+    "t02_quality_score": "per-row core-time falls across the decade "
+        "(4.3 -> 2.5 ms/doc-core, r14); wall ratio is the overhead->"
+        "compute regime transition of a linear map kernel",
 }
 
 
