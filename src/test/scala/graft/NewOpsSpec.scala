@@ -2687,9 +2687,16 @@ class NewOpsSpec extends SparkSpec {
         assert(rec == hits / 10.0, s"$dir q$q recall algebra")
         // beam-bounded visited: entries(<=2) + T hops x B beam x max
         // out-degree (R in-cell + ncent-1 hub) — the structural bound
-        // that makes the operator a GRAPH search, not a scan
-        assert(nv <= 2 + 6 * 24 * (16 + 255),
-          s"$dir q$q visited $nv above the beam bound")
+        // that makes the operator a GRAPH search, not a scan. Hub
+        // degree is DERIVED from this dir's corpus size (ncent =
+        // max(8, ceil(n/256)), Similarity.scala s18 build), not the
+        // literal 255, so the spec stays correct at larger SFs
+        // (ADVICE r14).
+        val nEmb = spark.read
+          .parquet(s"$dir/embeddings.parquet").count()
+        val ncent = math.max(8L, (nEmb + 255L) / 256L)
+        assert(nv <= 2 + 6 * 24 * (16 + (ncent - 1)),
+          s"$dir q$q visited $nv above the beam bound (ncent=$ncent)")
         assert(rec >= ivf(q),
           s"$dir q$q: graph recall $rec < IVF 2-probe ${ivf(q)} — the " +
             "graph index must not lose to the coarse-only tier")

@@ -1402,6 +1402,73 @@ class StreamingSpec extends SparkSpec {
     assert(live == want, s"${live.size} live rows vs ${want.size} batch")
   }
 
+  test("st19→st20 checkpoint RESTART (VERDICT r14 #2): stop the " +
+      "stateful view stream mid-log after a clean query.stop(), " +
+      "restart from the SAME checkpointLocation, and the docstore " +
+      "read-back is identical to an uninterrupted run — " +
+      "flatMapGroupsWithState's per-user state and the file source's " +
+      "processed-file log both recover") {
+    import graft.streaming.Streaming.ViewUpd
+    val log = Streaming.st19Log(spark, sfDir).collect().map { r =>
+      val d = r.getStruct(r.fieldIndex("doc"))
+      ViewUpd(r.getLong(0), r.getLong(r.fieldIndex("okey")),
+        d.getBoolean(0), Option(d.getString(1)),
+        if (d.isNullAt(2)) None else Some(d.getDouble(2)),
+        if (d.isNullAt(3)) None else Some(d.getDouble(3)),
+        if (d.isNullAt(4)) None else Some(d.getDouble(4)),
+        d.getLong(5), d.getLong(6))
+    }
+    val rnd = new scala.util.Random(20260817L)
+    val arrival = rnd.shuffle(log.toSeq)
+    // the log lands as 6 single-file parquet arrival waves — the FILE
+    // source is the replayable source the checkpoint contract needs
+    // (a MemoryStream's data dies with the query, so it cannot prove
+    // restart)
+    val waves = arrival.grouped(math.max(1, arrival.size / 6 + 1)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("st20_restart")
+      .toString
+    val schema = org.apache.spark.sql.Encoders.product[ViewUpd].schema
+    def land(src: String, ws: Seq[Seq[ViewUpd]]): Unit = ws.foreach { w =>
+      spark.createDataset(w).coalesce(1).write.mode("append").parquet(src)
+    }
+    def drain(src: String, ckpt: String, sink: String): Unit = {
+      val q = Streaming.st19Stream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src).as[ViewUpd])
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            graft.streaming.Streaming.ViewOut], _: Long) =>
+          Streaming.st20Merge(b.toDF, sink); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def readState(sink: String): Map[Long, String] =
+      spark.read.format("docstore").option("path", sink).load()
+        .collect().map { r =>
+          r.getAs[Long]("user_id") ->
+            r.getValuesMap[Any](r.schema.fieldNames.sorted).toString
+        }.toMap
+    // interrupted run: 3 waves, clean stop, 3 more waves, restart from
+    // the same checkpoint dir into the same sink collection
+    val (srcA, ckA, snA) = (s"$root/srcA", s"$root/ckA", s"$root/viewA")
+    land(srcA, waves.take(3))
+    drain(srcA, ckA, snA)
+    val mid = readState(snA)
+    assert(mid.nonEmpty, "no rows merged before the stop")
+    land(srcA, waves.drop(3))
+    drain(srcA, ckA, snA) // RESTART
+    // uninterrupted control: same waves, one run, fresh checkpoint/sink
+    val (srcB, ckB, snB) = (s"$root/srcB", s"$root/ckB", s"$root/viewB")
+    land(srcB, waves)
+    drain(srcB, ckB, snB)
+    val (a, b) = (readState(snA), readState(snB))
+    assert(mid != a,
+      "the post-restart run processed no new waves — restart unproven")
+    assert(a == b, s"restarted read-back (${a.size} users) differs from " +
+      s"uninterrupted (${b.size}) — checkpoint recovery lost state")
+  }
+
   test("st19 okey guard: the packing is an order for in-range components " +
       "and raises LOUDLY past 2^31 — a large event_id must never bleed " +
       "into the sec component (ADVICE r13)") {

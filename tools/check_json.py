@@ -124,3 +124,4 @@ n_ok = sum(1 for e in result.values()
            and not e["err"])
 json.dump(result, open(outjson, "w"), indent=2)
 print(f"{n_ok}/{len(result)} OK -> {outjson}")
+sys.exit(0 if n_ok == len(result) else 1)

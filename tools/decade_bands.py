@@ -73,8 +73,12 @@ def main():
     ja, jb = json.load(open(a)), json.load(open(b))
     qa, qb = ja["queries"], jb["queries"]
     rows, offenders = {}, []
-    for k in sorted(set(qa) & set(qb)):
-        ta, tb = qa[k], qb[k]
+    # union, not intersection: a key that crashed/timed out of one run
+    # and was omitted from its JSON is exactly the class the gate must
+    # catch — record it as a "missing" offender, never skip it (ADVICE
+    # r14)
+    for k in sorted(set(qa) | set(qb)):
+        ta, tb = qa.get(k), qb.get(k)
         if ta is None or tb is None or ta <= 0 or tb <= 0:
             rows[k] = {"ratio": None, "band": list(fam(k)),
                        "status": "missing"}
