@@ -97,28 +97,89 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    val loadBefore = loadavg()
-    for (r <- 1 to 5; (name, fn) <- keys) {
-      drainListeners()
-      val t0 = System.nanoTime()
-      val c0 = cpuNs.get()
-      // a failed round is VISIBLE (stderr — stdout stays the JSON line)
-      // and contributes NO sample: its near-zero elapsed time would
-      // otherwise publish as a bogus fast min (the MiniBench rule)
-      try {
-        exec(fn(spark, sfDir), mode)
-        samples(name) =
-          (System.nanoTime() - t0) / 1e9 :: samples.getOrElse(name, Nil)
+    def measurePass(): (String, String) = {
+      samples.clear(); cpuSamples.clear()
+      val lb = loadavg()
+      for (r <- 1 to 5; (name, fn) <- keys) {
         drainListeners()
-        cpuSamples(name) =
-          (cpuNs.get() - c0) / 1e9 :: cpuSamples.getOrElse(name, Nil)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name round $r FAILED: " +
-          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
-            .take(300))
-        samples.getOrElseUpdate(name, Nil)
-        cpuSamples.getOrElseUpdate(name, Nil)
+        val t0 = System.nanoTime()
+        val c0 = cpuNs.get()
+        // a failed round is VISIBLE (stderr — stdout stays the JSON line)
+        // and contributes NO sample: its near-zero elapsed time would
+        // otherwise publish as a bogus fast min (the MiniBench rule)
+        try {
+          exec(fn(spark, sfDir), mode)
+          samples(name) =
+            (System.nanoTime() - t0) / 1e9 :: samples.getOrElse(name, Nil)
+          drainListeners()
+          cpuSamples(name) =
+            (cpuNs.get() - c0) / 1e9 :: cpuSamples.getOrElse(name, Nil)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name round $r FAILED: " +
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+              .take(300))
+          samples.getOrElseUpdate(name, Nil)
+          cpuSamples.getOrElseUpdate(name, Nil)
+        }
       }
+      (lb, loadavg())
+    }
+    // WINDOW GATE (VERDICT r14 #1): two rounds running, the official
+    // artifact was recorded under co-tenant load that swamped every
+    // per-key ratio (r13/r14 — canary 1.5×, load 3.5→9.8). The frozen
+    // s01 canary (untouched codegen kernel since round 8) has a
+    // committed clean-window reference (tools/bench_canary.json); when
+    // the measured canary lands > max_ratio off it, or the pass STARTS
+    // under load > max_load_before, the window is junk — RETRY the
+    // measurement pass, and if it never clears, refuse to publish
+    // (value −1.0, no BENCH_FULL.json) rather than stamp plausible
+    // noise as an official number. Gate is armed only at the SF the
+    // reference was recorded at; SPARK_GRAFT_BENCH_GATE=off disarms.
+    case class CanaryGate(key: String, ref: Double, maxRatio: Double,
+        maxLoad: Double)
+    def jnum(src: String, field: String): Option[Double] =
+      ("\"" + field + "\"\\s*:\\s*([0-9.eE+-]+)").r
+        .findFirstMatchIn(src).map(_.group(1).toDouble)
+    def jstr(src: String, field: String): Option[String] =
+      ("\"" + field + "\"\\s*:\\s*\"([^\"]*)\"").r
+        .findFirstMatchIn(src).map(_.group(1))
+    val gate: Option[CanaryGate] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_GATE").contains("off")) None
+      else try {
+        val src = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("tools/bench_canary.json"))
+        for {
+          sfx <- jstr(src, "sf_suffix")
+          if sfDir.stripSuffix("/").endsWith(sfx)
+          key <- jstr(src, "key")
+          ref <- jnum(src, "ref_sec")
+          mr <- jnum(src, "max_ratio")
+          ml <- jnum(src, "max_load_before")
+        } yield CanaryGate(key, ref, mr, ml)
+      } catch { case _: Throwable => None }
+    def load1m(s: String): Double =
+      s.split(" ").headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
+    var (loadBefore, loadAfter) = measurePass()
+    def canaryRatio: Double = gate.map { g =>
+      samples.get(g.key).flatMap(_.minOption).getOrElse(-1.0) / g.ref
+    }.getOrElse(-1.0)
+    var gateStatus = if (gate.isEmpty) "off" else "ok"
+    val maxRetries = sys.env.get("SPARK_GRAFT_BENCH_RETRIES")
+      .flatMap(_.toIntOption).getOrElse(2)
+    gate.foreach { g =>
+      var attempts = 0
+      def tripped: Boolean =
+        canaryRatio > g.maxRatio || canaryRatio <= 0 ||
+          load1m(loadBefore) > g.maxLoad
+      while (tripped && attempts < maxRetries) {
+        attempts += 1
+        System.err.println(f"[bench] window gate TRIPPED (canary " +
+          f"$canaryRatio%.2fx vs ref ${g.ref}%.3fs, load_before " +
+          s"$loadBefore) — retrying measurement pass $attempts/$maxRetries")
+        val p = measurePass(); loadBefore = p._1; loadAfter = p._2
+        gateStatus = "retried"
+      }
+      if (tripped) gateStatus = "FAILED"
     }
     // One-time series bridge (round 11): the official metric switched
     // from count-mode to noop full materialization, so publish a
@@ -142,7 +203,6 @@ object Bench {
         bridgeSamples.getOrElseUpdate(name, Nil)
       }
     }
-    val loadAfter = loadavg()
     // a key with zero successful rounds publishes -1.0 — an impossible
     // timing, unmistakably a failure flag rather than a fast min
     val results = keys.map { case (name, _) =>
@@ -190,11 +250,20 @@ object Bench {
         s""""queries_count_bridge":${qjson(bridgeMins)},""" +
         s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
         s""""spread_p50_min":$spread,"sf":"$sfDir",""" +
+        s""""window_gate":"$gateStatus","canary_ratio":$canaryRatio,""" +
+        s""""canary_ref":${gate.map(_.ref).getOrElse(-1.0)},""" +
         s""""testdata_fingerprint":"$dataFp"}"""
     // On write failure, advertise null instead of the path — otherwise a
     // consumer silently reads a STALE file from a previous run.
+    // A FAILED window gate REFUSES to publish: no BENCH_FULL.json, and
+    // the stdout line carries value -1.0 — an unmistakable refusal, not
+    // a plausible-but-junk table (VERDICT r14 #1).
     val fullRef =
-      try {
+      if (gateStatus == "FAILED") {
+        System.err.println("[bench] window gate FAILED after retries — " +
+          "refusing to publish BENCH_FULL.json")
+        "null"
+      } else try {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
         "\"BENCH_FULL.json\""
@@ -213,7 +282,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val dataFpShort = graft.Tables.shortFp(dataFp)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"$mode","n_queries":${results.size},"total_p50":${r3(totalP50)},"total_cpu":${r3(totalCpu)},"total_count_bridge":${r3(totalBridge)},"load_before":"$loadBefore","load_after":"$loadAfter","queries":$hqs,"full_per_query":$fullRef,"data_fp":"$dataFpShort","sf":"$sfDir"}""")
+    val pubTotal = if (gateStatus == "FAILED") -1.0 else total
+    println(s"""{"metric":"total","value":${r3(pubTotal)},"unit":"sec","mode":"$mode","n_queries":${results.size},"total_p50":${r3(totalP50)},"total_cpu":${r3(totalCpu)},"total_count_bridge":${r3(totalBridge)},"load_before":"$loadBefore","load_after":"$loadAfter","window_gate":"$gateStatus","canary_ratio":${r3(canaryRatio)},"queries":$hqs,"full_per_query":$fullRef,"data_fp":"$dataFpShort","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1412,14 +1412,18 @@ object Similarity {
     */
   private val S16Off = 8000000L // display ids only; membership = is_new
 
-  def s16IndexStaleness(spark: SparkSession, dir: String): DataFrame = {
-    // Loud aliasing guard (ADVICE r12): the +8M display offset is safe
-    // only while every base vec_id sits below 2M inside its ScaleUp
-    // 10M replica band — past that, a grown id (v + 8M) can equal a
-    // real base id and silently conflate exact/approx hits through the
-    // vec_id-keyed joins and the =!= self-exclusion. A corpus that
-    // outgrows the band now fails with the culprit id instead of
-    // aliasing (codegen'd branch per row, no extra action).
+  /** The s16/s19 shared GROWTH MODEL (out-of-distribution by
+    * construction, review r12): every vec_id % 9 == 1 vector re-enters
+    * as |x| per dimension — the positive orthant, a tight new
+    * direction family — displayed at vec_id + 8M with an explicit
+    * is_new tag (membership NEVER rides an id-range test; the offset
+    * sits below ScaleUp's 10M replica stride). The +8M aliasing guard
+    * (ADVICE r12) fails loudly with the culprit id if a corpus ever
+    * outgrows the band instead of silently conflating exact/approx
+    * hits through the vec_id-keyed joins. Columns:
+    * (vec_id, label, embedding, is_new); spread + checkpointed. */
+  private[operators] def grownCorpus(spark: SparkSession,
+      dir: String): DataFrame = {
     val guardedId = when(col("vec_id") % 10000000L < 2000000L,
         col("vec_id"))
       .otherwise(raise_error(format_string(
@@ -1428,7 +1432,7 @@ object Similarity {
           "larger id stride", col("vec_id"))).cast(LongType))
     val base = Tables(spark, dir, "embeddings")
       .select(guardedId.as("vec_id"), col("label"), col("embedding"))
-    val grown = Tables.spread(
+    Tables.spread(
         base.select(col("vec_id"), col("label"), col("embedding"),
             lit(0L).as("is_new"))
           .unionAll(base.filter(col("vec_id") % 9 === 1)
@@ -1436,9 +1440,21 @@ object Similarity {
               transform(col("embedding"), x => abs(x)).as("embedding"),
               lit(1L).as("is_new"))))
       .localCheckpoint(false)
+  }
+
+  /** The growth model's doubled query set: the 5 base queries plus
+    * their positive-orthant twins at q_id + 8M. */
+  private[operators] def grownQueries(spark: SparkSession,
+      dir: String): DataFrame = {
     val qb = queriesDf(spark, dir)
-    val qs = qb.unionAll(qb.select((col("q_id") + S16Off).as("q_id"),
+    qb.unionAll(qb.select((col("q_id") + S16Off).as("q_id"),
       transform(col("q_vec"), x => abs(x)).as("q_vec")))
+  }
+
+  def s16IndexStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "embeddings")
+    val grown = grownCorpus(spark, dir)
+    val qs = grownQueries(spark, dir)
     val staleC = ivfCentroids(base)
     val freshC = staleC.unionAll(grown.filter(col("is_new") === 1L)
       .orderBy(col("vec_id") % 7, col("vec_id")).limit(4)
@@ -1808,56 +1824,67 @@ object Similarity {
     * exact cell-bounded self-join). Neighbor vectors ride the edge rows
     * DiskANN-style (nbr_emb inline), so each search hop is ONE artifact
     * scan — no second corpus join. */
+  private[operators] def asDoubleArr(c: Column): Column =
+    transform(c, x => x.cast(DoubleType))
+
+  /** The s18 graph-build body, shared with s19's fresh rebuild: given a
+    * corpus (vec_id, embedding) and its coarse centroids, emit the
+    * artifact frame — in-cell top-[[S18R]] edges + the all-pairs hub
+    * layer over cell entry nodes, neighbor vectors inline
+    * (DiskANN-style), plus one `entry` row per cell. */
+  private def buildGraphEdges(corpus: DataFrame,
+      cents: DataFrame): DataFrame = {
+    // the cosine kernel reads FLOAT arrays (VectorMath.cosineF) — the
+    // build scores on the original float column and only the WRITE
+    // widens to double (docstore's numeric type; float→double→float
+    // round-trips exactly, the s02 artifact rule)
+    val assigned = assignCells(Tables.spread(corpus), cents,
+        col("embedding"))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .localCheckpoint(false)
+    // within-cell kNN: the self-join keys on cell (≤ ~256 rows per
+    // side by construction), and the per-src top-R is the family's
+    // window-free sort/slice agg — no window ever sees a data-sized
+    // partition
+    val pairs = assigned.as("a")
+      .join(assigned.select(col("vec_id").as("nbr"), col("cell"),
+        col("embedding").as("nbr_vec")).as("b"), Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id").as("src"), col("nbr"), col("nbr_vec"),
+        V.cosine_sim(col("embedding"), col("nbr_vec")).as("cos"))
+    val inCell = pairs
+      .groupBy(col("src"))
+      .agg(slice(array_sort(collect_list(struct(
+        (col("cos") * -1).as("__n"), col("nbr"), col("nbr_vec")))),
+        1, S18R).as("__top"))
+      .select(col("src"), explode(col("__top")).as("f"))
+      .select(col("src"), col("f.nbr").as("nbr"),
+        col("f.nbr_vec").as("nbr_vec"))
+    val entries = assigned.groupBy(col("cell"))
+      .agg(min(col("vec_id")).as("entry"))
+      .join(assigned.select(col("vec_id").as("entry"),
+        col("embedding").as("entry_vec")), Seq("entry"))
+      .select(col("cell"), col("entry"), col("entry_vec"))
+      .localCheckpoint(false)
+    val hub = entries.select(col("entry").as("src"))
+      .crossJoin(entries.select(col("entry").as("nbr"),
+        col("entry_vec").as("nbr_vec")))
+      .filter(col("src") =!= col("nbr"))
+    inCell.unionByName(hub)
+      .withColumn("kind", lit("edge"))
+      .select(col("src"), col("nbr"), asDoubleArr(col("nbr_vec")).as("nbr_emb"),
+        col("kind"), lit(-1L).as("cell"))
+      .unionByName(entries.select(col("entry").as("src"),
+        lit(-1L).as("nbr"), asDoubleArr(col("entry_vec")).as("nbr_emb"),
+        lit("entry").as("kind"), col("cell")))
+  }
+
   def ensureGraphAnnArtifact(spark: SparkSession, dir: String): String =
     graft.Graft.ensureArtifact(DocstoreOps.docsRoot(dir), "s18_graph_v1",
         graft.Tables.tableFingerprint(dir, "embeddings")) { path =>
       val corpus = Tables(spark, dir, "embeddings")
       val (cents, _) = graphCentroids(corpus)
-      // the cosine kernel reads FLOAT arrays (VectorMath.cosineF) — the
-      // build scores on the original float column and only the WRITE
-      // widens to double (docstore's numeric type; float→double→float
-      // round-trips exactly, the s02 artifact rule)
-      val assigned = assignCells(Tables.spread(corpus), cents,
-          col("embedding"))
-        .select(col("vec_id"), col("cell"), col("embedding"))
-        .localCheckpoint(false)
-      // within-cell kNN: the self-join keys on cell (≤ ~256 rows per
-      // side by construction), and the per-src top-R is the family's
-      // window-free sort/slice agg — no window ever sees a data-sized
-      // partition
-      val pairs = assigned.as("a")
-        .join(assigned.select(col("vec_id").as("nbr"), col("cell"),
-          col("embedding").as("nbr_vec")).as("b"), Seq("cell"))
-        .filter(col("vec_id") =!= col("nbr"))
-        .select(col("vec_id").as("src"), col("nbr"), col("nbr_vec"),
-          V.cosine_sim(col("embedding"), col("nbr_vec")).as("cos"))
-      val inCell = pairs
-        .groupBy(col("src"))
-        .agg(slice(array_sort(collect_list(struct(
-          (col("cos") * -1).as("__n"), col("nbr"), col("nbr_vec")))),
-          1, S18R).as("__top"))
-        .select(col("src"), explode(col("__top")).as("f"))
-        .select(col("src"), col("f.nbr").as("nbr"),
-          col("f.nbr_vec").as("nbr_vec"))
-      val entries = assigned.groupBy(col("cell"))
-        .agg(min(col("vec_id")).as("entry"))
-        .join(assigned.select(col("vec_id").as("entry"),
-          col("embedding").as("entry_vec")), Seq("entry"))
-        .select(col("cell"), col("entry"), col("entry_vec"))
-        .localCheckpoint(false)
-      val hub = entries.select(col("entry").as("src"))
-        .crossJoin(entries.select(col("entry").as("nbr"),
-          col("entry_vec").as("nbr_vec")))
-        .filter(col("src") =!= col("nbr"))
-      def asDouble(c: Column): Column =
-        transform(c, x => x.cast(DoubleType))
-      inCell.unionByName(hub)
-        .withColumn("kind", lit("edge"))
-        .select(col("src"), col("nbr"), asDouble(col("nbr_vec")).as("nbr_emb"),
-          col("kind"), lit(-1L).as("cell"))
-        .unionByName(entries.select(col("entry").as("src"),
-          lit(-1L).as("nbr"), asDouble(col("entry_vec")).as("nbr_emb"),
-          lit("entry").as("kind"), col("cell")))
+      buildGraphEdges(corpus, cents)
         .write.format("docstore").mode("overwrite").save(path)
     }
 
@@ -1882,9 +1909,16 @@ object Similarity {
     * centroids, vec_id tie-breaks), so the full build+probe replicates
     * declaratively in the oracle.
     */
-  def s18GraphAnn(spark: SparkSession, dir: String): DataFrame = {
+  /** The s18 beam probe, shared with s19's three tiers: read the graph
+    * artifact at `artPath`, seed each query's beam with the entry nodes
+    * of its 2 nearest cells (by `cents`), then [[S18T]] fixed hops —
+    * each hop expands the current top-[[S18B]] beam through the edge
+    * list, scores ONLY never-visited candidates, and re-beams. Returns
+    * the final visited frame (q_id, vec_id, cos). */
+  private def beamVisited(spark: SparkSession, artPath: String,
+      cents: DataFrame, qs: DataFrame): DataFrame = {
     val art = spark.read.format("docstore")
-      .option("path", ensureGraphAnnArtifact(spark, dir)).load()
+      .option("path", artPath).load()
       .select(col("src"), col("nbr"), col("kind"), col("cell"),
         expr("transform(nbr_emb, x -> CAST(x AS FLOAT))").as("nbr_emb"))
       .localCheckpoint(false)
@@ -1893,9 +1927,6 @@ object Similarity {
     val entries = art.filter(col("kind") === "entry")
       .select(col("cell"), col("src").as("entry"),
         col("nbr_emb").as("emb"))
-    val corpus = Tables(spark, dir, "embeddings")
-    val (cents, _) = graphCentroids(corpus)
-    val qs = queriesDf(spark, dir)
     // probe: top-2 cells per query, the s02 window-free slice shape
     val probes = qs.crossJoin(broadcast(cents))
       .select(col("q_id"), col("q_vec"), col("c_id"),
@@ -1936,6 +1967,14 @@ object Similarity {
           V.cosine_sim(col("q_vec"), col("nbr_emb")).as("cos"))
       visited = visited.unionByName(cand).localCheckpoint(false)
     }
+    visited
+  }
+
+  def s18GraphAnn(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val (cents, _) = graphCentroids(corpus)
+    val visited = beamVisited(spark,
+      ensureGraphAnnArtifact(spark, dir), cents, queriesDf(spark, dir))
     val top = topKPerQuery(visited.filter(col("vec_id") =!= col("q_id"))
         .withColumn("__x", lit(0)), K, Seq("__x"))
       .select(col("q_id"), col("vec_id"))
@@ -1956,8 +1995,9 @@ object Similarity {
     * centroid count from the corpus count, within-cell kNN, hub layer,
     * 2-cell entry seeding, and T unrolled hops each scoring only the
     * round's never-visited candidates. Multi-referenced CTEs are
-    * MATERIALIZED (the t23/dd02 rule). */
-  val s18Sql: String = {
+    * MATERIALIZED (the t23/dd02 rule). The WITH-chain through v{T} is
+    * shared with s20's graph tier ([[s18ChainSql]]). */
+  private def s18ChainSql: String = {
     def hop(i: Int): String = {
       val prev = s"v${i - 1}"
       s"""f$i AS (
@@ -1978,7 +2018,7 @@ object Similarity {
          |v$i AS MATERIALIZED (
          |  SELECT * FROM $prev UNION ALL SELECT * FROM n$i)""".stripMargin
     }
-    s"""WITH cnt AS (
+    s"""cnt AS (
        |  SELECT GREATEST(8, CAST(ceil(COUNT(*) / 256.0) AS BIGINT)) AS nc
        |  FROM embeddings),
        |cent AS MATERIALIZED (
@@ -2026,7 +2066,11 @@ object Similarity {
        |  JOIN entries en ON en.cell = p.cell
        |  JOIN q ON q.q_id = p.q_id
        |  JOIN emb m ON m.vec_id = en.entry),
-       |${(1 to S18T).map(hop).mkString(",\n")},
+       |${(1 to S18T).map(hop).mkString(",\n")}""".stripMargin
+  }
+
+  val s18Sql: String =
+    s"""WITH $s18ChainSql,
        |top AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
@@ -2051,9 +2095,482 @@ object Similarity {
        |    AS recall
        |FROM v$S18T v LEFT JOIN h ON h.q_id = v.q_id
        |GROUP BY v.q_id ORDER BY v.q_id""".stripMargin
+
+  // ---------------------------------------------------------------- s19
+  /** s19 insert parameters: out-degree of an inserted node and the
+    * reverse-edge cap per existing node — mirrored into [[s19Sql]]. */
+  private val S19Back = 4
+
+  /** INCREMENTAL graph maintenance (VERDICT r14 #3) — the MAINTAINED
+    * artifact: the s18 graph with the growth batch INSERTED, never
+    * rebuilt (DiskANN/HNSW insert in batch form). Per new vector:
+    * probe its 2 nearest OLD cells (the stale quantizer — maintenance
+    * must not retrain), score the cells' members, connect to the top
+    * [[S18R]] as out-edges; each chosen old node gains a capped
+    * [[S19Back]] reverse edges (by cos DESC, new id — DiskANN's prune
+    * in its simplest deterministic form) so the batch is REACHABLE
+    * from the old graph. Batch-insert semantics: new→old and old→new
+    * edges only (sequential insertion would also link new→new; the
+    * fresh-rebuild tier shows what that costs). Old edges, entries and
+    * the hub layer carry over byte-identical.
+    *
+    * Scale: insert cost is per-BATCH, not per-corpus — new vectors
+    * equi-join the ~256-vector members of their 2 probed cells
+    * (N_new·512 cosines, map-only after the join), and the artifact
+    * rewrite is old-rows-passthrough + batch-sized additions. The
+    * cell membership re-derives map-only here; a deployment-grade
+    * store would persist it (s02's IVF artifact does). */
+  def ensureGraphMaintArtifact(spark: SparkSession, dir: String): String =
+    graft.Graft.ensureArtifact(DocstoreOps.docsRoot(dir),
+        "s19_graph_maint_v1",
+        graft.Tables.tableFingerprint(dir, "embeddings")) { path =>
+      val old = spark.read.format("docstore")
+        .option("path", ensureGraphAnnArtifact(spark, dir)).load()
+        .select(col("src"), col("nbr"), col("nbr_emb"), col("kind"),
+          col("cell"))
+      val base = Tables(spark, dir, "embeddings")
+      val (cents, _) = graphCentroids(base)
+      val assigned = assignCells(Tables.spread(base), cents,
+          col("embedding"))
+        .select(col("vec_id"), col("cell"), col("embedding"))
+        .localCheckpoint(false)
+      val newv = grownCorpus(spark, dir).filter(col("is_new") === 1L)
+        .select(col("vec_id"), col("embedding"))
+      // top-2 old cells per new vector (the probe shape)
+      val nprobes = newv.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          V.cosine_sim(col("embedding"), col("c_vec")).as("cc"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          slice(array_sort(collect_list(
+            struct((col("cc") * -1).as("__n"), col("c_id")))), 1, 2)
+            .as("__top"))
+        .select(col("vec_id"), col("embedding"),
+          explode(col("__top")).as("f"))
+        .select(col("vec_id"), col("embedding"), col("f.c_id").as("cell"))
+      // candidates = the probed cells' OLD members (disjoint across the
+      // 2 cells — each member has one cell), scored map-only
+      val scored = nprobes
+        .join(assigned.select(col("vec_id").as("nbr"), col("cell"),
+          col("embedding").as("nbr_vec")), Seq("cell"))
+        .select(col("vec_id").as("src"), col("embedding").as("src_vec"),
+          col("nbr"), col("nbr_vec"),
+          V.cosine_sim(col("embedding"), col("nbr_vec")).as("cos"))
+      val newOut = scored
+        .groupBy(col("src"))
+        .agg(first(col("src_vec")).as("src_vec"),
+          slice(array_sort(collect_list(struct(
+            (col("cos") * -1).as("__n"), col("nbr"), col("nbr_vec")))),
+            1, S18R).as("__top"))
+        .select(col("src"), col("src_vec"), explode(col("__top")).as("f"))
+        .select(col("src"), col("src_vec"), col("f.nbr").as("nbr"),
+          col("f.nbr_vec").as("nbr_vec"), col("f.__n").as("__n"))
+        .localCheckpoint(false)
+      // reverse edges, capped per old node by (cos DESC, new id) — the
+      // family's window-free sort/slice shape
+      val back = newOut
+        .select(col("nbr").as("src"), col("src").as("nbr"),
+          col("src_vec").as("nbr_vec"), col("__n"))
+        .groupBy(col("src"))
+        .agg(slice(array_sort(collect_list(struct(
+          col("__n"), col("nbr"), col("nbr_vec")))), 1, S19Back)
+          .as("__top"))
+        .select(col("src"), explode(col("__top")).as("f"))
+        .select(col("src"), col("f.nbr").as("nbr"),
+          col("f.nbr_vec").as("nbr_vec"))
+      val added = newOut.select(col("src"), col("nbr"), col("nbr_vec"))
+        .unionByName(back)
+        .select(col("src"), col("nbr"),
+          asDoubleArr(col("nbr_vec")).as("nbr_emb"),
+          lit("edge").as("kind"), lit(-1L).as("cell"))
+      old.unionByName(added)
+        .write.format("docstore").mode("overwrite").save(path)
+    }
+
+  /** s19's FRESH tier: the s18 build re-run from scratch on the grown
+    * corpus — new centroids (count rescaled to the grown size), new
+    * assignment, new in-cell kNN and hub. The reindexing-cadence
+    * comparison anchor. */
+  def ensureGraphFreshArtifact(spark: SparkSession, dir: String): String =
+    graft.Graft.ensureArtifact(DocstoreOps.docsRoot(dir),
+        "s19_graph_fresh_v1",
+        graft.Tables.tableFingerprint(dir, "embeddings")) { path =>
+      val grown = grownCorpus(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val (cents, _) = graphCentroids(grown)
+      buildGraphEdges(grown, cents)
+        .write.format("docstore").mode("overwrite").save(path)
+    }
+
+  /** GRAPH-INDEX MAINTENANCE AUDIT (round 15, VERDICT r14 #3) — the
+    * reindexing-cadence answer for the graph family, completing the
+    * staleness story s16 told for IVF: after the positive-orthant
+    * growth batch (s16's model), compare recall@10 on the grown corpus
+    * across three serving strategies at the SAME beam —
+    *   `stale`      = the old s18 graph untouched (the batch is not in
+    *                  the index at all — what recall do you serve if
+    *                  you defer indexing entirely),
+    *   `maintained` = the batch INSERTED into the old graph
+    *                  ([[ensureGraphMaintArtifact]] — old quantizer,
+    *                  old edges, batch-sized insert cost),
+    *   `fresh`      = a full rebuild on the grown corpus
+    *                  ([[ensureGraphFreshArtifact]] — the expensive
+    *                  gold standard).
+    * Queries double with the growth (5 base + 5 orthant twins); ground
+    * truth is the exact top-10 over the GROWN corpus. Per (tier,
+    * query): visited count, hits, recall. The gap maintained↔fresh is
+    * REPORTED, not hidden — it is the price of not rebuilding.
+    *
+    * Scale: all three probes are the s18 bounded-hop beam (hop joins
+    * against a broadcast frontier, visited ≤ Q·(2 + T·B·maxdeg));
+    * the insert is batch-sized (see [[ensureGraphMaintArtifact]]);
+    * the exact tier is one grown-corpus scan against 10 broadcast
+    * queries. Deterministic end to end, so the full
+    * build+insert+probe×3 replicates declaratively in [[s19Sql]]. */
+  def s19GraphInsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "embeddings")
+    val grown = grownCorpus(spark, dir)
+    val qs = grownQueries(spark, dir)
+    val (oldCents, _) = graphCentroids(base)
+    val (freshCents, _) = graphCentroids(
+      grown.select(col("vec_id"), col("embedding")))
+    val exact = topKPerQuery(
+        grown.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            V.cosine_sim(col("q_vec"), col("embedding")).as("cos")),
+        K, Nil)
+      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    def tier(name: String, artPath: String,
+        cents: DataFrame): DataFrame = {
+      val visited = beamVisited(spark, artPath, cents, qs)
+      val top = topKPerQuery(
+          visited.filter(col("vec_id") =!= col("q_id"))
+            .withColumn("__x", lit(0)), K, Seq("__x"))
+        .select(col("q_id"), col("vec_id"))
+      val hits = exact.join(broadcast(top), Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      visited.groupBy(col("q_id")).agg(count(lit(1)).as("n_visited"))
+        .join(broadcast(hits), Seq("q_id"), "left_outer")
+        .select(lit(name).as("tier"), col("q_id"), col("n_visited"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4)
+            .as("recall"))
+    }
+    tier("fresh", ensureGraphFreshArtifact(spark, dir), freshCents)
+      .unionByName(tier("maintained",
+        ensureGraphMaintArtifact(spark, dir), oldCents))
+      .unionByName(tier("stale",
+        ensureGraphAnnArtifact(spark, dir), oldCents))
+      .orderBy(col("tier"), col("q_id"))
+  }
+
+  /** The full three-tier story replicated declaratively: the base
+    * build, the fresh grown-corpus build, the batch insert (2-cell
+    * probe → top-R connect → capped reverse edges), and THREE unrolled
+    * [[S18T]]-hop beam probes differing only in their edge list /
+    * entry set / quantizer. Multi-referenced CTEs are MATERIALIZED
+    * (the t23/dd02 rule); scoring joins the shared grown-embedding
+    * table `gemb` — numerically identical to the artifact's inline
+    * float→double vectors (exact widening, §5). */
+  val s19Sql: String = {
+    // one s18 build, suffix-parametrized (source relation + count)
+    def build(sfx: String, rel: String): String =
+      s"""cnt$sfx AS (
+         |  SELECT GREATEST(8, CAST(ceil(COUNT(*) / 256.0) AS BIGINT)) AS nc
+         |  FROM $rel),
+         |cent$sfx AS MATERIALIZED (
+         |  SELECT vec_id AS c_id, v AS c_vec
+         |  FROM $rel WHERE vec_id % 61 = 3
+         |  ORDER BY vec_id LIMIT (SELECT nc FROM cnt$sfx)),
+         |assigned$sfx AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.c_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.c_vec) DESC, c.c_id)
+         |        AS rn
+         |    FROM $rel e, cent$sfx c) WHERE rn = 1),
+         |edges_in$sfx AS (
+         |  SELECT src, nbr FROM (
+         |    SELECT a.vec_id AS src, b.vec_id AS nbr,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+         |        AS rn
+         |    FROM assigned$sfx a JOIN assigned$sfx b
+         |      ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |  WHERE rn <= $S18R),
+         |entries$sfx AS MATERIALIZED (
+         |  SELECT cell, MIN(vec_id) AS entry FROM assigned$sfx
+         |  GROUP BY cell),
+         |edges$sfx AS MATERIALIZED (
+         |  SELECT src, nbr FROM edges_in$sfx
+         |  UNION ALL
+         |  SELECT a.entry, b.entry FROM entries$sfx a JOIN entries$sfx b
+         |    ON a.entry <> b.entry)""".stripMargin
+    // probe seed: top-2 cells per query against a tier's quantizer,
+    // beam seeded with those cells' entry nodes
+    def seed(sfx: String, cent: String, entries: String): String =
+      s"""probes$sfx AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.c_id AS cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_cosine_similarity(q.q_vec, c.c_vec) DESC,
+         |          c.c_id) AS rn
+         |    FROM q10 q, $cent c) WHERE rn <= 2),
+         |v0$sfx AS MATERIALIZED (
+         |  SELECT p.q_id, en.entry AS vec_id,
+         |    list_cosine_similarity(q.q_vec, m.v) AS cos
+         |  FROM probes$sfx p
+         |  JOIN $entries en ON en.cell = p.cell
+         |  JOIN q10 q ON q.q_id = p.q_id
+         |  JOIN gemb m ON m.vec_id = en.entry)""".stripMargin
+    def hop(i: Int, sfx: String, edges: String): String = {
+      val prev = s"v${i - 1}$sfx"
+      s"""f$i$sfx AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rn FROM $prev)
+         |  WHERE rn <= $S18B),
+         |c$i$sfx AS (
+         |  SELECT DISTINCT f.q_id, e.nbr AS vec_id
+         |  FROM f$i$sfx f JOIN $edges e ON e.src = f.vec_id),
+         |n$i$sfx AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    list_cosine_similarity(q.q_vec, m.v) AS cos
+         |  FROM c$i$sfx c
+         |  JOIN q10 q ON q.q_id = c.q_id
+         |  JOIN gemb m ON m.vec_id = c.vec_id
+         |  LEFT JOIN $prev p ON p.q_id = c.q_id AND p.vec_id = c.vec_id
+         |  WHERE p.vec_id IS NULL),
+         |v$i$sfx AS MATERIALIZED (
+         |  SELECT * FROM $prev UNION ALL SELECT * FROM n$i$sfx)""".stripMargin
+    }
+    def probe(sfx: String, edges: String): String =
+      (1 to S18T).map(hop(_, sfx, edges)).mkString(",\n")
+    def res(tierName: String, sfx: String): String =
+      s"""SELECT '$tierName' AS tier, v.q_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_visited,
+         |    CAST(COALESCE(ANY_VALUE(h.hits), 0) AS BIGINT) AS hits,
+         |    round(CAST(COALESCE(ANY_VALUE(h.hits), 0) AS DOUBLE) / 10, 4)
+         |      AS recall
+         |  FROM v$S18T$sfx v LEFT JOIN h$sfx h ON h.q_id = v.q_id
+         |  GROUP BY v.q_id""".stripMargin
+    def hits(sfx: String): String =
+      s"""top$sfx AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rn FROM v$S18T$sfx
+         |    WHERE vec_id <> q_id) WHERE rn <= 10),
+         |h$sfx AS (
+         |  SELECT t.q_id, COUNT(*) AS hits
+         |  FROM top$sfx t JOIN exactg x
+         |    ON x.q_id = t.q_id AND x.vec_id = t.vec_id
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH grown AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, 0 AS is_new
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 8000000,
+       |    list_transform(embedding::DOUBLE[], x -> abs(x)), 1
+       |  FROM embeddings WHERE vec_id % 9 = 1),
+       |gemb AS MATERIALIZED (SELECT vec_id, v FROM grown),
+       |base AS (SELECT vec_id, v FROM grown WHERE is_new = 0),
+       |q10 AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+       |  FROM embeddings WHERE vec_id < 5
+       |  UNION ALL
+       |  SELECT vec_id + 8000000,
+       |    list_transform(embedding::DOUBLE[], x -> abs(x))
+       |  FROM embeddings WHERE vec_id < 5),
+       |${build("_b", "base")},
+       |${build("_g", "grown")},
+       |newv AS (SELECT vec_id, v FROM grown WHERE is_new = 1),
+       |newp AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT n.vec_id, n.v, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_cosine_similarity(n.v, c.c_vec) DESC, c.c_id)
+       |        AS rn
+       |    FROM newv n, cent_b c) WHERE rn <= 2),
+       |new_sc AS (
+       |  SELECT p.vec_id AS src, a.vec_id AS nbr,
+       |    list_cosine_similarity(p.v, a.v) AS cos
+       |  FROM newp p JOIN assigned_b a ON a.cell = p.cell),
+       |new_out AS MATERIALIZED (
+       |  SELECT src, nbr, cos FROM (
+       |    SELECT src, nbr, cos, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, nbr) AS rn FROM new_sc)
+       |  WHERE rn <= $S18R),
+       |back AS (
+       |  SELECT nbr AS src, src AS nbr FROM (
+       |    SELECT src, nbr, row_number() OVER (PARTITION BY nbr
+       |      ORDER BY cos DESC, src) AS rn FROM new_out)
+       |  WHERE rn <= $S19Back),
+       |edges_m AS MATERIALIZED (
+       |  SELECT src, nbr FROM edges_b
+       |  UNION ALL SELECT src, nbr FROM new_out
+       |  UNION ALL SELECT src, nbr FROM back),
+       |${seed("_s", "cent_b", "entries_b")},
+       |v0_m AS (SELECT * FROM v0_s),
+       |${seed("_g", "cent_g", "entries_g")},
+       |${probe("_s", "edges_b")},
+       |${probe("_m", "edges_m")},
+       |${probe("_g", "edges_g")},
+       |exactg AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, g.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_cosine_similarity(q.q_vec, g.v) DESC,
+       |          g.vec_id) AS rn
+       |    FROM q10 q, gemb g WHERE g.vec_id <> q.q_id) WHERE rn <= 10),
+       |${hits("_s")},
+       |${hits("_m")},
+       |${hits("_g")},
+       |res AS (
+       |  ${res("fresh", "_g")}
+       |  UNION ALL
+       |  ${res("maintained", "_m")}
+       |  UNION ALL
+       |  ${res("stale", "_s")})
+       |SELECT tier, q_id, n_visited, hits, recall
+       |FROM res ORDER BY tier, q_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- s20
+  /** 6dp decimal literals of 1/log2(rank+1) and 1/rank for ranks 1..10
+    * (the dd17 literal-table precedent — both engines sum EXACT
+    * decimals, cast once to double at the end). IDCG@10 = the exact
+    * decimal sum of the DCG column = 4.543560. */
+  private val S20DcgW = Seq(
+    "1.000000", "0.630930", "0.500000", "0.430677", "0.386853",
+    "0.356207", "0.333333", "0.315465", "0.301030", "0.289065")
+  private val S20MrrW = Seq(
+    "1.000000", "0.500000", "0.333333", "0.250000", "0.200000",
+    "0.166667", "0.142857", "0.125000", "0.111111", "0.100000")
+
+  /** s18's ranked top-10 frame (q_id, vec_id, rank) — the beam probe's
+    * deliverable list, shared by s20's graph tier. */
+  private def s18TopFrame(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val (cents, _) = graphCentroids(corpus)
+    val visited = beamVisited(spark,
+      ensureGraphAnnArtifact(spark, dir), cents, queriesDf(spark, dir))
+    topKPerQuery(visited.filter(col("vec_id") =!= col("q_id"))
+        .withColumn("__x", lit(0)), K, Seq("__x"))
+      .select(col("q_id"), col("vec_id"), col("rank"))
+  }
+
+  /** RANK-WEIGHTED RETRIEVAL METRICS (round 15, VERDICT r14 #5) — the
+    * eval the recall-only family lacked: MRR@10 and nDCG@10 per query
+    * for the four shipped index tiers — s02's 2-probe IVF, s07's
+    * IVF-PQ, s14's binary-Hamming rerank, s18's graph beam — against
+    * the s01 exact top-10 as binary relevance. Production retrieval
+    * evals rank-weight their hits: recall@10 = 0.6 can hide whether
+    * the 6 hits sit at ranks 1-6 or 5-10; MRR/nDCG expose it.
+    *
+    * §5 algebra: reciprocal ranks and DCG weights are 6dp DECIMAL
+    * literals ([[S20MrrW]]/[[S20DcgW]]); per-query DCG sums run in
+    * exact decimal and cast ONCE to double; nDCG divides by the exact
+    * IDCG@10 literal in one IEEE division — bit-identical cross-engine.
+    *
+    * Scale: zero new corpus passes — every tier's ranked frame is the
+    * one its own key already materializes (artifact probes + bounded
+    * top-k), and the metric algebra is query-sized (4 tiers × Q × 10
+    * narrow rows). */
+  def s20RankMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s01BruteForce(spark, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
+      .localCheckpoint()
+    val dcgArr = array(S20DcgW.map(w =>
+      expr(s"CAST($w AS DECIMAL(8,6))")): _*)
+    val mrrArr = array(S20MrrW.map(w =>
+      expr(s"CAST($w AS DECIMAL(8,6))")): _*)
+    // MRR = the weight of the FIRST hit = max over hit-rank weights
+    // (weights strictly decrease with rank) — computed INSIDE the agg
+    // so no null array index ever exists: element_at(arr, NULL) after
+    // an aggregate miscompiles to the last element in Spark 4.1 (a
+    // constant-folding defect reproduced in isolation; see the spec)
+    def metrics(name: String, ranked: DataFrame): DataFrame =
+      ranked.select(col("q_id"), col("vec_id"), col("rank"))
+        .join(broadcast(exact), Seq("q_id", "vec_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(
+          sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+          sum(when(col("__hit").isNotNull,
+              element_at(dcgArr, col("rank").cast(IntegerType)))
+            .otherwise(expr("CAST(0 AS DECIMAL(8,6))"))).as("__dcg"),
+          max(when(col("__hit").isNotNull,
+            element_at(mrrArr, col("rank").cast(IntegerType))))
+            .as("__mrr"))
+        .select(lit(name).as("tier"), col("q_id"), col("hits"),
+          coalesce(col("__mrr").cast(DoubleType), lit(0.0)).as("mrr"),
+          col("__dcg").cast(DoubleType).as("dcg"),
+          round(col("__dcg").cast(DoubleType) / lit(4.543560d), 4)
+            .as("ndcg"))
+    metrics("binary", s14BinaryQuantize(spark, dir))
+      .unionByName(metrics("graph", s18TopFrame(spark, dir)))
+      .unionByName(metrics("ivf2", s02Ivf(spark, dir)))
+      .unionByName(metrics("ivfpq", s07IvfPq(spark, dir)))
+      .orderBy(col("tier"), col("q_id"))
+  }
+
+  /** Each tier's ranked list re-derives from its own key's oracle
+    * (nested WITH per tier — name scopes are subquery-local), the
+    * weight table is the shared 6dp literal VALUES, and the metric
+    * algebra matches the Spark side decimal-for-decimal. */
+  val s20Sql: String = {
+    val s18TopSql =
+      s"""WITH $s18ChainSql
+         |SELECT q_id, vec_id, rn AS rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) AS rn FROM v$S18T
+         |  WHERE vec_id <> q_id) WHERE rn <= 10""".stripMargin
+    val tiers = Seq("binary" -> s14Sql, "graph" -> s18TopSql,
+      "ivf2" -> s02Sql, "ivfpq" -> s07Sql)
+    val wRows = (1 to 10).map(i =>
+      s"(${i}, CAST(${S20DcgW(i - 1)} AS DECIMAL(8,6)), " +
+        s"CAST(${S20MrrW(i - 1)} AS DECIMAL(8,6)))").mkString(", ")
+    def m(name: String): String =
+      s"""m_$name AS (
+         |  SELECT '$name' AS tier, t.q_id,
+         |    CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hits,
+         |    SUM(CASE WHEN e.vec_id IS NOT NULL THEN w.dw
+         |      ELSE CAST(0 AS DECIMAL(8,6)) END) AS dcg_d,
+         |    MAX(CASE WHEN e.vec_id IS NOT NULL THEN w.mw END) AS mrr_d
+         |  FROM t_$name t
+         |  JOIN w ON w.r = t.rank
+         |  LEFT JOIN exact e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+         |  GROUP BY t.q_id)""".stripMargin
+    s"""WITH exact AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_cosine_similarity(q.q_vec,
+       |          e.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+       |    FROM embeddings e,
+       |      (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+       |       FROM embeddings WHERE vec_id < 5) q
+       |    WHERE e.vec_id <> q.q_id) WHERE rank <= 10),
+       |w AS (SELECT * FROM (VALUES $wRows) AS w(r, dw, mw)),
+       |${tiers.map { case (n, sql) =>
+           s"t_$n AS (\n$sql)" }.mkString(",\n")},
+       |${tiers.map { case (n, _) => m(n) }.mkString(",\n")},
+       |res AS (
+       |  ${tiers.map { case (n, _) => s"SELECT * FROM m_$n" }
+             .mkString("\n  UNION ALL\n  ")})
+       |SELECT r.tier, r.q_id, r.hits,
+       |  COALESCE(CAST(r.mrr_d AS DOUBLE), 0.0) AS mrr,
+       |  CAST(r.dcg_d AS DOUBLE) AS dcg,
+       |  round(CAST(r.dcg_d AS DOUBLE) / CAST(4.543560 AS DOUBLE), 4)
+       |    AS ndcg
+       |FROM res r
+       |ORDER BY r.tier, r.q_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_rank_metrics" -> (s20RankMetrics _),
+    "s19_graph_insert" -> (s19GraphInsert _),
     "s18_graph_ann" -> (s18GraphAnn _),
     "s16_index_staleness" -> (s16IndexStaleness _),
     "s17_quant_tradeoff" -> (s17QuantTradeoff _),
@@ -2074,6 +2591,8 @@ object Similarity {
     "s06_hybrid_search" -> (s06HybridSearch _))
 
   val oracle: Map[String, String] = Map(
+    "s20_rank_metrics" -> s20Sql,
+    "s19_graph_insert" -> s19Sql,
     "s18_graph_ann" -> s18Sql,
     "s16_index_staleness" -> s16Sql,
     "s17_quant_tradeoff" -> s17Sql,

@@ -2708,6 +2708,111 @@ class NewOpsSpec extends SparkSpec {
         "cartesian in the s18 plan")
     }
   }
+
+  test("round-15: s19 graph-insert — maintained beats stale on every " +
+      "growth query and in aggregate, the fresh-rebuild gap is " +
+      "reported not hidden, and every tier's visited set stays inside " +
+      "its structural beam bound") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("s19_graph_insert")(spark, dir)
+      val plan = rows.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        "cartesian in the s19 plan")
+      val got = rows.collect()
+      assert(got.length == 30, s"$dir: expected 3 tiers x 10 queries")
+      case class R(nv: Long, hits: Long, rec: Double)
+      val byTier = got.groupBy(_.getAs[String]("tier")).view.mapValues(
+        _.map(r => r.getAs[Long]("q_id") -> R(r.getAs[Long]("n_visited"),
+          r.getAs[Long]("hits"), r.getAs[Double]("recall"))).toMap).toMap
+      assert(byTier.keySet == Set("fresh", "maintained", "stale"))
+      got.foreach { r =>
+        assert(r.getAs[Double]("recall") ==
+          r.getAs[Long]("hits") / 10.0, s"$dir recall algebra: $r")
+      }
+      // the maintenance claim: an inserted batch is SERVED — every
+      // growth query's maintained recall >= stale (whose graph cannot
+      // reach the batch at all), and the aggregate strictly improves
+      val (m, s, f) =
+        (byTier("maintained"), byTier("stale"), byTier("fresh"))
+      m.keys.filter(_ >= 8000000L).foreach { q =>
+        assert(m(q).hits >= s(q).hits,
+          s"$dir growth q$q: maintained ${m(q).hits} < stale ${s(q).hits}")
+      }
+      assert(m.values.map(_.hits).sum > s.values.map(_.hits).sum,
+        s"$dir: maintained aggregate does not beat stale")
+      // the rebuild gap is REPORTED: fresh rows exist per query and the
+      // fresh aggregate is at least the maintained one (the price of
+      // not rebuilding is visible in the key's own output)
+      assert(f.keySet == m.keySet)
+      assert(f.values.map(_.hits).sum >= m.values.map(_.hits).sum,
+        s"$dir: fresh aggregate below maintained — growth model broken")
+      // structural beam bounds per tier (hub degree derived from each
+      // tier's actual quantizer size; maintained adds the reverse-edge
+      // cap 4 to an old node's max out-degree)
+      val nb = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val ng = nb + spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 9 === 1).count()
+      val ncOld = math.max(8L, (nb + 255L) / 256L)
+      val ncFresh = math.max(8L, (ng + 255L) / 256L)
+      def bound(maxdeg: Long) = 2 + 6L * 24L * maxdeg
+      s.foreach { case (q, r) => assert(r.nv <= bound(16 + ncOld - 1),
+        s"$dir stale q$q visited ${r.nv}") }
+      m.foreach { case (q, r) => assert(r.nv <= bound(16 + 4 + ncOld - 1),
+        s"$dir maintained q$q visited ${r.nv}") }
+      f.foreach { case (q, r) => assert(r.nv <= bound(16 + ncFresh - 1),
+        s"$dir fresh q$q visited ${r.nv}") }
+    }
+  }
+
+  test("round-15: s20 rank metrics — MRR/nDCG algebra closed over the " +
+      "6dp literal weights, zero-hit queries score exactly zero, and " +
+      "the graph tier's hits agree with s18's own recall rows") {
+    val dcgW = Seq(1.000000, 0.630930, 0.500000, 0.430677, 0.386853,
+      0.356207, 0.333333, 0.315465, 0.301030, 0.289065)
+    val mrrW = Seq(1.000000, 0.500000, 0.333333, 0.250000, 0.200000,
+      0.166667, 0.142857, 0.125000, 0.111111, 0.100000)
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("s20_rank_metrics")(spark, dir)
+        .collect()
+      assert(got.length == 20, s"$dir: expected 4 tiers x 5 queries")
+      got.foreach { r =>
+        val (hits, mrr, dcg, ndcg) = (r.getAs[Long]("hits"),
+          r.getAs[Double]("mrr"), r.getAs[Double]("dcg"),
+          r.getAs[Double]("ndcg"))
+        assert(hits >= 0 && hits <= 10, r.toString)
+        // zero hits must score EXACTLY zero (the element_at-NULL
+        // miscompile this key works around would have scored the
+        // rank-10 weight 0.1 here — pin the absence of that defect)
+        if (hits == 0) assert(mrr == 0.0 && dcg == 0.0 && ndcg == 0.0,
+          s"$dir zero-hit row scores nonzero: $r")
+        else {
+          assert(mrrW.contains(mrr), s"$dir mrr not a weight: $r")
+          assert(ndcg > 0.0 && ndcg <= 1.0, r.toString)
+        }
+        if (hits == 10)
+          assert(ndcg == 1.0 && mrr == 1.0,
+            s"$dir perfect row not 1.0: $r")
+        // dcg is a sum of `hits` distinct weights: bounded by the
+        // top-`hits` and bottom-`hits` partial sums
+        val h = hits.toInt
+        val lo = dcgW.takeRight(h).sum - 1e-9
+        val hi = dcgW.take(h).sum + 1e-9
+        assert(dcg >= lo && dcg <= hi, s"$dir dcg outside [$lo,$hi]: $r")
+        assert(ndcg ==
+          BigDecimal(dcg / 4.543560)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble ||
+          math.abs(ndcg - dcg / 4.543560) < 5e-5, s"$dir ndcg algebra: $r")
+      }
+      // cross-key consistency: the graph tier's hit counts are s18's
+      val s18 = SparkEntry.queries("s18_graph_ann")(spark, dir)
+        .collect().map(r => r.getAs[Long]("q_id") ->
+          r.getAs[Long]("hits")).toMap
+      got.filter(_.getAs[String]("tier") == "graph").foreach { r =>
+        assert(r.getAs[Long]("hits") == s18(r.getAs[Long]("q_id")),
+          s"$dir graph tier hits disagree with s18: $r")
+      }
+    }
+  }
 }
 
 /** Row shape for the s08 short-candidate spec (top-level for the
