@@ -1692,15 +1692,21 @@ object Dedup {
     val base = Tables.spread(Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")))
     val ws = filter(split(col("text"), "[ \\t\\n\\r]+"), w => w =!= "")
-    val wave = base.filter(col("doc_id") % 7 === 2)
-        .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
-      .unionAll(base.filter(col("doc_id") % 7 === 3)
-        .select((col("doc_id") + 5000000L).as("doc_id"),
-          regexp_replace(col("text"), "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "").as("text")))
-      .unionAll(base.filter(col("doc_id") % 7 === 5)
-        .select((col("doc_id") + 6000000L).as("doc_id"),
-          array_join(transform(ws, w => concat(w, lit("~new"))), " ")
-            .as("text")))
+    // the wave's three mutation branches ride ONE text scan (round 15,
+    // VERDICT r14 #4 — the old 3-way filtered union re-read text per
+    // branch): %7 is single-valued so the CASE branches are exactly
+    // the old disjoint union, and the presentation sort restores the
+    // old order
+    val sel = col("doc_id") % 7
+    val wave = base.filter(sel.isin(2, 3, 5))
+      .select(
+        (col("doc_id") + when(sel === 2, 4000000L)
+          .when(sel === 3, 5000000L).otherwise(6000000L)).as("doc_id"),
+        when(sel === 2, col("text"))
+          .when(sel === 3, regexp_replace(col("text"),
+            "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", ""))
+          .otherwise(array_join(
+            transform(ws, w => concat(w, lit("~new"))), " ")).as("text"))
     // n is a scalar model parameter (the s04 precedent): ONE count()
     // action sizes the filter before the plan is built
     val n = base.count()
@@ -1716,11 +1722,18 @@ object Dedup {
       val (h1, h2) = h1h2(fp)
       (0 until 4).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m)))
     }
-    val corpusPos = base
-      .select(explode(array(
-        positions(T.rolling_fingerprint(col("text"))): _*)).as("p"))
+    // ONE corpus text pass computes BOTH sketch inputs (round 15,
+    // VERDICT r14 #4 — positions and md5 each re-scanned text before);
+    // the checkpointed frame is 40 B/doc (fp + md5), the t18/dd12
+    // corpus-checkpoint discipline
+    val corp = base.select(
+        T.rolling_fingerprint(col("text")).as("fp"),
+        md5(col("text")).as("h"))
+      .localCheckpoint(false)
+    val corpusPos = corp
+      .select(explode(array(positions(col("fp")): _*)).as("p"))
       .distinct()
-    val ctext = base.select(md5(col("text")).as("h")).distinct()
+    val ctext = corp.select(col("h")).distinct()
       .withColumn("td", lit(true))
     val (h1, h2) = h1h2(T.rolling_fingerprint(col("text")))
     val probe =

@@ -222,11 +222,17 @@ object Multimodal {
       |  FROM documents)
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
-  /** Shared oracle CTE chain (m05/m06/m07): `bm` (the same hardcoded
-    * ×1000 integer DCT-II basis as TextHashes.DctBasis) + `hist` (64-bin
-    * codepoint histogram of `textCol`) + `outCte`(carry…, ph) — the
-    * integer DCT-sign fingerprint, factored so the replica has ONE
-    * definition (ADVICE-class fix, round 9). */
+  /** Shared oracle CTE chain (m05/m06/m07/m08/m09/m11): `bm` (the same
+    * hardcoded ×1000 integer DCT-II basis as TextHashes.DctBasis) +
+    * the codepoint histogram as a MAP (`list_aggregate 'histogram'` —
+    * one O(len) pass instead of the old per-bin rescan) + the DCT as
+    * its SEPARABLE form (g[u][mv] = Σ_v b[mv][v]·h[8u+v], then
+    * coef = Σ_u b[mu][u]·g[u][mv] — 8× fewer multiplies) +
+    * `outCte`(carry…, ph). All-integer, so the refactor is EXACT:
+    * A/B'd bit-identical against the dense form on the sf0.01 corpus,
+    * 21× faster (round 15, VERDICT r14 #7 — this chain dominated the
+    * sf1 gate's m07 straggler). One definition for every replica
+    * (ADVICE-class fix, round 9). */
   private def dctSignCtes(srcCte: String, textCol: String,
       carry: Seq[String], outCte: String): String = {
     val cs = carry.mkString(", ")
@@ -239,21 +245,27 @@ object Multimodal {
       |          [556, -981, 195, 831, -831, -195, 981, -556],
       |          [383, -924, 924, -383, -383, 924, -924, 383],
       |          [195, -556, 831, -981, 981, -831, 556, -195]]),
-      |hist AS (
+      |hist$outCte AS (
       |  SELECT $cs,
-      |    list_transform(range(0, 64), j ->
-      |      len(list_filter(
-      |        list_transform(range(1, len($textCol) + 1),
-      |          i -> ord(($textCol)[i]) // 4), x -> x = j))) AS h
+      |    list_aggregate(list_transform(range(1, len($textCol) + 1),
+      |      i -> ord(($textCol)[i]) // 4), 'histogram') AS hm
       |  FROM $srcCte),
+      |gmat$outCte AS (
+      |  SELECT $cs,
+      |    list_transform(range(0, 8), u ->
+      |      list_transform(range(1, 9), mv ->
+      |        list_sum(list_transform(range(0, 8), v ->
+      |          b[mv][v + 1]
+      |            * CAST(COALESCE((hm[u * 8 + v])[1], 0) AS BIGINT)))))
+      |      AS g
+      |  FROM hist$outCte, bm),
       |$outCte AS MATERIALIZED (
       |  SELECT $cs,
       |    list_sum(list_transform(range(1, 64), m ->
-      |      CASE WHEN list_sum(list_transform(range(0, 64), n ->
-      |          b[m // 8 + 1][n // 8 + 1] * b[m % 8 + 1][n % 8 + 1]
-      |            * h[n + 1])) > 0
+      |      CASE WHEN list_sum(list_transform(range(0, 8), u ->
+      |          b[m // 8 + 1][u + 1] * g[u + 1][m % 8 + 1])) > 0
       |      THEN 1::BIGINT << (m - 1) ELSE 0 END)) AS ph
-      |  FROM hist, bm)""".stripMargin
+      |  FROM gmat$outCte, bm)""".stripMargin
   }
 
   /** The planted trim corpus, typed and pHashed — ONE definition shared
@@ -657,7 +669,13 @@ object Multimodal {
     * no float anywhere.
     */
   def m08(spark: SparkSession, dir: String): DataFrame = {
-    val med = phashedMedia(spark, dir) // m05's planted trim corpus
+    // m05's planted trim corpus, CHECKPOINTED once (round 15, VERDICT
+    // r14 #4): the corpus and query sides of the search each re-ran
+    // the DCT chain against raw text before (4 text scans); the
+    // checkpointed frame is ~30 B/doc (id, type, 8-byte pHash) and the
+    // kernel provably runs once — the t18/dd12 discipline. m05 keeps
+    // the un-checkpointed frame: it consumes the chain exactly once.
+    val med = phashedMedia(spark, dir).localCheckpoint(false)
     val queries = med.filter(col("doc_id") < 5)
       .select(col("doc_id").as("q_id"), col("ph").as("qph"))
     val scored = med.crossJoin(broadcast(queries))

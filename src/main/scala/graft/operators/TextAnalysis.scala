@@ -443,9 +443,17 @@ object TextAnalysis {
   def t10Contamination(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val evalDocs = base.filter(col("doc_id") % 97 === 0)
-    val leaked = evalDocs.select((col("doc_id") + 3000000L).as("doc_id"),
-      regexp_replace(col("text"), "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", "").as("text"))
-    val corpus = base.filter(col("doc_id") % 97 =!= 0).unionAll(leaked)
+    // natural docs pass through, eval docs re-enter AS their leaked
+    // copy — one CASE projection over ONE full scan (round 15, VERDICT
+    // r14 #4: the old base\eval ∪ leaked union read text twice); the
+    // id sets are identical to the old union since %97 partitions rows
+    val isEval = col("doc_id") % 97 === 0
+    val corpus = base.select(
+      when(isEval, col("doc_id") + 3000000L).otherwise(col("doc_id"))
+        .as("doc_id"),
+      when(isEval, regexp_replace(col("text"),
+          "[ \\t\\n\\r]+[^ \\t\\n\\r]+\\z", ""))
+        .otherwise(col("text")).as("text"))
 
     // distinct 8-word grams per doc; short docs contribute their full text
     def gramSets(df: DataFrame): DataFrame = df
@@ -1131,10 +1139,17 @@ object TextAnalysis {
     // \x0B, and the paraphrase TEXT must be byte-identical cross-engine
     // (the repo's oracle-tokenizer convention)
     val ws = filter(split(col("text"), "[ \\t\\n\\r]+"), w => w =!= "")
-    val paraLeaks = evalDocs.select((col("doc_id") + 3000000L).as("doc_id"),
-      array_join(transform(ws, (w, i) =>
-        when((i + 1) % 10 === 0, lit("xq")).otherwise(w)), " ").as("text"))
-    val corpus = base.filter(col("doc_id") % 97 =!= 0).unionAll(paraLeaks)
+    // natural docs pass through, eval docs re-enter AS their paraphrase
+    // — one CASE projection over ONE full scan (round 15, VERDICT r14
+    // #4: the old base\eval ∪ paraLeaks union read text twice); %97
+    // partitions rows so the id sets equal the old union's
+    val isEval = col("doc_id") % 97 === 0
+    val corpus = base.select(
+      when(isEval, col("doc_id") + 3000000L).otherwise(col("doc_id"))
+        .as("doc_id"),
+      when(isEval, array_join(transform(ws, (w, i) =>
+          when((i + 1) % 10 === 0, lit("xq")).otherwise(w)), " "))
+        .otherwise(col("text")).as("text"))
     val sigOf = (df: DataFrame) => df.select(col("doc_id"),
       graft.functions.text.minhash_sig(col("text"), 64, 3).as("sig"))
     val evalSigs = sigOf(evalDocs)

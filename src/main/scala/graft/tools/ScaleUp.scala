@@ -400,6 +400,13 @@ object PlanSweep {
         "<= |queries| * beam-width rows by the s18 beam bound " +
         "(spec-pinned), and the broadcast frontier is the operator's " +
         "whole scale contract"),
+      "s19_graph_insert" -> (queryFrame + "; the per-tier beam/top/hits " +
+        "frames inherit the s18 beam bound (spec-pinned per tier), the " +
+        "exact ground truth is |queries| * 10 rows, and the insert " +
+        "batch's probe frames never broadcast the corpus side"),
+      "s20_rank_metrics" -> (queryFrame + "; every broadcast is a " +
+        "tier's |queries| * 10 ranked frame or the exact hit set — the " +
+        "metric algebra is query-sized by construction"),
       "t10_contamination" -> evalSet, "t17_fuzzy_contamination" -> evalSet,
       "dd16_incremental_dedup" -> batchFrame, "st15_ingest_dedup" -> batchFrame,
       "m14_interleave_pack" -> ladderCells, "p04_stratified" -> ladderCells,
