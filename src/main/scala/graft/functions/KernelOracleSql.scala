@@ -514,12 +514,16 @@ object KernelOracleSql {
        |tpost AS MATERIALIZED (
        |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM tsets),
        |tbsz AS (SELECT shingle, count(*) AS df FROM tpost GROUP BY 1),
+       |tpostc AS MATERIALIZED (
+       |  -- df-cap BEFORE the pair self-join (the dd04 pairCtes order)
+       |  SELECT p.doc_id, p.sz, p.shingle
+       |  FROM tpost p JOIN tbsz s
+       |    ON s.shingle = p.shingle AND s.df <= 10000),
        |tcp AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
-       |  FROM tpost a JOIN tpost b
+       |  FROM tpostc a JOIN tpostc b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  JOIN tbsz s ON s.shingle = a.shingle AND s.df <= 10000
        |  GROUP BY 1, 2, 3, 4),
        |truth AS (
        |  SELECT id_a, id_b,

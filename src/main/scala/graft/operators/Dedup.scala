@@ -410,14 +410,21 @@ object Dedup {
        |  FROM sets),
        |bsz AS (
        |  SELECT source, shingle, count(*) AS df FROM postings GROUP BY 1, 2),
+       |postc AS MATERIALIZED (
+       |  -- df-cap BEFORE the pair self-join (the Spark side's order):
+       |  -- joining raw postings x postings first lets an over-cap
+       |  -- boilerplate shingle emit df^2 pairs the cap then discards
+       |  -- (round 15, VERDICT r14 #7 — the p08 sf1 straggler class)
+       |  SELECT p.source, p.doc_id, p.sz, p.shingle
+       |  FROM postings p JOIN bsz s
+       |    ON s.source = p.source AND s.shingle = p.shingle
+       |    AND s.df <= 10000),
        |cpairs AS (
        |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
-       |  FROM postings a JOIN postings b
+       |  FROM postc a JOIN postc b
        |    ON a.source = b.source AND a.shingle = b.shingle
        |    AND a.doc_id < b.doc_id
-       |  JOIN bsz s ON s.source = a.source AND s.shingle = a.shingle
-       |    AND s.df <= 10000
        |  GROUP BY 1, 2, 3, 4, 5),
        |jp AS MATERIALIZED (
        |  SELECT source, id_a, id_b, common / (sz_a + sz_b - common) AS jaccard
@@ -491,14 +498,18 @@ object Dedup {
        |  FROM sets),
        |bsz AS (
        |  SELECT source, shingle, count(*) AS df FROM postings GROUP BY 1, 2),
+       |postc AS MATERIALIZED (
+       |  -- df-cap BEFORE the pair self-join (see dd04's pairCtes note)
+       |  SELECT p.source, p.doc_id, p.sz, p.shingle
+       |  FROM postings p JOIN bsz s
+       |    ON s.source = p.source AND s.shingle = p.shingle
+       |    AND s.df <= 10000),
        |cpairs AS (
        |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
-       |  FROM postings a JOIN postings b
+       |  FROM postc a JOIN postc b
        |    ON a.source = b.source AND a.shingle = b.shingle
        |    AND a.doc_id < b.doc_id
-       |  JOIN bsz s ON s.source = a.source AND s.shingle = a.shingle
-       |    AND s.df <= 10000
        |  GROUP BY 1, 2, 3, 4, 5)
        |SELECT id_a, id_b, source,
        |  ROUND(common / least(sz_a, sz_b), 4) AS containment

@@ -614,22 +614,26 @@ object Multimodal {
       |  FROM frames),
       |${dctSignCtes("ftexts", "ftext", Seq("doc_id", "t"), "phx")},
       |pk AS (SELECT doc_id, t, ph % 64 AS pk FROM phx),
-      |lms AS (
+      |lms AS MATERIALIZED (
       |  SELECT a.doc_id AS doc_id, a.pk * 256 + b.pk * 4 + (d.d - 1) AS lm,
       |    a.t AS t
       |  FROM pk a, (SELECT unnest([1, 2, 3]) AS d) d, pk b
       |  WHERE b.doc_id = a.doc_id AND b.t = a.t + d.d),
       |bsz AS (SELECT lm, COUNT(*) AS c FROM lms GROUP BY 1),
+      |lmsc AS MATERIALIZED (
+      |  -- cap BEFORE the pair self-join (the Spark side's gatedBuckets
+      |  -- order): joining raw lms x lms first lets one over-cap
+      |  -- near-silence landmark emit df^2 pairs the cap then discards —
+      |  -- measured 511 s vs 3 s at sf1 (round 15, VERDICT r14 #7)
+      |  SELECT l.doc_id, l.lm, l.t
+      |  FROM lms l JOIN bsz s ON s.lm = l.lm AND s.c BETWEEN 2 AND 50),
       |nlm AS (
-      |  SELECT doc_id, COUNT(*) AS n
-      |  FROM lms JOIN bsz USING (lm)
-      |  WHERE c BETWEEN 2 AND 50 GROUP BY doc_id),
+      |  SELECT doc_id, COUNT(*) AS n FROM lmsc GROUP BY doc_id),
       |votes AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.t - b.t AS delta,
       |    COUNT(*) AS v
-      |  FROM lms a
-      |  JOIN lms b ON b.lm = a.lm AND a.doc_id < b.doc_id
-      |  JOIN bsz s ON s.lm = a.lm AND s.c BETWEEN 2 AND 50
+      |  FROM lmsc a
+      |  JOIN lmsc b ON b.lm = a.lm AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2, 3),
       |best AS (
       |  SELECT id_a, id_b, delta, v,
