@@ -104,7 +104,24 @@ def run_key(name):
     return name, ent, time.time() - t0
 
 
-names = sorted(oracle)
+
+# FAMILY-INTERLEAVED schedule (round 15): plain sorted order runs the
+# whole dedup family concurrently — N sig-chain keys sharing the
+# memory cap at once took the 4-cursor sf1 run down with std::bad_alloc
+# (DuckDB's cap tracks buffer-managed memory; lambda/list scratch is
+# untracked and multiplies per concurrent heavy key). Round-robin across
+# alpha families keeps at most one heavy-family key in flight per
+# cursor slot at a time.
+import re as _re
+fams = {}
+for n in sorted(oracle):
+    fams.setdefault(_re.match(r"[a-z]+", n).group(0), []).append(n)
+names = []
+qs = [fams[f] for f in sorted(fams)]
+while any(qs):
+    for q in qs:
+        if q:
+            names.append(q.pop(0))
 with ThreadPoolExecutor(max_workers=nthreads) as ex:
     for name, ent, dt in ex.map(run_key, names):
         with lock:
