@@ -143,4 +143,72 @@ object Tables {
     val files = try df.inputFiles.length catch { case _: Throwable => slots }
     if (files > 0 && files < slots) df.repartition(slots) else df
   }
+
+  /** Checkpoint a QUERY-/batch-sized frame at ONE partition.
+    *
+    * For frames whose row count is bounded by construction (Q×beam
+    * probe states, Q×k ranked lists, per-tier recall tables — never
+    * data-sized), one partition is the size-proportional partitioning
+    * at ANY scale factor. The payoff is quadratic (optimization guide
+    * §2.2): a checkpointed frame feeds k downstream shuffles, and each
+    * pays M×R shuffle blocks — M=1 instead of M=defaultParallelism
+    * turns every consumer exchange into a single map task with R tiny
+    * segments. Measured on this host a 32×32-block exchange of
+    * near-empty partitions costs ~6 s of executor CPU in per-block
+    * file/stream overhead; the same exchange from one map partition is
+    * milliseconds. Do NOT use on data-sized frames — their partition
+    * count must keep scaling with bytes.
+    */
+  def ckptTiny(df: DataFrame): DataFrame =
+    df.coalesce(1).localCheckpoint(false)
+
+  /** Checkpoint a NARROW corpus-derived frame (signatures, scores,
+    * flags — tens of bytes per doc versus KBs of text), then merge the
+    * checkpointed partitions by `shrink`.
+    *
+    * The coalesce comes AFTER the checkpoint so the kernel below it
+    * still materializes at the spread parallelism; only the consumers
+    * read the merged layout. Partition count stays proportional to the
+    * input split count (scale-adaptive — thousands of splits at
+    * production size still yield hundreds of partitions), while
+    * per-partition bytes move back toward what a text-bearing split
+    * held, instead of inheriting one near-empty partition per kernel
+    * slot and paying M×R shuffle-block overhead in every downstream
+    * exchange (guide §2.2).
+    */
+  def ckptNarrow(df: DataFrame, shrink: Int = 16): DataFrame = {
+    val ck = df.localCheckpoint(false)
+    val parts =
+      try ck.rdd.getNumPartitions catch { case _: Throwable => return ck }
+    if (parts <= 1) ck else ck.coalesce(math.max(1, parts / shrink))
+  }
+
+  /** Read a docstore artifact with splits derived from its ON-DISK size
+    * (optimization guide §6 — input split sizing): artifacts are built
+    * once per data fingerprint by whatever parallelism the build had,
+    * so a small artifact lands as dozens of near-empty files and every
+    * probe pays one task per file. Coalescing the scan to
+    * ceil(bytes/128 MiB) merges those splits without a shuffle; at
+    * production sizes the quotient exceeds the file count and the
+    * coalesce is the identity.
+    */
+  def sizedArtifactRead(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.format("docstore").option("path", path).load()
+    val parts = math.max(1L, (dirBytes(path) + SplitBytes - 1) / SplitBytes)
+    df.coalesce(parts.toInt)
+  }
+
+  private val SplitBytes = 128L * 1024 * 1024
+
+  private def dirBytes(path: String): Long = {
+    import java.nio.file.{Files, Paths}
+    try {
+      val p = Paths.get(path)
+      if (!Files.isDirectory(p)) return Files.size(p)
+      val stream = Files.list(p)
+      try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally stream.close()
+    } catch { case _: Throwable => Long.MaxValue } // unknown ⇒ no coalesce
+  }
 }

@@ -89,9 +89,8 @@ object Dedup {
     // which the executed plans show no longer fires under AQE here —
     // the kernel ran once PER CONSUMER; caught by PlanSweep
     // multi_text_scans, round-12.)
-    val sigs = corpus.select(col("doc_id"),
-      T.minhash_sig(col("text"), 64, 3).as("sig"))
-      .localCheckpoint(false)
+    val sigs = Tables.ckptNarrow(corpus.select(col("doc_id"),
+      T.minhash_sig(col("text"), 64, 3).as("sig")))
 
     verifiedPairs(minhashCandidates(sigs), sigs, 0.5, "est_jaccard")
       .orderBy(col("id_a"), col("id_b"))
@@ -539,8 +538,8 @@ object Dedup {
     // edge list = the materialized dd04 pair artifact (one inverted-index
     // verification per corpus generation; the CC loop is this operator's
     // own work) — a docstore scan where the shingle pipeline used to sit
-    val edges = spark.read.format("docstore")
-      .option("path", ensureJaccardPairArtifact(spark, dir)).load()
+    val edges = Tables.sizedArtifactRead(spark,
+      ensureJaccardPairArtifact(spark, dir))
       .select(col("id_a"), col("id_b"))
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -548,10 +547,9 @@ object Dedup {
     // init = identity FUSED with the first propagation step: each node
     // starts at min(self, min neighbor) — same fixpoint, one fewer loop
     // iteration (each iteration costs a checkpoint + convergence job)
-    var labels = adj.groupBy(col("src").as("doc_id"))
+    var labels = Tables.ckptNarrow(adj.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nmin0"))
-      .select(col("doc_id"), least(col("doc_id"), col("nmin0")).as("cluster_id"))
-      .localCheckpoint()
+      .select(col("doc_id"), least(col("doc_id"), col("nmin0")).as("cluster_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < 32) {
@@ -565,7 +563,7 @@ object Dedup {
             .as("cluster_id"),
           (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id"))
             .cast(LongType).as("ch"))
-        .localCheckpoint()
+        .transform(Tables.ckptNarrow(_))
       val changed = next.agg(sum(col("ch"))).first().getLong(0)
       labels = next.drop("ch")
       converged = changed == 0
@@ -1194,8 +1192,8 @@ object Dedup {
     * the matrix itself is |sources|² at most.
     */
   def dd13DupSources(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = spark.read.format("docstore")
-      .option("path", ensureMinhashPairArtifact(spark, dir)).load()
+    val pairs = Tables.sizedArtifactRead(spark,
+      ensureMinhashPairArtifact(spark, dir))
       .select(col("id_a"), col("id_b"))
     val srcs = plantedDocs(spark, dir).select(col("doc_id"), col("source"))
     pairs
@@ -1411,7 +1409,7 @@ object Dedup {
     val sigs = chunks.select(
         (col("doc_id") * 100000 + col("pos")).as("doc_id"),
         T.minhash_sig(col("chunk"), 64, 3).as("sig"))
-      .localCheckpoint(false) // one kernel pass feeds banding + verify
+      .transform(Tables.ckptNarrow(_)) // one kernel pass feeds banding + verify
     verifiedPairs(minhashCandidates(sigs), sigs, 0.5, "est_jaccard")
       .select(expr("id_a DIV 100000").as("doc_a"),
         pmod(col("id_a"), lit(100000L)).as("pos_a"),
@@ -1522,8 +1520,8 @@ object Dedup {
         .select((col("doc_id") + 6000000L).as("doc_id"),
           array_join(transform(ws, w => concat(w, lit("~new"))), " ")
             .as("text")))
-    val corpusSigs = spark.read.format("docstore")
-      .option("path", ensureMinhashSigArtifact(spark, dir)).load()
+    val corpusSigs = Tables.sizedArtifactRead(spark,
+      ensureMinhashSigArtifact(spark, dir))
       .select(col("doc_id").as("cid"), col("sig").as("csig"))
     // batch signatures: map-only, then a barrier — the sig feeds both
     // the band probe and the verify join (the t17 lesson: without it,
@@ -1539,6 +1537,11 @@ object Dedup {
     val batchSigs = batch.select(col("doc_id").as("nid"),
         T.minhash_sig(col("text"), 64, 3).as("nsig"))
       .localCheckpoint(false)
+      // coalesce AFTER the checkpoint: the kernel materializes at the
+      // spread parallelism, but the 512 B/doc batch-sized signature
+      // frame then feeds its consumers from one partition — every
+      // downstream band/verify exchange is 1×R blocks (guide §2.2)
+      .coalesce(1)
     val est = corpusProbeMatches(corpusSigs, batchSigs)
     val verdicts = est.groupBy(col("nid"))
       .agg(count(lit(1)).as("n_matches"),
@@ -1740,7 +1743,7 @@ object Dedup {
     val corp = base.select(
         T.rolling_fingerprint(col("text")).as("fp"),
         md5(col("text")).as("h"))
-      .localCheckpoint(false)
+      .transform(Tables.ckptNarrow(_))
     val corpusPos = corp
       .select(explode(array(positions(col("fp")): _*)).as("p"))
       .distinct()

@@ -402,10 +402,9 @@ object Multimodal {
     // shuffle it on different keys — exchange reuse can't unify them,
     // and without the pin each consumer re-scans and re-hashes every
     // frame (the dd11 multi-consumer discipline)
-    val ph = framePhashes(corpus)
+    val ph = graft.Tables.ckptNarrow(framePhashes(corpus)
       .select(col("doc_id"), col("ph"))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct(), 8)
     val counts = ph.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // cap 50 = dd02's LSH skew guard, and it BITES here: a 63-bit
     // histogram pHash over 64-byte frames collides on generic
@@ -679,7 +678,7 @@ object Multimodal {
     // checkpointed frame is ~30 B/doc (id, type, 8-byte pHash) and the
     // kernel provably runs once — the t18/dd12 discipline. m05 keeps
     // the un-checkpointed frame: it consumes the chain exactly once.
-    val med = phashedMedia(spark, dir).localCheckpoint(false)
+    val med = graft.Tables.ckptNarrow(phashedMedia(spark, dir))
     val queries = med.filter(col("doc_id") < 5)
       .select(col("doc_id").as("q_id"), col("ph").as("qph"))
     val scored = med.crossJoin(broadcast(queries))
@@ -773,7 +772,7 @@ object Multimodal {
     // a barrier the optimizer can see through is not a barrier here
     val ph = pairs.select(col("doc_id"),
         graft.functions.text.dct_sign_hash(col("img_txt")).as("ph"))
-      .localCheckpoint(false)
+      .transform(graft.Tables.ckptNarrow(_))
     val imgMin = ph.groupBy(col("ph")).agg(min(col("doc_id")).as("img_min"))
     val withImg = ph.join(imgMin, "ph")
     // localCheckpoint, not a repartition barrier: the verify joins'
@@ -784,7 +783,7 @@ object Multimodal {
     // runs once
     val capSigs = pairs.select(col("doc_id"),
         graft.functions.text.minhash_sig(col("caption"), 64, 3).as("sig"))
-      .localCheckpoint(false)
+      .transform(graft.Tables.ckptNarrow(_))
     val capMin = Dedup.verifiedPairs(Dedup.minhashCandidates(capSigs),
         capSigs, 0.5, "ej")
       .groupBy(col("id_b").as("doc_id")).agg(min(col("id_a")).as("cap_min"))

@@ -189,7 +189,7 @@ object Pipeline {
     */
   def p08LeakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     val artifact = Dedup.ensureClusterArtifact(spark, dir)
-    spark.read.format("docstore").option("path", artifact).load()
+    Tables.sizedArtifactRead(spark, artifact)
       .withColumn("split",
         when(substring(md5(concat(col("cluster_id").cast(StringType),
           lit("#split"))), 1, 2) <= "19", "eval").otherwise("train"))
@@ -825,7 +825,7 @@ object Pipeline {
       .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
       .groupBy(col("doc_id"), col("source"), pmod(col("h"), lit(64L)).as("b"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint(false) // one kernel pass: both LMs + the scoring
+      .transform(Tables.ckptNarrow(_, 8)) // one kernel pass: both LMs + the scoring
     // BOTH bucket LMs in one conditional aggregation over the pinned
     // frame; totals derive from the 64-row LM frame, not a third pass
     val lm = db.groupBy(col("b")).agg(sum(col("k")).as("cr"),
@@ -943,8 +943,8 @@ object Pipeline {
   }
 
   def p16CurationDag(spark: SparkSession, dir: String): DataFrame = {
-    val labels = spark.read.format("docstore")
-      .option("path", Dedup.ensureClusterArtifact(spark, dir)).load()
+    val labels = Tables.sizedArtifactRead(spark,
+      Dedup.ensureClusterArtifact(spark, dir))
       .select(col("doc_id"), col("cluster_id"))
     val pd = p16TokenFrame(spark, dir).localCheckpoint(false)
 
@@ -1043,7 +1043,7 @@ object Pipeline {
       .withColumn("k4", col("k3") && col("k4x"))
       .withColumn("k5", col("k4") && col("k5x"))
       .drop("k2x", "k3x", "k4x", "k5x")
-      .localCheckpoint(false)
+      .transform(Tables.ckptNarrow(_))
 
     // stages 6/7: SHRINKING keep-min groupBys joined back shuffle-hash
     // (the p01/dd07 rule — a window over a content key colocates a
@@ -1066,7 +1066,7 @@ object Pipeline {
         when(srcNum < 10, "head").when(srcNum < 16, "mid")
           .otherwise(concat(lit("tail"), substring(col("source"), 4, 10)))
       })
-      .localCheckpoint(false)
+      .transform(Tables.ckptNarrow(_))
 
     // stage 10: p13's capped Hamilton over the k9 survivors
     val counts = f9.filter(col("k9")).groupBy(col("grp"))
@@ -1522,7 +1522,7 @@ object Pipeline {
     // sum(size) jobs were two extra occurrence-sized passes)
     val cu = toksDf.select(explode(col("ts")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false) // vocab-bounded; feeds weights + 2 scalars
+      .transform(Tables.ckptNarrow(_)) // vocab-bounded; feeds weights + 2 scalars
     val ntot = cu.agg(sum(col("cnt")).as("n"))
     val vocab = cu.agg(count(lit(1)).as("v"))
     // Round-13 TIERED scoring (the t14 shape): the top-K=65536 pairs by
@@ -1693,7 +1693,7 @@ object Pipeline {
         Seq(col("doc_id")), "rn", None)
       .withColumn("u", least(col("t"), lit(L)))
       .withColumn("x", greatest(col("t") - L, lit(0L)))
-      .localCheckpoint(false) // one kernel pass: batch + source aggs
+      .transform(Tables.ckptNarrow(_)) // one kernel pass: batch + source aggs
     val bpad = ranked
       .groupBy(col("source"), expr("(rn - 1) div 8").as("bid"))
       .agg(count(lit(1)).as("nb"), max(col("u")).as("mx"),

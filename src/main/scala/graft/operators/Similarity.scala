@@ -185,8 +185,8 @@ object Similarity {
 
     // the inverted file: a docstore scan, NO encode kernel here — the
     // plan audit pins the consumer plan free of the assign fold
-    val assigned = spark.read.format("docstore")
-      .option("path", ensureIvfCellsArtifact(spark, dir)).load()
+    val assigned = Tables.sizedArtifactRead(spark,
+        ensureIvfCellsArtifact(spark, dir))
       // label: docstore's numeric type is int64 — restore the table's
       // int32 so the output schema matches the oracle's
       .select(col("vec_id"), col("label").cast(IntegerType).as("label"),
@@ -583,8 +583,8 @@ object Similarity {
       pqDist(cb, vecCol, c, s, sub)
     // the codes table: a docstore scan — no assign fold, no encode
     // kernel in the consumer plan (plan-audited)
-    val encoded = spark.read.format("docstore")
-      .option("path", ensurePqCodesArtifact(spark, dir)).load()
+    val encoded = Tables.sizedArtifactRead(spark,
+      ensurePqCodesArtifact(spark, dir))
     // probes: nprobe nearest cells per query (bounded sort/slice agg,
     // same as s02) + the 8×4 ADC lookup table as 32 plain columns
     // (tiny frame — ≤ queries × nprobe rows — so the repeated q_vec
@@ -827,10 +827,11 @@ object Similarity {
     * being checked).
     */
   def s09AnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = s01BruteForce(spark, dir)
-      .select(col("q_id"), col("vec_id")).localCheckpoint()
-    val approx = s02Ivf(spark, dir)
-      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    val (exact, approx) = graft.Par.run2( // independent chains (§2.6)
+      () => Tables.ckptTiny(s01BruteForce(spark, dir)
+        .select(col("q_id"), col("vec_id"))),
+      () => Tables.ckptTiny(s02Ivf(spark, dir)
+        .select(col("q_id"), col("vec_id"))))
     // every frame here is Q×10 rows, but a localCheckpointed RDD has no
     // size statistics, so without the hints Spark plans sort-merge
     // joins for 50-row inputs — the hint IS the bound's documentation
@@ -892,10 +893,11 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         V.cosine_sim(slice(col("q_vec"), 1, 16),
           slice(col("embedding"), 1, 16)).as("cos"))
-    val trunc = topKPerQuery(scoredT, K, Seq.empty)
-      .select(col("q_id"), col("vec_id")).localCheckpoint()
-    val exact = s01BruteForce(spark, dir)
-      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    val (trunc, exact) = graft.Par.run2( // independent chains (§2.6)
+      () => Tables.ckptTiny(topKPerQuery(scoredT, K, Seq.empty)
+        .select(col("q_id"), col("vec_id"))),
+      () => Tables.ckptTiny(s01BruteForce(spark, dir)
+        .select(col("q_id"), col("vec_id"))))
     val hits = exact.join(broadcast(trunc), Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
     exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
@@ -973,8 +975,8 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("embedding").as("emb"),
         V.cosine_sim(slice(col("q_vec"), 1, 16),
           slice(col("embedding"), 1, 16)).as("cos"))
-    val shortlist = topKPerQuery(scoredT, 50, Seq("emb"))
-      .select(col("q_id"), col("vec_id"), col("emb")).localCheckpoint()
+    val shortlist = Tables.ckptTiny(topKPerQuery(scoredT, 50, Seq("emb"))
+      .select(col("q_id"), col("vec_id"), col("emb")))
     val reranked = shortlist
       .join(broadcast(queriesDf(spark, dir)), "q_id")
       .select(col("q_id"), col("vec_id"),
@@ -1255,8 +1257,8 @@ object Similarity {
   private[graft] def s15Tiers(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables(spark, dir, "embeddings")
     val centroids = ivfCentroids(corpus)
-    val assigned = spark.read.format("docstore")
-      .option("path", ensureIvfCellsArtifact(spark, dir)).load()
+    val assigned = Tables.sizedArtifactRead(spark,
+        ensureIvfCellsArtifact(spark, dir))
       .select(col("vec_id"), col("cell"),
         expr("transform(emb, x -> CAST(x AS FLOAT))").as("embedding"))
     // probe rank of each (query, cell): bounded 8-cell frame per query,
@@ -1281,7 +1283,7 @@ object Similarity {
     val top = topKPerQuery(s15Tiers(spark, dir), K, Seq.empty)
       .select(expr("q_id div 16").as("q_id"),
         expr("q_id % 16").as("nprobe"), col("vec_id"))
-      .localCheckpoint() // Q×4×10 rows — query-sized (s09 discipline)
+      .transform(Tables.ckptTiny) // Q×4×10 rows — query-sized (s09 discipline)
     val exact = top.filter(col("nprobe") === 8L)
       .select(col("q_id"), col("vec_id"))
     val ne = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
@@ -1459,24 +1461,33 @@ object Similarity {
     val freshC = staleC.unionAll(grown.filter(col("is_new") === 1L)
       .orderBy(col("vec_id") % 7, col("vec_id")).limit(4)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
-    val exact = topKPerQuery(
-        grown.crossJoin(broadcast(qs))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            V.cosine_sim(col("q_vec"), col("embedding")).as("cos")),
-        K, Nil)
-      .select(col("q_id"), col("vec_id")).localCheckpoint()
-    def tierRecall(name: String, cents: DataFrame, np: Int): DataFrame = {
+    // exact baseline + the two per-tier approx searches are independent
+    // eager chains — overlap them (guide §2.6); each result is
+    // query-sized, so the one-partition checkpoint applies
+    def tierApprox(cents: DataFrame, np: Int): DataFrame = {
       val probes = probeRanks(qs, cents)
         .filter(col("pr") <= np).drop("pr")
       val assigned = assignCells(grown, cents, col("embedding"))
-      val approx = topKPerQuery(
+      Tables.ckptTiny(topKPerQuery(
           assigned.join(broadcast(probes), Seq("cell"))
             .filter(col("vec_id") =!= col("q_id"))
             .select(col("q_id"), col("vec_id"),
               V.cosine_sim(col("q_vec"), col("embedding")).as("cos")),
           K, Nil)
-        .select(col("q_id"), col("vec_id")).localCheckpoint()
+        .select(col("q_id"), col("vec_id")))
+    }
+    val chains = graft.Par.run[DataFrame](
+      () => Tables.ckptTiny(topKPerQuery(
+          grown.crossJoin(broadcast(qs))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              V.cosine_sim(col("q_vec"), col("embedding")).as("cos")),
+          K, Nil)
+        .select(col("q_id"), col("vec_id"))),
+      () => tierApprox(freshC, 3),
+      () => tierApprox(staleC, 2))
+    val exact = chains(0)
+    def tierRecall(name: String, approx: DataFrame): DataFrame = {
       val hits = exact.join(broadcast(approx), Seq("q_id", "vec_id"))
         .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
       exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
@@ -1486,7 +1497,7 @@ object Similarity {
           round(coalesce(col("hits"), lit(0L)).cast(DoubleType)
             / col("n_exact"), 4).as("recall"))
     }
-    tierRecall("fresh", freshC, 3).unionAll(tierRecall("stale", staleC, 2))
+    tierRecall("fresh", chains(1)).unionAll(tierRecall("stale", chains(2)))
       .orderBy(col("tier"), col("q_id"))
   }
 
@@ -1683,7 +1694,7 @@ object Similarity {
     val top = topKPerQuery(tiers, K, Seq.empty)
       .select(expr("q_id div 8").as("q_id"), expr("q_id % 8").as("t"),
         col("vec_id"))
-      .localCheckpoint() // Q×4×10 rows — query-sized (s09/s15 discipline)
+      .transform(Tables.ckptTiny) // Q×4×10 rows — query-sized (s09/s15 discipline)
     val exact = top.filter(col("t") === 1L).drop("t")
     val names = map(lit(2L), lit("int8"), lit(3L), lit("pq"),
       lit(4L), lit("binary"))
@@ -1917,8 +1928,10 @@ object Similarity {
     * the final visited frame (q_id, vec_id, cos). */
   private def beamVisited(spark: SparkSession, artPath: String,
       cents: DataFrame, qs: DataFrame): DataFrame = {
-    val art = spark.read.format("docstore")
-      .option("path", artPath).load()
+    // size-derived scan splits (guide §6): the build wrote one file per
+    // build task, so a small artifact would otherwise cost a task per
+    // near-empty file in EVERY hop's scan
+    val art = Tables.sizedArtifactRead(spark, artPath)
       .select(col("src"), col("nbr"), col("kind"), col("cell"),
         expr("transform(nbr_emb, x -> CAST(x AS FLOAT))").as("nbr_emb"))
       .localCheckpoint(false)
@@ -1942,11 +1955,19 @@ object Similarity {
     // its own cell's entry is often itself — filtering it out of the
     // walk would make exactly the best cell unreachable); self is
     // excluded only from the FINAL top-k, like every ANN evaluation
-    var visited = probes.join(broadcast(entries), Seq("cell"))
-      .select(col("q_id"), col("entry").as("vec_id"),
-        V.cosine_sim(col("q_vec"), col("emb")).as("cos"))
-      .localCheckpoint(false)
-    val qvecs = qs // (q_id, q_vec), broadcast at every scoring join
+    // every frame in the hop loop is query-sized by construction
+    // (visited ≤ |Q|·(2 + T·B·maxdeg) narrow rows), so the one-partition
+    // checkpoint (Tables.ckptTiny) is the size-proportional layout at
+    // any SF and every hop's consumer exchange is 1×R blocks, not
+    // slots×R (guide §2.2)
+    var visited = Tables.ckptTiny(
+      probes.join(broadcast(entries), Seq("cell"))
+        .select(col("q_id"), col("entry").as("vec_id"),
+          V.cosine_sim(col("q_vec"), col("emb")).as("cos")))
+    // (q_id, q_vec), broadcast at every scoring join — pinned once so
+    // the per-hop broadcast subtree reads a 1-partition cached frame
+    // instead of re-running the query scan every hop
+    val qvecs = Tables.ckptTiny(qs)
     for (_ <- 1 to S18T) {
       val beam = visited
         .groupBy(col("q_id"))
@@ -1960,12 +1981,15 @@ object Similarity {
         // a candidate reachable from several beam nodes scores once
         .groupBy(col("q_id"), col("vec_id"))
         .agg(first(col("nbr_emb")).as("nbr_emb"))
-        .join(visited.select(col("q_id"), col("vec_id")),
+        // broadcast the visited side: beam-bounded by construction, so
+        // the anti join stays a map-side hash probe instead of
+        // shuffling+sorting both sides (guide §3.1)
+        .join(broadcast(visited.select(col("q_id"), col("vec_id"))),
           Seq("q_id", "vec_id"), "left_anti")
         .join(broadcast(qvecs), Seq("q_id"))
         .select(col("q_id"), col("vec_id"),
           V.cosine_sim(col("q_vec"), col("nbr_emb")).as("cos"))
-      visited = visited.unionByName(cand).localCheckpoint(false)
+      visited = Tables.ckptTiny(visited.unionByName(cand))
     }
     visited
   }
@@ -1973,13 +1997,16 @@ object Similarity {
   def s18GraphAnn(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables(spark, dir, "embeddings")
     val (cents, _) = graphCentroids(corpus)
-    val visited = beamVisited(spark,
-      ensureGraphAnnArtifact(spark, dir), cents, queriesDf(spark, dir))
+    // the beam chain and the s01 exact baseline are independent eager
+    // chains — overlap them (guide §2.6)
+    val (visited, exact) = graft.Par.run2(
+      () => beamVisited(spark,
+        ensureGraphAnnArtifact(spark, dir), cents, queriesDf(spark, dir)),
+      () => Tables.ckptTiny(s01BruteForce(spark, dir)
+        .select(col("q_id"), col("vec_id"))))
     val top = topKPerQuery(visited.filter(col("vec_id") =!= col("q_id"))
         .withColumn("__x", lit(0)), K, Seq("__x"))
       .select(col("q_id"), col("vec_id"))
-    val exact = s01BruteForce(spark, dir)
-      .select(col("q_id"), col("vec_id")).localCheckpoint()
     val hits = exact.join(broadcast(top), Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
     visited.groupBy(col("q_id")).agg(count(lit(1)).as("n_visited"))
@@ -2231,19 +2258,32 @@ object Similarity {
     val base = Tables(spark, dir, "embeddings")
     val grown = grownCorpus(spark, dir)
     val qs = grownQueries(spark, dir)
-    val (oldCents, _) = graphCentroids(base)
-    val (freshCents, _) = graphCentroids(
-      grown.select(col("vec_id"), col("embedding")))
-    val exact = topKPerQuery(
-        grown.crossJoin(broadcast(qs))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            V.cosine_sim(col("q_vec"), col("embedding")).as("cos")),
-        K, Nil)
-      .select(col("q_id"), col("vec_id")).localCheckpoint()
-    def tier(name: String, artPath: String,
-        cents: DataFrame): DataFrame = {
-      val visited = beamVisited(spark, artPath, cents, qs)
+    // the two centroid picks each pay one corpus count — overlap them,
+    // then run the four remaining eager chains (exact baseline + three
+    // per-tier beam probes) concurrently: they are independent and each
+    // is a serial hop-job chain that leaves most cores idle on its own
+    // (guide §2.6). The ensure* builds inside the tier thunks are
+    // artifact-cached and file-locked, so concurrent ensure calls of
+    // the shared base graph serialize safely.
+    val (oldCents, freshCents) = graft.Par.run2(
+      () => graphCentroids(base)._1,
+      () => graphCentroids(grown.select(col("vec_id"), col("embedding")))._1)
+    val chains = graft.Par.run[DataFrame](
+      () => Tables.ckptTiny(topKPerQuery(
+          grown.crossJoin(broadcast(qs))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              V.cosine_sim(col("q_vec"), col("embedding")).as("cos")),
+          K, Nil)
+        .select(col("q_id"), col("vec_id"))),
+      () => beamVisited(spark, ensureGraphFreshArtifact(spark, dir),
+        freshCents, qs),
+      () => beamVisited(spark, ensureGraphMaintArtifact(spark, dir),
+        oldCents, qs),
+      () => beamVisited(spark, ensureGraphAnnArtifact(spark, dir),
+        oldCents, qs))
+    val exact = chains(0)
+    def tier(name: String, visited: DataFrame): DataFrame = {
       val top = topKPerQuery(
           visited.filter(col("vec_id") =!= col("q_id"))
             .withColumn("__x", lit(0)), K, Seq("__x"))
@@ -2257,11 +2297,9 @@ object Similarity {
           round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4)
             .as("recall"))
     }
-    tier("fresh", ensureGraphFreshArtifact(spark, dir), freshCents)
-      .unionByName(tier("maintained",
-        ensureGraphMaintArtifact(spark, dir), oldCents))
-      .unionByName(tier("stale",
-        ensureGraphAnnArtifact(spark, dir), oldCents))
+    tier("fresh", chains(1))
+      .unionByName(tier("maintained", chains(2)))
+      .unionByName(tier("stale", chains(3)))
       .orderBy(col("tier"), col("q_id"))
   }
 
@@ -2478,9 +2516,22 @@ object Similarity {
     * top-k), and the metric algebra is query-sized (4 tiers × Q × 10
     * narrow rows). */
   def s20RankMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val exact = s01BruteForce(spark, dir)
-      .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
-      .localCheckpoint()
+    // five independent eager chains — the exact baseline plus each
+    // tier's ranked frame (every one is that key's own artifact-probe
+    // chain) — overlap them (guide §2.6) and checkpoint only the three
+    // query-sized columns the metric algebra reads
+    val chains = graft.Par.run[DataFrame](
+      () => Tables.ckptTiny(s01BruteForce(spark, dir)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))),
+      () => Tables.ckptTiny(s14BinaryQuantize(spark, dir)
+        .select(col("q_id"), col("vec_id"), col("rank"))),
+      () => Tables.ckptTiny(s18TopFrame(spark, dir)
+        .select(col("q_id"), col("vec_id"), col("rank"))),
+      () => Tables.ckptTiny(s02Ivf(spark, dir)
+        .select(col("q_id"), col("vec_id"), col("rank"))),
+      () => Tables.ckptTiny(s07IvfPq(spark, dir)
+        .select(col("q_id"), col("vec_id"), col("rank"))))
+    val exact = chains(0)
     val dcgArr = array(S20DcgW.map(w =>
       expr(s"CAST($w AS DECIMAL(8,6))")): _*)
     val mrrArr = array(S20MrrW.map(w =>
@@ -2507,10 +2558,10 @@ object Similarity {
           col("__dcg").cast(DoubleType).as("dcg"),
           round(col("__dcg").cast(DoubleType) / lit(4.543560d), 4)
             .as("ndcg"))
-    metrics("binary", s14BinaryQuantize(spark, dir))
-      .unionByName(metrics("graph", s18TopFrame(spark, dir)))
-      .unionByName(metrics("ivf2", s02Ivf(spark, dir)))
-      .unionByName(metrics("ivfpq", s07IvfPq(spark, dir)))
+    metrics("binary", chains(1))
+      .unionByName(metrics("graph", chains(2)))
+      .unionByName(metrics("ivf2", chains(3)))
+      .unionByName(metrics("ivfpq", chains(4)))
       .orderBy(col("tier"), col("q_id"))
   }
 

@@ -1505,7 +1505,7 @@ object Streaming {
     // still hits the same collection (the idempotence under test).
     val path = "/tmp/graft_docstore/st20_view_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + Streaming.runNonce
-    val view = st19OplogView(spark, dir).localCheckpoint(false)
+    val view = Tables.ckptNarrow(st19OplogView(spark, dir), 8)
     val odd = view.filter(col("user_id") % 2 === 1)
     graft.Graft.aggregate(view.filter(col("user_id") % 2 === 0),
       s"""[{"$$out": "$path"}]""")
@@ -1859,13 +1859,16 @@ object Streaming {
     */
   def st15IngestDedup(spark: SparkSession, dir: String): DataFrame = {
     val D = graft.operators.Dedup
-    val corpusSigs = spark.read.format("docstore")
-      .option("path", D.ensureMinhashSigArtifact(spark, dir)).load()
+    val corpusSigs = Tables.sizedArtifactRead(spark,
+      D.ensureMinhashSigArtifact(spark, dir))
       .select(col("doc_id").as("cid"), col("sig").as("csig"))
     val batchSigs = st15Wave(spark, dir)
       .select(col("doc_id").as("nid"),
         graft.functions.text.minhash_sig(col("text"), 64, 3).as("nsig"))
       .localCheckpoint(false) // kernel once (the dd16 barrier rule)
+      // post-checkpoint coalesce (dd16's rule): kernel parallel below,
+      // batch-sized consumers read one partition — 1×R shuffle blocks
+      .coalesce(1)
     st15Verdicts(corpusSigs, batchSigs, None)
   }
 
