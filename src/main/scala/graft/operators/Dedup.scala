@@ -280,7 +280,7 @@ object Dedup {
       // text scan (4 scans in dd04/dd10's executed plans — PlanSweep
       // multi_text_scans, round-12). The checkpoint stores one shingled
       // row per doc; the explode stays downstream of it.
-      .localCheckpoint(false)
+      .transform(Tables.ckptNarrow(_, 4))
     // explode_OUTER: sh is never empty (the shingle kernel falls back to
     // the whole text below 3 tokens), so outer ≡ inner — and the inner
     // form lets InferFiltersFromGenerate add size(sh)>0 / isnotnull(sh)
@@ -847,7 +847,7 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(T.shingle_hashes(col("text"), 8)).as("g"))
       .select(col("doc_id"), explode_outer(col("g")).as("gram"))
-      .localCheckpoint(false)
+      .transform(Tables.ckptNarrow(_, 4))
     val dfs = postings.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
     // merge-join ON PURPOSE: broadcasting dfs (what stats would pick at
@@ -1266,7 +1266,7 @@ object Dedup {
         filter(split(lower(col("text")), "[ \\t\\n\\r]+"), x => x =!= "")
           .as("ts"))
       .filter(size(col("ts")) > 0)
-      .localCheckpoint(false) // reused: grams + final reassembly
+      .transform(Tables.ckptNarrow(_, 4)) // reused: grams + final reassembly
     substringDedupCore(toksDf, dd14GramKeys, 16)
   }
 
@@ -1297,7 +1297,7 @@ object Dedup {
           })))
       .select(Seq(col("doc_id"), col("n"), col("pos").as("i")) ++
         keyNames.map(nm => col(s"col.$nm")): _*)
-      .localCheckpoint(false) // feeds the count agg AND the flag join
+      .transform(Tables.ckptNarrow(_, 4)) // feeds the count agg AND the flag join
     val cnts = grams.groupBy(keyNames.map(col): _*).agg(count(lit(1)).as("c"))
     val covered = grams
       .join(cnts.filter(col("c") >= 2L).hint("merge"), keyNames)

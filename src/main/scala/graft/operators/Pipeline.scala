@@ -340,7 +340,7 @@ object Pipeline {
     // token frame — without the barrier it re-runs the tokenizer against
     // its own parquet scan (the m14 audit class; for p17 that doubles
     // the BPE kernel cost)
-    val toks = toks0.localCheckpoint(false)
+    val toks = Tables.ckptNarrow(toks0)
     val bounds = toks.agg(min(col("doc_id")).as("__lo"),
       max(col("doc_id")).as("__hi"))
     val bucketed = toks.crossJoin(broadcast(bounds))
@@ -588,7 +588,7 @@ object Pipeline {
     * sequences, zero/one-token docs) through the exact algebra. */
   private[graft] def packSpans(toks0: DataFrame, seqLen: Long,
       carry: Seq[String] = Nil): DataFrame = {
-    val toks = toks0.localCheckpoint(false) // same one-pass barrier
+    val toks = Tables.ckptNarrow(toks0) // same one-pass barrier
     val bounds = toks.agg(min(col("doc_id")).as("__lo"),
       max(col("doc_id")).as("__hi"))
     val bucketed = toks.crossJoin(broadcast(bounds))
@@ -946,7 +946,7 @@ object Pipeline {
     val labels = Tables.sizedArtifactRead(spark,
       Dedup.ensureClusterArtifact(spark, dir))
       .select(col("doc_id"), col("cluster_id"))
-    val pd = p16TokenFrame(spark, dir).localCheckpoint(false)
+    val pd = Tables.ckptNarrow(p16TokenFrame(spark, dir), 4)
 
     // per-doc map-side stats off the token frame (no text anywhere)
     val langPred = {
@@ -1515,7 +1515,7 @@ object Pipeline {
     val dec38 = DecimalType(38, 0)
     val toksDf = Tables.spread(Tables(spark, dir, "documents"))
       .select(col("source"), TextAnalysis.toks(col("text")).as("ts"))
-      .localCheckpoint() // one tokenization: unigram counts + bigrams
+      .transform(Tables.ckptNarrow(_, 4)) // one tokenization: unigram counts + bigrams
     // ONE occurrence pass: the unigram table already carries everything
     // the scalars need — ntot = Σcnt, V = |cu| — exactly how the oracle
     // derives them (review r12: the separate explode+countDistinct and
@@ -1550,7 +1550,7 @@ object Pipeline {
       .select(col("w1"), col("w2"), col("cb"),
         (r6ln(col("n")) - r6ln(col("cnt"))).as("wu"),
         (r6ln(col("cl") + col("v")) - r6ln(col("cb") + 1)).as("wb"))
-      .localCheckpoint(false) // two consumers: head build + tail join
+      .transform(Tables.ckptNarrow(_, 4)) // two consumers: head build + tail join
     val headW = weights
       .orderBy(col("cb").desc, col("w1"), col("w2")).limit(headK)
       .select(col("w1"), col("w2"), col("wu"), col("wb"))
@@ -1563,7 +1563,7 @@ object Pipeline {
         when(col("wu").isNull, col("w2")).as("t2"))
       .agg(count(lit(1)).as("k"),
         sum(col("wu")).as("shu"), sum(col("wb")).as("shb"))
-      .localCheckpoint(false)
+      .transform(Tables.ckptNarrow(_, 4))
     val headPart = pre.filter(col("t1").isNull)
       .select(col("source"), col("k"),
         col("shu").as("swu"), col("shb").as("swb"))

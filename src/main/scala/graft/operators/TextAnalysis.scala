@@ -307,7 +307,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // postings computed once for df agg + scoring join
+      .transform(Tables.ckptNarrow(_, 4)) // postings computed once for df agg + scoring join
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_raw").desc, col("term"))
@@ -603,7 +603,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint() // postings computed once for freq agg + scoring join
+      .transform(Tables.ckptNarrow(_, 4)) // postings computed once for freq agg + scoring join
     val freq = tfdt.groupBy(col("term")).agg(sum(col("k")).as("cnt"))
     // n_total = Σ cnt over the vocab — a second small agg over freq, not
     // a second corpus pass (freq itself reads the checkpointed postings)
@@ -695,7 +695,7 @@ object TextAnalysis {
       headK: Int = 65536): DataFrame = {
     val toksDf = Tables.spread(Tables(spark, dir, "documents"))
       .select(col("doc_id"), col("source"), toks(col("text")).as("ts"))
-      .localCheckpoint() // one tokenization: vocab + bigram postings
+      .transform(Tables.ckptNarrow(_, 4)) // one tokenization: vocab + bigram postings
     val vocab = toksDf.select(explode(col("ts")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     // Round-13 TIERED scoring. Round 10b's all-broadcast weight table
@@ -723,7 +723,7 @@ object TextAnalysis {
             .cast("decimal(18,6)") -
           round(log((col("cb") + 1).cast(DoubleType)), 6)
             .cast("decimal(18,6)")).as("w"))
-      .localCheckpoint(false) // two consumers: head build + tail join
+      .transform(Tables.ckptNarrow(_, 4)) // two consumers: head build + tail join
     // bounded head: distributed TakeOrdered, ties cut deterministically
     val headW = weights
       .orderBy(col("cb").desc, col("w1"), col("w2")).limit(headK)
@@ -740,7 +740,7 @@ object TextAnalysis {
         when(col("w").isNull, col("w1")).as("t1"),
         when(col("w").isNull, col("w2")).as("t2"))
       .agg(count(lit(1)).as("k"), sum(col("w")).as("sh"))
-      .localCheckpoint(false)
+      .transform(Tables.ckptNarrow(_, 4))
     val headPart = pre.filter(col("t1").isNull)
       .select(col("doc_id"), col("k"), col("sh").as("sw"))
     val tailPart = pre.filter(col("t1").isNotNull)
