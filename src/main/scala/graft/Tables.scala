@@ -198,7 +198,22 @@ object Tables {
     df.coalesce(parts.toInt)
   }
 
-  private val SplitBytes = 128L * 1024 * 1024
+  // 32 MiB, not the scan default 128 MiB: artifact rows feed hashing /
+  // cosine kernels whose per-core throughput makes a 128 MiB-per-task
+  // layout a serial second at the synthesized-sf1 decade check; at
+  // production sizes bytes/32 MiB exceeds the file count and the
+  // coalesce is still the identity
+  private val SplitBytes = 32L * 1024 * 1024
+
+  /** Coalesce an ALREADY-checkpointed frame's read side by `shrink`
+    * (floor 1) — [[ckptNarrow]]'s tail half, for call sites that manage
+    * the checkpoint themselves. */
+  def coalesceTail(ck: DataFrame, shrink: Int): DataFrame = {
+    val parts =
+      try ck.rdd.getNumPartitions catch { case _: Throwable => return ck }
+    if (parts <= 1) ck else ck.coalesce(math.max(1, parts / shrink))
+  }
+
 
   private def dirBytes(path: String): Long = {
     import java.nio.file.{Files, Paths}

@@ -270,7 +270,8 @@ object Dedup {
     * `(source, id_a, id_b, sz_a, sz_b, common)` for every same-source
     * pair sharing ≥1 shingle (bucket df capped at 10k).
     */
-  private def commonCounts(corpus0: DataFrame): DataFrame = {
+  private def commonCounts(corpus0: DataFrame,
+      shrink: Int = 4): DataFrame = {
     val corpus = Tables.spread(corpus0) // parallel shingling
       .select(col("doc_id"), col("source"),
         array_distinct(T.shingle_hashes(col("text"), 3)).as("sh"))
@@ -280,7 +281,7 @@ object Dedup {
       // text scan (4 scans in dd04/dd10's executed plans — PlanSweep
       // multi_text_scans, round-12). The checkpoint stores one shingled
       // row per doc; the explode stays downstream of it.
-      .transform(Tables.ckptNarrow(_, 4))
+      .transform(Tables.ckptNarrow(_, shrink))
     // explode_OUTER: sh is never empty (the shingle kernel falls back to
     // the whole text below 3 tokens), so outer ≡ inner — and the inner
     // form lets InferFiltersFromGenerate add size(sh)>0 / isnotnull(sh)
@@ -1266,7 +1267,7 @@ object Dedup {
         filter(split(lower(col("text")), "[ \\t\\n\\r]+"), x => x =!= "")
           .as("ts"))
       .filter(size(col("ts")) > 0)
-      .transform(Tables.ckptNarrow(_, 4)) // reused: grams + final reassembly
+      .localCheckpoint(false) // reused: grams + final reassembly
     substringDedupCore(toksDf, dd14GramKeys, 16)
   }
 
@@ -1297,7 +1298,7 @@ object Dedup {
           })))
       .select(Seq(col("doc_id"), col("n"), col("pos").as("i")) ++
         keyNames.map(nm => col(s"col.$nm")): _*)
-      .transform(Tables.ckptNarrow(_, 4)) // feeds the count agg AND the flag join
+      .localCheckpoint(false) // feeds the count agg AND the flag join
     val cnts = grams.groupBy(keyNames.map(col): _*).agg(count(lit(1)).as("c"))
     val covered = grams
       .join(cnts.filter(col("c") >= 2L).hint("merge"), keyNames)
@@ -1537,11 +1538,12 @@ object Dedup {
     val batchSigs = batch.select(col("doc_id").as("nid"),
         T.minhash_sig(col("text"), 64, 3).as("nsig"))
       .localCheckpoint(false)
-      // coalesce AFTER the checkpoint: the kernel materializes at the
-      // spread parallelism, but the 512 B/doc batch-sized signature
-      // frame then feeds its consumers from one partition — every
-      // downstream band/verify exchange is 1×R blocks (guide §2.2)
-      .coalesce(1)
+      // coalesce AFTER the checkpoint (the kernel materializes at the
+      // spread parallelism): the 512 B/doc signature frame feeds its
+      // band/verify consumers from a few partitions — near-1×R shuffle
+      // blocks (guide §2.2) without serializing the banding at larger
+      // SFs (sf1 decade check)
+      .transform(Tables.coalesceTail(_, 8))
     val est = corpusProbeMatches(corpusSigs, batchSigs)
     val verdicts = est.groupBy(col("nid"))
       .agg(count(lit(1)).as("n_matches"),
@@ -1629,7 +1631,9 @@ object Dedup {
     // runs per parameter choice, not per corpus build; the per-corpus
     // production keys cache only narrow frames (sigs/shingle arrays).
     val planted = dd17Corpus(spark, dir).localCheckpoint(false)
-    val truth = commonCounts(planted.withColumn("source", lit("all")))
+    // shrink 1: dd17's truth side is ~10 corpus branches wide and its
+    // posting partial-agg is the per-key bottleneck — keep full width
+    val truth = commonCounts(planted.withColumn("source", lit("all")), 1)
       .withColumn("jaccard", col("common").cast(DoubleType) /
         (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= 0.1)

@@ -1159,9 +1159,9 @@ object TextAnalysis {
     // join and re-hashes every document once per eval pair (measured:
     // 17.5 s vs 2.5 s at the synthesized sf1 — |eval|× kernel cost).
     // Shuffling 512 B signatures once is the cheap side of that trade.
-    val corpusSigs = Tables.ckptNarrow(
-      sigOf(corpus).repartition(col("doc_id"))) // two consumers: band explode + exact rerank
-    val evalSigsCk = Tables.ckptNarrow(evalSigs)
+    val corpusSigs = sigOf(corpus).repartition(col("doc_id"))
+      .localCheckpoint(false) // two consumers: band explode + exact rerank
+    val evalSigsCk = evalSigs.localCheckpoint(false)
     // 32 bands × 2 consecutive signature positions: narrow band rows,
     // candidates by hash equi-join on the band key — both sides are
     // data-sized, so neither is ever broadcast

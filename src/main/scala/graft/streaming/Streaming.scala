@@ -1867,8 +1867,8 @@ object Streaming {
         graft.functions.text.minhash_sig(col("text"), 64, 3).as("nsig"))
       .localCheckpoint(false) // kernel once (the dd16 barrier rule)
       // post-checkpoint coalesce (dd16's rule): kernel parallel below,
-      // batch-sized consumers read one partition — 1×R shuffle blocks
-      .coalesce(1)
+      // consumers read a few partitions (sf1-safe, guide §2.2)
+      .transform(graft.Tables.coalesceTail(_, 8))
     st15Verdicts(corpusSigs, batchSigs, None)
   }
 

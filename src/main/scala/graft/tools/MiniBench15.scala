@@ -45,6 +45,16 @@ object MiniBench15 {
       if (ss.nonEmpty)
         println(f"$k%-28s min ${ss.head}%6.3f  p50 ${ss(ss.size / 2)}%6.3f  n=${ss.size}")
     }
+    // BENCH_FULL-shaped json (queries = per-key min) so
+    // tools/decade_bands.py can consume probe runs directly
+    sys.env.get("MINIBENCH_JSON").foreach { out =>
+      val qj = keys.flatMap(k => samples.getOrElse(k, Nil).sorted.headOption
+          .map(m => "\"" + k + "\":" + m))
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        s"""{"metric":"total","queries":$qj,"rounds":$rounds,"sf":"$sfDir"}""")
+      println(s"WROTE $out")
+    }
     spark.stop()
   }
 }
