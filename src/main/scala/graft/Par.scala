@@ -30,6 +30,10 @@ object Par {
         try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException =>
+            // cancel the siblings before rethrowing so no stray Spark
+            // jobs keep burning executors after the operator has failed
+            pool.shutdownNow()
+            fs.foreach(_.cancel(true))
             throw e.getCause
         }
       }.toIndexedSeq

@@ -194,8 +194,12 @@ object Tables {
     */
   def sizedArtifactRead(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.format("docstore").option("path", path).load()
-    val parts = math.max(1L, (dirBytes(path) + SplitBytes - 1) / SplitBytes)
-    df.coalesce(parts.toInt)
+    val bytes = dirBytes(path)
+    // unknown size (non-local FS, permission error) ⇒ leave the scan alone;
+    // a saturating-add here would silently coalesce a huge artifact to 1 task
+    if (bytes < 0) return df
+    val parts = math.max(1L, (bytes + SplitBytes - 1) / SplitBytes)
+    df.coalesce(math.min(parts, Int.MaxValue.toLong).toInt)
   }
 
   // 32 MiB, not the scan default 128 MiB: artifact rows feed hashing /
@@ -215,15 +219,23 @@ object Tables {
   }
 
 
+  /** Total bytes under `path`, walked recursively (nested layouts count
+    * every leaf, not just top-level files); -1 when the size cannot be
+    * determined — callers must treat that as "leave the scan alone".
+    * Only IOException maps to the sentinel; fatal errors propagate.
+    */
   private def dirBytes(path: String): Long = {
     import java.nio.file.{Files, Paths}
     try {
       val p = Paths.get(path)
       if (!Files.isDirectory(p)) return Files.size(p)
-      val stream = Files.list(p)
+      val stream = Files.walk(p)
       try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
         .filter(Files.isRegularFile(_)).map(Files.size).sum
       finally stream.close()
-    } catch { case _: Throwable => Long.MaxValue } // unknown ⇒ no coalesce
+    } catch {
+      case _: java.io.IOException => -1L
+      case _: java.io.UncheckedIOException => -1L
+    }
   }
 }

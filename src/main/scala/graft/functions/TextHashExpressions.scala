@@ -161,6 +161,36 @@ case class BpeDecodeExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "bpe_decode"
 }
 
+/** Per-distinct-character counts (whitespace removed) — t25's entropy
+  * histogram as ONE kernel pass; see TextHashes.charCountValues. */
+case class CharCountValuesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.charCountValues(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.charCountValues($c)")
+  override protected def withNewChildInternal(c: Expression): CharCountValuesExpr =
+    copy(child = c)
+  override def prettyName: String = "char_count_values"
+}
+
+/** Per-document duplicated-n-gram stats (max gram count, duplicated-gram
+  * count sum) over a token array — t18's gram histogram as one kernel
+  * pass; see TextHashes.gramStats. */
+case class GramStatsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("maxc", LongType, nullable = false),
+    StructField("dupsum", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.gramStats(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.gramStats($c, $n)")
+  override protected def withNewChildInternal(c: Expression): GramStatsExpr =
+    copy(child = c)
+  override def prettyName: String = "gram_stats"
+}
+
 /** Column-API façade (the library's user-facing function surface). */
 object text {
   def minhash_sig(c: Column, numHashes: Int = 64, shingleK: Int = 3): Column =
@@ -182,6 +212,10 @@ object text {
     toColumn(BpeTokenIdsExpr(expression(c)))
   def bpe_decode(c: Column): Column =
     toColumn(BpeDecodeExpr(expression(c)))
+  def char_count_values(c: Column): Column =
+    toColumn(CharCountValuesExpr(expression(c)))
+  def gram_stats(c: Column, n: Int): Column =
+    toColumn(GramStatsExpr(expression(c), n))
 
   private[graft] def expression(c: Column): Expression = toExpression(c)
 }

@@ -250,4 +250,94 @@ object TextHashes {
     }
     h
   }
+
+  /** Per-distinct-character occurrence counts of `text` with the four
+    * whitespace chars (space, tab, LF, CR) removed — one pass per
+    * document, by code point (matching `split(s, "")`, which since
+    * Java 8 advances zero-width matches by code point and never splits
+    * a surrogate pair). Only the COUNTS are returned, in code-point
+    * order (deterministic; t25's entropy algebra never reads the
+    * character itself, and its decimal sum is order-independent).
+    * Replaces a per-character explode + (doc, char) exchange with a
+    * map-only kernel (round 16; optimization guide §1.2 step 2).
+    */
+  def charCountValues(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val ascii = new Array[Long](128)
+    var other: java.util.TreeMap[Integer, Array[Long]] = null
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp != ' '.toInt && cp != '\t'.toInt && cp != '\n'.toInt &&
+          cp != '\r'.toInt) {
+        if (cp < 128) ascii(cp) += 1L
+        else {
+          if (other == null) other = new java.util.TreeMap[Integer, Array[Long]]()
+          val cell = other.get(cp)
+          if (cell == null) other.put(cp, Array(1L)) else cell(0) += 1L
+        }
+      }
+      i += Character.charCount(cp)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var c = 0
+    while (c < 128) { if (ascii(c) > 0) out += ascii(c); c += 1 }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) out += it.next()(0)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Per-document duplicated-n-gram statistics over a token array —
+    * (max count of any n-gram, sum of counts over n-grams occurring
+    * ≥ 2 times). Grams are the space-joined token windows t18's
+    * explode + two (doc, gram) exchanges built; here the whole
+    * histogram lives and dies inside one kernel call (round 16), so
+    * the ~(tokens × 2) gram rows never exist as Spark rows and the
+    * per-doc aggregation needs no shuffle at all. A window containing
+    * a NULL token mirrors SQL `||` null-propagation: all such windows
+    * fall into one NULL-gram group (toks() never produces one, but
+    * the semantics must match the expression being replaced).
+    */
+  def gramStats(ts: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val len = ts.numElements()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L))
+    val m = new java.util.HashMap[String, Array[Long]]()
+    var nullC = 0L
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= len) {
+      var isNull = false
+      sb.setLength(0)
+      var j = 0
+      while (j < n && !isNull) {
+        if (ts.isNullAt(i + j)) isNull = true
+        else {
+          if (j > 0) sb.append(' ')
+          sb.append(ts.getUTF8String(i + j).toString)
+        }
+        j += 1
+      }
+      if (isNull) nullC += 1L
+      else {
+        val k = sb.toString
+        val cell = m.get(k)
+        if (cell == null) m.put(k, Array(1L)) else cell(0) += 1L
+      }
+      i += 1
+    }
+    var maxc = nullC
+    var dupsum = if (nullC >= 2L) nullC else 0L
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > maxc) maxc = c
+      if (c >= 2L) dupsum += c
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](maxc, dupsum))
+  }
 }

@@ -1030,11 +1030,16 @@ object Dedup {
     * checkpointed so one chunking pass feeds both the winners agg and the
     * per-doc totals; all three shuffles move compact keys.
     */
-  /** (doc_id, pos, chunk): the planted corpus tokenized into 10-word
-    * chunks — the shared first pass of the chunk-level passes (dd07
-    * dedup, dd12 boilerplate strip). localCheckpointed: every consumer
-    * aggregates it at least twice, and re-chunking 100 TB of text per
-    * consumer branch is the expensive half of either operator.
+  /** (doc_id, pos, chunk, h): the planted corpus tokenized into 10-word
+    * chunks with the chunk's md5 — the shared first pass of the
+    * chunk-level passes (dd07 dedup, dd12 boilerplate strip).
+    * localCheckpointed: every consumer aggregates it at least twice, and
+    * re-chunking 100 TB of text per consumer branch is the expensive
+    * half of either operator. The hash rides the checkpoint (round 16)
+    * so the dedup/df decisions downstream run on NARROW (h, doc_id,
+    * pos) rows and the text itself crosses exactly one exchange — the
+    * doc_id reassembly (guide §2.3 "shuffle keys and metadata instead
+    * of payloads").
     */
   private def chunked10(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.spread(plantedDocs(spark, dir))
@@ -1046,22 +1051,30 @@ object Dedup {
         |  i -> named_struct('pos', i,
         |    'chunk', array_join(slice(ws, i*10+1, 10), ' ')))""".stripMargin))
       .as("c"))
-      .select(col("doc_id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
+      .select(col("doc_id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"),
+        md5(col("c.chunk")).as("h"))
       .localCheckpoint()
   }
 
   def dd07ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val chunks = chunked10(spark, dir)
-    // struct min orders by (doc_id, pos) — unique, so this IS the
-    // first-occurrence row, chunk text riding along for reassembly
+    // first occurrence per chunk hash decided on NARROW rows (round 16
+    // — guide §2.3): struct min over (doc_id, pos) is the same unique
+    // first-occurrence pick the old (doc_id, pos, chunk) min made, but
+    // the chunk text no longer crosses the h-exchange; winners collapse
+    // to a per-doc kept-pos set, and the text is re-attached by the
+    // SAME doc_id key the reassembly aggregates on — one text exchange
+    // end to end at any scale.
     val winners = chunks
-      .groupBy(md5(col("chunk")).as("h"))
-      .agg(min(struct(col("doc_id"), col("pos"), col("chunk"))).as("f"))
-      .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"),
-        col("f.chunk").as("chunk"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(collect_set(col("f.pos")).as("wpos"))
     val totals = chunks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"))
-    val kept = winners.groupBy(col("doc_id"))
+    val kept = chunks.join(winners, Seq("doc_id"))
+      .filter(array_contains(col("wpos"), col("pos")))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("chunk")))),
@@ -1124,14 +1137,24 @@ object Dedup {
   def dd12Boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val chunks = chunked10(spark, dir)
     val boiler = chunks
-      .select(md5(col("chunk")).as("h"), col("doc_id")).distinct()
+      .select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 3L)
       .select(col("h"))
     val totals = chunks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"))
-    val kept = chunks.withColumn("h", md5(col("chunk")))
-      .join(boiler, Seq("h"), "left_anti")
+    // removal decided on NARROW rows (round 16 — guide §2.3): the old
+    // left_anti on h dragged every chunk's text through the h-exchange
+    // before the doc_id reassembly shuffled it AGAIN. Now the
+    // boilerplate join runs on (h, doc_id, pos) only (the df-tail-sized
+    // boiler side still broadcasts), collapses to a per-doc removed-pos
+    // set, and the text crosses exactly one exchange — the same doc_id
+    // key the reassembly groups on.
+    val removed = chunks.select(col("h"), col("doc_id"), col("pos"))
+      .join(boiler, Seq("h"))
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("rpos"))
+    val kept = chunks.join(removed, Seq("doc_id"), "left_outer")
+      .filter(col("rpos").isNull || !array_contains(col("rpos"), col("pos")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

@@ -975,25 +975,16 @@ object Pipeline {
       (langPred === "en").as("k2x"),
       (size(filter(col("ts"),
         x => x.isin(TextAnalysis.blocklist.map(lit): _*))) === 0).as("k3x"),
-      md5(concat_ws(" ", col("ts"))).as("key"))
-
-    // t18's gram gates off the checkpointed token frame
-    // explode_outer over a PROJECTED gram column, never an inner
-    // explode of the construction expression: the inner form lets
-    // InferFiltersFromGenerate + projection-collapse inline full
-    // copies of the gram-array build into an interpreted Filter — the
-    // measured 8× t10 hazard (its in-code comment), tripled here
-    def gramCounts(n: Int): DataFrame = {
-      val g = (0 until n).map(j => s"ts[i + $j]").mkString(" || ' ' || ")
-      pd.filter(size(col("ts")) >= n)
-        .select(col("doc_id"),
-          expr(s"transform(sequence(0, size(ts) - $n), i -> $g)").as("gs"))
-        .select(col("doc_id"), explode_outer(col("gs")).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    }
-    val t2 = gramCounts(2).groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
-    val d5 = gramCounts(5).filter(col("c") >= 2)
-      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup5"))
+      md5(concat_ws(" ", col("ts"))).as("key"),
+      // t18's gram gates as ONE kernel pass each (round 16 — the
+      // gram_stats rewrite t18 itself got): the old explode +
+      // (doc_id, gram) exchanges existed only to take this per-doc
+      // max/sum; a doc shorter than n tokens yields the same zeros the
+      // old left_outer + coalesce produced
+      graft.functions.text.gram_stats(col("ts"), 2)
+        .getField("maxc").as("top2"),
+      graft.functions.text.gram_stats(col("ts"), 5)
+        .getField("dupsum").as("dup5"))
 
     // t10's decontamination grams, both sides off the SAME token frame
     val grams = pd.select(col("doc_id"), expr(
@@ -1014,8 +1005,6 @@ object Pipeline {
     // later stages group on; cluster labels default to self (the
     // verbatim plants are absent from the artifact by design)
     val fl = stats
-      .join(t2, Seq("doc_id"), "left_outer")
-      .join(d5, Seq("doc_id"), "left_outer")
       .join(ov, Seq("doc_id"), "left_outer")
       .join(labels.hint("shuffle_hash"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("source"), col("key"), col("n_bpe"),
@@ -1023,8 +1012,8 @@ object Pipeline {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (col("n_words") > 0).as("k1"), col("k2x"), col("k3x"),
-        (coalesce(col("top2"), lit(0L)) * 10 <= col("n_words") &&
-          coalesce(col("dup5"), lit(0L)) * 100 <=
+        (col("top2") * 10 <= col("n_words") &&
+          col("dup5") * 100 <=
             greatest(col("n_words") - 4, lit(0L)) * 15).as("k4x"),
         (col("n_words") >= 50 && col("n_words") <= 100000 &&
           lit(3) * col("n_words") <= col("sum_len") &&
@@ -1406,6 +1395,11 @@ object Pipeline {
     * by broadcast (no driver action).
     */
   def p20ResumeOffset(spark: SparkSession, dir: String): DataFrame = {
+    // NO barrier on the shard frame, deliberately (round 16): a
+    // ckptNarrow here was A/B'd and REVERTED — the cum ladder and the
+    // grand-total agg are textually identical subtrees, so AQE's stage
+    // cache already dedupes the double consumption, and the checkpoint
+    // only added a serial materialization (MiniBench 1.67→2.10 s).
     val shards = p17BpeTokenShards(spark, dir)
       .select(col("source"), col("shard"), col("shard_tokens"))
       .withColumn("__all", lit(0))
@@ -1679,10 +1673,15 @@ object Pipeline {
     */
   def p22PaddingAudit(spark: SparkSession, dir: String): DataFrame = {
     val L = 512L
-    val toks = Tables.spread(Tables(spark, dir, "documents"))
-      .select(col("doc_id"), col("source"),
-        coalesce(size(graft.functions.text.bpe_token_ids(col("text")))
-          .cast(LongType), lit(0L)).as("t"))
+    // barrier (round 16 — tokenShards' own rule applied here): bounds
+    // and the bucketed ladder are two consumers of the token frame;
+    // without it the BPE kernel re-ran against its own parquet scan
+    // for each consumer (one full corpus tokenization wasted)
+    val toks = Tables.ckptNarrow(
+      Tables.spread(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          coalesce(size(graft.functions.text.bpe_token_ids(col("text")))
+            .cast(LongType), lit(0L)).as("t")))
     val bounds = toks.agg(min(col("doc_id")).as("__lo"),
       max(col("doc_id")).as("__hi"))
     val bucketed = toks.crossJoin(broadcast(bounds))

@@ -1620,45 +1620,45 @@ object Similarity {
       .filter(col("vec_id") % 97 === 11).orderBy(col("vec_id")).limit(kc)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // single-select staging (round 16): the old per-column withColumn
+    // chains (12 per corpus frame + 32 more for the query LUT)
+    // re-analyzed a growing plan once per column — measured ~2.1 s of
+    // pure DRIVER planning time on a 0.9 s-CPU key (Dbg15: construct
+    // 2.14 s with only 7 jobs; guide §7.3's large-plan hazard). The
+    // same expressions now land in three Projects (one per dependency
+    // level: __v → __amax → the rest), algebra unchanged.
+    def dist(c: Int, s: Int): Column =
+      (0 until sub).map { i =>
+        val d = try_element_at(col("__v"), lit(s * sub + i + 1)) -
+          lit(centroids(c)(s * sub + i))
+        d * d
+      }.reduce(_ + _)
     def stagedQuant(df: DataFrame, vecCol: String): DataFrame = {
       val v = s"transform($vecCol, x -> CAST(x AS DOUBLE))"
-      def dist(c: Int, s: Int): Column =
-        (0 until sub).map { i =>
-          val d = try_element_at(col("__v"), lit(s * sub + i + 1)) -
-            lit(centroids(c)(s * sub + i))
-          d * d
-        }.reduce(_ + _)
       def best(s: Int): Column = array_min(array(
         (0 until kc).map(c => struct(dist(c, s).as("d"), lit(c).as("c"))): _*))
-      val base = df.withColumn("__v", expr(v))
-        .withColumn("__amax", expr(
-          "aggregate(__v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
-        .withColumn("__i8", expr(
-          """IF(__amax = 0, transform(__v, x -> CAST(0 AS BIGINT)),
-            |  transform(__v, x -> CAST(round(x * 127.0 / __amax)
-            |    AS BIGINT)))""".stripMargin))
-        .withColumn("__bc", expr(
-          """aggregate(transform(__v, (x, i) ->
-            |  IF(x > 0 AND NOT isnan(x), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-            |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin))
-      (0 until m).foldLeft(base)((acc, s) =>
-        acc.withColumn(s"__pq$s", best(s)))
+      df.select(col("*"), expr(v).as("__v"))
+        .select(col("*"), expr(
+          "aggregate(__v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))")
+          .as("__amax"))
+        .select(col("*") +: (Seq(
+          expr(
+            """IF(__amax = 0, transform(__v, x -> CAST(0 AS BIGINT)),
+              |  transform(__v, x -> CAST(round(x * 127.0 / __amax)
+              |    AS BIGINT)))""".stripMargin).as("__i8"),
+          expr(
+            """aggregate(transform(__v, (x, i) ->
+              |  IF(x > 0 AND NOT isnan(x), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+              |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin).as("__bc"))
+          ++ (0 until m).map(s => best(s).as(s"__pq$s"))): _*)
     }
     // queries carry their int8 form, sign word, and the 8×4 ADC LUT
     // (d(q_s, cent_c) per subspace/centroid — 32 doubles per query)
     val qs0 = stagedQuant(queriesDf(spark, dir), "q_vec")
-    val qlut = (0 until m).foldLeft(qs0) { (acc, s) =>
-      (0 until kc).foldLeft(acc) { (a, c) =>
-        a.withColumn(s"__l${s}_$c",
-          (0 until sub).map { i =>
-            val d = try_element_at(col("__v"), lit(s * sub + i + 1)) -
-              lit(centroids(c)(s * sub + i))
-            d * d
-          }.reduce(_ + _))
-      }
-    }.select(Seq(col("q_id"), col("q_vec"), col("__i8").as("__qi8"),
-      col("__bc").as("__qbc")) ++
-      (0 until m).flatMap(s => (0 until kc).map(c => col(s"__l${s}_$c"))): _*)
+    val qlut = qs0.select(Seq(col("q_id"), col("q_vec"),
+      col("__i8").as("__qi8"), col("__bc").as("__qbc")) ++
+      (0 until m).flatMap(s => (0 until kc).map(c =>
+        dist(c, s).as(s"__l${s}_$c"))): _*)
     val corpus = stagedQuant(
       Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
       "embedding")
@@ -1960,38 +1960,54 @@ object Similarity {
     // checkpoint (Tables.ckptTiny) is the size-proportional layout at
     // any SF and every hop's consumer exchange is 1×R blocks, not
     // slots×R (guide §2.2)
-    var visited = Tables.ckptTiny(
+    // rank-carrying checkpoint (round 16): every hop's checkpointed
+    // frame already carries the per-query beam rank (__rk, a q_id
+    // window ordered by the array-sort key (cos·−1, vec_id) — NaN and
+    // tie behavior identical to the old slice(array_sort(collect…))
+    // agg), and candidate dedup is a lag() filter on the SAME window
+    // pass. That moves the next hop's beam aggregation and the
+    // mid-hop (q_id, vec_id) dedup exchange into the hop's one window
+    // exchange: a hop's serial depth drops from
+    // [beam-agg → bcast → cand+dedup-agg → final] to
+    // [bcast (straight off the checkpoint) → cand → window+ckpt].
+    // A 2-hop unroll (checkpoint every second hop) was also A/B'd and
+    // REVERTED — AQE's stage cache did NOT dedupe the repeated odd-hop
+    // subtree and construct wall tripled (Dbg15: s18 3.15→10.5 s).
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("__n").asc, col("vec_id").asc)
+    // Dedup rides the rank window: a (q_id, vec_id) pair appearing more
+    // than once — a candidate reachable from several beam nodes, or a
+    // re-proposal of an already-visited node — carries IDENTICAL rows
+    // (same q_vec, same inline nbr_emb ⇒ same cos), so equal sort keys
+    // put the copies adjacent and lag() drops all but one. That folds
+    // BOTH the old mid-hop (q_id, vec_id) dedup aggregate AND the
+    // never-visited anti-join into the one window pass; the visited SET
+    // is unchanged (a re-proposed node's copy is bit-identical to its
+    // visited row).
+    def rebeam(df: DataFrame): DataFrame = Tables.ckptTiny(
+      df.withColumn("__n", col("cos") * -1)
+        .withColumn("__dup", lag(col("vec_id"), 1).over(wq) === col("vec_id"))
+        .filter(col("__dup").isNull || !col("__dup"))
+        .withColumn("__rk", row_number().over(wq))
+        .drop("__n", "__dup"))
+    // q_vec rides the visited frame (Q×64 floats per row, bounded), so
+    // each hop broadcasts ONE frame — the beam, vectors inline — where
+    // the old loop paid three broadcast jobs per hop (beam + visited
+    // keys + a pinned qvecs frame); hop latency here is broadcast-job
+    // count, not bytes (round 16, measured via Dbg15 job attribution)
+    var visited = rebeam(
       probes.join(broadcast(entries), Seq("cell"))
-        .select(col("q_id"), col("entry").as("vec_id"),
+        .select(col("q_id"), col("q_vec"), col("entry").as("vec_id"),
           V.cosine_sim(col("q_vec"), col("emb")).as("cos")))
-    // (q_id, q_vec), broadcast at every scoring join — pinned once so
-    // the per-hop broadcast subtree reads a 1-partition cached frame
-    // instead of re-running the query scan every hop
-    val qvecs = Tables.ckptTiny(qs)
     for (_ <- 1 to S18T) {
-      val beam = visited
-        .groupBy(col("q_id"))
-        .agg(slice(array_sort(collect_list(struct(
-          (col("cos") * -1).as("__n"), col("vec_id")))), 1, S18B)
-          .as("__top"))
-        .select(col("q_id"), explode(col("__top")).as("f"))
-        .select(col("q_id"), col("f.vec_id").as("src"))
+      val beam = visited.filter(col("__rk") <= S18B)
+        .select(col("q_id"), col("q_vec"), col("vec_id").as("src"))
       val cand = edges.join(broadcast(beam), Seq("src"))
-        .select(col("q_id"), col("nbr").as("vec_id"), col("nbr_emb"))
-        // a candidate reachable from several beam nodes scores once
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(first(col("nbr_emb")).as("nbr_emb"))
-        // broadcast the visited side: beam-bounded by construction, so
-        // the anti join stays a map-side hash probe instead of
-        // shuffling+sorting both sides (guide §3.1)
-        .join(broadcast(visited.select(col("q_id"), col("vec_id"))),
-          Seq("q_id", "vec_id"), "left_anti")
-        .join(broadcast(qvecs), Seq("q_id"))
-        .select(col("q_id"), col("vec_id"),
+        .select(col("q_id"), col("q_vec"), col("nbr").as("vec_id"),
           V.cosine_sim(col("q_vec"), col("nbr_emb")).as("cos"))
-      visited = Tables.ckptTiny(visited.unionByName(cand))
+      visited = rebeam(visited.drop("__rk").unionByName(cand))
     }
-    visited
+    visited.drop("__rk").drop("q_vec")
   }
 
   def s18GraphAnn(spark: SparkSession, dir: String): DataFrame = {

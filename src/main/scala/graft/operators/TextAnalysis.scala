@@ -1225,28 +1225,20 @@ object TextAnalysis {
         concat_ws(" ", col("text"),
           array_join(flatten(array_repeat(slice(ws, 1, 5), 6)), " "))
           .as("text"))
-    val toksDf = Tables.spread(docs.unionAll(planted))
+    // per-doc gram histograms inside ONE kernel pass each (round 16):
+    // the old form exploded every 2-gram and 5-gram into its own row
+    // (≈ 2·|tokens| rows/doc) and paid two (doc_id, gram) exchanges
+    // just to take a per-doc max/sum; gramStats returns exactly those
+    // two statistics map-only, so the whole key needs no shuffle but
+    // the presentation sort. A doc shorter than n tokens yields (0, 0)
+    // — the same zeros the old left_outer + coalesce produced.
+    Tables.spread(docs.unionAll(planted))
       .select(col("doc_id"), toks(col("text")).as("ts"))
-      .localCheckpoint() // one tokenization: both gram passes + ids
-    // per-doc gram counts; the size guard matters — sequence(0, n)
-    // DESCENDS when n < 0 (§5's sequence-step hazard)
-    def gramCounts(n: Int): DataFrame = {
-      val g = (0 until n).map(j => s"ts[i + $j]").mkString(" || ' ' || ")
-      toksDf.filter(size(col("ts")) >= n)
-        .select(col("doc_id"),
-          explode(expr(s"transform(sequence(0, size(ts) - $n), i -> $g)"))
-            .as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    }
-    val t2 = gramCounts(2).groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
-    val d5 = gramCounts(5).filter(col("c") >= 2)
-      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup5"))
-    toksDf.select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tokens"))
-      .join(t2, Seq("doc_id"), "left_outer")
-      .join(d5, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("top2"), lit(0L)).as("top2"),
-        coalesce(col("dup5"), lit(0L)).cast(LongType).as("dup5"))
+      .select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tokens"),
+        graft.functions.text.gram_stats(col("ts"), 2)
+          .getField("maxc").as("top2"),
+        graft.functions.text.gram_stats(col("ts"), 5)
+          .getField("dupsum").as("dup5"))
       .withColumn("keep",
         col("top2") * 10 <= col("n_tokens") &&
           col("dup5") * 100 <= greatest(col("n_tokens") - 4, lit(0L)) * 15)
@@ -1956,12 +1948,15 @@ object TextAnalysis {
     */
   def t25EntropyGate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    // one-pass char histogram kernel (round 16): the old per-character
+    // explode + (doc_id, c) exchange built ~|text| rows per doc just to
+    // count them; charCountValues returns the per-distinct-char counts
+    // directly (≤ charset-size values per doc), so the only remaining
+    // exchange is the per-doc entropy aggregation
     val cnt = Tables.spread(docs)
       .select(col("doc_id"),
-        explode(split(translate(col("text"), " \t\n\r", ""), "")).as("c"))
-      .filter(col("c") =!= "")
-      .groupBy(col("doc_id"), col("c"))
-      .agg(count(lit(1)).as("k"))
+        explode(graft.functions.text.char_count_values(col("text")))
+          .as("k"))
     val ent = cnt.groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n"),
         sum(round(log(col("k").cast(DoubleType)), 6)

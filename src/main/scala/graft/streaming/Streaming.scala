@@ -1368,8 +1368,17 @@ object Streaming {
             .otherwise(col("rn") - coalesce(col("ldrn"), lit(0L)))
             .as("n_ops"),
           col("sec").as("last_sec")).as("doc"))
-    // deterministic at-least-once delivery: a third of the log twice
-    lg.unionByName(lg.filter(col("event_id") % 3 === 0))
+    // deterministic at-least-once delivery: a third of the log twice.
+    // Duplicated MAP-SIDE via explode (round 16): the old
+    // `lg ∪ lg.filter(…)` re-ran the whole five-fold window chain for
+    // the duplicate branch (exchange reuse shares the user_id shuffle,
+    // but the Window + struct projection executed twice — half of
+    // st19's and st20's CPU); the exploded multiplier emits the same
+    // multiset off ONE window pass.
+    lg.select(col("user_id"), col("okey"), col("event_id"), col("doc"),
+        explode(when(col("event_id") % 3 === 0, array(lit(0), lit(1)))
+          .otherwise(array(lit(0)))).as("__dup"))
+      .drop("__dup")
   }
 
   /** Same sentinel-reset carries, same max-okey apply. */

@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
   * rule) — this is a probe, not the official artifact. */
 object MiniBench15 {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      println("usage: MiniBench15 <sfDir> <key1,...> [rounds]")
+      sys.exit(2)
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val keys = args(1).split(",").toSeq
     val rounds = if (args.length > 2) args(2).toInt else 3

@@ -259,16 +259,19 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("dct_sign_hash")) <= 1, s"dct kernel re-ran:\n$fin")
   }
 
-  test("round-10b keys: t18 grams off the checkpoint, m10 map-only, " +
+  test("round-10b keys: t18 map-only gram kernel, m10 map-only, " +
       "st15/dd17 window- and cartesian-free") {
-    // t18: both gram passes and the id frame hang off the checkpointed
-    // token arrays — the executed plan carries no text-bearing scan and
-    // no window; gram aggs are partial (map-side combined)
+    // t18 (round 16): the gram histograms live inside the gram_stats
+    // kernel — the whole key is one map-only projection over the
+    // corpus union plus the presentation sort: no per-gram explode, no
+    // (doc, gram) exchange, no window, no checkpoint
     val t18 = finalPlan("t18_repetition_filter")
     val t18fin = t18.split("== Initial Plan ==").head
-    assert(!t18fin.contains("FileScan parquet"), t18fin)
+    assert(t18fin.contains("gram_stats"), t18fin)
     assert(!t18.contains("windowspecdefinition"), t18)
-    assert(t18.contains("partial_count") || t18.contains("partial_max"), t18)
+    assert(!t18fin.contains("hashpartitioning"), t18fin)
+    assert(t18fin.linesIterator.count(_.contains("FileScan parquet")) <= 2,
+      t18fin) // base + plant branches of the corpus union, nothing more
     // m10: the ideal shape — one scan, no join/window/aggregate; the
     // two-tower cosine is per-row column algebra
     val m10 = finalPlan("m10_clip_filter")
@@ -292,12 +295,18 @@ class PlanAuditSpec extends SparkSpec {
 
   test("round-8 keys: dd12 anti-join broadcasts, st12 windows the count " +
       "frame off one scan, s08/s09 joins stay broadcast") {
-    // dd12: the boilerplate-removal anti-join's build side is the
-    // df-tail-sized hash set — it must broadcast, never sort-merge; the
-    // chunk frame arrives via the shared localCheckpoint (no re-scan)
+    // dd12 (round 16): removal is decided on NARROW (h, doc_id, pos)
+    // rows — the boilerplate hash set broadcasts into that frame, the
+    // per-doc removed-pos set re-attaches by doc_id (no LeftAnti
+    // dragging text through an h-exchange), and the chunk TEXT crosses
+    // only the doc_id reassembly exchange, already collapsed into
+    // partial collect_list buffers map-side. (The per-doc aggregate
+    // frames may sort-merge among THEMSELVES — narrow rows — so no
+    // blanket SMJ assert; the LeftAnti's absence is the pin.)
     val dd12 = finalPlan("dd12_boilerplate")
-    assert(dd12.contains("LeftAnti"), dd12)
-    assert(!dd12.contains("SortMergeJoin"), dd12)
+    assert(dd12.contains("array_contains"), dd12)
+    assert(!dd12.contains("LeftAnti"), dd12)
+    assert(dd12.contains("partial_collect_list"), dd12)
     // st12: ONE events scan; the trailing window runs over the
     // AGGREGATED count frame (partial_count before the exchange proves
     // the windowed count collapsed map-side first)
@@ -952,16 +961,19 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("max_by"), p)
   }
 
-  test("round-13: st19's log windows share ONE user_id exchange (the " +
-      "st18 discipline), and the view agg is partial") {
+  test("round-13/16: st19's log windows run ONCE over ONE user_id " +
+      "exchange, and the view agg is partial") {
     val p = finalPlan("st19_oplog_view").split("== Initial Plan ==").head
-    // the duplicated-log union's second branch must REUSE the window
-    // exchange, not re-shuffle the events (a ReusedExchange line quotes
-    // its referent's text, so count only originating nodes)
     assert(p.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") &&
         !l.contains("ReusedExchange")) == 1, p)
-    assert(p.contains("ReusedExchange"), p)
+    // round 16: the at-least-once duplication is an exploded
+    // multiplier riding the single window pass — the old union's
+    // second branch (which re-ran the Window + struct projection above
+    // a ReusedExchange) is gone entirely
+    assert(!p.contains("ReusedExchange"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Generate explode")), p)
     assert(p.contains("partial_max_by") || p.contains("max_by"), p)
   }
 
