@@ -1975,15 +1975,18 @@ object Similarity {
     // subtree and construct wall tripled (Dbg15: s18 3.15→10.5 s).
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("__n").asc, col("vec_id").asc)
-    // Dedup rides the rank window: a (q_id, vec_id) pair appearing more
-    // than once — a candidate reachable from several beam nodes, or a
-    // re-proposal of an already-visited node — carries IDENTICAL rows
-    // (same q_vec, same inline nbr_emb ⇒ same cos), so equal sort keys
-    // put the copies adjacent and lag() drops all but one. That folds
-    // BOTH the old mid-hop (q_id, vec_id) dedup aggregate AND the
-    // never-visited anti-join into the one window pass; the visited SET
-    // is unchanged (a re-proposed node's copy is bit-identical to its
-    // visited row).
+    // Dedup rides the rank window: a candidate reachable from several
+    // beam nodes carries IDENTICAL rows (same q_vec, same inline
+    // nbr_emb ⇒ same cos), so equal sort keys put the copies adjacent
+    // and lag() drops all but one — folding the old mid-hop
+    // (q_id, vec_id) dedup aggregate into the window pass. The
+    // never-visited anti-join is kept SEPARATE, deliberately: folding
+    // it in too (letting re-proposals flow to the window as more
+    // identical copies) was A/B'd and REVERTED — at the synthesized
+    // sf1 an entry node surviving in the beam re-proposes its
+    // Θ(ncells) hub neighbors EVERY hop, and those rows through the
+    // union+window cost s19 +33 % at the decade (7.1→9.4 s) for a
+    // broadcast job saved.
     def rebeam(df: DataFrame): DataFrame = Tables.ckptTiny(
       df.withColumn("__n", col("cos") * -1)
         .withColumn("__dup", lag(col("vec_id"), 1).over(wq) === col("vec_id"))
@@ -1991,10 +1994,11 @@ object Similarity {
         .withColumn("__rk", row_number().over(wq))
         .drop("__n", "__dup"))
     // q_vec rides the visited frame (Q×64 floats per row, bounded), so
-    // each hop broadcasts ONE frame — the beam, vectors inline — where
-    // the old loop paid three broadcast jobs per hop (beam + visited
-    // keys + a pinned qvecs frame); hop latency here is broadcast-job
-    // count, not bytes (round 16, measured via Dbg15 job attribution)
+    // each hop broadcasts TWO frames — the beam (vectors inline) and
+    // the visited keys for the anti-join — where the old loop paid
+    // three broadcast jobs per hop (beam + visited keys + a pinned
+    // qvecs frame); hop latency here is broadcast-job count, not bytes
+    // (round 16, measured via Dbg15 job attribution)
     var visited = rebeam(
       probes.join(broadcast(entries), Seq("cell"))
         .select(col("q_id"), col("q_vec"), col("entry").as("vec_id"),
@@ -2004,6 +2008,13 @@ object Similarity {
         .select(col("q_id"), col("q_vec"), col("vec_id").as("src"))
       val cand = edges.join(broadcast(beam), Seq("src"))
         .select(col("q_id"), col("q_vec"), col("nbr").as("vec_id"),
+          col("nbr_emb"))
+        // broadcast the visited side: beam-bounded by construction, so
+        // the anti join stays a map-side hash probe instead of
+        // shuffling+sorting both sides (guide §3.1)
+        .join(broadcast(visited.select(col("q_id"), col("vec_id"))),
+          Seq("q_id", "vec_id"), "left_anti")
+        .select(col("q_id"), col("q_vec"), col("vec_id"),
           V.cosine_sim(col("q_vec"), col("nbr_emb")).as("cos"))
       visited = rebeam(visited.drop("__rk").unionByName(cand))
     }
