@@ -1058,23 +1058,23 @@ object Dedup {
 
   def dd07ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val chunks = chunked10(spark, dir)
-    // first occurrence per chunk hash decided on NARROW rows (round 16
-    // — guide §2.3): struct min over (doc_id, pos) is the same unique
-    // first-occurrence pick the old (doc_id, pos, chunk) min made, but
-    // the chunk text no longer crosses the h-exchange; winners collapse
-    // to a per-doc kept-pos set, and the text is re-attached by the
-    // SAME doc_id key the reassembly aggregates on — one text exchange
-    // end to end at any scale.
+    // struct min orders by (doc_id, pos) — unique, so this IS the
+    // first-occurrence row, chunk text riding along for reassembly.
+    // Two round-16 "narrow-decision" alternatives were A/B'd and
+    // REVERTED: a per-doc collect_set + array_contains re-attach is
+    // O(chunks) per chunk (official bench: CPU UP 10→13 s), and a
+    // (doc_id, pos) semi-join re-attach re-reads the whole chunk
+    // checkpoint and measured +17 % wall. The shrinking min-struct agg
+    // stays the cheapest correct form; the only kept change is the
+    // hash riding the shared checkpoint (md5 once, both consumers).
     val winners = chunks
       .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-      .groupBy(col("f.doc_id").as("doc_id"))
-      .agg(collect_set(col("f.pos")).as("wpos"))
+      .agg(min(struct(col("doc_id"), col("pos"), col("chunk"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"),
+        col("f.chunk").as("chunk"))
     val totals = chunks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"))
-    val kept = chunks.join(winners, Seq("doc_id"))
-      .filter(array_contains(col("wpos"), col("pos")))
-      .groupBy(col("doc_id"))
+    val kept = winners.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("chunk")))),
@@ -1143,18 +1143,17 @@ object Dedup {
       .select(col("h"))
     val totals = chunks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"))
-    // removal decided on NARROW rows (round 16 — guide §2.3): the old
-    // left_anti on h dragged every chunk's text through the h-exchange
-    // before the doc_id reassembly shuffled it AGAIN. Now the
-    // boilerplate join runs on (h, doc_id, pos) only (the df-tail-sized
-    // boiler side still broadcasts), collapses to a per-doc removed-pos
-    // set, and the text crosses exactly one exchange — the same doc_id
-    // key the reassembly groups on.
-    val removed = chunks.select(col("h"), col("doc_id"), col("pos"))
-      .join(boiler, Seq("h"))
-      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("rpos"))
-    val kept = chunks.join(removed, Seq("doc_id"), "left_outer")
-      .filter(col("rpos").isNull || !array_contains(col("rpos"), col("pos")))
+    // the boilerplate-removal anti-join keeps its ORIGINAL shape: the
+    // build side is the df-tail-sized hash SET, which broadcasts at any
+    // scale, so the chunk text never crosses an h-exchange here and
+    // membership is an O(1) hash probe. (A round-16 experiment moved
+    // the decision to a per-doc removed-pos list + array_contains and
+    // was REVERTED: the list probe is O(chunks) per chunk — the
+    // official bench measured CPU UP 17→23 s.) The h column now rides
+    // the shared checkpoint, so the hash is computed once per chunk
+    // for both consumers instead of twice.
+    val kept = chunks
+      .join(boiler, Seq("h"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

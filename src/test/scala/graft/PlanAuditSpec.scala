@@ -295,17 +295,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("round-8 keys: dd12 anti-join broadcasts, st12 windows the count " +
       "frame off one scan, s08/s09 joins stay broadcast") {
-    // dd12 (round 16): removal is decided on NARROW (h, doc_id, pos)
-    // rows — the boilerplate hash set broadcasts into that frame, the
-    // per-doc removed-pos set re-attaches by doc_id (no LeftAnti
-    // dragging text through an h-exchange), and the chunk TEXT crosses
-    // only the doc_id reassembly exchange, already collapsed into
-    // partial collect_list buffers map-side. (The per-doc aggregate
-    // frames may sort-merge among THEMSELVES — narrow rows — so no
-    // blanket SMJ assert; the LeftAnti's absence is the pin.)
+    // dd12: the boilerplate-removal anti-join's build side is the
+    // df-tail-sized hash SET — it broadcasts (an O(1) probe per chunk;
+    // the round-16 per-doc-list alternative measured quadratic), and
+    // the chunk TEXT crosses only the doc_id reassembly exchange,
+    // collapsed into partial collect_list buffers map-side
     val dd12 = finalPlan("dd12_boilerplate")
-    assert(dd12.contains("array_contains"), dd12)
-    assert(!dd12.contains("LeftAnti"), dd12)
+    assert(dd12.contains("LeftAnti"), dd12)
+    assert(dd12.contains("BroadcastHashJoin"), dd12)
     assert(dd12.contains("partial_collect_list"), dd12)
     // st12: ONE events scan; the trailing window runs over the
     // AGGREGATED count frame (partial_count before the exchange proves
